@@ -1,0 +1,31 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding paths
+(jax.sharding.Mesh + shard_map) are exercised without TPU hardware, mirroring
+how the driver dry-runs `__graft_entry__.dryrun_multichip`. Must be set before
+any jax import.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import pytest
+
+
+@pytest.fixture()
+def tmp_data_dir(tmp_path):
+    d = tmp_path / "yams_data"
+    d.mkdir()
+    return d

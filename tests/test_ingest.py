@@ -1,0 +1,188 @@
+"""Unit tests for ingest primitives: chunker, hasher, compression, detection.
+
+Mirrors the reference's tests/unit/{chunking,crypto,compression,detection}.
+"""
+
+import hashlib
+import os
+import random
+
+import pytest
+
+from yams_tpu.core.config import ChunkingConfig, CompressionConfig
+from yams_tpu.ingest import chunker as chunker_mod
+from yams_tpu.ingest.chunker import FastCDCChunker, _boundaries_numpy, _boundaries_python
+from yams_tpu.ingest.compression import (
+    CompressionPolicy,
+    compress_block,
+    decompress_block,
+    is_compressed_block,
+)
+from yams_tpu.ingest.detection import detect_mime, is_text_mime
+from yams_tpu.ingest.hasher import Sha256Hasher, sha256_bytes, sha256_file
+from yams_tpu import native
+
+
+def _random_bytes(n, seed=0):
+    return random.Random(seed).randbytes(n)
+
+
+SMALL_CFG = ChunkingConfig(min_size=1024, avg_size=4096, max_size=16384)
+
+
+class TestChunker:
+    def test_empty(self):
+        c = FastCDCChunker(SMALL_CFG)
+        assert c.boundaries(b"") == []
+        assert c.chunk_bytes(b"") == []
+
+    def test_tiny_single_chunk(self):
+        c = FastCDCChunker(SMALL_CFG)
+        data = b"hello world"
+        assert c.boundaries(data) == [len(data)]
+
+    def test_boundaries_cover_and_bounds(self):
+        c = FastCDCChunker(SMALL_CFG)
+        data = _random_bytes(200_000)
+        ends = c.boundaries(data)
+        assert ends[-1] == len(data)
+        assert sorted(ends) == ends
+        prev = 0
+        for e in ends:
+            size = e - prev
+            assert size <= SMALL_CFG.max_size
+            # every chunk except possibly the last respects min_size
+            if e != len(data):
+                assert size > SMALL_CFG.min_size
+            prev = e
+
+    def test_avg_size_plausible(self):
+        c = FastCDCChunker(SMALL_CFG)
+        data = _random_bytes(2_000_000, seed=7)
+        ends = c.boundaries(data)
+        avg = len(data) / len(ends)
+        assert SMALL_CFG.avg_size / 4 < avg < SMALL_CFG.avg_size * 4
+
+    def test_numpy_matches_python_oracle(self):
+        cfg = ChunkingConfig(min_size=512, avg_size=2048, max_size=8192)
+        data = _random_bytes(60_000, seed=3)
+        assert _boundaries_numpy(data, 512, 2048, 8192) == _boundaries_python(
+            data, 512, 2048, 8192
+        )
+
+    @pytest.mark.skipif(native.get_native() is None, reason="no native lib")
+    def test_native_matches_numpy(self):
+        data = _random_bytes(300_000, seed=11)
+        got = native.fastcdc_boundaries(data, 1024, 4096, 16384)
+        assert got == _boundaries_numpy(data, 1024, 4096, 16384)
+
+    def test_shift_resistance(self):
+        """CDC property: inserting bytes early only perturbs nearby boundaries."""
+        c = FastCDCChunker(SMALL_CFG)
+        data = _random_bytes(500_000, seed=5)
+        shifted = b"XYZ" + data
+        h1 = {ch.ref.hash for ch in c.chunk_bytes(data)}
+        h2 = {ch.ref.hash for ch in c.chunk_bytes(shifted)}
+        # most chunk hashes survive the 3-byte prefix insertion
+        assert len(h1 & h2) >= 0.6 * len(h1)
+
+    def test_chunk_file_streaming_matches_bytes(self, tmp_path):
+        data = _random_bytes(700_000, seed=9)
+        p = tmp_path / "f.bin"
+        p.write_bytes(data)
+        c = FastCDCChunker(SMALL_CFG)
+        whole = c.chunk_bytes(data)
+        streamed = list(c.chunk_file(p, read_size=64 * 1024))
+        assert [ch.ref for ch in streamed] == [ch.ref for ch in whole]
+        assert b"".join(ch.data for ch in streamed) == data
+
+    def test_gear_table_matches_native(self):
+        lib = native.get_native()
+        if lib is None:
+            pytest.skip("no native lib")
+        import ctypes
+
+        out = (ctypes.c_uint64 * 256)()
+        lib.ytn_gear_table(out)
+        py = chunker_mod.gear_table()
+        assert list(out) == [int(x) for x in py]
+
+
+class TestHasher:
+    def test_known_vector(self):
+        assert (
+            sha256_bytes(b"abc")
+            == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
+        )
+
+    def test_streaming_equals_oneshot(self):
+        data = _random_bytes(100_000)
+        h = Sha256Hasher()
+        h.update(data[:30_000])
+        h.update(data[30_000:])
+        assert h.finalize() == hashlib.sha256(data).hexdigest()
+
+    def test_file_hash(self, tmp_path):
+        data = _random_bytes(50_000, seed=2)
+        p = tmp_path / "x"
+        p.write_bytes(data)
+        assert sha256_file(p) == hashlib.sha256(data).hexdigest()
+
+
+class TestCompression:
+    def test_roundtrip_zstd(self):
+        data = b"yams " * 10_000
+        block = compress_block(data, "zstd", 3)
+        assert is_compressed_block(block)
+        assert len(block) < len(data)
+        assert decompress_block(block) == data
+
+    def test_roundtrip_lzma(self):
+        data = b"tpu native " * 5_000
+        assert decompress_block(compress_block(data, "lzma", 1)) == data
+
+    def test_incompressible_stored_raw(self):
+        data = _random_bytes(10_000, seed=4)
+        block = compress_block(data, "zstd", 3)
+        assert decompress_block(block) == data
+        assert len(block) <= len(data) + 40
+
+    def test_crc_detects_corruption(self):
+        block = bytearray(compress_block(b"hello " * 1000))
+        block[50] ^= 0xFF
+        from yams_tpu.core.errors import CorruptionError
+
+        with pytest.raises(CorruptionError):
+            decompress_block(bytes(block))
+
+    def test_policy(self):
+        p = CompressionPolicy(CompressionConfig())
+        assert not p.decide(100).compress  # too small
+        assert not p.decide(1 << 20, "image/png").compress
+        d = p.decide(1 << 20, "text/plain")
+        assert d.compress and d.algorithm == "zstd"
+        d = p.decide(1 << 20, "text/plain", age_days=90)
+        assert d.algorithm == "lzma"
+
+    def test_empty(self):
+        assert decompress_block(compress_block(b"")) == b""
+
+
+class TestDetection:
+    def test_magic(self):
+        assert detect_mime(b"\x89PNG\r\n\x1a\n....") == "image/png"
+        assert detect_mime(b"%PDF-1.7 ...") == "application/pdf"
+        assert detect_mime(b"PK\x03\x04zzz") == "application/zip"
+
+    def test_extension(self):
+        assert detect_mime(b"import os\n", "a.py") == "text/x-python"
+        assert detect_mime(b"# title\n", "notes.md") == "text/markdown"
+
+    def test_heuristic(self):
+        assert detect_mime(b"plain ascii text") == "text/plain"
+        assert detect_mime(bytes(range(256)) * 4) == "application/octet-stream"
+
+    def test_is_text(self):
+        assert is_text_mime("text/x-python")
+        assert is_text_mime("application/json")
+        assert not is_text_mime("image/png")

@@ -1,0 +1,20 @@
+"""yams-tpu: a TPU-native content-addressed memory + hybrid retrieval engine.
+
+A from-scratch rebuild of the capability surface of trvon/yams (reference:
+C++20 CAS + SQLite/FTS5 + sqlite-vec hybrid search, see /root/reference) as a
+JAX/XLA/Pallas device engine fronted by a Python/C++ host system:
+
+- ingest: FastCDC content-defined chunking (C++ native + vectorized fallback),
+  SHA-256 content addressing, zstd/LZMA compression framework.
+- storage: sharded on-disk CAS with refcounts, manifests, WAL, integrity.
+- metadata: SQLite repository (documents, FTS5 parity oracle, KG, path tree).
+- embed: Simeon-style hashed n-gram embeddings as one XLA program.
+- index/ops: device-resident vector + lexical indexes; Pallas tiled
+  distance-matmul with fused streaming top-k; batched BM25 postings scan.
+- search: hybrid fusion (weighted evidence + RRF) fused into one jitted
+  program per query batch; sharded over a `jax.sharding.Mesh` for multi-chip.
+- services/daemon/mcp/cli: host orchestration mirroring the reference's
+  daemon, MCP stdio server and CLI.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,12 @@
+from .errors import ErrorCode, YamsError
+from .types import Chunk, ChunkRef, ContentHash, DocumentInfo, Manifest
+
+__all__ = [
+    "ErrorCode",
+    "YamsError",
+    "ContentHash",
+    "Chunk",
+    "ChunkRef",
+    "Manifest",
+    "DocumentInfo",
+]

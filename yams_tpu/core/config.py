@@ -1,0 +1,172 @@
+"""Configuration.
+
+Mirrors the reference's TOML config + ConfigResolver (src/config/config_helpers.cpp,
+src/daemon/components/ConfigResolver.cpp): a single typed config merged from
+defaults <- TOML file <- environment (YAMS_TPU_* vars).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pathlib
+from typing import Any
+
+try:
+    import tomllib
+except ImportError:  # pragma: no cover
+    tomllib = None
+
+
+def default_data_dir() -> pathlib.Path:
+    env = os.environ.get("YAMS_TPU_STORAGE") or os.environ.get("YAMS_STORAGE")
+    if env:
+        return pathlib.Path(env)
+    xdg = os.environ.get("XDG_DATA_HOME")
+    base = pathlib.Path(xdg) if xdg else pathlib.Path.home() / ".local" / "share"
+    return base / "yams_tpu"
+
+
+def default_config_path() -> pathlib.Path:
+    xdg = os.environ.get("XDG_CONFIG_HOME")
+    base = pathlib.Path(xdg) if xdg else pathlib.Path.home() / ".config"
+    return base / "yams_tpu" / "config.toml"
+
+
+@dataclasses.dataclass(slots=True)
+class ChunkingConfig:
+    # FastCDC-style gear CDC. The reference uses Rabin w/ 64 KB expected chunks
+    # (include/yams/chunking/chunker.h:44-51); boundary-parity, not byte-parity.
+    min_size: int = 16 * 1024
+    avg_size: int = 64 * 1024
+    max_size: int = 256 * 1024
+
+
+@dataclasses.dataclass(slots=True)
+class CompressionConfig:
+    enabled: bool = True
+    algorithm: str = "zstd"  # zstd | lzma | none
+    zstd_level: int = 3
+    lzma_level: int = 6
+    min_size: int = 1024          # below this, store raw
+    archive_after_days: int = 30  # policy: old blocks -> lzma
+    incompressible_types: tuple[str, ...] = (
+        "image/", "video/", "audio/", "application/zip", "application/gzip",
+        "application/zstd", "application/x-xz",
+    )
+
+
+@dataclasses.dataclass(slots=True)
+class EmbeddingConfig:
+    # Simeon fixed_hash_384 profile parity
+    # (reference src/embedding_simeon/simeon_embedding_backend.cpp:84-117).
+    profile: str = "fixed_hash_384"
+    dim: int = 384
+    sketch_dim: int = 4096
+    seed: int = 0x59414D53  # 'YAMS'
+    char_ngrams: tuple[int, ...] = (3, 4, 5)
+    word_ngrams: tuple[int, ...] = (1, 2)
+    max_doc_tokens: int = 8192
+
+    @property
+    def space_id(self) -> str:
+        return (
+            f"{self.profile}/d{self.dim}/s{self.sketch_dim}/seed{self.seed:x}/v1"
+        )
+
+
+@dataclasses.dataclass(slots=True)
+class VectorIndexConfig:
+    dim: int = 384
+    dtype: str = "bfloat16"     # device dtype for the embedding matrix
+    capacity: int = 1 << 14      # initial capacity (grows by doubling)
+    block_rows: int = 2048       # scan tile rows
+    pq_m: int = 32               # PQ subquantizers (reference sqlite_vec_backend.h:52)
+    pq_ksub: int = 256
+    pq_train_limit: int = 4096
+    pq_rerank_factor: int = 2
+
+
+@dataclasses.dataclass(slots=True)
+class LexicalIndexConfig:
+    k1: float = 1.2
+    b: float = 0.75
+    # FTS5 bm25(documents_fts, 1.0, 10.0): title column weighted 1.0, content 10.0
+    # (reference src/metadata/repository/search_ops.cpp:471).
+    title_weight: float = 1.0
+    content_weight: float = 10.0
+    max_query_terms: int = 32
+    postings_window: int = 1 << 14  # per-term postings scanned on device
+
+
+@dataclasses.dataclass(slots=True)
+class DaemonConfig:
+    socket_path: str = ""   # default: <data_dir>/daemon.sock
+    max_message_bytes: int = 256 * 1024 * 1024
+    worker_threads: int = 4
+    auto_embed: bool = True
+
+
+@dataclasses.dataclass(slots=True)
+class Config:
+    data_dir: pathlib.Path = dataclasses.field(default_factory=default_data_dir)
+    chunking: ChunkingConfig = dataclasses.field(default_factory=ChunkingConfig)
+    compression: CompressionConfig = dataclasses.field(default_factory=CompressionConfig)
+    embedding: EmbeddingConfig = dataclasses.field(default_factory=EmbeddingConfig)
+    vector: VectorIndexConfig = dataclasses.field(default_factory=VectorIndexConfig)
+    lexical: LexicalIndexConfig = dataclasses.field(default_factory=LexicalIndexConfig)
+    daemon: DaemonConfig = dataclasses.field(default_factory=DaemonConfig)
+
+    @property
+    def storage_dir(self) -> pathlib.Path:
+        return self.data_dir / "storage"
+
+    @property
+    def metadata_db(self) -> pathlib.Path:
+        return self.data_dir / "yams.db"
+
+    @property
+    def vectors_dir(self) -> pathlib.Path:
+        return self.data_dir / "vectors"
+
+    @property
+    def wal_dir(self) -> pathlib.Path:
+        return self.data_dir / "wal"
+
+    @property
+    def socket_path(self) -> pathlib.Path:
+        if self.daemon.socket_path:
+            return pathlib.Path(self.daemon.socket_path)
+        return self.data_dir / "daemon.sock"
+
+
+def _apply_section(obj: Any, section: dict[str, Any]) -> None:
+    for key, value in section.items():
+        if hasattr(obj, key):
+            cur = getattr(obj, key)
+            if dataclasses.is_dataclass(cur) and isinstance(value, dict):
+                _apply_section(cur, value)
+            elif isinstance(cur, pathlib.Path):
+                setattr(obj, key, pathlib.Path(value))
+            elif isinstance(cur, tuple) and isinstance(value, list):
+                setattr(obj, key, tuple(value))
+            else:
+                setattr(obj, key, type(cur)(value) if cur is not None else value)
+
+
+def load_config(
+    path: pathlib.Path | None = None, data_dir: pathlib.Path | str | None = None
+) -> Config:
+    """defaults <- TOML <- env, as the reference's ConfigResolver does."""
+    cfg = Config()
+    path = path or default_config_path()
+    if tomllib is not None and path.is_file():
+        with open(path, "rb") as f:
+            _apply_section(cfg, tomllib.load(f))
+    if data_dir is not None:
+        cfg.data_dir = pathlib.Path(data_dir)
+    elif os.environ.get("YAMS_TPU_STORAGE"):
+        cfg.data_dir = pathlib.Path(os.environ["YAMS_TPU_STORAGE"])
+    if os.environ.get("YAMS_TPU_SOCKET"):
+        cfg.daemon.socket_path = os.environ["YAMS_TPU_SOCKET"]
+    return cfg

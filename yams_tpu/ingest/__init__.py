@@ -1,0 +1,24 @@
+from .chunker import FastCDCChunker, gear_table
+from .compression import (
+    CompressionHeader,
+    CompressionPolicy,
+    CompressionRegistry,
+    compress_block,
+    decompress_block,
+)
+from .detection import detect_mime
+from .hasher import Sha256Hasher, sha256_bytes, sha256_file
+
+__all__ = [
+    "FastCDCChunker",
+    "gear_table",
+    "Sha256Hasher",
+    "sha256_bytes",
+    "sha256_file",
+    "CompressionHeader",
+    "CompressionPolicy",
+    "CompressionRegistry",
+    "compress_block",
+    "decompress_block",
+    "detect_mime",
+]

@@ -1,0 +1,107 @@
+"""Loader for the native C++ runtime library (built on first use via g++).
+
+The reference implements its ingest hot loops in C++ (src/chunking, src/crypto);
+we do the same for chunking/scanning and expose them through ctypes. Everything
+degrades gracefully to the NumPy fallbacks in yams_tpu.ingest when no compiler
+is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+
+_HERE = pathlib.Path(__file__).parent
+_SRC = _HERE / "src" / "yams_native.cpp"
+_LIBDIR = _HERE / "_build"
+_LIB = _LIBDIR / "libyams_native.so"
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+
+def _build() -> bool:
+    _LIBDIR.mkdir(exist_ok=True)
+    tmp = _LIB.with_suffix(".so.tmp")
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        "-march=native", "-funroll-loops",
+        str(_SRC), "-o", str(tmp),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB)
+        return True
+    except (subprocess.SubprocessError, OSError):
+        return False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("YAMS_TPU_NO_NATIVE"):
+            return None
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB))
+        except OSError:
+            return None
+        lib.ytn_abi_version.restype = ctypes.c_int
+        lib.ytn_fastcdc.restype = ctypes.c_size_t
+        lib.ytn_fastcdc.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_size_t,
+        ]
+        lib.ytn_gear_table.argtypes = [ctypes.POINTER(ctypes.c_uint64)]
+        lib.ytn_find_all.restype = ctypes.c_size_t
+        lib.ytn_find_all.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_size_t,
+        ]
+        lib.ytn_crc32.restype = ctypes.c_uint32
+        lib.ytn_crc32.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint32]
+        if lib.ytn_abi_version() != 1:
+            return None
+        _lib = lib
+        return _lib
+
+
+def get_native() -> ctypes.CDLL | None:
+    """Return the loaded native library, building it on first call if needed."""
+    return _load()
+
+
+def fastcdc_boundaries(
+    data: bytes, min_size: int, avg_size: int, max_size: int
+) -> list[int] | None:
+    """Chunk end-offsets via the native FastCDC, or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    cap = max(2, len(data) // max(1, min_size) + 2)
+    out = (ctypes.c_uint64 * cap)()
+    n = lib.ytn_fastcdc(data, len(data), min_size, avg_size, max_size, out, cap)
+    if n > cap:  # shouldn't happen given cap bound, but be safe
+        out = (ctypes.c_uint64 * n)()
+        n = lib.ytn_fastcdc(data, len(data), min_size, avg_size, max_size, out, n)
+    return [int(out[i]) for i in range(n)]
+
+
+def find_all(haystack: bytes, needle: bytes, max_hits: int = 1 << 20) -> list[int] | None:
+    lib = _load()
+    if lib is None:
+        return None
+    out = (ctypes.c_uint64 * max_hits)()
+    n = lib.ytn_find_all(haystack, len(haystack), needle, len(needle), out, max_hits)
+    return [int(out[i]) for i in range(min(n, max_hits))]

@@ -1,0 +1,135 @@
+// yams_tpu native runtime kernels (host side).
+//
+// TPU-native rebuild of the reference's byte-throughput C++ paths:
+//  - FastCDC content-defined chunking (reference: src/chunking/rabin_chunker.cpp
+//    uses Rabin w/ window=48; we use gear-hash FastCDC which parallelizes and is
+//    ~10-20x faster at equal boundary quality — boundary-parity, not byte-parity).
+//  - substring scan for grep literal fast path (reference:
+//    src/app/services/simd_memmem.cpp, Lemire two-byte technique).
+//
+// Exposed via a C ABI consumed through ctypes (no pybind11 in this image).
+
+#include <cstdint>
+#include <cstddef>
+#include <cstring>
+
+extern "C" {
+
+int ytn_abi_version() { return 1; }
+
+// --- splitmix64-derived gear table (shared derivation with the Python fallback) ---
+static uint64_t splitmix64(uint64_t x) {
+    x += 0x9E3779B97F4A7C15ULL;
+    uint64_t z = x;
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+    return z ^ (z >> 31);
+}
+
+static uint64_t GEAR[256];
+static bool gear_init_done = false;
+static const uint64_t GEAR_SEED = 0x59414D5354505500ULL; // "YAMSTPU\0"
+
+static void gear_init() {
+    if (gear_init_done) return;
+    for (int i = 0; i < 256; ++i) GEAR[i] = splitmix64(GEAR_SEED + (uint64_t)i);
+    gear_init_done = true;
+}
+
+void ytn_gear_table(uint64_t* out256) {
+    gear_init();
+    std::memcpy(out256, GEAR, sizeof(GEAR));
+}
+
+static inline int ilog2(uint64_t v) {
+    int r = 0;
+    while (v >>= 1) ++r;
+    return r;
+}
+
+// FastCDC (Xia et al. 2016) with two-level normalized chunking.
+// Returns the number of chunks; writes end-offsets into out (up to out_cap).
+// The gear hash window self-flushes after 64 bytes (h = (h<<1) + GEAR[b]), so
+// boundaries match any windowed evaluation at positions >= min_size.
+size_t ytn_fastcdc(const uint8_t* data, size_t n,
+                   size_t min_size, size_t avg_size, size_t max_size,
+                   uint64_t* out, size_t out_cap) {
+    gear_init();
+    if (n == 0) return 0;
+    const int bits = ilog2(avg_size);
+    const uint64_t mask_s = (1ULL << (bits + 2)) - 1; // harder, before avg
+    const uint64_t mask_l = (1ULL << (bits - 2)) - 1; // easier, after avg
+    size_t count = 0;
+    size_t pos = 0;
+    while (pos < n) {
+        size_t remaining = n - pos;
+        size_t cut;
+        if (remaining <= min_size) {
+            cut = remaining;
+        } else {
+            size_t cap = remaining < max_size ? remaining : max_size;
+            size_t mid = remaining < avg_size ? remaining : avg_size;
+            uint64_t h = 0;
+            size_t i = 0;
+            cut = cap;
+            // warm the 64-byte window inside the skipped min region
+            size_t warm = min_size >= 64 ? min_size - 64 : 0;
+            for (i = warm; i < min_size; ++i) h = (h << 1) + GEAR[data[pos + i]];
+            for (; i < mid; ++i) {
+                h = (h << 1) + GEAR[data[pos + i]];
+                if (!(h & mask_s)) { cut = i + 1; goto found; }
+            }
+            for (; i < cap; ++i) {
+                h = (h << 1) + GEAR[data[pos + i]];
+                if (!(h & mask_l)) { cut = i + 1; goto found; }
+            }
+        found:;
+        }
+        pos += cut;
+        if (count < out_cap) out[count] = (uint64_t)pos;
+        ++count;
+    }
+    return count;
+}
+
+// Find all occurrences of needle in haystack; writes offsets, returns count.
+// Two-byte filter in the spirit of the reference's simd_memmem.cpp; the
+// compiler vectorizes the first/last-byte comparison loop.
+size_t ytn_find_all(const uint8_t* hay, size_t n,
+                    const uint8_t* needle, size_t m,
+                    uint64_t* out, size_t out_cap) {
+    if (m == 0 || m > n) return 0;
+    size_t count = 0;
+    const uint8_t first = needle[0], last = needle[m - 1];
+    for (size_t i = 0; i + m <= n; ++i) {
+        if (hay[i] == first && hay[i + m - 1] == last &&
+            (m <= 2 || std::memcmp(hay + i + 1, needle + 1, m - 2) == 0)) {
+            if (count < out_cap) out[count] = (uint64_t)i;
+            ++count;
+        }
+    }
+    return count;
+}
+
+// crc32 (zlib polynomial, table-driven) — used for WAL / compression headers
+// when we want to avoid Python-loop overheads on large buffers.
+static uint32_t CRC_TABLE[256];
+static bool crc_init_done = false;
+static void crc_init() {
+    if (crc_init_done) return;
+    for (uint32_t i = 0; i < 256; ++i) {
+        uint32_t c = i;
+        for (int k = 0; k < 8; ++k) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+        CRC_TABLE[i] = c;
+    }
+    crc_init_done = true;
+}
+
+uint32_t ytn_crc32(const uint8_t* data, size_t n, uint32_t seed) {
+    crc_init();
+    uint32_t c = seed ^ 0xFFFFFFFFu;
+    for (size_t i = 0; i < n; ++i) c = CRC_TABLE[(c ^ data[i]) & 0xFF] ^ (c >> 8);
+    return c ^ 0xFFFFFFFFu;
+}
+
+} // extern "C"

@@ -1,0 +1,203 @@
+"""Tests for the CAS storage layer: engine, refcounts, WAL, GC, integrity, ContentStore.
+
+Mirrors the reference's tests/unit/{storage,manifest,wal,integrity}.
+"""
+
+import random
+
+import pytest
+
+from yams_tpu.core.config import ChunkingConfig
+from yams_tpu.core.errors import CorruptionError, NotFoundError
+from yams_tpu.ingest.hasher import sha256_bytes
+from yams_tpu.storage import (
+    ContentStore,
+    GarbageCollector,
+    IntegrityVerifier,
+    ReferenceCounter,
+    StorageEngine,
+    WalManager,
+)
+
+CFG = ChunkingConfig(min_size=1024, avg_size=4096, max_size=16384)
+
+
+def _rand(n, seed=0):
+    return random.Random(seed).randbytes(n)
+
+
+class TestStorageEngine:
+    def test_store_retrieve(self, tmp_path):
+        e = StorageEngine(tmp_path)
+        data = b"hello"
+        h = sha256_bytes(data)
+        e.store(h, data)
+        assert e.exists(h)
+        assert e.retrieve(h) == data
+        assert e.size_of(h) == 5
+
+    def test_missing(self, tmp_path):
+        e = StorageEngine(tmp_path)
+        with pytest.raises(NotFoundError):
+            e.retrieve("0" * 64)
+
+    def test_verify_on_read(self, tmp_path):
+        e = StorageEngine(tmp_path, verify_on_read=True)
+        h = sha256_bytes(b"x")
+        e.store(h, b"x")
+        # corrupt on disk
+        e._path(h).write_bytes(b"y")
+        with pytest.raises(CorruptionError):
+            e.retrieve(h)
+
+    def test_sharded_layout(self, tmp_path):
+        e = StorageEngine(tmp_path)
+        h = sha256_bytes(b"z")
+        e.store(h, b"z")
+        assert (tmp_path / "objects" / h[:2] / h[2:4] / h).exists()
+        assert list(e.iter_blocks()) == [h]
+
+
+class TestRefCounter:
+    def test_inc_dec(self, tmp_path):
+        rc = ReferenceCounter(tmp_path / "s.db")
+        rc.increment_batch([("a" * 64, 10), ("b" * 64, 20)])
+        rc.increment_batch([("a" * 64, 10)])
+        assert rc.ref_count("a" * 64) == 2
+        rc.decrement_batch(["a" * 64, "a" * 64, "b" * 64])
+        assert rc.ref_count("a" * 64) == 0
+        assert set(rc.unreferenced()) == {"a" * 64, "b" * 64}
+
+    def test_stats(self, tmp_path):
+        rc = ReferenceCounter(tmp_path / "s.db")
+        rc.increment_batch([("a" * 64, 100)])
+        s = rc.stats()
+        assert s["unique_blocks"] == 1 and s["unique_bytes"] == 100
+
+
+class TestWal:
+    def test_append_replay(self, tmp_path):
+        w = WalManager(tmp_path)
+        w.append("store_block", hash="a" * 64, size=3)
+        w.append("update_ref", hashes=["a" * 64], delta=1)
+        w.close()
+        w2 = WalManager(tmp_path)
+        recs = list(w2.replay())
+        assert [r["op"] for r in recs] == ["store_block", "update_ref"]
+        assert recs[0]["seq"] == 1 and recs[1]["seq"] == 2
+        # new appends continue the sequence
+        assert w2.append("store_block", hash="b" * 64, size=1) == 3
+
+    def test_torn_tail_ignored(self, tmp_path):
+        w = WalManager(tmp_path)
+        w.append("store_block", hash="a" * 64, size=3)
+        w.sync()
+        # simulate a torn write: garbage frame at the tail
+        seg = sorted(tmp_path.glob("*.wal"))[0]
+        with open(seg, "ab") as f:
+            f.write(b"\x40\x00\x00\x00\xde\xad\xbe\xefgarbage")
+        recs = list(WalManager(tmp_path).replay())
+        assert len(recs) == 1
+
+    def test_rotation_and_checkpoint(self, tmp_path):
+        w = WalManager(tmp_path, segment_bytes=256)
+        for i in range(50):
+            w.append("store_block", hash=f"{i:064d}"[:64], size=i)
+        assert len(list(tmp_path.glob("*.wal"))) > 1
+        w.checkpoint()
+        assert len(list(tmp_path.glob("*.wal"))) == 1
+
+
+class TestContentStore:
+    def test_roundtrip(self, tmp_path):
+        cs = ContentStore(tmp_path, chunking=CFG)
+        data = _rand(100_000)
+        r = cs.store_bytes(data, "application/octet-stream")
+        assert r.content_hash == sha256_bytes(data)
+        assert r.chunk_count >= 1
+        assert cs.exists(r.content_hash)
+        assert cs.retrieve_bytes(r.content_hash) == data
+
+    def test_dedup_identical_content(self, tmp_path):
+        cs = ContentStore(tmp_path, chunking=CFG)
+        data = _rand(50_000, seed=1)
+        r1 = cs.store_bytes(data)
+        r2 = cs.store_bytes(data)
+        assert r2.bytes_stored == 0
+        assert r2.bytes_deduped == len(data)
+        assert r2.dedup_ratio == 1.0
+        assert r1.content_hash == r2.content_hash
+
+    def test_dedup_shared_chunks(self, tmp_path):
+        cs = ContentStore(tmp_path, chunking=CFG)
+        base = _rand(200_000, seed=2)
+        cs.store_bytes(base)
+        r = cs.store_bytes(base + b"trailing difference")
+        assert r.bytes_deduped > 0.5 * len(base)
+
+    def test_remove_and_gc(self, tmp_path):
+        cs = ContentStore(tmp_path, chunking=CFG)
+        data = _rand(60_000, seed=3)
+        r = cs.store_bytes(data)
+        assert cs.remove(r.content_hash)
+        assert not cs.exists(r.content_hash)
+        with pytest.raises(NotFoundError):
+            cs.retrieve_bytes(r.content_hash)
+        # all blocks reclaimed
+        assert list(cs.engine.iter_blocks()) == []
+
+    def test_remove_keeps_shared(self, tmp_path):
+        cs = ContentStore(tmp_path, chunking=CFG)
+        data = _rand(60_000, seed=4)
+        cs.store_bytes(data)
+        cs.store_bytes(data)  # refcount 2
+        cs.remove(data_hash := sha256_bytes(data))
+        assert cs.exists(data_hash)
+        assert cs.retrieve_bytes(data_hash) == data
+
+    def test_streaming_file_store(self, tmp_path):
+        cs = ContentStore(tmp_path, chunking=CFG)
+        data = _rand(300_000, seed=5)
+        p = tmp_path / "big.bin"
+        p.write_bytes(data)
+        r = cs.store_file(p)
+        assert cs.retrieve_bytes(r.content_hash) == data
+
+    def test_stream_retrieve(self, tmp_path):
+        cs = ContentStore(tmp_path, chunking=CFG)
+        data = _rand(80_000, seed=6)
+        r = cs.store_bytes(data)
+        assert b"".join(cs.retrieve_stream(r.content_hash)) == data
+
+    def test_compression_transparent(self, tmp_path):
+        cs = ContentStore(tmp_path, chunking=CFG)
+        data = b"compressible text " * 10_000
+        r = cs.store_bytes(data, "text/plain")
+        assert cs.retrieve_bytes(r.content_hash) == data
+        # on-disk blocks should be smaller than logical size
+        on_disk = sum(
+            f.stat().st_size for f in (tmp_path / "objects").rglob("*") if f.is_file()
+        )
+        assert on_disk < len(data) / 2
+
+
+class TestIntegrity:
+    def test_verify_and_quarantine(self, tmp_path):
+        cs = ContentStore(tmp_path, chunking=CFG)
+        data = _rand(50_000, seed=7)
+        cs.store_bytes(data)
+        report = cs.verifier.verify_all()
+        assert report.scanned > 0 and not report.corrupted and not report.missing
+        # corrupt one block on disk
+        victim = next(iter(cs.refcounter.known_blocks()))
+        cs.engine.inner._path(victim).write_bytes(b"CORRUPT")
+        report = cs.verifier.verify_all()
+        assert victim in report.corrupted
+        assert cs.verifier.quarantine_corrupted(report) == 1
+
+    def test_orphan_scan(self, tmp_path):
+        cs = ContentStore(tmp_path, chunking=CFG)
+        orphan = sha256_bytes(b"orphan")
+        cs.engine.inner.store(orphan, b"orphan")
+        gc = GarbageCollector(cs.engine, cs.refcounter)
+        assert orphan in gc.orphan_scan()

@@ -1,0 +1,16 @@
+from .content_store import ContentStore
+from .engine import CompressedStorageEngine, StorageEngine
+from .gc import GarbageCollector
+from .integrity import IntegrityVerifier
+from .refcounter import ReferenceCounter
+from .wal import WalManager
+
+__all__ = [
+    "StorageEngine",
+    "CompressedStorageEngine",
+    "ReferenceCounter",
+    "WalManager",
+    "GarbageCollector",
+    "IntegrityVerifier",
+    "ContentStore",
+]

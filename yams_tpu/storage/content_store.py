@@ -1,0 +1,191 @@
+"""ContentStore: the L3 API orchestrating hash → chunk → dedup → manifest.
+
+Parity: include/yams/api/content_store.h:88-115 and
+src/api/content_store_impl.cpp:217-300 (per-chunk exists() dedup, refcount
+batches, phase timings, WAL-before-commit discipline).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import time
+
+from ..core.config import ChunkingConfig, CompressionConfig
+from ..core.errors import NotFoundError
+from ..core.types import ChunkRef, Manifest, StoreResult
+from ..ingest.chunker import FastCDCChunker
+from ..ingest.compression import CompressionPolicy
+from ..ingest.hasher import sha256_bytes, sha256_file
+from .engine import CompressedStorageEngine, StorageEngine
+from .gc import GarbageCollector
+from .integrity import IntegrityVerifier
+from .refcounter import ReferenceCounter
+from .wal import OP_STORE_BLOCK, OP_UPDATE_REFERENCE, WalManager
+
+
+class ContentStore:
+    def __init__(
+        self,
+        root: str | pathlib.Path,
+        chunking: ChunkingConfig | None = None,
+        compression: CompressionConfig | None = None,
+        enable_wal: bool = True,
+    ):
+        self.root = pathlib.Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self.engine = CompressedStorageEngine(
+            StorageEngine(self.root), CompressionPolicy(compression)
+        )
+        self.refcounter = ReferenceCounter(self.root / "storage.db")
+        self.chunker = FastCDCChunker(chunking)
+        self.wal = WalManager(self.root / "wal") if enable_wal else None
+        self.gc = GarbageCollector(self.engine, self.refcounter)
+        self.verifier = IntegrityVerifier(self.engine, self.refcounter)
+
+    def close(self) -> None:
+        if self.wal:
+            self.wal.close()
+        self.refcounter.close()
+
+    # -- store -------------------------------------------------------------------
+    def store_bytes(self, data: bytes, mime_type: str = "") -> StoreResult:
+        t0 = time.monotonic()
+        timings: dict[str, float] = {}
+
+        t = time.monotonic()
+        content_hash = sha256_bytes(data)
+        timings["hash"] = (time.monotonic() - t) * 1e3
+
+        if self.refcounter.has_manifest(content_hash):
+            # whole-content dedup: bump manifest + chunk refcounts
+            manifest = self.refcounter.get_manifest(content_hash)
+            self.refcounter.store_manifest(manifest)
+            self.refcounter.increment_batch([(c.hash, c.size) for c in manifest.chunks])
+            return StoreResult(
+                content_hash=content_hash,
+                bytes_stored=0,
+                bytes_deduped=len(data),
+                total_bytes=len(data),
+                chunk_count=len(manifest.chunks),
+                dedup_ratio=1.0,
+                duration_ms=(time.monotonic() - t0) * 1e3,
+                phase_timings_ms=timings,
+            )
+
+        t = time.monotonic()
+        chunks = self.chunker.chunk_bytes(data)
+        timings["chunk"] = (time.monotonic() - t) * 1e3
+
+        t = time.monotonic()
+        bytes_stored = 0
+        bytes_deduped = 0
+        refs: list[tuple[str, int]] = []
+        for ch in chunks:
+            refs.append((ch.ref.hash, ch.ref.size))
+            if self.engine.exists(ch.ref.hash):
+                bytes_deduped += ch.ref.size
+                continue
+            if self.wal:
+                self.wal.append(OP_STORE_BLOCK, hash=ch.ref.hash, size=ch.ref.size)
+            self.engine.store(ch.ref.hash, ch.data, mime_type)
+            bytes_stored += ch.ref.size
+        timings["store"] = (time.monotonic() - t) * 1e3
+
+        t = time.monotonic()
+        if self.wal:
+            self.wal.append(
+                OP_UPDATE_REFERENCE, hashes=[h for h, _ in refs], delta=1
+            )
+            self.wal.sync()
+        self.refcounter.increment_batch(refs)
+        manifest = Manifest(
+            content_hash=content_hash,
+            total_size=len(data),
+            chunks=[c.ref for c in chunks],
+        )
+        self.refcounter.store_manifest(manifest)
+        timings["commit"] = (time.monotonic() - t) * 1e3
+
+        return StoreResult(
+            content_hash=content_hash,
+            bytes_stored=bytes_stored,
+            bytes_deduped=bytes_deduped,
+            total_bytes=len(data),
+            chunk_count=len(chunks),
+            dedup_ratio=bytes_deduped / len(data) if data else 0.0,
+            duration_ms=(time.monotonic() - t0) * 1e3,
+            phase_timings_ms=timings,
+        )
+
+    def store_file(self, path: str | pathlib.Path, mime_type: str = "") -> StoreResult:
+        """Streaming store for large files (bounded memory)."""
+        path = pathlib.Path(path)
+        size = path.stat().st_size
+        if size <= 64 * 1024 * 1024:
+            return self.store_bytes(path.read_bytes(), mime_type)
+        t0 = time.monotonic()
+        content_hash = sha256_file(path)
+        if self.refcounter.has_manifest(content_hash):
+            manifest = self.refcounter.get_manifest(content_hash)
+            self.refcounter.store_manifest(manifest)
+            self.refcounter.increment_batch([(c.hash, c.size) for c in manifest.chunks])
+            return StoreResult(
+                content_hash, 0, size, size, len(manifest.chunks), 1.0,
+                (time.monotonic() - t0) * 1e3,
+            )
+        bytes_stored = bytes_deduped = 0
+        refs: list[tuple[str, int]] = []
+        chunk_refs: list[ChunkRef] = []
+        for ch in self.chunker.chunk_file(path):
+            chunk_refs.append(ch.ref)
+            refs.append((ch.ref.hash, ch.ref.size))
+            if self.engine.exists(ch.ref.hash):
+                bytes_deduped += ch.ref.size
+            else:
+                self.engine.store(ch.ref.hash, ch.data, mime_type)
+                bytes_stored += ch.ref.size
+        if self.wal:
+            self.wal.append(OP_UPDATE_REFERENCE, hashes=[h for h, _ in refs], delta=1)
+            self.wal.sync()
+        self.refcounter.increment_batch(refs)
+        self.refcounter.store_manifest(
+            Manifest(content_hash=content_hash, total_size=size, chunks=chunk_refs)
+        )
+        return StoreResult(
+            content_hash, bytes_stored, bytes_deduped, size, len(chunk_refs),
+            bytes_deduped / size if size else 0.0, (time.monotonic() - t0) * 1e3,
+        )
+
+    # -- retrieve ------------------------------------------------------------------
+    def retrieve_bytes(self, content_hash: str) -> bytes:
+        manifest = self.refcounter.get_manifest(content_hash)
+        parts = [self.engine.retrieve(c.hash) for c in manifest.chunks]
+        data = b"".join(parts)
+        if len(data) != manifest.total_size:
+            raise NotFoundError(f"content incomplete: {content_hash}")
+        return data
+
+    def retrieve_stream(self, content_hash: str):
+        manifest = self.refcounter.get_manifest(content_hash)
+        for c in manifest.chunks:
+            yield self.engine.retrieve(c.hash)
+
+    def exists(self, content_hash: str) -> bool:
+        return self.refcounter.has_manifest(content_hash)
+
+    # -- remove ---------------------------------------------------------------------
+    def remove(self, content_hash: str, collect: bool = True) -> bool:
+        try:
+            manifest = self.refcounter.release_manifest(content_hash)
+        except NotFoundError:
+            return False
+        if manifest is not None:
+            self.refcounter.decrement_batch([c.hash for c in manifest.chunks])
+            if collect:
+                self.gc.collect()
+        return True
+
+    def stats(self) -> dict:
+        s = self.refcounter.stats()
+        s.update(self.engine.stats())
+        return s

@@ -1,0 +1,153 @@
+"""Sharded on-disk content-addressed block store.
+
+Parity: include/yams/storage/storage_engine.h (shardDepth=2 directory fanout,
+atomic temp+fsync+rename writes, optional read-time hash verification) and
+src/storage/compressed_storage_engine.cpp (policy-driven compression decorator).
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import tempfile
+import threading
+
+from ..core.errors import CorruptionError, InvalidArgumentError, NotFoundError
+from ..core.types import is_valid_hash
+from ..ingest.compression import (
+    CompressionPolicy,
+    compress_block,
+    decompress_block,
+    is_compressed_block,
+)
+from ..ingest.hasher import sha256_bytes
+
+
+class StorageEngine:
+    """Filesystem CAS: objects/<h[0:2]>/<h[2:4]>/<hash>."""
+
+    def __init__(self, root: str | pathlib.Path, verify_on_read: bool = False):
+        self.root = pathlib.Path(root)
+        self.objects = self.root / "objects"
+        self.objects.mkdir(parents=True, exist_ok=True)
+        self.verify_on_read = verify_on_read
+        self._lock = threading.Lock()
+        self._stats = {"stores": 0, "retrieves": 0, "bytes_written": 0, "bytes_read": 0}
+
+    def _path(self, h: str) -> pathlib.Path:
+        if not is_valid_hash(h):
+            raise InvalidArgumentError(f"invalid content hash: {h!r}")
+        return self.objects / h[0:2] / h[2:4] / h
+
+    def store(self, h: str, data: bytes) -> None:
+        """Atomic write: temp file + fsync + rename (storage_engine.h:35-39)."""
+        path = self._path(h)
+        if path.exists():
+            return
+        path.parent.mkdir(parents=True, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=path.parent, prefix=".tmp-")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+        with self._lock:
+            self._stats["stores"] += 1
+            self._stats["bytes_written"] += len(data)
+
+    def retrieve(self, h: str) -> bytes:
+        path = self._path(h)
+        try:
+            data = path.read_bytes()
+        except FileNotFoundError:
+            raise NotFoundError(f"block not found: {h}")
+        if self.verify_on_read and sha256_bytes(data) != h:
+            raise CorruptionError(f"block corrupted: {h}")
+        with self._lock:
+            self._stats["retrieves"] += 1
+            self._stats["bytes_read"] += len(data)
+        return data
+
+    def exists(self, h: str) -> bool:
+        return self._path(h).exists()
+
+    def remove(self, h: str) -> bool:
+        try:
+            self._path(h).unlink()
+            return True
+        except FileNotFoundError:
+            return False
+
+    def size_of(self, h: str) -> int:
+        try:
+            return self._path(h).stat().st_size
+        except FileNotFoundError:
+            raise NotFoundError(f"block not found: {h}")
+
+    def iter_blocks(self):
+        """Yield all stored block hashes (for GC / integrity scans)."""
+        for d1 in sorted(self.objects.iterdir()):
+            if not d1.is_dir():
+                continue
+            for d2 in sorted(d1.iterdir()):
+                if not d2.is_dir():
+                    continue
+                for f in sorted(d2.iterdir()):
+                    if is_valid_hash(f.name):
+                        yield f.name
+
+    def stats(self) -> dict:
+        with self._lock:
+            return dict(self._stats)
+
+
+class CompressedStorageEngine:
+    """Decorator adding policy-driven transparent compression.
+
+    Stored blocks are framed (CompressionHeader) when the policy says so; reads
+    transparently decompress. Verification compares the *decompressed* payload
+    hash, as the reference's CompressedStorageEngine does.
+    """
+
+    def __init__(
+        self,
+        inner: StorageEngine,
+        policy: CompressionPolicy | None = None,
+        verify_on_read: bool = False,
+    ):
+        self.inner = inner
+        self.policy = policy or CompressionPolicy()
+        self.verify_on_read = verify_on_read
+        inner.verify_on_read = False  # raw-bytes hash check would be wrong
+
+    def store(self, h: str, data: bytes, mime_type: str = "") -> None:
+        decision = self.policy.decide(len(data), mime_type)
+        if decision.compress:
+            data = compress_block(data, decision.algorithm, decision.level)
+        self.inner.store(h, data)
+
+    def retrieve(self, h: str) -> bytes:
+        raw = self.inner.retrieve(h)
+        data = decompress_block(raw) if is_compressed_block(raw) else raw
+        if self.verify_on_read and sha256_bytes(data) != h:
+            raise CorruptionError(f"block corrupted: {h}")
+        return data
+
+    def exists(self, h: str) -> bool:
+        return self.inner.exists(h)
+
+    def remove(self, h: str) -> bool:
+        return self.inner.remove(h)
+
+    def iter_blocks(self):
+        return self.inner.iter_blocks()
+
+    def stats(self) -> dict:
+        return self.inner.stats()

@@ -1,0 +1,120 @@
+"""Write-ahead log: CRC-framed msgpack records in rotating segments.
+
+Parity: src/wal/ (include/yams/wal/wal_entry.h ops StoreBlock/DeleteBlock/
+UpdateReference/UpdateMetadata; 100 MB segments; group commit; CRC'd entries;
+replay recovery). We use smaller default segments and msgpack payloads but the
+same framing discipline: [u32 len][u32 crc32][payload], truncated tails are
+dropped at replay (torn-write tolerance).
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import struct
+import threading
+import zlib
+from typing import Any, Callable, Iterator
+
+import msgpack
+
+_FRAME = struct.Struct("<II")
+
+OP_STORE_BLOCK = "store_block"
+OP_DELETE_BLOCK = "delete_block"
+OP_UPDATE_REFERENCE = "update_ref"
+OP_UPDATE_METADATA = "update_meta"
+OP_CHECKPOINT = "checkpoint"
+
+
+class WalManager:
+    def __init__(
+        self,
+        wal_dir: str | pathlib.Path,
+        segment_bytes: int = 16 * 1024 * 1024,
+        sync_every: int = 64,
+    ):
+        self.dir = pathlib.Path(wal_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.segment_bytes = segment_bytes
+        self.sync_every = sync_every
+        self._lock = threading.RLock()
+        self._seq = 0
+        self._pending = 0
+        segs = self._segments()
+        self._seg_index = (int(segs[-1].stem) + 1) if segs else 1
+        self._fh = None
+        self._open_segment()
+
+    def _segments(self) -> list[pathlib.Path]:
+        return sorted(self.dir.glob("*.wal"))
+
+    def _open_segment(self) -> None:
+        if self._fh:
+            self._fh.flush()
+            os.fsync(self._fh.fileno())
+            self._fh.close()
+        path = self.dir / f"{self._seg_index:08d}.wal"
+        self._fh = open(path, "ab")
+        self._seg_index += 1
+
+    def append(self, op: str, **fields: Any) -> int:
+        """Append one record; returns its sequence number."""
+        with self._lock:
+            self._seq += 1
+            rec = {"seq": self._seq, "op": op, **fields}
+            payload = msgpack.packb(rec, use_bin_type=True)
+            self._fh.write(_FRAME.pack(len(payload), zlib.crc32(payload) & 0xFFFFFFFF))
+            self._fh.write(payload)
+            self._pending += 1
+            if self._pending >= self.sync_every:
+                self.sync()
+            if self._fh.tell() >= self.segment_bytes:
+                self._open_segment()
+            return self._seq
+
+    def sync(self) -> None:
+        self._fh.flush()
+        os.fsync(self._fh.fileno())
+        self._pending = 0
+
+    def replay(self) -> Iterator[dict[str, Any]]:
+        """Yield all intact records across segments; stop a segment at the
+        first torn/corrupt frame (crash tail)."""
+        for seg in self._segments():
+            with open(seg, "rb") as f:
+                while True:
+                    head = f.read(_FRAME.size)
+                    if len(head) < _FRAME.size:
+                        break
+                    length, crc = _FRAME.unpack(head)
+                    payload = f.read(length)
+                    if len(payload) < length or zlib.crc32(payload) & 0xFFFFFFFF != crc:
+                        break  # torn write: ignore the rest of this segment
+                    rec = msgpack.unpackb(payload, raw=False)
+                    self._seq = max(self._seq, rec.get("seq", 0))
+                    yield rec
+
+    def checkpoint(self, apply_fn: Callable[[], None] | None = None) -> None:
+        """Mark state as durable and truncate old segments.
+
+        apply_fn (e.g. sqlite commit/fsync) runs before truncation so the WAL
+        is only discarded once downstream state is safe.
+        """
+        with self._lock:
+            self.sync()
+            if apply_fn:
+                apply_fn()
+            self.append(OP_CHECKPOINT)
+            self.sync()
+            current = self._segments()[-1:]
+            for seg in self._segments():
+                if seg not in current:
+                    seg.unlink()
+
+    def close(self) -> None:
+        with self._lock:
+            if self._fh:
+                self.sync()
+                self._fh.close()
+                self._fh = None

@@ -1,0 +1,213 @@
+"""Tests for the metadata layer: db/migrations, repository, FTS5, KG, trees.
+
+Mirrors the reference's tests/unit/metadata/.
+"""
+
+import pytest
+
+from yams_tpu.core.errors import NotFoundError
+from yams_tpu.core.types import DocumentInfo
+from yams_tpu.metadata import Database, KnowledgeGraphStore, MetadataRepository
+from yams_tpu.metadata.db import SCHEMA_VERSION
+from yams_tpu.metadata.tree import TreeBuilder, TreeDiffer, TreeEntry
+
+
+@pytest.fixture()
+def db(tmp_path):
+    d = Database(tmp_path / "meta.db")
+    yield d
+    d.close()
+
+
+@pytest.fixture()
+def repo(db):
+    return MetadataRepository(db)
+
+
+def _doc(path="/src/main.py", h="a" * 64, **kw):
+    return DocumentInfo(
+        file_path=path,
+        file_name=path.rsplit("/", 1)[-1],
+        file_extension="." + path.rsplit(".", 1)[-1] if "." in path else "",
+        sha256_hash=h,
+        mime_type="text/x-python",
+        **kw,
+    )
+
+
+class TestDatabase:
+    def test_migrations_applied(self, db):
+        row = db.execute("SELECT MAX(version) FROM schema_version").fetchone()
+        assert row[0] == SCHEMA_VERSION
+
+    def test_reopen_idempotent(self, tmp_path):
+        Database(tmp_path / "m.db").close()
+        db2 = Database(tmp_path / "m.db")
+        assert db2.integrity_check()
+        db2.close()
+
+
+class TestRepository:
+    def test_insert_get(self, repo):
+        doc = _doc()
+        doc.tags = ["code", "python"]
+        doc.metadata = {"collection": "demo"}
+        doc_id = repo.insert_document(doc, content_text="import os\nprint('hi')")
+        got = repo.get_document(doc_id)
+        assert got.file_path == "/src/main.py"
+        assert got.tags == ["code", "python"]
+        assert got.metadata["collection"] == "demo"
+        assert got.content_extracted
+        assert repo.get_content(doc_id).startswith("import os")
+
+    def test_upsert_same_path(self, repo):
+        id1 = repo.insert_document(_doc(h="a" * 64))
+        id2 = repo.insert_document(_doc(h="b" * 64))
+        assert id1 == id2
+        assert repo.get_document(id1).sha256_hash == "b" * 64
+
+    def test_get_by_hash_and_name(self, repo):
+        repo.insert_document(_doc())
+        assert len(repo.get_by_hash("a" * 64)) == 1
+        assert len(repo.find_by_name("main.py")) == 1
+        assert repo.get_by_path("/src/main.py") is not None
+
+    def test_delete(self, repo):
+        doc_id = repo.insert_document(_doc(), content_text="hello world")
+        assert repo.delete_document(doc_id)
+        with pytest.raises(NotFoundError):
+            repo.get_document(doc_id)
+        assert repo.search_fts("hello") == []
+
+    def test_fts_search_bm25(self, repo):
+        repo.insert_document(
+            _doc("/a.md", "1" * 64), content_text="the quick brown fox jumps"
+        )
+        repo.insert_document(
+            _doc("/b.md", "2" * 64), content_text="lazy dogs sleep all day"
+        )
+        repo.insert_document(
+            _doc("/c.md", "3" * 64), content_text="quick quick quick fox fox"
+        )
+        res = repo.search_fts("quick fox", limit=5)
+        assert len(res) == 2
+        # doc c has higher term frequency -> better bm25
+        assert res[0].document_id == repo.get_by_path("/c.md").id
+        assert res[0].score >= res[1].score
+
+    def test_fts_query_sanitized(self, repo):
+        repo.insert_document(_doc("/a.md", "1" * 64), content_text="hello world")
+        # would be FTS5 syntax errors if unsanitized
+        assert repo.search_fts('hello AND (world"') != []
+        assert repo.search_fts("?!") == []
+
+    def test_tags_queries(self, repo):
+        d1 = repo.insert_document(_doc("/a.py", "1" * 64))
+        d2 = repo.insert_document(_doc("/b.py", "2" * 64))
+        repo.set_tags(d1, ["x", "y"])
+        repo.set_tags(d2, ["y"])
+        assert set(repo.find_by_tags(["y"])) == {d1, d2}
+        assert repo.find_by_tags(["x", "y"], match_all=True) == [d1]
+
+    def test_path_tree(self, repo):
+        repo.insert_document(_doc("/src/a.py", "1" * 64))
+        repo.insert_document(_doc("/src/sub/b.py", "2" * 64))
+        roots = repo.path_tree_children()
+        assert roots == [("/src", 2)]
+        children = dict(repo.path_tree_children("/src"))
+        assert children["/src/a.py"] == 1
+        assert children["/src/sub"] == 1
+
+    def test_search_paths_glob(self, repo):
+        repo.insert_document(_doc("/src/a.py", "1" * 64))
+        repo.insert_document(_doc("/doc/readme.md", "2" * 64))
+        assert len(repo.search_paths("/src/*.py")) == 1
+
+    def test_embedding_status(self, repo):
+        d = repo.insert_document(_doc())
+        assert d in repo.docs_pending_embedding()
+        repo.set_embedding_status(d, "done", "fixed_hash_384")
+        assert d not in repo.docs_pending_embedding()
+
+    def test_sessions(self, repo):
+        repo.upsert_session("work", ["/src/*.py"], {"note": "x"})
+        pinned, meta = repo.get_session("work")
+        assert pinned == ["/src/*.py"] and meta["note"] == "x"
+        assert repo.list_sessions() == ["work"]
+        repo.delete_session("work")
+        assert repo.get_session("work") is None
+
+    def test_hotzone_decay(self, repo):
+        d = repo.insert_document(_doc())
+        repo.touch_hotzone(d, boost=1.0)
+        repo.touch_hotzone(d, boost=1.0)
+        assert 1.9 < repo.hotzone_scores()[d] <= 2.0
+
+    def test_stats(self, repo):
+        repo.insert_document(_doc(), content_text="x")
+        s = repo.stats()
+        assert s["documents"] == 1 and s["extracted"] == 1
+
+
+class TestKG:
+    def test_nodes_aliases(self, db):
+        kg = KnowledgeGraphStore(db)
+        n = kg.upsert_node("func:main", "main", "symbol")
+        assert kg.upsert_node("func:main") == n  # idempotent
+        kg.add_alias(n, "main")
+        kg.add_alias(n, "main_function")
+        assert kg.resolve_alias("main") == [n]
+        assert kg.resolve_alias("main_f") == [n]  # prefix
+
+    def test_edges_neighbors(self, db):
+        kg = KnowledgeGraphStore(db)
+        a = kg.upsert_node("a")
+        b = kg.upsert_node("b")
+        c = kg.upsert_node("c")
+        kg.add_edge(a, b, "calls", 2.0)
+        kg.add_edge(c, a, "imports", 1.0)
+        nbrs = kg.neighbors(a)
+        assert {(x[0], x[1]) for x in nbrs} == {(b, "calls"), (c, "imports")}
+        assert nbrs[0][2] == 2.0  # ordered by weight
+
+    def test_doc_entities_and_related(self, db, repo):
+        kg = KnowledgeGraphStore(db)
+        d1 = repo.insert_document(_doc("/a.py", "1" * 64))
+        d2 = repo.insert_document(_doc("/b.py", "2" * 64))
+        ent = kg.upsert_node("entity:shared")
+        kg.link_document(d1, ent, "shared", 0.9)
+        kg.link_document(d2, ent, "shared", 0.8)
+        rel = kg.related_documents(d1)
+        assert d2 in rel and rel[d2] == pytest.approx(0.8)
+
+
+class TestTrees:
+    def test_snapshot_and_diff(self, db):
+        tb = TreeBuilder(db)
+        old = [
+            TreeEntry("/a.txt", "1" * 64, size=10),
+            TreeEntry("/b.txt", "2" * 64, size=20),
+            TreeEntry("/c.txt", "3" * 64, size=30),
+        ]
+        new = [
+            TreeEntry("/a.txt", "1" * 64, size=10),        # unchanged
+            TreeEntry("/moved_b.txt", "2" * 64, size=20),  # renamed
+            TreeEntry("/c.txt", "9" * 64, size=31),        # modified
+            TreeEntry("/d.txt", "4" * 64, size=5),         # added
+        ]
+        sid1 = tb.snapshot(old, "before")
+        sid2 = tb.snapshot(new, "after")
+        assert len(tb.list_snapshots()) == 2
+        changes = TreeDiffer.diff(tb.get_snapshot(sid1), tb.get_snapshot(sid2))
+        by_type = {c.type: c for c in changes}
+        assert by_type["renamed"].old_path == "/b.txt"
+        assert by_type["renamed"].path == "/moved_b.txt"
+        assert by_type["modified"].path == "/c.txt"
+        assert by_type["added"].path == "/d.txt"
+        assert "deleted" not in by_type
+
+    def test_root_hash_deterministic(self, db):
+        entries = [TreeEntry("/x", "1" * 64), TreeEntry("/y", "2" * 64)]
+        assert TreeBuilder.compute_root(entries) == TreeBuilder.compute_root(
+            list(reversed(entries))
+        )

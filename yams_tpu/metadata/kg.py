@@ -1,0 +1,167 @@
+"""Knowledge graph store over SQLite.
+
+Parity: src/metadata/knowledge_graph_store_sqlite.cpp (kg_nodes/aliases/edges/
+doc_entities tables per migration.cpp:867-949) with the query surface the
+search engine needs: alias lookup, neighbor expansion, doc<->entity joins.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from .db import Database
+
+
+class KnowledgeGraphStore:
+    def __init__(self, db: Database):
+        self.db = db
+
+    # -- nodes ---------------------------------------------------------------
+    def upsert_node(
+        self, node_key: str, label: str = "", type_: str = "entity",
+        properties: dict | None = None,
+    ) -> int:
+        with self.db.lock, self.db.conn:
+            self.db.conn.execute(
+                """INSERT INTO kg_nodes (node_key, label, type, properties, created_time)
+                   VALUES (?,?,?,?,?)
+                   ON CONFLICT(node_key) DO UPDATE SET
+                     label=CASE WHEN excluded.label != '' THEN excluded.label ELSE label END""",
+                (node_key, label or node_key, type_,
+                 json.dumps(properties or {}), time.time()),
+            )
+            return self.db.conn.execute(
+                "SELECT id FROM kg_nodes WHERE node_key=?", (node_key,)
+            ).fetchone()[0]
+
+    def get_node(self, node_id: int) -> dict | None:
+        row = self.db.execute("SELECT * FROM kg_nodes WHERE id=?", (node_id,)).fetchone()
+        if row is None:
+            return None
+        return {
+            "id": row["id"], "node_key": row["node_key"], "label": row["label"],
+            "type": row["type"], "properties": json.loads(row["properties"]),
+        }
+
+    def find_node(self, node_key: str) -> int | None:
+        row = self.db.execute(
+            "SELECT id FROM kg_nodes WHERE node_key=?", (node_key,)
+        ).fetchone()
+        return row[0] if row else None
+
+    def node_count(self) -> int:
+        return self.db.execute("SELECT COUNT(*) FROM kg_nodes").fetchone()[0]
+
+    def edge_count(self) -> int:
+        return self.db.execute("SELECT COUNT(*) FROM kg_edges").fetchone()[0]
+
+    # -- aliases -------------------------------------------------------------
+    def add_alias(self, node_id: int, alias: str, source: str = "") -> None:
+        with self.db.lock, self.db.conn:
+            self.db.conn.execute(
+                "INSERT INTO kg_aliases (node_id, alias, source) VALUES (?,?,?)",
+                (node_id, alias, source),
+            )
+
+    def resolve_alias(self, alias: str, limit: int = 10) -> list[int]:
+        """Exact then prefix alias lookup -> node ids."""
+        rows = self.db.execute(
+            "SELECT DISTINCT node_id FROM kg_aliases WHERE alias=? LIMIT ?",
+            (alias, limit),
+        ).fetchall()
+        if not rows:
+            rows = self.db.execute(
+                "SELECT DISTINCT node_id FROM kg_aliases WHERE alias LIKE ? LIMIT ?",
+                (alias + "%", limit),
+            ).fetchall()
+        return [r[0] for r in rows]
+
+    # -- edges ------------------------------------------------------------------
+    def add_edge(
+        self, src: int, dst: int, relation: str = "related", weight: float = 1.0,
+        properties: dict | None = None,
+    ) -> None:
+        with self.db.lock, self.db.conn:
+            self.db.conn.execute(
+                """INSERT INTO kg_edges (src_node_id, dst_node_id, relation, weight, properties)
+                   VALUES (?,?,?,?,?)
+                   ON CONFLICT(src_node_id, dst_node_id, relation)
+                   DO UPDATE SET weight = MAX(weight, excluded.weight)""",
+                (src, dst, relation, weight, json.dumps(properties or {})),
+            )
+
+    def add_edges_batch(self, edges: list[tuple[int, int, str, float]]) -> None:
+        with self.db.lock, self.db.conn:
+            self.db.conn.executemany(
+                """INSERT INTO kg_edges (src_node_id, dst_node_id, relation, weight)
+                   VALUES (?,?,?,?)
+                   ON CONFLICT(src_node_id, dst_node_id, relation)
+                   DO UPDATE SET weight = MAX(weight, excluded.weight)""",
+                edges,
+            )
+
+    def neighbors(
+        self, node_id: int, relation: str | None = None, limit: int = 100
+    ) -> list[tuple[int, str, float]]:
+        """Outgoing + incoming neighbors: [(node_id, relation, weight)]."""
+        params: dict = {"nid": node_id, "lim": limit}
+        rel_clause = ""
+        if relation:
+            rel_clause = " AND relation=:rel"
+            params["rel"] = relation
+        rows = self.db.execute(
+            f"""SELECT CASE WHEN src_node_id=:nid THEN dst_node_id ELSE src_node_id END,
+                       relation, weight
+                FROM kg_edges WHERE (src_node_id=:nid OR dst_node_id=:nid){rel_clause}
+                ORDER BY weight DESC LIMIT :lim""",
+            params,
+        ).fetchall()
+        return [(r[0], r[1], r[2]) for r in rows]
+
+    # -- document <-> entity links -------------------------------------------------
+    def link_document(
+        self, doc_id: int, node_id: int, entity_text: str = "", confidence: float = 1.0
+    ) -> None:
+        with self.db.lock, self.db.conn:
+            self.db.conn.execute(
+                "INSERT INTO doc_entities (document_id, node_id, entity_text, confidence)"
+                " VALUES (?,?,?,?)",
+                (doc_id, node_id, entity_text, confidence),
+            )
+
+    def documents_for_node(self, node_id: int, limit: int = 100) -> list[tuple[int, float]]:
+        rows = self.db.execute(
+            """SELECT document_id, MAX(confidence) FROM doc_entities
+               WHERE node_id=? GROUP BY document_id LIMIT ?""",
+            (node_id, limit),
+        ).fetchall()
+        return [(r[0], r[1]) for r in rows]
+
+    def entities_for_document(self, doc_id: int) -> list[tuple[int, str, float]]:
+        rows = self.db.execute(
+            "SELECT node_id, entity_text, confidence FROM doc_entities WHERE document_id=?",
+            (doc_id,),
+        ).fetchall()
+        return [(r[0], r[1], r[2]) for r in rows]
+
+    def related_documents(
+        self, doc_id: int, hops: int = 1, limit: int = 50
+    ) -> dict[int, float]:
+        """Docs sharing entities with doc_id (optionally via 1-hop KG expansion).
+
+        Returns {doc_id: support} where support accumulates shared-entity
+        confidence — the seed signal for graph reranking
+        (reference: search_engine.cpp:238-368 reciprocal community support).
+        """
+        seeds = [n for n, _, _ in self.entities_for_document(doc_id)]
+        frontier = set(seeds)
+        if hops > 1:
+            for n in list(frontier):
+                frontier.update(nbr for nbr, _, _ in self.neighbors(n, limit=20))
+        support: dict[int, float] = {}
+        for node in frontier:
+            for other_doc, conf in self.documents_for_node(node, limit=limit):
+                if other_doc != doc_id:
+                    support[other_doc] = support.get(other_doc, 0.0) + conf
+        return dict(sorted(support.items(), key=lambda kv: -kv[1])[:limit])

@@ -1,0 +1,128 @@
+"""Tests for the Simeon-style embedding engine and text chunkers."""
+
+import numpy as np
+import pytest
+
+from yams_tpu.core.config import EmbeddingConfig
+from yams_tpu.embed import SimeonEncoder, chunk_document, sketch_texts, tokenize
+from yams_tpu.embed.simeon import sketch_text
+
+CFG = EmbeddingConfig(dim=64, sketch_dim=512)
+
+
+class TestTokenize:
+    def test_basic(self):
+        assert tokenize("Hello, World!") == ["hello", "world"]
+
+    def test_identifiers_kept(self):
+        assert tokenize("my_var foo-bar") == ["my_var", "foo", "bar"]
+
+    def test_max_tokens(self):
+        assert len(tokenize("a b c d e", max_tokens=3)) == 3
+
+
+class TestSketch:
+    def test_deterministic(self):
+        a = sketch_text("the quick brown fox", CFG)
+        b = sketch_text("the quick brown fox", CFG)
+        np.testing.assert_array_equal(a, b)
+
+    def test_shape_and_nonzero(self):
+        s = sketch_text("some content here", CFG)
+        assert s.shape == (512,)
+        assert np.abs(s).sum() > 0
+
+    def test_empty(self):
+        assert np.all(sketch_text("", CFG) == 0)
+        assert np.all(sketch_text("!!! ???", CFG) == 0)
+
+    def test_batch(self):
+        m = sketch_texts(["a b c", "d e f"], CFG)
+        assert m.shape == (2, 512)
+
+    def test_different_texts_differ(self):
+        a = sketch_text("alpha beta gamma", CFG)
+        b = sketch_text("totally different words", CFG)
+        assert not np.allclose(a, b)
+
+
+class TestEncoder:
+    def test_shape_and_norm(self):
+        enc = SimeonEncoder(CFG)
+        v = enc.encode(["hello world", "other text"])
+        assert v.shape == (2, 64)
+        np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-3)
+
+    def test_semantic_sanity(self):
+        """Shared-vocabulary documents embed closer than disjoint ones."""
+        enc = SimeonEncoder(EmbeddingConfig(dim=128, sketch_dim=1024))
+        a = enc.encode_one("the kernel scheduler handles thread preemption and locks")
+        b = enc.encode_one("scheduler threads use kernel locks for preemption control")
+        c = enc.encode_one("banana smoothie recipes with mango and yogurt blend")
+        assert np.dot(a, b) > np.dot(a, c) + 0.1
+
+    def test_synthetic_retrieval_recall(self):
+        """Clustered synthetic corpus: nearest neighbors stay in-cluster
+        (reference: tests/benchmarks/baseline/simeon_accuracy.jsonl)."""
+        rng = np.random.default_rng(0)
+        topics = [
+            ["kernel", "driver", "interrupt", "scheduler", "mutex", "thread"],
+            ["salad", "recipe", "tomato", "basil", "olive", "pepper"],
+            ["tensor", "gradient", "matrix", "batch", "layer", "softmax"],
+            ["violin", "sonata", "orchestra", "tempo", "chord", "melody"],
+        ]
+        docs, labels = [], []
+        for ti, vocab in enumerate(topics):
+            for _ in range(25):
+                words = rng.choice(vocab, size=30, replace=True)
+                docs.append(" ".join(words))
+                labels.append(ti)
+        enc = SimeonEncoder(EmbeddingConfig(dim=128, sketch_dim=2048))
+        E = enc.encode(docs)
+        sims = E @ E.T
+        np.fill_diagonal(sims, -1)
+        hits = sum(
+            labels[int(np.argmax(sims[i]))] == labels[i] for i in range(len(docs))
+        )
+        assert hits / len(docs) > 0.9
+
+    def test_space_id_versioned(self):
+        assert "fixed_hash_384" in EmbeddingConfig().space_id
+
+
+class TestChunker:
+    TEXT = (
+        "First sentence here. Second one follows. " * 30
+        + "\n\n"
+        + "A new paragraph starts. More text in it. " * 30
+    )
+
+    @pytest.mark.parametrize(
+        "strategy", ["fixed_size", "sentence", "paragraph", "sliding_window", "recursive"]
+    )
+    def test_strategies_cover_text(self, strategy):
+        chunks = chunk_document(self.TEXT, strategy, target_chars=400, overlap_chars=50)
+        assert len(chunks) > 1
+        assert all(c.text.strip() for c in chunks)
+        # indices sequential
+        assert [c.index for c in chunks] == list(range(len(chunks)))
+
+    def test_short_text_single_chunk(self):
+        chunks = chunk_document("tiny", "sentence")
+        assert len(chunks) == 1 and chunks[0].text == "tiny"
+
+    def test_empty(self):
+        assert chunk_document("   ", "sentence") == []
+
+    def test_markdown_headers(self):
+        text = "# Intro\nsome intro text here\n\n# Usage\nusage details here"
+        chunks = chunk_document(text, "markdown", target_chars=30, overlap_chars=0)
+        assert len(chunks) == 2
+        assert chunks[0].text.startswith("# Intro")
+
+    def test_overlap_present(self):
+        chunks = chunk_document(
+            "word " * 500, "fixed_size", target_chars=400, overlap_chars=100
+        )
+        # consecutive fixed chunks share their overlap region
+        assert chunks[1].start < chunks[0].end

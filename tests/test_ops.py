@@ -1,0 +1,209 @@
+"""Parity tests for device ops: exact top-k (XLA + Pallas), int8 scan, BM25.
+
+The NumPy oracles here play the role of the reference's exact-scan ground
+truth (sqlite_vec_backend.cpp:4116 brute force).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yams_tpu.ops.bm25 import bm25_dense
+from yams_tpu.ops.scan import (
+    dense_scores,
+    exact_topk_pallas,
+    exact_topk_scan,
+    int8_topk_scan,
+    merge_topk,
+    quantize_int8,
+)
+
+
+def _corpus(n=1024, d=64, seed=0):
+    rng = np.random.default_rng(seed)
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    return e
+
+
+def _queries(b=4, d=64, seed=1):
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return q
+
+
+def _oracle_topk(q, e, valid, k):
+    s = q @ e.T
+    s[:, valid == 0] = -np.inf
+    idx = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    vals = np.take_along_axis(s, idx, axis=1)
+    return vals, idx
+
+
+class TestExactScan:
+    def test_scan_matches_oracle(self):
+        e, q = _corpus(), _queries()
+        valid = np.ones(len(e), np.float32)
+        vals, idx = exact_topk_scan(jnp.array(q), jnp.array(e), jnp.array(valid),
+                                    k=10, block_rows=256)
+        ov, oi = _oracle_topk(q, e, valid, 10)
+        # bf16 matmul: compare sets by score closeness
+        assert np.allclose(np.asarray(vals), ov, atol=2e-2)
+        overlap = np.mean([
+            len(set(np.asarray(idx)[i]) & set(oi[i])) / 10 for i in range(len(q))
+        ])
+        assert overlap > 0.9
+
+    def test_valid_mask_excludes(self):
+        e, q = _corpus(128), _queries(2)
+        valid = np.ones(128, np.float32)
+        valid[:64] = 0.0
+        _, idx = exact_topk_scan(jnp.array(q), jnp.array(e), jnp.array(valid),
+                                 k=5, block_rows=64)
+        assert np.all(np.asarray(idx) >= 64)
+
+    def test_dense_scores_masked(self):
+        e, q = _corpus(128), _queries(2)
+        valid = np.ones(128, np.float32)
+        valid[7] = 0.0
+        s = np.asarray(dense_scores(jnp.array(q), jnp.array(e), jnp.array(valid)))
+        assert np.all(s[:, 7] < -1e29)
+
+    def test_pallas_matches_scan(self):
+        e, q = _corpus(512, 128), _queries(8, 128)
+        valid = np.ones(512, np.float32)
+        valid[100:140] = 0.0
+        sv, si = exact_topk_scan(jnp.array(q), jnp.array(e), jnp.array(valid),
+                                 k=8, block_rows=128)
+        pv, pi = exact_topk_pallas(jnp.array(q), jnp.array(e), jnp.array(valid),
+                                   k=8, block_rows=128,
+                                   interpret=jax.default_backend() == "cpu")
+        assert np.allclose(np.asarray(sv), np.asarray(pv), atol=1e-3)
+        overlap = np.mean([
+            len(set(np.asarray(si)[i]) & set(np.asarray(pi)[i])) / 8
+            for i in range(len(q))
+        ])
+        assert overlap > 0.95
+
+    def test_merge_topk(self):
+        v1 = jnp.array([[3.0, 1.0]])
+        i1 = jnp.array([[10, 11]])
+        v2 = jnp.array([[2.5, 0.5]])
+        i2 = jnp.array([[20, 21]])
+        v, i = merge_topk([v1, v2], [i1, i2], k=3)
+        assert np.asarray(v).tolist() == [[3.0, 2.5, 1.0]]
+        assert np.asarray(i).tolist() == [[10, 20, 11]]
+
+
+class TestInt8:
+    def test_quantize_roundtrip(self):
+        e = _corpus(64)
+        q8, scale = quantize_int8(e)
+        recon = q8.astype(np.float32) * scale[:, None]
+        assert np.abs(recon - e).max() < 0.02
+
+    def test_int8_recall_vs_exact(self):
+        e, q = _corpus(1024, 128, seed=3), _queries(4, 128, seed=4)
+        valid = np.ones(1024, np.float32)
+        q8, scale = quantize_int8(e)
+        iv, ii = int8_topk_scan(jnp.array(q), jnp.array(q8), jnp.array(scale),
+                                jnp.array(valid), k=10, block_rows=256)
+        _, oi = _oracle_topk(q, e, valid, 10)
+        recall = np.mean([
+            len(set(np.asarray(ii)[i]) & set(oi[i])) / 10 for i in range(len(q))
+        ])
+        assert recall > 0.8
+
+
+class TestBm25:
+    def _build(self, docs_tokens, window=16):
+        """Tiny host-side postings builder mirroring the real index builder."""
+        vocab = {}
+        for toks in docs_tokens:
+            for t in toks:
+                vocab.setdefault(t, len(vocab))
+        V, N = len(vocab), len(docs_tokens)
+        tf = np.zeros((N, V), np.float32)
+        for d, toks in enumerate(docs_tokens):
+            for t in toks:
+                tf[d, vocab[t]] += 1
+        doc_len = tf.sum(axis=1)
+        avg = doc_len.mean()
+        doc_norm = 1 - 0.75 + 0.75 * doc_len / avg
+        df = (tf > 0).sum(axis=0)
+        idf = np.log(1 + (N - df + 0.5) / (df + 0.5)).astype(np.float32)
+        pd, pt, offs, lens = [], [], [], []
+        for v in range(V):
+            rows = np.nonzero(tf[:, v])[0]
+            order = np.argsort(-tf[rows, v], kind="stable")
+            rows = rows[order]
+            offs.append(len(pd))
+            lens.append(len(rows))
+            pd.extend(rows.tolist())
+            pt.extend(tf[rows, v].tolist())
+        pd.extend([N] * window)  # pad
+        pt.extend([0.0] * window)
+        arrays = dict(
+            postings_doc=jnp.array(pd, jnp.int32),
+            postings_tf=jnp.array(pt, jnp.float32),
+            term_offsets=jnp.array(offs, jnp.int32),
+            term_lengths=jnp.array(lens, jnp.int32),
+            doc_norm=jnp.array(doc_norm, jnp.float32),
+            idf=jnp.array(idf, jnp.float32),
+        )
+        return vocab, arrays, (tf, doc_norm, idf)
+
+    def _oracle(self, q_terms, vocab, tf, doc_norm, idf, k1=1.2):
+        N = tf.shape[0]
+        s = np.zeros(N)
+        for t in q_terms:
+            if t not in vocab:
+                continue
+            v = vocab[t]
+            s += idf[v] * tf[:, v] * (k1 + 1) / (tf[:, v] + k1 * doc_norm)
+        return s
+
+    def test_matches_oracle(self):
+        docs = [
+            "the quick brown fox".split(),
+            "the lazy dog sleeps the whole day the".split(),
+            "quick quick fox fox fox runs".split(),
+            "unrelated words entirely here".split(),
+        ]
+        vocab, arrays, (tf, doc_norm, idf) = self._build(docs)
+        q = ["quick", "fox"]
+        tids = jnp.array([[vocab[t] for t in q] + [0, 0]], jnp.int32)
+        tmask = jnp.array([[1.0, 1.0, 0.0, 0.0]], jnp.float32)
+        got = np.asarray(
+            bm25_dense(tids, tmask, **arrays, window=16, num_docs=len(docs))
+        )[0]
+        want = self._oracle(q, vocab, tf, doc_norm, idf)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+        assert np.argmax(got) == 2  # doc with most quick/fox mass
+
+    def test_batch_and_empty_query(self):
+        docs = ["a b c".split(), "c d e".split()]
+        vocab, arrays, _ = self._build(docs)
+        tids = jnp.zeros((2, 4), jnp.int32)
+        tmask = jnp.zeros((2, 4), jnp.float32)
+        got = np.asarray(bm25_dense(tids, tmask, **arrays, window=16, num_docs=2))
+        assert got.shape == (2, 2)
+        np.testing.assert_array_equal(got, 0.0)
+
+    def test_window_truncation_keeps_top_tf(self):
+        """Terms with postings beyond the window keep highest-tf docs."""
+        docs = [["common"] * (i + 1) for i in range(20)]
+        vocab, arrays, (tf, doc_norm, idf) = self._build(docs, window=8)
+        tids = jnp.array([[vocab["common"]]], jnp.int32)
+        tmask = jnp.ones((1, 1), jnp.float32)
+        got = np.asarray(
+            bm25_dense(tids, tmask, **arrays, window=8, num_docs=20)
+        )[0]
+        scored = np.nonzero(got)[0]
+        assert len(scored) == 8
+        # the highest-tf docs (largest indices) are the ones scored
+        assert set(scored) == set(range(12, 20))

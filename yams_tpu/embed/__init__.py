@@ -1,0 +1,4 @@
+from .simeon import SimeonEncoder, sketch_texts, tokenize
+from .chunker import chunk_document, TextChunk
+
+__all__ = ["SimeonEncoder", "sketch_texts", "tokenize", "chunk_document", "TextChunk"]

@@ -1,0 +1,122 @@
+"""Embedding-time text chunking strategies.
+
+Parity: include/yams/vector/document_chunker.h:19-27 (FIXED_SIZE / SENTENCE /
+PARAGRAPH / SLIDING_WINDOW / RECURSIVE / MARKDOWN_AWARE) — the device index
+stores one vector per text chunk and aggregates chunk->doc scores on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+
+
+@dataclasses.dataclass(slots=True)
+class TextChunk:
+    text: str
+    start: int
+    end: int
+    index: int
+
+
+_SENT_RE = re.compile(r"(?<=[.!?])\s+")
+_PARA_RE = re.compile(r"\n\s*\n")
+_MD_HEADER_RE = re.compile(r"^#{1,6}\s", re.MULTILINE)
+
+
+def _pack(pieces: list[tuple[str, int]], target: int, overlap: int) -> list[TextChunk]:
+    """Greedy-pack (text, offset) pieces into ~target-char chunks w/ overlap."""
+    chunks: list[TextChunk] = []
+    buf: list[tuple[str, int]] = []
+    size = 0
+    for piece, off in pieces:
+        if size + len(piece) > target and buf:
+            text = " ".join(p for p, _ in buf)
+            chunks.append(TextChunk(text, buf[0][1], off, len(chunks)))
+            # carry overlap tail
+            keep: list[tuple[str, int]] = []
+            acc = 0
+            for p, o in reversed(buf):
+                keep.insert(0, (p, o))
+                acc += len(p)
+                if acc >= overlap:
+                    break
+            buf, size = keep, acc
+        buf.append((piece, off))
+        size += len(piece)
+    if buf:
+        text = " ".join(p for p, _ in buf)
+        chunks.append(TextChunk(text, buf[0][1], buf[-1][1] + len(buf[-1][0]), len(chunks)))
+    return chunks
+
+
+def chunk_document(
+    text: str,
+    strategy: str = "sentence",
+    target_chars: int = 1024,
+    overlap_chars: int = 128,
+) -> list[TextChunk]:
+    if not text.strip():
+        return []
+    if len(text) <= target_chars and strategy != "sliding_window":
+        return [TextChunk(text, 0, len(text), 0)]
+
+    if strategy == "fixed_size":
+        out = []
+        step = max(target_chars - overlap_chars, 1)
+        for i, start in enumerate(range(0, len(text), step)):
+            piece = text[start : start + target_chars]
+            if piece.strip():
+                out.append(TextChunk(piece, start, start + len(piece), len(out)))
+            if start + target_chars >= len(text):
+                break
+        return out
+
+    if strategy == "sliding_window":
+        return chunk_document(text, "fixed_size", target_chars, overlap_chars)
+
+    if strategy == "paragraph":
+        pieces, off = [], 0
+        for para in _PARA_RE.split(text):
+            p = para.strip()
+            if p:
+                pieces.append((p, text.find(para, off)))
+            off += len(para)
+        return _pack(pieces, target_chars, overlap_chars)
+
+    if strategy == "markdown":
+        # split at headers first, then pack sections
+        bounds = [m.start() for m in _MD_HEADER_RE.finditer(text)] + [len(text)]
+        if bounds[0] != 0:
+            bounds.insert(0, 0)
+        pieces = []
+        for a, b in zip(bounds, bounds[1:]):
+            sec = text[a:b].strip()
+            if sec:
+                pieces.append((sec, a))
+        return _pack(pieces, target_chars, overlap_chars)
+
+    if strategy == "recursive":
+        # try paragraph, then sentence, then fixed for oversized chunks
+        out: list[TextChunk] = []
+        for c in chunk_document(text, "paragraph", target_chars, overlap_chars):
+            if len(c.text) <= target_chars * 2:
+                out.append(TextChunk(c.text, c.start, c.end, len(out)))
+            else:
+                for sub in chunk_document(c.text, "sentence", target_chars, overlap_chars):
+                    out.append(
+                        TextChunk(sub.text, c.start + sub.start, c.start + sub.end, len(out))
+                    )
+        return out
+
+    # default: sentence
+    pieces, off = [], 0
+    for sent in _SENT_RE.split(text):
+        s = sent.strip()
+        if s:
+            idx = text.find(sent, off)
+            pieces.append((s, idx if idx >= 0 else off))
+            off = (idx if idx >= 0 else off) + len(sent)
+    if not pieces:
+        return chunk_document(text, "fixed_size", target_chars, overlap_chars)
+    return _pack(pieces, target_chars, overlap_chars)

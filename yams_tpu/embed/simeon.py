@@ -1,0 +1,187 @@
+"""Simeon-style model-free hashed embeddings, TPU-first.
+
+Reference: third_party/simeon + src/embedding_simeon/simeon_embedding_backend.cpp
+(fixed_hash_384 default profile: tokenizer -> hashed n-gram sketch -> random
+projection -> L2 normalize; space identity strings version the space).
+
+TPU-native split:
+  host  — tokenization + n-gram hashing + signed sketch accumulation. Fully
+          vectorized NumPy (polynomial rolling hashes over byte arrays), since
+          variable-length UTF-8 byte streams are a poor fit for XLA's static
+          shapes. This is the analog of the reference's AVX2/NEON hash kernels.
+  device— sketch (B, S) -> projection matmul (S, D on MXU, seeded ±1/sqrt(D))
+          -> L2 normalize, one jitted program (optionally fused into the query
+          program so query->embed->scan->fuse is a single XLA executable).
+
+The projection uses a dense seeded sign matrix rather than the reference's
+sparse Achlioptas/FWHT tricks: on the MXU a dense (4096, 384) bf16 matmul is
+faster than any sparse evaluation, so sparsity would be a de-optimization.
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+
+import numpy as np
+
+from ..core.config import EmbeddingConfig
+
+_WORD_RE = re.compile(r"[\w]+", re.UNICODE)
+
+_P = np.uint64(0x100000001B3)  # FNV prime, used as polynomial base
+_OFF = np.uint64(0xCBF29CE484222325)
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def tokenize(text: str, max_tokens: int | None = None) -> list[str]:
+    """Lowercase word tokens; '_' and '-' stay inside tokens via \\w + manual '-'.
+
+    Matches the spirit of FTS5 unicode61 tokenchars '_-' (migration.cpp:465-471)
+    so the lexical and embedding views agree on token boundaries.
+    """
+    toks = _WORD_RE.findall(text.lower())
+    return toks[:max_tokens] if max_tokens else toks
+
+
+def _mix(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — decorrelates polynomial hashes before bucketing."""
+    with np.errstate(over="ignore"):
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(31))
+
+
+def _hash_tokens(tokens: list[str]) -> np.ndarray:
+    """FNV-1a over UTF-8 bytes per token -> u64 array."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = 0xCBF29CE484222325
+        for b in t.encode("utf-8"):
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        out[i] = h
+    return out
+
+
+@functools.lru_cache(maxsize=1 << 16)
+def _hash_token_cached(token: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in token.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def _char_ngram_hashes(text: str, n: int) -> np.ndarray:
+    """All char n-gram hashes of text, vectorized: polynomial hash over windows."""
+    raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(raw) < n:
+        return np.empty(0, dtype=np.uint64)
+    g = raw.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = np.full(len(raw) - n + 1, _OFF, dtype=np.uint64)
+        for j in range(n):
+            h = (h * _P) ^ g[j : len(raw) - n + 1 + j]
+    return _mix(h)
+
+
+def _word_ngram_hashes(token_hashes: np.ndarray, n: int) -> np.ndarray:
+    if len(token_hashes) < n:
+        return np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = np.full(len(token_hashes) - n + 1, _OFF, dtype=np.uint64)
+        for j in range(n):
+            h = (h * _P) ^ token_hashes[j : len(token_hashes) - n + 1 + j]
+    return _mix(h) if n > 1 else _mix(token_hashes.copy())
+
+
+def sketch_text(text: str, config: EmbeddingConfig) -> np.ndarray:
+    """Signed hashed n-gram sketch (float32, shape (sketch_dim,)).
+
+    bucket = h % S; sign = ±1 from a high hash bit; counts are sublinearly
+    scaled (log1p) like hashed-TF, so long documents don't dominate.
+    """
+    S = config.sketch_dim
+    hashes: list[np.ndarray] = []
+    tokens = tokenize(text, config.max_doc_tokens)
+    if tokens:
+        th = np.array([_hash_token_cached(t) for t in tokens], dtype=np.uint64)
+        for n in config.word_ngrams:
+            hashes.append(_word_ngram_hashes(th, n))
+        joined = " ".join(tokens)
+        for n in config.char_ngrams:
+            hashes.append(_char_ngram_hashes(joined, n))
+    if not hashes or all(len(h) == 0 for h in hashes):
+        return np.zeros(S, dtype=np.float32)
+    h = np.concatenate([x for x in hashes if len(x)])
+    idx = (h % np.uint64(S)).astype(np.int64)
+    sign = np.where((h >> np.uint64(63)) & np.uint64(1), -1.0, 1.0).astype(np.float32)
+    counts = np.bincount(idx, weights=sign, minlength=S).astype(np.float32)
+    return np.sign(counts) * np.log1p(np.abs(counts))
+
+
+def sketch_texts(texts: list[str], config: EmbeddingConfig) -> np.ndarray:
+    """Batch sketches -> (B, sketch_dim) float32."""
+    if not texts:
+        return np.zeros((0, config.sketch_dim), dtype=np.float32)
+    return np.stack([sketch_text(t, config) for t in texts])
+
+
+class SimeonEncoder:
+    """fixed_hash_384 encoder: host sketch + device projection/normalize."""
+
+    def __init__(self, config: EmbeddingConfig | None = None):
+        self.config = config or EmbeddingConfig()
+        self._project = None  # lazily-built jitted fn (keeps jax import lazy)
+
+    @property
+    def space_id(self) -> str:
+        return self.config.space_id
+
+    @property
+    def dim(self) -> int:
+        return self.config.dim
+
+    def _build(self):
+        if self._project is not None:
+            return self._project
+        import jax
+        import jax.numpy as jnp
+
+        R = self.projection_matrix()
+
+        @jax.jit
+        def project(sketch):
+            x = jnp.dot(
+                sketch.astype(jnp.bfloat16), R, preferred_element_type=jnp.float32
+            )
+            norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+            return x / jnp.maximum(norm, 1e-9)
+
+        self._project = project
+        return project
+
+    def projection_matrix(self):
+        """Seeded ±1/sqrt(D) sign projection (bf16, MXU-resident); also used by
+        the fused query program to embed inline."""
+        if getattr(self, "_R", None) is None:
+            import jax
+            import jax.numpy as jnp
+
+            cfg = self.config
+            key = jax.random.PRNGKey(cfg.seed)
+            signs = jax.random.rademacher(
+                key, (cfg.sketch_dim, cfg.dim), dtype=jnp.float32
+            )
+            self._R = (signs / np.sqrt(cfg.dim)).astype(jnp.bfloat16)
+        return self._R
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        """texts -> (B, dim) float32 L2-normalized embeddings."""
+        if not texts:
+            return np.zeros((0, self.config.dim), dtype=np.float32)
+        sketches = sketch_texts(texts, self.config)
+        project = self._build()
+        return np.asarray(project(sketches), dtype=np.float32)
+
+    def encode_one(self, text: str) -> np.ndarray:
+        return self.encode([text])[0]

@@ -1,0 +1,17 @@
+from .scan import (
+    dense_scores,
+    exact_topk_pallas,
+    exact_topk_scan,
+    merge_topk,
+    quantize_int8,
+    int8_scores,
+)
+
+__all__ = [
+    "dense_scores",
+    "exact_topk_scan",
+    "exact_topk_pallas",
+    "merge_topk",
+    "quantize_int8",
+    "int8_scores",
+]

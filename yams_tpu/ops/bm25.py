@@ -1,0 +1,93 @@
+"""Batched BM25 postings scan on device.
+
+Rebuilds FTS5 BM25 scoring (reference: src/metadata/repository/
+search_ops.cpp:471 — `bm25(documents_fts, 1.0, 10.0)`) as an XLA program over
+device-resident postings arrays:
+
+  postings_doc (P,) i32  — doc rows, CSR-flattened, grouped by term,
+                            sorted tf-descending inside each term so the
+                            fixed scan window keeps the best candidates.
+  postings_tf  (P,) f32  — column-weighted term frequency
+                            (title_weight*tf_title + content_weight*tf_content).
+  term_offsets (V,) i32 / term_lengths (V,) i32
+  doc_norm     (N,) f32  — 1 - b + b*len/avglen
+  idf          (V,) f32  — ln(1 + (N - n + 0.5)/(n + 0.5))  (Lucene-style,
+                            non-negative variant of the Okapi idf FTS5 uses)
+
+Per query term the kernel dynamic-slices a fixed window of postings and
+scatter-adds BM25 contributions into a dense (N,) score vector — the
+variable-length postings problem becomes static-shape via window + mask
+(SURVEY §7 hard part (b)). Terms are padded/masked to max_query_terms.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class Bm25Arrays:
+    """Device-resident lexical index arrays (one segment)."""
+
+    postings_doc: jax.Array   # (P + window,) i32, padded
+    postings_tf: jax.Array    # (P + window,) f32, padded
+    term_offsets: jax.Array   # (V,) i32
+    term_lengths: jax.Array   # (V,) i32
+    doc_norm: jax.Array       # (N,) f32
+    idf: jax.Array            # (V,) f32
+    num_docs: int             # N (static)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "num_docs", "k1"))
+def bm25_dense(
+    term_ids: jax.Array,    # (B, T) i32 — indices into the vocab, 0-padded
+    term_mask: jax.Array,   # (B, T) f32 0/1
+    postings_doc: jax.Array,
+    postings_tf: jax.Array,
+    term_offsets: jax.Array,
+    term_lengths: jax.Array,
+    doc_norm: jax.Array,
+    idf: jax.Array,
+    *,
+    window: int,
+    num_docs: int,
+    k1: float = 1.2,
+) -> jax.Array:
+    """Dense BM25 scores (B, N) f32. Row N is a scatter sink for masked slots."""
+    N = num_docs
+
+    def per_query(tids, tmask):
+        def per_term(scores, inp):
+            tid, m = inp
+            off = jnp.clip(term_offsets[tid], 0, postings_doc.shape[0] - window)
+            ln = term_lengths[tid]
+            docs = jax.lax.dynamic_slice(postings_doc, (off,), (window,))
+            tfs = jax.lax.dynamic_slice(postings_tf, (off,), (window,))
+            pos = jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0)[:, 0]
+            pmask = (pos < ln) & (m > 0)
+            contrib = idf[tid] * tfs * (k1 + 1.0) / (tfs + k1 * doc_norm[docs])
+            contrib = jnp.where(pmask, contrib, 0.0)
+            docs = jnp.where(pmask, docs, N)  # masked slots -> sink row
+            scores = scores.at[docs].add(contrib, mode="drop")
+            return scores, None
+
+        scores, _ = jax.lax.scan(
+            per_term, jnp.zeros(N + 1, dtype=jnp.float32), (tids, tmask)
+        )
+        return scores[:N]
+
+    return jax.vmap(per_query)(term_ids, term_mask)
+
+
+def bm25_dense_from(arrays: Bm25Arrays, term_ids, term_mask, window: int, k1: float = 1.2):
+    return bm25_dense(
+        term_ids, term_mask,
+        arrays.postings_doc, arrays.postings_tf,
+        arrays.term_offsets, arrays.term_lengths,
+        arrays.doc_norm, arrays.idf,
+        window=window, num_docs=arrays.num_docs, k1=k1,
+    )

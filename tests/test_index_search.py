@@ -1,0 +1,230 @@
+"""Tests for vector/lexical indexes and the hybrid SearchEngine."""
+
+import numpy as np
+import pytest
+
+from yams_tpu.core.config import EmbeddingConfig, LexicalIndexConfig, VectorIndexConfig
+from yams_tpu.index import LexicalIndex, VectorIndex
+from yams_tpu.search import SearchEngine, SearchEngineConfig
+
+EMB = EmbeddingConfig(dim=64, sketch_dim=512)
+VEC = VectorIndexConfig(dim=64, capacity=256, block_rows=128)
+LEX = LexicalIndexConfig(postings_window=64)
+
+
+def _unit(n, d, seed=0):
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+class TestVectorIndex:
+    def test_add_search(self):
+        idx = VectorIndex(dim=32, capacity=128, block_rows=64)
+        vecs = _unit(50, 32)
+        idx.add(vecs, list(range(50)))
+        vals, rows = idx.search(vecs[7], k=1)
+        assert rows[0, 0] == 7
+        assert vals[0, 0] > 0.99
+
+    def test_tombstone(self):
+        idx = VectorIndex(dim=32, capacity=128, block_rows=64)
+        vecs = _unit(10, 32)
+        idx.add(vecs, list(range(10)))
+        idx.remove_doc(3)
+        _, rows = idx.search(vecs[3], k=1)
+        assert idx.slots_of_rows(rows[0])[0] != 3
+        assert idx.active_rows == 9
+
+    def test_row_recycling(self):
+        idx = VectorIndex(dim=32, capacity=128, block_rows=64)
+        rows1 = idx.add(_unit(5, 32), [0] * 5)
+        idx.remove_doc(0)
+        rows2 = idx.add(_unit(5, 32, seed=1), [1] * 5)
+        assert set(rows2) == set(rows1)  # freed rows reused
+
+    def test_growth(self):
+        idx = VectorIndex(dim=16, capacity=64, block_rows=64)
+        idx.add(_unit(100, 16), list(range(100)))
+        assert idx.capacity >= 128
+        assert idx.capacity % 64 == 0
+
+    def test_save_load(self, tmp_path):
+        idx = VectorIndex(dim=32, capacity=128, block_rows=64, space_id="test/v1")
+        vecs = _unit(20, 32)
+        idx.add(vecs, list(range(20)))
+        idx.remove_doc(5)
+        idx.save(tmp_path)
+        idx2 = VectorIndex.load(tmp_path)
+        assert idx2.space_id == "test/v1"
+        assert idx2.active_rows == idx.active_rows
+        _, rows = idx2.search(vecs[7], k=1)
+        assert idx2.slots_of_rows(rows[0])[0] == 7
+
+
+class TestLexicalIndex:
+    def test_search_ranking(self):
+        idx = LexicalIndex(LEX)
+        idx.add_document(0, "the quick brown fox jumps over the lazy dog")
+        idx.add_document(1, "quick quick quick fox fox everywhere")
+        idx.add_document(2, "nothing relevant at all here")
+        res = idx.search("quick fox", k=3)
+        assert res[0][0] == 1
+        assert len(res) == 2  # doc 2 scores zero
+
+    def test_title_weighting(self):
+        idx = LexicalIndex(LEX)
+        idx.add_document(0, "generic body text words", title="zebra manual")
+        idx.add_document(1, "zebra zebra in the body text", title="other")
+        res = dict(idx.search("zebra", k=2))
+        assert 0 in res and 1 in res  # title hits surface too
+
+    def test_remove(self):
+        idx = LexicalIndex(LEX)
+        idx.add_document(0, "alpha beta")
+        assert idx.remove_document(0)
+        assert idx.search("alpha") == []
+
+    def test_save_load(self, tmp_path):
+        idx = LexicalIndex(LEX)
+        idx.add_document(0, "persistent content here")
+        idx.save(tmp_path)
+        idx2 = LexicalIndex.load(tmp_path, LEX)
+        assert idx2.search("persistent")[0][0] == 0
+
+
+@pytest.fixture()
+def engine():
+    eng = SearchEngine(
+        config=SearchEngineConfig(batch_pad=4),
+        embedding=EMB, vector=VEC, lexical=LEX,
+    )
+    docs = {
+        1: ("kernel scheduler", "the kernel scheduler preempts threads using priority queues and locks"),
+        2: ("pasta recipe", "boil the pasta add tomato basil olive oil and fresh pepper"),
+        3: ("gradient descent", "the optimizer computes gradients and updates weights per batch"),
+        4: ("thread locks", "mutex locks guard shared state between kernel threads"),
+        5: ("salad bowl", "fresh tomato basil salad with olive oil dressing and pepper"),
+    }
+    for doc_id, (title, text) in docs.items():
+        eng.add_document(doc_id, text, title)
+    return eng
+
+
+class TestSearchEngine:
+    def test_hybrid_relevance(self, engine):
+        res = engine.search("kernel thread locks", k=3)
+        assert {r.doc_id for r in res[:2]} == {1, 4}
+        assert res[0].score > 0
+
+    def test_keyword_mode(self, engine):
+        res = engine.search("tomato basil", k=3, mode="keyword")
+        assert {r.doc_id for r in res[:2]} == {2, 5}
+        assert all(r.text_score > 0 for r in res[:2])
+
+    def test_vector_mode(self, engine):
+        res = engine.search("cooking with tomatoes and basil", k=3, mode="vector")
+        assert {2, 5} & {r.doc_id for r in res[:2]}
+
+    def test_filter_pushdown(self, engine):
+        res = engine.search("tomato basil", k=5, filter_doc_ids={5})
+        assert [r.doc_id for r in res] == [5]
+
+    def test_batch(self, engine):
+        out = engine.search_batch(["pasta tomato", "gradient weights"], k=2)
+        assert out[0][0].doc_id in (2, 5)
+        assert out[1][0].doc_id == 3
+
+    def test_remove_document(self, engine):
+        engine.remove_document(2)
+        res = engine.search("pasta tomato", k=5)
+        assert all(r.doc_id != 2 for r in res)
+
+    def test_reindex_replaces(self, engine):
+        engine.add_document(2, "completely different quantum physics topic", "quantum")
+        res = engine.search("quantum physics", k=2)
+        assert res[0].doc_id == 2
+        res = engine.search("pasta tomato boil", k=5, mode="keyword")
+        assert all(r.doc_id != 2 for r in res)
+
+    def test_empty_engine(self):
+        eng = SearchEngine(embedding=EMB, vector=VEC, lexical=LEX)
+        assert eng.search("anything") == []
+
+    def test_empty_query_no_crash(self, engine):
+        res = engine.search("", k=3)
+        assert isinstance(res, list)
+
+    def test_hotzone_boost(self, engine):
+        base = engine.search("fresh tomato basil pepper", k=2)
+        if base[0].doc_id == 5:
+            loser = 2
+        else:
+            loser = 5
+        for _ in range(50):
+            engine.touch_hot(loser, 5.0)
+        boosted = engine.search("fresh tomato basil pepper", k=2)
+        assert boosted[0].doc_id == loser
+
+    def test_kg_leg(self, tmp_path):
+        from yams_tpu.core.types import DocumentInfo
+        from yams_tpu.metadata import Database, KnowledgeGraphStore, MetadataRepository
+
+        db = Database(tmp_path / "m.db")
+        kg = KnowledgeGraphStore(db)
+        repo = MetadataRepository(db)
+        d1 = repo.insert_document(
+            DocumentInfo(file_path="/a", file_name="a", sha256_hash="1" * 64)
+        )
+        d2 = repo.insert_document(
+            DocumentInfo(file_path="/b", file_name="b", sha256_hash="2" * 64)
+        )
+        eng = SearchEngine(embedding=EMB, vector=VEC, lexical=LEX, kg_store=kg)
+        eng.add_document(d1, "document about scheduling", "sched")
+        eng.add_document(d2, "document about cooking", "cook")
+        node = kg.upsert_node("entity:scheduler")
+        kg.add_alias(node, "scheduling")
+        kg.link_document(d1, node, "scheduling", 0.9)
+        res = eng.search("scheduling", k=2)
+        assert res[0].doc_id == d1
+        assert res[0].kg_score > 0
+
+    def test_stats(self, engine):
+        engine.search("x", k=1)
+        s = engine.stats()
+        assert s["documents"] == 5 and s["searches"] >= 1
+
+
+class TestRecallParity:
+    """Recall@10 parity vs NumPy exact oracle on a clustered corpus —
+    the stand-in for the reference's exact-scan ground truth (SURVEY §4)."""
+
+    def test_vector_recall_parity(self):
+        eng = SearchEngine(
+            embedding=EmbeddingConfig(dim=128, sketch_dim=2048),
+            vector=VectorIndexConfig(dim=128, capacity=512, block_rows=128),
+            lexical=LEX,
+        )
+        rng = np.random.default_rng(7)
+        vocab_pool = [
+            ["kernel", "driver", "interrupt", "scheduler", "mutex"],
+            ["salad", "recipe", "tomato", "basil", "olive"],
+            ["tensor", "gradient", "matrix", "batch", "layer"],
+        ]
+        docs = []
+        for vocab in vocab_pool:
+            for _ in range(30):
+                docs.append(" ".join(rng.choice(vocab, size=25)))
+        for i, text in enumerate(docs):
+            eng.add_document(i, text)
+        # oracle: encode whole docs, exact cosine
+        E = eng.encoder.encode(docs)
+        hits = 0
+        trials = 10
+        for t in range(trials):
+            qi = int(rng.integers(len(docs)))
+            q = docs[qi]
+            oracle = set(np.argsort(-(E @ E[qi]))[:10].tolist())
+            got = {r.doc_id for r in eng.search(q, k=10, mode="vector")}
+            hits += len(oracle & got) / 10
+        assert hits / trials > 0.85

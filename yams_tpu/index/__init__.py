@@ -1,0 +1,4 @@
+from .lexical_index import LexicalIndex
+from .vector_index import VectorIndex
+
+__all__ = ["VectorIndex", "LexicalIndex"]

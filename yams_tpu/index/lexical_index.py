@@ -1,0 +1,225 @@
+"""Host-built, device-scanned lexical (BM25) index.
+
+Rebuilds FTS5 (reference: documents_fts w/ unicode61 tokenchars '_-',
+migration.cpp:465-471; bm25 scoring search_ops.cpp:471) as device postings
+arrays consumed by ops.bm25.bm25_dense. Documents are identified by the same
+dense doc slots as the vector index so hybrid fusion is a doc-aligned
+elementwise combine on device.
+
+Column weighting: FTS5's bm25(documents_fts, 1.0, 10.0) weights per-column
+BM25 scores; we fold the weights into term frequencies at build time
+(tf = 1.0*tf_title + 10.0*tf_content), which preserves ranking behavior for
+the common single-column-hit case and keeps the device kernel single-postings.
+
+Incremental ingest: pending docs accumulate on the host; flush() rebuilds the
+CSR arrays (the analog of the reference's dirty-dim index rebuild). Device
+arrays are cached until dirty.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import pickle
+import threading
+
+import numpy as np
+
+from ..core.config import LexicalIndexConfig
+from ..embed.simeon import tokenize
+
+
+class LexicalIndex:
+    def __init__(self, config: LexicalIndexConfig | None = None):
+        self.config = config or LexicalIndexConfig()
+        self._vocab: dict[str, int] = {}
+        # doc_slot -> {term_id: weighted tf}
+        self._docs: dict[int, dict[int, float]] = {}
+        self._doc_len: dict[int, float] = {}
+        self._dirty = True
+        self._arrays = None
+        self._device = None
+        self._num_slots = 0
+        self._lock = threading.RLock()
+
+    # -- mutation -----------------------------------------------------------
+    def _term_id(self, term: str) -> int:
+        tid = self._vocab.get(term)
+        if tid is None:
+            tid = len(self._vocab)
+            self._vocab[term] = tid
+        return tid
+
+    def add_document(self, doc_slot: int, content: str, title: str = "") -> None:
+        cfg = self.config
+        tf: dict[int, float] = {}
+        n_tokens = 0.0
+        for text, weight in ((title, cfg.title_weight), (content, cfg.content_weight)):
+            if not text:
+                continue
+            for tok in tokenize(text):
+                tid = self._term_id(tok)
+                tf[tid] = tf.get(tid, 0.0) + weight
+                n_tokens += weight
+        with self._lock:
+            self._docs[doc_slot] = tf
+            self._doc_len[doc_slot] = n_tokens
+            self._num_slots = max(self._num_slots, doc_slot + 1)
+            self._dirty = True
+
+    def remove_document(self, doc_slot: int) -> bool:
+        with self._lock:
+            if doc_slot in self._docs:
+                del self._docs[doc_slot]
+                del self._doc_len[doc_slot]
+                self._dirty = True
+                return True
+            return False
+
+    @property
+    def doc_count(self) -> int:
+        return len(self._docs)
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self._vocab)
+
+    # -- build ----------------------------------------------------------------
+    def build_arrays(self, num_slots: int | None = None) -> dict:
+        """(Re)build CSR postings as numpy arrays sized to num_slots."""
+        with self._lock:
+            cfg = self.config
+            N = max(num_slots or self._num_slots, 1)
+            window = cfg.postings_window
+            V = max(len(self._vocab), 1)
+            # postings per term
+            per_term: list[list[tuple[int, float]]] = [[] for _ in range(V)]
+            for slot, tf in self._docs.items():
+                for tid, f in tf.items():
+                    per_term[tid].append((slot, f))
+            n_docs = max(len(self._docs), 1)
+            avg_len = (sum(self._doc_len.values()) / n_docs) if self._docs else 1.0
+            avg_len = max(avg_len, 1e-9)
+
+            pd: list[int] = []
+            pt: list[float] = []
+            offs = np.zeros(V, np.int32)
+            lens = np.zeros(V, np.int32)
+            idf = np.zeros(V, np.float32)
+            for v in range(V):
+                plist = per_term[v]
+                plist.sort(key=lambda x: -x[1])  # keep top-tf docs in window
+                offs[v] = len(pd)
+                lens[v] = min(len(plist), window)
+                df = len(plist)
+                idf[v] = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                for slot, f in plist[:window]:
+                    pd.append(slot)
+                    pt.append(f)
+            # pad so any dynamic_slice window is in-bounds
+            pd.extend([N] * window)
+            pt.extend([0.0] * window)
+
+            doc_norm = np.ones(N, np.float32)
+            for slot, ln in self._doc_len.items():
+                if slot < N:
+                    doc_norm[slot] = 1.0 - cfg.b + cfg.b * ln / avg_len
+            self._arrays = {
+                "postings_doc": np.asarray(pd, np.int32),
+                "postings_tf": np.asarray(pt, np.float32),
+                "term_offsets": offs,
+                "term_lengths": lens,
+                "doc_norm": doc_norm,
+                "idf": idf,
+                "num_docs": N,
+            }
+            self._dirty = False
+            return self._arrays
+
+    def device_arrays(self, num_slots: int | None = None):
+        from ..ops.bm25 import Bm25Arrays
+
+        with self._lock:
+            want_n = max(num_slots or self._num_slots, 1)
+            if (
+                self._dirty
+                or self._device is None
+                or self._device.num_docs != want_n
+            ):
+                import jax.numpy as jnp
+
+                arrs = self.build_arrays(want_n)
+                self._device = Bm25Arrays(
+                    postings_doc=jnp.asarray(arrs["postings_doc"]),
+                    postings_tf=jnp.asarray(arrs["postings_tf"]),
+                    term_offsets=jnp.asarray(arrs["term_offsets"]),
+                    term_lengths=jnp.asarray(arrs["term_lengths"]),
+                    doc_norm=jnp.asarray(arrs["doc_norm"]),
+                    idf=jnp.asarray(arrs["idf"]),
+                    num_docs=arrs["num_docs"],
+                )
+            return self._device
+
+    # -- query helpers -----------------------------------------------------------
+    def query_term_ids(
+        self, query: str, max_terms: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """query text -> (term_ids (T,), mask (T,)) padded to max_query_terms."""
+        T = max_terms or self.config.max_query_terms
+        ids = np.zeros(T, np.int32)
+        mask = np.zeros(T, np.float32)
+        toks = [t for t in tokenize(query) if t in self._vocab][:T]
+        for i, t in enumerate(toks):
+            ids[i] = self._vocab[t]
+            mask[i] = 1.0
+        return ids, mask
+
+    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Standalone BM25 search -> [(doc_slot, score)] (device scan)."""
+        import jax.numpy as jnp
+
+        from ..ops.bm25 import bm25_dense_from
+
+        if not self._docs:
+            return []
+        arrays = self.device_arrays()
+        ids, mask = self.query_term_ids(query)
+        scores = np.asarray(
+            bm25_dense_from(
+                arrays, jnp.asarray(ids[None]), jnp.asarray(mask[None]),
+                window=self.config.postings_window, k1=self.config.k1,
+            )
+        )[0]
+        order = np.argsort(-scores, kind="stable")[:k]
+        return [(int(i), float(scores[i])) for i in order if scores[i] > 0]
+
+    # -- persistence -----------------------------------------------------------------
+    def save(self, directory: str | pathlib.Path) -> None:
+        d = pathlib.Path(directory)
+        d.mkdir(parents=True, exist_ok=True)
+        with self._lock, open(d / "lexical.pkl", "wb") as f:
+            pickle.dump(
+                {"vocab": self._vocab, "docs": self._docs, "doc_len": self._doc_len,
+                 "num_slots": self._num_slots},
+                f,
+            )
+        (d / "lexical.json").write_text(
+            json.dumps({"docs": len(self._docs), "vocab": len(self._vocab)})
+        )
+
+    @classmethod
+    def load(
+        cls, directory: str | pathlib.Path, config: LexicalIndexConfig | None = None
+    ) -> "LexicalIndex":
+        idx = cls(config)
+        with open(pathlib.Path(directory) / "lexical.pkl", "rb") as f:
+            state = pickle.load(f)
+        idx._vocab = state["vocab"]
+        idx._docs = state["docs"]
+        idx._doc_len = state["doc_len"]
+        idx._num_slots = state["num_slots"]
+        idx._dirty = True
+        return idx
+
+    def stats(self) -> dict:
+        return {"docs": len(self._docs), "vocab": len(self._vocab)}

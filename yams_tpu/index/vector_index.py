@@ -1,0 +1,215 @@
+"""Device-resident vector index: HBM embedding matrix + tombstone masks.
+
+Rebuilds the reference's SqliteVecBackend (include/yams/vector/
+sqlite_vec_backend.h, src/.../sqlite_vec_backend.cpp:4116 brute-force scan)
+TPU-first:
+
+  - rows live in a capacity-padded (cap, D) matrix (bf16 on device, f32 host
+    mirror for persistence/rebuild); XLA's static shapes are satisfied by
+    doubling capacity and masking (`valid`), mirroring the reference's
+    dirty-dim rebuild + tombstones (sqlite_vec_backend.cpp:625-645).
+  - each row carries a dense doc slot (row2slot) so chunk->doc aggregation is
+    a device segment-reduce inside the fused query program.
+  - search paths: exact bf16 scan (oracle), fused Pallas scan, int8 shadow.
+  - persistence: npz + json sidecar, staleness-stamped like the reference's
+    PQ persistence (simeon_pq_persistence.h).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import threading
+import time
+
+import numpy as np
+
+from ..core.errors import InvalidArgumentError
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class VectorIndex:
+    def __init__(
+        self,
+        dim: int,
+        capacity: int = 1 << 14,
+        block_rows: int = 2048,
+        space_id: str = "",
+    ):
+        self.dim = dim
+        self.block_rows = block_rows
+        self.space_id = space_id
+        cap = _round_up(max(capacity, block_rows), block_rows)
+        self._vecs = np.zeros((cap, dim), dtype=np.float32)
+        self._valid = np.zeros(cap, dtype=np.float32)
+        self._slots = np.full(cap, -1, dtype=np.int32)  # row -> doc slot
+        self._count = 0  # high-water mark of used rows
+        self._free: list[int] = []
+        self._rows_by_slot: dict[int, list[int]] = {}
+        self._dirty = True
+        self._device = None  # (E bf16, valid f32, row2slot i32)
+        self._lock = threading.RLock()
+
+    # -- capacity ---------------------------------------------------------------
+    @property
+    def capacity(self) -> int:
+        return self._vecs.shape[0]
+
+    @property
+    def active_rows(self) -> int:
+        return int(self._valid.sum())
+
+    def _grow(self, need: int) -> None:
+        new_cap = self.capacity
+        while new_cap < need:
+            new_cap *= 2
+        add = new_cap - self.capacity
+        self._vecs = np.vstack([self._vecs, np.zeros((add, self.dim), np.float32)])
+        self._valid = np.concatenate([self._valid, np.zeros(add, np.float32)])
+        self._slots = np.concatenate([self._slots, np.full(add, -1, np.int32)])
+        self._dirty = True
+
+    # -- mutation ----------------------------------------------------------------
+    def add(self, vectors: np.ndarray, doc_slots: np.ndarray | list[int]) -> list[int]:
+        """Insert rows; returns assigned row indices."""
+        vectors = np.asarray(vectors, dtype=np.float32)
+        doc_slots = np.asarray(doc_slots, dtype=np.int32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.dim:
+            raise InvalidArgumentError(
+                f"expected (M, {self.dim}) vectors, got {vectors.shape}"
+            )
+        if len(doc_slots) != len(vectors):
+            raise InvalidArgumentError("doc_slots/vectors length mismatch")
+        with self._lock:
+            rows = []
+            for i in range(len(vectors)):
+                if self._free:
+                    r = self._free.pop()
+                else:
+                    if self._count >= self.capacity:
+                        self._grow(self._count + len(vectors))
+                    r = self._count
+                    self._count += 1
+                rows.append(r)
+            rows_np = np.array(rows, dtype=np.int64)
+            self._vecs[rows_np] = vectors
+            self._valid[rows_np] = 1.0
+            self._slots[rows_np] = doc_slots
+            for r, s in zip(rows, doc_slots.tolist()):
+                self._rows_by_slot.setdefault(s, []).append(r)
+            self._dirty = True
+            return rows
+
+    def remove_doc(self, doc_slot: int) -> int:
+        """Tombstone all rows of a doc slot; rows are recycled."""
+        with self._lock:
+            rows = self._rows_by_slot.pop(doc_slot, [])
+            if rows:
+                rows_np = np.array(rows, dtype=np.int64)
+                self._valid[rows_np] = 0.0
+                self._slots[rows_np] = -1
+                self._free.extend(rows)
+                self._dirty = True
+            return len(rows)
+
+    def rows_for_slot(self, doc_slot: int) -> list[int]:
+        return list(self._rows_by_slot.get(doc_slot, []))
+
+    # -- device view ----------------------------------------------------------------
+    def device_arrays(self):
+        """(E bf16 (cap,D), valid f32 (cap,), row2slot i32 (cap,)) on device.
+
+        row2slot maps tombstoned rows to the sink segment (num_slots passed by
+        the caller at scoring time uses max slot + sink).
+        """
+        with self._lock:
+            if self._dirty or self._device is None:
+                import jax.numpy as jnp
+
+                self._device = (
+                    jnp.asarray(self._vecs, dtype=jnp.bfloat16),
+                    jnp.asarray(self._valid),
+                    jnp.asarray(self._slots),
+                )
+                self._dirty = False
+            return self._device
+
+    # -- search (standalone vector-only path) -----------------------------------------
+    def search(self, queries: np.ndarray, k: int = 10, use_pallas: bool = False):
+        """Exact KNN over valid rows -> (values (B,k), row indices (B,k))."""
+        import jax
+
+        from ..ops.scan import exact_topk_pallas, exact_topk_scan
+
+        E, valid, _ = self.device_arrays()
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if use_pallas:
+            vals, idx = exact_topk_pallas(
+                q, E, valid, k=k, block_rows=self.block_rows,
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            vals, idx = exact_topk_scan(q, E, valid, k=k, block_rows=self.block_rows)
+        return np.asarray(vals), np.asarray(idx)
+
+    def slots_of_rows(self, rows: np.ndarray) -> np.ndarray:
+        return self._slots[np.asarray(rows, dtype=np.int64)]
+
+    # -- persistence -----------------------------------------------------------------
+    def save(self, directory: str | pathlib.Path) -> None:
+        d = pathlib.Path(directory)
+        d.mkdir(parents=True, exist_ok=True)
+        with self._lock:
+            np.savez_compressed(
+                d / "vectors.npz",
+                vecs=self._vecs[: self._count],
+                valid=self._valid[: self._count],
+                slots=self._slots[: self._count],
+            )
+            (d / "vectors.json").write_text(json.dumps({
+                "dim": self.dim,
+                "count": self._count,
+                "space_id": self.space_id,
+                "block_rows": self.block_rows,
+                "saved_at": time.time(),
+            }))
+
+    @classmethod
+    def load(cls, directory: str | pathlib.Path) -> "VectorIndex":
+        d = pathlib.Path(directory)
+        meta = json.loads((d / "vectors.json").read_text())
+        idx = cls(
+            dim=meta["dim"],
+            capacity=max(meta["count"], 1),
+            block_rows=meta["block_rows"],
+            space_id=meta.get("space_id", ""),
+        )
+        data = np.load(d / "vectors.npz")
+        n = meta["count"]
+        if n:
+            idx._vecs[:n] = data["vecs"]
+            idx._valid[:n] = data["valid"]
+            idx._slots[:n] = data["slots"]
+            idx._count = n
+            for r in range(n):
+                s = int(idx._slots[r])
+                if idx._valid[r]:
+                    idx._rows_by_slot.setdefault(s, []).append(r)
+                else:
+                    idx._free.append(r)
+        return idx
+
+    def stats(self) -> dict:
+        return {
+            "dim": self.dim,
+            "capacity": self.capacity,
+            "rows": self._count,
+            "active_rows": self.active_rows,
+            "docs": len(self._rows_by_slot),
+            "space_id": self.space_id,
+        }

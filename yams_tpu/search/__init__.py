@@ -1,0 +1,4 @@
+from .config import SearchEngineConfig
+from .engine import SearchEngine, SearchResult
+
+__all__ = ["SearchEngine", "SearchEngineConfig", "SearchResult"]

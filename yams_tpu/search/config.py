@@ -1,0 +1,41 @@
+"""Hybrid search configuration.
+
+Default weights mirror the reference's SearchEngineConfig
+(include/yams/search/search_engine_config.h:78-99,283-294):
+textWeight=0.70, vectorWeight=0.30, kgWeight=0.04, pathTreeWeight=0.08,
+entityVectorWeight=0.05, tagWeight=0.05, metadataWeight=0.05, rrfK=12,
+bm25NormDivisor=25; chunk->doc aggregation WEIGHTED_TOP_K_AVG.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(slots=True)
+class SearchEngineConfig:
+    text_weight: float = 0.70
+    vector_weight: float = 0.30
+    kg_weight: float = 0.04
+    path_tree_weight: float = 0.08
+    entity_vector_weight: float = 0.05
+    tag_weight: float = 0.05
+    metadata_weight: float = 0.05
+    hotzone_weight: float = 0.05
+
+    rrf_k: int = 12
+    rrf_scale: float = 0.5          # weight of the rank-fusion term vs score fusion
+    rrf_candidates: int = 64        # per-leg top-K feeding RRF ranks
+    bm25_norm_divisor: float = 25.0
+
+    # chunk -> doc aggregation: max | sum | topk_avg
+    chunk_agg: str = "max"
+    chunk_agg_top_k: int = 3
+
+    # vector-only penalty: docs with vector-only evidence are slightly damped
+    # (search_engine_config.h:296-320)
+    vector_only_penalty: float = 0.85
+
+    # query batch padding (keeps jit cache small)
+    batch_pad: int = 8
+    max_k: int = 100

@@ -1,0 +1,252 @@
+"""SearchEngine: hybrid retrieval orchestrator over the device engine.
+
+Parity: include/yams/search/search_engine.h + src/search/search_engine.cpp
+searchInternal (:1325) — but the parallel component fan-out + evidence fusion
+is one jitted device program (fusion.hybrid_query); the host side only
+tokenizes/sketches queries, manages doc-slot identity, applies KG/tag boosts
+(host evidence legs), and maps slots back to documents.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+
+import numpy as np
+
+from ..core.config import EmbeddingConfig, LexicalIndexConfig, VectorIndexConfig
+from ..embed.chunker import chunk_document
+from ..embed.simeon import SimeonEncoder, sketch_texts, tokenize
+from ..index.lexical_index import LexicalIndex
+from ..index.vector_index import VectorIndex
+from .config import SearchEngineConfig
+from .fusion import hybrid_query, pack_weights
+
+
+@dataclasses.dataclass(slots=True)
+class SearchResult:
+    doc_id: int
+    score: float
+    text_score: float = 0.0
+    vector_score: float = 0.0
+    kg_score: float = 0.0
+    title: str = ""
+    snippet: str = ""
+
+
+def _round_pow2(x: int, floor: int = 1024) -> int:
+    n = floor
+    while n < x:
+        n *= 2
+    return n
+
+
+class SearchEngine:
+    def __init__(
+        self,
+        config: SearchEngineConfig | None = None,
+        embedding: EmbeddingConfig | None = None,
+        vector: VectorIndexConfig | None = None,
+        lexical: LexicalIndexConfig | None = None,
+        kg_store=None,
+    ):
+        self.config = config or SearchEngineConfig()
+        self.encoder = SimeonEncoder(embedding)
+        vcfg = vector or VectorIndexConfig(dim=self.encoder.dim)
+        self.vector_index = VectorIndex(
+            dim=self.encoder.dim,
+            capacity=vcfg.capacity,
+            block_rows=vcfg.block_rows,
+            space_id=self.encoder.space_id,
+        )
+        self.lexical_index = LexicalIndex(lexical)
+        self.kg = kg_store
+        # doc identity: external doc_id <-> dense slot
+        self._slot_by_doc: dict[int, int] = {}
+        self._doc_by_slot: list[int] = []
+        self._titles: dict[int, str] = {}
+        self._hot: dict[int, float] = {}
+        self._lock = threading.RLock()
+        self._stats = {"searches": 0, "total_ms": 0.0, "documents": 0}
+
+    # -- identity -----------------------------------------------------------------
+    def _slot_for(self, doc_id: int) -> int:
+        with self._lock:
+            s = self._slot_by_doc.get(doc_id)
+            if s is None:
+                s = len(self._doc_by_slot)
+                self._slot_by_doc[doc_id] = s
+                self._doc_by_slot.append(doc_id)
+            return s
+
+    @property
+    def num_slots_padded(self) -> int:
+        return _round_pow2(max(len(self._doc_by_slot), 1))
+
+    # -- indexing -----------------------------------------------------------------
+    def add_document(
+        self,
+        doc_id: int,
+        content: str,
+        title: str = "",
+        chunk_strategy: str = "sentence",
+    ) -> int:
+        """Index one document (lexical + chunked vectors). Returns #chunks."""
+        slot = self._slot_for(doc_id)
+        with self._lock:
+            self._titles[doc_id] = title
+        # replace any previous content
+        self.vector_index.remove_doc(slot)
+        self.lexical_index.add_document(slot, content, title)
+        chunks = chunk_document(content, chunk_strategy)
+        texts = [c.text for c in chunks]
+        if title:
+            texts = [title] + texts
+        if not texts:
+            return 0
+        vecs = self.encoder.encode(texts)
+        self.vector_index.add(vecs, [slot] * len(vecs))
+        self._stats["documents"] = len(self._slot_by_doc)
+        return len(texts)
+
+    def remove_document(self, doc_id: int) -> bool:
+        with self._lock:
+            slot = self._slot_by_doc.get(doc_id)
+        if slot is None:
+            return False
+        self.vector_index.remove_doc(slot)
+        self.lexical_index.remove_document(slot)
+        self._titles.pop(doc_id, None)
+        return True
+
+    def touch_hot(self, doc_id: int, boost: float = 1.0) -> None:
+        with self._lock:
+            self._hot[doc_id] = self._hot.get(doc_id, 0.0) + boost
+
+    # -- search ---------------------------------------------------------------------
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "hybrid",          # hybrid | keyword | vector
+        filter_doc_ids: set[int] | None = None,
+    ) -> list[SearchResult]:
+        return self.search_batch([query], k, mode, filter_doc_ids)[0]
+
+    def search_batch(
+        self,
+        queries: list[str],
+        k: int = 10,
+        mode: str = "hybrid",
+        filter_doc_ids: set[int] | None = None,
+    ) -> list[list[SearchResult]]:
+        t0 = time.monotonic()
+        if not self._doc_by_slot:
+            return [[] for _ in queries]
+        cfg = self.config
+        Nd = self.num_slots_padded
+        B_real = len(queries)
+        B = max(cfg.batch_pad, _round_pow2(B_real, floor=cfg.batch_pad))
+        k_dev = min(max(k * 2, cfg.rrf_candidates), Nd)  # headroom for host legs
+
+        # host query prep
+        sketches = sketch_texts(queries, self.encoder.config)
+        sketches = np.pad(sketches, ((0, B - B_real), (0, 0)))
+        tids = np.zeros((B, self.lexical_index.config.max_query_terms), np.int32)
+        tmask = np.zeros_like(tids, dtype=np.float32)
+        for i, qtext in enumerate(queries):
+            ids, m = self.lexical_index.query_term_ids(qtext)
+            tids[i], tmask[i] = ids, m
+
+        # weights per mode (zero a leg rather than recompile)
+        import jax.numpy as jnp
+
+        w = np.asarray(pack_weights(cfg))
+        if mode == "keyword":
+            w = w.copy(); w[1] = 0.0  # W_VEC
+        elif mode == "vector":
+            w = w.copy(); w[0] = 0.0  # W_TEXT
+
+        E, row_valid, row2slot = self.vector_index.device_arrays()
+        bm = self.lexical_index.device_arrays(Nd)
+
+        doc_mask = np.zeros(Nd, np.float32)
+        n_used = len(self._doc_by_slot)
+        if filter_doc_ids is None:
+            doc_mask[:n_used] = 1.0
+        else:
+            for d in filter_doc_ids:
+                s = self._slot_by_doc.get(d)
+                if s is not None:
+                    doc_mask[s] = 1.0
+
+        hot = np.zeros(Nd, np.float32)
+        for d, h in self._hot.items():
+            s = self._slot_by_doc.get(d)
+            if s is not None:
+                hot[s] = h / (1.0 + h)
+
+        vals, slots, bm_at, vec_at = hybrid_query(
+            jnp.asarray(sketches), jnp.asarray(tids), jnp.asarray(tmask),
+            self.encoder.projection_matrix(),
+            E, row_valid, row2slot,
+            bm.postings_doc, bm.postings_tf, bm.term_offsets, bm.term_lengths,
+            bm.doc_norm, bm.idf,
+            jnp.asarray(doc_mask), jnp.asarray(hot), jnp.asarray(w),
+            k=k_dev,
+            rrf_cand=min(cfg.rrf_candidates, Nd),
+            window=self.lexical_index.config.postings_window,
+            num_slots=Nd,
+            chunk_agg=cfg.chunk_agg,
+        )
+        vals = np.asarray(vals)[:B_real]
+        slots = np.asarray(slots)[:B_real]
+        bm_at = np.asarray(bm_at)[:B_real]
+        vec_at = np.asarray(vec_at)[:B_real]
+
+        out: list[list[SearchResult]] = []
+        for i, qtext in enumerate(queries):
+            kg_scores = self._kg_scores(qtext) if (self.kg and mode == "hybrid") else {}
+            results: list[SearchResult] = []
+            for j in range(vals.shape[1]):
+                if vals[i, j] <= -1e29:
+                    break
+                slot = int(slots[i, j])
+                if slot >= len(self._doc_by_slot):
+                    continue
+                doc_id = self._doc_by_slot[slot]
+                kg_s = kg_scores.get(doc_id, 0.0)
+                results.append(
+                    SearchResult(
+                        doc_id=doc_id,
+                        score=float(vals[i, j]) + self.config.kg_weight * kg_s,
+                        text_score=float(bm_at[i, j]),
+                        vector_score=float(vec_at[i, j]),
+                        kg_score=kg_s,
+                        title=self._titles.get(doc_id, ""),
+                    )
+                )
+            results.sort(key=lambda r: -r.score)
+            out.append(results[:k])
+        self._stats["searches"] += len(queries)
+        self._stats["total_ms"] += (time.monotonic() - t0) * 1e3
+        return out
+
+    def _kg_scores(self, query: str) -> dict[int, float]:
+        """Host KG leg: query tokens -> alias nodes -> linked docs
+        (reference: queryKnowledgeGraph, search_engine.cpp:5219)."""
+        scores: dict[int, float] = {}
+        for tok in tokenize(query)[:8]:
+            for node in self.kg.resolve_alias(tok, limit=4):
+                for doc_id, conf in self.kg.documents_for_node(node, limit=20):
+                    scores[doc_id] = max(scores.get(doc_id, 0.0), conf)
+        return scores
+
+    def stats(self) -> dict:
+        s = dict(self._stats)
+        s["vector"] = self.vector_index.stats()
+        s["lexical"] = self.lexical_index.stats()
+        if s["searches"]:
+            s["avg_latency_ms"] = s["total_ms"] / s["searches"]
+        return s

@@ -1,0 +1,148 @@
+"""The fused hybrid query program: embed ∥ BM25 ∥ KNN -> fuse -> top-k.
+
+One XLA program per query batch (SURVEY §3.2: the reference's thread-pool
+component fan-out + EvidencePipeline becomes branches of a single jitted
+graph). Stages, all on device:
+
+  1. query embed: sketch @ R -> L2 normalize (MXU).
+  2. vector leg: dense similarity over the chunk matrix, chunk->doc
+     segment-reduce onto dense doc slots.
+  3. lexical leg: batched BM25 postings scan (ops.bm25).
+  4. fusion: weighted evidence (textWeight/vectorWeight/... as in
+     search_engine_config.h:78-99) + RRF(k=12) over per-leg ranks +
+     vector-only penalty + hotzone boost + filter mask.
+  5. final top-k over fused doc scores.
+
+Weights are traced (a packed f32 vector) so tuning never recompiles; only
+shapes and k are static.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG = -1e30
+
+# packed weight vector layout
+W_TEXT, W_VEC, W_HOT, W_RRF_SCALE, W_BM25_DIV, W_VEC_ONLY_PEN, W_K1, W_RRF_K = range(8)
+NUM_WEIGHTS = 8
+
+
+def pack_weights(cfg) -> jnp.ndarray:
+    import numpy as np
+
+    w = np.zeros(NUM_WEIGHTS, np.float32)
+    w[W_TEXT] = cfg.text_weight
+    w[W_VEC] = cfg.vector_weight
+    w[W_HOT] = cfg.hotzone_weight
+    w[W_RRF_SCALE] = cfg.rrf_scale
+    w[W_BM25_DIV] = cfg.bm25_norm_divisor
+    w[W_VEC_ONLY_PEN] = cfg.vector_only_penalty
+    w[W_K1] = 1.2
+    w[W_RRF_K] = float(cfg.rrf_k)
+    return jnp.asarray(w)
+
+
+def _rrf_leg(scores: jax.Array, valid_floor: float, rrf_k: jax.Array, cand: int):
+    """Per-leg RRF contributions scattered back onto dense doc slots."""
+    B, Nd = scores.shape
+    lv, li = jax.lax.top_k(scores, cand)
+    ranks = jnp.arange(cand, dtype=jnp.float32)
+    contrib = 1.0 / (rrf_k + ranks + 1.0)
+    contrib = jnp.broadcast_to(contrib, (B, cand))
+    contrib = jnp.where(lv > valid_floor, contrib, 0.0)
+
+    def scatter(one_idx, one_contrib):
+        return jnp.zeros(Nd, jnp.float32).at[one_idx].add(one_contrib, mode="drop")
+
+    return jax.vmap(scatter)(li, contrib)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "rrf_cand", "window", "num_slots", "chunk_agg"),
+)
+def hybrid_query(
+    sketch: jax.Array,      # (B, S) f32
+    term_ids: jax.Array,    # (B, T) i32
+    term_mask: jax.Array,   # (B, T) f32
+    proj: jax.Array,        # (S, D) bf16 — embedding projection
+    E: jax.Array,           # (rows, D) bf16 — chunk embedding matrix
+    row_valid: jax.Array,   # (rows,) f32
+    row2slot: jax.Array,    # (rows,) i32, -1 = tombstone
+    postings_doc: jax.Array,
+    postings_tf: jax.Array,
+    term_offsets: jax.Array,
+    term_lengths: jax.Array,
+    doc_norm: jax.Array,    # (num_slots,) f32
+    idf: jax.Array,
+    doc_mask: jax.Array,    # (num_slots,) f32 — candidate filter pushdown
+    hot: jax.Array,         # (num_slots,) f32 in [0,1] — hotzone boosts
+    weights: jax.Array,     # (NUM_WEIGHTS,) f32
+    *,
+    k: int,
+    rrf_cand: int,
+    window: int,
+    num_slots: int,
+    chunk_agg: str = "max",
+):
+    """Returns (fused (B,k), slots (B,k) i32, bm25_at (B,k), vec_at (B,k))."""
+    from ..ops.bm25 import bm25_dense
+
+    # 1. embed queries
+    q = jnp.dot(sketch.astype(jnp.bfloat16), proj, preferred_element_type=jnp.float32)
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-9)
+
+    # 2. vector leg: chunk scores -> doc scores
+    srow = jnp.dot(
+        q.astype(jnp.bfloat16), E.T, preferred_element_type=jnp.float32
+    ) + (row_valid - 1.0)[None, :] * 1e30
+    seg = jnp.where(row2slot < 0, num_slots, row2slot)
+    if chunk_agg == "sum":
+        agg = lambda s: jax.ops.segment_sum(
+            jnp.maximum(s, 0.0), seg, num_segments=num_slots + 1
+        )
+        sdoc = jax.vmap(agg)(srow)[:, :num_slots]
+        sdoc = jnp.where(sdoc > 0, sdoc, NEG)
+    else:  # max (default)
+        agg = lambda s: jax.ops.segment_max(s, seg, num_segments=num_slots + 1)
+        sdoc = jax.vmap(agg)(srow)[:, :num_slots]
+    vec_norm = jnp.clip((sdoc + 1.0) * 0.5, 0.0, 1.0)
+
+    # 3. lexical leg
+    bm = bm25_dense(
+        term_ids, term_mask, postings_doc, postings_tf, term_offsets,
+        term_lengths, doc_norm, idf,
+        window=window, num_docs=num_slots, k1=1.2,
+    )
+    bm_norm = jnp.clip(bm / jnp.maximum(weights[W_BM25_DIV], 1e-6), 0.0, 1.0)
+
+    # 4. fusion
+    weighted = (
+        weights[W_TEXT] * bm_norm
+        + weights[W_VEC] * vec_norm
+        + weights[W_HOT] * hot[None, :]
+    )
+    vector_only = (bm <= 0.0) & (vec_norm > 0.0)
+    weighted = jnp.where(vector_only, weighted * weights[W_VEC_ONLY_PEN], weighted)
+
+    rrf_bm = _rrf_leg(bm, 0.0, weights[W_RRF_K], rrf_cand)
+    rrf_vec = _rrf_leg(sdoc, -1e29, weights[W_RRF_K], rrf_cand)
+    fused = weighted + weights[W_RRF_SCALE] * (
+        weights[W_TEXT] * rrf_bm + weights[W_VEC] * rrf_vec
+    )
+
+    # only docs with evidence from an *active* leg rank; filter mask applies last
+    has_evidence = ((bm > 0.0) & (weights[W_TEXT] > 0)) | (
+        (sdoc > -1e29) & (weights[W_VEC] > 0)
+    )
+    fused = jnp.where(has_evidence & (doc_mask[None, :] > 0), fused, NEG)
+
+    # 5. final top-k
+    vals, slots = jax.lax.top_k(fused, k)
+    bm_at = jnp.take_along_axis(bm, slots, axis=1)
+    vec_at = jnp.take_along_axis(jnp.maximum(sdoc, -1.0), slots, axis=1)
+    return vals, slots, bm_at, vec_at

@@ -1,0 +1,118 @@
+"""Headline benchmark: hybrid search QPS at 1M x 768-d on one chip.
+
+Measures the fused hybrid query program (query embed -> dense KNN matmul ∥
+BM25 postings scan -> weighted+RRF fusion -> top-k) end-to-end on device,
+matching BASELINE.json's north-star config: 1M x 768-d, hybrid BM25+dense+RRF.
+Reference baseline: 123 QPS hybrid on CPU (docs/benchmarks/index.md:50-55, at
+a far smaller corpus — we hold the 1M corpus and still compare against it, as
+BASELINE.md prescribes).
+
+Multiple query batches are folded into one jitted lax.scan so dispatch/tunnel
+overhead is excluded and the number reflects device throughput. Prints ONE
+JSON line. Env overrides: BENCH_N, BENCH_D, BENCH_B, BENCH_ITERS, BENCH_SMALL.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from yams_tpu.search.fusion import hybrid_query
+
+    small = bool(int(os.environ.get("BENCH_SMALL", "0")))
+    N = int(os.environ.get("BENCH_N", 16384 if small else 1_000_000))
+    D = int(os.environ.get("BENCH_D", 768))
+    B = int(os.environ.get("BENCH_B", 64))
+    ITERS = int(os.environ.get("BENCH_ITERS", 4 if small else 16))
+    S = 4096          # sketch dim
+    T = 16            # query terms
+    VOCAB = 65536
+    WINDOW = 1024     # impact-ordered postings scanned per term
+    K = 10
+
+    # pad N to a tile multiple
+    N = ((N + 1023) // 1024) * 1024
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+
+    E = jax.random.normal(ks[0], (N, D), dtype=jnp.bfloat16)
+    E = E / jnp.maximum(jnp.linalg.norm(E.astype(jnp.float32), axis=1, keepdims=True), 1e-9).astype(jnp.bfloat16)
+    proj = jnp.where(
+        jax.random.bernoulli(ks[1], 0.5, (S, D)), 1.0, -1.0
+    ).astype(jnp.bfloat16) / np.sqrt(D)
+    valid = jnp.ones(N, jnp.float32)
+    row2slot = jnp.arange(N, dtype=jnp.int32)
+
+    # synthetic postings: each term -> WINDOW/4 pseudo-random docs (cheap
+    # multiplicative-hash synthesis; device RNG over 10^7+ elements is slow
+    # through remote dispatch and adds nothing to the measurement)
+    per_term = WINDOW // 2
+    P = VOCAB * per_term
+    ar = jnp.arange(P, dtype=jnp.uint32)
+    postings_doc = ((ar * jnp.uint32(2654435761)) % jnp.uint32(N)).astype(jnp.int32)
+    postings_doc = jnp.concatenate([postings_doc, jnp.full((WINDOW,), N, jnp.int32)])
+    postings_impact = (
+        ((ar * jnp.uint32(40503)) % jnp.uint32(190)).astype(jnp.float32) / 40.0 + 0.5
+    )
+    postings_impact = jnp.concatenate([postings_impact, jnp.zeros(WINDOW)])
+    term_offsets = jnp.arange(VOCAB, dtype=jnp.int32) * per_term
+    term_lengths = jnp.full(VOCAB, per_term, jnp.int32)
+    doc_mask = jnp.ones(N, jnp.float32)
+    hot = jnp.zeros(N, jnp.float32)
+    weights = jnp.asarray(
+        np.array([0.70, 0.30, 0.05, 0.5, 25.0, 0.85, 1.2, 12.0], np.float32)
+    )
+
+    sketches = jax.random.normal(ks[5], (ITERS, B, S), dtype=jnp.float32)
+    term_ids = jax.random.randint(ks[6], (ITERS, B, T), 0, VOCAB, dtype=jnp.int32)
+    term_mask = jnp.ones((ITERS, B, T), jnp.float32)
+
+    corpus_args = (
+        proj, E, valid, row2slot, postings_doc, postings_impact,
+        term_offsets, term_lengths, doc_mask, hot, weights,
+    )
+
+    @jax.jit
+    def run_all(sketches, term_ids, term_mask, *corpus):
+        # corpus arrays ride as arguments (NOT closure consts — embedded
+        # consts would ship through the compiler and dominate compile time)
+        def one_batch(carry, xs):
+            sk, tid, tm = xs
+            vals, slots, _, _ = hybrid_query(
+                sk, tid, tm, *corpus,
+                k=K, rrf_cand=32, window=WINDOW, num_slots=N,
+                chunk_agg="max", rows_are_docs=True, approx=True,
+            )
+            return carry, (vals[:, 0], slots[:, 0])
+
+        _, (v, s) = jax.lax.scan(one_batch, 0, (sketches, term_ids, term_mask))
+        return v, s
+
+    # warmup/compile; sync via host transfer (block_until_ready is unreliable
+    # through remote-dispatch runtimes)
+    v, s = run_all(sketches, term_ids, term_mask, *corpus_args)
+    np.asarray(v)
+    t0 = time.perf_counter()
+    v, s = run_all(sketches, term_ids, term_mask, *corpus_args)
+    np.asarray(v)
+    dt = time.perf_counter() - t0
+    qps = ITERS * B / dt
+    baseline_qps = 123.0
+    print(json.dumps({
+        "metric": f"hybrid_search_qps_{N}x{D}",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / baseline_qps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -136,7 +136,8 @@ class TestBm25:
         doc_norm = 1 - 0.75 + 0.75 * doc_len / avg
         df = (tf > 0).sum(axis=0)
         idf = np.log(1 + (N - df + 0.5) / (df + 0.5)).astype(np.float32)
-        pd, pt, offs, lens = [], [], [], []
+        pd, pt, pi, offs, lens = [], [], [], [], []
+        k1 = 1.2
         for v in range(V):
             rows = np.nonzero(tf[:, v])[0]
             order = np.argsort(-tf[rows, v], kind="stable")
@@ -145,8 +146,13 @@ class TestBm25:
             lens.append(len(rows))
             pd.extend(rows.tolist())
             pt.extend(tf[rows, v].tolist())
+            pi.extend(
+                (idf[v] * tf[rows, v] * (k1 + 1) / (tf[rows, v] + k1 * doc_norm[rows]))
+                .tolist()
+            )
         pd.extend([N] * window)  # pad
         pt.extend([0.0] * window)
+        pi.extend([0.0] * window)
         arrays = dict(
             postings_doc=jnp.array(pd, jnp.int32),
             postings_tf=jnp.array(pt, jnp.float32),
@@ -155,7 +161,8 @@ class TestBm25:
             doc_norm=jnp.array(doc_norm, jnp.float32),
             idf=jnp.array(idf, jnp.float32),
         )
-        return vocab, arrays, (tf, doc_norm, idf)
+        impact = jnp.array(pi, jnp.float32)
+        return vocab, arrays, (tf, doc_norm, idf, impact)
 
     def _oracle(self, q_terms, vocab, tf, doc_norm, idf, k1=1.2):
         N = tf.shape[0]
@@ -174,7 +181,7 @@ class TestBm25:
             "quick quick fox fox fox runs".split(),
             "unrelated words entirely here".split(),
         ]
-        vocab, arrays, (tf, doc_norm, idf) = self._build(docs)
+        vocab, arrays, (tf, doc_norm, idf, impact) = self._build(docs)
         q = ["quick", "fox"]
         tids = jnp.array([[vocab[t] for t in q] + [0, 0]], jnp.int32)
         tmask = jnp.array([[1.0, 1.0, 0.0, 0.0]], jnp.float32)
@@ -194,10 +201,43 @@ class TestBm25:
         assert got.shape == (2, 2)
         np.testing.assert_array_equal(got, 0.0)
 
+    def test_topk_candidates_match_dense(self):
+        """Sort+cumsum candidate path == scatter dense path (scores + ranking)."""
+        import jax.numpy as jnp
+
+        from yams_tpu.ops.bm25 import bm25_topk_candidates
+
+        rng = np.random.default_rng(5)
+        vocab_words = [f"w{i}" for i in range(30)]
+        docs = [
+            list(rng.choice(vocab_words, size=rng.integers(5, 40)))
+            for _ in range(50)
+        ]
+        vocab, arrays, (_, _, _, impact) = self._build(docs, window=64)
+        tids = jnp.array([[vocab["w1"], vocab["w2"], vocab["w3"], 0]], jnp.int32)
+        tmask = jnp.array([[1.0, 1.0, 1.0, 0.0]], jnp.float32)
+        dense = np.asarray(
+            bm25_dense(tids, tmask, **arrays, window=64, num_docs=50)
+        )[0]
+        c_ids, c_scores = bm25_topk_candidates(
+            tids, tmask, arrays["postings_doc"], impact,
+            arrays["term_offsets"], arrays["term_lengths"],
+            window=64, num_docs=50, num_candidates=16,
+        )
+        c_ids, c_scores = np.asarray(c_ids)[0], np.asarray(c_scores)[0]
+        # candidate scores equal the dense scores at those docs
+        for i, s in zip(c_ids, c_scores):
+            if i < 50:
+                assert abs(dense[i] - s) < 1e-3, (i, dense[i], s)
+        # top candidates cover the dense argsort head
+        want = [i for i in np.argsort(-dense)[:10] if dense[i] > 0]
+        got = [i for i in c_ids if i < 50]
+        assert set(want) <= set(got)
+
     def test_window_truncation_keeps_top_tf(self):
         """Terms with postings beyond the window keep highest-tf docs."""
         docs = [["common"] * (i + 1) for i in range(20)]
-        vocab, arrays, (tf, doc_norm, idf) = self._build(docs, window=8)
+        vocab, arrays, (tf, doc_norm, idf, impact) = self._build(docs, window=8)
         tids = jnp.array([[vocab["common"]]], jnp.int32)
         tmask = jnp.ones((1, 1), jnp.float32)
         got = np.asarray(

@@ -1,0 +1,118 @@
+"""Sharding tests on the 8-device virtual CPU mesh + topology engine."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yams_tpu.index.topology import TopologyEngine, auto_k, kmeans_step
+from yams_tpu.parallel import corpus_mesh, pad_to_shards, sharded_topk
+from yams_tpu.parallel.sharded_scan import shard_corpus, sharded_hybrid_scores
+
+
+def _unit(n, d, seed=0):
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
+    return corpus_mesh(8)
+
+
+class TestShardedTopk:
+    def test_matches_oracle(self, mesh):
+        N, D, B, k = 8 * 256, 64, 4, 10
+        e, q = _unit(N, D), _unit(B, D, seed=1)
+        valid = np.ones(N, np.float32)
+        valid[100:300] = 0.0
+        ec, vc = shard_corpus(mesh, jnp.asarray(e), jnp.asarray(valid))
+        vals, idx = sharded_topk(mesh, jnp.asarray(q), ec, vc, k=k, block_rows=128)
+        s = q @ e.T
+        s[:, valid == 0] = -np.inf
+        oi = np.argsort(-s, axis=1)[:, :k]
+        overlap = np.mean([
+            len(set(np.asarray(idx)[i]) & set(oi[i])) / k for i in range(B)
+        ])
+        assert overlap > 0.9
+        assert np.all((np.asarray(idx) >= 0) & (np.asarray(idx) < N))
+
+    def test_pad_to_shards(self):
+        assert pad_to_shards(1000, 8, 128) == 1024
+        assert pad_to_shards(1, 8, 128) == 1024
+        assert pad_to_shards(2048, 8, 128) == 2048
+
+
+class TestShardedHybrid:
+    def test_fused_scores(self, mesh):
+        N, D, B, Nd, k = 8 * 128, 32, 2, 128, 5
+        e = _unit(N, D)
+        q = e[::N // B][:B].copy()  # queries equal to some corpus rows
+        valid = np.ones(N, np.float32)
+        row2slot = (np.arange(N) % Nd).astype(np.int32)
+        bm = np.zeros((B, Nd), np.float32)
+        bm[0, 7] = 30.0  # strong lexical hit for query 0 on slot 7
+        ec, vc = shard_corpus(mesh, jnp.asarray(e), jnp.asarray(valid))
+        r2s = jax.device_put(
+            jnp.asarray(row2slot),
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("d")),
+        )
+        vals, slots = sharded_hybrid_scores(
+            mesh, jnp.asarray(q), ec, vc, r2s, jnp.asarray(bm), num_slots=Nd, k=k
+        )
+        slots = np.asarray(slots)
+        # query 0's lexical hit ranks first (text weight dominates)
+        assert slots[0, 0] == 7
+        # query rows' own slots appear among top vector hits
+        own_slot = row2slot[0]
+        assert own_slot in slots[0] or vals[0, 0] > 0
+
+
+class TestTopology:
+    def test_auto_k(self):
+        assert auto_k(10) == 10
+        assert auto_k(10_000) == 100
+        assert auto_k(1_000_000) == 300
+
+    def test_kmeans_separates_clusters(self):
+        rng = np.random.default_rng(0)
+        centers = _unit(4, 32, seed=5)
+        rows, labels = [], []
+        for c in range(4):
+            pts = centers[c] + 0.05 * rng.standard_normal((50, 32))
+            rows.append(pts)
+            labels += [c] * 50
+        v = np.vstack(rows).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        valid = np.ones(len(v), np.float32)
+        eng = TopologyEngine(iters=10)
+        art = eng.build(v, valid)
+        # same-label rows land in the same cluster (purity)
+        labels = np.array(labels)
+        purity = 0
+        for c in np.unique(art.assignments):
+            mask = art.assignments == c
+            if mask.sum():
+                purity += np.bincount(labels[mask]).max()
+        assert purity / len(v) > 0.9
+
+    def test_routing_masks(self):
+        v = _unit(100, 16, seed=2)
+        valid = np.ones(100, np.float32)
+        eng = TopologyEngine(iters=5)
+        eng.build(v, valid)
+        q = v[3]
+        narrow = eng.routed_row_mask(q, top_clusters=2, policy="narrow")
+        assert 0 < narrow.sum() <= 100
+        assert narrow[3] == 1.0  # query's own row is in a routed cluster
+        assert eng.routed_row_mask(q, policy="augment").sum() == 100
+
+    def test_kmeans_step_jit(self):
+        v = jnp.asarray(_unit(64, 16))
+        valid = jnp.ones(64)
+        cent = v[:8]
+        new, assign, counts = kmeans_step(v, valid, cent)
+        assert new.shape == (8, 16)
+        assert int(counts.sum()) == 64

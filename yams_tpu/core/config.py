@@ -95,8 +95,11 @@ class LexicalIndexConfig:
     # (reference src/metadata/repository/search_ops.cpp:471).
     title_weight: float = 1.0
     content_weight: float = 10.0
-    max_query_terms: int = 32
-    postings_window: int = 1 << 14  # per-term postings scanned on device
+    max_query_terms: int = 16
+    # per-term postings scanned on device; impact-ordered so truncation is an
+    # early-termination. Keep max_query_terms*postings_window <= ~16k: the
+    # lexical leg sorts that many (doc, impact) pairs per query.
+    postings_window: int = 1024
 
 
 @dataclasses.dataclass(slots=True)

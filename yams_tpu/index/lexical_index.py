@@ -101,32 +101,45 @@ class LexicalIndex:
             avg_len = (sum(self._doc_len.values()) / n_docs) if self._docs else 1.0
             avg_len = max(avg_len, 1e-9)
 
-            pd: list[int] = []
-            pt: list[float] = []
-            offs = np.zeros(V, np.int32)
-            lens = np.zeros(V, np.int32)
-            idf = np.zeros(V, np.float32)
-            for v in range(V):
-                plist = per_term[v]
-                plist.sort(key=lambda x: -x[1])  # keep top-tf docs in window
-                offs[v] = len(pd)
-                lens[v] = min(len(plist), window)
-                df = len(plist)
-                idf[v] = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-                for slot, f in plist[:window]:
-                    pd.append(slot)
-                    pt.append(f)
-            # pad so any dynamic_slice window is in-bounds
-            pd.extend([N] * window)
-            pt.extend([0.0] * window)
-
             doc_norm = np.ones(N, np.float32)
             for slot, ln in self._doc_len.items():
                 if slot < N:
                     doc_norm[slot] = 1.0 - cfg.b + cfg.b * ln / avg_len
+
+            pd: list[int] = []
+            pt: list[float] = []
+            pi: list[float] = []
+            offs = np.zeros(V, np.int32)
+            lens = np.zeros(V, np.int32)
+            idf = np.zeros(V, np.float32)
+            k1 = cfg.k1
+            for v in range(V):
+                plist = per_term[v]
+                df = len(plist)
+                idf[v] = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                # precompute full BM25 impact per posting; impact-descending
+                # order makes window truncation an early-termination, not a bias
+                scored = [
+                    (slot, f,
+                     idf[v] * f * (k1 + 1.0) / (f + k1 * doc_norm[slot]))
+                    for slot, f in plist
+                ]
+                scored.sort(key=lambda x: -x[2])
+                offs[v] = len(pd)
+                lens[v] = min(len(scored), window)
+                for slot, f, imp in scored[:window]:
+                    pd.append(slot)
+                    pt.append(f)
+                    pi.append(imp)
+            # pad so any dynamic_slice window is in-bounds
+            pd.extend([N] * window)
+            pt.extend([0.0] * window)
+            pi.extend([0.0] * window)
+
             self._arrays = {
                 "postings_doc": np.asarray(pd, np.int32),
                 "postings_tf": np.asarray(pt, np.float32),
+                "postings_impact": np.asarray(pi, np.float32),
                 "term_offsets": offs,
                 "term_lengths": lens,
                 "doc_norm": doc_norm,
@@ -152,6 +165,7 @@ class LexicalIndex:
                 self._device = Bm25Arrays(
                     postings_doc=jnp.asarray(arrs["postings_doc"]),
                     postings_tf=jnp.asarray(arrs["postings_tf"]),
+                    postings_impact=jnp.asarray(arrs["postings_impact"]),
                     term_offsets=jnp.asarray(arrs["term_offsets"]),
                     term_lengths=jnp.asarray(arrs["term_lengths"]),
                     doc_norm=jnp.asarray(arrs["doc_norm"]),

@@ -1,0 +1,137 @@
+"""Topology construction + query-time cluster routing, on device.
+
+Rebuilds the reference's topology layer (src/topology/: Connected/Louvain/
+online-KMeans engines, include/yams/topology/topology_artifacts.h:90-175 —
+cluster centroids + bounded routing representatives + membership epochs;
+query-time routing topology_routing_session.cpp:167-328 with Narrow/Augment/
+Shadow policies).
+
+TPU-first: clustering is mini-batch k-means where the assignment step is a
+centroid matmul on the MXU (the reference's auto-k rule k = max(64, min(300,
+sqrt(n))) is kept); routing scores clusters with one small matmul and widens
+the scan mask to routed clusters' members.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def auto_k(n_docs: int) -> int:
+    """Reference: topology_artifacts.h:90-101."""
+    if n_docs <= 1:
+        return 1
+    return max(min(64, n_docs), min(300, int(np.sqrt(n_docs))))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def kmeans_assign(vectors: jax.Array, valid: jax.Array, centroids: jax.Array):
+    """Assignment step: cosine similarity argmax (MXU matmul)."""
+    sims = jnp.dot(
+        vectors.astype(jnp.bfloat16), centroids.astype(jnp.bfloat16).T,
+        preferred_element_type=jnp.float32,
+    )
+    assign = jnp.argmax(sims, axis=1).astype(jnp.int32)
+    best = jnp.max(sims, axis=1)
+    return jnp.where(valid > 0, assign, -1), jnp.where(valid > 0, best, 0.0)
+
+
+def kmeans_step(vectors: jax.Array, valid: jax.Array, centroids: jax.Array):
+    """One Lloyd iteration (jit): assign + masked mean update + renormalize.
+
+    Empty clusters keep their previous centroid.
+    """
+    K = centroids.shape[0]
+    assign, _ = kmeans_assign(vectors, valid, centroids)
+    seg = jnp.where(assign < 0, K, assign)
+    sums = jax.ops.segment_sum(
+        vectors * valid[:, None], seg, num_segments=K + 1
+    )[:K]
+    counts = jax.ops.segment_sum(valid, seg, num_segments=K + 1)[:K]
+    new = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1), centroids)
+    norm = jnp.linalg.norm(new, axis=1, keepdims=True)
+    new = new / jnp.maximum(norm, 1e-9)
+    return new, assign, counts
+
+
+@dataclasses.dataclass
+class TopologyArtifacts:
+    """Cluster artifacts (reference: TopologyArtifactBatch)."""
+
+    centroids: np.ndarray        # (K, D) f32, unit norm
+    assignments: np.ndarray      # (rows,) i32, -1 for invalid rows
+    cluster_sizes: np.ndarray    # (K,)
+    epoch: int
+    cohesion: np.ndarray         # (K,) mean member similarity to centroid
+
+
+class TopologyEngine:
+    """Builds artifacts from the vector index; routes queries to clusters."""
+
+    def __init__(self, iters: int = 8, seed: int = 0):
+        self.iters = iters
+        self.seed = seed
+        self.artifacts: TopologyArtifacts | None = None
+
+    def build(self, vectors: np.ndarray, valid: np.ndarray, epoch: int = 0
+              ) -> TopologyArtifacts:
+        n_active = int(valid.sum())
+        K = auto_k(n_active)
+        rng = np.random.default_rng(self.seed + epoch)
+        active_rows = np.nonzero(valid > 0)[0]
+        if len(active_rows) == 0:
+            self.artifacts = TopologyArtifacts(
+                np.zeros((1, vectors.shape[1]), np.float32),
+                np.full(len(vectors), -1, np.int32), np.zeros(1), epoch, np.zeros(1),
+            )
+            return self.artifacts
+        init_rows = rng.choice(active_rows, size=K, replace=len(active_rows) < K)
+        centroids = jnp.asarray(vectors[init_rows], dtype=jnp.float32)
+        v = jnp.asarray(vectors)
+        m = jnp.asarray(valid, dtype=jnp.float32)
+        for _ in range(self.iters):
+            centroids, assign, counts = kmeans_step(v, m, centroids)
+        assign, best = kmeans_assign(v, m, centroids)
+        assign_np = np.asarray(assign)
+        best_np = np.asarray(best)
+        cohesion = np.zeros(K, np.float32)
+        sizes = np.zeros(K, np.int64)
+        for c in range(K):
+            members = best_np[assign_np == c]
+            sizes[c] = len(members)
+            cohesion[c] = members.mean() if len(members) else 0.0
+        self.artifacts = TopologyArtifacts(
+            np.asarray(centroids, np.float32), assign_np, sizes, epoch, cohesion
+        )
+        return self.artifacts
+
+    def route(self, query_vec: np.ndarray, top_clusters: int = 4) -> np.ndarray:
+        """Query -> routed cluster ids (centroid similarity top-C)."""
+        a = self.artifacts
+        if a is None:
+            raise RuntimeError("topology not built")
+        sims = a.centroids @ np.asarray(query_vec, np.float32)
+        c = min(top_clusters, len(sims))
+        return np.argsort(-sims)[:c]
+
+    def routed_row_mask(self, query_vec: np.ndarray, top_clusters: int = 4,
+                        policy: str = "augment") -> np.ndarray:
+        """Row mask for the scan, per routing policy.
+
+        narrow:  scan only routed clusters' members.
+        augment: scan everything (mask of ones) but callers may boost routed.
+        shadow:  counterfactual — returns the narrow mask for comparison while
+                 production scans everything (reference default,
+                 search_engine_config.h:140-166).
+        """
+        a = self.artifacts
+        routed = self.route(query_vec, top_clusters)
+        mask = np.isin(a.assignments, routed).astype(np.float32)
+        if policy == "augment":
+            return np.ones_like(mask)
+        return mask

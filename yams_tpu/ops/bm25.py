@@ -31,15 +31,23 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass
 class Bm25Arrays:
-    """Device-resident lexical index arrays (one segment)."""
+    """Device-resident lexical index arrays (one segment).
 
-    postings_doc: jax.Array   # (P + window,) i32, padded
-    postings_tf: jax.Array    # (P + window,) f32, padded
-    term_offsets: jax.Array   # (V,) i32
-    term_lengths: jax.Array   # (V,) i32
-    doc_norm: jax.Array       # (N,) f32
-    idf: jax.Array            # (V,) f32
-    num_docs: int             # N (static)
+    postings_impact precomputes the full BM25 contribution per posting
+    (idf * tf*(k1+1)/(tf + k1*doc_norm)) at build time — every factor is known
+    then — so the query-time kernel does zero gathers from doc-sized arrays.
+    Postings are impact-descending inside each term, making fixed-window
+    truncation an impact-ordered early-termination (the standard IR trick).
+    """
+
+    postings_doc: jax.Array     # (P + window,) i32, padded
+    postings_tf: jax.Array      # (P + window,) f32, padded (oracle/rebuild)
+    postings_impact: jax.Array  # (P + window,) f32, padded
+    term_offsets: jax.Array     # (V,) i32
+    term_lengths: jax.Array     # (V,) i32
+    doc_norm: jax.Array         # (N,) f32
+    idf: jax.Array              # (V,) f32
+    num_docs: int               # N (static)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "num_docs", "k1"))
@@ -91,3 +99,64 @@ def bm25_dense_from(arrays: Bm25Arrays, term_ids, term_mask, window: int, k1: fl
         arrays.doc_norm, arrays.idf,
         window=window, num_docs=arrays.num_docs, k1=k1,
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "num_docs", "num_candidates")
+)
+def bm25_topk_candidates(
+    term_ids: jax.Array,        # (B, T) i32
+    term_mask: jax.Array,       # (B, T) f32 0/1
+    postings_doc: jax.Array,
+    postings_impact: jax.Array,  # precomputed BM25 contribution per posting
+    term_offsets: jax.Array,
+    term_lengths: jax.Array,
+    *,
+    window: int,
+    num_docs: int,
+    num_candidates: int = 64,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-C BM25 candidates WITHOUT dense scatter — the TPU-fast path.
+
+    The scatter-per-term formulation (bm25_dense) serializes B*T scatters and
+    dominates query latency at large N; gathering doc_norm per posting costs
+    another O(T*W) random gather. Here the whole lexical leg is dense vector
+    work over precomputed impacts: dynamic-slice T contiguous windows ->
+    (T*W,) (doc, impact) pairs -> sort by doc id -> segmented sum via cumsum +
+    forward-filled segment base (impacts are >= 0 so bases are monotone and a
+    cummax forward-fill is exact) -> top-C over per-segment totals at
+    segment-last positions. Keep T*window <= ~16k: XLA's vmapped sort compile
+    time blows up past that.
+
+    Returns (cand_ids (B, C) i32 — num_docs marks empty, cand_scores (B, C)),
+    sorted by score descending (rank order feeds RRF directly).
+    """
+    P = postings_doc.shape[0]
+
+    def per_query(tids, tmask):
+        def gather_term(tid, m):
+            off = jnp.clip(term_offsets[tid], 0, P - window)
+            docs = jax.lax.dynamic_slice(postings_doc, (off,), (window,))
+            imp = jax.lax.dynamic_slice(postings_impact, (off,), (window,))
+            pos = jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0)[:, 0]
+            pmask = (pos < term_lengths[tid]) & (m > 0)
+            contrib = jnp.where(pmask, imp, 0.0)
+            docs = jnp.where(pmask, docs, num_docs)
+            return docs, contrib
+
+        docs, contrib = jax.vmap(gather_term)(tids, tmask)     # (T, W) each
+        ids = docs.reshape(-1)
+        val = contrib.reshape(-1)
+        ids, val = jax.lax.sort((ids, val), num_keys=1)
+        cs = jnp.cumsum(val)
+        first = jnp.concatenate([jnp.ones(1, bool), ids[1:] != ids[:-1]])
+        last = jnp.concatenate([ids[1:] != ids[:-1], jnp.ones(1, bool)])
+        base = jnp.where(first, cs - val, -jnp.inf)
+        base = jax.lax.cummax(base)   # forward fill: base[i] = cumsum before segment
+        seg_total = jnp.where(last & (ids < num_docs), cs - base, 0.0)
+        c_scores, c_pos = jax.lax.top_k(seg_total, num_candidates)
+        c_ids = ids[c_pos]
+        c_ids = jnp.where(c_scores > 0, c_ids, num_docs)
+        return c_ids, c_scores
+
+    return jax.vmap(per_query)(term_ids, term_mask)

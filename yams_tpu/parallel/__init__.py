@@ -1,0 +1,4 @@
+from .mesh import corpus_mesh, pad_to_shards
+from .sharded_scan import sharded_hybrid_scores, sharded_topk
+
+__all__ = ["corpus_mesh", "pad_to_shards", "sharded_topk", "sharded_hybrid_scores"]

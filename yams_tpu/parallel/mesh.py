@@ -1,0 +1,28 @@
+"""Device mesh construction for corpus-sharded retrieval.
+
+The rebuild's parallelism story (SURVEY §2.11): the embedding matrix and
+postings shards are partitioned over a 1-D mesh axis "d" (corpus/model
+parallel — the TP analog); query batches are replicated (or data-parallel over
+a second axis for giant batches). Per-shard top-k candidates merge with an
+all-gather over ICI (BASELINE.json config 4: 10M x 768-d int8 over v5e-8).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def corpus_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, only {len(devices)} available")
+    return Mesh(np.array(devices[:n]), (axis,))
+
+
+def pad_to_shards(n: int, n_shards: int, block_rows: int = 1) -> int:
+    """Smallest multiple of n_shards*block_rows >= n (shard-even row count)."""
+    unit = n_shards * block_rows
+    return ((max(n, 1) + unit - 1) // unit) * unit

@@ -1,0 +1,105 @@
+"""Sharded KNN + hybrid scoring over a device mesh.
+
+Rebuilds the reference's single-thread brute-force row scan
+(sqlite_vec_backend.cpp:4116) and searchSimilarBatch(num_threads)
+(vector_database.h:50-53) as shard_map programs: each device scans its
+HBM-resident corpus shard and the k-candidate merge rides ICI all-gathers —
+no NCCL/MPI translation, XLA inserts the collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..ops.scan import exact_topk_scan
+
+
+def shard_corpus(mesh: Mesh, corpus, valid, axis: str = "d"):
+    """Place (N, D) corpus + (N,) valid row-sharded over the mesh."""
+    return (
+        jax.device_put(corpus, NamedSharding(mesh, P(axis, None))),
+        jax.device_put(valid, NamedSharding(mesh, P(axis))),
+    )
+
+
+def sharded_topk(
+    mesh: Mesh,
+    queries: jax.Array,   # (B, D) replicated
+    corpus: jax.Array,    # (N, D), N % (n_shards*block_rows) == 0
+    valid: jax.Array,     # (N,)
+    k: int,
+    block_rows: int = 2048,
+    axis: str = "d",
+):
+    """Per-shard streaming top-k, then all-gather(k*shards) + final top-k.
+
+    Returns (values (B,k), global indices (B,k)), replicated.
+    """
+    def local(q, e, v):
+        rows_local = e.shape[0]
+        vals, idx = exact_topk_scan(q, e, v, k=k, block_rows=block_rows)
+        idx = idx + jax.lax.axis_index(axis) * rows_local
+        all_v = jax.lax.all_gather(vals, axis, axis=1, tiled=True)  # (B, k*S)
+        all_i = jax.lax.all_gather(idx, axis, axis=1, tiled=True)
+        out_v, pos = jax.lax.top_k(all_v, k)
+        out_i = jnp.take_along_axis(all_i, pos, axis=1)
+        return out_v, out_i
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, corpus, valid)
+
+
+def sharded_hybrid_scores(
+    mesh: Mesh,
+    queries: jax.Array,     # (B, D) replicated, normalized
+    corpus: jax.Array,      # (rows, D) row-sharded
+    row_valid: jax.Array,   # (rows,) row-sharded
+    row2slot: jax.Array,    # (rows,) row-sharded (global doc slots)
+    bm25_local: jax.Array,  # (B, num_slots) replicated dense lexical scores
+    num_slots: int,
+    k: int,
+    axis: str = "d",
+    text_weight: float = 0.70,
+    vector_weight: float = 0.30,
+):
+    """Sharded vector leg + replicated lexical leg -> fused doc top-k.
+
+    Each shard segment-reduces its chunk scores onto the global doc-slot
+    space; a psum merges partial doc maxima across shards (chunks of one doc
+    may live on different shards), then fusion + top-k run replicated.
+    """
+    def local(q, e, v, r2s, bm):
+        s = jnp.dot(
+            q.astype(jnp.bfloat16), e.astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        ) + (v - 1.0)[None, :] * 1e30
+        seg = jnp.where(r2s < 0, num_slots, r2s)
+        agg = lambda row: jax.ops.segment_max(row, seg, num_segments=num_slots + 1)
+        sdoc_part = jax.vmap(agg)(s)[:, :num_slots]            # local partial max
+        sdoc = jax.lax.pmax(sdoc_part, axis)                   # merge across shards
+        vec_norm = jnp.clip((sdoc + 1.0) * 0.5, 0.0, 1.0)
+        bm_norm = jnp.clip(bm / 25.0, 0.0, 1.0)
+        fused = text_weight * bm_norm + vector_weight * vec_norm
+        fused = jnp.where((bm > 0) | (sdoc > -1e29), fused, -1e30)
+        vals, slots = jax.lax.top_k(fused, k)
+        return vals, slots
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, corpus, row_valid, row2slot, bm25_local)

@@ -148,7 +148,9 @@ class SearchEngine:
         Nd = self.num_slots_padded
         B_real = len(queries)
         B = max(cfg.batch_pad, _round_pow2(B_real, floor=cfg.batch_pad))
-        k_dev = min(max(k * 2, cfg.rrf_candidates), Nd)  # headroom for host legs
+        # per-leg candidate width; final top-k is over the 2*rrf_c merged set
+        rrf_c = min(max(cfg.rrf_candidates, k), Nd)
+        k_dev = min(max(k * 2, cfg.rrf_candidates), 2 * rrf_c)  # host-leg headroom
 
         # host query prep
         sketches = sketch_texts(queries, self.encoder.config)
@@ -191,11 +193,10 @@ class SearchEngine:
             jnp.asarray(sketches), jnp.asarray(tids), jnp.asarray(tmask),
             self.encoder.projection_matrix(),
             E, row_valid, row2slot,
-            bm.postings_doc, bm.postings_tf, bm.term_offsets, bm.term_lengths,
-            bm.doc_norm, bm.idf,
+            bm.postings_doc, bm.postings_impact, bm.term_offsets, bm.term_lengths,
             jnp.asarray(doc_mask), jnp.asarray(hot), jnp.asarray(w),
             k=k_dev,
-            rrf_cand=min(cfg.rrf_candidates, Nd),
+            rrf_cand=rrf_c,
             window=self.lexical_index.config.postings_window,
             num_slots=Nd,
             chunk_agg=cfg.chunk_agg,

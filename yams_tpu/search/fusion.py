@@ -5,16 +5,20 @@ component fan-out + EvidencePipeline becomes branches of a single jitted
 graph). Stages, all on device:
 
   1. query embed: sketch @ R -> L2 normalize (MXU).
-  2. vector leg: dense similarity over the chunk matrix, chunk->doc
-     segment-reduce onto dense doc slots.
-  3. lexical leg: batched BM25 postings scan (ops.bm25).
-  4. fusion: weighted evidence (textWeight/vectorWeight/... as in
-     search_engine_config.h:78-99) + RRF(k=12) over per-leg ranks +
-     vector-only penalty + hotzone boost + filter mask.
-  5. final top-k over fused doc scores.
+  2. vector leg: dense similarity over the chunk matrix (the only N-sized
+     compute), chunk->doc segment-reduce, filter pushdown, top-C candidates.
+  3. lexical leg: impact-ordered BM25 postings scan -> top-C candidates
+     (ops.bm25.bm25_topk_candidates, sort+cumsum, no dense scatter).
+  4. candidate fusion: the two C-candidate lists concat/sort/segment-merge
+     (2C ~ 128 entries per query — O(candidates), NOT O(N)); weighted
+     evidence (textWeight/vectorWeight/... as in search_engine_config.h:78-99)
+     + RRF(k=12) from per-leg ranks + vector-only penalty + hotzone boost.
+  5. exact top-k over the merged candidates.
 
-Weights are traced (a packed f32 vector) so tuning never recompiles; only
-shapes and k are static.
+Docs outside both legs' top-C can't surface — same contract as the
+reference, whose FTS5 and vector legs also feed bounded candidate lists into
+fusion (search_engine.cpp:5186-5554). Weights are traced (a packed f32
+vector) so tuning never recompiles; only shapes and k are static.
 """
 
 from __future__ import annotations
@@ -46,24 +50,10 @@ def pack_weights(cfg) -> jnp.ndarray:
     return jnp.asarray(w)
 
 
-def _rrf_leg(scores: jax.Array, valid_floor: float, rrf_k: jax.Array, cand: int):
-    """Per-leg RRF contributions scattered back onto dense doc slots."""
-    B, Nd = scores.shape
-    lv, li = jax.lax.top_k(scores, cand)
-    ranks = jnp.arange(cand, dtype=jnp.float32)
-    contrib = 1.0 / (rrf_k + ranks + 1.0)
-    contrib = jnp.broadcast_to(contrib, (B, cand))
-    contrib = jnp.where(lv > valid_floor, contrib, 0.0)
-
-    def scatter(one_idx, one_contrib):
-        return jnp.zeros(Nd, jnp.float32).at[one_idx].add(one_contrib, mode="drop")
-
-    return jax.vmap(scatter)(li, contrib)
-
-
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "rrf_cand", "window", "num_slots", "chunk_agg"),
+    static_argnames=("k", "rrf_cand", "window", "num_slots", "chunk_agg",
+                     "rows_are_docs", "approx"),
 )
 def hybrid_query(
     sketch: jax.Array,      # (B, S) f32
@@ -74,11 +64,9 @@ def hybrid_query(
     row_valid: jax.Array,   # (rows,) f32
     row2slot: jax.Array,    # (rows,) i32, -1 = tombstone
     postings_doc: jax.Array,
-    postings_tf: jax.Array,
+    postings_impact: jax.Array,
     term_offsets: jax.Array,
     term_lengths: jax.Array,
-    doc_norm: jax.Array,    # (num_slots,) f32
-    idf: jax.Array,
     doc_mask: jax.Array,    # (num_slots,) f32 — candidate filter pushdown
     hot: jax.Array,         # (num_slots,) f32 in [0,1] — hotzone boosts
     weights: jax.Array,     # (NUM_WEIGHTS,) f32
@@ -88,20 +76,33 @@ def hybrid_query(
     window: int,
     num_slots: int,
     chunk_agg: str = "max",
+    rows_are_docs: bool = False,
+    approx: bool = False,
 ):
-    """Returns (fused (B,k), slots (B,k) i32, bm25_at (B,k), vec_at (B,k))."""
-    from ..ops.bm25 import bm25_dense
+    """Returns (fused (B,k), slots (B,k) i32, bm25_at (B,k), vec_at (B,k)).
+
+    approx=True uses lax.approx_max_k for the vector-leg top-C (the only
+    large-N reduction) — the TPU-optimized partial reduction for 100k+ rows.
+    """
+    from ..ops.bm25 import bm25_topk_candidates
+
+    C = rrf_cand
+    sink = num_slots
 
     # 1. embed queries
     q = jnp.dot(sketch.astype(jnp.bfloat16), proj, preferred_element_type=jnp.float32)
     q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-9)
 
-    # 2. vector leg: chunk scores -> doc scores
+    # 2. vector leg: chunk scores -> doc scores -> top-C candidates
     srow = jnp.dot(
         q.astype(jnp.bfloat16), E.T, preferred_element_type=jnp.float32
     ) + (row_valid - 1.0)[None, :] * 1e30
-    seg = jnp.where(row2slot < 0, num_slots, row2slot)
-    if chunk_agg == "sum":
+    seg = jnp.where(row2slot < 0, sink, row2slot)
+    if rows_are_docs:
+        # flat corpora (one vector per doc, slot == row): skip the
+        # segment-reduce — the dominant non-matmul cost at large N
+        sdoc = srow[:, :num_slots]
+    elif chunk_agg == "sum":
         agg = lambda s: jax.ops.segment_sum(
             jnp.maximum(s, 0.0), seg, num_segments=num_slots + 1
         )
@@ -110,39 +111,76 @@ def hybrid_query(
     else:  # max (default)
         agg = lambda s: jax.ops.segment_max(s, seg, num_segments=num_slots + 1)
         sdoc = jax.vmap(agg)(srow)[:, :num_slots]
-    vec_norm = jnp.clip((sdoc + 1.0) * 0.5, 0.0, 1.0)
+    # filter pushdown before selection so filtered queries still fill C
+    sdoc_m = sdoc + (doc_mask - 1.0)[None, :] * 1e30
+    if approx:
+        vv, vi = jax.lax.approx_max_k(sdoc_m, C)
+    else:
+        vv, vi = jax.lax.top_k(sdoc_m, C)
 
-    # 3. lexical leg
-    bm = bm25_dense(
-        term_ids, term_mask, postings_doc, postings_tf, term_offsets,
-        term_lengths, doc_norm, idf,
-        window=window, num_docs=num_slots, k1=1.2,
-    )
-    bm_norm = jnp.clip(bm / jnp.maximum(weights[W_BM25_DIV], 1e-6), 0.0, 1.0)
-
-    # 4. fusion
-    weighted = (
-        weights[W_TEXT] * bm_norm
-        + weights[W_VEC] * vec_norm
-        + weights[W_HOT] * hot[None, :]
-    )
-    vector_only = (bm <= 0.0) & (vec_norm > 0.0)
-    weighted = jnp.where(vector_only, weighted * weights[W_VEC_ONLY_PEN], weighted)
-
-    rrf_bm = _rrf_leg(bm, 0.0, weights[W_RRF_K], rrf_cand)
-    rrf_vec = _rrf_leg(sdoc, -1e29, weights[W_RRF_K], rrf_cand)
-    fused = weighted + weights[W_RRF_SCALE] * (
-        weights[W_TEXT] * rrf_bm + weights[W_VEC] * rrf_vec
+    # 3. lexical leg: top-C BM25 candidates (already rank-ordered)
+    bm_ids, bm_scores = bm25_topk_candidates(
+        term_ids, term_mask, postings_doc, postings_impact, term_offsets,
+        term_lengths,
+        window=window, num_docs=num_slots, num_candidates=C,
     )
 
-    # only docs with evidence from an *active* leg rank; filter mask applies last
-    has_evidence = ((bm > 0.0) & (weights[W_TEXT] > 0)) | (
-        (sdoc > -1e29) & (weights[W_VEC] > 0)
-    )
-    fused = jnp.where(has_evidence & (doc_mask[None, :] > 0), fused, NEG)
+    # 4. candidate fusion — all O(C) per query
+    ranks = jnp.arange(C, dtype=jnp.float32)[None, :]
+    rrf = 1.0 / (weights[W_RRF_K] + ranks + 1.0)
 
-    # 5. final top-k
-    vals, slots = jax.lax.top_k(fused, k)
-    bm_at = jnp.take_along_axis(bm, slots, axis=1)
-    vec_at = jnp.take_along_axis(jnp.maximum(sdoc, -1.0), slots, axis=1)
-    return vals, slots, bm_at, vec_at
+    bm_ok = (bm_scores > 0) & (bm_ids < sink) & (doc_mask[jnp.minimum(bm_ids, sink - 1)] > 0) \
+        & (weights[W_TEXT] > 0)
+    bm_norm = jnp.clip(bm_scores / jnp.maximum(weights[W_BM25_DIV], 1e-6), 0.0, 1.0)
+    val_bm = jnp.where(
+        bm_ok, weights[W_TEXT] * (bm_norm + weights[W_RRF_SCALE] * rrf), 0.0
+    )
+    ids_bm = jnp.where(bm_ok, bm_ids, sink)
+
+    vec_ok = (vv > -1e29) & (weights[W_VEC] > 0)
+    vec_norm = jnp.clip((vv + 1.0) * 0.5, 0.0, 1.0)
+    val_vec = jnp.where(
+        vec_ok, weights[W_VEC] * (vec_norm + weights[W_RRF_SCALE] * rrf), 0.0
+    )
+    ids_vec = jnp.where(vec_ok, vi, sink)
+
+    ids = jnp.concatenate([ids_bm, ids_vec], axis=1)           # (B, 2C)
+    vals = jnp.concatenate([val_bm, val_vec], axis=1)
+    tflag = jnp.concatenate([bm_ok.astype(jnp.float32),
+                             jnp.zeros_like(val_vec)], axis=1)
+    vflag = jnp.concatenate([jnp.zeros_like(val_bm),
+                             vec_ok.astype(jnp.float32)], axis=1)
+    bm_raw = jnp.concatenate([jnp.where(bm_ok, bm_scores, 0.0),
+                              jnp.zeros_like(val_vec)], axis=1)
+
+    def merge(one_ids, one_vals, one_t, one_v, one_bm):
+        ids_s, vals_s, t_s, v_s, bm_s = jax.lax.sort(
+            (one_ids, one_vals, one_t, one_v, one_bm), num_keys=1
+        )
+        last = jnp.concatenate([ids_s[1:] != ids_s[:-1], jnp.ones(1, bool)])
+        first = jnp.concatenate([jnp.ones(1, bool), ids_s[1:] != ids_s[:-1]])
+
+        def seg_total(x):
+            cs = jnp.cumsum(x)
+            base = jax.lax.cummax(jnp.where(first, cs - x, -jnp.inf))
+            return cs - base
+
+        total = seg_total(vals_s)
+        t_sum = seg_total(t_s)
+        v_sum = seg_total(v_s)
+        bm_sum = seg_total(bm_s)
+        # vector-only penalty + hotzone boost, once per unique doc
+        hid = jnp.minimum(ids_s, sink - 1)
+        total = jnp.where((t_sum == 0) & (v_sum > 0),
+                          total * weights[W_VEC_ONLY_PEN], total)
+        total = total + weights[W_HOT] * hot[hid] * jnp.where(ids_s < sink, 1.0, 0.0)
+        total = jnp.where(last & (ids_s < sink), total, NEG)
+        out_v, pos = jax.lax.top_k(total, k)
+        return out_v, ids_s[pos], bm_sum[pos]
+
+    vals_k, slots, bm_at = jax.vmap(merge)(ids, vals, tflag, vflag, bm_raw)
+    vec_at = jnp.take_along_axis(
+        jnp.maximum(sdoc, -1.0), jnp.minimum(slots, num_slots - 1), axis=1
+    )
+    vals_k = jnp.where(vals_k <= NEG / 2, NEG, vals_k)
+    return vals_k, slots, bm_at, vec_at

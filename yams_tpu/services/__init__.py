@@ -1,0 +1,13 @@
+from .app import AppContext
+from .document_service import DocumentService
+from .grep_service import GrepService
+from .indexing_service import IndexingService
+from .search_service import SearchService
+
+__all__ = [
+    "AppContext",
+    "DocumentService",
+    "SearchService",
+    "IndexingService",
+    "GrepService",
+]

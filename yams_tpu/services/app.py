@@ -1,0 +1,129 @@
+"""AppContext: constructs and owns every subsystem (ServiceManager analog).
+
+Parity: src/daemon/components/ServiceManager.cpp — content store, metadata,
+vector system, search engine, KG, topology — wired from one Config. The JAX
+engine eliminates most of the reference's mutable-state management; what's
+left is deliberate, explicit wiring.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import threading
+
+from ..core.config import Config, load_config
+from ..metadata.db import Database
+from ..metadata.kg import KnowledgeGraphStore
+from ..metadata.repository import MetadataRepository
+from ..metadata.tree import TreeBuilder
+from ..search.engine import SearchEngine
+from ..storage.content_store import ContentStore
+
+
+class AppContext:
+    def __init__(self, config: Config | None = None):
+        self.config = config or load_config()
+        self.config.data_dir.mkdir(parents=True, exist_ok=True)
+        self.content_store = ContentStore(
+            self.config.storage_dir,
+            chunking=self.config.chunking,
+            compression=self.config.compression,
+        )
+        self.db = Database(self.config.metadata_db)
+        self.metadata = MetadataRepository(self.db)
+        self.kg = KnowledgeGraphStore(self.db)
+        self.trees = TreeBuilder(self.db)
+        self.search_engine = SearchEngine(
+            embedding=self.config.embedding,
+            vector=self.config.vector,
+            lexical=self.config.lexical,
+            kg_store=self.kg,
+        )
+        self.metadata.register_vector_model(
+            self.config.embedding.profile,
+            self.config.embedding.dim,
+            self.config.embedding.space_id,
+        )
+        self._lock = threading.RLock()
+        self._load_indexes()
+
+        # services (lazy circular-free wiring)
+        from .document_service import DocumentService
+        from .graph_service import GraphService
+        from .grep_service import GrepService
+        from .indexing_service import IndexingService
+        from .search_service import SearchService
+        from .session_service import SessionService
+        from .stats_service import StatsService
+
+        self.documents = DocumentService(self)
+        self.search = SearchService(self)
+        self.indexing = IndexingService(self)
+        self.grep = GrepService(self)
+        self.graph = GraphService(self)
+        self.sessions = SessionService(self)
+        self.stats = StatsService(self)
+
+    # -- index persistence -----------------------------------------------------
+    def _load_indexes(self) -> None:
+        vdir = self.config.vectors_dir
+        try:
+            if (vdir / "vectors.json").exists():
+                from ..index.vector_index import VectorIndex
+
+                self.search_engine.vector_index = VectorIndex.load(vdir)
+            if (vdir / "lexical.pkl").exists():
+                from ..index.lexical_index import LexicalIndex
+
+                self.search_engine.lexical_index = LexicalIndex.load(
+                    vdir, self.config.lexical
+                )
+            self._restore_slot_map()
+        except Exception:
+            # corrupt index artifacts are rebuildable from metadata (repair op)
+            pass
+
+    def _restore_slot_map(self) -> None:
+        """Slot map persists as metadata key 'slot' per document."""
+        rows = self.db.execute(
+            "SELECT document_id, value FROM metadata WHERE key='__slot__'"
+        ).fetchall()
+        pairs = sorted(((int(v), d) for d, v in rows))
+        eng = self.search_engine
+        eng._doc_by_slot = []
+        eng._slot_by_doc = {}
+        for slot, doc_id in pairs:
+            while len(eng._doc_by_slot) < slot:
+                eng._doc_by_slot.append(-1)
+            eng._doc_by_slot.append(doc_id)
+            eng._slot_by_doc[doc_id] = slot
+
+    def save_indexes(self) -> None:
+        with self._lock:
+            vdir = self.config.vectors_dir
+            self.search_engine.vector_index.save(vdir)
+            self.search_engine.lexical_index.save(vdir)
+
+    def checkpoint(self) -> None:
+        """Persist indexes + WAL checkpoint (reference: CheckpointManager)."""
+        self.save_indexes()
+        if self.content_store.wal:
+            self.content_store.wal.checkpoint()
+
+    def close(self) -> None:
+        try:
+            self.save_indexes()
+        except Exception:
+            pass
+        self.content_store.close()
+        self.db.close()
+
+    def __enter__(self) -> "AppContext":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def open_app(data_dir: str | pathlib.Path | None = None) -> AppContext:
+    return AppContext(load_config(data_dir=data_dir))

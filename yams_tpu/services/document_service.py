@@ -1,0 +1,164 @@
+"""DocumentService: add/get/cat/delete/update/list.
+
+Parity: src/app/services/document_service.cpp. add() runs the full ingest
+pipeline synchronously: CAS store -> metadata tx -> extraction -> device index
+(lexical + vectors) — the reference's PostIngestQueue stages collapsed into a
+direct call path; the daemon wraps this in its async queue.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+import time
+
+from ..core.errors import InvalidArgumentError, NotFoundError
+from ..core.types import DocumentInfo, StoreResult
+from ..ingest.detection import detect_mime
+from .extraction import extract_text
+
+
+@dataclasses.dataclass(slots=True)
+class AddResult:
+    document_id: int
+    content_hash: str
+    bytes_stored: int
+    bytes_deduped: int
+    indexed: bool
+    chunks: int
+    duration_ms: float
+
+
+class DocumentService:
+    def __init__(self, app):
+        self.app = app
+
+    # -- add -------------------------------------------------------------------
+    def add_bytes(
+        self,
+        data: bytes,
+        name: str,
+        tags: list[str] | None = None,
+        metadata: dict[str, str] | None = None,
+        mime_type: str = "",
+        collection: str = "",
+        auto_index: bool = True,
+    ) -> AddResult:
+        t0 = time.monotonic()
+        mime = mime_type or detect_mime(data[:512], name)
+        store_res: StoreResult = self.app.content_store.store_bytes(data, mime)
+        path = name if name.startswith("/") else f"/{name}"
+        info = DocumentInfo(
+            file_path=path,
+            file_name=pathlib.PurePath(path).name,
+            file_extension=pathlib.PurePath(path).suffix,
+            file_size=len(data),
+            sha256_hash=store_res.content_hash,
+            mime_type=mime,
+            tags=list(tags or []),
+            metadata=dict(metadata or {}),
+        )
+        if collection:
+            info.metadata["collection"] = collection
+
+        extracted = extract_text(data, mime)
+        text, title = extracted if extracted else (None, "")
+        title = title or info.file_name
+        doc_id = self.app.metadata.insert_document(info, content_text=text, title=title)
+
+        indexed, chunks = False, 0
+        if auto_index and text is not None:
+            chunks = self.app.search_engine.add_document(doc_id, text, title)
+            slot = self.app.search_engine._slot_by_doc[doc_id]
+            self.app.metadata.set_metadata(doc_id, "__slot__", str(slot))
+            self.app.metadata.set_embedding_status(
+                doc_id, "done", self.app.config.embedding.profile
+            )
+            indexed = True
+        elif text is None:
+            self.app.metadata.set_embedding_status(doc_id, "skipped")
+        return AddResult(
+            document_id=doc_id,
+            content_hash=store_res.content_hash,
+            bytes_stored=store_res.bytes_stored,
+            bytes_deduped=store_res.bytes_deduped,
+            indexed=indexed,
+            chunks=chunks,
+            duration_ms=(time.monotonic() - t0) * 1e3,
+        )
+
+    def add_file(self, path: str | pathlib.Path, **kw) -> AddResult:
+        p = pathlib.Path(path)
+        if not p.is_file():
+            raise InvalidArgumentError(f"not a file: {path}")
+        kw.setdefault("name", str(p.resolve()))
+        return self.add_bytes(p.read_bytes(), **kw)
+
+    # -- get --------------------------------------------------------------------
+    def _resolve(self, selector: str) -> DocumentInfo:
+        """Resolve by hash (full/prefix), exact path, or name."""
+        md = self.app.metadata
+        if len(selector) == 64 and all(c in "0123456789abcdef" for c in selector):
+            docs = md.get_by_hash(selector)
+            if docs:
+                return docs[0]
+        doc = md.get_by_path(selector if selector.startswith("/") else f"/{selector}")
+        if doc:
+            return doc
+        docs = md.find_by_name(selector)
+        if docs:
+            return docs[0]
+        if len(selector) >= 8 and all(c in "0123456789abcdef" for c in selector):
+            rows = self.app.db.execute(
+                "SELECT * FROM documents WHERE sha256_hash LIKE ? LIMIT 2",
+                (selector + "%",),
+            ).fetchall()
+            if len(rows) == 1:
+                return md.get_document(rows[0]["id"])
+            if len(rows) > 1:
+                raise InvalidArgumentError(f"ambiguous hash prefix: {selector}")
+        raise NotFoundError(f"document not found: {selector}")
+
+    def get(self, selector: str) -> DocumentInfo:
+        return self._resolve(selector)
+
+    def cat(self, selector: str) -> bytes:
+        doc = self._resolve(selector)
+        return self.app.content_store.retrieve_bytes(doc.sha256_hash)
+
+    def get_text(self, selector: str) -> str:
+        doc = self._resolve(selector)
+        text = self.app.metadata.get_content(doc.id)
+        if text is None:
+            raise NotFoundError(f"no extracted text for: {selector}")
+        return text
+
+    def list(self, limit: int = 100, offset: int = 0, pattern: str | None = None):
+        return self.app.metadata.list_documents(limit, offset, pattern)
+
+    # -- delete ------------------------------------------------------------------
+    def delete(self, selector: str, keep_content: bool = False) -> bool:
+        try:
+            doc = self._resolve(selector)
+        except NotFoundError:
+            return False
+        self.app.search_engine.remove_document(doc.id)
+        self.app.metadata.delete_document(doc.id)
+        if not keep_content:
+            self.app.content_store.remove(doc.sha256_hash)
+        return True
+
+    # -- update ------------------------------------------------------------------
+    def update_metadata(
+        self, selector: str, metadata: dict[str, str] | None = None,
+        add_tags: list[str] | None = None, remove_tags: list[str] | None = None,
+    ) -> DocumentInfo:
+        doc = self._resolve(selector)
+        for k, v in (metadata or {}).items():
+            self.app.metadata.set_metadata(doc.id, k, v)
+        if add_tags or remove_tags:
+            tags = set(self.app.metadata.get_tags(doc.id))
+            tags |= set(add_tags or [])
+            tags -= set(remove_tags or [])
+            self.app.metadata.set_tags(doc.id, sorted(tags))
+        return self.app.metadata.get_document(doc.id)

@@ -1,0 +1,157 @@
+"""SearchService: request normalization + routing (hybrid vs FTS-only vs fuzzy).
+
+Parity: src/app/services/search_service.cpp:927-965,1829-1937 — routes to the
+device hybrid engine for "hybrid"/"semantic"/"vector"/"keyword", falls back to
+SQLite FTS5 for "fts", applies tag/path filters as device-side candidate
+pushdown (the reference filters post-fusion; pushdown dominates it).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import fnmatch
+import time
+
+
+@dataclasses.dataclass(slots=True)
+class SearchHit:
+    document_id: int
+    score: float
+    path: str = ""
+    name: str = ""
+    title: str = ""
+    snippet: str = ""
+    text_score: float = 0.0
+    vector_score: float = 0.0
+    kg_score: float = 0.0
+
+
+@dataclasses.dataclass(slots=True)
+class SearchResponse:
+    hits: list[SearchHit]
+    total: int
+    query: str
+    type: str
+    duration_ms: float
+
+
+class SearchService:
+    def __init__(self, app):
+        self.app = app
+
+    def _filter_doc_ids(
+        self, tags: list[str] | None, path_glob: str | None, collection: str | None
+    ) -> set[int] | None:
+        """Resolve filters to a candidate doc-id set (None = no filter)."""
+        md = self.app.metadata
+        sets: list[set[int]] = []
+        if tags:
+            sets.append(set(md.find_by_tags(tags)))
+        if collection:
+            sets.append(set(md.find_by_metadata("collection", collection)))
+        if path_glob:
+            rows = self.app.db.execute(
+                "SELECT id, file_path FROM documents"
+            ).fetchall()
+            sets.append(
+                {r["id"] for r in rows if fnmatch.fnmatch(r["file_path"], path_glob)}
+            )
+        if not sets:
+            return None
+        out = sets[0]
+        for s in sets[1:]:
+            out &= s
+        return out
+
+    def search(
+        self,
+        query: str,
+        limit: int = 10,
+        search_type: str = "hybrid",   # hybrid | semantic | vector | keyword | fts
+        tags: list[str] | None = None,
+        path_glob: str | None = None,
+        collection: str | None = None,
+        with_snippets: bool = True,
+    ) -> SearchResponse:
+        t0 = time.monotonic()
+        md = self.app.metadata
+        filter_ids = self._filter_doc_ids(tags, path_glob, collection)
+        hits: list[SearchHit] = []
+
+        if search_type == "fts":
+            for r in md.search_fts(query, limit=limit * 2):
+                if filter_ids is not None and r.document_id not in filter_ids:
+                    continue
+                try:
+                    doc = md.get_document(r.document_id)
+                except Exception:
+                    continue
+                hits.append(SearchHit(
+                    document_id=r.document_id, score=r.score, path=doc.file_path,
+                    name=doc.file_name, title=r.title, snippet=r.snippet,
+                    text_score=r.score,
+                ))
+                if len(hits) >= limit:
+                    break
+        else:
+            mode = {"semantic": "vector", "vector": "vector",
+                    "keyword": "keyword"}.get(search_type, "hybrid")
+            results = self.app.search_engine.search(
+                query, k=limit, mode=mode, filter_doc_ids=filter_ids
+            )
+            for r in results:
+                try:
+                    doc = md.get_document(r.doc_id)
+                except Exception:
+                    continue
+                snippet = ""
+                if with_snippets:
+                    snippet = self._snippet(r.doc_id, query)
+                hits.append(SearchHit(
+                    document_id=r.doc_id, score=r.score, path=doc.file_path,
+                    name=doc.file_name, title=r.title or doc.file_name,
+                    snippet=snippet, text_score=r.text_score,
+                    vector_score=r.vector_score, kg_score=r.kg_score,
+                ))
+            for h in hits[:3]:
+                md.touch_hotzone(h.document_id, 0.2)
+                self.app.search_engine.touch_hot(h.document_id, 0.2)
+
+        return SearchResponse(
+            hits=hits[:limit],
+            total=len(hits),
+            query=query,
+            type=search_type,
+            duration_ms=(time.monotonic() - t0) * 1e3,
+        )
+
+    def _snippet(self, doc_id: int, query: str, width: int = 160) -> str:
+        from ..embed.simeon import tokenize
+
+        text = self.app.metadata.get_content(doc_id)
+        if not text:
+            return ""
+        lowered = text.lower()
+        for tok in tokenize(query):
+            pos = lowered.find(tok)
+            if pos >= 0:
+                start = max(0, pos - width // 3)
+                end = min(len(text), pos + width)
+                prefix = "..." if start > 0 else ""
+                suffix = "..." if end < len(text) else ""
+                return prefix + text[start:end].replace("\n", " ") + suffix
+        return text[:width].replace("\n", " ")
+
+    def suggest_context(self, query: str, limit: int = 5, max_chars: int = 4000) -> str:
+        """Concatenated snippets for LLM context (MCP suggest_context tool)."""
+        resp = self.search(query, limit=limit)
+        parts = []
+        budget = max_chars
+        for h in resp.hits:
+            text = self.app.metadata.get_content(h.document_id) or h.snippet
+            piece = f"=== {h.path} (score {h.score:.3f}) ===\n{text[: budget // 2]}\n"
+            parts.append(piece)
+            budget -= len(piece)
+            if budget <= 0:
+                break
+        return "".join(parts)

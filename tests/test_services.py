@@ -1,0 +1,224 @@
+"""Integration tests for the service layer over a hermetic temp data dir.
+
+Mirrors the reference's tests/integration/services/ (hermetic temp-dir
+daemon pattern, SURVEY §4 lesson (a))."""
+
+import pathlib
+
+import pytest
+
+from yams_tpu.core.config import (
+    ChunkingConfig,
+    Config,
+    EmbeddingConfig,
+    LexicalIndexConfig,
+    VectorIndexConfig,
+)
+from yams_tpu.services.app import AppContext
+
+
+def small_config(data_dir) -> Config:
+    cfg = Config(data_dir=pathlib.Path(data_dir))
+    cfg.chunking = ChunkingConfig(min_size=1024, avg_size=4096, max_size=16384)
+    cfg.embedding = EmbeddingConfig(dim=64, sketch_dim=512)
+    cfg.vector = VectorIndexConfig(dim=64, capacity=256, block_rows=128)
+    cfg.lexical = LexicalIndexConfig(postings_window=64)
+    return cfg
+
+
+@pytest.fixture()
+def app(tmp_path):
+    a = AppContext(small_config(tmp_path / "data"))
+    yield a
+    a.close()
+
+
+class TestDocumentService:
+    def test_add_get_cat(self, app):
+        res = app.documents.add_bytes(
+            b"hello yams tpu world", "notes/hello.txt", tags=["demo"]
+        )
+        assert res.indexed and res.chunks >= 1
+        doc = app.documents.get("hello.txt")
+        assert doc.tags == ["demo"]
+        assert app.documents.cat(doc.sha256_hash) == b"hello yams tpu world"
+        assert app.documents.cat("/notes/hello.txt") == b"hello yams tpu world"
+        assert "hello yams" in app.documents.get_text("hello.txt")
+
+    def test_hash_prefix_resolution(self, app):
+        res = app.documents.add_bytes(b"unique content 123", "a.txt")
+        assert app.documents.get(res.content_hash[:12]).sha256_hash == res.content_hash
+
+    def test_binary_not_indexed(self, app):
+        res = app.documents.add_bytes(b"\x89PNG\r\n\x1a\n" + bytes(200), "img.png")
+        assert not res.indexed
+        doc = app.documents.get("img.png")
+        assert doc.mime_type == "image/png"
+
+    def test_delete(self, app):
+        res = app.documents.add_bytes(b"to be deleted", "del.txt")
+        assert app.documents.delete("del.txt")
+        assert not app.documents.delete("del.txt")
+        assert not app.content_store.exists(res.content_hash)
+        assert app.search.search("deleted").hits == []
+
+    def test_update_metadata(self, app):
+        app.documents.add_bytes(b"content", "m.txt")
+        doc = app.documents.update_metadata(
+            "m.txt", metadata={"k": "v"}, add_tags=["x"]
+        )
+        assert doc.metadata["k"] == "v" and "x" in doc.tags
+
+    def test_dedup_same_content(self, app):
+        r1 = app.documents.add_bytes(b"same bytes here", "one.txt")
+        r2 = app.documents.add_bytes(b"same bytes here", "two.txt")
+        assert r1.content_hash == r2.content_hash
+        assert r2.bytes_stored == 0
+
+    def test_html_extraction(self, app):
+        html = b"<html><head><title>My Page</title></head><body><p>body text here</p><script>skip()</script></body></html>"
+        app.documents.add_bytes(html, "page.html")
+        text = app.documents.get_text("page.html")
+        assert "body text here" in text
+        assert "skip()" not in text
+
+
+class TestSearchService:
+    @pytest.fixture(autouse=True)
+    def corpus(self, app):
+        docs = [
+            ("kernel.md", "the kernel scheduler preempts threads with priority queues", ["code"]),
+            ("pasta.md", "boil pasta add tomato basil and olive oil", ["food"]),
+            ("grad.md", "gradients update network weights during training", ["ml"]),
+            ("locks.md", "mutex locks protect shared kernel state", ["code"]),
+        ]
+        for name, text, tags in docs:
+            app.documents.add_bytes(text.encode(), name, tags=tags)
+        self.app = app
+
+    def test_hybrid(self, app):
+        resp = app.search.search("kernel scheduler threads", limit=3)
+        assert resp.hits[0].name == "kernel.md"
+        assert resp.hits[0].snippet
+
+    def test_fts_fallback(self, app):
+        resp = app.search.search("tomato basil", search_type="fts")
+        assert resp.hits[0].name == "pasta.md"
+
+    def test_tag_filter(self, app):
+        resp = app.search.search("kernel", tags=["food"])
+        assert all(h.name == "pasta.md" for h in resp.hits) or not resp.hits
+
+    def test_path_glob_filter(self, app):
+        resp = app.search.search("kernel", path_glob="*locks*")
+        assert [h.name for h in resp.hits] == ["locks.md"]
+
+    def test_suggest_context(self, app):
+        ctx = app.search.suggest_context("pasta tomato", limit=2)
+        assert "pasta" in ctx and "===" in ctx
+
+
+class TestIndexingService:
+    def test_add_directory(self, app, tmp_path):
+        src = tmp_path / "src"
+        (src / "sub").mkdir(parents=True)
+        (src / "a.py").write_text("def alpha(): return 'alpha_function'")
+        (src / "sub" / "b.md").write_text("# Beta\nbeta document body")
+        (src / "skip.pyc").write_bytes(b"\x00\x01")
+        report = app.indexing.add_directory(src, snapshot=True)
+        assert report.files_added == 2
+        assert report.files_skipped >= 1
+        assert report.snapshot_id
+        resp = app.search.search("alpha_function")
+        assert resp.hits and resp.hits[0].name == "a.py"
+        snaps = app.trees.list_snapshots()
+        assert len(snaps) == 1
+
+    def test_include_globs(self, app, tmp_path):
+        src = tmp_path / "src2"
+        src.mkdir()
+        (src / "x.py").write_text("python only")
+        (src / "y.txt").write_text("text file")
+        report = app.indexing.add_directory(src, include=["*.py"])
+        assert report.files_added == 1
+
+
+class TestGrepService:
+    def test_literal_and_regex(self, app):
+        app.documents.add_bytes(
+            b"alpha line one\nbeta line two\nalpha beta gamma\n", "g.txt"
+        )
+        res = app.grep.grep("alpha")
+        assert len(res.matches) == 2
+        assert res.matches[0].line_number == 1
+        res = app.grep.grep(r"al\w+a", literal=False)
+        assert len(res.matches) == 2
+        res = app.grep.grep("ALPHA", ignore_case=True)
+        assert len(res.matches) == 2
+
+    def test_path_filter(self, app):
+        app.documents.add_bytes(b"needle here", "one.txt")
+        app.documents.add_bytes(b"needle there", "two.txt")
+        res = app.grep.grep("needle", path_glob="*one*")
+        assert len(res.matches) == 1
+
+
+class TestGraphService:
+    def test_entity_indexing_and_explore(self, app):
+        text = (
+            "The PostIngestQueue feeds the EmbeddingService. "
+            "PostIngestQueue stages run after ContentStore writes. "
+            "EmbeddingService batches documents for the VectorDatabase."
+        )
+        res = app.documents.add_bytes(text.encode(), "arch.md")
+        n = app.graph.index_document(res.document_id, text)
+        assert n >= 3
+        out = app.graph.explore("postingestqueue")
+        assert out["nodes"]
+        labels = {x["label"] for x in out["nodes"]}
+        assert "PostIngestQueue" in labels
+        node = out["nodes"][0]
+        assert node["documents"]
+        assert any(nb["relation"] == "cooccurs" for nb in node["neighbors"])
+
+    def test_index_pending_and_related(self, app):
+        t1 = "SharedWidget drives the MainPanel rendering. SharedWidget owns state."
+        t2 = "The MainPanel layout uses SharedWidget for all controls."
+        app.documents.add_bytes(t1.encode(), "w1.md")
+        app.documents.add_bytes(t2.encode(), "w2.md")
+        assert app.graph.index_pending() == 2
+        rel = app.graph.related("w1.md")
+        assert any("w2" in r["path"] for r in rel)
+
+
+class TestSessions:
+    def test_pin_warm(self, app):
+        app.documents.add_bytes(b"pinned doc body", "proj/x.txt")
+        app.sessions.use("work")
+        app.sessions.pin("/proj/*")
+        assert app.sessions.warm() == 1
+        assert app.sessions.list() == ["work"]
+        app.sessions.unpin("/proj/*")
+        assert app.sessions.warm() == 0
+
+
+class TestStatsAndPersistence:
+    def test_snapshot(self, app):
+        app.documents.add_bytes(b"stat doc", "s.txt")
+        snap = app.stats.snapshot(detailed=True)
+        assert snap["documents"]["documents"] == 1
+        assert snap["embedding"]["dim"] == 64
+        assert snap["storage"]["unique_blocks"] >= 1
+
+    def test_reopen_preserves_index(self, tmp_path):
+        cfg = small_config(tmp_path / "data")
+        app = AppContext(cfg)
+        app.documents.add_bytes(b"persistent search content alpha", "p.txt")
+        app.close()  # saves indexes
+        app2 = AppContext(small_config(tmp_path / "data"))
+        try:
+            resp = app2.search.search("persistent alpha")
+            assert resp.hits and resp.hits[0].name == "p.txt"
+            assert app2.documents.cat("p.txt") == b"persistent search content alpha"
+        finally:
+            app2.close()

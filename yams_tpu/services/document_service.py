@@ -101,13 +101,13 @@ class DocumentService:
         if len(selector) == 64 and all(c in "0123456789abcdef" for c in selector):
             docs = md.get_by_hash(selector)
             if docs:
-                return docs[0]
+                return md.get_document(docs[0].id)
         doc = md.get_by_path(selector if selector.startswith("/") else f"/{selector}")
         if doc:
-            return doc
+            return md.get_document(doc.id)
         docs = md.find_by_name(selector)
         if docs:
-            return docs[0]
+            return md.get_document(docs[0].id)
         if len(selector) >= 8 and all(c in "0123456789abcdef" for c in selector):
             rows = self.app.db.execute(
                 "SELECT * FROM documents WHERE sha256_hash LIKE ? LIMIT 2",

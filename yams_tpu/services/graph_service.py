@@ -1,0 +1,140 @@
+"""GraphService: KG construction from documents + query facades.
+
+Parity: src/daemon/components/GraphComponent + EntityGraphService and the
+app-level GraphQuery/GraphContext services (SURVEY §2.9). Entity extraction
+here is the built-in fallback tier (identifier/keyphrase mining — the
+reference's GLiNER plugin being an optional upgrade via the plugin registry).
+"""
+
+from __future__ import annotations
+
+import collections
+import re
+
+from ..embed.simeon import tokenize
+
+_IDENT_RE = re.compile(r"\b[A-Za-z_][A-Za-z0-9_]{2,}\b")
+_CAP_PHRASE_RE = re.compile(r"\b([A-Z][a-z0-9]+(?:\s+[A-Z][a-z0-9]+){0,3})\b")
+_STOP = frozenset(
+    "the and for with from this that are was were been being have has had not "
+    "you your they them their its his her our out but all any can will just "
+    "def class import return self none true false if else elif while for in "
+    "is of to a an on at by as it be or do we i".split()
+)
+
+
+class GraphService:
+    def __init__(self, app):
+        self.app = app
+
+    # -- construction -----------------------------------------------------------
+    def extract_entities(self, text: str, max_entities: int = 32) -> list[tuple[str, float]]:
+        """Fallback entity mining: capitalized phrases + frequent identifiers."""
+        counts: collections.Counter[str] = collections.Counter()
+        for m in _CAP_PHRASE_RE.finditer(text[:100_000]):
+            phrase = m.group(1).strip()
+            if phrase.lower() not in _STOP and len(phrase) > 3:
+                counts[phrase] += 2
+        for m in _IDENT_RE.finditer(text[:100_000]):
+            w = m.group(0)
+            if ("_" in w or any(c.isupper() for c in w[1:])) and w.lower() not in _STOP:
+                counts[w] += 1
+        total = sum(counts.values()) or 1
+        return [
+            (ent, min(1.0, 0.3 + cnt / total * 10))
+            for ent, cnt in counts.most_common(max_entities)
+        ]
+
+    def index_document(self, doc_id: int, text: str) -> int:
+        """Extract entities, upsert KG nodes/aliases, link doc, co-occurrence edges."""
+        kg = self.app.kg
+        entities = self.extract_entities(text)
+        node_ids = []
+        for ent, conf in entities:
+            key = f"entity:{ent.lower()}"
+            nid = kg.upsert_node(key, label=ent, type_="entity")
+            kg.add_alias(nid, ent.lower(), source="mined")
+            for tok in tokenize(ent):
+                if tok not in _STOP and len(tok) > 2:
+                    kg.add_alias(nid, tok, source="token")
+            kg.link_document(doc_id, nid, ent, conf)
+            node_ids.append(nid)
+        # co-occurrence edges between the top entities of this doc
+        edges = []
+        for i, a in enumerate(node_ids[:12]):
+            for b in node_ids[i + 1 : 12]:
+                if a != b:
+                    edges.append((min(a, b), max(a, b), "cooccurs", 1.0))
+        if edges:
+            kg.add_edges_batch(edges)
+        return len(node_ids)
+
+    def index_pending(self, limit: int = 500) -> int:
+        """Build KG for docs lacking entities (post-ingest KG stage)."""
+        done = 0
+        rows = self.app.db.execute(
+            """SELECT d.id FROM documents d
+               LEFT JOIN doc_entities e ON e.document_id = d.id
+               WHERE e.id IS NULL AND d.content_extracted = 1 LIMIT ?""",
+            (limit,),
+        ).fetchall()
+        for (doc_id,) in rows:
+            text = self.app.metadata.get_content(doc_id)
+            if text:
+                self.index_document(doc_id, text)
+                done += 1
+        return done
+
+    # -- queries ---------------------------------------------------------------------
+    def explore(self, alias: str, depth: int = 1, limit: int = 25) -> dict:
+        """Alias -> nodes -> neighbors (+docs), the `yams graph` query."""
+        kg = self.app.kg
+        nodes = kg.resolve_alias(alias, limit=5)
+        out = {"query": alias, "nodes": []}
+        seen = set()
+        for nid in nodes:
+            node = kg.get_node(nid)
+            if node is None or nid in seen:
+                continue
+            seen.add(nid)
+            neighbors = []
+            for nbr, rel, w in kg.neighbors(nid, limit=limit):
+                if depth > 1:
+                    pass  # single-hop listing; deeper hops via repeated explore
+                nnode = kg.get_node(nbr)
+                if nnode:
+                    neighbors.append(
+                        {"label": nnode["label"], "relation": rel, "weight": w}
+                    )
+            docs = []
+            for doc_id, conf in kg.documents_for_node(nid, limit=10):
+                try:
+                    docs.append(
+                        {"path": self.app.metadata.get_document(doc_id).file_path,
+                         "confidence": conf}
+                    )
+                except Exception:
+                    pass
+            out["nodes"].append(
+                {"label": node["label"], "type": node["type"],
+                 "neighbors": neighbors, "documents": docs}
+            )
+        return out
+
+    def related(self, selector: str, limit: int = 20) -> list[dict]:
+        """Docs related to a document through shared/linked entities."""
+        doc = self.app.documents.get(selector)
+        rel = self.app.kg.related_documents(doc.id, hops=2, limit=limit)
+        out = []
+        for doc_id, support in rel.items():
+            try:
+                out.append(
+                    {"path": self.app.metadata.get_document(doc_id).file_path,
+                     "support": support}
+                )
+            except Exception:
+                pass
+        return out
+
+    def stats(self) -> dict:
+        return {"nodes": self.app.kg.node_count(), "edges": self.app.kg.edge_count()}

@@ -1,0 +1,143 @@
+"""GrepService: regex/literal scan over extracted text.
+
+Parity: src/app/services/grep_service.cpp:393-568 — candidate narrowing via
+tags -> FTS prefilter -> path windows, then literal fast path (native
+find_all, the simd_memmem analog) or Python regex.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import fnmatch
+import re
+
+from .. import native
+
+
+@dataclasses.dataclass(slots=True)
+class GrepMatch:
+    document_id: int
+    path: str
+    line_number: int
+    line: str
+    match_start: int = 0
+    match_end: int = 0
+
+
+@dataclasses.dataclass(slots=True)
+class GrepResult:
+    matches: list[GrepMatch]
+    files_searched: int
+    files_matched: int
+    truncated: bool = False
+
+
+_LITERAL_SAFE = re.compile(r"^[\w \t\-]+$")
+
+
+class GrepService:
+    def __init__(self, app):
+        self.app = app
+
+    def _candidates(
+        self, pattern: str, tags, path_glob, max_docs: int
+    ) -> list[int]:
+        md = self.app.metadata
+        ids: list[int] | None = None
+        if tags:
+            ids = md.find_by_tags(tags)
+        # FTS prefilter with literal words from the pattern (hot window)
+        words = re.findall(r"[a-zA-Z_][\w\-]{2,}", pattern)
+        if words:
+            fts_ids = [r.document_id for r in md.search_fts(" ".join(words), limit=max_docs)]
+            if fts_ids:
+                ids = fts_ids if ids is None else [i for i in ids if i in set(fts_ids)]
+        if ids is None:
+            ids = md.all_document_ids()
+        if path_glob:
+            keep = []
+            for i in ids:
+                try:
+                    doc = md.get_document(i)
+                except Exception:
+                    continue
+                if fnmatch.fnmatch(doc.file_path, path_glob):
+                    keep.append(i)
+            ids = keep
+        return ids[:max_docs]
+
+    def grep(
+        self,
+        pattern: str,
+        ignore_case: bool = False,
+        literal: bool | None = None,
+        tags: list[str] | None = None,
+        path_glob: str | None = None,
+        max_matches: int = 1000,
+        max_docs: int = 5000,
+        context: int = 0,
+    ) -> GrepResult:
+        if literal is None:
+            literal = bool(_LITERAL_SAFE.match(pattern))
+        rx = None
+        if not literal:
+            rx = re.compile(pattern, re.IGNORECASE if ignore_case else 0)
+        needle = pattern.lower() if ignore_case else pattern
+
+        matches: list[GrepMatch] = []
+        files_searched = files_matched = 0
+        truncated = False
+        for doc_id in self._candidates(pattern, tags, path_glob, max_docs):
+            text = self.app.metadata.get_content(doc_id)
+            if not text:
+                continue
+            files_searched += 1
+            hay = text.lower() if (literal and ignore_case) else text
+            doc_hits: list[tuple[int, int]] = []
+            if literal:
+                offs = native.find_all(hay.encode(), needle.encode())
+                if offs is None:  # no native lib: python fallback
+                    offs, start = [], 0
+                    while (i := hay.find(needle, start)) >= 0:
+                        offs.append(i)
+                        start = i + 1
+                # byte offsets -> char offsets only safe for ascii; re-verify
+                for off in offs:
+                    doc_hits.append((off, off + len(needle)))
+            else:
+                for m in rx.finditer(hay):
+                    doc_hits.append((m.start(), m.end()))
+            if not doc_hits:
+                continue
+            files_matched += 1
+            try:
+                doc = self.app.metadata.get_document(doc_id)
+                path = doc.file_path
+            except Exception:
+                path = ""
+            # byte->line mapping (literal path used byte offsets on utf-8)
+            blob = hay.encode() if literal else None
+            for start, end in doc_hits:
+                if literal:
+                    prefix = blob[:start]
+                    line_no = prefix.count(b"\n") + 1
+                    ls = prefix.rfind(b"\n") + 1
+                    le = blob.find(b"\n", end)
+                    le = len(blob) if le < 0 else le
+                    line = blob[ls:le].decode("utf-8", errors="replace")
+                    ms, me = start - ls, end - ls
+                else:
+                    prefix = hay[:start]
+                    line_no = prefix.count("\n") + 1
+                    ls = prefix.rfind("\n") + 1
+                    le = hay.find("\n", end)
+                    le = len(hay) if le < 0 else le
+                    line = text[ls:le]
+                    ms, me = start - ls, end - ls
+                matches.append(GrepMatch(doc_id, path, line_no, line, ms, me))
+                if len(matches) >= max_matches:
+                    truncated = True
+                    break
+            if truncated:
+                break
+        return GrepResult(matches, files_searched, files_matched, truncated)

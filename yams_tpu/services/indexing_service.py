@@ -1,0 +1,106 @@
+"""IndexingService: directory walking + batch add + tree snapshots.
+
+Parity: src/app/services/indexing_service.cpp + document_ingestion_service.cpp
+(include/exclude globs, recursive walk, hash-verify) and the tree-snapshot
+flow (TreeBuilder over the ingested set).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import fnmatch
+import pathlib
+
+from ..metadata.tree import TreeEntry
+
+
+@dataclasses.dataclass(slots=True)
+class IndexReport:
+    files_added: int = 0
+    files_skipped: int = 0
+    files_failed: int = 0
+    bytes_stored: int = 0
+    bytes_deduped: int = 0
+    snapshot_id: str = ""
+    errors: list[str] = dataclasses.field(default_factory=list)
+
+
+DEFAULT_EXCLUDES = (
+    "*/.git/*", "*/__pycache__/*", "*.pyc", "*/node_modules/*", "*/.venv/*",
+    "*/.pytest_cache/*", "*.o", "*.so", "*.a",
+)
+
+
+class IndexingService:
+    def __init__(self, app):
+        self.app = app
+
+    def add_directory(
+        self,
+        directory: str | pathlib.Path,
+        recursive: bool = True,
+        include: list[str] | None = None,
+        exclude: list[str] | None = None,
+        tags: list[str] | None = None,
+        collection: str = "",
+        max_file_bytes: int = 64 * 1024 * 1024,
+        snapshot: bool = False,
+        snapshot_label: str = "",
+    ) -> IndexReport:
+        root = pathlib.Path(directory).resolve()
+        report = IndexReport()
+        excludes = list(exclude or []) + list(DEFAULT_EXCLUDES)
+        walker = root.rglob("*") if recursive else root.glob("*")
+        entries: list[TreeEntry] = []
+        for p in sorted(walker):
+            if not p.is_file():
+                continue
+            rel = str(p)
+            if include and not any(
+                fnmatch.fnmatch(rel, g) or fnmatch.fnmatch(p.name, g) for g in include
+            ):
+                report.files_skipped += 1
+                continue
+            if any(fnmatch.fnmatch(rel, g) or fnmatch.fnmatch(p.name, g)
+                   for g in excludes):
+                report.files_skipped += 1
+                continue
+            try:
+                if p.stat().st_size > max_file_bytes:
+                    report.files_skipped += 1
+                    continue
+                res = self.app.documents.add_file(
+                    p, tags=tags, collection=collection
+                )
+                report.files_added += 1
+                report.bytes_stored += res.bytes_stored
+                report.bytes_deduped += res.bytes_deduped
+                entries.append(
+                    TreeEntry(str(p), res.content_hash, size=p.stat().st_size)
+                )
+            except Exception as e:  # keep walking; record the failure
+                report.files_failed += 1
+                report.errors.append(f"{p}: {e}")
+        if snapshot and entries:
+            report.snapshot_id = self.app.trees.snapshot(
+                entries, label=snapshot_label or str(root)
+            )
+        return report
+
+    def reindex_pending(self, limit: int = 1000) -> int:
+        """Embed/index docs whose embedding_status is pending (repair path)."""
+        done = 0
+        for doc_id in self.app.metadata.docs_pending_embedding(limit):
+            text = self.app.metadata.get_content(doc_id)
+            if text is None:
+                self.app.metadata.set_embedding_status(doc_id, "skipped")
+                continue
+            doc = self.app.metadata.get_document(doc_id)
+            self.app.search_engine.add_document(doc_id, text, doc.file_name)
+            slot = self.app.search_engine._slot_by_doc[doc_id]
+            self.app.metadata.set_metadata(doc_id, "__slot__", str(slot))
+            self.app.metadata.set_embedding_status(
+                doc_id, "done", self.app.config.embedding.profile
+            )
+            done += 1
+        return done

@@ -1,0 +1,73 @@
+"""SessionService: pinned working sets + session warming.
+
+Parity: src/app/services/session_service.cpp (pin path patterns per named
+session; warming = hotzone boosts for pinned docs).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+
+
+class SessionService:
+    def __init__(self, app):
+        self.app = app
+        self._current: str | None = None
+
+    def create(self, name: str, metadata: dict | None = None) -> None:
+        self.app.metadata.upsert_session(name, [], metadata)
+
+    def use(self, name: str) -> None:
+        if self.app.metadata.get_session(name) is None:
+            self.create(name)
+        self._current = name
+
+    @property
+    def current(self) -> str | None:
+        return self._current
+
+    def pin(self, pattern: str, session: str | None = None) -> None:
+        name = session or self._current or "default"
+        state = self.app.metadata.get_session(name) or ([], {})
+        pinned, meta = state
+        if pattern not in pinned:
+            pinned.append(pattern)
+        self.app.metadata.upsert_session(name, pinned, meta)
+
+    def unpin(self, pattern: str, session: str | None = None) -> None:
+        name = session or self._current or "default"
+        state = self.app.metadata.get_session(name)
+        if state is None:
+            return
+        pinned, meta = state
+        pinned = [p for p in pinned if p != pattern]
+        self.app.metadata.upsert_session(name, pinned, meta)
+
+    def pinned_doc_ids(self, session: str | None = None) -> set[int]:
+        name = session or self._current or "default"
+        state = self.app.metadata.get_session(name)
+        if state is None:
+            return set()
+        pinned, _ = state
+        out: set[int] = set()
+        rows = self.app.db.execute("SELECT id, file_path FROM documents").fetchall()
+        for r in rows:
+            if any(fnmatch.fnmatch(r["file_path"], p) for p in pinned):
+                out.add(r["id"])
+        return out
+
+    def warm(self, session: str | None = None, boost: float = 1.0) -> int:
+        """Hotzone-boost pinned docs (session warming)."""
+        ids = self.pinned_doc_ids(session)
+        for doc_id in ids:
+            self.app.metadata.touch_hotzone(doc_id, boost)
+            self.app.search_engine.touch_hot(doc_id, boost)
+        return len(ids)
+
+    def list(self) -> list[str]:
+        return self.app.metadata.list_sessions()
+
+    def delete(self, name: str) -> None:
+        self.app.metadata.delete_session(name)
+        if self._current == name:
+            self._current = None

@@ -1,0 +1,49 @@
+"""StatsService: aggregated status snapshot (DaemonMetrics analog).
+
+Parity: src/app/services/stats_service.cpp + DaemonMetrics::getSnapshot
+(include/yams/daemon/components/DaemonMetrics.h:421-441).
+"""
+
+from __future__ import annotations
+
+import time
+
+from .. import __version__
+
+
+class StatsService:
+    def __init__(self, app):
+        self.app = app
+        self._started = time.time()
+
+    def snapshot(self, detailed: bool = False) -> dict:
+        app = self.app
+        out = {
+            "version": __version__,
+            "uptime_s": round(time.time() - self._started, 1),
+            "data_dir": str(app.config.data_dir),
+            "documents": app.metadata.stats(),
+            "storage": app.content_store.stats(),
+            "search": {
+                "searches": app.search_engine._stats["searches"],
+            },
+            "graph": {"nodes": app.kg.node_count(), "edges": app.kg.edge_count()},
+        }
+        if detailed:
+            out["vector_index"] = app.search_engine.vector_index.stats()
+            out["lexical_index"] = app.search_engine.lexical_index.stats()
+            out["embedding"] = {
+                "profile": app.config.embedding.profile,
+                "space_id": app.config.embedding.space_id,
+                "dim": app.config.embedding.dim,
+            }
+            try:
+                import jax
+
+                out["devices"] = [str(d) for d in jax.devices()]
+            except Exception:
+                out["devices"] = []
+            s = app.search_engine.stats()
+            if "avg_latency_ms" in s:
+                out["search"]["avg_latency_ms"] = round(s["avg_latency_ms"], 2)
+        return out

@@ -1,0 +1,265 @@
+"""Integration tests for CLI, daemon (real socket, hermetic temp dir), MCP.
+
+Mirrors the reference's tests/integration/{cli,daemon} + MCP suites
+(SURVEY §4): a real daemon over a real AF_UNIX socket in a temp dir.
+"""
+
+import asyncio
+import io
+import json
+import socket
+import threading
+import time
+
+import pytest
+
+from test_services import small_config
+from yams_tpu.daemon.client import DaemonClient
+from yams_tpu.daemon.protocol import (
+    FrameError,
+    decode_header,
+    encode_frames,
+    read_frame,
+    write_frame,
+)
+from yams_tpu.daemon.server import YamsDaemon
+from yams_tpu.mcp.server import MCPServer, run_stdio_server
+from yams_tpu.services.app import AppContext
+
+
+class TestProtocol:
+    def test_roundtrip_encoding(self):
+        msg = {"id": 1, "type": "search", "query": "x", "data": b"\x00\xff" * 100}
+        frames = encode_frames(msg)
+        length, flags = decode_header(frames[:16])
+        assert flags == 0 and length == len(frames) - 16
+
+    def test_large_payload_chunked(self):
+        from yams_tpu.daemon import protocol
+
+        old = protocol.CHUNK_SIZE
+        protocol.CHUNK_SIZE = 64
+        try:
+            msg = {"id": 1, "blob": b"z" * 1000}
+            frames = protocol.encode_frames(msg)
+            _, flags = decode_header(frames[:16])
+            assert flags & protocol.FLAG_MORE
+        finally:
+            protocol.CHUNK_SIZE = old
+
+    def test_bad_magic_rejected(self):
+        with pytest.raises(FrameError):
+            decode_header(b"XXXXXXXXXXXXXXXX")
+
+
+@pytest.fixture()
+def daemon_app(tmp_path):
+    """Real daemon on a real socket in a temp dir, run on a background loop."""
+    cfg = small_config(tmp_path / "data")
+    cfg.daemon.socket_path = str(tmp_path / "d.sock")
+    daemon = YamsDaemon(cfg)
+    loop = asyncio.new_event_loop()
+
+    def runner():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(daemon.run())
+
+    t = threading.Thread(target=runner, daemon=True)
+    t.start()
+    for _ in range(200):
+        if cfg.socket_path.exists():
+            break
+        time.sleep(0.05)
+    client = DaemonClient(cfg.socket_path)
+    assert client.ping(timeout=5.0)
+    yield cfg, client
+    try:
+        client.shutdown()
+    except Exception:
+        pass
+    t.join(timeout=20)
+    if not t.is_alive():
+        loop.close()
+
+
+class TestDaemon:
+    def test_lifecycle_and_status(self, daemon_app):
+        cfg, client = daemon_app
+        st = client.status(detailed=True)
+        assert st["state"] == "ready"
+        assert st["documents"]["documents"] == 0
+
+    def test_full_flow_over_socket(self, daemon_app):
+        cfg, client = daemon_app
+        res = client.add_bytes(b"the daemon indexes this text", "d.txt",
+                               tags=["t1"])
+        assert res["indexed"]
+        hits = client.search("daemon indexes")["hits"]
+        assert hits and hits[0]["name"] == "d.txt"
+        assert client.cat("d.txt") == b"the daemon indexes this text"
+        assert client.get("d.txt")["tags"] == ["t1"]
+        g = client.grep("daemon")
+        assert g["files_matched"] == 1
+        assert client.delete("d.txt")
+        assert client.search("daemon indexes")["hits"] == []
+
+    def test_embed_endpoint(self, daemon_app):
+        cfg, client = daemon_app
+        out = client.embed(["hello world"])
+        assert out["dim"] == 64
+        assert len(out["vectors"]) == 1
+
+    def test_error_propagation(self, daemon_app):
+        from yams_tpu.core.errors import YamsError
+
+        cfg, client = daemon_app
+        with pytest.raises(YamsError):
+            client.get("missing-document.txt")
+
+    def test_unknown_request_type(self, daemon_app):
+        from yams_tpu.core.errors import YamsError
+
+        cfg, client = daemon_app
+        with pytest.raises(YamsError):
+            client.call("nonexistent_op")
+
+    def test_concurrent_clients(self, daemon_app):
+        cfg, client = daemon_app
+        client.add_bytes(b"shared corpus entry", "s.txt")
+        errors = []
+
+        def worker():
+            try:
+                c = DaemonClient(cfg.socket_path)
+                for _ in range(3):
+                    c.search("shared corpus")
+                c.close()
+            except Exception as e:
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert not errors
+
+
+@pytest.fixture()
+def mcp(tmp_path):
+    app = AppContext(small_config(tmp_path / "data"))
+    server = MCPServer(app)
+    yield app, server
+    app.close()
+
+
+def _call(server, method, params=None, msg_id=1):
+    return server.handle_message(
+        {"jsonrpc": "2.0", "id": msg_id, "method": method, "params": params or {}}
+    )
+
+
+def _tool(server, name, args):
+    resp = _call(server, "tools/call", {"name": name, "arguments": args})
+    content = resp["result"]["content"][0]["text"]
+    return resp["result"]["isError"], json.loads(content) if not resp["result"]["isError"] else content
+
+
+class TestMCP:
+    def test_initialize_and_list(self, mcp):
+        app, server = mcp
+        resp = _call(server, "initialize", {"protocolVersion": "2024-11-05"})
+        assert resp["result"]["serverInfo"]["name"] == "yams-tpu"
+        tools = _call(server, "tools/list")["result"]["tools"]
+        names = {t["name"] for t in tools}
+        assert {"search", "grep", "add", "get", "update", "delete_by_name",
+                "status", "doctor", "graph", "session_pin", "suggest_context",
+                "list_collections", "list_snapshots"} <= names
+
+    def test_tool_flow(self, mcp):
+        app, server = mcp
+        err, res = _tool(server, "add", {"content": "mcp indexed body text",
+                                         "name": "m.txt", "collection": "c1"})
+        assert not err and res["indexed"]
+        err, res = _tool(server, "search", {"query": "mcp indexed"})
+        assert not err and res["hits"][0]["name"] == "m.txt"
+        err, res = _tool(server, "get", {"selector": "m.txt", "include_content": True})
+        assert not err and "mcp indexed" in res["content"]
+        err, res = _tool(server, "list_collections", {})
+        assert not err and res["collections"] == ["c1"]
+        err, res = _tool(server, "suggest_context", {"query": "mcp indexed"})
+        assert not err and "m.txt" in res["context"]
+        err, res = _tool(server, "delete_by_name", {"selector": "m.txt"})
+        assert not err and res["deleted"]
+
+    def test_tool_error_shape(self, mcp):
+        app, server = mcp
+        err, text = _tool(server, "get", {"selector": "nope.txt"})
+        assert err and "not found" in text.lower()
+
+    def test_unknown_tool(self, mcp):
+        app, server = mcp
+        resp = _call(server, "tools/call", {"name": "bogus", "arguments": {}})
+        assert "error" in resp
+
+    def test_echo(self, mcp):
+        app, server = mcp
+        err, res = _tool(server, "mcp.echo", {"text": "hi"})
+        assert not err and res["echo"] == "hi"
+
+    def test_stdio_loop(self, mcp, tmp_path):
+        app, _ = mcp
+        lines = [
+            json.dumps({"jsonrpc": "2.0", "id": 1, "method": "initialize",
+                        "params": {"protocolVersion": "2024-11-05"}}),
+            json.dumps({"jsonrpc": "2.0", "method": "notifications/initialized"}),
+            json.dumps({"jsonrpc": "2.0", "id": 2, "method": "tools/list"}),
+        ]
+        stdin = io.StringIO("\n".join(lines) + "\n")
+        stdout = io.StringIO()
+        run_stdio_server(app, stdin=stdin, stdout=stdout)
+        out = [json.loads(x) for x in stdout.getvalue().strip().split("\n")]
+        assert out[0]["id"] == 1 and out[1]["id"] == 2
+        assert len(out) == 2  # the notification produced no reply
+
+
+class TestCli:
+    def _run(self, tmp_path, *argv):
+        import contextlib
+
+        from yams_tpu.cli.main import main
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            code = main(["--storage", str(tmp_path / "data"), "--no-daemon", *argv])
+        return code, buf.getvalue()
+
+    def test_init_add_search_flow(self, tmp_path):
+        code, out = self._run(tmp_path, "init")
+        assert code == 0 and "Initialized" in out
+        f = tmp_path / "doc.md"
+        f.write_text("# Title\ncli indexed content body")
+        code, out = self._run(tmp_path, "add", str(f), "--tags", "cli")
+        assert code == 0
+        code, out = self._run(tmp_path, "search", "cli indexed")
+        assert code == 0 and "doc.md" in out
+        code, out = self._run(tmp_path, "list")
+        assert "doc.md" in out
+        code, out = self._run(tmp_path, "cat", "doc.md")
+        assert "cli indexed content" in out
+        code, out = self._run(tmp_path, "grep", "indexed")
+        assert code == 0 and "doc.md:2" in out
+        code, out = self._run(tmp_path, "status")
+        assert "documents:  1" in out
+        code, out = self._run(tmp_path, "--json", "get", "doc.md")
+        assert json.loads(out)["file_name"] == "doc.md"
+        code, out = self._run(tmp_path, "delete", "doc.md")
+        assert code == 0
+
+    def test_doctor(self, tmp_path):
+        code, out = self._run(tmp_path, "doctor")
+        assert "metadata_db" in out
+
+    def test_config_dump(self, tmp_path):
+        code, out = self._run(tmp_path, "config")
+        assert json.loads(out)["embedding"]["profile"] == "fixed_hash_384"

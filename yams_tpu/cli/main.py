@@ -1,0 +1,593 @@
+"""yams CLI: the reference's command surface (src/cli/commands/, 29 commands)
+rebuilt on the service layer.
+
+Commands hit the daemon over its socket when one is running (DaemonClient,
+like the reference's auto-connect), else run in-process against the data dir.
+"""
+
+from __future__ import annotations
+
+import dataclasses as _dc
+
+
+def _asdict(obj):
+    """dataclass (incl. slots=True) -> plain dict for serialization."""
+    if _dc.is_dataclass(obj):
+        return _dc.asdict(obj)
+    return dict(obj)
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+
+from ..core.config import load_config
+from ..core.errors import YamsError
+
+
+def _fmt_size(n: float) -> str:
+    for unit in ("B", "KB", "MB", "GB", "TB"):
+        if n < 1024:
+            return f"{n:.1f}{unit}"
+        n /= 1024
+    return f"{n:.1f}PB"
+
+
+class Cli:
+    """Lazily opens either a daemon client or an in-process AppContext."""
+
+    def __init__(self, args):
+        self.args = args
+        self.config = load_config(data_dir=args.storage)
+        self._app = None
+        self._client = None
+
+    @property
+    def app(self):
+        if self._app is None:
+            from ..services.app import AppContext
+
+            self._app = AppContext(self.config)
+        return self._app
+
+    def client_or_none(self):
+        """Daemon client when a live daemon is reachable, else None."""
+        if self.args.no_daemon:
+            return None
+        if self._client is None:
+            from ..daemon.client import DaemonClient
+
+            c = DaemonClient(self.config.socket_path)
+            if c.ping(timeout=1.0):
+                self._client = c
+        return self._client
+
+    def close(self):
+        if self._app is not None:
+            self._app.close()
+
+    def out(self, obj, text_fn=None):
+        if self.args.json:
+            print(json.dumps(obj, indent=2, default=str))
+        elif text_fn:
+            text_fn(obj)
+        else:
+            print(obj)
+
+
+# --- command implementations -------------------------------------------------
+
+def cmd_init(cli: Cli):
+    cli.config.data_dir.mkdir(parents=True, exist_ok=True)
+    app = cli.app  # constructing runs migrations + creates layout
+    cli.out(
+        {"initialized": str(cli.config.data_dir)},
+        lambda o: print(f"Initialized yams-tpu storage at {o['initialized']}"),
+    )
+    return 0
+
+
+def cmd_add(cli: Cli):
+    a = cli.args
+    tags = a.tags.split(",") if a.tags else []
+    meta = dict(kv.split("=", 1) for kv in (a.metadata or []))
+    results = []
+    for target in a.paths:
+        p = pathlib.Path(target)
+        if target == "-":
+            data = sys.stdin.buffer.read()
+            res = cli.app.documents.add_bytes(
+                data, a.name or "stdin", tags=tags, metadata=meta,
+                collection=a.collection or "",
+            )
+            results.append(res)
+        elif p.is_dir():
+            rep = cli.app.indexing.add_directory(
+                p, recursive=a.recursive, include=a.include.split(",") if a.include else None,
+                tags=tags, collection=a.collection or "", snapshot=a.snapshot,
+            )
+            cli.out(
+                _asdict(rep),
+                lambda o: print(
+                    f"added {o['files_added']} files "
+                    f"({_fmt_size(o['bytes_stored'])} stored, "
+                    f"{_fmt_size(o['bytes_deduped'])} deduped, "
+                    f"{o['files_skipped']} skipped, {o['files_failed']} failed)"
+                ),
+            )
+            continue
+        elif p.is_file():
+            res = cli.app.documents.add_file(
+                p, tags=tags, metadata=meta, collection=a.collection or ""
+            )
+            results.append(res)
+        else:
+            print(f"error: no such file: {target}", file=sys.stderr)
+            return 1
+    for res in results:
+        cli.out(
+            _asdict(res),
+            lambda o: print(f"{o['content_hash'][:16]}  {_fmt_size(o['bytes_stored'])} stored"
+                            f"  doc={o['document_id']}"),
+        )
+    return 0
+
+
+def cmd_get(cli: Cli):
+    doc = cli.app.documents.get(cli.args.selector)
+    cli.out(
+        _asdict(doc),
+        lambda o: print(
+            f"path: {o['file_path']}\nhash: {o['sha256_hash']}\n"
+            f"size: {_fmt_size(o['file_size'])}\nmime: {o['mime_type']}\n"
+            f"tags: {', '.join(o['tags'])}"
+        ),
+    )
+    return 0
+
+
+def cmd_cat(cli: Cli):
+    data = cli.app.documents.cat(cli.args.selector)
+    if hasattr(sys.stdout, "buffer"):
+        sys.stdout.buffer.write(data)
+    else:  # redirected stdout (tests)
+        sys.stdout.write(data.decode("utf-8", errors="replace"))
+    return 0
+
+
+def cmd_list(cli: Cli):
+    docs = cli.app.documents.list(
+        limit=cli.args.limit, offset=cli.args.offset, pattern=cli.args.pattern
+    )
+    def text(rows):
+        for d in rows:
+            print(f"{d['sha256_hash'][:12]}  {_fmt_size(d['file_size']):>9}  {d['file_path']}")
+    cli.out([_asdict(d) for d in docs], text)
+    return 0
+
+
+def cmd_delete(cli: Cli):
+    ok = all(cli.app.documents.delete(s) for s in cli.args.selectors)
+    if not ok:
+        print("some documents not found", file=sys.stderr)
+    return 0 if ok else 1
+
+
+def cmd_update(cli: Cli):
+    a = cli.args
+    meta = dict(kv.split("=", 1) for kv in (a.metadata or []))
+    doc = cli.app.documents.update_metadata(
+        a.selector, metadata=meta,
+        add_tags=a.add_tags.split(",") if a.add_tags else None,
+        remove_tags=a.remove_tags.split(",") if a.remove_tags else None,
+    )
+    cli.out(_asdict(doc), lambda o: print(f"updated {o['file_path']}"))
+    return 0
+
+
+def cmd_search(cli: Cli):
+    a = cli.args
+    client = cli.client_or_none()
+    if client:
+        resp = client.search(
+            a.query, limit=a.limit, search_type=a.type,
+            tags=a.tags.split(",") if a.tags else None, path_glob=a.path,
+        )
+        hits = resp["hits"]
+    else:
+        r = cli.app.search.search(
+            a.query, limit=a.limit, search_type=a.type,
+            tags=a.tags.split(",") if a.tags else None, path_glob=a.path,
+        )
+        hits = [_asdict(h) for h in r.hits]
+
+    def text(rows):
+        if not rows:
+            print("no results")
+            return
+        for i, h in enumerate(rows, 1):
+            print(f"{i:2}. [{h['score']:.3f}] {h['path']}")
+            if h.get("snippet") and not a.paths_only:
+                print(f"      {h['snippet']}")
+    if a.paths_only and not cli.args.json:
+        for h in hits:
+            print(h["path"])
+    else:
+        cli.out(hits, text)
+    return 0
+
+
+def cmd_grep(cli: Cli):
+    a = cli.args
+    res = cli.app.grep.grep(
+        a.pattern, ignore_case=a.ignore_case,
+        literal=True if a.fixed_strings else None,
+        path_glob=a.path, tags=a.tags.split(",") if a.tags else None,
+        max_matches=a.max_count,
+    )
+    def text(o):
+        for m in res.matches:
+            print(f"{m.path}:{m.line_number}:{m.line}")
+        if res.truncated:
+            print("... (truncated)", file=sys.stderr)
+    cli.out(
+        {"matches": [_asdict(m) for m in res.matches],
+         "files_searched": res.files_searched, "files_matched": res.files_matched},
+        text,
+    )
+    return 0 if res.matches else 1
+
+
+def cmd_status(cli: Cli):
+    client = cli.client_or_none()
+    if client:
+        snap = client.status(detailed=cli.args.detailed)
+        snap["daemon"] = "running"
+    else:
+        snap = cli.app.stats.snapshot(detailed=cli.args.detailed)
+        snap["daemon"] = "not running (in-process)"
+    def text(o):
+        print(f"yams-tpu {o['version']}  [{o['daemon']}]")
+        print(f"data dir:   {o['data_dir']}")
+        d = o["documents"]
+        print(f"documents:  {d['documents']} ({d['extracted']} extracted, "
+              f"{d['pending_embeddings']} pending embed)")
+        s = o["storage"]
+        print(f"storage:    {s.get('unique_blocks', 0)} blocks, "
+              f"{_fmt_size(s.get('unique_bytes', 0))} unique")
+        g = o["graph"]
+        print(f"graph:      {g['nodes']} nodes, {g['edges']} edges")
+        if "devices" in o:
+            print(f"devices:    {', '.join(o['devices'])}")
+    cli.out(snap, text)
+    return 0
+
+
+def cmd_stats(cli: Cli):
+    cli.args.detailed = True
+    return cmd_status(cli)
+
+
+def cmd_graph(cli: Cli):
+    a = cli.args
+    if a.graph_cmd == "explore":
+        out = cli.app.graph.explore(a.query, limit=a.limit)
+        def text(o):
+            for n in o["nodes"]:
+                print(f"node: {n['label']} ({n['type']})")
+                for nb in n["neighbors"][:10]:
+                    print(f"  -[{nb['relation']} {nb['weight']:.2f}]-> {nb['label']}")
+                for d in n["documents"][:5]:
+                    print(f"  doc: {d['path']} ({d['confidence']:.2f})")
+        cli.out(out, text)
+    elif a.graph_cmd == "related":
+        out = cli.app.graph.related(a.query, limit=a.limit)
+        cli.out(out, lambda o: [print(f"{r['support']:.2f}  {r['path']}") for r in o])
+    elif a.graph_cmd == "build":
+        n = cli.app.graph.index_pending()
+        cli.out({"indexed": n}, lambda o: print(f"indexed {o['indexed']} documents"))
+    else:
+        cli.out(cli.app.graph.stats())
+    return 0
+
+
+def cmd_session(cli: Cli):
+    a = cli.args
+    s = cli.app.sessions
+    if a.session_cmd == "list":
+        cli.out(s.list(), lambda o: [print(x) for x in o])
+    elif a.session_cmd == "create":
+        s.create(a.name)
+        print(f"created session {a.name}")
+    elif a.session_cmd == "pin":
+        s.pin(a.pattern, a.name)
+        print(f"pinned {a.pattern}")
+    elif a.session_cmd == "unpin":
+        s.unpin(a.pattern, a.name)
+    elif a.session_cmd == "warm":
+        n = s.warm(a.name)
+        print(f"warmed {n} documents")
+    elif a.session_cmd == "delete":
+        s.delete(a.name)
+    return 0
+
+
+def cmd_tree(cli: Cli):
+    prefix = cli.args.prefix or ""
+    rows = cli.app.metadata.path_tree_children(prefix)
+    def text(o):
+        for path, count in o:
+            print(f"{count:>6}  {path}")
+    cli.out(rows, text)
+    return 0
+
+
+def cmd_diff(cli: Cli):
+    from ..metadata.tree import TreeDiffer
+
+    a = cli.args
+    old = cli.app.trees.get_snapshot(a.snapshot_a)
+    new = cli.app.trees.get_snapshot(a.snapshot_b)
+    changes = TreeDiffer.diff(old, new)
+    def text(o):
+        sym = {"added": "+", "deleted": "-", "modified": "~", "renamed": ">"}
+        for c in changes:
+            if c.type == "renamed":
+                print(f"> {c.old_path} -> {c.path}")
+            else:
+                print(f"{sym[c.type]} {c.path}")
+    cli.out([_asdict(c) for c in changes], text)
+    return 0
+
+
+def cmd_snapshots(cli: Cli):
+    rows = cli.app.trees.list_snapshots()
+    cli.out(rows, lambda o: [print(f"{r['id']}  {r['label']}") for r in o])
+    return 0
+
+
+def cmd_repair(cli: Cli):
+    from ..services.repair_service import RepairService
+
+    svc = RepairService(cli.app)
+    ops = cli.args.ops.split(",") if cli.args.ops else None
+    report = svc.run(ops)
+    cli.out(report, lambda o: [print(f"{k}: {v}") for k, v in o.items()])
+    return 0
+
+
+def cmd_doctor(cli: Cli):
+    from ..services.repair_service import RepairService
+
+    report = RepairService(cli.app).doctor()
+    def text(o):
+        for check, (ok, detail) in o.items():
+            mark = "ok " if ok else "FAIL"
+            print(f"[{mark}] {check}: {detail}")
+    cli.out({k: list(v) for k, v in report.items()}, text)
+    return 0 if all(ok for ok, _ in report.values()) else 1
+
+
+def cmd_config(cli: Cli):
+    import dataclasses
+
+    def to_dict(o):
+        if dataclasses.is_dataclass(o):
+            return {f.name: to_dict(getattr(o, f.name)) for f in dataclasses.fields(o)}
+        if isinstance(o, pathlib.Path):
+            return str(o)
+        if isinstance(o, tuple):
+            return list(o)
+        return o
+    print(json.dumps(to_dict(cli.config), indent=2))
+    return 0
+
+
+def cmd_model(cli: Cli):
+    rows = cli.app.db.execute("SELECT * FROM vector_models").fetchall()
+    out = [
+        {"model_id": r["model_id"], "dim": r["dim"], "space_id": r["space_id"]}
+        for r in rows
+    ]
+    cli.out(out, lambda o: [print(f"{m['model_id']}  dim={m['dim']}  {m['space_id']}") for m in o])
+    return 0
+
+
+def cmd_daemon(cli: Cli):
+    from ..daemon.client import DaemonClient
+    from ..daemon.server import run_daemon, spawn_daemon
+
+    a = cli.args
+    if a.daemon_cmd == "start":
+        if DaemonClient(cli.config.socket_path).ping(timeout=0.5):
+            print("daemon already running")
+            return 0
+        if a.foreground:
+            run_daemon(cli.config)
+        else:
+            pid = spawn_daemon(cli.config)
+            print(f"daemon started (pid {pid})")
+        return 0
+    client = DaemonClient(cli.config.socket_path)
+    if a.daemon_cmd == "stop":
+        if client.ping(timeout=0.5):
+            client.shutdown()
+            print("daemon stopped")
+        else:
+            print("daemon not running")
+        return 0
+    if a.daemon_cmd == "status":
+        if client.ping(timeout=0.5):
+            print(json.dumps(client.status(), indent=2))
+            return 0
+        print("daemon not running")
+        return 1
+    if a.daemon_cmd == "restart":
+        if client.ping(timeout=0.5):
+            client.shutdown()
+        pid = spawn_daemon(cli.config)
+        print(f"daemon started (pid {pid})")
+        return 0
+    return 1
+
+
+def cmd_serve(cli: Cli):
+    from ..mcp.server import run_stdio_server
+
+    run_stdio_server(cli.app)
+    return 0
+
+
+def cmd_completion(cli: Cli):
+    shell = cli.args.shell
+    cmds = "add get cat list delete update search grep status stats graph session tree diff snapshots repair doctor config model daemon serve init completion"
+    if shell == "bash":
+        print(f'complete -W "{cmds}" yams')
+    elif shell == "zsh":
+        print(f'compdef _gnu_generic yams\n# commands: {cmds}')
+    else:
+        print(f"# supported: bash, zsh\n# commands: {cmds}")
+    return 0
+
+
+# --- parser ---------------------------------------------------------------------
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="yams",
+        description="yams-tpu: TPU-native content-addressed memory + hybrid search",
+    )
+    p.add_argument("--storage", help="data directory (default: $YAMS_TPU_STORAGE)")
+    p.add_argument("--json", action="store_true", help="JSON output")
+    p.add_argument("--no-daemon", action="store_true",
+                   help="never route through a running daemon")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("init", help="initialize storage").set_defaults(fn=cmd_init)
+
+    sp = sub.add_parser("add", help="add files or directories")
+    sp.add_argument("paths", nargs="+", help="files, directories, or - for stdin")
+    sp.add_argument("-r", "--recursive", action="store_true", default=True)
+    sp.add_argument("--name", help="name for stdin content")
+    sp.add_argument("--tags", help="comma-separated tags")
+    sp.add_argument("--metadata", action="append", help="key=value (repeatable)")
+    sp.add_argument("--collection", help="collection name")
+    sp.add_argument("--include", help="comma-separated include globs")
+    sp.add_argument("--snapshot", action="store_true", help="record a tree snapshot")
+    sp.set_defaults(fn=cmd_add)
+
+    sp = sub.add_parser("get", help="show document info")
+    sp.add_argument("selector", help="hash, hash prefix, path, or name")
+    sp.set_defaults(fn=cmd_get)
+
+    sp = sub.add_parser("cat", help="print document content")
+    sp.add_argument("selector")
+    sp.set_defaults(fn=cmd_cat)
+
+    sp = sub.add_parser("list", help="list documents")
+    sp.add_argument("--limit", type=int, default=50)
+    sp.add_argument("--offset", type=int, default=0)
+    sp.add_argument("--pattern", help="path glob")
+    sp.set_defaults(fn=cmd_list)
+
+    sp = sub.add_parser("delete", help="delete documents")
+    sp.add_argument("selectors", nargs="+")
+    sp.set_defaults(fn=cmd_delete)
+
+    sp = sub.add_parser("update", help="update tags/metadata")
+    sp.add_argument("selector")
+    sp.add_argument("--metadata", action="append")
+    sp.add_argument("--add-tags")
+    sp.add_argument("--remove-tags")
+    sp.set_defaults(fn=cmd_update)
+
+    sp = sub.add_parser("search", help="hybrid search")
+    sp.add_argument("query")
+    sp.add_argument("-n", "--limit", type=int, default=10)
+    sp.add_argument("--type", default="hybrid",
+                    choices=["hybrid", "semantic", "vector", "keyword", "fts"])
+    sp.add_argument("--tags")
+    sp.add_argument("--path", help="path glob filter")
+    sp.add_argument("--paths-only", action="store_true")
+    sp.set_defaults(fn=cmd_search)
+
+    sp = sub.add_parser("grep", help="regex search over content")
+    sp.add_argument("pattern")
+    sp.add_argument("-i", "--ignore-case", action="store_true")
+    sp.add_argument("-F", "--fixed-strings", action="store_true")
+    sp.add_argument("--path", help="path glob filter")
+    sp.add_argument("--tags")
+    sp.add_argument("-m", "--max-count", type=int, default=1000)
+    sp.set_defaults(fn=cmd_grep)
+
+    sp = sub.add_parser("status", help="system status")
+    sp.add_argument("-d", "--detailed", action="store_true")
+    sp.set_defaults(fn=cmd_status)
+    sub.add_parser("stats", help="detailed stats").set_defaults(fn=cmd_stats)
+
+    sp = sub.add_parser("graph", help="knowledge graph")
+    gsub = sp.add_subparsers(dest="graph_cmd", required=True)
+    g = gsub.add_parser("explore"); g.add_argument("query"); g.add_argument("--limit", type=int, default=25)
+    g = gsub.add_parser("related"); g.add_argument("query"); g.add_argument("--limit", type=int, default=20)
+    gsub.add_parser("build")
+    gsub.add_parser("stats")
+    sp.set_defaults(fn=cmd_graph)
+
+    sp = sub.add_parser("session", help="working sets")
+    ssub = sp.add_subparsers(dest="session_cmd", required=True)
+    ssub.add_parser("list")
+    s = ssub.add_parser("create"); s.add_argument("name")
+    s = ssub.add_parser("pin"); s.add_argument("pattern"); s.add_argument("--name")
+    s = ssub.add_parser("unpin"); s.add_argument("pattern"); s.add_argument("--name")
+    s = ssub.add_parser("warm"); s.add_argument("--name")
+    s = ssub.add_parser("delete"); s.add_argument("name")
+    sp.set_defaults(fn=cmd_session)
+
+    sp = sub.add_parser("tree", help="path tree browse")
+    sp.add_argument("prefix", nargs="?")
+    sp.set_defaults(fn=cmd_tree)
+
+    sp = sub.add_parser("diff", help="diff two tree snapshots")
+    sp.add_argument("snapshot_a")
+    sp.add_argument("snapshot_b")
+    sp.set_defaults(fn=cmd_diff)
+    sub.add_parser("snapshots", help="list tree snapshots").set_defaults(fn=cmd_snapshots)
+
+    sp = sub.add_parser("repair", help="run repair operations")
+    sp.add_argument("--ops", help="comma-separated op names (default: all)")
+    sp.set_defaults(fn=cmd_repair)
+    sub.add_parser("doctor", help="health checks").set_defaults(fn=cmd_doctor)
+
+    sub.add_parser("config", help="show effective config").set_defaults(fn=cmd_config)
+    sub.add_parser("model", help="list embedding models").set_defaults(fn=cmd_model)
+
+    sp = sub.add_parser("daemon", help="daemon control")
+    sp.add_argument("daemon_cmd", choices=["start", "stop", "status", "restart"])
+    sp.add_argument("--foreground", action="store_true")
+    sp.set_defaults(fn=cmd_daemon)
+
+    sub.add_parser("serve", help="MCP server over stdio").set_defaults(fn=cmd_serve)
+
+    sp = sub.add_parser("completion", help="shell completion")
+    sp.add_argument("shell", choices=["bash", "zsh"])
+    sp.set_defaults(fn=cmd_completion)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    cli = Cli(args)
+    try:
+        return args.fn(cli)
+    except YamsError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    except BrokenPipeError:
+        return 0
+    finally:
+        cli.close()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,4 @@
+from .client import DaemonClient
+from .protocol import FrameError, read_frame, write_frame
+
+__all__ = ["DaemonClient", "read_frame", "write_frame", "FrameError"]

@@ -1,0 +1,10 @@
+"""`python -m yams_tpu.daemon` — run the daemon in the foreground."""
+
+import sys
+
+from ..core.config import load_config
+from .server import run_daemon
+
+if __name__ == "__main__":
+    data_dir = sys.argv[1] if len(sys.argv) > 1 else None
+    run_daemon(load_config(data_dir=data_dir))

@@ -1,0 +1,116 @@
+"""Daemon IPC: length-framed, CRC-checked msgpack messages over AF_UNIX.
+
+Parity: include/yams/daemon/ipc/message_framing.h:34-114 — magic, version,
+CRC32, length framing; the reference's ~50 typed request structs
+(ipc_protocol_requests.h) become msgpack dicts {"id", "type", ...} with the
+same request-type vocabulary. Payloads above CHUNK_THRESHOLD stream as
+continuation frames (FLAG_MORE), mirroring the reference's chunked streaming
+responses.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import msgpack
+
+MAGIC = 0x59545044  # "YTPD"
+VERSION = 1
+HEADER = struct.Struct("<IBBHII")  # magic, version, flags, reserved, length, crc
+FLAG_MORE = 0x01  # continuation frame follows
+
+MAX_FRAME = 256 * 1024 * 1024
+CHUNK_SIZE = 4 * 1024 * 1024
+
+
+class FrameError(Exception):
+    pass
+
+
+def encode_frames(message: dict) -> bytes:
+    payload = msgpack.packb(message, use_bin_type=True)
+    out = bytearray()
+    offset = 0
+    while True:
+        chunk = payload[offset : offset + CHUNK_SIZE]
+        offset += len(chunk)
+        flags = FLAG_MORE if offset < len(payload) else 0
+        out += HEADER.pack(
+            MAGIC, VERSION, flags, 0, len(chunk), zlib.crc32(chunk) & 0xFFFFFFFF
+        )
+        out += chunk
+        if not flags:
+            break
+    return bytes(out)
+
+
+def decode_header(raw: bytes) -> tuple[int, int]:
+    """-> (payload length, flags); raises FrameError on a bad header."""
+    magic, version, flags, _, length, crc = HEADER.unpack(raw)
+    if magic != MAGIC:
+        raise FrameError(f"bad magic 0x{magic:08x}")
+    if version != VERSION:
+        raise FrameError(f"unsupported protocol version {version}")
+    if length > MAX_FRAME:
+        raise FrameError(f"frame too large: {length}")
+    return length, flags
+
+
+def check_crc(raw: bytes, payload: bytes) -> None:
+    crc = HEADER.unpack(raw)[5]
+    if zlib.crc32(payload) & 0xFFFFFFFF != crc:
+        raise FrameError("payload CRC mismatch")
+
+
+# -- blocking (client) ----------------------------------------------------------
+
+def write_frame(sock, message: dict) -> None:
+    sock.sendall(encode_frames(message))
+
+
+def _recv_exact(sock, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise FrameError("connection closed mid-frame")
+        buf += chunk
+    return bytes(buf)
+
+
+def read_frame(sock) -> dict:
+    payload = bytearray()
+    while True:
+        head = _recv_exact(sock, HEADER.size)
+        length, flags = decode_header(head)
+        part = _recv_exact(sock, length)
+        check_crc(head, part)
+        payload += part
+        if not (flags & FLAG_MORE):
+            break
+        if len(payload) > MAX_FRAME:
+            raise FrameError("stream too large")
+    return msgpack.unpackb(bytes(payload), raw=False)
+
+
+# -- asyncio (server) -------------------------------------------------------------
+
+async def async_read_frame(reader) -> dict:
+    payload = bytearray()
+    while True:
+        head = await reader.readexactly(HEADER.size)
+        length, flags = decode_header(head)
+        part = await reader.readexactly(length)
+        check_crc(head, part)
+        payload += part
+        if not (flags & FLAG_MORE):
+            break
+        if len(payload) > MAX_FRAME:
+            raise FrameError("stream too large")
+    return msgpack.unpackb(bytes(payload), raw=False)
+
+
+async def async_write_frame(writer, message: dict) -> None:
+    writer.write(encode_frames(message))
+    await writer.drain()

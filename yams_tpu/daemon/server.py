@@ -1,0 +1,316 @@
+"""YamsDaemon: asyncio AF_UNIX socket server over one AppContext.
+
+Parity: the reference's daemon stack (SURVEY §2.8) — SocketServer accept loop
+(src/daemon/components/SocketServer.cpp), RequestDispatcher handler table
+(RequestDispatcher.cpp DEFINE_REQUEST_HANDLER), lifecycle FSM
+(Unstarted->Initializing->Ready->Stopping, DaemonLifecycleFsm.h:11-35),
+periodic CheckpointManager ticks, and daemonized spawn. Request handlers run
+on a single worker thread (the engine's effective WriteCoordinator); the
+asyncio loop stays free for I/O.
+"""
+
+from __future__ import annotations
+
+import dataclasses as _dc
+
+
+def _asdict(obj):
+    """dataclass (incl. slots=True) -> plain dict for serialization."""
+    if _dc.is_dataclass(obj):
+        return _dc.asdict(obj)
+    return dict(obj)
+
+import asyncio
+import concurrent.futures
+import contextlib
+import os
+import pathlib
+import signal
+import subprocess
+import sys
+import time
+import traceback
+
+from ..core.config import Config
+from ..core.errors import ErrorCode, YamsError
+from .protocol import FrameError, async_read_frame, async_write_frame
+
+CHECKPOINT_INTERVAL_S = 300.0  # reference: CheckpointManager.h:38-63
+
+
+class DaemonState:
+    UNSTARTED = "unstarted"
+    INITIALIZING = "initializing"
+    READY = "ready"
+    STOPPING = "stopping"
+
+
+class YamsDaemon:
+    def __init__(self, config: Config):
+        self.config = config
+        self.state = DaemonState.UNSTARTED
+        self.app = None
+        self._server: asyncio.AbstractServer | None = None
+        self._stop = asyncio.Event()
+        self._started_at = time.time()
+        # single worker: serializes engine mutations (WriteCoordinator analog)
+        self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        self._requests_handled = 0
+
+    # -- lifecycle ----------------------------------------------------------------
+    async def start(self) -> None:
+        self.state = DaemonState.INITIALIZING
+        from ..services.app import AppContext
+
+        loop = asyncio.get_running_loop()
+        self.app = await loop.run_in_executor(self._pool, AppContext, self.config)
+        sock = self.config.socket_path
+        sock.parent.mkdir(parents=True, exist_ok=True)
+        if sock.exists():
+            sock.unlink()
+        self._server = await asyncio.start_unix_server(self._handle_conn, path=str(sock))
+        self.state = DaemonState.READY
+
+    async def run(self) -> None:
+        await self.start()
+        loop = asyncio.get_running_loop()
+        self._loop = loop
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            # RuntimeError/ValueError: not on the main thread (tests run the
+            # daemon loop on a background thread)
+            with contextlib.suppress(NotImplementedError, RuntimeError, ValueError):
+                loop.add_signal_handler(sig, self._stop.set)
+        checkpoint_task = asyncio.create_task(self._checkpoint_loop())
+        await self._stop.wait()
+        self.state = DaemonState.STOPPING
+        checkpoint_task.cancel()
+        self._server.close()
+        await self._server.wait_closed()
+        await loop.run_in_executor(self._pool, self.app.close)
+        with contextlib.suppress(FileNotFoundError):
+            self.config.socket_path.unlink()
+        self._pool.shutdown(wait=False)
+
+    async def _checkpoint_loop(self) -> None:
+        loop = asyncio.get_running_loop()
+        while True:
+            await asyncio.sleep(CHECKPOINT_INTERVAL_S)
+            with contextlib.suppress(Exception):
+                await loop.run_in_executor(self._pool, self.app.checkpoint)
+
+    # -- connection handling ---------------------------------------------------------
+    async def _handle_conn(self, reader, writer) -> None:
+        try:
+            while True:
+                try:
+                    req = await async_read_frame(reader)
+                except (asyncio.IncompleteReadError, FrameError, ConnectionError):
+                    break
+                resp = await self._dispatch(req)
+                resp["id"] = req.get("id")
+                try:
+                    await async_write_frame(writer, resp)
+                except ConnectionError:
+                    break
+        finally:
+            with contextlib.suppress(Exception):
+                writer.close()
+                await writer.wait_closed()
+
+    async def _dispatch(self, req: dict) -> dict:
+        rtype = req.get("type", "")
+        handler = getattr(self, f"handle_{rtype}", None)
+        if handler is None:
+            return {"ok": False, "error": f"unknown request type: {rtype}",
+                    "code": int(ErrorCode.INVALID_ARGUMENT)}
+        self._requests_handled += 1
+        loop = asyncio.get_running_loop()
+        try:
+            result = await loop.run_in_executor(self._pool, handler, req)
+            return {"ok": True, "result": result}
+        except YamsError as e:
+            return {"ok": False, "error": str(e), "code": int(e.code)}
+        except Exception as e:
+            traceback.print_exc()
+            return {"ok": False, "error": f"{type(e).__name__}: {e}",
+                    "code": int(ErrorCode.INTERNAL)}
+
+    # -- handlers (run on the worker thread) -------------------------------------------
+    def handle_ping(self, req):
+        return {"pong": True, "state": self.state}
+
+    def handle_status(self, req):
+        snap = self.app.stats.snapshot(detailed=req.get("detailed", False))
+        snap["state"] = self.state
+        snap["requests_handled"] = self._requests_handled
+        snap["daemon_uptime_s"] = round(time.time() - self._started_at, 1)
+        return snap
+
+    def handle_shutdown(self, req):
+        # runs on the worker thread; hop to the loop thread to set the event
+        self._loop.call_soon_threadsafe(self._stop.set)
+        return {"stopping": True}
+
+    def handle_search(self, req):
+        r = self.app.search.search(
+            req["query"],
+            limit=req.get("limit", 10),
+            search_type=req.get("search_type", "hybrid"),
+            tags=req.get("tags"),
+            path_glob=req.get("path_glob"),
+            collection=req.get("collection"),
+        )
+        return {
+            "hits": [_asdict(h) for h in r.hits],
+            "total": r.total,
+            "duration_ms": r.duration_ms,
+        }
+
+    def handle_grep(self, req):
+        r = self.app.grep.grep(
+            req["pattern"],
+            ignore_case=req.get("ignore_case", False),
+            literal=req.get("literal"),
+            tags=req.get("tags"),
+            path_glob=req.get("path_glob"),
+            max_matches=req.get("max_matches", 1000),
+        )
+        return {
+            "matches": [_asdict(m) for m in r.matches],
+            "files_searched": r.files_searched,
+            "files_matched": r.files_matched,
+            "truncated": r.truncated,
+        }
+
+    def handle_add_bytes(self, req):
+        res = self.app.documents.add_bytes(
+            req["data"], req["name"],
+            tags=req.get("tags"), metadata=req.get("metadata"),
+            mime_type=req.get("mime_type", ""),
+            collection=req.get("collection", ""),
+        )
+        return _asdict(res)
+
+    def handle_add_path(self, req):
+        p = pathlib.Path(req["path"])
+        if p.is_dir():
+            rep = self.app.indexing.add_directory(
+                p, recursive=req.get("recursive", True),
+                include=req.get("include"), exclude=req.get("exclude"),
+                tags=req.get("tags"), collection=req.get("collection", ""),
+                snapshot=req.get("snapshot", False),
+            )
+            return _asdict(rep)
+        res = self.app.documents.add_file(
+            p, tags=req.get("tags"), collection=req.get("collection", "")
+        )
+        return _asdict(res)
+
+    def handle_get(self, req):
+        doc = self.app.documents.get(req["selector"])
+        return _asdict(doc)
+
+    def handle_cat(self, req):
+        return {"data": self.app.documents.cat(req["selector"])}
+
+    def handle_get_text(self, req):
+        return {"text": self.app.documents.get_text(req["selector"])}
+
+    def handle_list(self, req):
+        docs = self.app.documents.list(
+            limit=req.get("limit", 100), offset=req.get("offset", 0),
+            pattern=req.get("pattern"),
+        )
+        return {"documents": [_asdict(d) for d in docs]}
+
+    def handle_delete(self, req):
+        return {"deleted": self.app.documents.delete(req["selector"])}
+
+    def handle_update(self, req):
+        doc = self.app.documents.update_metadata(
+            req["selector"], metadata=req.get("metadata"),
+            add_tags=req.get("add_tags"), remove_tags=req.get("remove_tags"),
+        )
+        return _asdict(doc)
+
+    def handle_graph_explore(self, req):
+        return self.app.graph.explore(req["query"], limit=req.get("limit", 25))
+
+    def handle_graph_related(self, req):
+        return {"related": self.app.graph.related(req["selector"],
+                                                  limit=req.get("limit", 20))}
+
+    def handle_embed(self, req):
+        vecs = self.app.search_engine.encoder.encode(req["texts"])
+        return {"vectors": [v.tolist() for v in vecs],
+                "dim": int(vecs.shape[1]) if len(vecs) else 0,
+                "model": self.app.config.embedding.profile}
+
+    def handle_session(self, req):
+        s = self.app.sessions
+        op = req["op"]
+        if op == "list":
+            return {"sessions": s.list()}
+        if op == "pin":
+            s.pin(req["pattern"], req.get("name"))
+        elif op == "unpin":
+            s.unpin(req["pattern"], req.get("name"))
+        elif op == "warm":
+            return {"warmed": s.warm(req.get("name"))}
+        elif op == "create":
+            s.create(req["name"])
+        elif op == "delete":
+            s.delete(req["name"])
+        return {"ok": True}
+
+    def handle_repair(self, req):
+        from ..services.repair_service import RepairService
+
+        return RepairService(self.app).run(req.get("ops"))
+
+    def handle_doctor(self, req):
+        from ..services.repair_service import RepairService
+
+        return {k: list(v) for k, v in RepairService(self.app).doctor().items()}
+
+    def handle_suggest_context(self, req):
+        return {"context": self.app.search.suggest_context(
+            req["query"], limit=req.get("limit", 5),
+            max_chars=req.get("max_chars", 4000))}
+
+    def handle_checkpoint(self, req):
+        self.app.checkpoint()
+        return {"checkpointed": True}
+
+
+def run_daemon(config: Config) -> None:
+    """Run the daemon in the foreground (blocking)."""
+    daemon = YamsDaemon(config)
+    asyncio.run(daemon.run())
+
+
+def spawn_daemon(config: Config) -> int:
+    """Start a detached daemon process; returns its pid.
+
+    Parity: DaemonClient auto-spawn (daemon_client.h) + daemonize
+    (daemon_main.cpp) — we use a detached subprocess instead of fork/setsid
+    so the JAX runtime initializes fresh in the child.
+    """
+    env = dict(os.environ)
+    env["YAMS_TPU_STORAGE"] = str(config.data_dir)
+    log = config.data_dir / "daemon.log"
+    config.data_dir.mkdir(parents=True, exist_ok=True)
+    with open(log, "ab") as logf:
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "yams_tpu.daemon"],
+            stdout=logf, stderr=logf, stdin=subprocess.DEVNULL,
+            start_new_session=True, env=env,
+            cwd=str(pathlib.Path(__file__).resolve().parents[2]),
+        )
+    (config.data_dir / "daemon.pid").write_text(str(proc.pid))
+    # wait for the socket to come up
+    for _ in range(100):
+        if config.socket_path.exists():
+            break
+        time.sleep(0.1)
+    return proc.pid

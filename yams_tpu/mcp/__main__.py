@@ -1,0 +1,21 @@
+"""`python -m yams_tpu.mcp` — MCP server over stdio (yams-mcp-server analog)."""
+
+import sys
+
+
+def main() -> int:
+    from ..core.config import load_config
+    from ..services.app import AppContext
+    from .server import run_stdio_server
+
+    data_dir = sys.argv[1] if len(sys.argv) > 1 else None
+    app = AppContext(load_config(data_dir=data_dir))
+    try:
+        run_stdio_server(app)
+    finally:
+        app.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,353 @@
+"""MCP server over stdio (JSON-RPC 2.0).
+
+Parity: src/mcp/ — MCPServer + StdioTransport + the tool registry
+(mcp_server_tool_registry.cpp:148-810): search, grep, list, add, get, update,
+delete_by_name, status, doctor, graph, session_pin/unpin/warm,
+suggest_context, list_collections, list_snapshots, cat, stats, repair,
+mcp.echo. JSON-RPC over line-delimited stdio (Content-Length framing also
+accepted on input).
+"""
+
+from __future__ import annotations
+
+import dataclasses as _dc
+
+
+def _asdict(obj):
+    """dataclass (incl. slots=True) -> plain dict for serialization."""
+    if _dc.is_dataclass(obj):
+        return _dc.asdict(obj)
+    return dict(obj)
+
+import json
+import sys
+from typing import Any, Callable
+
+from .. import __version__
+
+PROTOCOL_VERSION = "2024-11-05"
+
+
+def _tool(name: str, description: str, properties: dict, required: list[str] | None = None):
+    return {
+        "name": name,
+        "description": description,
+        "inputSchema": {
+            "type": "object",
+            "properties": properties,
+            "required": required or [],
+        },
+    }
+
+
+class MCPServer:
+    def __init__(self, app):
+        self.app = app
+        self._tools: dict[str, tuple[dict, Callable[[dict], Any]]] = {}
+        self._register_tools()
+        self.initialized = False
+
+    # -- tool registry -----------------------------------------------------------
+    def _register(self, spec: dict, fn: Callable[[dict], Any]) -> None:
+        self._tools[spec["name"]] = (spec, fn)
+
+    def _register_tools(self) -> None:
+        S = {"type": "string"}
+        I = {"type": "integer"}
+        B = {"type": "boolean"}
+        A = {"type": "array", "items": {"type": "string"}}
+
+        self._register(
+            _tool("search", "Hybrid (BM25 + vector + KG) search over indexed documents",
+                  {"query": S, "limit": I, "type": S, "tags": A, "path": S}, ["query"]),
+            self.t_search,
+        )
+        self._register(
+            _tool("grep", "Regex/literal search over document contents",
+                  {"pattern": S, "ignore_case": B, "path": S, "max_matches": I},
+                  ["pattern"]),
+            self.t_grep,
+        )
+        self._register(
+            _tool("list", "List indexed documents",
+                  {"limit": I, "offset": I, "pattern": S}),
+            self.t_list,
+        )
+        self._register(
+            _tool("add", "Add content (inline text or a local path) to the store",
+                  {"path": S, "content": S, "name": S, "tags": A, "collection": S}),
+            self.t_add,
+        )
+        self._register(
+            _tool("get", "Get document info and content by hash/path/name",
+                  {"selector": S, "include_content": B}, ["selector"]),
+            self.t_get,
+        )
+        self._register(
+            _tool("cat", "Return raw document text", {"selector": S}, ["selector"]),
+            self.t_cat,
+        )
+        self._register(
+            _tool("update", "Update tags/metadata on a document",
+                  {"selector": S, "metadata": {"type": "object"},
+                   "add_tags": A, "remove_tags": A}, ["selector"]),
+            self.t_update,
+        )
+        self._register(
+            _tool("delete_by_name", "Delete documents by name/path/hash",
+                  {"selector": S}, ["selector"]),
+            self.t_delete,
+        )
+        self._register(
+            _tool("status", "System status snapshot", {"detailed": B}), self.t_status
+        )
+        self._register(
+            _tool("doctor", "Run health checks", {}), self.t_doctor
+        )
+        self._register(
+            _tool("repair", "Run repair operations", {"ops": A}), self.t_repair
+        )
+        self._register(
+            _tool("graph", "Explore the knowledge graph around a term",
+                  {"query": S, "limit": I}, ["query"]),
+            self.t_graph,
+        )
+        self._register(
+            _tool("graph_related", "Documents related via shared entities",
+                  {"selector": S, "limit": I}, ["selector"]),
+            self.t_graph_related,
+        )
+        self._register(
+            _tool("session_pin", "Pin a path pattern into the active session",
+                  {"pattern": S, "session": S}, ["pattern"]),
+            self.t_session_pin,
+        )
+        self._register(
+            _tool("session_unpin", "Unpin a path pattern",
+                  {"pattern": S, "session": S}, ["pattern"]),
+            self.t_session_unpin,
+        )
+        self._register(
+            _tool("session_warm", "Warm (hotzone-boost) the session's pinned docs",
+                  {"session": S}),
+            self.t_session_warm,
+        )
+        self._register(
+            _tool("suggest_context", "Assemble retrieval context for an LLM prompt",
+                  {"query": S, "limit": I, "max_chars": I}, ["query"]),
+            self.t_suggest_context,
+        )
+        self._register(
+            _tool("list_collections", "List known collections", {}),
+            self.t_list_collections,
+        )
+        self._register(
+            _tool("list_snapshots", "List tree snapshots", {}), self.t_list_snapshots
+        )
+        self._register(_tool("mcp.echo", "Echo (connectivity test)", {"text": S}),
+                       lambda a: {"echo": a.get("text", "")})
+
+    # -- tool impls --------------------------------------------------------------------
+    def t_search(self, a):
+        r = self.app.search.search(
+            a["query"], limit=a.get("limit", 10),
+            search_type=a.get("type", "hybrid"), tags=a.get("tags"),
+            path_glob=a.get("path"),
+        )
+        return {
+            "hits": [_asdict(h) for h in r.hits],
+            "total": r.total, "duration_ms": round(r.duration_ms, 2),
+        }
+
+    def t_grep(self, a):
+        r = self.app.grep.grep(
+            a["pattern"], ignore_case=a.get("ignore_case", False),
+            path_glob=a.get("path"), max_matches=a.get("max_matches", 200),
+        )
+        return {
+            "matches": [
+                {"path": m.path, "line": m.line_number, "text": m.line}
+                for m in r.matches
+            ],
+            "files_matched": r.files_matched,
+        }
+
+    def t_list(self, a):
+        docs = self.app.documents.list(
+            limit=a.get("limit", 50), offset=a.get("offset", 0),
+            pattern=a.get("pattern"),
+        )
+        return {"documents": [
+            {"path": d.file_path, "hash": d.sha256_hash, "size": d.file_size,
+             "mime": d.mime_type} for d in docs
+        ]}
+
+    def t_add(self, a):
+        if a.get("content") is not None:
+            res = self.app.documents.add_bytes(
+                a["content"].encode(), a.get("name", "inline.txt"),
+                tags=a.get("tags"), collection=a.get("collection", ""),
+            )
+            return _asdict(res)
+        if a.get("path"):
+            import pathlib
+
+            p = pathlib.Path(a["path"])
+            if p.is_dir():
+                return _asdict(self.app.indexing.add_directory(
+                    p, tags=a.get("tags"), collection=a.get("collection", "")
+                ))
+            return _asdict(self.app.documents.add_file(
+                p, tags=a.get("tags"), collection=a.get("collection", "")
+            ))
+        raise ValueError("add requires 'content' or 'path'")
+
+    def t_get(self, a):
+        doc = self.app.documents.get(a["selector"])
+        out = _asdict(doc)
+        if a.get("include_content"):
+            try:
+                out["content"] = self.app.documents.get_text(a["selector"])
+            except Exception:
+                out["content"] = None
+        return out
+
+    def t_cat(self, a):
+        return {"text": self.app.documents.get_text(a["selector"])}
+
+    def t_update(self, a):
+        doc = self.app.documents.update_metadata(
+            a["selector"], metadata=a.get("metadata"),
+            add_tags=a.get("add_tags"), remove_tags=a.get("remove_tags"),
+        )
+        return _asdict(doc)
+
+    def t_delete(self, a):
+        return {"deleted": self.app.documents.delete(a["selector"])}
+
+    def t_status(self, a):
+        return self.app.stats.snapshot(detailed=a.get("detailed", False))
+
+    def t_doctor(self, a):
+        from ..services.repair_service import RepairService
+
+        return {k: {"ok": ok, "detail": d}
+                for k, (ok, d) in RepairService(self.app).doctor().items()}
+
+    def t_repair(self, a):
+        from ..services.repair_service import RepairService
+
+        return RepairService(self.app).run(a.get("ops"))
+
+    def t_graph(self, a):
+        return self.app.graph.explore(a["query"], limit=a.get("limit", 25))
+
+    def t_graph_related(self, a):
+        return {"related": self.app.graph.related(a["selector"],
+                                                  limit=a.get("limit", 20))}
+
+    def t_session_pin(self, a):
+        self.app.sessions.pin(a["pattern"], a.get("session"))
+        return {"pinned": a["pattern"]}
+
+    def t_session_unpin(self, a):
+        self.app.sessions.unpin(a["pattern"], a.get("session"))
+        return {"unpinned": a["pattern"]}
+
+    def t_session_warm(self, a):
+        return {"warmed": self.app.sessions.warm(a.get("session"))}
+
+    def t_suggest_context(self, a):
+        return {"context": self.app.search.suggest_context(
+            a["query"], limit=a.get("limit", 5), max_chars=a.get("max_chars", 4000))}
+
+    def t_list_collections(self, a):
+        rows = self.app.db.execute(
+            "SELECT DISTINCT value FROM metadata WHERE key='collection'"
+        ).fetchall()
+        return {"collections": [r[0] for r in rows if r[0]]}
+
+    def t_list_snapshots(self, a):
+        return {"snapshots": self.app.trees.list_snapshots()}
+
+    # -- JSON-RPC ------------------------------------------------------------------------
+    def handle_message(self, msg: dict) -> dict | None:
+        method = msg.get("method", "")
+        msg_id = msg.get("id")
+        params = msg.get("params") or {}
+
+        def reply(result):
+            return {"jsonrpc": "2.0", "id": msg_id, "result": result}
+
+        def error(code, text):
+            return {"jsonrpc": "2.0", "id": msg_id,
+                    "error": {"code": code, "message": text}}
+
+        if method == "initialize":
+            self.initialized = True
+            return reply({
+                "protocolVersion": params.get("protocolVersion", PROTOCOL_VERSION),
+                "capabilities": {"tools": {"listChanged": False}},
+                "serverInfo": {"name": "yams-tpu", "version": __version__},
+            })
+        if method in ("notifications/initialized", "initialized"):
+            return None
+        if method == "ping":
+            return reply({})
+        if method == "tools/list":
+            return reply({"tools": [spec for spec, _ in self._tools.values()]})
+        if method == "tools/call":
+            name = params.get("name", "")
+            args = params.get("arguments") or {}
+            entry = self._tools.get(name)
+            if entry is None:
+                return error(-32601, f"unknown tool: {name}")
+            try:
+                result = entry[1](args)
+                return reply({
+                    "content": [
+                        {"type": "text",
+                         "text": json.dumps(result, default=str, indent=1)}
+                    ],
+                    "isError": False,
+                })
+            except Exception as e:
+                return reply({
+                    "content": [{"type": "text", "text": f"{type(e).__name__}: {e}"}],
+                    "isError": True,
+                })
+        if msg_id is None:
+            return None  # unknown notification: ignore
+        return error(-32601, f"unknown method: {method}")
+
+
+def run_stdio_server(app, stdin=None, stdout=None) -> None:
+    """Blocking stdio loop: newline-delimited JSON, Content-Length framed input
+    also accepted (both appear in the wild for MCP stdio transports)."""
+    stdin = stdin or sys.stdin
+    stdout = stdout or sys.stdout
+    server = MCPServer(app)
+    while True:
+        line = stdin.readline()
+        if not line:
+            break
+        line = line.strip()
+        if not line:
+            continue
+        if line.lower().startswith("content-length:"):
+            length = int(line.split(":", 1)[1])
+            while True:  # consume the rest of the headers
+                h = stdin.readline()
+                if not h.strip():
+                    break
+            body = stdin.read(length)
+        else:
+            body = line
+        try:
+            msg = json.loads(body)
+        except json.JSONDecodeError:
+            continue
+        resp = server.handle_message(msg)
+        if resp is not None:
+            stdout.write(json.dumps(resp, default=str) + "\n")
+            stdout.flush()

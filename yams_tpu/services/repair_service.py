@@ -1,0 +1,205 @@
+"""RepairService: on-demand repair operations + doctor health checks.
+
+Parity: include/yams/daemon/components/RepairService.h:193-207 — the
+reference's 13 ops (StuckDocuments, Orphans, Mime, Downloads, PathTree,
+Dedupe, Chunks, BlockReferences, Graph, Fts5, Embeddings, Topology, Optimize)
+mapped onto this architecture; Downloads/Dedupe are no-ops pending the
+downloader subsystem.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+
+class RepairService:
+    OPS = (
+        "stuck_documents", "orphans", "mime", "path_tree", "chunks",
+        "block_references", "graph", "fts5", "embeddings", "topology",
+        "optimize",
+    )
+
+    def __init__(self, app):
+        self.app = app
+
+    def run(self, ops: list[str] | None = None) -> dict:
+        report: dict[str, str] = {}
+        for op in ops or self.OPS:
+            fn = getattr(self, f"repair_{op}", None)
+            if fn is None:
+                report[op] = "unknown op"
+                continue
+            try:
+                report[op] = fn()
+            except Exception as e:
+                report[op] = f"failed: {e}"
+        return report
+
+    # -- individual ops ---------------------------------------------------------
+    def repair_stuck_documents(self) -> str:
+        """Re-extract docs stuck in 'pending' extraction."""
+        from ..ingest.detection import detect_mime
+        from .extraction import extract_text
+
+        rows = self.app.db.execute(
+            "SELECT id, sha256_hash, file_path FROM documents"
+            " WHERE extraction_status = 'pending'"
+        ).fetchall()
+        fixed = 0
+        for r in rows:
+            try:
+                data = self.app.content_store.retrieve_bytes(r["sha256_hash"])
+            except Exception:
+                continue
+            mime = detect_mime(data[:512], r["file_path"])
+            got = extract_text(data, mime)
+            if got:
+                self.app.metadata.set_content(r["id"], got[0], got[1] or r["file_path"])
+            else:
+                self.app.db.execute(
+                    "UPDATE documents SET extraction_status='skipped' WHERE id=?",
+                    (r["id"],),
+                )
+                self.app.db.conn.commit()
+            fixed += 1
+        return f"{fixed} processed"
+
+    def repair_orphans(self) -> str:
+        orphans = self.app.content_store.gc.orphan_scan()
+        for h in orphans:
+            self.app.content_store.engine.remove(h)
+        stats = self.app.content_store.gc.collect()
+        return f"{len(orphans)} orphan blocks removed, {stats.blocks_deleted} GC'd"
+
+    def repair_mime(self) -> str:
+        from ..ingest.detection import detect_mime
+
+        rows = self.app.db.execute(
+            "SELECT id, sha256_hash, file_path, mime_type FROM documents"
+        ).fetchall()
+        fixed = 0
+        for r in rows:
+            try:
+                head = next(self.app.content_store.retrieve_stream(r["sha256_hash"]))
+            except Exception:
+                continue
+            mime = detect_mime(head[:512], r["file_path"])
+            if mime != r["mime_type"]:
+                self.app.db.execute(
+                    "UPDATE documents SET mime_type=? WHERE id=?", (mime, r["id"])
+                )
+                self.app.db.conn.commit()
+                fixed += 1
+        return f"{fixed} corrected"
+
+    def repair_path_tree(self) -> str:
+        with self.app.db.lock, self.app.db.conn:
+            self.app.db.conn.execute("DELETE FROM path_tree_nodes")
+            rows = self.app.db.conn.execute("SELECT file_path FROM documents").fetchall()
+            for (path,) in rows:
+                self.app.metadata._upsert_path_tree_tx(path)
+        return f"rebuilt from {len(rows)} documents"
+
+    def repair_chunks(self) -> str:
+        report = self.app.content_store.verifier.verify_all()
+        n = self.app.content_store.verifier.quarantine_corrupted(report)
+        return (f"{report.scanned} scanned, {len(report.corrupted)} corrupted"
+                f" ({n} quarantined), {len(report.missing)} missing")
+
+    def repair_block_references(self) -> str:
+        """Recompute refcounts from manifests (ground truth)."""
+        rc = self.app.content_store.refcounter
+        want: dict[str, int] = {}
+        sizes: dict[str, int] = {}
+        for m in rc.iter_manifests():
+            for c in m.chunks:
+                want[c.hash] = want.get(c.hash, 0) + 1
+                sizes[c.hash] = c.size
+        fixed = 0
+        with rc._lock, rc._conn:
+            rc._conn.execute("DELETE FROM block_references")
+            import time as _t
+
+            now = _t.time()
+            rc._conn.executemany(
+                "INSERT INTO block_references VALUES (?,?,?,?,?)",
+                [(h, n, sizes[h], now, now) for h, n in want.items()],
+            )
+            fixed = len(want)
+        return f"{fixed} block refcounts rebuilt"
+
+    def repair_graph(self) -> str:
+        n = self.app.graph.index_pending()
+        return f"{n} documents graphed"
+
+    def repair_fts5(self) -> str:
+        rows = self.app.db.execute(
+            "SELECT document_id, content_text FROM document_content"
+        ).fetchall()
+        with self.app.db.lock, self.app.db.conn:
+            self.app.db.conn.execute("DELETE FROM documents_fts")
+            for r in rows:
+                doc = self.app.db.conn.execute(
+                    "SELECT file_name FROM documents WHERE id=?", (r["document_id"],)
+                ).fetchone()
+                self.app.db.conn.execute(
+                    "INSERT INTO documents_fts (rowid, title, content) VALUES (?,?,?)",
+                    (r["document_id"], doc[0] if doc else "", r["content_text"]),
+                )
+        return f"{len(rows)} documents re-indexed"
+
+    def repair_embeddings(self) -> str:
+        n = self.app.indexing.reindex_pending()
+        return f"{n} documents embedded"
+
+    def repair_topology(self) -> str:
+        from ..index.topology import TopologyEngine
+
+        vi = self.app.search_engine.vector_index
+        if vi.active_rows == 0:
+            return "no vectors"
+        eng = TopologyEngine()
+        art = eng.build(vi._vecs, vi._valid)
+        self.app.search_engine.topology = eng
+        return f"{len(art.centroids)} clusters over {vi.active_rows} rows"
+
+    def repair_optimize(self) -> str:
+        self.app.db.vacuum()
+        self.app.checkpoint()
+        return "vacuumed + checkpointed"
+
+    # -- doctor -------------------------------------------------------------------
+    def doctor(self) -> dict[str, tuple[bool, str]]:
+        app = self.app
+        checks: dict[str, tuple[bool, str]] = {}
+        checks["metadata_db"] = (
+            app.db.integrity_check(), str(app.config.metadata_db)
+        )
+        storage_ok = pathlib.Path(app.config.storage_dir).is_dir()
+        checks["storage_dir"] = (storage_ok, str(app.config.storage_dir))
+        n_docs = app.metadata.document_count()
+        n_indexed = app.search_engine.stats()["documents"]
+        checks["index_coverage"] = (
+            True, f"{n_indexed}/{n_docs} documents in device index"
+        )
+        from .. import native
+
+        checks["native_lib"] = (
+            native.get_native() is not None,
+            "C++ fastcdc/scan library",
+        )
+        try:
+            import jax
+
+            devs = jax.devices()
+            checks["device"] = (len(devs) > 0, str(devs[0]) if devs else "none")
+        except Exception as e:
+            checks["device"] = (False, str(e))
+        pending = len(app.metadata.docs_pending_embedding())
+        checks["embeddings"] = (pending == 0, f"{pending} pending")
+        report = app.content_store.verifier.verify_all(limit=64)
+        checks["block_integrity"] = (
+            not report.corrupted and not report.missing,
+            f"{report.ok}/{report.scanned} ok",
+        )
+        return checks

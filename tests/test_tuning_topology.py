@@ -1,0 +1,125 @@
+"""Tests for SearchTuner (MAB), topology routing policies, tracing, rerank hook."""
+
+import numpy as np
+import pytest
+
+from yams_tpu.core.config import EmbeddingConfig, LexicalIndexConfig, VectorIndexConfig
+from yams_tpu.search import SearchEngine, SearchEngineConfig
+from yams_tpu.search.tuner import DEFAULT_ARMS, SearchTuner, corpus_profile
+
+EMB = EmbeddingConfig(dim=64, sketch_dim=512)
+VEC = VectorIndexConfig(dim=64, capacity=256, block_rows=128)
+LEX = LexicalIndexConfig(postings_window=64)
+
+
+def make_engine(policy="off", tuner=None):
+    eng = SearchEngine(
+        config=SearchEngineConfig(batch_pad=4, topology_policy=policy),
+        embedding=EMB, vector=VEC, lexical=LEX,
+    )
+    eng.tuner = tuner
+    rng = np.random.default_rng(0)
+    vocab = [
+        ["kernel", "driver", "mutex", "thread", "interrupt"],
+        ["tomato", "basil", "pasta", "olive", "pepper"],
+        ["tensor", "matrix", "gradient", "batch", "layer"],
+    ]
+    for i in range(45):
+        words = rng.choice(vocab[i % 3], size=20)
+        eng.add_document(i, " ".join(words))
+    return eng
+
+
+class TestTuner:
+    def test_ucb_explores_then_exploits(self):
+        t = SearchTuner()
+        # first len(arms) selections cover every arm
+        seen = set()
+        for _ in range(len(DEFAULT_ARMS)):
+            idx, _ = t.select("p")
+            seen.add(idx)
+            t.record_reward(1.0 if idx == 2 else 0.0, "p", arm_index=idx)
+        assert seen == set(range(len(DEFAULT_ARMS)))
+        # keep rewarding arm 2 only; it should dominate selections
+        wins = 0
+        for _ in range(60):
+            idx, _ = t.select("p")
+            t.record_reward(1.0 if idx == 2 else 0.0, "p", arm_index=idx)
+            wins += idx == 2
+        assert wins > 30
+
+    def test_state_persistence(self, tmp_path):
+        p = tmp_path / "tuner.json"
+        t = SearchTuner(state_path=p)
+        t.select("x")
+        t.record_reward(1.0, "x")
+        t2 = SearchTuner(state_path=p)
+        assert t2.snapshot()["stats"]["x"][0]["pulls"] >= 1
+
+    def test_rrf_clamps(self):
+        from yams_tpu.search.tuner import Arm
+
+        cfg = SearchEngineConfig()
+        out = Arm("wild", 0.5, 0.5, 0.5, 500).apply(cfg)
+        assert out.rrf_k == 80
+        out = Arm("tiny", 0.5, 0.5, 0.5, 1).apply(cfg)
+        assert out.rrf_k == 8
+
+    def test_profiles(self):
+        assert corpus_profile(10) == "small"
+        assert corpus_profile(50_000) == "medium"
+        assert corpus_profile(10**6) == "large"
+
+    def test_engine_uses_tuner(self):
+        eng = make_engine(tuner=SearchTuner())
+        eng.search("kernel mutex", k=3)
+        assert eng.last_trace.get("tuner_arm") in {a.name for a in DEFAULT_ARMS}
+        eng.record_feedback(0, relevant=True)
+        snap = eng.tuner.snapshot()
+        assert any(s["pulls"] for p in snap["stats"].values() for s in p)
+
+
+class TestTopologyRouting:
+    def test_narrow_restricts_and_still_finds(self):
+        eng = make_engine(policy="narrow")
+        eng.rebuild_topology()
+        assert eng.topology is not None
+        res = eng.search("tomato basil pasta", k=5, mode="vector")
+        assert res, "narrow routing must still return in-cluster docs"
+        assert all(r.doc_id % 3 == 1 for r in res[:3])
+        assert eng._stats["topology_routes"] > 0
+
+    def test_shadow_records_agreement(self):
+        eng = make_engine(policy="shadow")
+        eng.rebuild_topology()
+        eng.search("kernel mutex thread", k=5)
+        assert "shadow_agreement" in eng.last_trace
+        assert 0.0 <= eng._stats["topology_shadow_agree"] <= 1.0
+
+    def test_off_policy_no_routing(self):
+        eng = make_engine(policy="off")
+        eng.rebuild_topology()
+        eng.search("kernel", k=3)
+        assert eng._stats["topology_routes"] == 0
+
+
+class TestTraceAndRerank:
+    def test_stage_trace_populated(self):
+        eng = make_engine()
+        eng.search("gradient matrix", k=3)
+        t = eng.last_trace
+        assert t["stages"]["host_prep_ms"] >= 0
+        assert t["stages"]["device_ms"] > 0
+        assert t["total_ms"] >= t["stages"]["device_ms"]
+
+    def test_cross_reranker_hook(self):
+        eng = make_engine()
+        flipped = []
+
+        def rerank(query, results):
+            flipped.append(True)
+            return list(reversed(results))
+
+        eng.cross_reranker = rerank
+        eng.search("kernel thread", k=3)
+        assert flipped

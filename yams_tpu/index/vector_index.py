@@ -160,6 +160,61 @@ class VectorIndex:
     def slots_of_rows(self, rows: np.ndarray) -> np.ndarray:
         return self._slots[np.asarray(rows, dtype=np.int64)]
 
+    # -- PQ-ADC compressed path (reference default engine: SimeonPqAdc) ----------
+    def build_pq(
+        self, m: int = 32, train_limit: int = 4096, rerank_factor: int = 2
+    ) -> None:
+        """Train codebooks on current rows + encode everything.
+
+        Mirrors the reference's dirty rebuild: call again after bulk inserts
+        (device_arrays() staleness applies the same way).
+        """
+        from ..ops.pq import pq_encode, pq_train
+
+        with self._lock:
+            active = self._vecs[: max(self._count, 1)]
+            self._pq_codebook = pq_train(active, m=m, train_limit=train_limit)
+            codes = np.asarray(pq_encode(self._pq_codebook, self._vecs))
+            self._pq_codes = codes  # (cap, m) uint8, full capacity
+            self._pq_rerank_factor = rerank_factor
+            self._pq_device = None
+
+    @property
+    def has_pq(self) -> bool:
+        return getattr(self, "_pq_codebook", None) is not None
+
+    def _pq_arrays(self):
+        import jax.numpy as jnp
+
+        with self._lock:
+            if getattr(self, "_pq_device", None) is None:
+                self._pq_device = (
+                    jnp.asarray(self._pq_codes),
+                    self._pq_codebook.centroids,
+                )
+            return self._pq_device
+
+    def search_pq(self, queries: np.ndarray, k: int = 10):
+        """ADC scan + exact rerank x rerank_factor -> (values, row indices)."""
+        import jax.numpy as jnp
+
+        from ..ops.pq import exact_rerank, pq_adc_topk
+
+        if not self.has_pq:
+            raise RuntimeError("call build_pq() first")
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        codes, centroids = self._pq_arrays()
+        E, valid, _ = self.device_arrays()
+        block = self.block_rows  # always divides capacity
+        c = min(k * self._pq_rerank_factor, self.capacity)
+        av, ai = pq_adc_topk(
+            jnp.asarray(q), codes, centroids, valid, k=c, block_rows=block
+        )
+        vals, idx = exact_rerank(jnp.asarray(q), E, ai, -1e29, k=min(k, c))
+        return np.asarray(vals), np.asarray(idx)
+
     # -- persistence -----------------------------------------------------------------
     def save(self, directory: str | pathlib.Path) -> None:
         d = pathlib.Path(directory)

@@ -1,0 +1,161 @@
+"""Product quantization: train / encode / ADC scan / exact rerank.
+
+Rebuilds the reference's SimeonPqAdc backend (include/yams/vector/
+sqlite_vec_backend.h:52-68 — m=32 subquantizers x 256 centroids, train limit
+4096, ADC scan + exact rerank factor 2) TPU-first:
+
+  - train: per-subspace k-means where every assignment step is one batched
+    matmul over all m subspaces at once (vmapped Lloyd iterations on the MXU).
+  - encode: nearest-centroid per subspace, again a batched matmul + argmax.
+  - ADC scan: inner-product ADC (vectors are L2-normalized so IP == cosine).
+    The per-code LUT gather is expressed as a blocked one-hot einsum — the
+    TPU-native formulation of "LUT gather" (compare-to-iota on the VPU, then
+    a tiny contraction on the MXU) instead of scalar gathers.
+  - rerank: ADC top-(k*factor) candidates rescored exactly against the bf16
+    matrix (the reference reranks from raw floats for the same reason:
+    m=32 ADC alone has ~50% recall@10, sqlite_vec_backend.h:52-59).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class PQCodebook:
+    centroids: jax.Array  # (m, ksub, dsub) f32
+    m: int
+    ksub: int
+    dsub: int
+
+    @property
+    def dim(self) -> int:
+        return self.m * self.dsub
+
+
+def _split(x: jax.Array, m: int) -> jax.Array:
+    """(n, D) -> (m, n, dsub)"""
+    n, D = x.shape
+    return jnp.transpose(x.reshape(n, m, D // m), (1, 0, 2))
+
+
+@functools.partial(jax.jit, static_argnames=("m", "ksub", "iters"))
+def _train_jit(sample: jax.Array, seed: int, *, m: int, ksub: int, iters: int):
+    n, D = sample.shape
+    dsub = D // m
+    sub = _split(sample, m)  # (m, n, dsub)
+    key = jax.random.PRNGKey(seed)
+    init_idx = jax.random.choice(key, n, (m, ksub), replace=True)
+    cent = jax.vmap(lambda s, i: s[i])(sub, init_idx)  # (m, ksub, dsub)
+
+    def step(cent, _):
+        # assignment: L2 == argmax(ip - 0.5*||c||^2) per subspace
+        cnorm = 0.5 * jnp.sum(cent * cent, axis=-1)            # (m, ksub)
+        ip = jnp.einsum("mnd,mkd->mnk", sub, cent,
+                        preferred_element_type=jnp.float32)
+        assign = jnp.argmax(ip - cnorm[:, None, :], axis=-1)   # (m, n)
+        onehot = jax.nn.one_hot(assign, ksub, dtype=jnp.float32)  # (m, n, ksub)
+        sums = jnp.einsum("mnk,mnd->mkd", onehot, sub)
+        counts = jnp.sum(onehot, axis=1)                       # (m, ksub)
+        new = jnp.where(counts[..., None] > 0,
+                        sums / jnp.maximum(counts[..., None], 1.0), cent)
+        return new, None
+
+    cent, _ = jax.lax.scan(step, cent, None, length=iters)
+    return cent
+
+
+def pq_train(
+    vectors: np.ndarray, m: int = 32, ksub: int = 256,
+    train_limit: int = 4096, iters: int = 10, seed: int = 0,
+) -> PQCodebook:
+    n, D = vectors.shape
+    assert D % m == 0, f"dim {D} not divisible by m={m}"
+    if n > train_limit:
+        rng = np.random.default_rng(seed)
+        vectors = vectors[rng.choice(n, train_limit, replace=False)]
+    ksub = min(ksub, max(len(vectors), 2))
+    cent = _train_jit(jnp.asarray(vectors, jnp.float32), seed,
+                      m=m, ksub=ksub, iters=iters)
+    return PQCodebook(centroids=cent, m=m, ksub=ksub, dsub=D // m)
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _encode_jit(vectors: jax.Array, centroids: jax.Array, *, m: int):
+    sub = _split(vectors, m)                                   # (m, n, dsub)
+    cnorm = 0.5 * jnp.sum(centroids * centroids, axis=-1)      # (m, ksub)
+    ip = jnp.einsum("mnd,mkd->mnk", sub, centroids,
+                    preferred_element_type=jnp.float32)
+    return jnp.argmax(ip - cnorm[:, None, :], axis=-1).astype(jnp.uint8).T  # (n, m)
+
+
+def pq_encode(codebook: PQCodebook, vectors: np.ndarray | jax.Array) -> jax.Array:
+    return _encode_jit(jnp.asarray(vectors, jnp.float32), codebook.centroids,
+                       m=codebook.m)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_rows"))
+def pq_adc_topk(
+    queries: jax.Array,    # (B, D) f32
+    codes: jax.Array,      # (N, m) uint8, N % block_rows == 0
+    centroids: jax.Array,  # (m, ksub, dsub) f32
+    valid: jax.Array,      # (N,) f32
+    k: int,
+    block_rows: int = 8192,
+) -> tuple[jax.Array, jax.Array]:
+    """ADC scan -> approximate top-k. IP-ADC: score = sum_m lut[m, code]."""
+    B, D = queries.shape
+    N, m = codes.shape
+    ksub = centroids.shape[1]
+    qsub = _split(queries, m)  # (m, B, dsub)
+    lut = jnp.einsum("mbd,mkd->bmk", qsub, centroids,
+                     preferred_element_type=jnp.float32)  # (B, m, ksub)
+    G = N // block_rows
+    blocks = codes.reshape(G, block_rows, m)
+    masks = valid.reshape(G, block_rows)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ksub), 2)
+
+    init = (jnp.full((B, k), -1e30, jnp.float32), jnp.full((B, k), -1, jnp.int32))
+
+    def step(carry, inp):
+        vals, idx = carry
+        block, mask, g = inp
+        onehot = (block[:, :, None].astype(jnp.int32) == iota).astype(jnp.bfloat16)
+        s = jnp.einsum("bmk,nmk->bn", lut.astype(jnp.bfloat16), onehot,
+                       preferred_element_type=jnp.float32)
+        s = s + (mask - 1.0)[None, :] * 1e30
+        local = jax.lax.broadcasted_iota(jnp.int32, (B, block_rows), 1)
+        cat_v = jnp.concatenate([vals, s], axis=1)
+        cat_i = jnp.concatenate([idx, local + g * block_rows], axis=1)
+        new_v, pos = jax.lax.top_k(cat_v, k)
+        return (new_v, jnp.take_along_axis(cat_i, pos, axis=1)), None
+
+    (vals, idx), _ = jax.lax.scan(
+        step, init, (blocks, masks, jnp.arange(G, dtype=jnp.int32))
+    )
+    return vals, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def exact_rerank(
+    queries: jax.Array,   # (B, D) f32
+    E: jax.Array,         # (rows, D) bf16 — full-precision matrix
+    cand_idx: jax.Array,  # (B, C) i32 — ADC candidates
+    cand_valid_floor: float,
+    k: int,
+):
+    """Gather candidates, rescore exactly, top-k (rerank_factor pattern)."""
+    def per_query(q, idx):
+        vecs = E[jnp.maximum(idx, 0)]                       # (C, D)
+        s = jnp.dot(vecs.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        s = jnp.where(idx >= 0, s, -1e30)
+        v, pos = jax.lax.top_k(s, k)
+        return v, idx[pos]
+
+    return jax.vmap(per_query)(queries, cand_idx)

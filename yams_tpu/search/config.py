@@ -36,6 +36,11 @@ class SearchEngineConfig:
     # (search_engine_config.h:296-320)
     vector_only_penalty: float = 0.85
 
+    # topology routing (reference: Narrow/Augment/Shadow policies,
+    # search_engine_config.h:140-166; Shadow is the product default)
+    topology_policy: str = "shadow"   # off | narrow | augment | shadow
+    topology_top_clusters: int = 4
+
     # query batch padding (keeps jit cache small)
     batch_pad: int = 8
     max_k: int = 100

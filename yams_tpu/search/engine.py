@@ -10,6 +10,9 @@ tokenizes/sketches queries, manages doc-slot identity, applies KG/tag boosts
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
+import sys
 import threading
 import time
 
@@ -62,13 +65,20 @@ class SearchEngine:
         )
         self.lexical_index = LexicalIndex(lexical)
         self.kg = kg_store
+        self.topology = None       # TopologyEngine, built via rebuild_topology()
+        self.tuner = None          # SearchTuner, opt-in
+        self.cross_reranker = None  # optional callable(query, [SearchResult]) -> list
+        self.last_trace: dict | None = None
         # doc identity: external doc_id <-> dense slot
         self._slot_by_doc: dict[int, int] = {}
         self._doc_by_slot: list[int] = []
         self._titles: dict[int, str] = {}
         self._hot: dict[int, float] = {}
         self._lock = threading.RLock()
-        self._stats = {"searches": 0, "total_ms": 0.0, "documents": 0}
+        self._stats = {
+            "searches": 0, "total_ms": 0.0, "documents": 0,
+            "topology_routes": 0, "topology_shadow_agree": 0.0,
+        }
 
     # -- identity -----------------------------------------------------------------
     def _slot_for(self, doc_id: int) -> int:
@@ -124,6 +134,43 @@ class SearchEngine:
         with self._lock:
             self._hot[doc_id] = self._hot.get(doc_id, 0.0) + boost
 
+    # -- topology (reference: TopologyManager + topology_routing_session) ---------
+    def rebuild_topology(self, iters: int = 8) -> None:
+        from ..index.topology import TopologyEngine
+
+        vi = self.vector_index
+        if vi.active_rows == 0:
+            return
+        eng = TopologyEngine(iters=iters)
+        eng.build(vi._vecs, vi._valid, epoch=self._stats["searches"])
+        self.topology = eng
+
+    def _routed_slot_mask(self, query_vec: np.ndarray, num_slots: int) -> np.ndarray:
+        """Topology route -> slot-level scan mask (cluster members only)."""
+        row_mask = self.topology.routed_row_mask(
+            query_vec, top_clusters=self.config.topology_top_clusters,
+            policy="narrow",
+        )
+        slots = self.vector_index._slots
+        mask = np.zeros(num_slots, np.float32)
+        routed_slots = np.unique(slots[: len(row_mask)][row_mask > 0])
+        routed_slots = routed_slots[(routed_slots >= 0) & (routed_slots < num_slots)]
+        mask[routed_slots] = 1.0
+        return mask
+
+    # -- tuner feedback ------------------------------------------------------------
+    def record_feedback(self, doc_id: int, relevant: bool = True) -> None:
+        """Click/relevance feedback: rewards the bandit + hotzone."""
+        if relevant:
+            self.touch_hot(doc_id, 1.0)
+        if self.tuner is not None:
+            from .tuner import corpus_profile
+
+            self.tuner.record_reward(
+                1.0 if relevant else 0.0,
+                profile=corpus_profile(len(self._slot_by_doc)),
+            )
+
     # -- search ---------------------------------------------------------------------
     def search(
         self,
@@ -142,9 +189,18 @@ class SearchEngine:
         filter_doc_ids: set[int] | None = None,
     ) -> list[list[SearchResult]]:
         t0 = time.monotonic()
+        trace: dict = {"query_count": len(queries), "mode": mode, "stages": {}}
         if not self._doc_by_slot:
             return [[] for _ in queries]
         cfg = self.config
+        tuner_profile = None
+        if self.tuner is not None and mode == "hybrid":
+            from .tuner import corpus_profile
+
+            tuner_profile = corpus_profile(len(self._slot_by_doc))
+            _, arm = self.tuner.select(tuner_profile)
+            cfg = arm.apply(cfg)
+            trace["tuner_arm"] = arm.name
         Nd = self.num_slots_padded
         B_real = len(queries)
         B = max(cfg.batch_pad, _round_pow2(B_real, floor=cfg.batch_pad))
@@ -160,6 +216,7 @@ class SearchEngine:
         for i, qtext in enumerate(queries):
             ids, m = self.lexical_index.query_term_ids(qtext)
             tids[i], tmask[i] = ids, m
+        trace["stages"]["host_prep_ms"] = (time.monotonic() - t0) * 1e3
 
         # weights per mode (zero a leg rather than recompile)
         import jax.numpy as jnp
@@ -173,15 +230,35 @@ class SearchEngine:
         E, row_valid, row2slot = self.vector_index.device_arrays()
         bm = self.lexical_index.device_arrays(Nd)
 
-        doc_mask = np.zeros(Nd, np.float32)
+        base_mask = np.zeros(Nd, np.float32)
         n_used = len(self._doc_by_slot)
         if filter_doc_ids is None:
-            doc_mask[:n_used] = 1.0
+            base_mask[:n_used] = 1.0
         else:
             for d in filter_doc_ids:
                 s = self._slot_by_doc.get(d)
                 if s is not None:
-                    doc_mask[s] = 1.0
+                    base_mask[s] = 1.0
+
+        # topology routing (reference: topology_routing_session.cpp):
+        # narrow -> per-query scan masks; shadow -> counterfactual masks kept
+        # for agreement stats; augment/off -> full scan
+        policy = cfg.topology_policy if self.topology is not None else "off"
+        shadow_masks: list[np.ndarray] | None = None
+        doc_mask: np.ndarray = base_mask
+        if policy in ("narrow", "shadow") and mode != "keyword":
+            t_r = time.monotonic()
+            qvecs = self.encoder.encode(queries)
+            routed = [self._routed_slot_mask(qv, Nd) for qv in qvecs]
+            self._stats["topology_routes"] += len(routed)
+            if policy == "narrow":
+                per_q = np.stack(
+                    routed + [base_mask] * (B - B_real)
+                ) * base_mask[None, :]
+                doc_mask = per_q.astype(np.float32)
+            else:
+                shadow_masks = routed
+            trace["stages"]["topology_route_ms"] = (time.monotonic() - t_r) * 1e3
 
         hot = np.zeros(Nd, np.float32)
         for d, h in self._hot.items():
@@ -189,6 +266,7 @@ class SearchEngine:
             if s is not None:
                 hot[s] = h / (1.0 + h)
 
+        t_dev = time.monotonic()
         vals, slots, bm_at, vec_at = hybrid_query(
             jnp.asarray(sketches), jnp.asarray(tids), jnp.asarray(tmask),
             self.encoder.projection_matrix(),
@@ -205,6 +283,24 @@ class SearchEngine:
         slots = np.asarray(slots)[:B_real]
         bm_at = np.asarray(bm_at)[:B_real]
         vec_at = np.asarray(vec_at)[:B_real]
+        trace["stages"]["device_ms"] = (time.monotonic() - t_dev) * 1e3
+
+        # shadow policy: measure how often narrow routing would have agreed
+        if shadow_masks is not None:
+            agree = []
+            for i in range(B_real):
+                top = [int(s) for s, v in zip(slots[i], vals[i]) if v > -1e29][:k]
+                if top:
+                    agree.append(
+                        sum(shadow_masks[i][s] > 0 for s in top) / len(top)
+                    )
+            if agree:
+                prev = self._stats["topology_shadow_agree"]
+                cur = float(np.mean(agree))
+                self._stats["topology_shadow_agree"] = (
+                    0.9 * prev + 0.1 * cur if self._stats["searches"] else cur
+                )
+                trace["shadow_agreement"] = cur
 
         out: list[list[SearchResult]] = []
         for i, qtext in enumerate(queries):
@@ -229,9 +325,19 @@ class SearchEngine:
                     )
                 )
             results.sort(key=lambda r: -r.score)
+            if self.cross_reranker is not None and mode == "hybrid":
+                # optional cross-encoder hook (reference: setCrossReranker,
+                # search_engine.h:78 / cross_rerank.cpp)
+                results = self.cross_reranker(qtext, results[: k * 2])
             out.append(results[:k])
         self._stats["searches"] += len(queries)
         self._stats["total_ms"] += (time.monotonic() - t0) * 1e3
+        trace["total_ms"] = (time.monotonic() - t0) * 1e3
+        self.last_trace = trace
+        if os.environ.get("YAMS_SEARCH_STAGE_TRACE"):
+            # structured per-stage trace (reference: search_tracing.cpp,
+            # env YAMS_SEARCH_STAGE_TRACE)
+            print(json.dumps(trace), file=sys.stderr)
         return out
 
     def _kg_scores(self, query: str) -> dict[int, float]:

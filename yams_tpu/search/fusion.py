@@ -67,7 +67,7 @@ def hybrid_query(
     postings_impact: jax.Array,
     term_offsets: jax.Array,
     term_lengths: jax.Array,
-    doc_mask: jax.Array,    # (num_slots,) f32 — candidate filter pushdown
+    doc_mask: jax.Array,    # (num_slots,) or (B, num_slots) f32 — filter pushdown
     hot: jax.Array,         # (num_slots,) f32 in [0,1] — hotzone boosts
     weights: jax.Array,     # (NUM_WEIGHTS,) f32
     *,
@@ -111,8 +111,11 @@ def hybrid_query(
     else:  # max (default)
         agg = lambda s: jax.ops.segment_max(s, seg, num_segments=num_slots + 1)
         sdoc = jax.vmap(agg)(srow)[:, :num_slots]
-    # filter pushdown before selection so filtered queries still fill C
-    sdoc_m = sdoc + (doc_mask - 1.0)[None, :] * 1e30
+    # filter pushdown before selection so filtered queries still fill C;
+    # doc_mask may be shared (Nd,) or per-query (B, Nd) — topology narrow
+    # routing and per-query filters use the latter
+    dm = doc_mask if doc_mask.ndim == 2 else doc_mask[None, :]
+    sdoc_m = sdoc + (dm - 1.0) * 1e30
     if approx:
         vv, vi = jax.lax.approx_max_k(sdoc_m, C)
     else:
@@ -129,7 +132,10 @@ def hybrid_query(
     ranks = jnp.arange(C, dtype=jnp.float32)[None, :]
     rrf = 1.0 / (weights[W_RRF_K] + ranks + 1.0)
 
-    bm_ok = (bm_scores > 0) & (bm_ids < sink) & (doc_mask[jnp.minimum(bm_ids, sink - 1)] > 0) \
+    B = bm_ids.shape[0]
+    dm_b = jnp.broadcast_to(dm, (B, dm.shape[1]))
+    dm_at_bm = jnp.take_along_axis(dm_b, jnp.minimum(bm_ids, sink - 1), axis=1)
+    bm_ok = (bm_scores > 0) & (bm_ids < sink) & (dm_at_bm > 0) \
         & (weights[W_TEXT] > 0)
     bm_norm = jnp.clip(bm_scores / jnp.maximum(weights[W_BM25_DIV], 1e-6), 0.0, 1.0)
     val_bm = jnp.where(

@@ -1,0 +1,126 @@
+"""Tests for embedding providers, the neural encoder, and the batcher."""
+
+import numpy as np
+import pytest
+
+from yams_tpu.core.config import EmbeddingConfig, LexicalIndexConfig, VectorIndexConfig
+from yams_tpu.embed.batcher import DynamicBatcher, estimate_tokens
+from yams_tpu.embed.provider import (
+    MockProvider,
+    NeuralProvider,
+    SimeonProvider,
+    create_provider,
+    list_providers,
+    register_provider,
+)
+from yams_tpu.search import SearchEngine, SearchEngineConfig
+
+
+class TestRegistry:
+    def test_known_providers(self):
+        assert {"simeon", "mock", "neural"} <= set(list_providers())
+
+    def test_create_and_custom(self):
+        p = create_provider("mock", dim=32)
+        assert p.dim == 32
+
+        class Custom(MockProvider):
+            name = "custom"
+
+        register_provider("custom", Custom)
+        assert create_provider("custom").name == "custom"
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError):
+            create_provider("nope")
+
+
+class TestMockProvider:
+    def test_deterministic(self):
+        p = MockProvider(dim=64)
+        a = p.encode(["same text"])
+        b = p.encode(["same text"])
+        np.testing.assert_array_equal(a, b)
+        assert not np.allclose(a, p.encode(["different"]))
+
+    def test_normalized(self):
+        v = MockProvider(dim=64).encode(["x", "y"])
+        np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-5)
+
+
+class TestNeuralEncoder:
+    def test_encode_shapes_and_determinism(self):
+        p = NeuralProvider(dim=64)
+        p.encoder.num_layers = 2
+        p.encoder.num_heads = 4
+        v1 = p.encode(["a small test sentence", "another one"])
+        assert v1.shape == (2, 64)
+        np.testing.assert_allclose(np.linalg.norm(v1, axis=1), 1.0, atol=1e-2)
+        v2 = p.encode(["a small test sentence", "another one"])
+        np.testing.assert_allclose(v1, v2, atol=1e-5)
+
+    def test_bucketing_consistency(self):
+        """Same text embeds the same regardless of batch-mate lengths."""
+        p = NeuralProvider(dim=64)
+        p.encoder.num_layers = 2
+        p.encoder.num_heads = 4
+        alone = p.encode(["short text"])[0]
+        with_long = p.encode(["short text", "word " * 100])[0]
+        np.testing.assert_allclose(alone, with_long, atol=2e-2)
+
+    def test_empty(self):
+        p = NeuralProvider(dim=64)
+        assert p.encode([]).shape == (0, 64)
+
+
+class TestEngineWithProviders:
+    @pytest.mark.parametrize("provider_name", ["mock", "simeon"])
+    def test_engine_pluggable(self, provider_name):
+        if provider_name == "simeon":
+            provider = SimeonProvider(EmbeddingConfig(dim=64, sketch_dim=512))
+        else:
+            provider = MockProvider(dim=64)
+        eng = SearchEngine(
+            config=SearchEngineConfig(batch_pad=4),
+            vector=VectorIndexConfig(dim=64, capacity=256, block_rows=128),
+            lexical=LexicalIndexConfig(postings_window=64),
+            provider=provider,
+        )
+        eng.add_document(1, "alpha beta gamma content")
+        eng.add_document(2, "totally different words")
+        res = eng.search("alpha beta", k=2)
+        assert res and res[0].doc_id == 1  # lexical leg carries mock provider
+
+    def test_mock_vector_self_retrieval(self):
+        """With deterministic mock vectors, a doc's own text retrieves itself."""
+        eng = SearchEngine(
+            config=SearchEngineConfig(batch_pad=4),
+            vector=VectorIndexConfig(dim=64, capacity=256, block_rows=128),
+            lexical=LexicalIndexConfig(postings_window=64),
+            provider=MockProvider(dim=64),
+        )
+        eng.add_document(1, "first document body")
+        eng.add_document(2, "second document body")
+        res = eng.search("first document body", k=1, mode="vector")
+        assert res[0].doc_id == 1
+
+
+class TestBatcher:
+    def test_token_budget(self):
+        b = DynamicBatcher(max_tokens=100, max_items=10)
+        texts = ["x" * 80] * 10  # 20 tokens each
+        batches = list(b.batches(texts))
+        assert all(
+            sum(estimate_tokens(t) for t in batch) <= 100 for batch in batches
+        )
+        assert sum(len(x) for x in batches) == 10
+
+    def test_max_items(self):
+        b = DynamicBatcher(max_tokens=10**9, max_items=3)
+        batches = list(b.batches(list("abcdefg")))
+        assert [len(x) for x in batches] == [3, 3, 1]
+
+    def test_single_oversized(self):
+        b = DynamicBatcher(max_tokens=10)
+        batches = list(b.batches(["y" * 1000]))
+        assert len(batches) == 1

@@ -241,7 +241,7 @@ class YamsDaemon:
                                                   limit=req.get("limit", 20))}
 
     def handle_embed(self, req):
-        vecs = self.app.search_engine.encoder.encode(req["texts"])
+        vecs = self.app.search_engine.provider.encode(req["texts"])
         return {"vectors": [v.tolist() for v in vecs],
                 "dim": int(vecs.shape[1]) if len(vecs) else 0,
                 "model": self.app.config.embedding.profile}

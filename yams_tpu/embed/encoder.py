@@ -1,0 +1,158 @@
+"""Flax transformer sentence encoder (MiniLM-class architecture).
+
+The TPU-native replacement for the reference's ONNX Runtime model provider
+(plugins/onnx/ — MiniLM-class sentence encoders): a BERT-style encoder in
+flax with mean pooling + L2 norm, jitted once, padded/bucketed batches for
+static shapes. Weights: seeded random by default (functional dense space for
+pipeline tests); `load_npz()` accepts converted pretrained checkpoints with
+the parameter tree this module defines.
+
+Tokenization is hash-based (word -> stable id in a fixed vocab space): with
+random weights any consistent tokenizer is equivalent, and converted
+checkpoints ship their own vocab hash-mapped at conversion time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .simeon import _hash_token_cached, tokenize
+
+VOCAB_SIZE = 32768
+PAD_ID = 0
+CLS_ID = 1
+
+
+class NeuralEncoder:
+    def __init__(
+        self,
+        dim: int = 384,
+        num_layers: int = 6,
+        num_heads: int = 12,
+        mlp_ratio: int = 4,
+        max_len: int = 256,
+        seed: int = 0,
+        weights_path: str | None = None,
+    ):
+        self.dim = dim
+        self.num_layers = num_layers
+        self.num_heads = num_heads
+        self.mlp_ratio = mlp_ratio
+        self.max_len = max_len
+        self.seed = seed
+        self._params = None
+        self._apply = None
+        self._weights_path = weights_path
+
+    @property
+    def space_id(self) -> str:
+        return f"neural/d{self.dim}/L{self.num_layers}/seed{self.seed}/v1"
+
+    # -- model -----------------------------------------------------------------
+    def _build(self):
+        if self._apply is not None:
+            return
+        import flax.linen as nn
+        import jax
+        import jax.numpy as jnp
+
+        dim, heads, layers, ratio = (
+            self.dim, self.num_heads, self.num_layers, self.mlp_ratio
+        )
+
+        class Block(nn.Module):
+            @nn.compact
+            def __call__(self, x, mask):
+                # pre-LN transformer block; attention mask is (B, 1, 1, T)
+                h = nn.LayerNorm()(x)
+                h = nn.MultiHeadDotProductAttention(
+                    num_heads=heads, qkv_features=dim, dtype=jnp.bfloat16
+                )(h, h, mask=mask)
+                x = x + h
+                h = nn.LayerNorm()(x)
+                h = nn.Dense(dim * ratio, dtype=jnp.bfloat16)(h)
+                h = nn.gelu(h)
+                h = nn.Dense(dim, dtype=jnp.bfloat16)(h)
+                return x + h
+
+        class Encoder(nn.Module):
+            @nn.compact
+            def __call__(self, ids, attn):
+                x = nn.Embed(VOCAB_SIZE, dim, dtype=jnp.bfloat16)(ids)
+                pos = nn.Embed(self_max_len, dim, dtype=jnp.bfloat16)(
+                    jnp.arange(ids.shape[1])[None, :]
+                )
+                x = x + pos
+                mask = attn[:, None, None, :] > 0
+                for _ in range(layers):
+                    x = Block()(x, mask)
+                x = nn.LayerNorm()(x)
+                # masked mean pooling
+                w = attn[:, :, None]
+                pooled = jnp.sum(x * w, axis=1) / jnp.maximum(
+                    jnp.sum(w, axis=1), 1e-6
+                )
+                pooled = pooled.astype(jnp.float32)
+                return pooled / jnp.maximum(
+                    jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-9
+                )
+
+        self_max_len = self.max_len
+        model = Encoder()
+        key = jax.random.PRNGKey(self.seed)
+        dummy = (
+            jnp.zeros((1, self.max_len), jnp.int32),
+            jnp.ones((1, self.max_len), jnp.float32),
+        )
+        self._params = model.init(key, *dummy)
+        if self._weights_path:
+            self.load_npz(self._weights_path)
+        self._apply = jax.jit(model.apply)
+
+    def load_npz(self, path: str) -> None:
+        """Load a converted checkpoint (flat 'a/b/c' -> array npz)."""
+        import jax
+
+        data = np.load(path)
+        flat = dict(data)
+        params = jax.tree_util.tree_map(lambda x: x, self._params)
+
+        def set_path(tree, keys, value):
+            for k in keys[:-1]:
+                tree = tree[k]
+            tree[keys[-1]] = value
+
+        import flax
+
+        unfrozen = flax.core.unfreeze(params) if hasattr(flax.core, "unfreeze") else params
+        for name, arr in flat.items():
+            set_path(unfrozen, name.split("/"), arr)
+        self._params = unfrozen
+
+    # -- tokenization -------------------------------------------------------------
+    def _token_ids(self, text: str) -> list[int]:
+        ids = [CLS_ID]
+        for tok in tokenize(text, self.max_len - 1):
+            ids.append(2 + (_hash_token_cached(tok) % (VOCAB_SIZE - 2)))
+        return ids[: self.max_len]
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        b = 16
+        while b < n:
+            b *= 2
+        return b
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dim), np.float32)
+        self._build()
+        id_lists = [self._token_ids(t) for t in texts]
+        T = self._bucket(min(max(len(x) for x in id_lists), self.max_len))
+        B = len(texts)
+        ids = np.full((B, T), PAD_ID, np.int32)
+        attn = np.zeros((B, T), np.float32)
+        for i, lst in enumerate(id_lists):
+            ids[i, : len(lst)] = lst
+            attn[i, : len(lst)] = 1.0
+        return np.asarray(self._apply(self._params, ids, attn), np.float32)

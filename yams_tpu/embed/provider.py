@@ -1,0 +1,160 @@
+"""Embedding provider registry + providers.
+
+Parity: include/yams/vector/embedding_generator.h:21-27 (backends Daemon/
+Hybrid/Simeon/OnnxRuntime), src/vector/embedding_provider_registry.cpp, and
+src/daemon/resource/mock_model_provider.cpp (deterministic fake embeddings so
+retrieval-logic tests never need a model — SURVEY §4 lesson (d)).
+
+Every provider exposes:
+  encode(texts) -> (B, dim) float32, L2-normalized
+  query_device_inputs(texts) -> (sketch (B, S), proj (S, dim) bf16)
+    — what the fused hybrid program consumes: Simeon passes raw sketches +
+    its projection matrix (embedding happens inside the XLA program); dense
+    neural providers pass final vectors + an identity projection, so the same
+    jitted program serves every backend.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Protocol
+
+import numpy as np
+
+from ..core.config import EmbeddingConfig
+from .simeon import SimeonEncoder, sketch_texts
+
+
+class EmbeddingProvider(Protocol):
+    name: str
+
+    @property
+    def dim(self) -> int: ...
+
+    @property
+    def space_id(self) -> str: ...
+
+    def encode(self, texts: list[str]) -> np.ndarray: ...
+
+    def query_device_inputs(self, texts: list[str]): ...
+
+
+class SimeonProvider:
+    """Default model-free provider (fixed_hash_384 profile)."""
+
+    name = "simeon"
+
+    def __init__(self, config: EmbeddingConfig | None = None):
+        self.encoder = SimeonEncoder(config)
+
+    @property
+    def dim(self) -> int:
+        return self.encoder.dim
+
+    @property
+    def space_id(self) -> str:
+        return self.encoder.space_id
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        return self.encoder.encode(texts)
+
+    def query_device_inputs(self, texts: list[str]):
+        return (
+            sketch_texts(texts, self.encoder.config),
+            self.encoder.projection_matrix(),
+        )
+
+
+class MockProvider:
+    """Deterministic fake embeddings (reference: mock_model_provider.cpp:17).
+
+    Vectors are seeded from a digest of the text, so equal text -> equal
+    vector, and similarity structure is random — exactly what logic tests
+    want (they assert plumbing, not semantics).
+    """
+
+    name = "mock"
+
+    def __init__(self, dim: int = 384):
+        self._dim = dim
+
+    @property
+    def dim(self) -> int:
+        return self._dim
+
+    @property
+    def space_id(self) -> str:
+        return f"mock/d{self._dim}/v1"
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self._dim), np.float32)
+        for i, t in enumerate(texts):
+            seed = int.from_bytes(
+                hashlib.sha256(t.encode()).digest()[:8], "little"
+            )
+            rng = np.random.default_rng(seed)
+            v = rng.standard_normal(self._dim).astype(np.float32)
+            out[i] = v / max(np.linalg.norm(v), 1e-9)
+        return out
+
+    def query_device_inputs(self, texts: list[str]):
+        import jax.numpy as jnp
+
+        return self.encode(texts), jnp.eye(self._dim, dtype=jnp.bfloat16)
+
+
+class NeuralProvider:
+    """JAX transformer encoder (the reference's ONNX-plugin analog).
+
+    Runs the flax encoder in embed.encoder; with local pretrained weights it
+    produces real sentence embeddings, otherwise a seeded random init gives a
+    functional (if semantically weak) dense space for pipeline testing.
+    """
+
+    name = "neural"
+
+    def __init__(self, dim: int = 384, weights_path: str | None = None,
+                 max_len: int = 256):
+        from .encoder import NeuralEncoder
+
+        self.encoder = NeuralEncoder(dim=dim, weights_path=weights_path,
+                                     max_len=max_len)
+
+    @property
+    def dim(self) -> int:
+        return self.encoder.dim
+
+    @property
+    def space_id(self) -> str:
+        return self.encoder.space_id
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        return self.encoder.encode(texts)
+
+    def query_device_inputs(self, texts: list[str]):
+        import jax.numpy as jnp
+
+        return self.encode(texts), jnp.eye(self.dim, dtype=jnp.bfloat16)
+
+
+_REGISTRY: dict[str, Callable[..., EmbeddingProvider]] = {
+    "simeon": SimeonProvider,
+    "mock": MockProvider,
+    "neural": NeuralProvider,
+}
+
+
+def register_provider(name: str, factory: Callable[..., EmbeddingProvider]) -> None:
+    _REGISTRY[name] = factory
+
+
+def create_provider(name: str, **kw) -> EmbeddingProvider:
+    try:
+        return _REGISTRY[name](**kw)
+    except KeyError:
+        raise ValueError(f"unknown embedding provider: {name!r}; "
+                         f"known: {sorted(_REGISTRY)}")
+
+
+def list_providers() -> list[str]:
+    return sorted(_REGISTRY)

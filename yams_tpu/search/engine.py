@@ -53,15 +53,20 @@ class SearchEngine:
         vector: VectorIndexConfig | None = None,
         lexical: LexicalIndexConfig | None = None,
         kg_store=None,
+        provider=None,
     ):
+        from ..embed.provider import SimeonProvider
+
         self.config = config or SearchEngineConfig()
-        self.encoder = SimeonEncoder(embedding)
-        vcfg = vector or VectorIndexConfig(dim=self.encoder.dim)
+        self.provider = provider or SimeonProvider(embedding)
+        # kept for Simeon-specific call sites (sketch config, projection)
+        self.encoder = getattr(self.provider, "encoder", None) or SimeonEncoder(embedding)
+        vcfg = vector or VectorIndexConfig(dim=self.provider.dim)
         self.vector_index = VectorIndex(
-            dim=self.encoder.dim,
+            dim=self.provider.dim,
             capacity=vcfg.capacity,
             block_rows=vcfg.block_rows,
-            space_id=self.encoder.space_id,
+            space_id=self.provider.space_id,
         )
         self.lexical_index = LexicalIndex(lexical)
         self.kg = kg_store
@@ -115,7 +120,7 @@ class SearchEngine:
             texts = [title] + texts
         if not texts:
             return 0
-        vecs = self.encoder.encode(texts)
+        vecs = self.provider.encode(texts)
         self.vector_index.add(vecs, [slot] * len(vecs))
         self._stats["documents"] = len(self._slot_by_doc)
         return len(texts)
@@ -209,8 +214,8 @@ class SearchEngine:
         k_dev = min(max(k * 2, cfg.rrf_candidates), 2 * rrf_c)  # host-leg headroom
 
         # host query prep
-        sketches = sketch_texts(queries, self.encoder.config)
-        sketches = np.pad(sketches, ((0, B - B_real), (0, 0)))
+        sketches, proj = self.provider.query_device_inputs(queries)
+        sketches = np.pad(np.asarray(sketches), ((0, B - B_real), (0, 0)))
         tids = np.zeros((B, self.lexical_index.config.max_query_terms), np.int32)
         tmask = np.zeros_like(tids, dtype=np.float32)
         for i, qtext in enumerate(queries):
@@ -248,7 +253,7 @@ class SearchEngine:
         doc_mask: np.ndarray = base_mask
         if policy in ("narrow", "shadow") and mode != "keyword":
             t_r = time.monotonic()
-            qvecs = self.encoder.encode(queries)
+            qvecs = self.provider.encode(queries)
             routed = [self._routed_slot_mask(qv, Nd) for qv in qvecs]
             self._stats["topology_routes"] += len(routed)
             if policy == "narrow":
@@ -269,7 +274,7 @@ class SearchEngine:
         t_dev = time.monotonic()
         vals, slots, bm_at, vec_at = hybrid_query(
             jnp.asarray(sketches), jnp.asarray(tids), jnp.asarray(tmask),
-            self.encoder.projection_matrix(),
+            proj,
             E, row_valid, row2slot,
             bm.postings_doc, bm.postings_impact, bm.term_offsets, bm.term_lengths,
             jnp.asarray(doc_mask), jnp.asarray(hot), jnp.asarray(w),

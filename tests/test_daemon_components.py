@@ -1,0 +1,134 @@
+"""Tests for daemon runtime components: bus, governor, limiter, advisor, queue."""
+
+import time
+
+import pytest
+
+from test_services import small_config
+from yams_tpu.daemon.components import (
+    GradientLimiter,
+    InternalEventBus,
+    PostIngestQueue,
+    Pressure,
+    ResourceGovernor,
+    TuneAdvisor,
+)
+from yams_tpu.services.app import AppContext
+
+
+class TestEventBus:
+    def test_pub_poll(self):
+        bus = InternalEventBus()
+        assert bus.publish("c1", {"x": 1})
+        assert bus.poll("c1") == {"x": 1}
+        assert bus.poll("c1") is None
+
+    def test_bounded(self):
+        bus = InternalEventBus()
+        ch = bus.channel("small", capacity=2)
+        assert bus.publish("small", 1)
+        assert bus.publish("small", 2)
+        assert not bus.publish("small", 3)  # full, non-blocking
+        assert bus.depth("small") == 2
+
+
+class TestGovernor:
+    def test_sample_and_levels(self):
+        g = ResourceGovernor()
+        p = g.sample()
+        assert 0 <= p.memory <= 1
+        assert p.level in ("low", "moderate", "high", "critical")
+
+    def test_queue_pressure(self):
+        g = ResourceGovernor()
+        g.add_queue_source(lambda: 0.95)
+        p = g.sample()
+        assert p.level == "critical"
+        assert not g.admit()
+        assert g.throttle_factor() == 0.1
+
+    def test_levels_thresholds(self):
+        assert Pressure(queues=0.1).level == "low"
+        assert Pressure(queues=0.5).level == "moderate"
+        assert Pressure(queues=0.8).level == "high"
+        assert Pressure(memory=0.95).level == "critical"
+
+
+class TestGradientLimiter:
+    def test_latency_spike_shrinks_limit(self):
+        lim = GradientLimiter(initial=16, max_limit=32)
+        for _ in range(20):
+            lim.record(0.01)
+        base = lim.limit
+        for _ in range(30):
+            lim.record(0.2)  # 20x latency increase
+        assert lim.limit < base
+
+    def test_acquire_release(self):
+        lim = GradientLimiter(initial=2)
+        assert lim.try_acquire() and lim.try_acquire()
+        assert not lim.try_acquire()
+        lim.release()
+        assert lim.try_acquire()
+
+
+class TestTuneAdvisor:
+    def test_profiles(self):
+        a = TuneAdvisor(env={"YAMS_TPU_TUNING": "aggressive"})
+        assert a.profile == "aggressive"
+        assert a.get("ingest_workers") == 4
+
+    def test_env_override(self):
+        a = TuneAdvisor(env={"YAMS_TPU_EMBED_BATCH_TOKENS": "99"})
+        assert a.get("embed_batch_tokens") == 99
+
+    def test_default_balanced(self):
+        a = TuneAdvisor(env={})
+        assert a.profile == "balanced"
+        assert a.get("checkpoint_interval_s") == 300
+
+
+class TestPostIngestQueue:
+    def test_stages_process_async_add(self, tmp_path):
+        app = AppContext(small_config(tmp_path / "data"))
+        try:
+            q = PostIngestQueue(app)
+            q.start()
+            # add without inline indexing (the async path)
+            res = app.documents.add_bytes(
+                b"The AsyncWidget feeds the QueuePipeline stage.",
+                "async.txt", auto_index=False,
+            )
+            assert not res.indexed
+            q.enqueue(res.document_id)
+            assert q.wait_idle(timeout=60)
+            time.sleep(0.2)
+            q.stop()
+            snap = q.snapshot()
+            assert snap["stages"]["embedding"]["processed"] == 1
+            assert snap["stages"]["kg"]["processed"] == 1
+            # embedded + searchable now
+            hits = app.search.search("AsyncWidget QueuePipeline").hits
+            assert hits and hits[0].name == "async.txt"
+            # KG got entities
+            assert app.kg.node_count() > 0
+        finally:
+            app.close()
+
+    def test_pause_resume(self, tmp_path):
+        app = AppContext(small_config(tmp_path / "data"))
+        try:
+            q = PostIngestQueue(app)
+            q.pause()
+            q.start()
+            res = app.documents.add_bytes(b"paused doc", "p.txt", auto_index=False)
+            q.enqueue(res.document_id)
+            time.sleep(0.5)
+            assert q.snapshot()["stages"]["embedding"]["processed"] == 0
+            q.resume()
+            assert q.wait_idle(timeout=30)
+            time.sleep(0.2)
+            q.stop()
+            assert q.snapshot()["stages"]["embedding"]["processed"] == 1
+        finally:
+            app.close()

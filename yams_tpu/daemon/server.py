@@ -61,9 +61,16 @@ class YamsDaemon:
     async def start(self) -> None:
         self.state = DaemonState.INITIALIZING
         from ..services.app import AppContext
+        from .components import PostIngestQueue, ResourceGovernor, TuneAdvisor
 
         loop = asyncio.get_running_loop()
         self.app = await loop.run_in_executor(self._pool, AppContext, self.config)
+        self.governor = ResourceGovernor()
+        self.governor.start()
+        self.advisor = TuneAdvisor()
+        self.post_ingest = PostIngestQueue(self.app, self.governor, self.advisor)
+        self.governor.add_queue_source(self.post_ingest.depth_fraction)
+        self.post_ingest.start()
         sock = self.config.socket_path
         sock.parent.mkdir(parents=True, exist_ok=True)
         if sock.exists():
@@ -84,6 +91,8 @@ class YamsDaemon:
         await self._stop.wait()
         self.state = DaemonState.STOPPING
         checkpoint_task.cancel()
+        self.post_ingest.stop()
+        self.governor.stop()
         self._server.close()
         await self._server.wait_closed()
         await loop.run_in_executor(self._pool, self.app.close)
@@ -144,6 +153,11 @@ class YamsDaemon:
         snap["state"] = self.state
         snap["requests_handled"] = self._requests_handled
         snap["daemon_uptime_s"] = round(time.time() - self._started_at, 1)
+        snap["post_ingest"] = self.post_ingest.snapshot()
+        p = self.governor.pressure
+        snap["pressure"] = {"cpu": round(p.cpu, 3), "memory": round(p.memory, 3),
+                            "queues": round(p.queues, 3), "level": p.level}
+        snap["tuning_profile"] = self.advisor.profile
         return snap
 
     def handle_shutdown(self, req):
@@ -183,13 +197,29 @@ class YamsDaemon:
         }
 
     def handle_add_bytes(self, req):
+        async_ingest = req.get("async_ingest", False)
         res = self.app.documents.add_bytes(
             req["data"], req["name"],
             tags=req.get("tags"), metadata=req.get("metadata"),
             mime_type=req.get("mime_type", ""),
             collection=req.get("collection", ""),
+            auto_index=not async_ingest,
         )
+        if async_ingest:
+            # post-ingest stages (extraction/KG/embedding) run off the request
+            # path, like the reference's PostIngestQueue
+            self.post_ingest.enqueue(res.document_id)
         return _asdict(res)
+
+    def handle_queue(self, req):
+        op = req.get("op", "status")
+        if op == "pause":
+            self.post_ingest.pause()
+        elif op == "resume":
+            self.post_ingest.resume()
+        elif op == "wait_idle":
+            self.post_ingest.wait_idle(req.get("timeout", 60.0))
+        return self.post_ingest.snapshot()
 
     def handle_add_path(self, req):
         p = pathlib.Path(req["path"])

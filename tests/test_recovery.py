@@ -1,0 +1,132 @@
+"""Crash-recovery tests: WAL replay exactly-once, SQLite salvage.
+
+Mirrors the reference's db_recovery_test.cpp / daemon_db_corruption_recovery
+(SURVEY §4, §5 failure detection/recovery)."""
+
+import random
+import sqlite3
+
+import pytest
+
+from test_services import small_config
+from yams_tpu.core.config import ChunkingConfig
+from yams_tpu.ingest.hasher import sha256_bytes
+from yams_tpu.metadata.recovery import detect_and_salvage, is_corrupt, salvage
+from yams_tpu.services.app import AppContext
+from yams_tpu.storage import ContentStore
+
+CFG = ChunkingConfig(min_size=1024, avg_size=4096, max_size=16384)
+
+
+def _rand(n, seed=0):
+    return random.Random(seed).randbytes(n)
+
+
+class TestWalReplay:
+    def test_store_replays_after_lost_sqlite_commit(self, tmp_path):
+        """Simulated crash: WAL has the commit, SQLite doesn't."""
+        cs = ContentStore(tmp_path, chunking=CFG)
+        data = _rand(50_000, seed=1)
+        r = cs.store_bytes(data)
+        # roll back SQLite to pre-store state (as if the tx never landed)
+        cs.refcounter._conn.execute("DELETE FROM manifests")
+        cs.refcounter._conn.execute("DELETE FROM block_references")
+        cs.refcounter._conn.execute("DELETE FROM ref_meta")
+        cs.refcounter._conn.commit()
+        cs.wal.close()
+        cs.refcounter.close()
+        # reopen: recover() replays the WAL commit record
+        cs2 = ContentStore(tmp_path, chunking=CFG)
+        assert cs2.exists(r.content_hash)
+        assert cs2.retrieve_bytes(r.content_hash) == data
+        cs2.close()
+
+    def test_replay_is_exactly_once(self, tmp_path):
+        cs = ContentStore(tmp_path, chunking=CFG)
+        data = _rand(30_000, seed=2)
+        r = cs.store_bytes(data)
+        chunk_hash = cs.refcounter.get_manifest(r.content_hash).chunks[0].hash
+        before = cs.refcounter.ref_count(chunk_hash)
+        cs.close()
+        # clean reopen: watermark prevents double-apply
+        cs2 = ContentStore(tmp_path, chunking=CFG)
+        assert cs2.refcounter.ref_count(chunk_hash) == before
+        cs2.close()
+
+    def test_remove_replays(self, tmp_path):
+        cs = ContentStore(tmp_path, chunking=CFG)
+        data = _rand(20_000, seed=3)
+        r = cs.store_bytes(data)
+        cs.remove(r.content_hash)
+        cs.close()
+        cs2 = ContentStore(tmp_path, chunking=CFG)
+        assert not cs2.exists(r.content_hash)
+        cs2.close()
+
+    def test_orphan_blocks_after_pre_wal_crash(self, tmp_path):
+        """Crash before the WAL commit record: blocks on disk, nothing in
+        SQLite — orphan scan reclaims them."""
+        cs = ContentStore(tmp_path, chunking=CFG)
+        h = sha256_bytes(b"orphaned bytes")
+        cs.engine.store(h, b"orphaned bytes")  # block written, no commit
+        assert h in cs.gc.orphan_scan()
+        cs.close()
+
+
+class TestSqliteSalvage:
+    def _make_db(self, path, rows=50):
+        conn = sqlite3.connect(str(path))
+        conn.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+        conn.executemany(
+            "INSERT INTO t (v) VALUES (?)",
+            [(f"row{i}" * 30,) for i in range(rows)],  # spread over many pages
+        )
+        conn.commit()
+        conn.close()
+
+    def test_healthy_db_untouched(self, tmp_path):
+        p = tmp_path / "ok.db"
+        self._make_db(p)
+        assert not is_corrupt(p)
+        assert detect_and_salvage(p) is None
+
+    def test_salvage_corrupt_db(self, tmp_path):
+        p = tmp_path / "bad.db"
+        self._make_db(p, rows=200)
+        # corrupt a page in the middle of the file
+        raw = bytearray(p.read_bytes())
+        mid = len(raw) // 2
+        raw[mid : mid + 256] = b"\xde" * 256
+        p.write_bytes(bytes(raw))
+        assert is_corrupt(p)
+        report = salvage(p)
+        assert report["tables"] >= 1
+        assert report["rows_copied"] > 0
+        # fresh db is healthy and has salvaged rows
+        assert not is_corrupt(p)
+        conn = sqlite3.connect(str(p))
+        n = conn.execute("SELECT COUNT(*) FROM t").fetchone()[0]
+        conn.close()
+        assert n == report["rows_copied"] or n > 0
+        assert any(tmp_path.glob("bad.db.corrupt-*"))
+
+    def test_app_opens_after_corruption(self, tmp_path):
+        cfg = small_config(tmp_path / "data")
+        app = AppContext(cfg)
+        app.documents.add_bytes(b"survivor content", "s.txt")
+        app.close()
+        # corrupt the metadata db header region beyond repair of one page
+        db = cfg.metadata_db
+        raw = bytearray(db.read_bytes())
+        raw[4096 : 4096 + 512] = b"\x00" * 512
+        db.write_bytes(bytes(raw))
+        for side in (db.parent / (db.name + "-wal"), db.parent / (db.name + "-shm")):
+            side.unlink(missing_ok=True)
+        if not is_corrupt(db):
+            pytest.skip("corruption not detected on this page layout")
+        app2 = AppContext(small_config(tmp_path / "data"))
+        try:
+            assert app2.salvage_report is not None
+            assert app2.db.integrity_check()
+        finally:
+            app2.close()

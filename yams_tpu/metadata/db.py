@@ -182,6 +182,33 @@ class Database:
                 "SELECT MAX(version) FROM schema_version"
             ).fetchone()
             current = row[0] or 0
+            if current == 0:
+                # a salvaged DB may carry the schema but have lost its
+                # schema_version rows: infer the version from marker tables
+                markers = {
+                    1: "documents", 2: "documents_fts", 3: "kg_nodes",
+                    4: "path_tree_nodes", 5: "tree_snapshots",
+                    6: "embedding_status", 7: "sessions",
+                }
+                present = {
+                    v for v, marker in markers.items()
+                    if self._conn.execute(
+                        "SELECT 1 FROM sqlite_master WHERE name=?", (marker,)
+                    ).fetchone()
+                }
+                current = max(present, default=0)
+                # recreate tables salvage dropped (e.g. FTS shadow tables)
+                for version, sql in MIGRATIONS:
+                    if version <= current and version not in present:
+                        try:
+                            self._conn.executescript(sql)
+                        except sqlite3.Error:
+                            pass
+                if current:
+                    self._conn.execute(
+                        "INSERT INTO schema_version VALUES (?, ?)",
+                        (current, time.time()),
+                    )
             for version, sql in MIGRATIONS:
                 if version > current:
                     try:

@@ -29,6 +29,10 @@ class AppContext:
             chunking=self.config.chunking,
             compression=self.config.compression,
         )
+        # corruption check + salvage before first open (db_recovery parity)
+        from ..metadata.recovery import detect_and_salvage
+
+        self.salvage_report = detect_and_salvage(self.config.metadata_db)
         self.db = Database(self.config.metadata_db)
         self.metadata = MetadataRepository(self.db)
         self.kg = KnowledgeGraphStore(self.db)

@@ -20,7 +20,10 @@ from .engine import CompressedStorageEngine, StorageEngine
 from .gc import GarbageCollector
 from .integrity import IntegrityVerifier
 from .refcounter import ReferenceCounter
-from .wal import OP_STORE_BLOCK, OP_UPDATE_REFERENCE, WalManager
+from .wal import OP_STORE_BLOCK, WalManager
+
+OP_COMMIT_STORE = "commit_store"
+OP_COMMIT_REMOVE = "commit_remove"
 
 
 class ContentStore:
@@ -41,6 +44,50 @@ class ContentStore:
         self.wal = WalManager(self.root / "wal") if enable_wal else None
         self.gc = GarbageCollector(self.engine, self.refcounter)
         self.verifier = IntegrityVerifier(self.engine, self.refcounter)
+        if self.wal:
+            self.recover()
+
+    # -- crash recovery ---------------------------------------------------------
+    def recover(self) -> int:
+        """Replay WAL commit records newer than the refcounter's watermark.
+
+        Block bytes are written before the WAL commit record, so any record
+        present in the WAL can be fully re-applied to SQLite; records are
+        applied exactly-once via the transactional watermark
+        (parity: src/wal/ replay recovery, wal_manager.h:22-31).
+        """
+        last = self.refcounter.last_applied_seq()
+        applied = 0
+        for rec in self.wal.replay():
+            seq = rec.get("seq", 0)
+            if seq <= last:
+                continue
+            if rec["op"] == OP_COMMIT_STORE:
+                from ..core.types import Manifest
+
+                self.refcounter.apply_commit(
+                    [(h, s) for h, s in rec["refs"]],
+                    Manifest.from_dict(rec["manifest"]),
+                    wal_seq=seq,
+                )
+                applied += 1
+            elif rec["op"] == OP_COMMIT_REMOVE:
+                self.refcounter.apply_remove(rec["hash"], wal_seq=seq)
+                applied += 1
+        return applied
+
+    def _commit(self, refs, manifest) -> None:
+        """WAL-then-SQLite commit of one store()."""
+        if self.wal:
+            seq = self.wal.append(
+                OP_COMMIT_STORE,
+                refs=[(h, s) for h, s in refs],
+                manifest=manifest.to_dict(),
+            )
+            self.wal.sync()
+        else:
+            seq = None
+        self.refcounter.apply_commit(refs, manifest, wal_seq=seq)
 
     def close(self) -> None:
         if self.wal:
@@ -59,8 +106,7 @@ class ContentStore:
         if self.refcounter.has_manifest(content_hash):
             # whole-content dedup: bump manifest + chunk refcounts
             manifest = self.refcounter.get_manifest(content_hash)
-            self.refcounter.store_manifest(manifest)
-            self.refcounter.increment_batch([(c.hash, c.size) for c in manifest.chunks])
+            self._commit([(c.hash, c.size) for c in manifest.chunks], manifest)
             return StoreResult(
                 content_hash=content_hash,
                 bytes_stored=0,
@@ -92,18 +138,12 @@ class ContentStore:
         timings["store"] = (time.monotonic() - t) * 1e3
 
         t = time.monotonic()
-        if self.wal:
-            self.wal.append(
-                OP_UPDATE_REFERENCE, hashes=[h for h, _ in refs], delta=1
-            )
-            self.wal.sync()
-        self.refcounter.increment_batch(refs)
         manifest = Manifest(
             content_hash=content_hash,
             total_size=len(data),
             chunks=[c.ref for c in chunks],
         )
-        self.refcounter.store_manifest(manifest)
+        self._commit(refs, manifest)
         timings["commit"] = (time.monotonic() - t) * 1e3
 
         return StoreResult(
@@ -127,8 +167,7 @@ class ContentStore:
         content_hash = sha256_file(path)
         if self.refcounter.has_manifest(content_hash):
             manifest = self.refcounter.get_manifest(content_hash)
-            self.refcounter.store_manifest(manifest)
-            self.refcounter.increment_batch([(c.hash, c.size) for c in manifest.chunks])
+            self._commit([(c.hash, c.size) for c in manifest.chunks], manifest)
             return StoreResult(
                 content_hash, 0, size, size, len(manifest.chunks), 1.0,
                 (time.monotonic() - t0) * 1e3,
@@ -144,12 +183,9 @@ class ContentStore:
             else:
                 self.engine.store(ch.ref.hash, ch.data, mime_type)
                 bytes_stored += ch.ref.size
-        if self.wal:
-            self.wal.append(OP_UPDATE_REFERENCE, hashes=[h for h, _ in refs], delta=1)
-            self.wal.sync()
-        self.refcounter.increment_batch(refs)
-        self.refcounter.store_manifest(
-            Manifest(content_hash=content_hash, total_size=size, chunks=chunk_refs)
+        self._commit(
+            refs,
+            Manifest(content_hash=content_hash, total_size=size, chunks=chunk_refs),
         )
         return StoreResult(
             content_hash, bytes_stored, bytes_deduped, size, len(chunk_refs),
@@ -175,15 +211,16 @@ class ContentStore:
 
     # -- remove ---------------------------------------------------------------------
     def remove(self, content_hash: str, collect: bool = True) -> bool:
-        try:
-            manifest = self.refcounter.release_manifest(content_hash)
-        except NotFoundError:
+        if not self.refcounter.has_manifest(content_hash):
             return False
-        if manifest is not None:
-            self.refcounter.decrement_batch([c.hash for c in manifest.chunks])
-            if collect:
-                self.gc.collect()
-        return True
+        seq = None
+        if self.wal:
+            seq = self.wal.append(OP_COMMIT_REMOVE, hash=content_hash)
+            self.wal.sync()
+        removed = self.refcounter.apply_remove(content_hash, wal_seq=seq)
+        if removed and collect:
+            self.gc.collect()
+        return removed
 
     def stats(self) -> dict:
         s = self.refcounter.stats()

@@ -44,6 +44,10 @@ CREATE TABLE IF NOT EXISTS ref_audit (
     block_hash TEXT NOT NULL,
     delta INTEGER NOT NULL
 );
+CREATE TABLE IF NOT EXISTS ref_meta (
+    key TEXT PRIMARY KEY,
+    value TEXT NOT NULL
+);
 """
 
 
@@ -59,11 +63,30 @@ class ReferenceCounter:
     def close(self) -> None:
         self._conn.close()
 
+    # -- WAL coupling: applied-sequence watermark (crash-recovery idempotence) --
+    def last_applied_seq(self) -> int:
+        with self._lock:
+            row = self._conn.execute(
+                "SELECT value FROM ref_meta WHERE key='last_wal_seq'"
+            ).fetchone()
+        return int(row[0]) if row else 0
+
+    def _set_seq_tx(self, seq: int | None) -> None:
+        if seq is not None:
+            self._conn.execute(
+                "INSERT OR REPLACE INTO ref_meta VALUES ('last_wal_seq', ?)",
+                (str(seq),),
+            )
+
     # -- chunk refcounts -------------------------------------------------------
-    def increment_batch(self, refs: list[tuple[str, int]]) -> None:
-        """refs: [(block_hash, size)] — one transaction."""
+    def increment_batch(
+        self, refs: list[tuple[str, int]], wal_seq: int | None = None
+    ) -> None:
+        """refs: [(block_hash, size)] — one transaction. wal_seq records the
+        WAL watermark in the SAME transaction so replay is exactly-once."""
         now = time.time()
         with self._lock, self._conn:
+            self._set_seq_tx(wal_seq)
             self._conn.executemany(
                 """INSERT INTO block_references
                    (block_hash, ref_count, block_size, created_at, last_accessed)
@@ -78,9 +101,10 @@ class ReferenceCounter:
                     [(now, "inc", h) for h, _ in refs],
                 )
 
-    def decrement_batch(self, hashes: list[str]) -> None:
+    def decrement_batch(self, hashes: list[str], wal_seq: int | None = None) -> None:
         now = time.time()
         with self._lock, self._conn:
+            self._set_seq_tx(wal_seq)
             self._conn.executemany(
                 """UPDATE block_references
                    SET ref_count = MAX(ref_count - 1, 0), last_accessed = ?
@@ -132,6 +156,65 @@ class ReferenceCounter:
                 "SELECT COUNT(*) FROM manifests WHERE ref_count > 0"
             ).fetchone()[0]
         return {"unique_blocks": blocks, "unique_bytes": total, "manifests": manifests}
+
+    # -- atomic store commit (refcounts + manifest in ONE transaction) ----------
+    def apply_commit(
+        self, refs: list[tuple[str, int]], manifest: Manifest,
+        wal_seq: int | None = None,
+    ) -> None:
+        """The sqlite side of ContentStore.store: chunk refcount increments +
+        manifest upsert + WAL watermark, one transaction (replay-safe)."""
+        now = time.time()
+        payload = msgpack.packb(manifest.to_dict(), use_bin_type=True)
+        with self._lock, self._conn:
+            self._set_seq_tx(wal_seq)
+            self._conn.executemany(
+                """INSERT INTO block_references
+                   (block_hash, ref_count, block_size, created_at, last_accessed)
+                   VALUES (?, 1, ?, ?, ?)
+                   ON CONFLICT(block_hash) DO UPDATE SET
+                     ref_count = ref_count + 1, last_accessed = excluded.last_accessed""",
+                [(h, s, now, now) for h, s in refs],
+            )
+            self._conn.execute(
+                """INSERT INTO manifests (content_hash, total_size, chunk_count,
+                   ref_count, payload, created_at) VALUES (?,?,?,1,?,?)
+                   ON CONFLICT(content_hash) DO UPDATE SET
+                     ref_count = ref_count + 1""",
+                (manifest.content_hash, manifest.total_size, len(manifest.chunks),
+                 payload, now),
+            )
+
+    def apply_remove(self, content_hash: str, wal_seq: int | None = None) -> bool:
+        """The sqlite side of ContentStore.remove: manifest release + chunk
+        decrements, one transaction. Returns False if the manifest is absent."""
+        now = time.time()
+        with self._lock, self._conn:
+            self._set_seq_tx(wal_seq)
+            row = self._conn.execute(
+                "SELECT ref_count, payload FROM manifests WHERE content_hash=?",
+                (content_hash,),
+            ).fetchone()
+            if row is None or row[0] <= 0:
+                return False
+            new_count = row[0] - 1
+            if new_count == 0:
+                self._conn.execute(
+                    "DELETE FROM manifests WHERE content_hash=?", (content_hash,)
+                )
+            else:
+                self._conn.execute(
+                    "UPDATE manifests SET ref_count=? WHERE content_hash=?",
+                    (new_count, content_hash),
+                )
+            m = Manifest.from_dict(msgpack.unpackb(row[1], raw=False))
+            self._conn.executemany(
+                """UPDATE block_references
+                   SET ref_count = MAX(ref_count - 1, 0), last_accessed = ?
+                   WHERE block_hash = ?""",
+                [(now, c.hash) for c in m.chunks],
+            )
+            return True
 
     # -- manifests ---------------------------------------------------------------
     def store_manifest(self, m: Manifest) -> bool:

@@ -308,6 +308,13 @@ class YamsDaemon:
             req["query"], limit=req.get("limit", 5),
             max_chars=req.get("max_chars", 4000))}
 
+    def handle_download(self, req):
+        res = self.app.downloads.download(
+            req["url"], expected_sha256=req.get("expected_sha256", ""),
+            store=req.get("store", True), tags=req.get("tags"),
+        )
+        return _asdict(res)
+
     def handle_checkpoint(self, req):
         self.app.checkpoint()
         return {"checkpointed": True}

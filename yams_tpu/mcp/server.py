@@ -144,6 +144,11 @@ class MCPServer:
         self._register(
             _tool("list_snapshots", "List tree snapshots", {}), self.t_list_snapshots
         )
+        self._register(
+            _tool("download", "Download a URL (resumable) and store it",
+                  {"url": S, "expected_sha256": S, "tags": A}, ["url"]),
+            self.t_download,
+        )
         self._register(_tool("mcp.echo", "Echo (connectivity test)", {"text": S}),
                        lambda a: {"echo": a.get("text", "")})
 
@@ -260,6 +265,12 @@ class MCPServer:
     def t_suggest_context(self, a):
         return {"context": self.app.search.suggest_context(
             a["query"], limit=a.get("limit", 5), max_chars=a.get("max_chars", 4000))}
+
+    def t_download(self, a):
+        return _asdict(self.app.downloads.download(
+            a["url"], expected_sha256=a.get("expected_sha256", ""),
+            tags=a.get("tags"),
+        ))
 
     def t_list_collections(self, a):
         rows = self.app.db.execute(

@@ -53,6 +53,7 @@ class AppContext:
 
         # services (lazy circular-free wiring)
         from .document_service import DocumentService
+        from .download_service import DownloadService
         from .graph_service import GraphService
         from .grep_service import GrepService
         from .indexing_service import IndexingService
@@ -67,6 +68,7 @@ class AppContext:
         self.graph = GraphService(self)
         self.sessions = SessionService(self)
         self.stats = StatsService(self)
+        self.downloads = DownloadService(self)
 
     # -- index persistence -----------------------------------------------------
     def _load_indexes(self) -> None:

@@ -1,0 +1,146 @@
+"""DownloadService: resumable downloads with integrity verify + CAS handoff.
+
+Parity: src/downloader/ (curl adapter, rate limiter, resume store, disk
+writer, integrity verify). urllib replaces curl; Range requests resume
+partial transfers; a JSON resume store survives restarts; completed payloads
+flow into DocumentService.add_bytes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+
+from ..core.errors import CorruptionError, YamsError
+from ..ingest.hasher import sha256_file
+
+
+@dataclasses.dataclass(slots=True)
+class DownloadResult:
+    url: str
+    path: str
+    bytes_downloaded: int
+    resumed_from: int
+    sha256: str
+    document_id: int = -1
+    duration_ms: float = 0.0
+
+
+class RateLimiter:
+    def __init__(self, bytes_per_s: float = 0.0):
+        self.bytes_per_s = bytes_per_s
+        self._window_start = time.monotonic()
+        self._window_bytes = 0
+
+    def throttle(self, n: int) -> None:
+        if self.bytes_per_s <= 0:
+            return
+        self._window_bytes += n
+        elapsed = time.monotonic() - self._window_start
+        expected = self._window_bytes / self.bytes_per_s
+        if expected > elapsed:
+            time.sleep(expected - elapsed)
+
+
+class DownloadService:
+    def __init__(self, app, rate_limit_bps: float = 0.0):
+        self.app = app
+        self.dir = app.config.data_dir / "downloads"
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.resume_store = self.dir / "resume.json"
+        self.limiter = RateLimiter(rate_limit_bps)
+
+    # -- resume store ----------------------------------------------------------
+    def _load_resume(self) -> dict:
+        try:
+            return json.loads(self.resume_store.read_text())
+        except (OSError, json.JSONDecodeError):
+            return {}
+
+    def _save_resume(self, state: dict) -> None:
+        self.resume_store.write_text(json.dumps(state))
+
+    def _part_path(self, url: str) -> pathlib.Path:
+        import hashlib
+
+        return self.dir / (hashlib.sha256(url.encode()).hexdigest()[:24] + ".part")
+
+    # -- download ---------------------------------------------------------------
+    def download(
+        self,
+        url: str,
+        expected_sha256: str = "",
+        store: bool = True,
+        tags: list[str] | None = None,
+        chunk_size: int = 1 << 20,
+        timeout: float = 60.0,
+    ) -> DownloadResult:
+        t0 = time.monotonic()
+        part = self._part_path(url)
+        state = self._load_resume()
+        resumed_from = part.stat().st_size if part.exists() else 0
+        if str(part) not in state.get(url, {}).get("part", str(part)):
+            resumed_from = 0
+
+        headers = {}
+        mode = "ab" if resumed_from else "wb"
+        if resumed_from:
+            headers["Range"] = f"bytes={resumed_from}-"
+        req = urllib.request.Request(url, headers=headers)
+        downloaded = 0
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                if resumed_from and resp.status != 206:
+                    # server ignored Range: restart
+                    resumed_from = 0
+                    mode = "wb"
+                with open(part, mode) as f:
+                    while True:
+                        chunk = resp.read(chunk_size)
+                        if not chunk:
+                            break
+                        f.write(chunk)
+                        downloaded += len(chunk)
+                        self.limiter.throttle(len(chunk))
+                        state[url] = {"part": str(part),
+                                      "bytes": resumed_from + downloaded}
+                        self._save_resume(state)
+        except urllib.error.URLError as e:
+            # keep the .part for resume
+            raise YamsError(f"download failed ({e}); partial kept for resume")
+
+        digest = sha256_file(part)
+        if expected_sha256 and digest != expected_sha256:
+            part.unlink(missing_ok=True)
+            state.pop(url, None)
+            self._save_resume(state)
+            raise CorruptionError(
+                f"integrity mismatch: got {digest[:12]}, want {expected_sha256[:12]}"
+            )
+
+        doc_id = -1
+        name = urllib.parse.urlparse(url).path.rsplit("/", 1)[-1] or "download.bin"
+        final_path = self.dir / name
+        part.replace(final_path)
+        state.pop(url, None)
+        self._save_resume(state)
+        if store:
+            res = self.app.documents.add_bytes(
+                final_path.read_bytes(), f"downloads/{name}", tags=tags,
+                metadata={"source_url": url},
+            )
+            doc_id = res.document_id
+        return DownloadResult(
+            url=url,
+            path=str(final_path),
+            bytes_downloaded=downloaded,
+            resumed_from=resumed_from,
+            sha256=digest,
+            document_id=doc_id,
+            duration_ms=(time.monotonic() - t0) * 1e3,
+        )

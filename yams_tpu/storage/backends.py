@@ -1,0 +1,206 @@
+"""Pluggable object-storage backends + URL factory + AWS SigV4 signer.
+
+Parity: src/storage/storage_backend_factory.cpp (URL-scheme factory),
+url_backend.cpp (file://), s3_signer.cpp (SigV4), object_storage_adapter.cpp.
+The S3 backend signs requests with a from-scratch SigV4 implementation and
+uses urllib — it degrades to clear errors in zero-egress environments, while
+the signer itself is fully unit-testable offline.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import hmac
+import pathlib
+import urllib.parse
+import urllib.request
+from typing import Iterator, Protocol
+
+from ..core.errors import NotFoundError, UnsupportedError
+
+
+class ObjectBackend(Protocol):
+    def put(self, key: str, data: bytes) -> None: ...
+    def get(self, key: str) -> bytes: ...
+    def exists(self, key: str) -> bool: ...
+    def delete(self, key: str) -> bool: ...
+    def list(self, prefix: str = "") -> Iterator[str]: ...
+
+
+class FilesystemBackend:
+    """file:// backend — also the spill/mirror target for CAS shards."""
+
+    def __init__(self, root: str | pathlib.Path):
+        self.root = pathlib.Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def _path(self, key: str) -> pathlib.Path:
+        p = (self.root / key.lstrip("/")).resolve()
+        if not str(p).startswith(str(self.root.resolve())):
+            raise UnsupportedError(f"key escapes root: {key}")
+        return p
+
+    def put(self, key: str, data: bytes) -> None:
+        p = self._path(key)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        tmp = p.with_suffix(p.suffix + ".tmp")
+        tmp.write_bytes(data)
+        tmp.replace(p)
+
+    def get(self, key: str) -> bytes:
+        try:
+            return self._path(key).read_bytes()
+        except FileNotFoundError:
+            raise NotFoundError(f"object not found: {key}")
+
+    def exists(self, key: str) -> bool:
+        return self._path(key).is_file()
+
+    def delete(self, key: str) -> bool:
+        try:
+            self._path(key).unlink()
+            return True
+        except FileNotFoundError:
+            return False
+
+    def list(self, prefix: str = "") -> Iterator[str]:
+        base = self.root
+        for p in sorted(base.rglob("*")):
+            if p.is_file() and not p.name.endswith(".tmp"):
+                key = str(p.relative_to(base))
+                if key.startswith(prefix):
+                    yield key
+
+
+# -- AWS Signature V4 ------------------------------------------------------------
+
+def _sha256_hex(data: bytes) -> str:
+    return hashlib.sha256(data).hexdigest()
+
+
+def _hmac(key: bytes, msg: str) -> bytes:
+    return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+
+def sigv4_headers(
+    method: str,
+    url: str,
+    region: str,
+    service: str,
+    access_key: str,
+    secret_key: str,
+    payload: bytes = b"",
+    now: datetime.datetime | None = None,
+    extra_headers: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Produce Authorization + x-amz-* headers for one request (SigV4)."""
+    now = now or datetime.datetime.now(datetime.timezone.utc)
+    amz_date = now.strftime("%Y%m%dT%H%M%SZ")
+    date_stamp = now.strftime("%Y%m%d")
+    parsed = urllib.parse.urlparse(url)
+    host = parsed.netloc
+    canonical_uri = urllib.parse.quote(parsed.path or "/", safe="/-_.~")
+    # canonical query: sorted, url-encoded
+    query_pairs = urllib.parse.parse_qsl(parsed.query, keep_blank_values=True)
+    canonical_query = "&".join(
+        f"{urllib.parse.quote(k, safe='-_.~')}={urllib.parse.quote(v, safe='-_.~')}"
+        for k, v in sorted(query_pairs)
+    )
+    payload_hash = _sha256_hex(payload)
+    headers = {
+        "host": host,
+        "x-amz-content-sha256": payload_hash,
+        "x-amz-date": amz_date,
+    }
+    for k, v in (extra_headers or {}).items():
+        headers[k.lower()] = v.strip()
+    signed_headers = ";".join(sorted(headers))
+    canonical_headers = "".join(f"{k}:{headers[k]}\n" for k in sorted(headers))
+    canonical_request = "\n".join([
+        method.upper(), canonical_uri, canonical_query,
+        canonical_headers, signed_headers, payload_hash,
+    ])
+    scope = f"{date_stamp}/{region}/{service}/aws4_request"
+    string_to_sign = "\n".join([
+        "AWS4-HMAC-SHA256", amz_date, scope, _sha256_hex(canonical_request.encode()),
+    ])
+    k = _hmac(("AWS4" + secret_key).encode(), date_stamp)
+    k = _hmac(k, region)
+    k = _hmac(k, service)
+    k = _hmac(k, "aws4_request")
+    signature = hmac.new(k, string_to_sign.encode(), hashlib.sha256).hexdigest()
+    out = {k: v for k, v in headers.items() if k != "host"}
+    out["Authorization"] = (
+        f"AWS4-HMAC-SHA256 Credential={access_key}/{scope}, "
+        f"SignedHeaders={signed_headers}, Signature={signature}"
+    )
+    return out
+
+
+class S3Backend:
+    """s3://bucket/prefix backend over signed HTTP (endpoint overridable for
+    S3-compatible stores)."""
+
+    def __init__(
+        self, bucket: str, prefix: str = "", region: str = "us-east-1",
+        access_key: str = "", secret_key: str = "", endpoint: str = "",
+    ):
+        self.bucket = bucket
+        self.prefix = prefix.strip("/")
+        self.region = region
+        self.access_key = access_key
+        self.secret_key = secret_key
+        self.endpoint = endpoint or f"https://{bucket}.s3.{region}.amazonaws.com"
+
+    def _url(self, key: str) -> str:
+        full = f"{self.prefix}/{key}" if self.prefix else key
+        return f"{self.endpoint}/{urllib.parse.quote(full)}"
+
+    def _request(self, method: str, key: str, payload: bytes = b""):
+        url = self._url(key)
+        headers = sigv4_headers(
+            method, url, self.region, "s3",
+            self.access_key, self.secret_key, payload,
+        )
+        req = urllib.request.Request(url, data=payload or None, method=method,
+                                     headers=headers)
+        return urllib.request.urlopen(req, timeout=60)
+
+    def put(self, key: str, data: bytes) -> None:
+        self._request("PUT", key, data).read()
+
+    def get(self, key: str) -> bytes:
+        try:
+            return self._request("GET", key).read()
+        except urllib.error.HTTPError as e:  # type: ignore[attr-defined]
+            if e.code == 404:
+                raise NotFoundError(f"object not found: {key}")
+            raise
+
+    def exists(self, key: str) -> bool:
+        try:
+            self._request("HEAD", key).read()
+            return True
+        except Exception:
+            return False
+
+    def delete(self, key: str) -> bool:
+        try:
+            self._request("DELETE", key).read()
+            return True
+        except Exception:
+            return False
+
+    def list(self, prefix: str = "") -> Iterator[str]:
+        raise UnsupportedError("S3 list requires XML parsing; use prefix GETs")
+
+
+def backend_from_url(url: str, **kw) -> ObjectBackend:
+    """URL-scheme factory (reference: storage_backend_factory.cpp:418)."""
+    parsed = urllib.parse.urlparse(url)
+    if parsed.scheme in ("file", ""):
+        return FilesystemBackend(parsed.path or url)
+    if parsed.scheme == "s3":
+        return S3Backend(bucket=parsed.netloc, prefix=parsed.path.lstrip("/"), **kw)
+    raise UnsupportedError(f"unknown object-storage scheme: {parsed.scheme}")

@@ -1,0 +1,49 @@
+"""In-process test plugin (reference: tests/fixtures/mock_plugin.py)."""
+
+from yams_tpu.plugins.spec import (
+    IFACE_CONTENT_EXTRACTOR,
+    IFACE_ENTITY_EXTRACTOR,
+    IFACE_MODEL_PROVIDER,
+    PluginManifest,
+)
+
+_state = {"initialized": False}
+
+
+class _Model:
+    def model_id(self):
+        return "mock-384"
+
+    def dim(self):
+        return 16
+
+    def embed(self, texts):
+        return [[float(len(t) % 7)] * 16 for t in texts]
+
+
+class _Extractor:
+    def supported_mimes(self):
+        return ["application/x-mocktype"]
+
+    def extract(self, data, mime):
+        return data.decode("utf-8", "replace").upper(), "MOCK TITLE"
+
+
+class _Entities:
+    def extract_entities(self, text):
+        return [(w, "word", 0.5) for w in text.split()[:3]]
+
+
+def yams_plugin() -> PluginManifest:
+    return PluginManifest(
+        name="mockplug",
+        version="1.0",
+        description="test fixture plugin",
+        interfaces={
+            IFACE_MODEL_PROVIDER: _Model(),
+            IFACE_CONTENT_EXTRACTOR: _Extractor(),
+            IFACE_ENTITY_EXTRACTOR: _Entities(),
+        },
+        init=lambda cfg: _state.update(initialized=True, cfg=cfg),
+        health=lambda: {"status": "ok", "initialized": _state["initialized"]},
+    )

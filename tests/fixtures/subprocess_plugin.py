@@ -1,0 +1,30 @@
+#!/usr/bin/env python3
+"""Out-of-process test plugin speaking the JSON-RPC stdio protocol."""
+
+import json
+import sys
+
+
+def main():
+    for line in sys.stdin:
+        req = json.loads(line)
+        method = req.get("method")
+        params = req.get("params") or {}
+        result = None
+        if method == "manifest":
+            result = {
+                "name": "subproc", "version": "1.0", "abi": 1, "dim": 8,
+                "interfaces": ["model_provider_v1", "entity_extractor_v1"],
+            }
+        elif method == "embed":
+            result = {"vectors": [[1.0] * 8 for _ in params["texts"]]}
+        elif method == "extract_entities":
+            result = {"entities": [[w, "tok", 0.9] for w in params["text"].split()[:2]]}
+        elif method == "shutdown":
+            print(json.dumps({"id": req.get("id"), "result": {}}), flush=True)
+            return
+        print(json.dumps({"id": req.get("id"), "result": result}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,39 @@
+"""Device CDC parity: XLA + Pallas gear-hash boundaries == host chunker."""
+
+import random
+
+import pytest
+
+from yams_tpu.ingest.chunker import _boundaries_numpy
+from yams_tpu.ops.cdc import boundaries_device
+
+
+def _rand(n, seed=0):
+    return random.Random(seed).randbytes(n)
+
+
+class TestDeviceCdc:
+    def test_xla_matches_host(self):
+        data = _rand(300_000, seed=1)
+        want = _boundaries_numpy(data, 1024, 4096, 16384)
+        got = boundaries_device(data, 1024, 4096, 16384, use_pallas=False)
+        assert got == want
+
+    def test_pallas_matches_host(self):
+        data = _rand(200_000, seed=2)
+        want = _boundaries_numpy(data, 1024, 4096, 16384)
+        got = boundaries_device(
+            data, 1024, 4096, 16384, use_pallas=True
+        )
+        assert got == want
+
+    def test_empty_and_tiny(self):
+        assert boundaries_device(b"", 1024, 4096, 16384) == []
+        assert boundaries_device(b"tiny", 1024, 4096, 16384) == [4]
+
+    def test_block_edges(self):
+        """Boundaries spanning Pallas block edges still match (halo path)."""
+        data = _rand(4 * 65536, seed=3)
+        want = _boundaries_numpy(data, 1024, 4096, 16384)
+        got = boundaries_device(data, 1024, 4096, 16384, use_pallas=True)
+        assert got == want

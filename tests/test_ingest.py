@@ -102,7 +102,7 @@ class TestChunker:
             pytest.skip("no native lib")
         import ctypes
 
-        out = (ctypes.c_uint64 * 256)()
+        out = (ctypes.c_uint32 * 256)()
         lib.ytn_gear_table(out)
         py = chunker_mod.gear_table()
         assert list(out) == [int(x) for x in py]

@@ -1,0 +1,97 @@
+"""Plugin system tests: in-process loading, trust list, adapters, subprocess host."""
+
+import pathlib
+import sys
+
+import pytest
+
+from test_services import small_config
+from yams_tpu.plugins.host import SubprocessPlugin
+from yams_tpu.plugins.manager import PluginManager
+from yams_tpu.services.app import AppContext
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+
+
+@pytest.fixture()
+def app(tmp_path):
+    a = AppContext(small_config(tmp_path / "data"))
+    yield a
+    a.close()
+
+
+class TestInProcessPlugins:
+    def test_load_and_negotiate(self, app, tmp_path):
+        pm = PluginManager(app, trust_file=tmp_path / "trust")
+        m = pm.load_file(FIXTURES / "mock_plugin.py", config={"k": "v"})
+        assert m is not None and m.name == "mockplug"
+        assert pm.health()["mockplug"]["initialized"]
+        listed = pm.list()
+        assert listed[0]["name"] == "mockplug"
+        assert "model_provider_v1" in listed[0]["interfaces"]
+
+    def test_model_provider_adapter(self, app, tmp_path):
+        from yams_tpu.embed.provider import create_provider
+
+        pm = PluginManager(app)
+        pm.load_file(FIXTURES / "mock_plugin.py")
+        p = create_provider("mockplug")
+        v = p.encode(["abc", "defg"])
+        assert v.shape == (2, 16)
+        import numpy as np
+
+        assert np.allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-5)
+
+    def test_content_extractor_adapter(self, app):
+        from yams_tpu.services.extraction import extract_text
+
+        pm = PluginManager(app)
+        pm.load_file(FIXTURES / "mock_plugin.py")
+        out = extract_text(b"hello plug", "application/x-mocktype")
+        assert out == ("HELLO PLUG", "MOCK TITLE")
+
+    def test_entity_extractor_adapter(self, app):
+        pm = PluginManager(app)
+        pm.load_file(FIXTURES / "mock_plugin.py")
+        ents = app.graph.extract_entities("alpha beta gamma delta")
+        assert [e[0] for e in ents] == ["alpha", "beta", "gamma"]
+
+    def test_trust_list(self, app, tmp_path):
+        pm = PluginManager(app, trust_file=tmp_path / "trust")
+        assert pm.load_trusted() == 0
+        pm.trust(FIXTURES / "mock_plugin.py")
+        assert pm.load_trusted() == 1
+        pm.trust(FIXTURES / "mock_plugin.py")  # dedup
+        assert len(pm.trusted_paths()) == 1
+
+    def test_bad_plugin_reported(self, app, tmp_path):
+        bad = tmp_path / "bad_plugin.py"
+        bad.write_text("raise RuntimeError('boom')")
+        pm = PluginManager(app)
+        assert pm.load_file(bad) is None
+        assert "bad_plugin" in pm.errors
+
+    def test_unload(self, app):
+        pm = PluginManager(app)
+        pm.load_file(FIXTURES / "mock_plugin.py")
+        assert pm.unload("mockplug")
+        assert not pm.unload("mockplug")
+
+
+class TestSubprocessPlugins:
+    def test_jsonrpc_host(self):
+        sp = SubprocessPlugin([sys.executable, str(FIXTURES / "subprocess_plugin.py")])
+        try:
+            m = sp.manifest()
+            assert m.name == "subproc"
+            mp = m.interfaces["model_provider_v1"]
+            assert mp.dim() == 8
+            assert mp.embed(["x", "y"]) == [[1.0] * 8, [1.0] * 8]
+            ee = m.interfaces["entity_extractor_v1"]
+            assert ee.extract_entities("one two three") == [
+                ("one", "tok", 0.9), ("two", "tok", 0.9)
+            ]
+            assert m.health()["status"] == "ok"
+        finally:
+            sp.close()
+        assert sp.proc.poll() is not None

@@ -42,8 +42,12 @@ def _splitmix64(x: int) -> int:
 
 @functools.cache
 def gear_table() -> np.ndarray:
-    """256-entry random gear table, derivation shared with the C++ library."""
-    return np.array([_splitmix64(GEAR_SEED + i) for i in range(256)], dtype=_U64)
+    """256-entry random 32-bit gear table, derivation shared with the C++
+    library and the Pallas device kernel (TPU lacks 64-bit vector ops; a
+    32-bit gear window self-flushes after 32 bytes)."""
+    return np.array(
+        [_splitmix64(GEAR_SEED + i) >> 32 for i in range(256)], dtype=np.uint32
+    )
 
 
 def _masks(avg_size: int) -> tuple[int, int]:
@@ -63,15 +67,16 @@ def _boundaries_numpy(
     mask_s, mask_l = _masks(avg_size)
     gear = gear_table()
     g = gear[np.frombuffer(data, dtype=np.uint8)]
-    # h[i] = sum_{j<64} gear[b_{i-j}] << j  (mod 2^64) == sequential gear hash
-    # after processing byte i (window warm for i >= 63; always true at tested
-    # positions because min_size >> 64).
+    # h[i] = sum_{j<32} gear[b_{i-j}] << j  (mod 2^32) == sequential gear hash
+    # after processing byte i (window warm for i >= 31; always true at tested
+    # positions because min_size >> 32).
+    U32 = np.uint32
     with np.errstate(over="ignore"):
         h = g.copy()
-        for j in range(1, 64):
-            h[j:] += g[: n - j] << _U64(j)
-    cand_s = np.nonzero((h & _U64(mask_s)) == 0)[0]
-    cand_l = np.nonzero((h & _U64(mask_l)) == 0)[0]
+        for j in range(1, 32):
+            h[j:] += g[: n - j] << U32(j)
+    cand_s = np.nonzero((h & U32(mask_s)) == 0)[0]
+    cand_l = np.nonzero((h & U32(mask_l)) == 0)[0]
 
     out: list[int] = []
     pos = 0
@@ -114,12 +119,13 @@ def _boundaries_python(
         cap = min(remaining, max_size)
         mid = min(remaining, avg_size)
         h = 0
+        mask32 = (1 << 32) - 1
         cut = cap
-        warm = max(min_size - 64, 0)
+        warm = max(min_size - 32, 0)
         for i in range(warm, min_size):
-            h = ((h << 1) + int(gear[data[pos + i]])) & _MASK64
+            h = ((h << 1) + int(gear[data[pos + i]])) & mask32
         for i in range(min_size, cap):
-            h = ((h << 1) + int(gear[data[pos + i]])) & _MASK64
+            h = ((h << 1) + int(gear[data[pos + i]])) & mask32
             if i < mid:
                 if h & mask_s == 0:
                     cut = i + 1

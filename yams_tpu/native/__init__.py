@@ -62,7 +62,7 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_size_t,
         ]
-        lib.ytn_gear_table.argtypes = [ctypes.POINTER(ctypes.c_uint64)]
+        lib.ytn_gear_table.argtypes = [ctypes.POINTER(ctypes.c_uint32)]
         lib.ytn_find_all.restype = ctypes.c_size_t
         lib.ytn_find_all.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t,

@@ -26,17 +26,21 @@ static uint64_t splitmix64(uint64_t x) {
     return z ^ (z >> 31);
 }
 
-static uint64_t GEAR[256];
+// 32-bit gear hash: the window self-flushes after 32 bytes and all device
+// implementations (TPU has no uint64 vector ops) agree bit-for-bit with the
+// host paths. Derived from splitmix64, truncated.
+static uint32_t GEAR[256];
 static bool gear_init_done = false;
 static const uint64_t GEAR_SEED = 0x59414D5354505500ULL; // "YAMSTPU\0"
 
 static void gear_init() {
     if (gear_init_done) return;
-    for (int i = 0; i < 256; ++i) GEAR[i] = splitmix64(GEAR_SEED + (uint64_t)i);
+    for (int i = 0; i < 256; ++i)
+        GEAR[i] = (uint32_t)(splitmix64(GEAR_SEED + (uint64_t)i) >> 32);
     gear_init_done = true;
 }
 
-void ytn_gear_table(uint64_t* out256) {
+void ytn_gear_table(uint32_t* out256) {
     gear_init();
     std::memcpy(out256, GEAR, sizeof(GEAR));
 }
@@ -49,7 +53,7 @@ static inline int ilog2(uint64_t v) {
 
 // FastCDC (Xia et al. 2016) with two-level normalized chunking.
 // Returns the number of chunks; writes end-offsets into out (up to out_cap).
-// The gear hash window self-flushes after 64 bytes (h = (h<<1) + GEAR[b]), so
+// The gear hash window self-flushes after 32 bytes (h = (h<<1) + GEAR[b]), so
 // boundaries match any windowed evaluation at positions >= min_size.
 size_t ytn_fastcdc(const uint8_t* data, size_t n,
                    size_t min_size, size_t avg_size, size_t max_size,
@@ -57,8 +61,8 @@ size_t ytn_fastcdc(const uint8_t* data, size_t n,
     gear_init();
     if (n == 0) return 0;
     const int bits = ilog2(avg_size);
-    const uint64_t mask_s = (1ULL << (bits + 2)) - 1; // harder, before avg
-    const uint64_t mask_l = (1ULL << (bits - 2)) - 1; // easier, after avg
+    const uint32_t mask_s = (1u << (bits + 2)) - 1; // harder, before avg
+    const uint32_t mask_l = (1u << (bits - 2)) - 1; // easier, after avg
     size_t count = 0;
     size_t pos = 0;
     while (pos < n) {
@@ -69,11 +73,11 @@ size_t ytn_fastcdc(const uint8_t* data, size_t n,
         } else {
             size_t cap = remaining < max_size ? remaining : max_size;
             size_t mid = remaining < avg_size ? remaining : avg_size;
-            uint64_t h = 0;
+            uint32_t h = 0;
             size_t i = 0;
             cut = cap;
-            // warm the 64-byte window inside the skipped min region
-            size_t warm = min_size >= 64 ? min_size - 64 : 0;
+            // warm the 32-byte window inside the skipped min region
+            size_t warm = min_size >= 32 ? min_size - 32 : 0;
             for (i = warm; i < min_size; ++i) h = (h << 1) + GEAR[data[pos + i]];
             for (; i < mid; ++i) {
                 h = (h << 1) + GEAR[data[pos + i]];

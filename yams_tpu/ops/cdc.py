@@ -1,0 +1,156 @@
+"""Content-defined chunking on device: gear-hash boundary candidates.
+
+SURVEY §7 step 6 / hard part (d): the reference's Rabin chunker is a
+sequential byte loop (~55 MB/s, BASELINE.md). The gear hash's 32-byte
+self-flushing window makes it embarrassingly parallel:
+
+    h[i] = sum_{j<32} GEAR[b[i-j]] << j   (mod 2^32)
+
+which matches the sequential h = (h<<1) + GEAR[b] at every position with a
+warm window — so device-computed candidate positions are bit-identical to the
+native C++ chunker's (same 32-bit gear table, ingest/chunker.py).
+
+Split: the host does the byte->gear table lookup (vectorized NumPy; a 256-way
+gather is the one op the VPU dislikes) and the greedy min/avg/max cut
+selection over sparse candidates; the device computes the 32-term shifted-add
+correlation — O(32N) VPU work — either as one fused XLA program or as a
+Pallas kernel that DMAs halo'd blocks HBM->VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ingest.chunker import _masks, gear_table
+
+WINDOW = 32
+
+
+@functools.partial(jax.jit, static_argnames=())
+def gear_hash_xla(g: jax.Array) -> jax.Array:
+    """(N,) int32 gear values -> (N,) int32 rolling hashes (XLA-fused path).
+
+    int32 add/shift wrap == uint32 mod-2^32 arithmetic.
+    """
+    n = g.shape[0]
+    h = g
+    for j in range(1, WINDOW):
+        shifted = jnp.left_shift(g, j)
+        rolled = jnp.roll(shifted, j)
+        # positions < j must not see wrapped-around tail values
+        idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+        h = h + jnp.where(idx >= j, rolled, 0)
+    return h
+
+
+HALO_PAD = 1024  # XLA tiles 1-D s32 as T(1024): halo rows pad to that tile
+
+
+def _cdc_block_kernel(g_ref, halo_ref, out_ref):
+    """One block + its WINDOW-byte left halo: 32 shifted adds on the VPU."""
+    blk = jnp.concatenate([halo_ref[:WINDOW], g_ref[:]])  # (WINDOW + BN,)
+    bn = out_ref.shape[0]
+    h = blk[WINDOW : WINDOW + bn]        # j = 0 term, aligned to output
+    for j in range(1, WINDOW):
+        h = h + jnp.left_shift(blk[WINDOW - j : WINDOW - j + bn], j)
+    out_ref[:] = h
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def gear_hash_pallas(
+    g: jax.Array, halos_flat: jax.Array, block: int = 65536
+) -> jax.Array:
+    """Pallas path. g is (N,) int32 (N % block == 0); halos_flat is
+    (N//block * HALO_PAD,) with row i's first WINDOW entries =
+    g[i*block-WINDOW : i*block] (row 0 = zeros). BlockSpec windows can't
+    overlap, so the halo rides as its own blocked input, padded to the
+    128-lane alignment Mosaic requires."""
+    from jax.experimental import pallas as pl
+
+    n = g.shape[0]
+    grid = (n // block,)
+    return pl.pallas_call(
+        _cdc_block_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block,), lambda i: (i,)),
+            pl.BlockSpec((HALO_PAD,), lambda i: (i,)),
+        ],
+        out_specs=pl.BlockSpec((block,), lambda i: (i,)),
+        out_shape=jax.ShapeDtypeStruct((n,), jnp.int32),
+        interpret=jax.default_backend() == "cpu",
+    )(g, halos_flat)
+
+
+def candidates_device(
+    data: bytes, avg_size: int, use_pallas: bool = False, block: int = 65536
+) -> tuple[np.ndarray, np.ndarray]:
+    """Boundary candidate positions via the device hash.
+
+    Returns (cand_s, cand_l) sorted position arrays, identical to the NumPy
+    chunker's candidate sets.
+    """
+    n = len(data)
+    mask_s, mask_l = _masks(avg_size)
+    gear = gear_table()
+    g = gear[np.frombuffer(data, dtype=np.uint8)].astype(np.int64)
+    g = (g & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    if use_pallas:
+        from .cdc import HALO_PAD  # noqa: PLW0406 — module-level constant
+
+        pad = (-n) % block
+        g_dev = np.concatenate([g, np.zeros(pad, np.int32)])
+        nb = len(g_dev) // block
+        halos = np.zeros((nb, HALO_PAD), np.int32)
+        for i in range(1, nb):
+            halos[i, :WINDOW] = g_dev[i * block - WINDOW : i * block]
+        h = np.asarray(
+            gear_hash_pallas(
+                jnp.asarray(g_dev), jnp.asarray(halos.reshape(-1)), block=block
+            )
+        )[:n]
+    else:
+        h = np.asarray(gear_hash_xla(jnp.asarray(g)))
+    hu = h.view(np.uint32)
+    cand_s = np.nonzero((hu & np.uint32(mask_s)) == 0)[0]
+    cand_l = np.nonzero((hu & np.uint32(mask_l)) == 0)[0]
+    return cand_s, cand_l
+
+
+def boundaries_device(
+    data: bytes, min_size: int, avg_size: int, max_size: int,
+    use_pallas: bool = False,
+) -> list[int]:
+    """Full device-candidate CDC: device hash + host greedy cut selection.
+
+    Bit-identical to FastCDCChunker.boundaries (same gear, same selection)."""
+    n = len(data)
+    if n == 0:
+        return []
+    if n <= min_size:
+        return [n]
+    cand_s, cand_l = candidates_device(data, avg_size, use_pallas=use_pallas)
+    out: list[int] = []
+    pos = 0
+    while pos < n:
+        remaining = n - pos
+        if remaining <= min_size:
+            out.append(n)
+            break
+        cap = min(remaining, max_size)
+        mid = min(remaining, avg_size)
+        cut = cap
+        i = np.searchsorted(cand_s, pos + min_size)
+        if i < len(cand_s) and cand_s[i] < pos + mid:
+            cut = int(cand_s[i]) - pos + 1
+        else:
+            j = np.searchsorted(cand_l, pos + mid)
+            if j < len(cand_l) and cand_l[j] < pos + cap:
+                cut = int(cand_l[j]) - pos + 1
+        pos += cut
+        out.append(pos)
+    return out

@@ -3,14 +3,15 @@
 Replaces the reference's Rabin CDC (src/chunking/rabin_chunker.cpp, window=48,
 ~55 MB/s single-core per BASELINE.md) with gear-hash FastCDC. Gear hashing is
 the standard parallelizable CDC: h_{i} = (h_{i-1} << 1) + GEAR[b_i], so a byte's
-influence self-flushes after 64 steps and the hash at position i equals
-sum_{j<64} GEAR[b_{i-j}] << j — a windowed form we exploit both for the
-vectorized NumPy fallback here and for a future Pallas boundary kernel.
+influence self-flushes after 32 steps (32-bit gear) and the hash at position i
+equals sum_{j<32} GEAR[b_{i-j}] << j — a windowed form shared by every
+implementation.
 
-Three implementations, all producing IDENTICAL boundaries:
+Four implementations, all producing IDENTICAL boundaries:
   1. native C++ (yams_tpu/native/src/yams_native.cpp) — the production path.
   2. vectorized NumPy (parallel windowed hash + sparse greedy cut selection).
   3. pure-Python sequential oracle (tests only, tiny inputs).
+  4. Pallas TPU kernel (ops/cdc.py) for device-resident ingest pipelines.
 """
 
 from __future__ import annotations

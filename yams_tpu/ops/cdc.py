@@ -47,43 +47,60 @@ def gear_hash_xla(g: jax.Array) -> jax.Array:
     return h
 
 
-HALO_PAD = 1024  # XLA tiles 1-D s32 as T(1024): halo rows pad to that tile
+LANES = 128
+HALO_ROWS = 8  # Mosaic sublane minimum for a blocked int32 input
+
+
+def _shift_right_1(x: jax.Array, lane_ids: jax.Array) -> jax.Array:
+    """Row-major shift by one element over a (S, 128) tile: lane roll +
+    sublane carry — unaligned 1-D slices miscompile in Mosaic, so everything
+    here is an aligned roll/select."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    r = pltpu.roll(x, 1, 1)                       # r[s, l] = x[s, l-1]
+    carry = pltpu.roll(pltpu.roll(x, 1, 0), 1, 1)  # carry[s, 0] = x[s-1, 127]
+    return jnp.where(lane_ids == 0, carry, r)
 
 
 def _cdc_block_kernel(g_ref, halo_ref, out_ref):
-    """One block + its WINDOW-byte left halo: 32 shifted adds on the VPU."""
-    blk = jnp.concatenate([halo_ref[:WINDOW], g_ref[:]])  # (WINDOW + BN,)
-    bn = out_ref.shape[0]
-    h = blk[WINDOW : WINDOW + bn]        # j = 0 term, aligned to output
+    """One (rows, 128) block + halo row: 32 shifted adds via iterated
+    shift-by-one on the VPU. The halo row precedes the block in row-major
+    order; its last WINDOW lanes hold the previous block's tail."""
+    rows = out_ref.shape[0]
+    blk = jnp.concatenate([halo_ref[0, HALO_ROWS - 1 :, :], g_ref[:]], axis=0)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 1)
+    h = blk
+    v = blk
     for j in range(1, WINDOW):
-        h = h + jnp.left_shift(blk[WINDOW - j : WINDOW - j + bn], j)
-    out_ref[:] = h
+        v = _shift_right_1(v, lane_ids)
+        h = h + jnp.left_shift(v, j)
+    out_ref[:] = h[1 : 1 + rows, :]
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
 def gear_hash_pallas(
-    g: jax.Array, halos_flat: jax.Array, block: int = 65536
+    g2d: jax.Array, halos: jax.Array, block: int = 65536
 ) -> jax.Array:
-    """Pallas path. g is (N,) int32 (N % block == 0); halos_flat is
-    (N//block * HALO_PAD,) with row i's first WINDOW entries =
-    g[i*block-WINDOW : i*block] (row 0 = zeros). BlockSpec windows can't
-    overlap, so the halo rides as its own blocked input, padded to the
-    128-lane alignment Mosaic requires."""
+    """Pallas path. g2d is (N//128, 128) int32 (row-major bytes, N % block
+    == 0); halos is (N//block, HALO_ROWS, 128) where halos[i, -1, -WINDOW:] =
+    the last WINDOW gear values before block i (halos[0] = zeros). BlockSpec
+    windows can't overlap, so the halo rides as its own blocked input."""
     from jax.experimental import pallas as pl
 
-    n = g.shape[0]
-    grid = (n // block,)
+    n_rows = g2d.shape[0]
+    block_rows = block // LANES
+    grid = (n_rows // block_rows,)
     return pl.pallas_call(
         _cdc_block_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block,), lambda i: (i,)),
-            pl.BlockSpec((HALO_PAD,), lambda i: (i,)),
+            pl.BlockSpec((block_rows, LANES), lambda i: (i, 0)),
+            pl.BlockSpec((1, HALO_ROWS, LANES), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((block,), lambda i: (i,)),
-        out_shape=jax.ShapeDtypeStruct((n,), jnp.int32),
+        out_specs=pl.BlockSpec((block_rows, LANES), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
         interpret=jax.default_backend() == "cpu",
-    )(g, halos_flat)
+    )(g2d, halos)
 
 
 def candidates_device(
@@ -100,19 +117,18 @@ def candidates_device(
     g = gear[np.frombuffer(data, dtype=np.uint8)].astype(np.int64)
     g = (g & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
     if use_pallas:
-        from .cdc import HALO_PAD  # noqa: PLW0406 — module-level constant
-
         pad = (-n) % block
         g_dev = np.concatenate([g, np.zeros(pad, np.int32)])
         nb = len(g_dev) // block
-        halos = np.zeros((nb, HALO_PAD), np.int32)
+        halos = np.zeros((nb, HALO_ROWS, LANES), np.int32)
         for i in range(1, nb):
-            halos[i, :WINDOW] = g_dev[i * block - WINDOW : i * block]
+            halos[i, -1, -WINDOW:] = g_dev[i * block - WINDOW : i * block]
         h = np.asarray(
             gear_hash_pallas(
-                jnp.asarray(g_dev), jnp.asarray(halos.reshape(-1)), block=block
+                jnp.asarray(g_dev.reshape(-1, LANES)), jnp.asarray(halos),
+                block=block,
             )
-        )[:n]
+        ).reshape(-1)[:n]
     else:
         h = np.asarray(gear_hash_xla(jnp.asarray(g)))
     hu = h.view(np.uint32)

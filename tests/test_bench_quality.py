@@ -1,0 +1,162 @@
+"""Benchmarks-as-tests: retrieval quality + micro perf with tracked baselines.
+
+Parity: tests/benchmarks/ (baseline/*.json + benchmark_tracker.h + BEIR-style
+retrieval_quality_bench). Baselines live in tests/benchmarks/baseline/ and
+are checked in; regressions beyond slack fail.
+"""
+
+import pathlib
+import time
+
+import pytest
+
+from test_services import small_config
+from yams_tpu.services.app import AppContext
+from yams_tpu.utils.benchtrack import BenchmarkTracker
+from yams_tpu.utils.fixtures import TestDataGenerator
+from yams_tpu.utils.metrics import evaluate, ndcg_at_k, recall_at_k, reciprocal_rank
+
+BASELINE_DIR = pathlib.Path(__file__).parent / "benchmarks" / "baseline"
+
+
+@pytest.fixture(scope="module")
+def tracker():
+    return BenchmarkTracker(BASELINE_DIR / "core.baseline.json")
+
+
+class TestMetrics:
+    def test_reciprocal_rank(self):
+        assert reciprocal_rank([3, 1, 2], {1}) == 0.5
+        assert reciprocal_rank([3, 4], {1}) == 0.0
+
+    def test_recall_ndcg(self):
+        assert recall_at_k([1, 2, 3], {1, 9}, k=3) == 0.5
+        assert ndcg_at_k([1], {1}, k=10) == 1.0
+        assert ndcg_at_k([9, 1], {1}, k=10) < 1.0
+
+    def test_evaluate_aggregates(self):
+        out = evaluate([([1], {1}), ([2], {1})], k=10)
+        assert out["mrr"] == 0.5 and out["n"] == 2
+
+
+class TestRetrievalQuality:
+    """Synthetic clustered corpus: hybrid search must place on-topic docs on top."""
+
+    @pytest.fixture(scope="class")
+    def setup(self, tmp_path_factory):
+        app = AppContext(small_config(tmp_path_factory.mktemp("rq") / "data"))
+        gen = TestDataGenerator(seed=7)
+        corpus = gen.corpus(docs_per_topic=20, words_per_doc=50,
+                            topics=["systems", "cooking", "ml"])
+        for d in corpus.docs:
+            app.documents.add_bytes(d.text.encode(), d.name, tags=d.tags)
+        yield app, corpus
+        app.close()
+
+    @pytest.mark.parametrize("search_type", ["hybrid", "keyword", "vector"])
+    def test_quality_floor(self, setup, search_type, tracker):
+        app, corpus = setup
+        runs = []
+        for qtext, topic in corpus.queries:
+            resp = app.search.search(qtext, limit=10, search_type=search_type,
+                                     with_snippets=False)
+            ranked = [h.path.lstrip("/") for h in resp.hits]
+            runs.append((ranked, corpus.relevant_names(topic)))
+        m = evaluate(runs, k=10)
+        tracker.record(f"quality_{search_type}_mrr", m["mrr"], "mrr", slack=0.25)
+        tracker.record(f"quality_{search_type}_recall10", m["recall"], "recall",
+                       slack=0.25)
+        assert m["mrr"] > 0.9, m      # topical queries must hit on-topic docs
+        # vector-only with the tiny test embedding config (64-d, 512 sketch)
+        # is deliberately weak; hybrid/keyword must clear a higher floor
+        floor = 0.7 if search_type == "vector" else 0.8
+        assert m["recall"] >= floor, m
+
+    def test_hybrid_beats_or_matches_single_legs(self, setup):
+        app, corpus = setup
+        scores = {}
+        for st in ("hybrid", "keyword", "vector"):
+            runs = []
+            for qtext, topic in corpus.queries:
+                resp = app.search.search(qtext, limit=10, search_type=st,
+                                         with_snippets=False)
+                runs.append(([h.path.lstrip("/") for h in resp.hits],
+                             corpus.relevant_names(topic)))
+            scores[st] = evaluate(runs, k=10)["ndcg"]
+        assert scores["hybrid"] >= max(scores["keyword"], scores["vector"]) - 0.05
+
+
+class TestMicroBench:
+    def test_chunker_throughput(self, tracker):
+        from yams_tpu.core.config import ChunkingConfig
+        from yams_tpu.ingest.chunker import FastCDCChunker
+
+        data = TestDataGenerator(1).random_bytes(8 << 20)
+        c = FastCDCChunker(ChunkingConfig())
+        c.boundaries(data[:1 << 20])  # warm native lib
+        t0 = time.perf_counter()
+        c.boundaries(data)
+        mbps = len(data) / (time.perf_counter() - t0) / 1e6
+        out = tracker.record("chunker_mbps", mbps, "MB/s", slack=0.6)
+        assert out["status"] != "regression", out
+        # the reference's Rabin chunker does ~55 MB/s (BASELINE.md)
+        assert mbps > 200, f"chunker too slow: {mbps:.0f} MB/s"
+
+    def test_sha256_throughput(self, tracker):
+        from yams_tpu.ingest.hasher import sha256_bytes
+
+        data = TestDataGenerator(2).random_bytes(8 << 20)
+        t0 = time.perf_counter()
+        sha256_bytes(data)
+        mbps = len(data) / (time.perf_counter() - t0) / 1e6
+        tracker.record("sha256_mbps", mbps, "MB/s", slack=0.6)
+        assert mbps > 300
+
+    def test_simeon_encode_rate(self, tracker):
+        from yams_tpu.core.config import EmbeddingConfig
+        from yams_tpu.embed import SimeonEncoder
+
+        docs = [f"document number {i} with some shared tokens" for i in range(64)]
+        enc = SimeonEncoder(EmbeddingConfig(dim=128, sketch_dim=2048))
+        enc.encode(docs[:2])  # compile
+        t0 = time.perf_counter()
+        enc.encode(docs)
+        rate = len(docs) / (time.perf_counter() - t0)
+        out = tracker.record("simeon_encode_docs_per_s", rate, "docs/s", slack=0.6)
+        assert out["status"] != "regression", out
+
+    def test_search_latency(self, tracker, tmp_path):
+        app = AppContext(small_config(tmp_path / "data"))
+        try:
+            gen = TestDataGenerator(3)
+            for d in gen.corpus(docs_per_topic=15, topics=["systems", "ml"]).docs:
+                app.documents.add_bytes(d.text.encode(), d.name)
+            app.search.search("kernel mutex")  # compile
+            lat = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                app.search.search("scheduler thread lock", with_snippets=False)
+                lat.append((time.perf_counter() - t0) * 1e3)
+            p50 = sorted(lat)[len(lat) // 2]
+            tracker.record("hybrid_p50_ms_small", p50, "ms",
+                           higher_is_better=False, slack=1.5)
+        finally:
+            app.close()
+
+
+class TestTrackerMechanics:
+    def test_new_then_regression(self, tmp_path):
+        t = BenchmarkTracker(tmp_path / "b.json")
+        out = t.record("m", 100.0, "qps")
+        assert out["status"] == "new"
+        t2 = BenchmarkTracker(tmp_path / "b.json")
+        assert t2.record("m", 90.0, "qps", slack=0.5)["status"] == "ok"
+        assert t2.record("m", 10.0, "qps", slack=0.5)["status"] == "regression"
+
+    def test_lower_is_better(self, tmp_path):
+        t = BenchmarkTracker(tmp_path / "b.json")
+        t.record("lat", 10.0, "ms", higher_is_better=False)
+        t2 = BenchmarkTracker(tmp_path / "b.json")
+        assert t2.record("lat", 9.0, "ms", higher_is_better=False)["status"] == "ok"
+        assert t2.record("lat", 100.0, "ms", higher_is_better=False,
+                         slack=0.5)["status"] == "regression"

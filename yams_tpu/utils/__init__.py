@@ -1,0 +1,4 @@
+from .fixtures import SyntheticCorpus, TestDataGenerator
+from .benchtrack import BenchmarkTracker
+
+__all__ = ["TestDataGenerator", "SyntheticCorpus", "BenchmarkTracker"]

@@ -1,0 +1,146 @@
+"""Tests for query understanding, minhash dedupe, watch, restore."""
+
+import pytest
+
+from test_services import small_config
+from yams_tpu.search.query import (
+    FuzzyCorrector,
+    build_routing_plan,
+    classify_intent,
+    prf_expansion,
+    subphrase_expansions,
+)
+from yams_tpu.services.app import AppContext
+from yams_tpu.utils.minhash import (
+    find_near_duplicates,
+    jaccard_estimate,
+    minhash_signature,
+)
+
+
+class TestIntent:
+    def test_classes(self):
+        assert classify_intent("src/main.py") == "navigational"
+        assert classify_intent("MetadataRepository") == "navigational"
+        assert classify_intent("how does the scheduler preempt threads") == "question"
+        assert classify_intent("mutex") == "lookup"
+        assert classify_intent("thread scheduling priority inversion") == "conceptual"
+
+    def test_routing_plan(self):
+        plan = build_routing_plan("how does chunking work here")
+        assert plan.mode == "hybrid"
+        assert plan.expansions  # bigrams present
+        assert classify_intent("a/b.txt") == "navigational"
+        assert build_routing_plan("a/b.txt").mode == "keyword"
+
+
+class TestFuzzy:
+    VOCAB = {"scheduler": 10, "kernel": 8, "preemption": 4, "thread": 6}
+
+    def test_corrects_typo(self):
+        fc = FuzzyCorrector(self.VOCAB)
+        assert fc.correct("scheduler") == "scheduler"
+        assert fc.correct("scheduker") == "scheduler"   # 1 substitution
+        assert fc.correct("schedulr") == "scheduler"    # 1 deletion
+        assert fc.correct("kernell") == "kernel"        # 1 insertion
+
+    def test_short_tokens_untouched(self):
+        fc = FuzzyCorrector(self.VOCAB)
+        assert fc.correct("ker") == "ker"
+
+    def test_correct_query(self):
+        fc = FuzzyCorrector(self.VOCAB)
+        assert fc.correct_query("kernl threda") == "kernel thread"
+
+
+class TestExpansion:
+    def test_subphrases(self):
+        out = subphrase_expansions("kernel thread scheduling policy")
+        assert "kernel thread" in out
+
+    def test_prf(self):
+        docs = [
+            "preemption latency dominates scheduler wakeups",
+            "preemption behavior and scheduler latency tuning",
+        ]
+        exp = prf_expansion("scheduler", docs)
+        assert "preemption" in exp or "latency" in exp
+        assert "scheduler" not in exp  # query terms excluded
+
+
+class TestMinhash:
+    def test_identical_texts(self):
+        a = minhash_signature("the quick brown fox jumps over the lazy dog " * 5)
+        b = minhash_signature("the quick brown fox jumps over the lazy dog " * 5)
+        assert jaccard_estimate(a, b) == 1.0
+
+    def test_different_texts(self):
+        a = minhash_signature("completely unrelated text about cooking pasta " * 5)
+        b = minhash_signature("kernel scheduling with priority queues locks " * 5)
+        assert jaccard_estimate(a, b) < 0.3
+
+    def test_find_near_duplicates(self):
+        base = "shared paragraph of text repeated many times for the test " * 10
+        texts = {
+            1: base,
+            2: base + " with a tiny suffix",
+            3: "entirely different content about gardening and flowers " * 10,
+        }
+        pairs = find_near_duplicates(texts, threshold=0.6)
+        assert [(a, b) for a, b, _ in pairs] == [(1, 2)]
+
+
+@pytest.fixture()
+def app(tmp_path):
+    a = AppContext(small_config(tmp_path / "data"))
+    yield a
+    a.close()
+
+
+class TestServiceIntegration:
+    def test_fuzzy_retry_in_search(self, app):
+        app.documents.add_bytes(b"the scheduler preempts threads", "s.txt")
+        resp = app.search.search("schedulr preempts", search_type="keyword")
+        assert resp.hits and resp.hits[0].name == "s.txt"
+
+    def test_auto_routing(self, app):
+        app.documents.add_bytes(b"alpha beta content", "r.txt")
+        resp = app.search.search("alpha beta", search_type="auto")
+        assert resp.type in ("keyword", "hybrid")
+
+    def test_semantic_dedupe(self, app):
+        text = ("identical body shared across both documents " * 20).encode()
+        app.documents.add_bytes(text, "dup1.txt")
+        app.documents.add_bytes(text + b" tail", "dup2.txt")
+        app.documents.add_bytes(b"nothing like the others at all " * 20, "uniq.txt")
+        pairs = app.search.semantic_dedupe(threshold=0.6)
+        assert len(pairs) == 1
+        assert {"dup1.txt", "dup2.txt"} == {
+            p.rsplit("/", 1)[-1] for pr in pairs for p in (pr["a"], pr["b"])
+        }
+
+    def test_watch_run_once(self, app, tmp_path):
+        src = tmp_path / "watched"
+        src.mkdir()
+        (src / "a.txt").write_text("first file watched content")
+        events = app.watch.run_once(src)
+        assert [e.kind for e in events] == ["added"]
+        assert app.watch.run_once(src) == []  # unchanged
+        (src / "a.txt").write_text("modified file watched content!")
+        events = app.watch.run_once(src)
+        assert [e.kind for e in events] == ["modified"]
+        (src / "a.txt").unlink()
+        events = app.watch.run_once(src)
+        assert [e.kind for e in events] == ["removed"]
+        assert app.search.search("watched content").hits
+
+    def test_restore_snapshot(self, app, tmp_path):
+        src = tmp_path / "proj"
+        src.mkdir()
+        (src / "keep.txt").write_text("restorable content")
+        rep = app.indexing.add_directory(src, snapshot=True)
+        out_dir = tmp_path / "restored"
+        res = app.indexing.restore_snapshot(rep.snapshot_id, out_dir)
+        assert res["restored"] == 1
+        restored = list(out_dir.rglob("keep.txt"))
+        assert restored and restored[0].read_text() == "restorable content"

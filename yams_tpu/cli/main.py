@@ -369,6 +369,46 @@ def cmd_doctor(cli: Cli):
     return 0 if all(ok for ok, _ in report.values()) else 1
 
 
+def cmd_restore(cli: Cli):
+    out = cli.app.indexing.restore_snapshot(
+        cli.args.snapshot_id, cli.args.target, overwrite=cli.args.overwrite
+    )
+    cli.out(out, lambda o: print(
+        f"restored {o['restored']} files to {o['target']} "
+        f"({o['skipped']} skipped, {o['failed']} failed)"))
+    return 0
+
+
+def cmd_watch(cli: Cli):
+    import time as _time
+
+    svc = cli.app.watch
+    print(f"watching {cli.args.directory} (interval {cli.args.interval}s, ^C to stop)")
+    try:
+        while True:
+            for ev in svc.run_once(
+                cli.args.directory,
+                include=cli.args.include.split(",") if cli.args.include else None,
+                tags=cli.args.tags.split(",") if cli.args.tags else None,
+                delete_missing=cli.args.delete_missing,
+            ):
+                print(f"{ev.kind}: {ev.path}")
+            if cli.args.once:
+                break
+            _time.sleep(cli.args.interval)
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+def cmd_dedupe(cli: Cli):
+    pairs = cli.app.search.semantic_dedupe(threshold=cli.args.threshold)
+    cli.out(pairs, lambda o: [
+        print(f"{p['similarity']:.2f}  {p['a']}  <->  {p['b']}") for p in o
+    ])
+    return 0
+
+
 def cmd_config(cli: Cli):
     import dataclasses
 
@@ -558,6 +598,25 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--ops", help="comma-separated op names (default: all)")
     sp.set_defaults(fn=cmd_repair)
     sub.add_parser("doctor", help="health checks").set_defaults(fn=cmd_doctor)
+
+    sp = sub.add_parser("restore", help="restore a tree snapshot from the CAS")
+    sp.add_argument("snapshot_id")
+    sp.add_argument("target")
+    sp.add_argument("--overwrite", action="store_true")
+    sp.set_defaults(fn=cmd_restore)
+
+    sp = sub.add_parser("watch", help="watch a directory and index changes")
+    sp.add_argument("directory")
+    sp.add_argument("--interval", type=float, default=2.0)
+    sp.add_argument("--include")
+    sp.add_argument("--tags")
+    sp.add_argument("--delete-missing", action="store_true")
+    sp.add_argument("--once", action="store_true")
+    sp.set_defaults(fn=cmd_watch)
+
+    sp = sub.add_parser("dedupe", help="find near-duplicate documents")
+    sp.add_argument("--threshold", type=float, default=0.8)
+    sp.set_defaults(fn=cmd_dedupe)
 
     sub.add_parser("config", help="show effective config").set_defaults(fn=cmd_config)
     sub.add_parser("model", help="list embedding models").set_defaults(fn=cmd_model)

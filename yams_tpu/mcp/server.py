@@ -149,6 +149,17 @@ class MCPServer:
                   {"url": S, "expected_sha256": S, "tags": A}, ["url"]),
             self.t_download,
         )
+        self._register(
+            _tool("semantic_dedupe", "Find near-duplicate documents (MinHash)",
+                  {"threshold": {"type": "number"}}),
+            self.t_semantic_dedupe,
+        )
+        self._register(
+            _tool("restore", "Restore a tree snapshot's files from the CAS",
+                  {"snapshot_id": S, "target_dir": S, "overwrite": B},
+                  ["snapshot_id", "target_dir"]),
+            self.t_restore,
+        )
         self._register(_tool("mcp.echo", "Echo (connectivity test)", {"text": S}),
                        lambda a: {"echo": a.get("text", "")})
 
@@ -271,6 +282,14 @@ class MCPServer:
             a["url"], expected_sha256=a.get("expected_sha256", ""),
             tags=a.get("tags"),
         ))
+
+    def t_semantic_dedupe(self, a):
+        return {"pairs": self.app.search.semantic_dedupe(a.get("threshold", 0.8))}
+
+    def t_restore(self, a):
+        return self.app.indexing.restore_snapshot(
+            a["snapshot_id"], a["target_dir"], overwrite=a.get("overwrite", False)
+        )
 
     def t_list_collections(self, a):
         rows = self.app.db.execute(

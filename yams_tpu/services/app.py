@@ -60,6 +60,7 @@ class AppContext:
         from .search_service import SearchService
         from .session_service import SessionService
         from .stats_service import StatsService
+        from .watch_service import WatchService
 
         self.documents = DocumentService(self)
         self.search = SearchService(self)
@@ -69,6 +70,7 @@ class AppContext:
         self.sessions = SessionService(self)
         self.stats = StatsService(self)
         self.downloads = DownloadService(self)
+        self.watch = WatchService(self)
 
     # -- index persistence -----------------------------------------------------
     def _load_indexes(self) -> None:

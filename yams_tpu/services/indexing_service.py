@@ -87,6 +87,38 @@ class IndexingService:
             )
         return report
 
+    def restore_snapshot(
+        self,
+        snapshot_id: str,
+        target_dir: str | pathlib.Path,
+        overwrite: bool = False,
+    ) -> dict:
+        """Materialize a tree snapshot's files from the CAS
+        (reference: restore_command.cpp)."""
+        target = pathlib.Path(target_dir)
+        target.mkdir(parents=True, exist_ok=True)
+        entries = self.app.trees.get_snapshot(snapshot_id)
+        restored = skipped = failed = 0
+        for e in entries:
+            if e.is_dir:
+                continue
+            rel = e.path.lstrip("/")
+            # snapshot paths are absolute source paths: re-root under target
+            out = target / pathlib.PurePath(rel).name if "/" not in rel else \
+                target / pathlib.PurePath(*pathlib.PurePath(rel).parts[-2:])
+            if out.exists() and not overwrite:
+                skipped += 1
+                continue
+            try:
+                data = self.app.content_store.retrieve_bytes(e.hash)
+                out.parent.mkdir(parents=True, exist_ok=True)
+                out.write_bytes(data)
+                restored += 1
+            except Exception:
+                failed += 1
+        return {"restored": restored, "skipped": skipped, "failed": failed,
+                "target": str(target)}
+
     def reindex_pending(self, limit: int = 1000) -> int:
         """Embed/index docs whose embedding_status is pending (repair path)."""
         done = 0

@@ -67,14 +67,22 @@ class SearchService:
         self,
         query: str,
         limit: int = 10,
-        search_type: str = "hybrid",   # hybrid | semantic | vector | keyword | fts
+        search_type: str = "hybrid",   # auto | hybrid | semantic | vector | keyword | fts
         tags: list[str] | None = None,
         path_glob: str | None = None,
         collection: str | None = None,
         with_snippets: bool = True,
+        fuzzy_retry: bool = True,
     ) -> SearchResponse:
         t0 = time.monotonic()
         md = self.app.metadata
+        if search_type == "auto":
+            # intent routing (reference: buildSearchRoutingPlan)
+            from ..search.query import build_routing_plan
+
+            plan = build_routing_plan(query)
+            search_type = plan.mode
+            query = plan.corrected_query
         filter_ids = self._filter_doc_ids(tags, path_glob, collection)
         hits: list[SearchHit] = []
 
@@ -113,6 +121,19 @@ class SearchService:
                     snippet=snippet, text_score=r.text_score,
                     vector_score=r.vector_score, kg_score=r.kg_score,
                 ))
+            if not hits and fuzzy_retry:
+                # zero hits: symspell-correct against the lexical vocab and
+                # retry once (reference: symspell fuzzy fallback)
+                from ..search.query import FuzzyCorrector
+
+                vocab = self.app.search_engine.lexical_index._vocab
+                if vocab:
+                    corrected = FuzzyCorrector(vocab).correct_query(query)
+                    if corrected != query:
+                        return self.search(
+                            corrected, limit, search_type, tags, path_glob,
+                            collection, with_snippets, fuzzy_retry=False,
+                        )
             for h in hits[:3]:
                 md.touch_hotzone(h.document_id, 0.2)
                 self.app.search_engine.touch_hot(h.document_id, 0.2)
@@ -141,6 +162,31 @@ class SearchService:
                 suffix = "..." if end < len(text) else ""
                 return prefix + text[start:end].replace("\n", " ") + suffix
         return text[:width].replace("\n", " ")
+
+    def semantic_dedupe(
+        self, threshold: float = 0.8, limit_docs: int = 2000
+    ) -> list[dict]:
+        """Near-duplicate document pairs via MinHash/LSH
+        (MCP semantic_dedupe tool parity)."""
+        from ..utils.minhash import find_near_duplicates
+
+        rows = self.app.db.execute(
+            "SELECT document_id, content_text FROM document_content LIMIT ?",
+            (limit_docs,),
+        ).fetchall()
+        texts = {r[0]: r[1] for r in rows if r[1]}
+        pairs = find_near_duplicates(texts, threshold=threshold)
+        out = []
+        for a, b, j in pairs:
+            try:
+                out.append({
+                    "a": self.app.metadata.get_document(a).file_path,
+                    "b": self.app.metadata.get_document(b).file_path,
+                    "similarity": round(j, 3),
+                })
+            except Exception:
+                pass
+        return out
 
     def suggest_context(self, query: str, limit: int = 5, max_chars: int = 4000) -> str:
         """Concatenated snippets for LLM context (MCP suggest_context tool)."""

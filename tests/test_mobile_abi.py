@@ -1,0 +1,119 @@
+"""Mobile/C ABI smoke test: the C library drives a live daemon end-to-end.
+
+Parity: tests/mobile/mobile_abi_smoke_test.cpp — load the C bindings via
+ctypes (standing in for a C host app) against a real socket."""
+
+import asyncio
+import ctypes
+import json
+import threading
+import time
+
+import pytest
+
+from test_services import small_config
+from yams_tpu import native
+from yams_tpu.daemon.server import YamsDaemon
+
+
+@pytest.fixture()
+def daemon(tmp_path):
+    cfg = small_config(tmp_path / "data")
+    cfg.daemon.socket_path = str(tmp_path / "m.sock")
+    d = YamsDaemon(cfg)
+    loop = asyncio.new_event_loop()
+
+    def runner():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(d.run())
+
+    t = threading.Thread(target=runner, daemon=True)
+    t.start()
+    for _ in range(200):
+        if cfg.socket_path.exists():
+            break
+        time.sleep(0.05)
+    yield cfg
+    from yams_tpu.daemon.client import DaemonClient
+
+    try:
+        DaemonClient(cfg.socket_path).shutdown()
+    except Exception:
+        pass
+    t.join(timeout=20)
+
+
+@pytest.fixture()
+def mobile():
+    lib = native.get_native()
+    if lib is None:
+        pytest.skip("no native lib")
+    lib.yams_mobile_abi_version.restype = ctypes.c_int
+    lib.yams_mobile_connect.restype = ctypes.c_void_p
+    lib.yams_mobile_connect.argtypes = [ctypes.c_char_p]
+    lib.yams_mobile_disconnect.argtypes = [ctypes.c_void_p]
+    lib.yams_mobile_free.argtypes = [ctypes.c_void_p]
+    for fn in ("yams_mobile_ping", "yams_mobile_request"):
+        getattr(lib, fn).restype = ctypes.c_void_p
+    lib.yams_mobile_ping.argtypes = [ctypes.c_void_p]
+    lib.yams_mobile_request.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.yams_mobile_status.restype = ctypes.c_void_p
+    lib.yams_mobile_status.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.yams_mobile_search.restype = ctypes.c_void_p
+    lib.yams_mobile_search.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p
+    ]
+    lib.yams_mobile_add_text.restype = ctypes.c_void_p
+    lib.yams_mobile_add_text.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p
+    ]
+    lib.yams_mobile_get_text.restype = ctypes.c_void_p
+    lib.yams_mobile_get_text.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    return lib
+
+
+def _take(lib, ptr) -> dict:
+    assert ptr, "C call returned NULL"
+    s = ctypes.string_at(ptr).decode()
+    lib.yams_mobile_free(ptr)
+    return json.loads(s)
+
+
+class TestMobileAbi:
+    def test_abi_version(self, mobile):
+        assert mobile.yams_mobile_abi_version() == 1
+
+    def test_full_flow(self, daemon, mobile):
+        h = mobile.yams_mobile_connect(str(daemon.socket_path).encode())
+        assert h
+        try:
+            resp = _take(mobile, mobile.yams_mobile_ping(h))
+            assert resp["ok"] and resp["result"]["pong"]
+
+            resp = _take(mobile, mobile.yams_mobile_add_text(
+                h, b"mobile/m.txt", b"text added through the C ABI"
+            ))
+            assert resp["ok"] and resp["result"]["indexed"]
+
+            resp = _take(mobile, mobile.yams_mobile_search(
+                h, b"C ABI text", 5, b"hybrid"
+            ))
+            assert resp["ok"]
+            assert resp["result"]["hits"][0]["name"] == "m.txt"
+
+            resp = _take(mobile, mobile.yams_mobile_get_text(h, b"m.txt"))
+            assert "C ABI" in resp["result"]["text"]
+
+            resp = _take(mobile, mobile.yams_mobile_status(h, 0))
+            assert resp["result"]["documents"]["documents"] == 1
+
+            # raw escape hatch with unicode + quotes
+            resp = _take(mobile, mobile.yams_mobile_request(
+                h, json.dumps({"type": "grep", "pattern": "ABI"}).encode()
+            ))
+            assert resp["ok"] and resp["result"]["files_matched"] == 1
+        finally:
+            mobile.yams_mobile_disconnect(h)
+
+    def test_connect_failure_returns_null(self, mobile):
+        assert not mobile.yams_mobile_connect(b"/nonexistent/sock")

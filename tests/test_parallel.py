@@ -45,6 +45,34 @@ class TestShardedTopk:
         assert pad_to_shards(2048, 8, 128) == 2048
 
 
+class TestShardedInt8:
+    def test_int8_sharded_recall(self, mesh):
+        """BASELINE config 4 in miniature: int8 shards + allgather merge."""
+        import jax.sharding as jsh
+
+        from yams_tpu.ops.scan import quantize_int8
+        from yams_tpu.parallel.sharded_scan import sharded_int8_topk
+
+        N, D, B, k = 8 * 256, 128, 4, 10
+        e, q = _unit(N, D, seed=9), _unit(B, D, seed=10)
+        q8, scale = quantize_int8(e)
+        spec_r = jsh.NamedSharding(mesh, jsh.PartitionSpec("d", None))
+        spec_1 = jsh.NamedSharding(mesh, jsh.PartitionSpec("d"))
+        vals, idx = sharded_int8_topk(
+            mesh, jnp.asarray(q),
+            jax.device_put(jnp.asarray(q8), spec_r),
+            jax.device_put(jnp.asarray(scale), spec_1),
+            jax.device_put(jnp.ones(N), spec_1),
+            k=k, block_rows=128,
+        )
+        s = q @ e.T
+        oi = np.argsort(-s, axis=1)[:, :k]
+        recall = np.mean([
+            len(set(np.asarray(idx)[i]) & set(oi[i])) / k for i in range(B)
+        ])
+        assert recall > 0.8
+
+
 class TestShardedHybrid:
     def test_fused_scores(self, mesh):
         N, D, B, Nd, k = 8 * 128, 32, 2, 128, 5

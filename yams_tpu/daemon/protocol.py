@@ -19,6 +19,8 @@ MAGIC = 0x59545044  # "YTPD"
 VERSION = 1
 HEADER = struct.Struct("<IBBHII")  # magic, version, flags, reserved, length, crc
 FLAG_MORE = 0x01  # continuation frame follows
+FLAG_JSON = 0x02  # payload is UTF-8 JSON (C/mobile clients); bytes ride base64
+                  # in {"__b64__": ...} wrappers. Replies mirror the flag.
 
 MAX_FRAME = 256 * 1024 * 1024
 CHUNK_SIZE = 4 * 1024 * 1024
@@ -28,19 +30,46 @@ class FrameError(Exception):
     pass
 
 
-def encode_frames(message: dict) -> bytes:
-    payload = msgpack.packb(message, use_bin_type=True)
+def _json_default(obj):
+    import base64
+
+    if isinstance(obj, (bytes, bytearray)):
+        return {"__b64__": base64.b64encode(bytes(obj)).decode()}
+    raise TypeError(f"not JSON-serializable: {type(obj)}")
+
+
+def _json_revive(obj):
+    import base64
+
+    if isinstance(obj, dict):
+        if set(obj) == {"__b64__"}:
+            return base64.b64decode(obj["__b64__"])
+        return {k: _json_revive(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_json_revive(v) for v in obj]
+    return obj
+
+
+def encode_frames(message: dict, json_mode: bool = False) -> bytes:
+    if json_mode:
+        import json
+
+        payload = json.dumps(message, default=_json_default).encode()
+        base_flags = FLAG_JSON
+    else:
+        payload = msgpack.packb(message, use_bin_type=True)
+        base_flags = 0
     out = bytearray()
     offset = 0
     while True:
         chunk = payload[offset : offset + CHUNK_SIZE]
         offset += len(chunk)
-        flags = FLAG_MORE if offset < len(payload) else 0
+        flags = base_flags | (FLAG_MORE if offset < len(payload) else 0)
         out += HEADER.pack(
             MAGIC, VERSION, flags, 0, len(chunk), zlib.crc32(chunk) & 0xFFFFFFFF
         )
         out += chunk
-        if not flags:
+        if not (flags & FLAG_MORE):
             break
     return bytes(out)
 
@@ -96,11 +125,14 @@ def read_frame(sock) -> dict:
 
 # -- asyncio (server) -------------------------------------------------------------
 
-async def async_read_frame(reader) -> dict:
+async def async_read_frame_ex(reader) -> tuple[dict, bool]:
+    """-> (message, json_mode)."""
     payload = bytearray()
+    json_mode = False
     while True:
         head = await reader.readexactly(HEADER.size)
         length, flags = decode_header(head)
+        json_mode = bool(flags & FLAG_JSON)
         part = await reader.readexactly(length)
         check_crc(head, part)
         payload += part
@@ -108,9 +140,18 @@ async def async_read_frame(reader) -> dict:
             break
         if len(payload) > MAX_FRAME:
             raise FrameError("stream too large")
-    return msgpack.unpackb(bytes(payload), raw=False)
+    if json_mode:
+        import json
+
+        return _json_revive(json.loads(bytes(payload))), True
+    return msgpack.unpackb(bytes(payload), raw=False), False
 
 
-async def async_write_frame(writer, message: dict) -> None:
-    writer.write(encode_frames(message))
+async def async_read_frame(reader) -> dict:
+    msg, _ = await async_read_frame_ex(reader)
+    return msg
+
+
+async def async_write_frame(writer, message: dict, json_mode: bool = False) -> None:
+    writer.write(encode_frames(message, json_mode=json_mode))
     await writer.drain()

@@ -109,16 +109,18 @@ class YamsDaemon:
 
     # -- connection handling ---------------------------------------------------------
     async def _handle_conn(self, reader, writer) -> None:
+        from .protocol import async_read_frame_ex
+
         try:
             while True:
                 try:
-                    req = await async_read_frame(reader)
+                    req, json_mode = await async_read_frame_ex(reader)
                 except (asyncio.IncompleteReadError, FrameError, ConnectionError):
                     break
                 resp = await self._dispatch(req)
                 resp["id"] = req.get("id")
                 try:
-                    await async_write_frame(writer, resp)
+                    await async_write_frame(writer, resp, json_mode=json_mode)
                 except ConnectionError:
                     break
         finally:

@@ -16,6 +16,7 @@ import threading
 
 _HERE = pathlib.Path(__file__).parent
 _SRC = _HERE / "src" / "yams_native.cpp"
+_SRC_MOBILE = _HERE / "src" / "yams_mobile.cpp"
 _LIBDIR = _HERE / "_build"
 _LIB = _LIBDIR / "libyams_native.so"
 
@@ -30,7 +31,7 @@ def _build() -> bool:
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
         "-march=native", "-funroll-loops",
-        str(_SRC), "-o", str(tmp),
+        str(_SRC), str(_SRC_MOBILE), "-o", str(tmp),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -48,7 +49,8 @@ def _load() -> ctypes.CDLL | None:
         _tried = True
         if os.environ.get("YAMS_TPU_NO_NATIVE"):
             return None
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        newest_src = max(_SRC.stat().st_mtime, _SRC_MOBILE.stat().st_mtime)
+        if not _LIB.exists() or _LIB.stat().st_mtime < newest_src:
             if not _build():
                 return None
         try:

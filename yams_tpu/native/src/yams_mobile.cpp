@@ -1,0 +1,240 @@
+// yams_tpu mobile/C bindings: embed the retrieval system from any C host.
+//
+// Parity: include/yams/api/mobile_bindings.h (the reference's 196-symbol
+// yams_mobile_* C ABI). This library speaks the daemon's framed protocol over
+// AF_UNIX with the FLAG_JSON payload mode, so host apps exchange UTF-8 JSON
+// strings and never need msgpack. Responses are returned as malloc'd JSON the
+// caller frees with yams_mobile_free().
+//
+// Lifecycle: yams_mobile_connect -> yams_mobile_* calls -> yams_mobile_disconnect.
+
+#include <cstdint>
+#include <cstddef>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+
+#include <sys/socket.h>
+#include <sys/un.h>
+#include <unistd.h>
+
+extern "C" uint32_t ytn_crc32(const uint8_t* data, size_t n, uint32_t seed);
+
+namespace {
+
+constexpr uint32_t MAGIC = 0x59545044; // "YTPD"
+constexpr uint8_t VERSION = 1;
+constexpr uint8_t FLAG_MORE = 0x01;
+constexpr uint8_t FLAG_JSON = 0x02;
+
+#pragma pack(push, 1)
+struct FrameHeader {
+    uint32_t magic;
+    uint8_t version;
+    uint8_t flags;
+    uint16_t reserved;
+    uint32_t length;
+    uint32_t crc;
+};
+#pragma pack(pop)
+static_assert(sizeof(FrameHeader) == 16, "frame header must be 16 bytes");
+
+struct Handle {
+    int fd = -1;
+    uint64_t next_id = 1;
+};
+
+bool write_all(int fd, const void* buf, size_t n) {
+    const char* p = static_cast<const char*>(buf);
+    while (n) {
+        ssize_t w = ::write(fd, p, n);
+        if (w <= 0) return false;
+        p += w;
+        n -= (size_t)w;
+    }
+    return true;
+}
+
+bool read_all(int fd, void* buf, size_t n) {
+    char* p = static_cast<char*>(buf);
+    while (n) {
+        ssize_t r = ::read(fd, p, n);
+        if (r <= 0) return false;
+        p += r;
+        n -= (size_t)r;
+    }
+    return true;
+}
+
+std::string json_escape(const char* s) {
+    std::string out;
+    for (const char* p = s; *p; ++p) {
+        unsigned char c = (unsigned char)*p;
+        switch (c) {
+            case '"': out += "\\\""; break;
+            case '\\': out += "\\\\"; break;
+            case '\n': out += "\\n"; break;
+            case '\r': out += "\\r"; break;
+            case '\t': out += "\\t"; break;
+            default:
+                if (c < 0x20) {
+                    char buf[8];
+                    snprintf(buf, sizeof buf, "\\u%04x", c);
+                    out += buf;
+                } else {
+                    out += (char)c;
+                }
+        }
+    }
+    return out;
+}
+
+char* dup_cstr(const std::string& s) {
+    char* out = static_cast<char*>(malloc(s.size() + 1));
+    if (out) memcpy(out, s.c_str(), s.size() + 1);
+    return out;
+}
+
+// send one JSON request, receive the full (possibly chunked) JSON response
+char* roundtrip(Handle* h, const std::string& payload) {
+    FrameHeader hdr{MAGIC, VERSION, FLAG_JSON, 0,
+                    (uint32_t)payload.size(),
+                    ytn_crc32((const uint8_t*)payload.data(), payload.size(), 0)};
+    if (!write_all(h->fd, &hdr, sizeof hdr)) return nullptr;
+    if (!write_all(h->fd, payload.data(), payload.size())) return nullptr;
+    std::string resp;
+    for (;;) {
+        FrameHeader rh;
+        if (!read_all(h->fd, &rh, sizeof rh)) return nullptr;
+        if (rh.magic != MAGIC || rh.length > (256u << 20)) return nullptr;
+        std::string part(rh.length, '\0');
+        if (!read_all(h->fd, part.data(), rh.length)) return nullptr;
+        if (ytn_crc32((const uint8_t*)part.data(), part.size(), 0) != rh.crc)
+            return nullptr;
+        resp += part;
+        if (!(rh.flags & FLAG_MORE)) break;
+    }
+    return dup_cstr(resp);
+}
+
+} // namespace
+
+extern "C" {
+
+int yams_mobile_abi_version() { return 1; }
+
+// returns an opaque handle, or NULL on failure
+void* yams_mobile_connect(const char* socket_path) {
+    int fd = ::socket(AF_UNIX, SOCK_STREAM, 0);
+    if (fd < 0) return nullptr;
+    sockaddr_un addr{};
+    addr.sun_family = AF_UNIX;
+    strncpy(addr.sun_path, socket_path, sizeof(addr.sun_path) - 1);
+    if (::connect(fd, (sockaddr*)&addr, sizeof addr) != 0) {
+        ::close(fd);
+        return nullptr;
+    }
+    auto* h = new Handle();
+    h->fd = fd;
+    return h;
+}
+
+void yams_mobile_disconnect(void* handle) {
+    auto* h = static_cast<Handle*>(handle);
+    if (!h) return;
+    if (h->fd >= 0) ::close(h->fd);
+    delete h;
+}
+
+void yams_mobile_free(char* s) { free(s); }
+
+// raw escape hatch: send a complete JSON request object (must include "type")
+char* yams_mobile_request(void* handle, const char* json_request) {
+    auto* h = static_cast<Handle*>(handle);
+    if (!h || !json_request) return nullptr;
+    std::string payload(json_request);
+    // inject an id if the caller's object lacks one (crude but sufficient:
+    // we only add when the request doesn't contain "\"id\"")
+    if (payload.find("\"id\"") == std::string::npos && payload.size() >= 2 &&
+        payload.front() == '{') {
+        char buf[48];
+        snprintf(buf, sizeof buf, "{\"id\":%llu,",
+                 (unsigned long long)h->next_id++);
+        payload = std::string(buf) + payload.substr(1);
+    }
+    return roundtrip(h, payload);
+}
+
+char* yams_mobile_ping(void* handle) {
+    return yams_mobile_request(handle, "{\"type\":\"ping\"}");
+}
+
+char* yams_mobile_status(void* handle, int detailed) {
+    std::string req = std::string("{\"type\":\"status\",\"detailed\":") +
+                      (detailed ? "true" : "false") + "}";
+    return yams_mobile_request(handle, req.c_str());
+}
+
+char* yams_mobile_search(void* handle, const char* query, int limit,
+                         const char* search_type) {
+    std::string req = "{\"type\":\"search\",\"query\":\"" + json_escape(query) +
+                      "\",\"limit\":" + std::to_string(limit > 0 ? limit : 10) +
+                      ",\"search_type\":\"" +
+                      json_escape(search_type ? search_type : "hybrid") + "\"}";
+    return yams_mobile_request(handle, req.c_str());
+}
+
+char* yams_mobile_grep(void* handle, const char* pattern, int max_matches) {
+    std::string req = "{\"type\":\"grep\",\"pattern\":\"" + json_escape(pattern) +
+                      "\",\"max_matches\":" +
+                      std::to_string(max_matches > 0 ? max_matches : 100) + "}";
+    return yams_mobile_request(handle, req.c_str());
+}
+
+char* yams_mobile_add_text(void* handle, const char* name, const char* content) {
+    std::string req = "{\"type\":\"add_bytes\",\"name\":\"" + json_escape(name) +
+                      "\",\"data\":{\"__b64__\":\"";
+    // base64-encode content
+    static const char tbl[] =
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/";
+    const unsigned char* d = (const unsigned char*)content;
+    size_t n = strlen(content);
+    for (size_t i = 0; i < n; i += 3) {
+        uint32_t v = d[i] << 16;
+        if (i + 1 < n) v |= d[i + 1] << 8;
+        if (i + 2 < n) v |= d[i + 2];
+        req += tbl[(v >> 18) & 63];
+        req += tbl[(v >> 12) & 63];
+        req += (i + 1 < n) ? tbl[(v >> 6) & 63] : '=';
+        req += (i + 2 < n) ? tbl[v & 63] : '=';
+    }
+    req += "\"}}";
+    return yams_mobile_request(handle, req.c_str());
+}
+
+char* yams_mobile_get_text(void* handle, const char* selector) {
+    std::string req = "{\"type\":\"get_text\",\"selector\":\"" +
+                      json_escape(selector) + "\"}";
+    return yams_mobile_request(handle, req.c_str());
+}
+
+char* yams_mobile_get_metadata(void* handle, const char* selector) {
+    std::string req = "{\"type\":\"get\",\"selector\":\"" +
+                      json_escape(selector) + "\"}";
+    return yams_mobile_request(handle, req.c_str());
+}
+
+char* yams_mobile_delete(void* handle, const char* selector) {
+    std::string req = "{\"type\":\"delete\",\"selector\":\"" +
+                      json_escape(selector) + "\"}";
+    return yams_mobile_request(handle, req.c_str());
+}
+
+char* yams_mobile_list(void* handle, int limit) {
+    std::string req = "{\"type\":\"list\",\"limit\":" +
+                      std::to_string(limit > 0 ? limit : 50) + "}";
+    return yams_mobile_request(handle, req.c_str());
+}
+
+} // extern "C"

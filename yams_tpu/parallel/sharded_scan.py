@@ -60,6 +60,40 @@ def sharded_topk(
     return fn(queries, corpus, valid)
 
 
+def sharded_int8_topk(
+    mesh: Mesh,
+    queries: jax.Array,      # (B, D) f32 replicated
+    corpus_q: jax.Array,     # (N, D) int8 row-sharded
+    corpus_scale: jax.Array,  # (N,) f32 row-sharded
+    valid: jax.Array,        # (N,) f32 row-sharded
+    k: int,
+    block_rows: int = 4096,
+    axis: str = "d",
+):
+    """BASELINE.json config 4: int8-quantized shards + ICI all-gather top-k
+    merge (10M x 768-d over v5e-8). Same shape as sharded_topk but the local
+    scan is the int8 MXU path with f32 rescale."""
+    from ..ops.scan import int8_topk_scan
+
+    def local(q, cq, cs, v):
+        rows_local = cq.shape[0]
+        vals, idx = int8_topk_scan(q, cq, cs, v, k=k, block_rows=block_rows)
+        idx = idx + jax.lax.axis_index(axis) * rows_local
+        all_v = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
+        all_i = jax.lax.all_gather(idx, axis, axis=1, tiled=True)
+        out_v, pos = jax.lax.top_k(all_v, k)
+        return out_v, jnp.take_along_axis(all_i, pos, axis=1)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, corpus_q, corpus_scale, valid)
+
+
 def sharded_hybrid_scores(
     mesh: Mesh,
     queries: jax.Array,     # (B, D) replicated, normalized

@@ -30,8 +30,8 @@ def main() -> None:
     small = bool(int(os.environ.get("BENCH_SMALL", "0")))
     N = int(os.environ.get("BENCH_N", 16384 if small else 1_000_000))
     D = int(os.environ.get("BENCH_D", 768))
-    B = int(os.environ.get("BENCH_B", 64))
-    ITERS = int(os.environ.get("BENCH_ITERS", 4 if small else 16))
+    B = int(os.environ.get("BENCH_B", 64 if small else 256))
+    ITERS = int(os.environ.get("BENCH_ITERS", 4 if small else 8))
     S = 4096          # sketch dim
     T = 16            # query terms
     VOCAB = 65536
@@ -90,6 +90,7 @@ def main() -> None:
                 sk, tid, tm, *corpus,
                 k=K, rrf_cand=32, window=WINDOW, num_slots=N,
                 chunk_agg="max", rows_are_docs=True, approx=True,
+                bm25_prefilter=256,
             )
             return carry, (vals[:, 0], slots[:, 0])
 

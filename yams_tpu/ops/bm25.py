@@ -102,7 +102,7 @@ def bm25_dense_from(arrays: Bm25Arrays, term_ids, term_mask, window: int, k1: fl
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "num_docs", "num_candidates")
+    jax.jit, static_argnames=("window", "num_docs", "num_candidates", "prefilter")
 )
 def bm25_topk_candidates(
     term_ids: jax.Array,        # (B, T) i32
@@ -115,6 +115,7 @@ def bm25_topk_candidates(
     window: int,
     num_docs: int,
     num_candidates: int = 64,
+    prefilter: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Top-C BM25 candidates WITHOUT dense scatter — the TPU-fast path.
 
@@ -128,23 +129,30 @@ def bm25_topk_candidates(
     segment-last positions. Keep T*window <= ~16k: XLA's vmapped sort compile
     time blows up past that.
 
+    prefilter > 0 keeps only the top-`prefilter` impact entries per term
+    (free: windows are impact-ordered), shrinking the sort from T*window to
+    T*prefilter — the classic impact-ordered early-termination knob. Docs
+    whose score accrues only from deep low-impact postings across many terms
+    can be missed, so this is an approximation tier for large corpora.
+
     Returns (cand_ids (B, C) i32 — num_docs marks empty, cand_scores (B, C)),
     sorted by score descending (rank order feeds RRF directly).
     """
     P = postings_doc.shape[0]
+    take = prefilter if 0 < prefilter < window else window
 
     def per_query(tids, tmask):
         def gather_term(tid, m):
-            off = jnp.clip(term_offsets[tid], 0, P - window)
-            docs = jax.lax.dynamic_slice(postings_doc, (off,), (window,))
-            imp = jax.lax.dynamic_slice(postings_impact, (off,), (window,))
-            pos = jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0)[:, 0]
+            off = jnp.clip(term_offsets[tid], 0, P - take)
+            docs = jax.lax.dynamic_slice(postings_doc, (off,), (take,))
+            imp = jax.lax.dynamic_slice(postings_impact, (off,), (take,))
+            pos = jax.lax.broadcasted_iota(jnp.int32, (take, 1), 0)[:, 0]
             pmask = (pos < term_lengths[tid]) & (m > 0)
             contrib = jnp.where(pmask, imp, 0.0)
             docs = jnp.where(pmask, docs, num_docs)
             return docs, contrib
 
-        docs, contrib = jax.vmap(gather_term)(tids, tmask)     # (T, W) each
+        docs, contrib = jax.vmap(gather_term)(tids, tmask)     # (T, take) each
         ids = docs.reshape(-1)
         val = contrib.reshape(-1)
         ids, val = jax.lax.sort((ids, val), num_keys=1)

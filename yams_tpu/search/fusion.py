@@ -53,7 +53,7 @@ def pack_weights(cfg) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("k", "rrf_cand", "window", "num_slots", "chunk_agg",
-                     "rows_are_docs", "approx"),
+                     "rows_are_docs", "approx", "bm25_prefilter"),
 )
 def hybrid_query(
     sketch: jax.Array,      # (B, S) f32
@@ -78,6 +78,7 @@ def hybrid_query(
     chunk_agg: str = "max",
     rows_are_docs: bool = False,
     approx: bool = False,
+    bm25_prefilter: int = 0,
 ):
     """Returns (fused (B,k), slots (B,k) i32, bm25_at (B,k), vec_at (B,k)).
 
@@ -126,6 +127,7 @@ def hybrid_query(
         term_ids, term_mask, postings_doc, postings_impact, term_offsets,
         term_lengths,
         window=window, num_docs=num_slots, num_candidates=C,
+        prefilter=bm25_prefilter,
     )
 
     # 4. candidate fusion — all O(C) per query

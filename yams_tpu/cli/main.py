@@ -224,11 +224,15 @@ def cmd_grep(cli: Cli):
         a.pattern, ignore_case=a.ignore_case,
         literal=True if a.fixed_strings else None,
         path_glob=a.path, tags=a.tags.split(",") if a.tags else None,
-        max_matches=a.max_count,
+        max_matches=a.max_count, context=a.context,
     )
     def text(o):
         for m in res.matches:
+            for i, b in enumerate(m.before):
+                print(f"{m.path}:{m.line_number - len(m.before) + i}-{b}")
             print(f"{m.path}:{m.line_number}:{m.line}")
+            for i, aft in enumerate(m.after):
+                print(f"{m.path}:{m.line_number + 1 + i}-{aft}")
         if res.truncated:
             print("... (truncated)", file=sys.stderr)
     cli.out(
@@ -367,6 +371,30 @@ def cmd_doctor(cli: Cli):
             print(f"[{mark}] {check}: {detail}")
     cli.out({k: list(v) for k, v in report.items()}, text)
     return 0 if all(ok for ok, _ in report.values()) else 1
+
+
+def cmd_plugin(cli: Cli):
+    from ..plugins.manager import PluginManager
+
+    trust_file = cli.config.data_dir / "plugins_trust.txt"
+    pm = PluginManager(cli.app, trust_file=trust_file)
+    a = cli.args
+    if a.plugin_cmd == "list":
+        pm.load_trusted()
+        cli.out(pm.list(), lambda o: [print(f"{x.get('name')}  {x.get('version','')}  "
+                                            f"{','.join(x.get('interfaces', []))}"
+                                            + (f"  ERROR: {x['error']}" if 'error' in x else ''))
+                                      for x in o])
+    elif a.plugin_cmd == "trust":
+        pm.trust(a.path)
+        print(f"trusted {a.path}")
+    elif a.plugin_cmd == "load":
+        m = pm.load_file(a.path)
+        if m is None:
+            print(f"failed: {pm.errors}", file=sys.stderr)
+            return 1
+        print(f"loaded {m.name} v{m.version}")
+    return 0
 
 
 def cmd_restore(cli: Cli):
@@ -559,6 +587,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--path", help="path glob filter")
     sp.add_argument("--tags")
     sp.add_argument("-m", "--max-count", type=int, default=1000)
+    sp.add_argument("-C", "--context", type=int, default=0)
     sp.set_defaults(fn=cmd_grep)
 
     sp = sub.add_parser("status", help="system status")
@@ -598,6 +627,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--ops", help="comma-separated op names (default: all)")
     sp.set_defaults(fn=cmd_repair)
     sub.add_parser("doctor", help="health checks").set_defaults(fn=cmd_doctor)
+
+    sp = sub.add_parser("plugin", help="plugin management")
+    psub = sp.add_subparsers(dest="plugin_cmd", required=True)
+    psub.add_parser("list")
+    pp = psub.add_parser("trust"); pp.add_argument("path")
+    pp = psub.add_parser("load"); pp.add_argument("path")
+    sp.set_defaults(fn=cmd_plugin)
 
     sp = sub.add_parser("restore", help="restore a tree snapshot from the CAS")
     sp.add_argument("snapshot_id")

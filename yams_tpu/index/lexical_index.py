@@ -11,9 +11,12 @@ BM25 scores; we fold the weights into term frequencies at build time
 (tf = 1.0*tf_title + 10.0*tf_content), which preserves ranking behavior for
 the common single-column-hit case and keeps the device kernel single-postings.
 
-Incremental ingest: pending docs accumulate on the host; flush() rebuilds the
-CSR arrays (the analog of the reference's dirty-dim index rebuild). Device
-arrays are cached until dirty.
+Incremental ingest: an inverted postings map and per-term packed caches are
+maintained on every add/remove; a (re)build only re-sorts DIRTY terms (the
+analog of the reference's dirty-dim index rebuild) and repacks the CSR arrays
+with numpy concatenation. Because per-posting impacts bake in the doc-length
+normalizer, a corpus-wide refresh triggers automatically when average doc
+length drifts >10% from the last build.
 """
 
 from __future__ import annotations
@@ -36,6 +39,11 @@ class LexicalIndex:
         # doc_slot -> {term_id: weighted tf}
         self._docs: dict[int, dict[int, float]] = {}
         self._doc_len: dict[int, float] = {}
+        # inverted map + per-term packed caches (incremental rebuilds)
+        self._postings: dict[int, dict[int, float]] = {}
+        self._dirty_terms: set[int] = set()
+        self._term_cache: dict[int, tuple] = {}  # tid -> (slots, tf, part) desc
+        self._built_avg_len: float = 0.0
         self._dirty = True
         self._arrays = None
         self._device = None
@@ -62,14 +70,25 @@ class LexicalIndex:
                 tf[tid] = tf.get(tid, 0.0) + weight
                 n_tokens += weight
         with self._lock:
+            old = self._docs.get(doc_slot)
+            if old:
+                for tid in old:
+                    self._postings.get(tid, {}).pop(doc_slot, None)
+                    self._dirty_terms.add(tid)
             self._docs[doc_slot] = tf
             self._doc_len[doc_slot] = n_tokens
+            for tid, f in tf.items():
+                self._postings.setdefault(tid, {})[doc_slot] = f
+                self._dirty_terms.add(tid)
             self._num_slots = max(self._num_slots, doc_slot + 1)
             self._dirty = True
 
     def remove_document(self, doc_slot: int) -> bool:
         with self._lock:
             if doc_slot in self._docs:
+                for tid in self._docs[doc_slot]:
+                    self._postings.get(tid, {}).pop(doc_slot, None)
+                    self._dirty_terms.add(tid)
                 del self._docs[doc_slot]
                 del self._doc_len[doc_slot]
                 self._dirty = True
@@ -85,18 +104,34 @@ class LexicalIndex:
         return len(self._vocab)
 
     # -- build ----------------------------------------------------------------
+    def _refresh_term(self, tid: int, doc_norm: np.ndarray, k1: float) -> None:
+        """Rebuild one term's packed (slots, tf, part) cache, part-descending.
+
+        `part` is the idf-free BM25 factor tf*(k1+1)/(tf+k1*doc_norm); the
+        per-term idf scalar multiplies in at pack time so corpus growth never
+        dirties clean terms."""
+        plist = self._postings.get(tid)
+        if not plist:
+            self._term_cache[tid] = (
+                np.empty(0, np.int32), np.empty(0, np.float32),
+                np.empty(0, np.float32),
+            )
+            return
+        slots = np.fromiter(plist.keys(), np.int32, len(plist))
+        tf = np.fromiter(plist.values(), np.float32, len(plist))
+        part = tf * (k1 + 1.0) / (tf + k1 * doc_norm[np.minimum(slots, len(doc_norm) - 1)])
+        order = np.argsort(-part, kind="stable")
+        self._term_cache[tid] = (slots[order], tf[order], part[order])
+
     def build_arrays(self, num_slots: int | None = None) -> dict:
-        """(Re)build CSR postings as numpy arrays sized to num_slots."""
+        """(Re)build CSR postings: only dirty terms re-sort; the pack is a
+        numpy concatenation of per-term caches."""
         with self._lock:
             cfg = self.config
             N = max(num_slots or self._num_slots, 1)
             window = cfg.postings_window
             V = max(len(self._vocab), 1)
-            # postings per term
-            per_term: list[list[tuple[int, float]]] = [[] for _ in range(V)]
-            for slot, tf in self._docs.items():
-                for tid, f in tf.items():
-                    per_term[tid].append((slot, f))
+            k1 = cfg.k1
             n_docs = max(len(self._docs), 1)
             avg_len = (sum(self._doc_len.values()) / n_docs) if self._docs else 1.0
             avg_len = max(avg_len, 1e-9)
@@ -106,40 +141,45 @@ class LexicalIndex:
                 if slot < N:
                     doc_norm[slot] = 1.0 - cfg.b + cfg.b * ln / avg_len
 
-            pd: list[int] = []
-            pt: list[float] = []
-            pi: list[float] = []
+            # cached `part` factors bake doc_norm: drift >10% forces a full
+            # refresh (the reference's periodic index rebuild)
+            if self._built_avg_len and abs(avg_len - self._built_avg_len) \
+                    > 0.1 * self._built_avg_len:
+                self._dirty_terms.update(self._postings.keys())
+            self._built_avg_len = avg_len
+            for tid in self._dirty_terms:
+                self._refresh_term(tid, doc_norm, k1)
+            self._dirty_terms.clear()
+
             offs = np.zeros(V, np.int32)
             lens = np.zeros(V, np.int32)
             idf = np.zeros(V, np.float32)
-            k1 = cfg.k1
+            chunks_d: list[np.ndarray] = []
+            chunks_t: list[np.ndarray] = []
+            chunks_i: list[np.ndarray] = []
+            pos = 0
+            empty = (np.empty(0, np.int32), np.empty(0, np.float32),
+                     np.empty(0, np.float32))
             for v in range(V):
-                plist = per_term[v]
-                df = len(plist)
+                slots, tf, part = self._term_cache.get(v, empty)
+                df = len(slots)
                 idf[v] = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-                # precompute full BM25 impact per posting; impact-descending
-                # order makes window truncation an early-termination, not a bias
-                scored = [
-                    (slot, f,
-                     idf[v] * f * (k1 + 1.0) / (f + k1 * doc_norm[slot]))
-                    for slot, f in plist
-                ]
-                scored.sort(key=lambda x: -x[2])
-                offs[v] = len(pd)
-                lens[v] = min(len(scored), window)
-                for slot, f, imp in scored[:window]:
-                    pd.append(slot)
-                    pt.append(f)
-                    pi.append(imp)
+                take = min(df, window)
+                offs[v] = pos
+                lens[v] = take
+                chunks_d.append(slots[:take])
+                chunks_t.append(tf[:take])
+                chunks_i.append(idf[v] * part[:take])
+                pos += take
             # pad so any dynamic_slice window is in-bounds
-            pd.extend([N] * window)
-            pt.extend([0.0] * window)
-            pi.extend([0.0] * window)
+            chunks_d.append(np.full(window, N, np.int32))
+            chunks_t.append(np.zeros(window, np.float32))
+            chunks_i.append(np.zeros(window, np.float32))
 
             self._arrays = {
-                "postings_doc": np.asarray(pd, np.int32),
-                "postings_tf": np.asarray(pt, np.float32),
-                "postings_impact": np.asarray(pi, np.float32),
+                "postings_doc": np.concatenate(chunks_d).astype(np.int32),
+                "postings_tf": np.concatenate(chunks_t).astype(np.float32),
+                "postings_impact": np.concatenate(chunks_i).astype(np.float32),
                 "term_offsets": offs,
                 "term_lengths": lens,
                 "doc_norm": doc_norm,
@@ -232,6 +272,11 @@ class LexicalIndex:
         idx._docs = state["docs"]
         idx._doc_len = state["doc_len"]
         idx._num_slots = state["num_slots"]
+        # rebuild the inverted map; every term starts dirty
+        for slot, tf in idx._docs.items():
+            for tid, f in tf.items():
+                idx._postings.setdefault(tid, {})[slot] = f
+        idx._dirty_terms.update(idx._postings.keys())
         idx._dirty = True
         return idx
 

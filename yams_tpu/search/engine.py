@@ -272,6 +272,12 @@ class SearchEngine:
                 hot[s] = h / (1.0 + h)
 
         t_dev = time.monotonic()
+        profile_dir = os.environ.get("YAMS_TPU_PROFILE")
+        if profile_dir:
+            # Tracy analog: XPlane traces for xprof (reference: profiling.h)
+            import jax
+
+            jax.profiler.start_trace(profile_dir)
         vals, slots, bm_at, vec_at = hybrid_query(
             jnp.asarray(sketches), jnp.asarray(tids), jnp.asarray(tmask),
             proj,
@@ -288,6 +294,10 @@ class SearchEngine:
         slots = np.asarray(slots)[:B_real]
         bm_at = np.asarray(bm_at)[:B_real]
         vec_at = np.asarray(vec_at)[:B_real]
+        if profile_dir:
+            import jax
+
+            jax.profiler.stop_trace()
         trace["stages"]["device_ms"] = (time.monotonic() - t_dev) * 1e3
 
         # shadow policy: measure how often narrow routing would have agreed

@@ -16,6 +16,44 @@ from ..embed.simeon import tokenize
 
 
 @dataclasses.dataclass(slots=True)
+class ParsedQuery:
+    """Query with inline qualifiers stripped (reference: query_qualifiers.hpp).
+
+    Supported: tag:x (repeatable), path:GLOB, collection:NAME, type:MODE.
+    """
+
+    text: str
+    tags: list[str]
+    path_glob: str | None
+    collection: str | None
+    search_type: str | None
+
+
+_QUALIFIER_RE = re.compile(r"\b(tag|path|collection|type):(\"[^\"]+\"|\S+)")
+
+
+def parse_qualifiers(query: str) -> ParsedQuery:
+    tags: list[str] = []
+    path_glob = collection = search_type = None
+    def _strip(m):
+        nonlocal path_glob, collection, search_type
+        key, val = m.group(1), m.group(2).strip('"')
+        if key == "tag":
+            tags.append(val)
+        elif key == "path":
+            path_glob = val
+        elif key == "collection":
+            collection = val
+        elif key == "type":
+            search_type = val
+        return ""
+
+    text = _QUALIFIER_RE.sub(_strip, query).strip()
+    text = re.sub(r"\s+", " ", text)
+    return ParsedQuery(text, tags, path_glob, collection, search_type)
+
+
+@dataclasses.dataclass(slots=True)
 class RoutingPlan:
     intent: str           # lookup | navigational | conceptual | question
     mode: str             # keyword | hybrid | vector

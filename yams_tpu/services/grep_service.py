@@ -22,6 +22,8 @@ class GrepMatch:
     line: str
     match_start: int = 0
     match_end: int = 0
+    before: list[str] = dataclasses.field(default_factory=list)
+    after: list[str] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass(slots=True)
@@ -134,7 +136,13 @@ class GrepService:
                     le = len(hay) if le < 0 else le
                     line = text[ls:le]
                     ms, me = start - ls, end - ls
-                matches.append(GrepMatch(doc_id, path, line_no, line, ms, me))
+                m = GrepMatch(doc_id, path, line_no, line, ms, me)
+                if context > 0:
+                    all_lines = text.splitlines()
+                    lo = max(0, line_no - 1 - context)
+                    m.before = all_lines[lo : line_no - 1]
+                    m.after = all_lines[line_no : line_no + context]
+                matches.append(m)
                 if len(matches) >= max_matches:
                     truncated = True
                     break

@@ -76,6 +76,17 @@ class SearchService:
     ) -> SearchResponse:
         t0 = time.monotonic()
         md = self.app.metadata
+        # inline qualifiers: `tag:x path:*.py collection:c type:keyword query…`
+        from ..search.query import parse_qualifiers
+
+        pq = parse_qualifiers(query)
+        if pq.text != query or pq.tags or pq.path_glob or pq.collection:
+            query = pq.text
+            tags = list(tags or []) + pq.tags or None
+            path_glob = path_glob or pq.path_glob
+            collection = collection or pq.collection
+            if pq.search_type:
+                search_type = pq.search_type
         if search_type == "auto":
             # intent routing (reference: buildSearchRoutingPlan)
             from ..search.query import build_routing_plan

@@ -50,6 +50,14 @@ def main() -> None:
     ).astype(jnp.bfloat16) / np.sqrt(D)
     valid = jnp.ones(N, jnp.float32)
     row2slot = jnp.arange(N, dtype=jnp.int32)
+    int8_corpus = bool(int(os.environ.get("BENCH_INT8", "0")))
+    if int8_corpus:
+        absmax = jnp.maximum(jnp.max(jnp.abs(E.astype(jnp.float32)), axis=1), 1e-12)
+        row_scale = (absmax / 127.0).astype(jnp.float32)
+        E = jnp.clip(jnp.round(E.astype(jnp.float32) / row_scale[:, None]),
+                     -127, 127).astype(jnp.int8)
+    else:
+        row_scale = jnp.ones(N, jnp.float32)
 
     # synthetic postings: each term -> WINDOW/4 pseudo-random docs (cheap
     # multiplicative-hash synthesis; device RNG over 10^7+ elements is slow
@@ -76,7 +84,7 @@ def main() -> None:
     term_mask = jnp.ones((ITERS, B, T), jnp.float32)
 
     corpus_args = (
-        proj, E, valid, row2slot, postings_doc, postings_impact,
+        proj, E, valid, row2slot, row_scale, postings_doc, postings_impact,
         term_offsets, term_lengths, doc_mask, hot, weights,
     )
 
@@ -90,7 +98,7 @@ def main() -> None:
                 sk, tid, tm, *corpus,
                 k=K, rrf_cand=32, window=WINDOW, num_slots=N,
                 chunk_agg="max", rows_are_docs=True, approx=True,
-                bm25_prefilter=256,
+                bm25_prefilter=256, int8_corpus=int8_corpus,
             )
             return carry, (vals[:, 0], slots[:, 0])
 
@@ -108,7 +116,7 @@ def main() -> None:
     qps = ITERS * B / dt
     baseline_qps = 123.0
     print(json.dumps({
-        "metric": f"hybrid_search_qps_{N}x{D}",
+        "metric": f"hybrid_search_qps_{N}x{D}" + ("_int8" if int8_corpus else ""),
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(qps / baseline_qps, 2),

@@ -1,0 +1,58 @@
+"""int8 fused-corpus path: parity with the bf16 fused program."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from yams_tpu.ops.scan import quantize_int8
+from yams_tpu.search.fusion import hybrid_query
+
+
+def test_int8_fused_matches_bf16():
+    rng = np.random.default_rng(0)
+    rows, D, S, Nd, B, T, V, W = 512, 64, 256, 512, 4, 8, 64, 32
+    E = rng.standard_normal((rows, D)).astype(np.float32)
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    proj = jnp.asarray(
+        (rng.integers(0, 2, (S, D)) * 2 - 1) / np.sqrt(D), jnp.bfloat16
+    )
+    sketch = rng.standard_normal((B, S)).astype(np.float32)
+    tid = rng.integers(0, V, (B, T)).astype(np.int32)
+    tm = np.ones((B, T), np.float32)
+    per = W // 2
+    pd = np.concatenate([
+        rng.integers(0, Nd, V * per).astype(np.int32), np.full(W, Nd, np.int32)
+    ])
+    pi = np.concatenate([
+        rng.random(V * per).astype(np.float32) + 0.5, np.zeros(W, np.float32)
+    ])
+    to = (np.arange(V) * per).astype(np.int32)
+    tl = np.full(V, per, np.int32)
+    w = np.array([0.7, 0.3, 0.05, 0.5, 25.0, 0.85, 1.2, 12.0], np.float32)
+    common = dict(k=10, rrf_cand=32, window=W, num_slots=Nd, chunk_agg="max",
+                  rows_are_docs=True)
+
+    args_head = (jnp.asarray(sketch), jnp.asarray(tid), jnp.asarray(tm), proj)
+    args_tail = (
+        jnp.ones(rows), jnp.arange(rows, dtype=jnp.int32),
+    )
+    args_bm = (
+        jnp.asarray(pd), jnp.asarray(pi), jnp.asarray(to), jnp.asarray(tl),
+        jnp.ones(Nd), jnp.zeros(Nd), jnp.asarray(w),
+    )
+    v_bf, s_bf, _, _ = hybrid_query(
+        *args_head, jnp.asarray(E, jnp.bfloat16), *args_tail,
+        jnp.ones(rows), *args_bm, **common,
+    )
+    q8, scale = quantize_int8(E)
+    v_i8, s_i8, _, _ = hybrid_query(
+        *args_head, jnp.asarray(q8), *args_tail,
+        jnp.asarray(scale), *args_bm, int8_corpus=True, **common,
+    )
+    overlap = np.mean([
+        len(set(np.asarray(s_bf)[i]) & set(np.asarray(s_i8)[i])) / 10
+        for i in range(B)
+    ])
+    assert overlap > 0.85, overlap
+    np.testing.assert_allclose(
+        np.asarray(v_bf)[:, 0], np.asarray(v_i8)[:, 0], atol=0.05
+    )

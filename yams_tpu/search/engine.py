@@ -281,7 +281,7 @@ class SearchEngine:
         vals, slots, bm_at, vec_at = hybrid_query(
             jnp.asarray(sketches), jnp.asarray(tids), jnp.asarray(tmask),
             proj,
-            E, row_valid, row2slot,
+            E, row_valid, row2slot, jnp.ones(E.shape[0], jnp.float32),
             bm.postings_doc, bm.postings_impact, bm.term_offsets, bm.term_lengths,
             jnp.asarray(doc_mask), jnp.asarray(hot), jnp.asarray(w),
             k=k_dev,

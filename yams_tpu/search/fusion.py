@@ -53,16 +53,17 @@ def pack_weights(cfg) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("k", "rrf_cand", "window", "num_slots", "chunk_agg",
-                     "rows_are_docs", "approx", "bm25_prefilter"),
+                     "rows_are_docs", "approx", "bm25_prefilter", "int8_corpus"),
 )
 def hybrid_query(
     sketch: jax.Array,      # (B, S) f32
     term_ids: jax.Array,    # (B, T) i32
     term_mask: jax.Array,   # (B, T) f32
     proj: jax.Array,        # (S, D) bf16 — embedding projection
-    E: jax.Array,           # (rows, D) bf16 — chunk embedding matrix
+    E: jax.Array,           # (rows, D) bf16 (or int8 w/ int8_corpus=True)
     row_valid: jax.Array,   # (rows,) f32
     row2slot: jax.Array,    # (rows,) i32, -1 = tombstone
+    row_scale: jax.Array,   # (rows,) f32 — int8 dequant scales (ones for bf16)
     postings_doc: jax.Array,
     postings_impact: jax.Array,
     term_offsets: jax.Array,
@@ -79,6 +80,7 @@ def hybrid_query(
     rows_are_docs: bool = False,
     approx: bool = False,
     bm25_prefilter: int = 0,
+    int8_corpus: bool = False,
 ):
     """Returns (fused (B,k), slots (B,k) i32, bm25_at (B,k), vec_at (B,k)).
 
@@ -95,9 +97,23 @@ def hybrid_query(
     q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-9)
 
     # 2. vector leg: chunk scores -> doc scores -> top-C candidates
-    srow = jnp.dot(
-        q.astype(jnp.bfloat16), E.T, preferred_element_type=jnp.float32
-    ) + (row_valid - 1.0)[None, :] * 1e30
+    if int8_corpus:
+        # symmetric per-row int8: halves HBM reads on the dominant matmul
+        # (the reference's PQ tier analog; rerank precision via candidate
+        # gather is unnecessary at 8 bits for top-k overlap)
+        qmax = jnp.maximum(jnp.max(jnp.abs(q), axis=1), 1e-12)
+        qscale = qmax / 127.0
+        q8 = jnp.clip(jnp.round(q / qscale[:, None]), -127, 127).astype(jnp.int8)
+        s_i32 = jax.lax.dot_general(
+            q8, E, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        srow = s_i32.astype(jnp.float32) * qscale[:, None] * row_scale[None, :]
+    else:
+        srow = jnp.dot(
+            q.astype(jnp.bfloat16), E.T, preferred_element_type=jnp.float32
+        )
+    srow = srow + (row_valid - 1.0)[None, :] * 1e30
     seg = jnp.where(row2slot < 0, sink, row2slot)
     if rows_are_docs:
         # flat corpora (one vector per doc, slot == row): skip the

@@ -1,0 +1,73 @@
+"""Symbol extraction tests (the tree-sitter-analog regex tier)."""
+
+import pytest
+
+from test_services import small_config
+from yams_tpu.services.app import AppContext
+from yams_tpu.services.symbol_service import extract_symbols, language_for_mime
+
+
+class TestExtractors:
+    def test_python(self):
+        code = "class Foo:\n    def bar(self):\n        pass\n\ndef baz(x):\n    return x\n"
+        syms = {(s.name, s.kind, s.line) for s in extract_symbols(code, "python")}
+        assert ("Foo", "class", 1) in syms
+        assert ("bar", "function", 2) in syms
+        assert ("baz", "function", 5) in syms
+
+    def test_c(self):
+        code = "#define MAX_LEN 10\nstruct Node { int x; };\nint add(int a, int b) {\n  return a+b;\n}\n"
+        syms = {(s.name, s.kind) for s in extract_symbols(code, "c")}
+        assert ("MAX_LEN", "define") in syms
+        assert ("Node", "struct") in syms
+        assert ("add", "function") in syms
+
+    def test_javascript(self):
+        code = "function go(){}\nclass Widget {}\nconst handler = async (e) => {}\nconst fn2 = function(){}\n"
+        syms = {s.name for s in extract_symbols(code, "javascript")}
+        assert {"go", "Widget", "fn2"} <= syms
+
+    def test_go_rust(self):
+        assert {s.name for s in extract_symbols("func Serve(x int) {}\ntype Server struct{}", "go")} == {"Serve", "Server"}
+        assert {s.name for s in extract_symbols("fn run() {}\nstruct Cfg;", "rust")} == {"run", "Cfg"}
+
+    def test_mime_mapping(self):
+        assert language_for_mime("text/x-python") == "python"
+        assert language_for_mime("text/markdown") is None
+
+
+@pytest.fixture()
+def app(tmp_path):
+    a = AppContext(small_config(tmp_path / "data"))
+    yield a
+    a.close()
+
+
+class TestSymbolService:
+    def test_index_and_lookup(self, app):
+        code = "def chunk_file(path):\n    pass\n\nclass FastChunker:\n    def boundaries(self):\n        pass\n"
+        app.documents.add_bytes(code.encode(), "src/chunker.py")
+        defs = app.symbols.lookup("FastChunker")
+        assert defs and defs[0]["line"] == 4 and defs[0]["kind"] == "class"
+        defs = app.symbols.lookup("boundaries")
+        assert defs[0]["path"] == "/src/chunker.py"
+
+    def test_list_symbols(self, app):
+        app.documents.add_bytes(b"def fa():\n  pass\ndef fb():\n  pass\n", "m.py")
+        syms = app.symbols.list_symbols("m.py")
+        assert [s["name"] for s in syms] == ["fa", "fb"]
+
+    def test_symbols_feed_kg_search(self, app):
+        app.documents.add_bytes(
+            b"class PostIngestQueue:\n    def enqueue(self):\n        pass\n",
+            "q.py",
+        )
+        out = app.graph.explore("postingestqueue")
+        assert any(n["label"] == "PostIngestQueue" for n in out["nodes"])
+        # hybrid search benefits from the KG symbol leg
+        resp = app.search.search("PostIngestQueue")
+        assert resp.hits and resp.hits[0].name == "q.py"
+
+    def test_non_code_skipped(self, app):
+        res = app.documents.add_bytes(b"just prose text", "notes.txt")
+        assert app.symbols.list_symbols("notes.txt") == []

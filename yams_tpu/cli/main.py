@@ -288,6 +288,11 @@ def cmd_graph(cli: Cli):
     elif a.graph_cmd == "related":
         out = cli.app.graph.related(a.query, limit=a.limit)
         cli.out(out, lambda o: [print(f"{r['support']:.2f}  {r['path']}") for r in o])
+    elif a.graph_cmd == "symbol":
+        out = cli.app.symbols.lookup(a.query, limit=a.limit)
+        cli.out(out, lambda o: [
+            print(f"{r['path']}:{r['line']}  {r['kind']} {r['name']}") for r in o
+        ])
     elif a.graph_cmd == "build":
         n = cli.app.graph.index_pending()
         cli.out({"indexed": n}, lambda o: print(f"indexed {o['indexed']} documents"))
@@ -599,6 +604,7 @@ def build_parser() -> argparse.ArgumentParser:
     gsub = sp.add_subparsers(dest="graph_cmd", required=True)
     g = gsub.add_parser("explore"); g.add_argument("query"); g.add_argument("--limit", type=int, default=25)
     g = gsub.add_parser("related"); g.add_argument("query"); g.add_argument("--limit", type=int, default=20)
+    g = gsub.add_parser("symbol"); g.add_argument("query"); g.add_argument("--limit", type=int, default=50)
     gsub.add_parser("build")
     gsub.add_parser("stats")
     sp.set_defaults(fn=cmd_graph)

@@ -340,6 +340,8 @@ class PostIngestQueue:
             st.inflight += 1
             try:
                 self.app.graph.index_document(doc_id, text)
+                doc = self.app.metadata.get_document(doc_id)
+                self.app.symbols.index_document(doc_id, text, doc.mime_type)
                 st.processed += 1
             except Exception:
                 st.failed += 1

@@ -150,6 +150,12 @@ class MCPServer:
             self.t_download,
         )
         self._register(
+            _tool("symbol_lookup", "Find definition sites of a code symbol",
+                  {"name": S, "limit": I}, ["name"]),
+            lambda a: {"definitions": self.app.symbols.lookup(
+                a["name"], limit=a.get("limit", 50))},
+        )
+        self._register(
             _tool("semantic_dedupe", "Find near-duplicate documents (MinHash)",
                   {"threshold": {"type": "number"}}),
             self.t_semantic_dedupe,

@@ -60,6 +60,7 @@ class AppContext:
         from .search_service import SearchService
         from .session_service import SessionService
         from .stats_service import StatsService
+        from .symbol_service import SymbolService
         from .watch_service import WatchService
 
         self.documents = DocumentService(self)
@@ -71,6 +72,7 @@ class AppContext:
         self.stats = StatsService(self)
         self.downloads = DownloadService(self)
         self.watch = WatchService(self)
+        self.symbols = SymbolService(self)
 
     # -- index persistence -----------------------------------------------------
     def _load_indexes(self) -> None:

@@ -74,6 +74,8 @@ class DocumentService:
             self.app.metadata.set_embedding_status(
                 doc_id, "done", self.app.config.embedding.profile
             )
+            # symbol stage (reference: PostIngestQueue Symbol stage)
+            self.app.symbols.index_document(doc_id, text, mime)
             indexed = True
         elif text is None:
             self.app.metadata.set_embedding_status(doc_id, "skipped")

@@ -1,0 +1,130 @@
+"""Symbol extraction for code documents.
+
+Parity: the reference's symbol stage (PostIngestQueue Symbol stage +
+symbol_metadata table + tree-sitter plugin, SURVEY §2.8/§2.10). This is the
+built-in regex tier — a tree-sitter-class plugin can replace it via the
+entity_extractor interface; the storage/query surface stays the same:
+symbols land in the KG (type='symbol') and as per-doc `sym:` metadata rows
+carrying kind+line for definition lookup.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import re
+
+_EXTRACTORS: dict[str, list[tuple[str, re.Pattern]]] = {
+    "python": [
+        ("function", re.compile(r"^\s*def\s+([A-Za-z_]\w*)\s*\(", re.M)),
+        ("class", re.compile(r"^\s*class\s+([A-Za-z_]\w*)\s*[(:]", re.M)),
+    ],
+    "c": [
+        ("function", re.compile(
+            r"^[A-Za-z_][\w:<>,\s\*&]*?\b([A-Za-z_]\w*)\s*\([^;]*\)\s*\{", re.M)),
+        ("struct", re.compile(r"\b(?:struct|class|enum)\s+([A-Za-z_]\w*)\s*[{:]")),
+        ("define", re.compile(r"^#define\s+([A-Za-z_]\w*)", re.M)),
+    ],
+    "javascript": [
+        ("function", re.compile(r"\bfunction\s+([A-Za-z_$][\w$]*)\s*\(")),
+        ("class", re.compile(r"\bclass\s+([A-Za-z_$][\w$]*)")),
+        ("const_fn", re.compile(
+            r"\b(?:const|let|var)\s+([A-Za-z_$][\w$]*)\s*=\s*(?:async\s*)?(?:\(|function)")),
+    ],
+    "go": [
+        ("function", re.compile(r"^func\s+(?:\([^)]*\)\s*)?([A-Za-z_]\w*)\s*\(", re.M)),
+        ("type", re.compile(r"^type\s+([A-Za-z_]\w*)\s", re.M)),
+    ],
+    "rust": [
+        ("function", re.compile(r"\bfn\s+([A-Za-z_]\w*)")),
+        ("struct", re.compile(r"\b(?:struct|enum|trait)\s+([A-Za-z_]\w*)")),
+    ],
+}
+
+_MIME_LANG = {
+    "text/x-python": "python",
+    "text/x-c": "c", "text/x-c++": "c",
+    "text/javascript": "javascript", "text/typescript": "javascript",
+    "text/x-go": "go", "text/x-rust": "rust",
+}
+
+_KEYWORDS = frozenset("if else for while return switch main init new".split())
+
+
+@dataclasses.dataclass(slots=True)
+class Symbol:
+    name: str
+    kind: str
+    line: int
+
+
+def language_for_mime(mime: str) -> str | None:
+    return _MIME_LANG.get(mime)
+
+
+def extract_symbols(text: str, language: str, max_symbols: int = 256) -> list[Symbol]:
+    extractors = _EXTRACTORS.get(language)
+    if not extractors:
+        return []
+    out: list[Symbol] = []
+    seen: set[tuple[str, int]] = set()
+    for kind, rx in extractors:
+        for m in rx.finditer(text[:500_000]):
+            name = m.group(1)
+            if name.lower() in _KEYWORDS or len(name) < 2:
+                continue
+            line = text.count("\n", 0, m.start(1)) + 1
+            key = (name, line)
+            if key not in seen:
+                seen.add(key)
+                out.append(Symbol(name, kind, line))
+            if len(out) >= max_symbols:
+                return out
+    return out
+
+
+class SymbolService:
+    def __init__(self, app):
+        self.app = app
+
+    def index_document(self, doc_id: int, text: str, mime: str) -> int:
+        lang = language_for_mime(mime)
+        if lang is None:
+            return 0
+        symbols = extract_symbols(text, lang)
+        kg = self.app.kg
+        for s in symbols:
+            self.app.metadata.set_metadata(
+                doc_id, f"sym:{s.name}", json.dumps({"kind": s.kind, "line": s.line})
+            )
+            nid = kg.upsert_node(f"symbol:{s.name}", label=s.name, type_="symbol")
+            kg.add_alias(nid, s.name, source="symbols")
+            kg.add_alias(nid, s.name.lower(), source="symbols")
+            kg.link_document(doc_id, nid, s.name, 1.0)
+        return len(symbols)
+
+    def lookup(self, name: str, limit: int = 50) -> list[dict]:
+        """Definition sites of a symbol: [{path, line, kind}]."""
+        rows = self.app.db.execute(
+            "SELECT document_id, value FROM metadata WHERE key=? LIMIT ?",
+            (f"sym:{name}", limit),
+        ).fetchall()
+        out = []
+        for doc_id, value in rows:
+            try:
+                doc = self.app.metadata.get_document(doc_id)
+                info = json.loads(value)
+                out.append({"path": doc.file_path, "line": info["line"],
+                            "kind": info["kind"], "name": name})
+            except Exception:
+                pass
+        return out
+
+    def list_symbols(self, doc_selector: str) -> list[dict]:
+        doc = self.app.documents.get(doc_selector)
+        out = []
+        for k, v in doc.metadata.items():
+            if k.startswith("sym:"):
+                info = json.loads(v)
+                out.append({"name": k[4:], **info})
+        return sorted(out, key=lambda s: s["line"])

@@ -1,0 +1,117 @@
+"""End-to-end tests mirroring BASELINE.json's benchmark configs.
+
+Config 1 (self-index): `yams add src/ --recursive` on this repo's own source,
+then search/grep/symbol-lookup over it.
+Config 3 (LongMemEval-style): conversational-memory corpus — session messages
+with planted facts, recalled by natural-language queries.
+"""
+
+import pathlib
+
+import pytest
+
+from test_services import small_config
+from yams_tpu.services.app import AppContext
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def self_indexed(tmp_path_factory):
+    app = AppContext(small_config(tmp_path_factory.mktemp("selfidx") / "data"))
+    report = app.indexing.add_directory(
+        REPO / "yams_tpu", include=["*.py"], snapshot=True
+    )
+    yield app, report
+    app.close()
+
+
+class TestSelfIndex:
+    def test_indexes_all_sources(self, self_indexed):
+        app, report = self_indexed
+        assert report.files_added > 40
+        assert report.files_failed == 0
+        assert report.snapshot_id
+
+    def test_search_finds_own_modules(self, self_indexed):
+        app, _ = self_indexed
+        resp = app.search.search("reciprocal rank fusion hybrid query", limit=5)
+        assert any("fusion.py" in h.path for h in resp.hits), \
+            [h.path for h in resp.hits]
+        resp = app.search.search("content defined chunking gear hash", limit=5)
+        assert any("chunker.py" in h.path or "cdc.py" in h.path
+                   for h in resp.hits)
+
+    def test_keyword_exact_identifier(self, self_indexed):
+        app, _ = self_indexed
+        resp = app.search.search("bm25_topk_candidates", search_type="keyword")
+        assert any("bm25.py" in h.path for h in resp.hits[:3])
+
+    def test_grep_own_code(self, self_indexed):
+        app, _ = self_indexed
+        res = app.grep.grep("pallas_call", path_glob="*ops*")
+        assert res.files_matched >= 2
+
+    def test_symbol_lookup_own_classes(self, self_indexed):
+        app, _ = self_indexed
+        defs = app.symbols.lookup("SearchEngine")
+        assert any("engine.py" in d["path"] for d in defs)
+        defs = app.symbols.lookup("hybrid_query")
+        assert any("fusion.py" in d["path"] for d in defs)
+
+    def test_dedup_on_reindex(self, self_indexed):
+        app, _ = self_indexed
+        report2 = app.indexing.add_directory(REPO / "yams_tpu", include=["*.py"])
+        assert report2.bytes_stored == 0  # everything already in CAS
+        assert report2.bytes_deduped > 0
+
+
+class TestConversationalMemory:
+    """LongMemEval-style: plant facts across session turns, recall them."""
+
+    FACTS = [
+        ("alice", "my favorite espresso place is called Cartwheel Coffee"),
+        ("alice", "i adopted a greyhound named Biscuit last spring"),
+        ("bob", "the staging cluster password rotates every nine days"),
+        ("bob", "we migrated the billing service to the frankfurt region"),
+        ("alice", "my dentist appointment is on the third of october"),
+    ]
+    QUERIES = [
+        ("what coffee shop does alice like", "Cartwheel"),
+        ("what kind of dog was adopted", "greyhound"),
+        ("how often does the staging password rotate", "nine days"),
+        ("where did the billing service move", "frankfurt"),
+    ]
+
+    @pytest.fixture(scope="class")
+    def memory(self, tmp_path_factory):
+        app = AppContext(small_config(tmp_path_factory.mktemp("mem") / "data"))
+        turn = 0
+        for speaker, fact in self.FACTS:
+            for filler in range(3):  # surround facts with chit-chat turns
+                app.documents.add_bytes(
+                    f"{speaker}: ok sounds good, talk later, thanks".encode(),
+                    f"chat/turn{turn:03d}.txt", tags=[speaker],
+                )
+                turn += 1
+            app.documents.add_bytes(
+                f"{speaker}: {fact}".encode(),
+                f"chat/turn{turn:03d}.txt", tags=[speaker],
+            )
+            turn += 1
+        yield app
+        app.close()
+
+    def test_fact_recall(self, memory):
+        hits_ok = 0
+        for query, needle in self.QUERIES:
+            resp = memory.search.search(query, limit=3)
+            texts = [memory.metadata.get_content(h.document_id) or ""
+                     for h in resp.hits]
+            if any(needle in t for t in texts):
+                hits_ok += 1
+        assert hits_ok >= 3, f"only {hits_ok}/4 facts recalled"
+
+    def test_suggest_context_carries_fact(self, memory):
+        ctx = memory.search.suggest_context("alice dog adopted", limit=3)
+        assert "Biscuit" in ctx or "greyhound" in ctx

@@ -17,7 +17,9 @@ from .protocol import FrameError, read_frame, write_frame
 
 
 class DaemonClient:
-    def __init__(self, socket_path: str | pathlib.Path, timeout: float = 120.0):
+    def __init__(self, socket_path: str | pathlib.Path, timeout: float = 600.0):
+        # generous default: a first search compiles the fused program on the
+        # device, which can take minutes at large corpus shapes
         self.socket_path = pathlib.Path(socket_path)
         self.timeout = timeout
         self._sock: socket.socket | None = None

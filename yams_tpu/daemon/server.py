@@ -128,6 +128,10 @@ class YamsDaemon:
                 writer.close()
                 await writer.wait_closed()
 
+    # trivial handlers run inline on the event loop so liveness checks are
+    # never queued behind long worker operations (e.g. first-search compile)
+    FAST_HANDLERS = frozenset({"ping", "shutdown"})
+
     async def _dispatch(self, req: dict) -> dict:
         rtype = req.get("type", "")
         handler = getattr(self, f"handle_{rtype}", None)
@@ -137,7 +141,10 @@ class YamsDaemon:
         self._requests_handled += 1
         loop = asyncio.get_running_loop()
         try:
-            result = await loop.run_in_executor(self._pool, handler, req)
+            if rtype in self.FAST_HANDLERS:
+                result = handler(req)
+            else:
+                result = await loop.run_in_executor(self._pool, handler, req)
             return {"ok": True, "result": result}
         except YamsError as e:
             return {"ok": False, "error": str(e), "code": int(e.code)}

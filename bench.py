@@ -98,7 +98,8 @@ def main() -> None:
                 sk, tid, tm, *corpus,
                 k=K, rrf_cand=32, window=WINDOW, num_slots=N,
                 chunk_agg="max", rows_are_docs=True, approx=True,
-                bm25_prefilter=256, int8_corpus=int8_corpus,
+                bm25_prefilter=int(os.environ.get("BENCH_PREFILTER", "0")),
+                int8_corpus=int8_corpus,
             )
             return carry, (vals[:, 0], slots[:, 0])
 

@@ -1,0 +1,117 @@
+"""Sharded full hybrid program == single-device fused program (8-dev mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yams_tpu.parallel import corpus_mesh
+from yams_tpu.parallel.sharded_hybrid import sharded_hybrid_query
+from yams_tpu.search.config import SearchEngineConfig
+from yams_tpu.search.fusion import hybrid_query, pack_weights
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(3)
+    rows, D, S, Nd, B, T, V, W = 8 * 128, 64, 256, 1024, 4, 8, 128, 32
+    E = rng.standard_normal((rows, D)).astype(np.float32)
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    proj = ((rng.integers(0, 2, (S, D)) * 2 - 1) / np.sqrt(D)).astype(np.float32)
+    sketch = rng.standard_normal((B, S)).astype(np.float32)
+    tid = rng.integers(0, V, (B, T)).astype(np.int32)
+    tm = np.ones((B, T), np.float32)
+    per = W // 2
+    pd = np.concatenate([rng.integers(0, Nd, V * per).astype(np.int32),
+                         np.full(W, Nd, np.int32)])
+    pi = np.concatenate([rng.random(V * per).astype(np.float32) + 0.5,
+                         np.zeros(W, np.float32)])
+    to = (np.arange(V) * per).astype(np.int32)
+    tl = np.full(V, per, np.int32)
+    # rows_are_docs layout: slot == row (doc-affine per shard trivially)
+    row2slot = np.arange(rows).astype(np.int32)
+    w = np.asarray(pack_weights(SearchEngineConfig()))
+    return dict(E=E, proj=proj, sketch=sketch, tid=tid, tm=tm, pd=pd, pi=pi,
+                to=to, tl=tl, row2slot=row2slot, w=w, rows=rows, Nd=Nd, W=W)
+
+
+def _single(p, doc_mask=None):
+    Nd = p["Nd"]
+    dm = np.ones(Nd, np.float32) if doc_mask is None else doc_mask
+    return hybrid_query(
+        jnp.asarray(p["sketch"]), jnp.asarray(p["tid"]), jnp.asarray(p["tm"]),
+        jnp.asarray(p["proj"], jnp.bfloat16), jnp.asarray(p["E"], jnp.bfloat16),
+        jnp.ones(p["rows"]), jnp.asarray(p["row2slot"]), jnp.ones(p["rows"]),
+        jnp.asarray(p["pd"]), jnp.asarray(p["pi"]), jnp.asarray(p["to"]),
+        jnp.asarray(p["tl"]), jnp.asarray(dm), jnp.zeros(Nd), jnp.asarray(p["w"]),
+        k=10, rrf_cand=32, window=p["W"], num_slots=Nd, chunk_agg="max",
+        rows_are_docs=True,
+    )
+
+
+def _sharded(p, mesh, doc_mask=None, int8=False):
+    import jax.sharding as jsh
+
+    Nd = p["Nd"]
+    dm = np.ones(Nd, np.float32) if doc_mask is None else doc_mask
+    sh_r = jsh.NamedSharding(mesh, jsh.PartitionSpec("d", None))
+    sh_1 = jsh.NamedSharding(mesh, jsh.PartitionSpec("d"))
+    E = p["E"]
+    if int8:
+        from yams_tpu.ops.scan import quantize_int8
+
+        q8, scale = quantize_int8(E)
+        e_dev = jax.device_put(jnp.asarray(q8), sh_r)
+        rs = jax.device_put(jnp.asarray(scale), sh_1)
+    else:
+        e_dev = jax.device_put(jnp.asarray(E, jnp.bfloat16), sh_r)
+        rs = jax.device_put(jnp.ones(p["rows"]), sh_1)
+    return sharded_hybrid_query(
+        mesh,
+        jnp.asarray(p["sketch"]), jnp.asarray(p["tid"]), jnp.asarray(p["tm"]),
+        jnp.asarray(p["proj"], jnp.bfloat16), e_dev,
+        jax.device_put(jnp.ones(p["rows"]), sh_1),
+        jax.device_put(jnp.asarray(p["row2slot"]), sh_1), rs,
+        jnp.asarray(p["pd"]), jnp.asarray(p["pi"]), jnp.asarray(p["to"]),
+        jnp.asarray(p["tl"]), jnp.asarray(dm), jnp.zeros(Nd), jnp.asarray(p["w"]),
+        k=10, rrf_cand=32, window=p["W"], num_slots=Nd, int8_corpus=int8,
+    )
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8
+    return corpus_mesh(8)
+
+
+class TestShardedHybridParity:
+    def test_matches_single_device(self, problem, mesh):
+        sv, ss, _, _ = _single(problem)
+        mv, ms = _sharded(problem, mesh)
+        ss, ms = np.asarray(ss), np.asarray(ms)
+        overlap = np.mean([
+            len(set(ss[b]) & set(ms[b])) / 10 for b in range(len(ss))
+        ])
+        assert overlap >= 0.9, overlap
+        np.testing.assert_allclose(
+            np.asarray(sv)[:, 0], np.asarray(mv)[:, 0], atol=1e-3
+        )
+
+    def test_filter_pushdown_sharded(self, problem, mesh):
+        Nd = problem["Nd"]
+        dm = np.zeros(Nd, np.float32)
+        dm[100:200] = 1.0
+        mv, ms = _sharded(problem, mesh, doc_mask=dm)
+        ms = np.asarray(ms)
+        mv = np.asarray(mv)
+        ok = ms[(mv > -1e29)]
+        assert np.all((ok >= 100) & (ok < 200))
+
+    def test_int8_sharded_close_to_bf16(self, problem, mesh):
+        _, ms_bf = _sharded(problem, mesh)
+        _, ms_i8 = _sharded(problem, mesh, int8=True)
+        ms_bf, ms_i8 = np.asarray(ms_bf), np.asarray(ms_i8)
+        overlap = np.mean([
+            len(set(ms_bf[b]) & set(ms_i8[b])) / 10 for b in range(len(ms_bf))
+        ])
+        assert overlap >= 0.8, overlap

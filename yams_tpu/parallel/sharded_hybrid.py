@@ -1,0 +1,168 @@
+"""The FULL hybrid query program, corpus-sharded over a device mesh.
+
+Single-chip fusion lives in search/fusion.py; this is its multi-chip form
+(BASELINE.json config 4: 10M x 768-d over v5e-8):
+
+  - embedding matrix row-sharded over mesh axis "d"; each shard computes its
+    local KNN scores and local top-C candidates (MXU + one small top-k).
+  - candidate merge rides ICI: all-gather of (C per shard) candidate
+    (slot, score) pairs, then a replicated global top-C.
+  - postings arrays are replicated (they are ~100x smaller than the
+    embedding matrix), so the lexical leg is computed redundantly per shard —
+    cheaper than sharding + merging postings at these sizes.
+  - fusion (weighted evidence + RRF + vector-only penalty + hot boost) runs
+    replicated over the merged O(C) candidate set, exactly as on one chip.
+
+Sharding contract: all chunks of a document must land on one shard (the
+engine's shard router keys rows by doc slot), so a shard-local max IS the
+doc's global max. int8 shards: pass E as int8 + row_scale (per row).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+from jax.sharding import PartitionSpec as P
+
+from ..search.fusion import (
+    NEG,
+    W_BM25_DIV,
+    W_HOT,
+    W_RRF_K,
+    W_RRF_SCALE,
+    W_TEXT,
+    W_VEC,
+    W_VEC_ONLY_PEN,
+)
+
+
+def sharded_hybrid_query(
+    mesh: Mesh,
+    sketch: jax.Array,        # (B, S) replicated
+    term_ids: jax.Array,      # (B, T) replicated
+    term_mask: jax.Array,     # (B, T) replicated
+    proj: jax.Array,          # (S, D) replicated bf16
+    E: jax.Array,             # (rows, D) row-sharded (bf16 or int8)
+    row_valid: jax.Array,     # (rows,) row-sharded
+    row2slot: jax.Array,      # (rows,) row-sharded — GLOBAL doc slots
+    row_scale: jax.Array,     # (rows,) row-sharded (ones for bf16)
+    postings_doc: jax.Array,  # replicated lexical arrays
+    postings_impact: jax.Array,
+    term_offsets: jax.Array,
+    term_lengths: jax.Array,
+    doc_mask: jax.Array,      # (num_slots,) replicated
+    hot: jax.Array,           # (num_slots,) replicated
+    weights: jax.Array,
+    *,
+    k: int,
+    rrf_cand: int,
+    window: int,
+    num_slots: int,
+    int8_corpus: bool = False,
+    axis: str = "d",
+):
+    """Returns (fused (B,k), slots (B,k)) replicated."""
+    from ..ops.bm25 import bm25_topk_candidates
+
+    C = rrf_cand
+    sink = num_slots
+
+    def local(sk, tid, tmask, prj, e, v, r2s, rs, pd, pi, to, tl, dm, ht, w):
+        # 1. embed (replicated compute)
+        q = jnp.dot(sk.astype(jnp.bfloat16), prj, preferred_element_type=jnp.float32)
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-9)
+
+        # 2. local vector leg
+        if int8_corpus:
+            qmax = jnp.maximum(jnp.max(jnp.abs(q), axis=1), 1e-12)
+            qscale = qmax / 127.0
+            q8 = jnp.clip(jnp.round(q / qscale[:, None]), -127, 127).astype(jnp.int8)
+            s = jax.lax.dot_general(
+                q8, e, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * qscale[:, None] * rs[None, :]
+        else:
+            s = jnp.dot(q.astype(jnp.bfloat16), e.astype(jnp.bfloat16).T,
+                        preferred_element_type=jnp.float32)
+        # doc-affine sharding: local max == global max for this shard's docs
+        s = s + (v - 1.0)[None, :] * 1e30
+        dm_rows = dm[jnp.minimum(jnp.maximum(r2s, 0), sink - 1)]
+        dm_rows = jnp.where(r2s < 0, 0.0, dm_rows)
+        s = s + (dm_rows - 1.0)[None, :] * 1e30
+        lv, li = jax.lax.top_k(s, C)                 # local candidates
+        lslots = jnp.where(lv > -1e29, r2s[li], sink)
+
+        # 3. ICI merge: gather every shard's candidates, global top-C
+        all_v = jax.lax.all_gather(lv, axis, axis=1, tiled=True)     # (B, C*S)
+        all_s = jax.lax.all_gather(lslots, axis, axis=1, tiled=True)
+        vv, pos = jax.lax.top_k(all_v, C)
+        vslots = jnp.take_along_axis(all_s, pos, axis=1)
+
+        # 4. lexical leg (replicated postings)
+        bm_ids, bm_scores = bm25_topk_candidates(
+            tid, tmask, pd, pi, to, tl,
+            window=window, num_docs=num_slots, num_candidates=C,
+        )
+
+        # 5. fusion over merged candidates (identical math to fusion.py)
+        ranks = jnp.arange(C, dtype=jnp.float32)[None, :]
+        rrf = 1.0 / (w[W_RRF_K] + ranks + 1.0)
+        dm_at_bm = dm[jnp.minimum(bm_ids, sink - 1)]
+        bm_ok = (bm_scores > 0) & (bm_ids < sink) & (dm_at_bm > 0) \
+            & (w[W_TEXT] > 0)
+        bm_norm = jnp.clip(bm_scores / jnp.maximum(w[W_BM25_DIV], 1e-6), 0.0, 1.0)
+        val_bm = jnp.where(bm_ok, w[W_TEXT] * (bm_norm + w[W_RRF_SCALE] * rrf), 0.0)
+        ids_bm = jnp.where(bm_ok, bm_ids, sink)
+        vec_ok = (vv > -1e29) & (w[W_VEC] > 0)
+        vec_norm = jnp.clip((vv + 1.0) * 0.5, 0.0, 1.0)
+        val_vec = jnp.where(vec_ok, w[W_VEC] * (vec_norm + w[W_RRF_SCALE] * rrf), 0.0)
+        ids_vec = jnp.where(vec_ok, vslots, sink)
+
+        ids = jnp.concatenate([ids_bm, ids_vec], axis=1)
+        vals = jnp.concatenate([val_bm, val_vec], axis=1)
+        tflag = jnp.concatenate(
+            [bm_ok.astype(jnp.float32), jnp.zeros_like(val_vec)], axis=1
+        )
+        vflag = jnp.concatenate(
+            [jnp.zeros_like(val_bm), vec_ok.astype(jnp.float32)], axis=1
+        )
+
+        def merge(one_ids, one_vals, one_t, one_v):
+            ids_s, vals_s, t_s, v_s = jax.lax.sort(
+                (one_ids, one_vals, one_t, one_v), num_keys=1
+            )
+            last = jnp.concatenate([ids_s[1:] != ids_s[:-1], jnp.ones(1, bool)])
+            first = jnp.concatenate([jnp.ones(1, bool), ids_s[1:] != ids_s[:-1]])
+
+            def seg_total(x):
+                cs = jnp.cumsum(x)
+                base = jax.lax.cummax(jnp.where(first, cs - x, -jnp.inf))
+                return cs - base
+
+            total = seg_total(vals_s)
+            t_sum = seg_total(t_s)
+            v_sum = seg_total(v_s)
+            hid = jnp.minimum(ids_s, sink - 1)
+            total = jnp.where((t_sum == 0) & (v_sum > 0),
+                              total * w[W_VEC_ONLY_PEN], total)
+            total = total + w[W_HOT] * ht[hid] * jnp.where(ids_s < sink, 1.0, 0.0)
+            total = jnp.where(last & (ids_s < sink), total, NEG)
+            out_v, pos2 = jax.lax.top_k(total, k)
+            return out_v, ids_s[pos2]
+
+        return jax.vmap(merge)(ids, vals, tflag, vflag)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis, None), P(axis), P(axis), P(axis),
+                  P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(sketch, term_ids, term_mask, proj, E, row_valid, row2slot,
+              row_scale, postings_doc, postings_impact, term_offsets,
+              term_lengths, doc_mask, hot, weights)

@@ -38,26 +38,40 @@ def main() -> None:
     WINDOW = 1024     # impact-ordered postings scanned per term
     K = 10
 
-    # pad N to a tile multiple
-    N = ((N + 1023) // 1024) * 1024
+    # pad N to a tile (and scan-block) multiple
+    scan_blocks = int(os.environ.get("BENCH_SCAN_BLOCKS", "0"))
+    unit = max(1024, scan_blocks)
+    N = ((N + unit - 1) // unit) * unit
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
 
-    E = jax.random.normal(ks[0], (N, D), dtype=jnp.bfloat16)
-    E = E / jnp.maximum(jnp.linalg.norm(E.astype(jnp.float32), axis=1, keepdims=True), 1e-9).astype(jnp.bfloat16)
+    int8_corpus = bool(int(os.environ.get("BENCH_INT8", "0")))
+    if int8_corpus:
+        # generate int8 directly via fused iota arithmetic — a 10M x 768
+        # corpus never exists in f32/bf16, and PRNG bit-gen would materialize
+        # a 4-byte intermediate (~30 GB at 10M x 768)
+        @jax.jit
+        def synth_int8():
+            r = jax.lax.broadcasted_iota(jnp.uint32, (N, D), 0)
+            c = jax.lax.broadcasted_iota(jnp.uint32, (N, D), 1)
+            h = r * jnp.uint32(2654435761) + c * jnp.uint32(40503)
+            h = h ^ (h >> jnp.uint32(13))
+            return (h % jnp.uint32(255)).astype(jnp.int32).astype(jnp.int8) - 127
+
+        E = synth_int8()
+        # unit-ish rows: E row norm ~ 73*sqrt(D); scale accordingly
+        row_scale = jnp.full(N, 1.0 / (73.0 * np.sqrt(D)), jnp.float32)
+    else:
+        E = jax.random.normal(ks[0], (N, D), dtype=jnp.bfloat16)
+        E = E / jnp.maximum(
+            jnp.linalg.norm(E.astype(jnp.float32), axis=1, keepdims=True), 1e-9
+        ).astype(jnp.bfloat16)
+        row_scale = jnp.ones(N, jnp.float32)
     proj = jnp.where(
         jax.random.bernoulli(ks[1], 0.5, (S, D)), 1.0, -1.0
     ).astype(jnp.bfloat16) / np.sqrt(D)
     valid = jnp.ones(N, jnp.float32)
     row2slot = jnp.arange(N, dtype=jnp.int32)
-    int8_corpus = bool(int(os.environ.get("BENCH_INT8", "0")))
-    if int8_corpus:
-        absmax = jnp.maximum(jnp.max(jnp.abs(E.astype(jnp.float32)), axis=1), 1e-12)
-        row_scale = (absmax / 127.0).astype(jnp.float32)
-        E = jnp.clip(jnp.round(E.astype(jnp.float32) / row_scale[:, None]),
-                     -127, 127).astype(jnp.int8)
-    else:
-        row_scale = jnp.ones(N, jnp.float32)
 
     # synthetic postings: each term -> WINDOW/4 pseudo-random docs (cheap
     # multiplicative-hash synthesis; device RNG over 10^7+ elements is slow
@@ -100,6 +114,7 @@ def main() -> None:
                 chunk_agg="max", rows_are_docs=True, approx=True,
                 bm25_prefilter=int(os.environ.get("BENCH_PREFILTER", "0")),
                 int8_corpus=int8_corpus,
+                scan_block_rows=scan_blocks,
             )
             return carry, (vals[:, 0], slots[:, 0])
 

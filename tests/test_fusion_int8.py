@@ -56,3 +56,35 @@ def test_int8_fused_matches_bf16():
     np.testing.assert_allclose(
         np.asarray(v_bf)[:, 0], np.asarray(v_i8)[:, 0], atol=0.05
     )
+
+
+def test_streaming_scan_matches_dense():
+    """scan_block_rows>0 (the huge-N path) == dense materialized path."""
+    rng = np.random.default_rng(1)
+    rows, D, S, Nd, B, T, V, W = 1024, 64, 256, 1024, 4, 8, 64, 32
+    E = rng.standard_normal((rows, D)).astype(np.float32)
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    proj = jnp.asarray((rng.integers(0, 2, (S, D)) * 2 - 1) / np.sqrt(D), jnp.bfloat16)
+    sketch = rng.standard_normal((B, S)).astype(np.float32)
+    tid = rng.integers(0, V, (B, T)).astype(np.int32)
+    tm = np.ones((B, T), np.float32)
+    per = W // 2
+    pd = np.concatenate([rng.integers(0, Nd, V * per).astype(np.int32),
+                         np.full(W, Nd, np.int32)])
+    pi = np.concatenate([rng.random(V * per).astype(np.float32) + 0.5,
+                         np.zeros(W, np.float32)])
+    to = (np.arange(V) * per).astype(np.int32)
+    tl = np.full(V, per, np.int32)
+    w = np.array([0.7, 0.3, 0.05, 0.5, 25.0, 0.85, 1.2, 12.0], np.float32)
+    args = (jnp.asarray(sketch), jnp.asarray(tid), jnp.asarray(tm), proj,
+            jnp.asarray(E, jnp.bfloat16), jnp.ones(rows),
+            jnp.arange(rows, dtype=jnp.int32), jnp.ones(rows),
+            jnp.asarray(pd), jnp.asarray(pi), jnp.asarray(to), jnp.asarray(tl),
+            jnp.ones(Nd), jnp.zeros(Nd), jnp.asarray(w))
+    common = dict(k=10, rrf_cand=32, window=W, num_slots=Nd,
+                  chunk_agg="max", rows_are_docs=True)
+    v_d, s_d, bm_d, _ = hybrid_query(*args, **common)
+    v_s, s_s, bm_s, _ = hybrid_query(*args, **common, scan_block_rows=256)
+    np.testing.assert_array_equal(np.asarray(s_d), np.asarray(s_s))
+    np.testing.assert_allclose(np.asarray(v_d), np.asarray(v_s), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(bm_d), np.asarray(bm_s), atol=1e-5)

@@ -53,7 +53,8 @@ def pack_weights(cfg) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("k", "rrf_cand", "window", "num_slots", "chunk_agg",
-                     "rows_are_docs", "approx", "bm25_prefilter", "int8_corpus"),
+                     "rows_are_docs", "approx", "bm25_prefilter", "int8_corpus",
+                     "scan_block_rows"),
 )
 def hybrid_query(
     sketch: jax.Array,      # (B, S) f32
@@ -81,6 +82,7 @@ def hybrid_query(
     approx: bool = False,
     bm25_prefilter: int = 0,
     int8_corpus: bool = False,
+    scan_block_rows: int = 0,
 ):
     """Returns (fused (B,k), slots (B,k) i32, bm25_at (B,k), vec_at (B,k)).
 
@@ -97,6 +99,69 @@ def hybrid_query(
     q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-9)
 
     # 2. vector leg: chunk scores -> doc scores -> top-C candidates
+    dm = doc_mask if doc_mask.ndim == 2 else doc_mask[None, :]
+    if scan_block_rows > 0 and rows_are_docs:
+        # streaming blocked scan: never materializes (B, N) — required once
+        # B*N*4 bytes approaches HBM (e.g. 10M rows). slot == row here.
+        rows = E.shape[0]
+        assert rows % scan_block_rows == 0
+        G = rows // scan_block_rows
+        blocks = E.reshape(G, scan_block_rows, E.shape[1])
+        vblocks = row_valid.reshape(G, scan_block_rows)
+        sblocks = row_scale.reshape(G, scan_block_rows)
+        # shared 1-D masks ride as (G, block) slices; only per-query 2-D masks
+        # (topology narrow / per-query filters) pay the (B, N) broadcast
+        per_query_mask = doc_mask.ndim == 2
+        if per_query_mask:
+            dmb = jnp.transpose(
+                jnp.broadcast_to(dm, (q.shape[0], rows))
+                .reshape(q.shape[0], G, scan_block_rows),
+                (1, 0, 2),
+            )
+        else:
+            dmb = doc_mask.reshape(G, scan_block_rows)
+        if int8_corpus:
+            qmax = jnp.maximum(jnp.max(jnp.abs(q), axis=1), 1e-12)
+            qscale = qmax / 127.0
+            q8 = jnp.clip(jnp.round(q / qscale[:, None]), -127, 127).astype(jnp.int8)
+
+        def step(carry, inp):
+            cv, ci = carry
+            blk, vmask, scale, dmask, g = inp
+            if int8_corpus:
+                s = jax.lax.dot_general(
+                    q8, blk, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * qscale[:, None] * scale[None, :]
+            else:
+                s = jnp.dot(q.astype(jnp.bfloat16), blk.T,
+                            preferred_element_type=jnp.float32)
+            dbias = (dmask - 1.0) * 1e30
+            s = s + (vmask - 1.0)[None, :] * 1e30 \
+                + (dbias if per_query_mask else dbias[None, :])
+            # per-block partial top-C via the TPU bitonic reduction (a full
+            # sort here would dominate the scan), then exact merge with carry
+            bv, bi = jax.lax.approx_max_k(s, C)
+            bi = bi + g * scan_block_rows
+            nv, pos = jax.lax.top_k(jnp.concatenate([cv, bv], axis=1), C)
+            ni = jnp.take_along_axis(
+                jnp.concatenate([ci, bi], axis=1), pos, axis=1
+            )
+            return (nv, ni), None
+
+        init = (jnp.full((q.shape[0], C), NEG, jnp.float32),
+                jnp.full((q.shape[0], C), sink, jnp.int32))
+        (vv, vi), _ = jax.lax.scan(
+            step, init,
+            (blocks, vblocks, sblocks, dmb, jnp.arange(G, dtype=jnp.int32)),
+        )
+        sdoc = None  # not materialized in streaming mode
+        return _fuse_candidates(
+            term_ids, term_mask, postings_doc, postings_impact, term_offsets,
+            term_lengths, dm, hot, weights, vv, vi, None,
+            k=k, C=C, window=window, num_slots=num_slots,
+            bm25_prefilter=bm25_prefilter,
+        )
     if int8_corpus:
         # symmetric per-row int8: halves HBM reads on the dominant matmul
         # (the reference's PQ tier analog; rerank precision via candidate
@@ -138,6 +203,29 @@ def hybrid_query(
     else:
         vv, vi = jax.lax.top_k(sdoc_m, C)
 
+    return _fuse_candidates(
+        term_ids, term_mask, postings_doc, postings_impact, term_offsets,
+        term_lengths, dm, hot, weights, vv, vi, sdoc,
+        k=k, C=C, window=window, num_slots=num_slots,
+        bm25_prefilter=bm25_prefilter,
+    )
+
+
+def _fuse_candidates(
+    term_ids, term_mask, postings_doc, postings_impact, term_offsets,
+    term_lengths, dm, hot, weights, vv, vi_slots, sdoc,
+    *, k, C, window, num_slots, bm25_prefilter,
+):
+    """Stages 3-5 shared by the dense and streaming vector legs.
+
+    vi_slots are doc-slot ids of the vector leg's top-C; sdoc (dense doc
+    scores) is optional — when absent (streaming mode), vec_at comes from the
+    merged candidate carry instead of a dense gather.
+    """
+    from ..ops.bm25 import bm25_topk_candidates
+
+    sink = num_slots
+
     # 3. lexical leg: top-C BM25 candidates (already rank-ordered)
     bm_ids, bm_scores = bm25_topk_candidates(
         term_ids, term_mask, postings_doc, postings_impact, term_offsets,
@@ -166,7 +254,7 @@ def hybrid_query(
     val_vec = jnp.where(
         vec_ok, weights[W_VEC] * (vec_norm + weights[W_RRF_SCALE] * rrf), 0.0
     )
-    ids_vec = jnp.where(vec_ok, vi, sink)
+    ids_vec = jnp.where(vec_ok, vi_slots, sink)
 
     ids = jnp.concatenate([ids_bm, ids_vec], axis=1)           # (B, 2C)
     vals = jnp.concatenate([val_bm, val_vec], axis=1)
@@ -203,8 +291,15 @@ def hybrid_query(
         return out_v, ids_s[pos], bm_sum[pos]
 
     vals_k, slots, bm_at = jax.vmap(merge)(ids, vals, tflag, vflag, bm_raw)
-    vec_at = jnp.take_along_axis(
-        jnp.maximum(sdoc, -1.0), jnp.minimum(slots, num_slots - 1), axis=1
-    )
+    if sdoc is not None:
+        vec_at = jnp.take_along_axis(
+            jnp.maximum(sdoc, -1.0), jnp.minimum(slots, num_slots - 1), axis=1
+        )
+    else:
+        # streaming mode: look the final slots up in the vector candidate list
+        hit = slots[:, :, None] == vi_slots[:, None, :]          # (B, k, C)
+        vec_at = jnp.max(
+            jnp.where(hit, jnp.maximum(vv, -1.0)[:, None, :], -1.0), axis=2
+        )
     vals_k = jnp.where(vals_k <= NEG / 2, NEG, vals_k)
     return vals_k, slots, bm_at, vec_at

@@ -1,0 +1,53 @@
+"""Engine scale-tier selection: flat layout detection + approx/streaming opts."""
+
+import numpy as np
+import pytest
+
+from yams_tpu.core.config import EmbeddingConfig, LexicalIndexConfig, VectorIndexConfig
+from yams_tpu.index.vector_index import VectorIndex
+from yams_tpu.search import SearchEngine, SearchEngineConfig
+
+
+def _unit(n, d, seed=0):
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+class TestIdentityLayout:
+    def test_flat_inserts_keep_identity(self):
+        idx = VectorIndex(dim=16, capacity=64, block_rows=64)
+        idx.add(_unit(10, 16), list(range(10)))
+        assert idx.identity_layout
+
+    def test_chunked_docs_break_identity(self):
+        idx = VectorIndex(dim=16, capacity=64, block_rows=64)
+        idx.add(_unit(3, 16), [0, 0, 1])  # two rows for doc 0
+        assert not idx.identity_layout
+
+    def test_tombstones_break_identity(self):
+        idx = VectorIndex(dim=16, capacity=64, block_rows=64)
+        idx.add(_unit(5, 16), list(range(5)))
+        idx.remove_doc(2)
+        idx.device_arrays()  # refresh cache
+        assert not idx.identity_layout
+
+
+class TestEngineTiers:
+    def test_results_identical_across_approx_toggle(self):
+        """Same corpus, approx on vs off: same top results (chunked layout)."""
+        results = {}
+        for threshold in (10**9, 1):  # exact vs approx tier
+            eng = SearchEngine(
+                config=SearchEngineConfig(batch_pad=4,
+                                          approx_threshold=threshold),
+                embedding=EmbeddingConfig(dim=64, sketch_dim=512),
+                vector=VectorIndexConfig(dim=64, capacity=256, block_rows=128),
+                lexical=LexicalIndexConfig(postings_window=64),
+            )
+            for i in range(30):
+                eng.add_document(i, f"document {i} about topic {'xyz'[i % 3]}")
+            results[threshold] = [
+                r.doc_id for r in eng.search("topic x document", k=5)
+            ]
+        assert results[10**9] == results[1]

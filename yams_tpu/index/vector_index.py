@@ -119,6 +119,23 @@ class VectorIndex:
         return list(self._rows_by_slot.get(doc_slot, []))
 
     # -- device view ----------------------------------------------------------------
+    @property
+    def identity_layout(self) -> bool:
+        """True iff every live row's slot equals its row index (flat corpora:
+        exactly one vector per doc, no tombstones) — enables the engine's
+        rows_are_docs / streaming fast paths."""
+        with self._lock:
+            if getattr(self, "_identity", None) is None:
+                n = self._count
+                self._identity = bool(
+                    not self._free
+                    and np.all(self._valid[:n] == 1.0)
+                    and np.array_equal(
+                        self._slots[:n], np.arange(n, dtype=np.int32)
+                    )
+                )
+            return self._identity
+
     def device_arrays(self):
         """(E bf16 (cap,D), valid f32 (cap,), row2slot i32 (cap,)) on device.
 
@@ -134,6 +151,7 @@ class VectorIndex:
                     jnp.asarray(self._valid),
                     jnp.asarray(self._slots),
                 )
+                self._identity = None  # recomputed lazily
                 self._dirty = False
             return self._device
 

@@ -44,3 +44,11 @@ class SearchEngineConfig:
     # query batch padding (keeps jit cache small)
     batch_pad: int = 8
     max_k: int = 100
+
+    # scale tiers (auto-selected by corpus size; see SearchEngine._scale_opts):
+    # above approx_threshold slots, use lax.approx_max_k for the vector-leg
+    # reduction; above streaming_threshold ROWS, switch to the blocked
+    # streaming scan that never materializes (B, N) scores
+    approx_threshold: int = 65_536
+    streaming_threshold: int = 2_000_000
+    streaming_block_rows: int = 262_144

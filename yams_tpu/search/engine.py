@@ -278,6 +278,25 @@ class SearchEngine:
             import jax
 
             jax.profiler.start_trace(profile_dir)
+        # scale tiers: exact top-k for small corpora; TPU-optimized partial
+        # reduction above approx_threshold; streaming blocked scan (no (B,N)
+        # materialization) above streaming_threshold rows — only valid when
+        # rows == slots (flat layout), which holds when no doc is chunked
+        rows = E.shape[0]
+        flat = self.vector_index.identity_layout and rows >= Nd
+        scale_opts: dict = {"approx": Nd > cfg.approx_threshold}
+        if flat:
+            scale_opts["rows_are_docs"] = True
+            if (rows > cfg.streaming_threshold
+                    and rows % cfg.streaming_block_rows == 0):
+                scale_opts["scan_block_rows"] = cfg.streaming_block_rows
+                # streaming indexes the mask by row, not slot: pad to rows
+                pad = rows - doc_mask.shape[-1]
+                if pad > 0:
+                    doc_mask = np.pad(
+                        doc_mask,
+                        [(0, 0)] * (doc_mask.ndim - 1) + [(0, pad)],
+                    )
         vals, slots, bm_at, vec_at = hybrid_query(
             jnp.asarray(sketches), jnp.asarray(tids), jnp.asarray(tmask),
             proj,
@@ -289,6 +308,7 @@ class SearchEngine:
             window=self.lexical_index.config.postings_window,
             num_slots=Nd,
             chunk_agg=cfg.chunk_agg,
+            **scale_opts,
         )
         vals = np.asarray(vals)[:B_real]
         slots = np.asarray(slots)[:B_real]

@@ -144,3 +144,48 @@ class TestTopology:
         new, assign, counts = kmeans_step(v, valid, cent)
         assert new.shape == (8, 16)
         assert int(counts.sum()) == 64
+
+
+class TestConnectedEngine:
+    def test_components_match_cluster_structure(self):
+        rng = np.random.default_rng(4)
+        centers = _unit(3, 32, seed=11)
+        rows, labels = [], []
+        for c in range(3):
+            pts = centers[c] + 0.03 * rng.standard_normal((40, 32))
+            rows.append(pts)
+            labels += [c] * 40
+        v = np.vstack(rows).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        eng = TopologyEngine()
+        art = eng.build(v, np.ones(len(v), np.float32), engine="connected")
+        labels = np.array(labels)
+        # same-truth-cluster rows land in same components (allowing splits from
+        # the max_component_docs cap); purity over assignments
+        purity = 0
+        for c in np.unique(art.assignments):
+            mask = art.assignments == c
+            if mask.sum():
+                purity += np.bincount(labels[mask]).max()
+        assert purity / len(v) > 0.95
+        # size cap respected
+        assert art.cluster_sizes.max() <= 64
+
+    def test_invalid_rows_unassigned(self):
+        v = _unit(32, 16, seed=12)
+        valid = np.ones(32, np.float32)
+        valid[:8] = 0.0
+        eng = TopologyEngine()
+        art = eng.build(v, valid, engine="connected")
+        assert np.all(art.assignments[:8] == -1)
+        assert np.all(art.assignments[8:] >= 0)
+
+    def test_textrank_keyphrases(self):
+        from yams_tpu.utils.textrank import textrank_keyphrases
+
+        text = ("content addressed storage systems use chunk level dedup. "
+                "the storage systems hash every chunk. dedup saves storage. "
+                "unrelated filler words appear once here maybe twice.") * 3
+        phrases = [p for p, _ in textrank_keyphrases(text, top_k=5)]
+        assert any("storage" in p for p in phrases)
+        assert any("dedup" in p or "chunk" in p for p in phrases)

@@ -70,6 +70,50 @@ class TopologyArtifacts:
     cohesion: np.ndarray         # (K,) mean member similarity to centroid
 
 
+@functools.partial(jax.jit, static_argnames=("knn", "block_rows", "lp_iters"))
+def connected_labels(
+    vectors: jax.Array,   # (N, D) f32, rows padded to block multiple
+    valid: jax.Array,     # (N,) f32
+    min_edge_score: float,
+    knn: int = 8,
+    block_rows: int = 1024,
+    lp_iters: int = 24,
+) -> jax.Array:
+    """Connected-components labels over the similarity KNN graph.
+
+    The reference's default Connected engine (min_edge_score=0.25,
+    docs/benchmarks/index.md:20-22) as one device program: blocked KNN
+    (MXU matmuls) builds the graph; label propagation with path-halving
+    (labels[labels] pointer jumping) converges in O(log N) iterations.
+    Invalid rows label themselves.
+    """
+    from ..ops.scan import exact_topk_scan
+
+    N = vectors.shape[0]
+    # KNN including self; mask edges below threshold
+    vals, nbrs = exact_topk_scan(
+        vectors.astype(jnp.float32), vectors, valid, k=knn, block_rows=block_rows
+    )
+    edge_ok = (vals >= min_edge_score) & (nbrs >= 0) & (valid[:, None] > 0)
+    self_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+    nbrs = jnp.where(edge_ok, nbrs, self_idx)
+
+    def body(labels, _):
+        # forward (gather) + backward (scatter-min) so the directed KNN graph
+        # propagates as if undirected
+        nbr_labels = jnp.min(labels[nbrs], axis=1)
+        fwd = jnp.minimum(labels, nbr_labels)
+        labels = fwd.at[nbrs.reshape(-1)].min(
+            jnp.repeat(fwd, nbrs.shape[1])
+        )
+        labels = labels[labels]  # path halving
+        return labels, None
+
+    init = self_idx[:, 0]
+    labels, _ = jax.lax.scan(body, init, None, length=lp_iters)
+    return labels
+
+
 class TopologyEngine:
     """Builds artifacts from the vector index; routes queries to clusters."""
 
@@ -78,8 +122,52 @@ class TopologyEngine:
         self.seed = seed
         self.artifacts: TopologyArtifacts | None = None
 
-    def build(self, vectors: np.ndarray, valid: np.ndarray, epoch: int = 0
-              ) -> TopologyArtifacts:
+    def build_connected(
+        self, vectors: np.ndarray, valid: np.ndarray, epoch: int = 0,
+        min_edge_score: float = 0.25, max_component_docs: int = 64,
+        knn: int = 8,
+    ) -> TopologyArtifacts:
+        """The reference's default Connected engine (min_edge_score=0.25,
+        max_component_docs=64): device KNN graph + label propagation, then
+        host-side component packaging with size capping."""
+        n = len(vectors)
+        block = 256
+        pad = (-n) % block
+        v = np.pad(vectors.astype(np.float32), ((0, pad), (0, 0)))
+        m = np.pad(valid.astype(np.float32), (0, pad))
+        labels = np.asarray(connected_labels(
+            jnp.asarray(v), jnp.asarray(m), min_edge_score,
+            knn=min(knn, max(n, 2)), block_rows=block,
+        ))[:n]
+        labels = labels.copy()
+        labels[valid <= 0] = -1
+        # relabel to dense ids, splitting oversized components
+        assign = np.full(n, -1, np.int32)
+        next_id = 0
+        for lab in np.unique(labels[labels >= 0]):
+            members = np.nonzero(labels == lab)[0]
+            for start in range(0, len(members), max_component_docs):
+                assign[members[start : start + max_component_docs]] = next_id
+                next_id += 1
+        K = max(next_id, 1)
+        centroids = np.zeros((K, vectors.shape[1]), np.float32)
+        sizes = np.zeros(K, np.int64)
+        cohesion = np.zeros(K, np.float32)
+        for c in range(next_id):
+            members = vectors[assign == c]
+            sizes[c] = len(members)
+            if len(members):
+                mean = members.mean(axis=0)
+                norm = np.linalg.norm(mean)
+                centroids[c] = mean / norm if norm > 0 else mean
+                cohesion[c] = float((members @ centroids[c]).mean())
+        self.artifacts = TopologyArtifacts(centroids, assign, sizes, epoch, cohesion)
+        return self.artifacts
+
+    def build(self, vectors: np.ndarray, valid: np.ndarray, epoch: int = 0,
+              engine: str = "kmeans") -> TopologyArtifacts:
+        if engine == "connected":
+            return self.build_connected(vectors, valid, epoch)
         n_active = int(valid.sum())
         K = auto_k(n_active)
         rng = np.random.default_rng(self.seed + epoch)

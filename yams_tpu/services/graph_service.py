@@ -29,7 +29,9 @@ class GraphService:
 
     # -- construction -----------------------------------------------------------
     def extract_entities(self, text: str, max_entities: int = 32) -> list[tuple[str, float]]:
-        """Fallback entity mining: capitalized phrases + frequent identifiers."""
+        """Built-in entity mining: capitalized phrases + identifiers, blended
+        with TextRank keyphrases (Simeon retrieval-util tier); a GLiNER-class
+        plugin can replace this via entity_extractor_v1."""
         counts: collections.Counter[str] = collections.Counter()
         for m in _CAP_PHRASE_RE.finditer(text[:100_000]):
             phrase = m.group(1).strip()
@@ -40,10 +42,17 @@ class GraphService:
             if ("_" in w or any(c.isupper() for c in w[1:])) and w.lower() not in _STOP:
                 counts[w] += 1
         total = sum(counts.values()) or 1
-        return [
-            (ent, min(1.0, 0.3 + cnt / total * 10))
+        out = {
+            ent: min(1.0, 0.3 + cnt / total * 10)
             for ent, cnt in counts.most_common(max_entities)
-        ]
+        }
+        # blend in TextRank keyphrases for prose (identifiers dominate code)
+        from ..utils.textrank import textrank_keyphrases
+
+        for phrase, score in textrank_keyphrases(text, top_k=8):
+            if phrase not in out and len(out) < max_entities:
+                out[phrase] = min(1.0, 0.3 + score * 5)
+        return sorted(out.items(), key=lambda kv: -kv[1])[:max_entities]
 
     def index_document(self, doc_id: int, text: str) -> int:
         """Extract entities, upsert KG nodes/aliases, link doc, co-occurrence edges."""

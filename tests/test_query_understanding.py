@@ -144,3 +144,37 @@ class TestServiceIntegration:
         assert res["restored"] == 1
         restored = list(out_dir.rglob("keep.txt"))
         assert restored and restored[0].read_text() == "restorable content"
+
+
+class TestAhoCorasick:
+    def test_basic_matches(self):
+        from yams_tpu.utils.ahocorasick import AhoCorasick
+
+        ac = AhoCorasick(["he", "she", "his", "hers"])
+        hits = ac.find_all("ushers")
+        found = {(s, e, ac.patterns[i]) for s, e, i in hits}
+        assert (1, 4, "she") in found
+        assert (2, 4, "he") in found
+        assert (2, 6, "hers") in found
+
+    def test_case_insensitive(self):
+        from yams_tpu.utils.ahocorasick import AhoCorasick
+
+        ac = AhoCorasick(["Needle"], case_insensitive=True)
+        assert ac.contains_any("finding a NEEDLE here")
+        assert not ac.contains_any("nothing")
+
+    def test_overlapping_and_repeated(self):
+        from yams_tpu.utils.ahocorasick import AhoCorasick
+
+        ac = AhoCorasick(["aa"])
+        assert [(s, e) for s, e, _ in ac.find_all("aaaa")] == [(0, 2), (1, 3), (2, 4)]
+
+    def test_grep_multi_service(self, app):
+        app.documents.add_bytes(b"alpha and beta live here\ngamma below", "mg.txt")
+        app.documents.add_bytes(b"only delta here", "mg2.txt")
+        res = app.grep.grep_multi(["alpha", "gamma", "delta"])
+        assert res.files_matched == 2
+        lines = {(m.path.rsplit("/", 1)[-1], m.line_number) for m in res.matches}
+        assert ("mg.txt", 1) in lines and ("mg.txt", 2) in lines
+        assert ("mg2.txt", 1) in lines

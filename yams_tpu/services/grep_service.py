@@ -68,6 +68,52 @@ class GrepService:
             ids = keep
         return ids[:max_docs]
 
+    def grep_multi(
+        self,
+        patterns: list[str],
+        ignore_case: bool = False,
+        tags: list[str] | None = None,
+        path_glob: str | None = None,
+        max_matches: int = 1000,
+        max_docs: int = 5000,
+    ) -> GrepResult:
+        """Multi-literal scan in one pass (Aho-Corasick; Simeon util parity)."""
+        from ..utils.ahocorasick import AhoCorasick
+
+        ac = AhoCorasick(patterns, case_insensitive=ignore_case)
+        matches: list[GrepMatch] = []
+        files_searched = files_matched = 0
+        truncated = False
+        for doc_id in self._candidates(" ".join(patterns), tags, path_glob,
+                                       max_docs):
+            text = self.app.metadata.get_content(doc_id)
+            if not text:
+                continue
+            files_searched += 1
+            hits = ac.find_all(text)
+            if not hits:
+                continue
+            files_matched += 1
+            try:
+                path = self.app.metadata.get_document(doc_id).file_path
+            except Exception:
+                path = ""
+            for start, end, _idx in hits:
+                prefix = text[:start]
+                line_no = prefix.count("\n") + 1
+                ls = prefix.rfind("\n") + 1
+                le = text.find("\n", end)
+                le = len(text) if le < 0 else le
+                matches.append(GrepMatch(
+                    doc_id, path, line_no, text[ls:le], start - ls, end - ls
+                ))
+                if len(matches) >= max_matches:
+                    truncated = True
+                    break
+            if truncated:
+                break
+        return GrepResult(matches, files_searched, files_matched, truncated)
+
     def grep(
         self,
         pattern: str,

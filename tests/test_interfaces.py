@@ -263,3 +263,31 @@ class TestCli:
     def test_config_dump(self, tmp_path):
         code, out = self._run(tmp_path, "config")
         assert json.loads(out)["embedding"]["profile"] == "fixed_hash_384"
+
+
+class TestMCPResourcesPrompts:
+    def test_resources(self, mcp):
+        app, server = mcp
+        _tool(server, "add", {"content": "resource body text", "name": "r.txt"})
+        resp = _call(server, "resources/list")
+        res = resp["result"]["resources"]
+        assert res and res[0]["uri"].startswith("yams://")
+        read = _call(server, "resources/read", {"uri": res[0]["uri"]})
+        assert "resource body" in read["result"]["contents"][0]["text"]
+
+    def test_prompts(self, mcp):
+        app, server = mcp
+        _tool(server, "add", {"content": "prompt context body", "name": "p.txt"})
+        lst = _call(server, "prompts/list")["result"]["prompts"]
+        assert {p["name"] for p in lst} == {"summarize_results", "answer_from_memory"}
+        got = _call(server, "prompts/get",
+                    {"name": "answer_from_memory",
+                     "arguments": {"question": "prompt context"}})
+        text = got["result"]["messages"][0]["content"]["text"]
+        assert "Question: prompt context" in text
+        assert "p.txt" in text  # retrieved context embedded
+
+    def test_bad_resource(self, mcp):
+        app, server = mcp
+        resp = _call(server, "resources/read", {"uri": "yams://missing"})
+        assert "error" in resp

@@ -71,6 +71,13 @@ class YamsDaemon:
         self.post_ingest = PostIngestQueue(self.app, self.governor, self.advisor)
         self.governor.add_queue_source(self.post_ingest.depth_fraction)
         self.post_ingest.start()
+        # autoload trusted plugins (reference: daemon plugin autoload)
+        from ..plugins.manager import PluginManager
+
+        self.plugins = PluginManager(
+            self.app, trust_file=self.config.data_dir / "plugins_trust.txt"
+        )
+        await loop.run_in_executor(self._pool, self.plugins.load_trusted)
         sock = self.config.socket_path
         sock.parent.mkdir(parents=True, exist_ok=True)
         if sock.exists():
@@ -323,6 +330,16 @@ class YamsDaemon:
             store=req.get("store", True), tags=req.get("tags"),
         )
         return _asdict(res)
+
+    def handle_plugins(self, req):
+        op = req.get("op", "list")
+        if op == "trust":
+            self.plugins.trust(req["path"])
+        elif op == "load":
+            m = self.plugins.load_file(req["path"])
+            if m is None:
+                raise YamsError(f"plugin load failed: {self.plugins.errors}")
+        return {"plugins": self.plugins.list(), "health": self.plugins.health()}
 
     def handle_checkpoint(self, req):
         self.app.checkpoint()

@@ -323,9 +323,55 @@ class MCPServer:
             self.initialized = True
             return reply({
                 "protocolVersion": params.get("protocolVersion", PROTOCOL_VERSION),
-                "capabilities": {"tools": {"listChanged": False}},
+                "capabilities": {
+                    "tools": {"listChanged": False},
+                    "resources": {"listChanged": False},
+                    "prompts": {"listChanged": False},
+                },
                 "serverInfo": {"name": "yams-tpu", "version": __version__},
             })
+        if method == "resources/list":
+            # documents as yams:// resources (reference: MCP resources surface)
+            docs = self.app.documents.list(limit=params.get("limit", 100))
+            return reply({"resources": [
+                {"uri": f"yams://{d.sha256_hash}", "name": d.file_path,
+                 "mimeType": d.mime_type} for d in docs
+            ]})
+        if method == "resources/read":
+            uri = (params.get("uri") or "").removeprefix("yams://")
+            try:
+                text = self.app.documents.get_text(uri)
+                return reply({"contents": [
+                    {"uri": params.get("uri"), "mimeType": "text/plain",
+                     "text": text}
+                ]})
+            except Exception as e:
+                return error(-32002, f"resource not readable: {e}")
+        if method == "prompts/list":
+            return reply({"prompts": [
+                {"name": "summarize_results",
+                 "description": "Summarize search results for a query",
+                 "arguments": [{"name": "query", "required": True}]},
+                {"name": "answer_from_memory",
+                 "description": "Answer a question using retrieved context",
+                 "arguments": [{"name": "question", "required": True}]},
+            ]})
+        if method == "prompts/get":
+            name = params.get("name", "")
+            args = params.get("arguments") or {}
+            q = args.get("query") or args.get("question") or ""
+            ctx = self.app.search.suggest_context(q, limit=5) if q else ""
+            text = {
+                "summarize_results":
+                    f"Summarize what the memory store knows about: {q}\n\n{ctx}",
+                "answer_from_memory":
+                    f"Answer using ONLY this context.\n\n{ctx}\n\nQuestion: {q}",
+            }.get(name)
+            if text is None:
+                return error(-32601, f"unknown prompt: {name}")
+            return reply({"messages": [
+                {"role": "user", "content": {"type": "text", "text": text}}
+            ]})
         if method in ("notifications/initialized", "initialized"):
             return None
         if method == "ping":

@@ -186,3 +186,49 @@ class TestDetection:
         assert is_text_mime("text/x-python")
         assert is_text_mime("application/json")
         assert not is_text_mime("image/png")
+
+
+class TestNativeIngestPipeline:
+    @pytest.mark.skipif(native.get_native() is None, reason="no native lib")
+    def test_sha256_parity(self):
+        import ctypes
+
+        lib = native.get_native()
+        for n in (0, 1, 55, 56, 63, 64, 65, 119, 127, 128, 4096):
+            data = _random_bytes(n, seed=n)
+            out = (ctypes.c_uint8 * 32)()
+            lib.ytn_sha256(data, n, out)
+            assert bytes(out).hex() == hashlib.sha256(data).hexdigest(), n
+
+    @pytest.mark.skipif(native.get_native() is None, reason="no native lib")
+    def test_pipeline_parity(self):
+        import zstandard
+
+        data = _random_bytes(400_000, seed=21)
+        res = native.ingest_pipeline(data, 1024, 4096, 16384, level=3)
+        assert res is not None
+        # boundaries identical to the chunker
+        c = FastCDCChunker(SMALL_CFG)
+        assert [e for _, _, e, _ in res] == c.boundaries(data)
+        d = zstandard.ZstdDecompressor()
+        whole = b""
+        for h, s, e, blob in res:
+            assert hashlib.sha256(data[s:e]).hexdigest() == h
+            assert d.decompress(blob, max_output_size=e - s) == data[s:e]
+            whole += data[s:e]
+        assert whole == data
+
+    @pytest.mark.skipif(native.get_native() is None, reason="no native lib")
+    def test_pipeline_no_compression(self):
+        data = _random_bytes(100_000, seed=22)
+        res = native.ingest_pipeline(data, 1024, 4096, 16384, level=0)
+        assert all(blob == b"" for _, _, _, blob in res)
+        assert res[-1][2] == len(data)
+
+    @pytest.mark.skipif(native.get_native() is None, reason="no native lib")
+    def test_pipeline_multithreaded_matches(self):
+        data = _random_bytes(300_000, seed=23)
+        r1 = native.ingest_pipeline(data, 1024, 4096, 16384, level=3, threads=1)
+        r4 = native.ingest_pipeline(data, 1024, 4096, 16384, level=3, threads=4)
+        assert [x[:3] for x in r1] == [x[:3] for x in r4]
+        assert [x[3] for x in r1] == [x[3] for x in r4]

@@ -17,6 +17,7 @@ import threading
 _HERE = pathlib.Path(__file__).parent
 _SRC = _HERE / "src" / "yams_native.cpp"
 _SRC_MOBILE = _HERE / "src" / "yams_mobile.cpp"
+_SRC_INGEST = _HERE / "src" / "ingest_pipeline.cpp"
 _LIBDIR = _HERE / "_build"
 _LIB = _LIBDIR / "libyams_native.so"
 
@@ -31,7 +32,8 @@ def _build() -> bool:
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
         "-march=native", "-funroll-loops",
-        str(_SRC), str(_SRC_MOBILE), "-o", str(tmp),
+        str(_SRC), str(_SRC_MOBILE), str(_SRC_INGEST), "-lzstd", "-lpthread",
+        "-o", str(tmp),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -49,7 +51,8 @@ def _load() -> ctypes.CDLL | None:
         _tried = True
         if os.environ.get("YAMS_TPU_NO_NATIVE"):
             return None
-        newest_src = max(_SRC.stat().st_mtime, _SRC_MOBILE.stat().st_mtime)
+        newest_src = max(_SRC.stat().st_mtime, _SRC_MOBILE.stat().st_mtime,
+                         _SRC_INGEST.stat().st_mtime)
         if not _LIB.exists() or _LIB.stat().st_mtime < newest_src:
             if not _build():
                 return None
@@ -73,6 +76,19 @@ def _load() -> ctypes.CDLL | None:
         ]
         lib.ytn_crc32.restype = ctypes.c_uint32
         lib.ytn_crc32.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint32]
+        lib.ytn_sha256.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_uint8)
+        ]
+        lib.ytn_ingest_pipeline.restype = ctypes.c_size_t
+        lib.ytn_ingest_pipeline.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_size_t,
+        ]
         if lib.ytn_abi_version() != 1:
             return None
         _lib = lib
@@ -107,3 +123,43 @@ def find_all(haystack: bytes, needle: bytes, max_hits: int = 1 << 20) -> list[in
     out = (ctypes.c_uint64 * max_hits)()
     n = lib.ytn_find_all(haystack, len(haystack), needle, len(needle), out, max_hits)
     return [int(out[i]) for i in range(min(n, max_hits))]
+
+
+def ingest_pipeline(
+    data: bytes, min_size: int, avg_size: int, max_size: int,
+    level: int = 3, threads: int = 0,
+) -> list[tuple[str, int, int, bytes]] | None:
+    """Full native ingest pass: [(sha256_hex, start, end, zstd_bytes)].
+
+    level=0 skips compression (empty bytes). None when the lib is missing.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(data)
+    max_chunks = max(2, n // max(1, min_size) + 2)
+    boundaries = (ctypes.c_uint64 * max_chunks)()
+    hashes = (ctypes.c_uint8 * (32 * max_chunks))()
+    comp_cap = int(n * 1.05) + max_chunks * 1024 if level > 0 else 1
+    comp_out = (ctypes.c_uint8 * comp_cap)()
+    comp_offsets = (ctypes.c_uint64 * max_chunks)()
+    comp_sizes = (ctypes.c_uint64 * max_chunks)()
+    count = lib.ytn_ingest_pipeline(
+        data, n, min_size, avg_size, max_size, level, threads,
+        boundaries, hashes, comp_out, comp_cap, comp_offsets, comp_sizes,
+        max_chunks,
+    )
+    if count == 0 and n > 0:
+        return None
+    out = []
+    start = 0
+    raw = bytes(hashes[: 32 * count])
+    comp = bytes(comp_out) if level > 0 else b""
+    for i in range(count):
+        end = int(boundaries[i])
+        digest = raw[32 * i : 32 * i + 32].hex()
+        blob = (comp[int(comp_offsets[i]): int(comp_offsets[i]) + int(comp_sizes[i])]
+                if level > 0 else b"")
+        out.append((digest, start, end, blob))
+        start = end
+    return out

@@ -201,3 +201,43 @@ class TestIntegrity:
         cs.engine.inner.store(orphan, b"orphan")
         gc = GarbageCollector(cs.engine, cs.refcounter)
         assert orphan in gc.orphan_scan()
+
+
+class TestNativeFastPath:
+    def test_fast_path_roundtrip_and_framing(self, tmp_path):
+        from yams_tpu import native
+        from yams_tpu.ingest.compression import is_compressed_block
+
+        if native.get_native() is None:
+            pytest.skip("no native lib")
+        cs = ContentStore(tmp_path, chunking=CFG)
+        data = b"compressible text block " * 8000
+        r = cs.store_bytes(data, "text/plain")
+        assert cs.retrieve_bytes(r.content_hash) == data
+        # stored blocks carry the standard compression framing
+        h = cs.refcounter.get_manifest(r.content_hash).chunks[0].hash
+        raw = cs.engine.inner.retrieve(h)
+        assert is_compressed_block(raw)
+
+    def test_fast_path_matches_python_path(self, tmp_path):
+        """Native and Python ingest paths produce identical chunk hashes."""
+        import os
+
+        data = _rand(150_000, seed=31) + b"text " * 5000
+        cs1 = ContentStore(tmp_path / "a", chunking=CFG)
+        r1 = cs1.store_bytes(data, "text/plain")   # native fast path
+        os.environ["YAMS_TPU_NO_NATIVE"] = "1"
+        try:
+            import yams_tpu.native as nat
+
+            old_lib, old_tried = nat._lib, nat._tried
+            nat._lib, nat._tried = None, True
+            cs2 = ContentStore(tmp_path / "b", chunking=CFG)
+            r2 = cs2.store_bytes(data, "text/plain")  # python path
+            nat._lib, nat._tried = old_lib, old_tried
+        finally:
+            del os.environ["YAMS_TPU_NO_NATIVE"]
+        m1 = cs1.refcounter.get_manifest(r1.content_hash)
+        m2 = cs2.refcounter.get_manifest(r2.content_hash)
+        assert [c.hash for c in m1.chunks] == [c.hash for c in m2.chunks]
+        assert cs2.retrieve_bytes(r2.content_hash) == data

@@ -118,30 +118,74 @@ class ContentStore:
                 phase_timings_ms=timings,
             )
 
+        # fast path: one native pass does chunk + SHA-256 + zstd
+        # (ytn_ingest_pipeline); falls back to the Python stages otherwise
         t = time.monotonic()
-        chunks = self.chunker.chunk_bytes(data)
-        timings["chunk"] = (time.monotonic() - t) * 1e3
+        from .. import native as _native
+        from ..ingest.compression import CompressionHeader, ALGO_ZSTD
+        import zlib as _zlib
 
-        t = time.monotonic()
-        bytes_stored = 0
-        bytes_deduped = 0
-        refs: list[tuple[str, int]] = []
-        for ch in chunks:
-            refs.append((ch.ref.hash, ch.ref.size))
-            if self.engine.exists(ch.ref.hash):
-                bytes_deduped += ch.ref.size
-                continue
-            if self.wal:
-                self.wal.append(OP_STORE_BLOCK, hash=ch.ref.hash, size=ch.ref.size)
-            self.engine.store(ch.ref.hash, ch.data, mime_type)
-            bytes_stored += ch.ref.size
+        decision = self.engine.policy.decide(
+            self.chunker.config.avg_size, mime_type
+        )
+        pipeline = None
+        if decision.compress and decision.algorithm == "zstd":
+            pipeline = _native.ingest_pipeline(
+                data, self.chunker.config.min_size, self.chunker.config.avg_size,
+                self.chunker.config.max_size, level=decision.level,
+            )
+        if pipeline is not None:
+            timings["chunk"] = (time.monotonic() - t) * 1e3
+            t = time.monotonic()
+            bytes_stored = bytes_deduped = 0
+            refs = []
+            chunk_refs = []
+            for digest, start, end, blob in pipeline:
+                size = end - start
+                refs.append((digest, size))
+                chunk_refs.append(ChunkRef(digest, start, size))
+                if self.engine.exists(digest):
+                    bytes_deduped += size
+                    continue
+                if self.wal:
+                    self.wal.append(OP_STORE_BLOCK, hash=digest, size=size)
+                if len(blob) < size:
+                    framed = CompressionHeader(
+                        algorithm=ALGO_ZSTD, level=decision.level,
+                        original_size=size, compressed_size=len(blob),
+                        crc32=_zlib.crc32(blob) & 0xFFFFFFFF,
+                    ).pack() + blob
+                else:  # incompressible chunk: store raw
+                    framed = data[start:end]
+                self.engine.inner.store(digest, framed)
+                bytes_stored += size
+            chunks = None
+        else:
+            chunks = self.chunker.chunk_bytes(data)
+            timings["chunk"] = (time.monotonic() - t) * 1e3
+            t = time.monotonic()
+            bytes_stored = 0
+            bytes_deduped = 0
+            refs = []
+            chunk_refs = []
+            for ch in chunks:
+                refs.append((ch.ref.hash, ch.ref.size))
+                chunk_refs.append(ch.ref)
+                if self.engine.exists(ch.ref.hash):
+                    bytes_deduped += ch.ref.size
+                    continue
+                if self.wal:
+                    self.wal.append(OP_STORE_BLOCK, hash=ch.ref.hash,
+                                    size=ch.ref.size)
+                self.engine.store(ch.ref.hash, ch.data, mime_type)
+                bytes_stored += ch.ref.size
         timings["store"] = (time.monotonic() - t) * 1e3
 
         t = time.monotonic()
         manifest = Manifest(
             content_hash=content_hash,
             total_size=len(data),
-            chunks=[c.ref for c in chunks],
+            chunks=chunk_refs,
         )
         self._commit(refs, manifest)
         timings["commit"] = (time.monotonic() - t) * 1e3
@@ -151,7 +195,7 @@ class ContentStore:
             bytes_stored=bytes_stored,
             bytes_deduped=bytes_deduped,
             total_bytes=len(data),
-            chunk_count=len(chunks),
+            chunk_count=len(chunk_refs),
             dedup_ratio=bytes_deduped / len(data) if data else 0.0,
             duration_ms=(time.monotonic() - t0) * 1e3,
             phase_timings_ms=timings,

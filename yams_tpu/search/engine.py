@@ -20,7 +20,7 @@ import numpy as np
 
 from ..core.config import EmbeddingConfig, LexicalIndexConfig, VectorIndexConfig
 from ..embed.chunker import chunk_document
-from ..embed.simeon import SimeonEncoder, sketch_texts, tokenize
+from ..embed.simeon import SimeonEncoder, tokenize
 from ..index.lexical_index import LexicalIndex
 from ..index.vector_index import VectorIndex
 from .config import SearchEngineConfig
@@ -198,12 +198,10 @@ class SearchEngine:
         if not self._doc_by_slot:
             return [[] for _ in queries]
         cfg = self.config
-        tuner_profile = None
         if self.tuner is not None and mode == "hybrid":
             from .tuner import corpus_profile
 
-            tuner_profile = corpus_profile(len(self._slot_by_doc))
-            _, arm = self.tuner.select(tuner_profile)
+            _, arm = self.tuner.select(corpus_profile(len(self._slot_by_doc)))
             cfg = arm.apply(cfg)
             trace["tuner_arm"] = arm.name
         Nd = self.num_slots_padded

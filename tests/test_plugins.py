@@ -95,3 +95,57 @@ class TestSubprocessPlugins:
         finally:
             sp.close()
         assert sp.proc.poll() is not None
+
+
+class TestPdfPlugin:
+    def _make_pdf(self, text: str, title: str = "", compress=True) -> bytes:
+        """Assemble a minimal single-page PDF with one content stream."""
+        import zlib
+
+        content = f"BT /F1 12 Tf 72 720 Td ({text}) Tj ET".encode()
+        filt = b""
+        if compress:
+            content = zlib.compress(content)
+            filt = b"/Filter /FlateDecode "
+        objs = []
+        objs.append(b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+        objs.append(b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+        objs.append(b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+        objs.append(b"4 0 obj << " + filt +
+                    f"/Length {len(content)} >>\nstream\n".encode() +
+                    content + b"\nendstream\nendobj\n")
+        if title:
+            objs.append(f"5 0 obj << /Title ({title}) >> endobj\n".encode())
+        return b"%PDF-1.4\n" + b"".join(objs) + b"%%EOF"
+
+    def test_extract_compressed(self):
+        from yams_tpu.plugins.pdf_extract import extract_pdf
+
+        pdf = self._make_pdf("Hello PDF world", title="My Doc")
+        out = extract_pdf(pdf)
+        assert out is not None
+        text, title = out
+        assert "Hello PDF world" in text
+        assert title == "My Doc"
+
+    def test_extract_uncompressed_and_escapes(self):
+        from yams_tpu.plugins.pdf_extract import extract_pdf
+
+        pdf = self._make_pdf(r"Parens \(quoted\) and \\slash", compress=False)
+        text, _ = extract_pdf(pdf)
+        assert "Parens (quoted) and \\slash" in text
+
+    def test_not_a_pdf(self):
+        from yams_tpu.plugins.pdf_extract import extract_pdf
+
+        assert extract_pdf(b"plain text") is None
+
+    def test_end_to_end_via_plugin(self, app):
+        pm = PluginManager(app)
+        m = pm.load_module("yams_tpu.plugins.pdf_extract")
+        assert m is not None
+        pdf = self._make_pdf("searchable pdf body content")
+        res = app.documents.add_bytes(pdf, "doc.pdf")
+        assert res.indexed
+        hits = app.search.search("searchable pdf body").hits
+        assert hits and hits[0].name == "doc.pdf"

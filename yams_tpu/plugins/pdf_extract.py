@@ -1,0 +1,116 @@
+"""Minimal PDF text extraction plugin (reference: the zyp PDF plugin).
+
+Pure-Python tier: walks PDF objects, inflates FlateDecode content streams,
+and collects text-showing operators (Tj, TJ, ') with basic escape handling.
+Handles the common digitally-born PDF layout; scanned/encrypted PDFs yield
+nothing (a Tesseract-class plugin could layer on top). Registered as a
+standard yams plugin exposing content_extractor_v1.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+from .spec import IFACE_CONTENT_EXTRACTOR, PluginManifest
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_FLATE_RE = re.compile(rb"/Filter\s*(?:\[[^\]]*/FlateDecode[^\]]*\]|/FlateDecode)")
+_OBJ_RE = re.compile(rb"\d+\s+\d+\s+obj(.*?)endobj", re.DOTALL)
+# text-showing operators inside content streams
+_TJ_RE = re.compile(rb"\((?P<s>(?:\\.|[^\\()])*)\)\s*(?:Tj|')")
+_TJ_ARRAY_RE = re.compile(rb"\[(?P<a>[^\]]*)\]\s*TJ")
+_STR_IN_ARRAY_RE = re.compile(rb"\((?:\\.|[^\\()])*\)")
+_TITLE_RE = re.compile(rb"/Title\s*\((?P<t>(?:\\.|[^\\()])*)\)")
+
+
+def _unescape(raw: bytes) -> str:
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i]
+        if c == 0x5C and i + 1 < len(raw):  # backslash
+            n = raw[i + 1]
+            mapped = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08,
+                      0x66: 0x0C, 0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C}
+            if n in mapped:
+                out.append(mapped[n])
+                i += 2
+                continue
+            if 0x30 <= n <= 0x37:  # octal escape
+                j = i + 1
+                oct_digits = b""
+                while j < len(raw) and len(oct_digits) < 3 and 0x30 <= raw[j] <= 0x37:
+                    oct_digits += bytes([raw[j]])
+                    j += 1
+                out.append(int(oct_digits, 8) & 0xFF)
+                i = j
+                continue
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    # PDFs with UTF-16BE strings start with a BOM
+    if out[:2] == b"\xfe\xff":
+        try:
+            return bytes(out[2:]).decode("utf-16-be", errors="replace")
+        except Exception:
+            pass
+    return bytes(out).decode("latin-1", errors="replace")
+
+
+def _stream_text(content: bytes) -> list[str]:
+    parts: list[str] = []
+    for m in _TJ_RE.finditer(content):
+        parts.append(_unescape(m.group("s")))
+    for m in _TJ_ARRAY_RE.finditer(content):
+        row = "".join(
+            _unescape(sm.group(0)[1:-1])
+            for sm in _STR_IN_ARRAY_RE.finditer(m.group("a"))
+        )
+        if row:
+            parts.append(row)
+    return parts
+
+
+def extract_pdf(data: bytes, mime: str = "application/pdf") -> tuple[str, str] | None:
+    if not data.startswith(b"%PDF"):
+        return None
+    title = ""
+    tm = _TITLE_RE.search(data)
+    if tm:
+        title = _unescape(tm.group("t")).strip()
+    parts: list[str] = []
+    for om in _OBJ_RE.finditer(data):
+        obj = om.group(1)
+        sm = _STREAM_RE.search(obj)
+        if not sm:
+            continue
+        stream = sm.group(1)
+        if _FLATE_RE.search(obj):
+            try:
+                stream = zlib.decompress(stream)
+            except zlib.error:
+                continue
+        if b"Tj" in stream or b"TJ" in stream:
+            parts.extend(_stream_text(stream))
+    text = "\n".join(p for p in parts if p.strip())
+    if not text.strip():
+        return None
+    return text, title
+
+
+def yams_plugin() -> PluginManifest:
+    class _Extractor:
+        def supported_mimes(self):
+            return ["application/pdf"]
+
+        def extract(self, data, mime):
+            return extract_pdf(data, mime)
+
+    return PluginManifest(
+        name="pdf_extract",
+        version="1.0",
+        description="built-in PDF text extraction (FlateDecode + text operators)",
+        interfaces={IFACE_CONTENT_EXTRACTOR: _Extractor()},
+    )

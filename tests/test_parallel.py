@@ -189,3 +189,33 @@ class TestConnectedEngine:
         phrases = [p for p, _ in textrank_keyphrases(text, top_k=5)]
         assert any("storage" in p for p in phrases)
         assert any("dedup" in p or "chunk" in p for p in phrases)
+
+
+class TestLouvainEngine:
+    def test_communities_match_clusters(self):
+        rng = np.random.default_rng(5)
+        centers = _unit(3, 32, seed=13)
+        rows, labels = [], []
+        for c in range(3):
+            pts = centers[c] + 0.04 * rng.standard_normal((30, 32))
+            rows.append(pts)
+            labels += [c] * 30
+        v = np.vstack(rows).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        eng = TopologyEngine()
+        art = eng.build(v, np.ones(len(v), np.float32), engine="louvain")
+        labels = np.array(labels)
+        purity = 0
+        for c in np.unique(art.assignments[art.assignments >= 0]):
+            mask = art.assignments == c
+            purity += np.bincount(labels[mask]).max()
+        assert purity / len(v) > 0.9
+        # few communities (modularity merges within-cluster nodes)
+        assert len(art.cluster_sizes) <= 12
+
+    def test_routing_works_after_louvain(self):
+        v = _unit(60, 16, seed=14)
+        eng = TopologyEngine()
+        eng.build(v, np.ones(60, np.float32), engine="louvain")
+        routed = eng.route(v[5], top_clusters=2)
+        assert len(routed) >= 1

@@ -164,10 +164,91 @@ class TopologyEngine:
         self.artifacts = TopologyArtifacts(centroids, assign, sizes, epoch, cohesion)
         return self.artifacts
 
+    def build_louvain(
+        self, vectors: np.ndarray, valid: np.ndarray, epoch: int = 0,
+        min_edge_score: float = 0.25, knn: int = 8, max_passes: int = 8,
+    ) -> TopologyArtifacts:
+        """Louvain engine: one-level greedy modularity over the device-built
+        similarity KNN graph (reference: topology_alternate_engines.cpp)."""
+        from ..ops.scan import exact_topk_scan
+
+        n = len(vectors)
+        block = 256
+        pad = (-n) % block
+        v = np.pad(vectors.astype(np.float32), ((0, pad), (0, 0)))
+        m = np.pad(valid.astype(np.float32), (0, pad))
+        vals, nbrs = exact_topk_scan(
+            jnp.asarray(v), jnp.asarray(v), jnp.asarray(m),
+            k=min(knn + 1, max(n, 2)), block_rows=block,
+        )
+        vals, nbrs = np.asarray(vals)[:n], np.asarray(nbrs)[:n]
+        # symmetric weighted adjacency (drop self edges + sub-threshold)
+        adj: list[dict[int, float]] = [dict() for _ in range(n)]
+        for i in range(n):
+            if valid[i] <= 0:
+                continue
+            for w, j in zip(vals[i], nbrs[i]):
+                j = int(j)
+                if j == i or j >= n or w < min_edge_score or valid[j] <= 0:
+                    continue
+                wt = float(w)
+                adj[i][j] = max(adj[i].get(j, 0.0), wt)
+                adj[j][i] = max(adj[j].get(i, 0.0), wt)
+        deg = np.array([sum(a.values()) for a in adj])
+        two_m = max(deg.sum(), 1e-9)
+        comm = np.arange(n)
+        comm_deg = deg.copy()
+        for _ in range(max_passes):
+            moved = False
+            for i in range(n):
+                if valid[i] <= 0 or not adj[i]:
+                    continue
+                # weights to neighboring communities
+                links: dict[int, float] = {}
+                for j, w in adj[i].items():
+                    links[comm[j]] = links.get(comm[j], 0.0) + w
+                cur = comm[i]
+                comm_deg[cur] -= deg[i]
+                best, best_gain = cur, links.get(cur, 0.0) - comm_deg[cur] * deg[i] / two_m
+                for c, w_in in links.items():
+                    gain = w_in - comm_deg[c] * deg[i] / two_m
+                    if gain > best_gain + 1e-12:
+                        best, best_gain = c, gain
+                comm_deg[best] += deg[i]
+                if best != cur:
+                    comm[i] = best
+                    moved = True
+            if not moved:
+                break
+        # package: dense ids, centroids, sizes, cohesion
+        assign = np.full(n, -1, np.int32)
+        next_id = 0
+        for lab in np.unique(comm[valid > 0]):
+            members = np.nonzero((comm == lab) & (valid > 0))[0]
+            if len(members):
+                assign[members] = next_id
+                next_id += 1
+        K = max(next_id, 1)
+        centroids = np.zeros((K, vectors.shape[1]), np.float32)
+        sizes = np.zeros(K, np.int64)
+        cohesion = np.zeros(K, np.float32)
+        for c in range(next_id):
+            members = vectors[assign == c]
+            sizes[c] = len(members)
+            if len(members):
+                mean = members.mean(axis=0)
+                norm = np.linalg.norm(mean)
+                centroids[c] = mean / norm if norm > 0 else mean
+                cohesion[c] = float((members @ centroids[c]).mean())
+        self.artifacts = TopologyArtifacts(centroids, assign, sizes, epoch, cohesion)
+        return self.artifacts
+
     def build(self, vectors: np.ndarray, valid: np.ndarray, epoch: int = 0,
               engine: str = "kmeans") -> TopologyArtifacts:
         if engine == "connected":
             return self.build_connected(vectors, valid, epoch)
+        if engine == "louvain":
+            return self.build_louvain(vectors, valid, epoch)
         n_active = int(valid.sum())
         K = auto_k(n_active)
         rng = np.random.default_rng(self.seed + epoch)

@@ -51,3 +51,35 @@ class TestEngineTiers:
                 r.doc_id for r in eng.search("topic x document", k=5)
             ]
         assert results[10**9] == results[1]
+
+
+class TestStreamingTier:
+    def test_engine_streaming_path_matches_dense(self):
+        """Force the streaming tier via tiny thresholds on a flat corpus."""
+        def build(streaming):
+            cfg = SearchEngineConfig(batch_pad=4, approx_threshold=1)
+            if streaming:
+                cfg.streaming_threshold = 1
+                cfg.streaming_block_rows = 128
+            else:
+                cfg.streaming_threshold = 10**9
+            eng = SearchEngine(
+                config=cfg,
+                embedding=EmbeddingConfig(dim=64, sketch_dim=512),
+                vector=VectorIndexConfig(dim=64, capacity=2048, block_rows=128),
+                lexical=LexicalIndexConfig(postings_window=64),
+            )
+            # single-row docs (short, no title) keep the identity layout;
+            # enough docs that capacity (rows) >= padded slot count
+            for i in range(1500):
+                eng.add_document(i, f"short doc {i} topic {'abc'[i % 3]}")
+            assert eng.vector_index.identity_layout
+            return eng
+
+        dense = build(streaming=False)
+        stream = build(streaming=True)
+        for q in ("topic a short", "doc topic b"):
+            rd = [r.doc_id for r in dense.search(q, k=5)]
+            rs = [r.doc_id for r in stream.search(q, k=5)]
+            assert rd == rs, (q, rd, rs)
+        assert "scan_block_rows" not in str(dense.last_trace)  # sanity

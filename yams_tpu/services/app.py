@@ -11,7 +11,7 @@ from __future__ import annotations
 import pathlib
 import threading
 
-from ..core.config import Config, load_config
+from ..core.config import Config, default_data_dir, load_config
 from ..metadata.db import Database
 from ..metadata.kg import KnowledgeGraphStore
 from ..metadata.repository import MetadataRepository
@@ -24,6 +24,7 @@ class AppContext:
     def __init__(self, config: Config | None = None):
         self.config = config or load_config()
         self.config.data_dir.mkdir(parents=True, exist_ok=True)
+        self._enable_jit_cache()
         self.content_store = ContentStore(
             self.config.storage_dir,
             chunking=self.config.chunking,
@@ -73,6 +74,21 @@ class AppContext:
         self.downloads = DownloadService(self)
         self.watch = WatchService(self)
         self.symbols = SymbolService(self)
+
+    @staticmethod
+    def _enable_jit_cache() -> None:
+        """Persistent XLA compilation cache: the fused query program compiles
+        once per shape per machine instead of per process (first-search
+        latency drops from minutes to milliseconds on daemon/CLI restarts)."""
+        try:
+            import jax
+
+            cache_dir = default_data_dir() / "jit_cache"
+            cache_dir.mkdir(parents=True, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass  # cache is an optimization; never block startup on it
 
     # -- index persistence -----------------------------------------------------
     def _load_indexes(self) -> None:

@@ -83,3 +83,34 @@ class TestStreamingTier:
             rs = [r.doc_id for r in stream.search(q, k=5)]
             assert rd == rs, (q, rd, rs)
         assert "scan_block_rows" not in str(dense.last_trace)  # sanity
+
+
+class TestInt8Tier:
+    def test_int8_engine_results_close_to_bf16(self):
+        def build(dtype):
+            eng = SearchEngine(
+                config=SearchEngineConfig(batch_pad=4),
+                embedding=EmbeddingConfig(dim=64, sketch_dim=512),
+                vector=VectorIndexConfig(dim=64, capacity=256, block_rows=128,
+                                         dtype=dtype),
+                lexical=LexicalIndexConfig(postings_window=64),
+            )
+            for i in range(40):
+                eng.add_document(i, f"doc {i} about subject {'pqr'[i % 3]}")
+            return eng
+
+        bf = build("bfloat16")
+        q8 = build("int8")
+        assert q8.vector_index.device_dtype == "int8"
+        for q in ("subject p doc", "subject r"):
+            rb = [r.doc_id for r in bf.search(q, k=5)]
+            ri = [r.doc_id for r in q8.search(q, k=5)]
+            assert len(set(rb) & set(ri)) >= 4, (q, rb, ri)
+
+    def test_int8_vector_index_search(self):
+        idx = VectorIndex(dim=32, capacity=128, block_rows=64,
+                          device_dtype="int8")
+        vecs = _unit(50, 32)
+        idx.add(vecs, list(range(50)))
+        vals, rows = idx.search(vecs[7], k=1)
+        assert rows[0, 0] == 7

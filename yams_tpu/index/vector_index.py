@@ -38,10 +38,12 @@ class VectorIndex:
         capacity: int = 1 << 14,
         block_rows: int = 2048,
         space_id: str = "",
+        device_dtype: str = "bfloat16",   # bfloat16 | int8 (quantized shards)
     ):
         self.dim = dim
         self.block_rows = block_rows
         self.space_id = space_id
+        self.device_dtype = device_dtype
         cap = _round_up(max(capacity, block_rows), block_rows)
         self._vecs = np.zeros((cap, dim), dtype=np.float32)
         self._valid = np.zeros(cap, dtype=np.float32)
@@ -137,19 +139,30 @@ class VectorIndex:
             return self._identity
 
     def device_arrays(self):
-        """(E bf16 (cap,D), valid f32 (cap,), row2slot i32 (cap,)) on device.
+        """(E (cap,D), valid f32 (cap,), row2slot i32 (cap,), row_scale f32).
 
-        row2slot maps tombstoned rows to the sink segment (num_slots passed by
-        the caller at scoring time uses max slot + sink).
+        E is bf16, or int8 with per-row dequant scales when device_dtype is
+        'int8' (halves HBM; the fused program's int8_corpus path consumes it).
+        row2slot maps tombstoned rows to the sink segment.
         """
         with self._lock:
             if self._dirty or self._device is None:
                 import jax.numpy as jnp
 
+                if self.device_dtype == "int8":
+                    from ..ops.scan import quantize_int8
+
+                    q8, scale = quantize_int8(self._vecs)
+                    e_dev = jnp.asarray(q8)
+                    scale_dev = jnp.asarray(scale)
+                else:
+                    e_dev = jnp.asarray(self._vecs, dtype=jnp.bfloat16)
+                    scale_dev = jnp.ones(self.capacity, jnp.float32)
                 self._device = (
-                    jnp.asarray(self._vecs, dtype=jnp.bfloat16),
+                    e_dev,
                     jnp.asarray(self._valid),
                     jnp.asarray(self._slots),
+                    scale_dev,
                 )
                 self._identity = None  # recomputed lazily
                 self._dirty = False
@@ -160,13 +173,16 @@ class VectorIndex:
         """Exact KNN over valid rows -> (values (B,k), row indices (B,k))."""
         import jax
 
-        from ..ops.scan import exact_topk_pallas, exact_topk_scan
+        from ..ops.scan import exact_topk_pallas, exact_topk_scan, int8_topk_scan
 
-        E, valid, _ = self.device_arrays()
+        E, valid, _, scale = self.device_arrays()
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
-        if use_pallas:
+        if self.device_dtype == "int8":
+            vals, idx = int8_topk_scan(q, E, scale, valid, k=k,
+                                       block_rows=self.block_rows)
+        elif use_pallas:
             vals, idx = exact_topk_pallas(
                 q, E, valid, k=k, block_rows=self.block_rows,
                 interpret=jax.default_backend() == "cpu",
@@ -224,7 +240,12 @@ class VectorIndex:
         if q.ndim == 1:
             q = q[None, :]
         codes, centroids = self._pq_arrays()
-        E, valid, _ = self.device_arrays()
+        _, valid, _, _ = self.device_arrays()
+        import jax.numpy as _jnp
+
+        # rerank always runs on full precision (host mirror -> bf16), even
+        # when the scan tier is int8
+        E = _jnp.asarray(self._vecs, dtype=_jnp.bfloat16)
         block = self.block_rows  # always divides capacity
         c = min(k * self._pq_rerank_factor, self.capacity)
         av, ai = pq_adc_topk(

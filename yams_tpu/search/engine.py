@@ -67,6 +67,7 @@ class SearchEngine:
             capacity=vcfg.capacity,
             block_rows=vcfg.block_rows,
             space_id=self.provider.space_id,
+            device_dtype="int8" if vcfg.dtype == "int8" else "bfloat16",
         )
         self.lexical_index = LexicalIndex(lexical)
         self.kg = kg_store
@@ -230,7 +231,8 @@ class SearchEngine:
         elif mode == "vector":
             w = w.copy(); w[0] = 0.0  # W_TEXT
 
-        E, row_valid, row2slot = self.vector_index.device_arrays()
+        E, row_valid, row2slot, row_scale = self.vector_index.device_arrays()
+        int8_corpus = self.vector_index.device_dtype == "int8"
         bm = self.lexical_index.device_arrays(Nd)
 
         base_mask = np.zeros(Nd, np.float32)
@@ -282,7 +284,8 @@ class SearchEngine:
         # rows == slots (flat layout), which holds when no doc is chunked
         rows = E.shape[0]
         flat = self.vector_index.identity_layout and rows >= Nd
-        scale_opts: dict = {"approx": Nd > cfg.approx_threshold}
+        scale_opts: dict = {"approx": Nd > cfg.approx_threshold,
+                            "int8_corpus": int8_corpus}
         if flat:
             scale_opts["rows_are_docs"] = True
             if (rows > cfg.streaming_threshold
@@ -298,7 +301,7 @@ class SearchEngine:
         vals, slots, bm_at, vec_at = hybrid_query(
             jnp.asarray(sketches), jnp.asarray(tids), jnp.asarray(tmask),
             proj,
-            E, row_valid, row2slot, jnp.ones(E.shape[0], jnp.float32),
+            E, row_valid, row2slot, row_scale,
             bm.postings_doc, bm.postings_impact, bm.term_offsets, bm.term_lengths,
             jnp.asarray(doc_mask), jnp.asarray(hot), jnp.asarray(w),
             k=k_dev,

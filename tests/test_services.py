@@ -222,3 +222,23 @@ class TestStatsAndPersistence:
             assert app2.documents.cat("p.txt") == b"persistent search content alpha"
         finally:
             app2.close()
+
+
+class TestDataDirLock:
+    def test_second_writer_warns(self, tmp_path, capsys):
+        a1 = AppContext(small_config(tmp_path / "d"))
+        try:
+            a2 = AppContext(small_config(tmp_path / "d"))
+            assert not a1.lock_contended
+            assert a2.lock_contended
+            assert "another process holds" in capsys.readouterr().err
+            a2.close()
+        finally:
+            a1.close()
+
+    def test_lock_released_on_close(self, tmp_path):
+        a1 = AppContext(small_config(tmp_path / "d"))
+        a1.close()
+        a2 = AppContext(small_config(tmp_path / "d"))
+        assert not a2.lock_contended
+        a2.close()

@@ -24,6 +24,7 @@ class AppContext:
     def __init__(self, config: Config | None = None):
         self.config = config or load_config()
         self.config.data_dir.mkdir(parents=True, exist_ok=True)
+        self._acquire_lock()
         self._enable_jit_cache()
         self.content_store = ContentStore(
             self.config.storage_dir,
@@ -74,6 +75,26 @@ class AppContext:
         self.downloads = DownloadService(self)
         self.watch = WatchService(self)
         self.symbols = SymbolService(self)
+
+    def _acquire_lock(self) -> None:
+        """Advisory single-writer lock on the data dir. A second writer gets
+        a loud warning (the supported pattern is one daemon owning the dir
+        with CLI/MCP clients routing through its socket, as in the reference)."""
+        import fcntl
+        import sys
+
+        self.lock_contended = False
+        try:
+            self._lock_fh = open(self.config.data_dir / ".lock", "w")
+            fcntl.flock(self._lock_fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            self.lock_contended = True
+            print(
+                f"warning: another process holds {self.config.data_dir} "
+                "(a running daemon?). Concurrent writers can race on index "
+                "files; prefer routing through the daemon socket.",
+                file=sys.stderr,
+            )
 
     @staticmethod
     def _enable_jit_cache() -> None:
@@ -143,6 +164,10 @@ class AppContext:
             pass
         self.content_store.close()
         self.db.close()
+        try:
+            self._lock_fh.close()
+        except Exception:
+            pass
 
     def __enter__(self) -> "AppContext":
         return self

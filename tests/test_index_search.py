@@ -189,6 +189,39 @@ class TestSearchEngine:
         assert res[0].doc_id == d1
         assert res[0].kg_score > 0
 
+    def test_entity_vector_leg(self, tmp_path):
+        """Entity-vectors leg (reference queryEntityVectors): query matches a
+        KG node only through embedding similarity — no alias is registered —
+        and the linked document still gets boosted."""
+        from yams_tpu.core.types import DocumentInfo
+        from yams_tpu.metadata import Database, KnowledgeGraphStore, MetadataRepository
+
+        db = Database(tmp_path / "m.db")
+        kg = KnowledgeGraphStore(db)
+        repo = MetadataRepository(db)
+        d1 = repo.insert_document(
+            DocumentInfo(file_path="/a", file_name="a", sha256_hash="1" * 64)
+        )
+        d2 = repo.insert_document(
+            DocumentInfo(file_path="/b", file_name="b", sha256_hash="2" * 64)
+        )
+        eng = SearchEngine(embedding=EMB, vector=VEC, lexical=LEX, kg_store=kg)
+        eng.add_document(d1, "shared document body text", "a")
+        eng.add_document(d2, "shared document body text", "b")
+        node = kg.upsert_node("entity:ingest pipeline queue",
+                              label="ingest pipeline queue")
+        kg.link_document(d1, node, "ingest pipeline queue", 0.9)
+        eng.add_entity_vectors([node], ["ingest pipeline queue"])
+        # no alias resolves -> only the vector leg can find the node
+        assert kg.resolve_alias("ingest") == []
+        res = eng.search("ingest pipeline queue", k=2)
+        assert res[0].doc_id == d1
+        assert res[0].kg_score > 0
+        # removing the node's vector drops the boost
+        eng.entity_index.remove_doc(node)
+        res = eng.search("ingest pipeline queue", k=2)
+        assert all(r.kg_score == 0 for r in res)
+
     def test_stats(self, engine):
         engine.search("x", k=1)
         s = engine.stats()

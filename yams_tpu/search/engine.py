@@ -71,6 +71,13 @@ class SearchEngine:
         )
         self.lexical_index = LexicalIndex(lexical)
         self.kg = kg_store
+        # entity vectors (reference: kg node_embeddings + queryEntityVectors,
+        # search_engine.cpp:5504): KG node labels embedded into a small
+        # side index; slot == kg node id
+        self.entity_index = VectorIndex(
+            dim=self.provider.dim, capacity=1024, block_rows=256,
+            space_id=self.provider.space_id + "/entities",
+        )
         self.topology = None       # TopologyEngine, built via rebuild_topology()
         self.tuner = None          # SearchTuner, opt-in
         self.cross_reranker = None  # optional callable(query, [SearchResult]) -> list
@@ -376,14 +383,37 @@ class SearchEngine:
             print(json.dumps(trace), file=sys.stderr)
         return out
 
+    def add_entity_vectors(self, node_ids: list[int], labels: list[str]) -> None:
+        """Embed KG node labels into the entity-vector side index (slot ==
+        kg node id). Idempotent: re-indexing a node replaces its row."""
+        if not node_ids:
+            return
+        vecs = self.provider.encode(labels)
+        for nid in node_ids:
+            self.entity_index.remove_doc(nid)
+        self.entity_index.add(vecs, node_ids)
+
     def _kg_scores(self, query: str) -> dict[int, float]:
-        """Host KG leg: query tokens -> alias nodes -> linked docs
-        (reference: queryKnowledgeGraph, search_engine.cpp:5219)."""
+        """Host KG leg: exact alias matches + entity-vector similarity, both
+        mapped to linked docs (reference: queryKnowledgeGraph :5219 +
+        queryEntityVectors :5504)."""
         scores: dict[int, float] = {}
         for tok in tokenize(query)[:8]:
             for node in self.kg.resolve_alias(tok, limit=4):
                 for doc_id, conf in self.kg.documents_for_node(node, limit=20):
                     scores[doc_id] = max(scores.get(doc_id, 0.0), conf)
+        if self.entity_index.active_rows > 0:
+            qvec = self.provider.encode([query])
+            vals, rows = self.entity_index.search(qvec, k=4)
+            node_ids = self.entity_index.slots_of_rows(rows[0])
+            ev_scale = (self.config.entity_vector_weight
+                        / max(self.config.kg_weight, 1e-6))
+            for sim, node in zip(vals[0], node_ids):
+                if sim < 0.4 or node < 0:
+                    continue
+                for doc_id, conf in self.kg.documents_for_node(int(node), limit=20):
+                    boost = float(sim) * conf * ev_scale
+                    scores[doc_id] = max(scores.get(doc_id, 0.0), boost)
         return scores
 
     def stats(self) -> dict:

@@ -76,6 +76,12 @@ class GraphService:
                     edges.append((min(a, b), max(a, b), "cooccurs", 1.0))
         if edges:
             kg.add_edges_batch(edges)
+        # entity vectors: node labels embedded into the engine's side index
+        # (reference: node_embeddings + queryEntityVectors, search_engine.cpp:5504)
+        if node_ids:
+            self.app.search_engine.add_entity_vectors(
+                node_ids, [ent for ent, _ in entities]
+            )
         return len(node_ids)
 
     def index_pending(self, limit: int = 500) -> int:

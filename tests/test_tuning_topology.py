@@ -102,6 +102,69 @@ class TestTopologyRouting:
         eng.search("kernel", k=3)
         assert eng._stats["topology_routes"] == 0
 
+    def test_rebuild_records_persistence(self):
+        eng = make_engine()
+        eng.rebuild_topology()
+        assert eng._stats["topology_persistence"] >= 0.0
+        assert eng.topology.artifacts.centroid_persistence >= 0.0
+
+
+class TestPersistenceH0:
+    """H_0 persistence quality metric (reference: topological_quality.cpp)."""
+
+    def test_mst_sum_matches_bruteforce(self):
+        import itertools
+
+        from yams_tpu.utils.tda import persistence_h0
+
+        rng = np.random.default_rng(3)
+        X = rng.standard_normal((7, 4)).astype(np.float32)
+        got = persistence_h0(X)
+        # brute-force MST (Kruskal over all edges) + p95 normalization
+        edges = sorted(
+            (float(np.linalg.norm(X[i] - X[j])), i, j)
+            for i, j in itertools.combinations(range(7), 2)
+        )
+        parent = list(range(7))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        total = 0.0
+        for w, i, j in edges:
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[ri] = rj
+                total += w
+        p95 = float(np.percentile([w for w, _, _ in edges], 95))
+        assert got == pytest.approx(total / p95, rel=1e-5)
+
+    def test_degenerate_inputs(self):
+        from yams_tpu.utils.tda import persistence_h0
+
+        assert persistence_h0(np.zeros((1, 8))) == 0.0
+        assert persistence_h0(np.zeros((5, 8))) == 0.0  # coincident points
+
+    def test_spread_beats_collapsed(self):
+        from yams_tpu.utils.tda import persistence_h0
+
+        rng = np.random.default_rng(0)
+        spread = rng.standard_normal((32, 8)).astype(np.float32)
+        spread /= np.linalg.norm(spread, axis=1, keepdims=True)
+        collapsed = spread[0] + 0.01 * rng.standard_normal((32, 8)).astype(np.float32)
+        assert persistence_h0(spread) > persistence_h0(collapsed)
+
+    def test_subsample_deterministic(self):
+        from yams_tpu.utils.tda import deterministic_subsample
+
+        a = deterministic_subsample(1000, 64, seed=7)
+        b = deterministic_subsample(1000, 64, seed=7)
+        assert np.array_equal(a, b) and len(a) == 64
+        assert np.array_equal(deterministic_subsample(10, 64), np.arange(10))
+
 
 class TestTraceAndRerank:
     def test_stage_trace_populated(self):

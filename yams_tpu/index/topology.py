@@ -68,6 +68,15 @@ class TopologyArtifacts:
     cluster_sizes: np.ndarray    # (K,)
     epoch: int
     cohesion: np.ndarray         # (K,) mean member similarity to centroid
+    # H_0 persistence of the centroid cloud (reference: TopologyManager.cpp:703
+    # clusterCentroidPersistence — the rebuild-quality signal for the tuner)
+    centroid_persistence: float = 0.0
+
+    def __post_init__(self):
+        if not self.centroid_persistence and len(self.centroids) >= 2:
+            from ..utils.tda import persistence_h0
+
+            self.centroid_persistence = persistence_h0(self.centroids)
 
 
 @functools.partial(jax.jit, static_argnames=("knn", "block_rows", "lp_iters"))

@@ -155,8 +155,10 @@ class SearchEngine:
         if vi.active_rows == 0:
             return
         eng = TopologyEngine(iters=iters)
-        eng.build(vi._vecs, vi._valid, epoch=self._stats["searches"])
+        arts = eng.build(vi._vecs, vi._valid, epoch=self._stats["searches"])
         self.topology = eng
+        # rebuild-quality signal (reference: clusterCentroidPersistence reward)
+        self._stats["topology_persistence"] = arts.centroid_persistence
 
     def _routed_slot_mask(self, query_vec: np.ndarray, num_slots: int) -> np.ndarray:
         """Topology route -> slot-level scan mask (cluster members only)."""

@@ -49,13 +49,13 @@ def _single(p, doc_mask=None):
     )
 
 
-def _sharded(p, mesh, doc_mask=None, int8=False):
+def _sharded(p, mesh, doc_mask=None, int8=False, axis="d"):
     import jax.sharding as jsh
 
     Nd = p["Nd"]
     dm = np.ones(Nd, np.float32) if doc_mask is None else doc_mask
-    sh_r = jsh.NamedSharding(mesh, jsh.PartitionSpec("d", None))
-    sh_1 = jsh.NamedSharding(mesh, jsh.PartitionSpec("d"))
+    sh_r = jsh.NamedSharding(mesh, jsh.PartitionSpec(axis, None))
+    sh_1 = jsh.NamedSharding(mesh, jsh.PartitionSpec(axis))
     E = p["E"]
     if int8:
         from yams_tpu.ops.scan import quantize_int8
@@ -75,6 +75,7 @@ def _sharded(p, mesh, doc_mask=None, int8=False):
         jnp.asarray(p["pd"]), jnp.asarray(p["pi"]), jnp.asarray(p["to"]),
         jnp.asarray(p["tl"]), jnp.asarray(dm), jnp.zeros(Nd), jnp.asarray(p["w"]),
         k=10, rrf_cand=32, window=p["W"], num_slots=Nd, int8_corpus=int8,
+        axis=axis,
     )
 
 
@@ -106,6 +107,24 @@ class TestShardedHybridParity:
         mv = np.asarray(mv)
         ok = ms[(mv > -1e29)]
         assert np.all((ok >= 100) & (ok < 200))
+
+    def test_multislice_dcn_mesh_matches_single(self, problem):
+        """Multi-slice path: 2 slices x 4 chips, hierarchical ICI-then-DCN
+        candidate merge. Results must match the single-device program."""
+        from jax.sharding import Mesh
+
+        devs = np.array(jax.devices()[:8]).reshape(2, 4)
+        mesh2 = Mesh(devs, ("dcn", "ici"))
+        sv, ss, _, _ = _single(problem)
+        mv, ms = _sharded(problem, mesh2, axis=("dcn", "ici"))
+        ss, ms = np.asarray(ss), np.asarray(ms)
+        overlap = np.mean([
+            len(set(ss[b]) & set(ms[b])) / 10 for b in range(len(ss))
+        ])
+        assert overlap >= 0.9, overlap
+        np.testing.assert_allclose(
+            np.asarray(sv)[:, 0], np.asarray(mv)[:, 0], atol=1e-3
+        )
 
     def test_int8_sharded_close_to_bf16(self, problem, mesh):
         _, ms_bf = _sharded(problem, mesh)

@@ -62,11 +62,20 @@ def sharded_hybrid_query(
     window: int,
     num_slots: int,
     int8_corpus: bool = False,
-    axis: str = "d",
+    axis: str | tuple[str, ...] = "d",
 ):
-    """Returns (fused (B,k), slots (B,k)) replicated."""
+    """Returns (fused (B,k), slots (B,k)) replicated.
+
+    `axis` may be a tuple for multi-slice topologies, ordered outermost
+    first — e.g. ("dcn", "ici") shards rows over slices x chips and merges
+    candidates HIERARCHICALLY: all-gather + top-C inside each slice first
+    (fast ICI), then one all-gather of the per-slice winners across slices,
+    so DCN carries O(C x n_slices) pairs per query instead of
+    O(C x total_devices).
+    """
     from ..ops.bm25 import bm25_topk_candidates
 
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
     C = rrf_cand
     sink = num_slots
 
@@ -95,11 +104,14 @@ def sharded_hybrid_query(
         lv, li = jax.lax.top_k(s, C)                 # local candidates
         lslots = jnp.where(lv > -1e29, r2s[li], sink)
 
-        # 3. ICI merge: gather every shard's candidates, global top-C
-        all_v = jax.lax.all_gather(lv, axis, axis=1, tiled=True)     # (B, C*S)
-        all_s = jax.lax.all_gather(lslots, axis, axis=1, tiled=True)
-        vv, pos = jax.lax.top_k(all_v, C)
-        vslots = jnp.take_along_axis(all_s, pos, axis=1)
+        # 3. hierarchical merge: innermost axis (ICI) first, outermost (DCN)
+        # last — each level gathers only the previous level's C winners
+        vv, vslots = lv, lslots
+        for ax in axes[::-1]:
+            all_v = jax.lax.all_gather(vv, ax, axis=1, tiled=True)
+            all_s = jax.lax.all_gather(vslots, ax, axis=1, tiled=True)
+            vv, pos = jax.lax.top_k(all_v, C)
+            vslots = jnp.take_along_axis(all_s, pos, axis=1)
 
         # 4. lexical leg (replicated postings)
         bm_ids, bm_scores = bm25_topk_candidates(
@@ -155,10 +167,12 @@ def sharded_hybrid_query(
 
         return jax.vmap(merge)(ids, vals, tflag, vflag)
 
+    row_spec = axes if len(axes) > 1 else axes[0]
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(axis, None), P(axis), P(axis), P(axis),
+        in_specs=(P(), P(), P(), P(), P(row_spec, None), P(row_spec),
+                  P(row_spec), P(row_spec),
                   P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,

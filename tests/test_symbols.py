@@ -12,8 +12,32 @@ class TestExtractors:
         code = "class Foo:\n    def bar(self):\n        pass\n\ndef baz(x):\n    return x\n"
         syms = {(s.name, s.kind, s.line) for s in extract_symbols(code, "python")}
         assert ("Foo", "class", 1) in syms
-        assert ("bar", "function", 2) in syms
+        assert ("Foo.bar", "method", 2) in syms
         assert ("baz", "function", 5) in syms
+
+    def test_python_ast_tier(self):
+        code = (
+            "LIMIT = 10\n"                    # 1: module constant
+            "@decorator\n"                    # 2
+            "async def fetch(url):\n"         # 3: decorated async def
+            "    def inner():\n"              # 4: nested def
+            "        pass\n"
+            "class Outer:\n"                  # 6
+            "    class Inner:\n"              # 7: nested class
+            "        def m(self):\n"          # 8
+            "            pass\n"
+        )
+        syms = {(s.name, s.kind, s.line) for s in extract_symbols(code, "python")}
+        assert ("LIMIT", "constant", 1) in syms
+        assert ("fetch", "function", 3) in syms       # line of def, not decorator
+        assert ("fetch.inner", "function", 4) in syms
+        assert ("Outer.Inner", "class", 7) in syms
+        assert ("Outer.Inner.m", "method", 8) in syms
+
+    def test_python_syntax_error_falls_back_to_regex(self):
+        code = "def good():\n    pass\n\ndef broken(:\n"
+        syms = {(s.name, s.kind) for s in extract_symbols(code, "python")}
+        assert ("good", "function") in syms
 
     def test_c(self):
         code = "#define MAX_LEN 10\nstruct Node { int x; };\nint add(int a, int b) {\n  return a+b;\n}\n"

@@ -1,8 +1,10 @@
 """Symbol extraction for code documents.
 
 Parity: the reference's symbol stage (PostIngestQueue Symbol stage +
-symbol_metadata table + tree-sitter plugin, SURVEY §2.8/§2.10). This is the
-built-in regex tier — a tree-sitter-class plugin can replace it via the
+symbol_metadata table + tree-sitter plugin, SURVEY §2.8/§2.10). Python gets
+a full AST tier (stdlib ast: exact def lines, nesting-qualified names,
+methods, constants — tree-sitter-grade for this language); other languages
+use the regex tier. A tree-sitter-class plugin can replace either via the
 entity_extractor interface; the storage/query surface stays the same:
 symbols land in the KG (type='symbol') and as per-doc `sym:` metadata rows
 carrying kind+line for definition lookup.
@@ -10,6 +12,7 @@ carrying kind+line for definition lookup.
 
 from __future__ import annotations
 
+import ast as _pyast
 import dataclasses
 import json
 import re
@@ -62,7 +65,46 @@ def language_for_mime(mime: str) -> str | None:
     return _MIME_LANG.get(mime)
 
 
+def _extract_python_ast(text: str, max_symbols: int) -> list[Symbol] | None:
+    """AST tier for Python: exact `def`/`class` lines (decorators excluded),
+    dotted names for nested defs/methods, module-level UPPER_CASE constants.
+    Returns None on a syntax error so the regex tier can take over (partial
+    files, other-version syntax)."""
+    try:
+        tree = _pyast.parse(text)
+    except (SyntaxError, ValueError, MemoryError, RecursionError):
+        return None
+    out: list[Symbol] = []
+
+    def walk(node, prefix: str, in_class: bool) -> None:
+        for child in _pyast.iter_child_nodes(node):
+            if len(out) >= max_symbols:
+                return
+            if isinstance(child, (_pyast.FunctionDef, _pyast.AsyncFunctionDef)):
+                kind = "method" if in_class else "function"
+                out.append(Symbol(prefix + child.name, kind, child.lineno))
+                walk(child, prefix + child.name + ".", False)
+            elif isinstance(child, _pyast.ClassDef):
+                out.append(Symbol(prefix + child.name, "class", child.lineno))
+                walk(child, prefix + child.name + ".", True)
+            elif not prefix and isinstance(child, _pyast.Assign):
+                for t in child.targets:
+                    if isinstance(t, _pyast.Name) and t.id.isupper():
+                        out.append(Symbol(t.id, "constant", child.lineno))
+            elif (not prefix and isinstance(child, _pyast.AnnAssign)
+                  and isinstance(child.target, _pyast.Name)
+                  and child.target.id.isupper()):
+                out.append(Symbol(child.target.id, "constant", child.lineno))
+
+    walk(tree, "", False)
+    return out
+
+
 def extract_symbols(text: str, language: str, max_symbols: int = 256) -> list[Symbol]:
+    if language == "python":
+        syms = _extract_python_ast(text[:500_000], max_symbols)
+        if syms is not None:
+            return syms
     extractors = _EXTRACTORS.get(language)
     if not extractors:
         return []
@@ -100,22 +142,30 @@ class SymbolService:
             nid = kg.upsert_node(f"symbol:{s.name}", label=s.name, type_="symbol")
             kg.add_alias(nid, s.name, source="symbols")
             kg.add_alias(nid, s.name.lower(), source="symbols")
+            if "." in s.name:  # dotted AST name: alias the bare member too
+                leaf = s.name.rsplit(".", 1)[1]
+                kg.add_alias(nid, leaf, source="symbols")
+                kg.add_alias(nid, leaf.lower(), source="symbols")
             kg.link_document(doc_id, nid, s.name, 1.0)
         return len(symbols)
 
     def lookup(self, name: str, limit: int = 50) -> list[dict]:
-        """Definition sites of a symbol: [{path, line, kind}]."""
+        """Definition sites of a symbol: [{path, line, kind}].
+
+        Exact key match first; a bare member name also matches dotted AST
+        names by suffix (`bar` finds `Foo.bar`)."""
         rows = self.app.db.execute(
-            "SELECT document_id, value FROM metadata WHERE key=? LIMIT ?",
-            (f"sym:{name}", limit),
+            "SELECT document_id, key, value FROM metadata "
+            "WHERE key=? OR (key LIKE 'sym:%' AND key LIKE ?) LIMIT ?",
+            (f"sym:{name}", f"%.{name}", limit),
         ).fetchall()
         out = []
-        for doc_id, value in rows:
+        for doc_id, key, value in rows:
             try:
                 doc = self.app.metadata.get_document(doc_id)
                 info = json.loads(value)
                 out.append({"path": doc.file_path, "line": info["line"],
-                            "kind": info["kind"], "name": name})
+                            "kind": info["kind"], "name": key[4:]})
             except Exception:
                 pass
         return out

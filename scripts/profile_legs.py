@@ -1,0 +1,144 @@
+"""Leg-by-leg timing of the fused hybrid program at bench shapes.
+
+Times, each as its own jitted scan over ITERS batches (sync via np.asarray):
+  vec_matmul      : q @ E.T only (the raw MXU + HBM cost)
+  vec_approx      : matmul + approx_max_k C
+  vec_exact_topk  : matmul + lax.top_k C
+  bm25            : lexical candidates only
+  full            : the production hybrid_query
+
+Run: python scripts/profile_legs.py  (env: BENCH_N/B/ITERS as bench.py)
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from yams_tpu.ops.bm25 import bm25_topk_candidates
+    from yams_tpu.search.fusion import hybrid_query
+
+    N = int(os.environ.get("BENCH_N", 1_000_000))
+    D = int(os.environ.get("BENCH_D", 768))
+    B = int(os.environ.get("BENCH_B", 256))
+    ITERS = int(os.environ.get("BENCH_ITERS", 8))
+    S, T, VOCAB, WINDOW, K, C = 4096, 16, 65536, 1024, 10, 32
+    N = ((N + 1023) // 1024) * 1024
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    E = jax.random.normal(ks[0], (N, D), dtype=jnp.bfloat16)
+    E = E / jnp.maximum(
+        jnp.linalg.norm(E.astype(jnp.float32), axis=1, keepdims=True), 1e-9
+    ).astype(jnp.bfloat16)
+    proj = jnp.where(jax.random.bernoulli(ks[1], 0.5, (S, D)), 1.0, -1.0).astype(
+        jnp.bfloat16
+    ) / np.sqrt(D)
+    valid = jnp.ones(N, jnp.float32)
+    row2slot = jnp.arange(N, dtype=jnp.int32)
+    row_scale = jnp.ones(N, jnp.float32)
+    per_term = WINDOW // 2
+    P = VOCAB * per_term
+    ar = jnp.arange(P, dtype=jnp.uint32)
+    pd = ((ar * jnp.uint32(2654435761)) % jnp.uint32(N)).astype(jnp.int32)
+    pd = jnp.concatenate([pd, jnp.full((WINDOW,), N, jnp.int32)])
+    pi = ((ar * jnp.uint32(40503)) % jnp.uint32(190)).astype(jnp.float32) / 40.0 + 0.5
+    pi = jnp.concatenate([pi, jnp.zeros(WINDOW)])
+    to = jnp.arange(VOCAB, dtype=jnp.int32) * per_term
+    tl = jnp.full(VOCAB, per_term, jnp.int32)
+    doc_mask = jnp.ones(N, jnp.float32)
+    hot = jnp.zeros(N, jnp.float32)
+    w = jnp.asarray(np.array([0.70, 0.30, 0.05, 0.5, 25.0, 0.85, 1.2, 12.0], np.float32))
+    sketches = jax.random.normal(ks[5], (ITERS, B, S), dtype=jnp.float32)
+    term_ids = jax.random.randint(ks[6], (ITERS, B, T), 0, VOCAB, dtype=jnp.int32)
+    term_mask = jnp.ones((ITERS, B, T), jnp.float32)
+
+    def timed(name, fn, *args):
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        t0 = time.perf_counter()
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        dt = time.perf_counter() - t0
+        print(f"{name:16s} {dt * 1e3 / ITERS:8.2f} ms/batch "
+              f"{ITERS * B / dt:10.0f} qps", flush=True)
+
+    def embed(sk, prj):
+        q = jnp.dot(sk.astype(jnp.bfloat16), prj, preferred_element_type=jnp.float32)
+        return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-9)
+
+    @jax.jit
+    def vec_matmul(sketches, prj, e):
+        def one(carry, sk):
+            q = embed(sk, prj)
+            s = jnp.dot(q.astype(jnp.bfloat16), e.T, preferred_element_type=jnp.float32)
+            return carry, jnp.sum(s, axis=1)  # cheap reduce to keep s live
+        _, v = jax.lax.scan(one, 0, sketches)
+        return v
+
+    @jax.jit
+    def vec_approx(sketches, prj, e):
+        def one(carry, sk):
+            q = embed(sk, prj)
+            s = jnp.dot(q.astype(jnp.bfloat16), e.T, preferred_element_type=jnp.float32)
+            v, i = jax.lax.approx_max_k(s, C)
+            return carry, v[:, 0]
+        _, v = jax.lax.scan(one, 0, sketches)
+        return v
+
+    @jax.jit
+    def vec_exact(sketches, prj, e):
+        def one(carry, sk):
+            q = embed(sk, prj)
+            s = jnp.dot(q.astype(jnp.bfloat16), e.T, preferred_element_type=jnp.float32)
+            v, i = jax.lax.top_k(s, C)
+            return carry, v[:, 0]
+        _, v = jax.lax.scan(one, 0, sketches)
+        return v
+
+    @jax.jit
+    def bm25_only(term_ids, term_mask, pd, pi, to, tl):
+        def one(carry, xs):
+            tid, tm = xs
+            ids, sc = bm25_topk_candidates(
+                tid, tm, pd, pi, to, tl,
+                window=WINDOW, num_docs=N, num_candidates=C,
+            )
+            return carry, sc[:, 0]
+        _, v = jax.lax.scan(one, 0, (term_ids, term_mask))
+        return v
+
+    @jax.jit
+    def full(sketches, term_ids, term_mask, *corpus):
+        def one(carry, xs):
+            sk, tid, tm = xs
+            vals, slots, _, _ = hybrid_query(
+                sk, tid, tm, *corpus,
+                k=K, rrf_cand=C, window=WINDOW, num_slots=N,
+                chunk_agg="max", rows_are_docs=True, approx=True,
+            )
+            return carry, vals[:, 0]
+        _, v = jax.lax.scan(one, 0, (sketches, term_ids, term_mask))
+        return v
+
+    corpus = (proj, E, valid, row2slot, row_scale, pd, pi, to, tl, doc_mask, hot, w)
+    timed("vec_matmul", vec_matmul, sketches, proj, E)
+    timed("vec_approx", vec_approx, sketches, proj, E)
+    timed("vec_exact_topk", vec_exact, sketches, proj, E)
+    timed("bm25", bm25_only, term_ids, term_mask, pd, pi, to, tl)
+    timed("full", full, sketches, term_ids, term_mask, *corpus)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Neural NER (GLiNER-class label-conditioned tagger): train + extract."""
+
+import numpy as np
+import pytest
+
+from yams_tpu.embed.ner import (
+    NerConfig,
+    NerModel,
+    NeuralEntityExtractor,
+    featurize,
+    word_tokenize,
+)
+
+CTX = "the a quick brown result shows that runs with into over under after".split()
+ENTS = [
+    ["Widget", "Factory"], ["Parser"], ["Data", "Loader"], ["Query", "Engine"],
+    ["Scheduler"], ["Token", "Stream"], ["Cache", "Manager"], ["Index"],
+]
+
+
+def synth_example(rng, window=16):
+    """lowercase context with one Capitalized entity span -> BIO tags."""
+    ent = ENTS[rng.integers(0, len(ENTS))]
+    n_pre = int(rng.integers(1, 5))
+    n_post = int(rng.integers(1, 5))
+    toks = [CTX[rng.integers(0, len(CTX))] for _ in range(n_pre)]
+    tags = [0] * n_pre
+    toks += ent
+    tags += [1] + [2] * (len(ent) - 1)  # B, I...
+    toks += [CTX[rng.integers(0, len(CTX))] for _ in range(n_post)]
+    tags += [0] * n_post
+    return toks[:window], tags[:window]
+
+
+@pytest.fixture(scope="module")
+def trained():
+    rng = np.random.default_rng(0)
+    cfg = NerConfig(dm=32, heads=2, layers=1, window=16, labels=("entity",))
+    model = NerModel(cfg, seed=1)
+    examples = [synth_example(rng) for _ in range(64)]
+    loss = model.fit(examples, steps=250, lr=5e-3, batch=16)
+    assert loss < 0.25, f"training did not converge: loss={loss}"
+    return model
+
+
+class TestFeaturize:
+    def test_tokenize_offsets(self):
+        toks = word_tokenize("Widget runs fast")
+        assert toks[0] == ("Widget", 0) and toks[1] == ("runs", 7)
+
+    def test_featurize_shapes(self):
+        ng, cf, mask = featurize(["Foo", "bar"], 8)
+        assert ng.shape == (8, 8) and cf.shape == (8, 6)
+        assert mask.sum() == 2
+        assert ng[0].max() > 0 and ng[2].max() == 0  # padding rows empty
+
+    def test_case_features(self):
+        ng1, cf1, _ = featurize(["WidgetFactory"], 2)
+        assert cf1[0][0] == 1.0 and cf1[0][4] == 1.0  # cap + camel interior
+
+
+class TestTrainedModel:
+    def test_extracts_entity_from_unseen_sentence(self, trained):
+        ents = trained.extract("the quick Widget Factory runs after a result")
+        names = [e[0] for e in ents]
+        assert "Widget Factory" in names
+        ent = next(e for e in ents if e[0] == "Widget Factory")
+        assert ent[1] == "entity" and ent[2] > 0.5
+
+    def test_no_entities_in_plain_context(self, trained):
+        ents = trained.extract("the quick brown result runs over under after")
+        assert ents == []
+
+    def test_long_text_windows(self, trained):
+        text = " ".join(["the quick brown"] * 20) + " Parser runs " \
+            + " ".join(["over under after"] * 20)
+        ents = trained.extract(text)
+        assert any(e[0] == "Parser" for e in ents)
+
+    def test_save_load_roundtrip(self, trained, tmp_path):
+        p = tmp_path / "ner.pkl"
+        trained.save(p)
+        loaded = NerModel.load(p)
+        ents = loaded.extract("a Query Engine shows that")
+        assert any(e[0] == "Query Engine" for e in ents)
+
+
+class TestPluginShape:
+    def test_entity_extractor_interface(self, trained):
+        ex = NeuralEntityExtractor(trained)
+        out = ex.extract_entities("the Cache Manager runs")
+        assert all(len(t) == 3 for t in out)
+        assert any(t[0] == "Cache Manager" for t in out)
+
+    def test_bundled_plugin_wires_graph_service(self, trained, tmp_path):
+        """neural_ner plugin replaces GraphService's heuristic miner,
+        exactly like the reference's GLiNER plugin via entity_extractor_v1."""
+        from test_services import small_config
+        from yams_tpu.plugins.manager import PluginManager
+        from yams_tpu.services.app import AppContext
+
+        mp = tmp_path / "ner.pkl"
+        trained.save(mp)
+        app = AppContext(small_config(tmp_path / "data"))
+        try:
+            pm = PluginManager(app)
+            m = pm.load_module(
+                "yams_tpu.plugins.neural_ner", config={"model_path": str(mp)}
+            )
+            assert m is not None
+            assert m.health()["status"] == "ok"
+            ents = app.graph.extract_entities("a Token Stream shows that")
+            assert any(e[0] == "Token Stream" for e in ents)
+        finally:
+            app.close()
+
+    def test_plugin_dormant_without_model(self):
+        from yams_tpu.plugins.neural_ner import yams_plugin
+        from yams_tpu.plugins.spec import IFACE_ENTITY_EXTRACTOR
+
+        m = yams_plugin()
+        m.init({})
+        assert m.health()["status"] == "degraded"
+        assert m.get_interface(IFACE_ENTITY_EXTRACTOR).extract_entities("Foo Bar") == []

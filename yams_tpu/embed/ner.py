@@ -1,0 +1,305 @@
+"""Neural NER: a GLiNER-class label-conditioned span tagger in flax.
+
+Fills the reference's GLiNER plugin slot (plugins/yams_gliner_plugin, wired
+through entity_extractor_v1) with a TPU-native model instead of an ONNX
+runtime:
+
+  - tokens are embedded vocabulary-free via hashed character n-grams
+    (fastText-style bag of subword buckets — consistent with the Simeon
+    hashed-embedding philosophy, no tokenizer artifacts to ship),
+  - a small transformer encoder (MXU-friendly: static window length,
+    bf16 matmuls) contextualizes the window,
+  - entity TYPES are not a fixed head: each label name is encoded through
+    the same hashed embedder and tokens are scored against label vectors
+    (begin/inside channels per label + a learned O bias), which is the
+    GLiNER trick that makes the type set changeable without retraining
+    the encoder (zero-shot for related label names).
+
+Training is a jitted optax step over padded (B, L) windows. The model is
+deliberately small (runs untrained-to-trained in seconds on CPU in tests);
+scale `dm`/`layers` up for production corpora. NeuralEntityExtractor
+implements entity_extractor_v1 so PluginManager can wire it into
+GraphService exactly like the reference's GLiNER plugin.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+
+import numpy as np
+
+_WORD_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|\d+|[^\sA-Za-z0-9_]")
+_HASH_BUCKETS = 4096
+_NGRAMS_PER_TOKEN = 8
+_CASE_FEATS = 6
+
+
+def word_tokenize(text: str) -> list[tuple[str, int]]:
+    """(token, char_offset) pairs."""
+    return [(m.group(0), m.start()) for m in _WORD_RE.finditer(text)]
+
+
+def _ngram_ids(token: str) -> np.ndarray:
+    """Up to _NGRAMS_PER_TOKEN hashed char-trigram ids (padded with 0;
+    bucket 0 is reserved as padding)."""
+    s = f"<{token.lower()}>"
+    ids = []
+    for i in range(len(s) - 2):
+        h = 2166136261
+        for ch in s[i : i + 3]:
+            h = ((h ^ ord(ch)) * 16777619) & 0xFFFFFFFF
+        ids.append(1 + h % (_HASH_BUCKETS - 1))
+        if len(ids) == _NGRAMS_PER_TOKEN:
+            break
+    while len(ids) < _NGRAMS_PER_TOKEN:
+        ids.append(0)
+    return np.array(ids, dtype=np.int32)
+
+
+def _case_feats(token: str) -> np.ndarray:
+    return np.array(
+        [
+            token[:1].isupper(),
+            token.isupper() and len(token) > 1,
+            any(c.isdigit() for c in token),
+            "_" in token,
+            any(c.isupper() for c in token[1:]),  # camelCase interior
+            token.islower(),
+        ],
+        dtype=np.float32,
+    )
+
+
+def featurize(tokens: list[str], length: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pad/truncate to `length` -> (ngram_ids (L,G), case (L,F), mask (L,))."""
+    L = length
+    ng = np.zeros((L, _NGRAMS_PER_TOKEN), np.int32)
+    cf = np.zeros((L, _CASE_FEATS), np.float32)
+    mask = np.zeros(L, np.float32)
+    for i, tok in enumerate(tokens[:L]):
+        ng[i] = _ngram_ids(tok)
+        cf[i] = _case_feats(tok)
+        mask[i] = 1.0
+    return ng, cf, mask
+
+
+@dataclasses.dataclass
+class NerConfig:
+    dm: int = 64
+    heads: int = 4
+    layers: int = 2
+    window: int = 64
+    labels: tuple[str, ...] = ("entity",)
+
+
+def _build_model(cfg: NerConfig):
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    class Encoder(nn.Module):
+        @nn.compact
+        def __call__(self, ngram_ids, case, mask):
+            emb = nn.Embed(_HASH_BUCKETS, cfg.dm, name="subword")(ngram_ids)
+            ngmask = (ngram_ids > 0).astype(jnp.float32)[..., None]
+            x = (emb * ngmask).sum(-2) / jnp.maximum(ngmask.sum(-2), 1.0)
+            x = x + nn.Dense(cfg.dm, name="case")(case)
+            pos = nn.Embed(cfg.window, cfg.dm, name="pos")(
+                jnp.arange(ngram_ids.shape[-2])
+            )
+            x = x + pos
+            attn_mask = mask[..., None, None, :] > 0
+            for i in range(cfg.layers):
+                h = nn.LayerNorm(name=f"ln_a{i}")(x)
+                h = nn.MultiHeadDotProductAttention(
+                    num_heads=cfg.heads, name=f"attn{i}"
+                )(h, h, mask=attn_mask)
+                x = x + h
+                h = nn.LayerNorm(name=f"ln_m{i}")(x)
+                h = nn.Dense(cfg.dm * 2, name=f"mlp1_{i}")(h)
+                h = nn.gelu(h)
+                h = nn.Dense(cfg.dm, name=f"mlp2_{i}")(h)
+                x = x + h
+            return nn.LayerNorm(name="ln_out")(x)
+
+    class Tagger(nn.Module):
+        """BIO logits conditioned on encoded label-name vectors."""
+
+        @nn.compact
+        def __call__(self, ngram_ids, case, mask, label_ng, label_case):
+            enc = Encoder(name="encoder")
+            x = enc(ngram_ids, case, mask)                     # (..., L, dm)
+            # label names ride through the SAME encoder (as 1-token windows
+            # broadcast over the batch), so new labels need no new weights
+            lab_mask = jnp.ones(label_ng.shape[:-1], jnp.float32)
+            lab = enc(label_ng, label_case, lab_mask)          # (K, Lw, dm)
+            lab = lab.mean(-2)                                  # (K, dm)
+            lab_b = nn.Dense(cfg.dm, name="to_begin")(lab)
+            lab_i = nn.Dense(cfg.dm, name="to_inside")(lab)
+            scale = 1.0 / np.sqrt(cfg.dm)
+            lb = jnp.einsum("...ld,kd->...lk", x, lab_b) * scale
+            li = jnp.einsum("...ld,kd->...lk", x, lab_i) * scale
+            o = nn.Dense(1, name="o_bias")(x)                  # (..., L, 1)
+            # logit order: [O, B_0..B_K-1, I_0..I_K-1]
+            return jnp.concatenate([o, lb, li], axis=-1)
+
+    return Tagger()
+
+
+class NerModel:
+    """Train/predict wrapper with static-shape jitted steps."""
+
+    def __init__(self, cfg: NerConfig | None = None, seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        self.cfg = cfg or NerConfig()
+        self.model = _build_model(self.cfg)
+        self._label_feats()
+        L, G = self.cfg.window, _NGRAMS_PER_TOKEN
+        dummy = (
+            jnp.zeros((1, L, G), jnp.int32),
+            jnp.zeros((1, L, _CASE_FEATS), jnp.float32),
+            jnp.ones((1, L), jnp.float32),
+            self._lab_ng,
+            self._lab_cf,
+        )
+        self.params = self.model.init(jax.random.PRNGKey(seed), *dummy)
+        self._predict = jax.jit(
+            lambda p, ng, cf, m: self.model.apply(p, ng, cf, m,
+                                                  self._lab_ng, self._lab_cf)
+        )
+        self._opt = None
+
+    def _label_feats(self) -> None:
+        import jax.numpy as jnp
+
+        # each label name as a mini window of its words (>=1 token)
+        Lw = 4
+        ngs, cfs = [], []
+        for lab in self.cfg.labels:
+            toks = [t for t, _ in word_tokenize(lab)] or [lab]
+            ng, cf, _ = featurize(toks, Lw)
+            ngs.append(ng)
+            cfs.append(cf)
+        self._lab_ng = jnp.asarray(np.stack(ngs))
+        self._lab_cf = jnp.asarray(np.stack(cfs))
+
+    @property
+    def num_tags(self) -> int:
+        return 1 + 2 * len(self.cfg.labels)
+
+    # -- training ---------------------------------------------------------------
+    def fit(self, examples, steps: int = 300, lr: float = 3e-3,
+            batch: int = 16, seed: int = 0) -> float:
+        """examples: list of (tokens list[str], tags list[int]) with tags in
+        BIO ids (0=O, 1+k=B_label_k, 1+K+k=I_label_k). Returns final loss."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        L = self.cfg.window
+        NG, CF, MK, TG = [], [], [], []
+        for toks, tags in examples:
+            ng, cf, mask = featurize(toks, L)
+            t = np.zeros(L, np.int32)
+            t[: min(len(tags), L)] = tags[:L]
+            NG.append(ng); CF.append(cf); MK.append(mask); TG.append(t)
+        NG = jnp.asarray(np.stack(NG)); CF = jnp.asarray(np.stack(CF))
+        MK = jnp.asarray(np.stack(MK)); TG = jnp.asarray(np.stack(TG))
+
+        tx = optax.adamw(lr)
+        opt_state = tx.init(self.params)
+
+        def loss_fn(params, ng, cf, mk, tg):
+            logits = self.model.apply(params, ng, cf, mk,
+                                      self._lab_ng, self._lab_cf)
+            ls = optax.softmax_cross_entropy_with_integer_labels(logits, tg)
+            return (ls * mk).sum() / jnp.maximum(mk.sum(), 1.0)
+
+        @jax.jit
+        def step(params, opt_state, ng, cf, mk, tg):
+            loss, grads = jax.value_and_grad(loss_fn)(params, ng, cf, mk, tg)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        rng = np.random.default_rng(seed)
+        n = len(examples)
+        loss = 0.0
+        for _ in range(steps):
+            idx = rng.integers(0, n, size=min(batch, n))
+            self.params, opt_state, loss = step(
+                self.params, opt_state, NG[idx], CF[idx], MK[idx], TG[idx]
+            )
+        return float(loss)
+
+    # -- inference --------------------------------------------------------------
+    def tag(self, tokens: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """-> (tag ids (n,), confidence (n,)) for one window of tokens."""
+        import jax.nn
+
+        ng, cf, mask = featurize(tokens, self.cfg.window)
+        logits = self._predict(self.params, ng[None], cf[None], mask[None])
+        probs = np.asarray(jax.nn.softmax(logits[0], axis=-1))
+        n = min(len(tokens), self.cfg.window)
+        ids = probs[:n].argmax(-1)
+        return ids, probs[np.arange(n), ids]
+
+    def extract(self, text: str, min_conf: float = 0.5) -> list[tuple[str, str, float]]:
+        """-> [(entity_text, label, confidence)], windowed over long inputs."""
+        toks = word_tokenize(text)
+        K = len(self.cfg.labels)
+        out: list[tuple[str, str, float]] = []
+        W = self.cfg.window
+        for w0 in range(0, len(toks), W):
+            wtoks = toks[w0 : w0 + W]
+            ids, conf = self.tag([t for t, _ in wtoks])
+            i = 0
+            while i < len(ids):
+                t = int(ids[i])
+                if 1 <= t <= K:  # B_k
+                    k, j, cs = t - 1, i + 1, [float(conf[i])]
+                    while j < len(ids) and int(ids[j]) == 1 + K + k:
+                        cs.append(float(conf[j]))
+                        j += 1
+                    start = wtoks[i][1]
+                    end = wtoks[j - 1][1] + len(wtoks[j - 1][0])
+                    c = float(np.mean(cs))
+                    if c >= min_conf:
+                        out.append((text[start:end], self.cfg.labels[k], c))
+                    i = j
+                else:
+                    i += 1
+        return out
+
+    # -- persistence ------------------------------------------------------------
+    def save(self, path) -> None:
+        import jax
+        import pickle
+
+        flat = jax.tree_util.tree_map(np.asarray, self.params)
+        with open(path, "wb") as f:
+            pickle.dump({"cfg": dataclasses.asdict(self.cfg), "params": flat}, f)
+
+    @classmethod
+    def load(cls, path) -> "NerModel":
+        import pickle
+
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        cfg = NerConfig(**{**blob["cfg"],
+                           "labels": tuple(blob["cfg"]["labels"])})
+        m = cls(cfg)
+        m.params = blob["params"]
+        return m
+
+
+class NeuralEntityExtractor:
+    """entity_extractor_v1 implementation backed by NerModel (the GLiNER
+    plugin slot: plugins/spec.py IFACE_ENTITY_EXTRACTOR)."""
+
+    def __init__(self, model: NerModel):
+        self.model = model
+
+    def extract_entities(self, text: str) -> list[tuple[str, str, float]]:
+        return self.model.extract(text)

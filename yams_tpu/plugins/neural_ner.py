@@ -1,0 +1,49 @@
+"""Bundled neural-NER plugin (the reference's GLiNER plugin slot).
+
+Exposes entity_extractor_v1 backed by embed/ner.py's NerModel (flax
+label-conditioned span tagger). Configure via the plugin init config:
+
+  {"model_path": "/path/to/ner.pkl",       # trained NerModel.save() blob
+   "labels": ["component", "person"],      # used only when training fresh
+   "min_conf": 0.5}
+
+Without a model_path the plugin stays dormant (health reports
+"no model") rather than emitting untrained-garbage entities — the same
+posture as the reference's GLiNER plugin when its ONNX weights are absent.
+"""
+
+from __future__ import annotations
+
+from .spec import IFACE_ENTITY_EXTRACTOR, PluginManifest
+
+
+def yams_plugin() -> PluginManifest:
+    state: dict = {"model": None, "min_conf": 0.5}
+
+    class _Extractor:
+        def extract_entities(self, text: str):
+            if state["model"] is None:
+                return []
+            return state["model"].extract(text, min_conf=state["min_conf"])
+
+    def init(config: dict) -> None:
+        path = (config or {}).get("model_path")
+        state["min_conf"] = float((config or {}).get("min_conf", 0.5))
+        if path:
+            from ..embed.ner import NerModel
+
+            state["model"] = NerModel.load(path)
+
+    def health() -> dict:
+        if state["model"] is None:
+            return {"status": "degraded", "reason": "no model loaded"}
+        return {"status": "ok", "labels": list(state["model"].cfg.labels)}
+
+    return PluginManifest(
+        name="neural_ner",
+        version="1.0",
+        description="GLiNER-class neural NER (flax label-conditioned tagger)",
+        interfaces={IFACE_ENTITY_EXTRACTOR: _Extractor()},
+        init=init,
+        health=health,
+    )

@@ -1,0 +1,137 @@
+"""BM25 candidate-generation variants, timed at bench shapes.
+
+  gather_only : windows gather + reshape (the floor)
+  sort2       : current production — lax.sort((ids, val), num_keys=1)
+  packed1     : single-key sort — impact quantized into low bits of the id key
+  packed1_axk : packed + approx_max_k instead of top_k
+
+Run: python scripts/profile_bm25.py
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from yams_tpu.ops.bm25 import bm25_topk_candidates
+
+    N = int(os.environ.get("BENCH_N", 1_000_000))
+    B = int(os.environ.get("BENCH_B", 256))
+    ITERS = int(os.environ.get("BENCH_ITERS", 8))
+    T, VOCAB, WINDOW, C = 16, 65536, 1024, 32
+    N = ((N + 1023) // 1024) * 1024
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    per_term = WINDOW // 2
+    P = VOCAB * per_term
+    ar = jnp.arange(P, dtype=jnp.uint32)
+    pd = ((ar * jnp.uint32(2654435761)) % jnp.uint32(N)).astype(jnp.int32)
+    pd = jnp.concatenate([pd, jnp.full((WINDOW,), N, jnp.int32)])
+    pi = ((ar * jnp.uint32(40503)) % jnp.uint32(190)).astype(jnp.float32) / 40.0 + 0.5
+    pi = jnp.concatenate([pi, jnp.zeros(WINDOW)])
+    to = jnp.arange(VOCAB, dtype=jnp.int32) * per_term
+    tl = jnp.full(VOCAB, per_term, jnp.int32)
+    term_ids = jax.random.randint(ks[0], (ITERS, B, T), 0, VOCAB, dtype=jnp.int32)
+    term_mask = jnp.ones((ITERS, B, T), jnp.float32)
+
+    def timed(name, fn, *args):
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        t0 = time.perf_counter()
+        out = fn(*args)
+        r = np.asarray(jax.tree_util.tree_leaves(out)[0])
+        dt = time.perf_counter() - t0
+        print(f"{name:12s} {dt * 1e3 / ITERS:8.2f} ms/batch "
+              f"{ITERS * B / dt:10.0f} qps", flush=True)
+        return r
+
+    def gather(tids, tmask, pd, pi, to, tl):
+        def gather_term(tid, m):
+            off = jnp.clip(to[tid], 0, pd.shape[0] - WINDOW)
+            docs = jax.lax.dynamic_slice(pd, (off,), (WINDOW,))
+            imp = jax.lax.dynamic_slice(pi, (off,), (WINDOW,))
+            pos = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, 1), 0)[:, 0]
+            pmask = (pos < tl[tid]) & (m > 0)
+            return (jnp.where(pmask, docs, N),
+                    jnp.where(pmask, imp, 0.0))
+
+        docs, contrib = jax.vmap(gather_term)(tids, tmask)
+        return docs.reshape(-1), contrib.reshape(-1)
+
+    @jax.jit
+    def gather_only(term_ids, term_mask, pd, pi, to, tl):
+        def one(carry, xs):
+            ids, val = jax.vmap(lambda a, b: gather(a, b, pd, pi, to, tl))(*xs)
+            return carry, (jnp.sum(val, axis=1), jnp.max(ids, axis=1))
+        _, v = jax.lax.scan(one, 0, (term_ids, term_mask))
+        return v
+
+    @jax.jit
+    def sort2(term_ids, term_mask, pd, pi, to, tl):
+        def one(carry, xs):
+            i, s = bm25_topk_candidates(
+                xs[0], xs[1], pd, pi, to, tl,
+                window=WINDOW, num_docs=N, num_candidates=C,
+            )
+            return carry, s[:, 0]
+        _, v = jax.lax.scan(one, 0, (term_ids, term_mask))
+        return v
+
+    QBITS = 31 - int(np.ceil(np.log2(N + 2)))
+    QMAX = (1 << QBITS) - 1
+
+    def packed_q(tids, tmask, pd, pi, to, tl, use_axk):
+        ids, val = gather(tids, tmask, pd, pi, to, tl)
+        vmax = 5.5  # static impact ceiling at these shapes
+        quant = jnp.clip(jnp.round(val * (QMAX / vmax)), 0, QMAX).astype(jnp.int32)
+        keys = (ids << QBITS) | quant
+        keys = jax.lax.sort(keys)
+        ids = keys >> QBITS
+        val = (keys & QMAX).astype(jnp.float32) * (vmax / QMAX)
+        cs = jnp.cumsum(val)
+        first = jnp.concatenate([jnp.ones(1, bool), ids[1:] != ids[:-1]])
+        last = jnp.concatenate([ids[1:] != ids[:-1], jnp.ones(1, bool)])
+        base = jnp.where(first, cs - val, -jnp.inf)
+        base = jax.lax.cummax(base)
+        seg_total = jnp.where(last & (ids < N), cs - base, 0.0)
+        if use_axk:
+            c_scores, c_pos = jax.lax.approx_max_k(seg_total, C)
+        else:
+            c_scores, c_pos = jax.lax.top_k(seg_total, C)
+        c_ids = ids[c_pos]
+        return jnp.where(c_scores > 0, c_ids, N), c_scores
+
+    def make_packed(use_axk):
+        @jax.jit
+        def run(term_ids, term_mask, pd, pi, to, tl):
+            def one(carry, xs):
+                i, s = jax.vmap(
+                    lambda a, b: packed_q(a, b, pd, pi, to, tl, use_axk)
+                )(*xs)
+                return carry, s[:, 0]
+            _, v = jax.lax.scan(one, 0, (term_ids, term_mask))
+            return v
+        return run
+
+    timed("gather_only", gather_only, term_ids, term_mask, pd, pi, to, tl)
+    r2 = timed("sort2", sort2, term_ids, term_mask, pd, pi, to, tl)
+    r1 = timed("packed1", make_packed(False), term_ids, term_mask, pd, pi, to, tl)
+    timed("packed1_axk", make_packed(True), term_ids, term_mask, pd, pi, to, tl)
+    err = np.abs(r1 - r2).max() / max(np.abs(r2).max(), 1e-9)
+    print(f"packed vs exact top1 rel err: {err:.2e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -73,20 +73,47 @@ def main() -> None:
     valid = jnp.ones(N, jnp.float32)
     row2slot = jnp.arange(N, dtype=jnp.int32)
 
-    # synthetic postings: each term -> WINDOW/4 pseudo-random docs (cheap
+    # synthetic postings: each term -> WINDOW/2 pseudo-random docs (cheap
     # multiplicative-hash synthesis; device RNG over 10^7+ elements is slow
     # through remote dispatch and adds nothing to the measurement)
     per_term = WINDOW // 2
-    P = VOCAB * per_term
-    ar = jnp.arange(P, dtype=jnp.uint32)
-    postings_doc = ((ar * jnp.uint32(2654435761)) % jnp.uint32(N)).astype(jnp.int32)
-    postings_doc = jnp.concatenate([postings_doc, jnp.full((WINDOW,), N, jnp.int32)])
-    postings_impact = (
-        ((ar * jnp.uint32(40503)) % jnp.uint32(190)).astype(jnp.float32) / 40.0 + 0.5
-    )
-    postings_impact = jnp.concatenate([postings_impact, jnp.zeros(WINDOW)])
-    term_offsets = jnp.arange(VOCAB, dtype=jnp.int32) * per_term
-    term_lengths = jnp.full(VOCAB, per_term, jnp.int32)
+    packed_lexical = bool(int(os.environ.get("BENCH_PACKED", "1")))
+    if packed_lexical:
+        # packed 2-D layout (production default, ops/bm25.py pack_postings_2d):
+        # doc_id << qbits | quantized impact, one row per term, sink-padded
+        from yams_tpu.ops.bm25 import packed_qbits
+
+        qbits = packed_qbits(N)
+        qmax = (1 << qbits) - 1
+        vmax = 5.25
+
+        @jax.jit
+        def synth_packed():
+            t = jax.lax.broadcasted_iota(jnp.uint32, (VOCAB, WINDOW), 0)
+            c = jax.lax.broadcasted_iota(jnp.uint32, (VOCAB, WINDOW), 1)
+            ar = t * jnp.uint32(per_term) + c
+            docs = ((ar * jnp.uint32(2654435761)) % jnp.uint32(N)).astype(jnp.int32)
+            imp = ((ar * jnp.uint32(40503)) % jnp.uint32(190)).astype(
+                jnp.float32) / 40.0 + 0.5
+            q = jnp.clip(jnp.round(imp * (qmax / vmax)), 0, qmax).astype(jnp.int32)
+            ok = c < jnp.uint32(per_term)
+            return jnp.where(ok, (docs << qbits) | q, jnp.int32(N << qbits))
+
+        postings_doc = synth_packed()                      # packed matrix
+        postings_impact = jnp.asarray(vmax, jnp.float32)   # impact scale
+        term_offsets = jnp.zeros(1, jnp.int32)             # unused dummies
+        term_lengths = jnp.zeros(1, jnp.int32)
+    else:
+        P = VOCAB * per_term
+        ar = jnp.arange(P, dtype=jnp.uint32)
+        postings_doc = ((ar * jnp.uint32(2654435761)) % jnp.uint32(N)).astype(jnp.int32)
+        postings_doc = jnp.concatenate([postings_doc, jnp.full((WINDOW,), N, jnp.int32)])
+        postings_impact = (
+            ((ar * jnp.uint32(40503)) % jnp.uint32(190)).astype(jnp.float32) / 40.0 + 0.5
+        )
+        postings_impact = jnp.concatenate([postings_impact, jnp.zeros(WINDOW)])
+        term_offsets = jnp.arange(VOCAB, dtype=jnp.int32) * per_term
+        term_lengths = jnp.full(VOCAB, per_term, jnp.int32)
     doc_mask = jnp.ones(N, jnp.float32)
     hot = jnp.zeros(N, jnp.float32)
     weights = jnp.asarray(
@@ -115,6 +142,7 @@ def main() -> None:
                 bm25_prefilter=int(os.environ.get("BENCH_PREFILTER", "0")),
                 int8_corpus=int8_corpus,
                 scan_block_rows=scan_blocks,
+                packed_lexical=packed_lexical,
             )
             return carry, (vals[:, 0], slots[:, 0])
 

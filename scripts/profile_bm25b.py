@@ -1,0 +1,162 @@
+"""BM25 gather-layout variants: element gathers vs row gathers vs packed.
+
+  slice_csr   : current — per-term dynamic_slice from 1-D CSR (element gather)
+  dense2d     : postings as (V, W) matrix, row gather by term id
+  dense2d_pk  : (V, W) PACKED i32 (doc<<Q | impact_q) row gather — half bytes
+  full_packed : dense2d_pk + single-key sort + cumsum + top_k (the candidate
+                stage end-to-end)
+
+Run: python scripts/profile_bm25b.py
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    N = int(os.environ.get("BENCH_N", 1_000_000))
+    B = int(os.environ.get("BENCH_B", 256))
+    ITERS = int(os.environ.get("BENCH_ITERS", 8))
+    T, VOCAB, WINDOW, C = 16, 65536, 1024, 32
+    N = ((N + 1023) // 1024) * 1024
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    per_term = WINDOW // 2
+    P = VOCAB * per_term
+    ar = jnp.arange(P, dtype=jnp.uint32)
+    pd1 = ((ar * jnp.uint32(2654435761)) % jnp.uint32(N)).astype(jnp.int32)
+    pd1 = jnp.concatenate([pd1, jnp.full((WINDOW,), N, jnp.int32)])
+    pi1 = ((ar * jnp.uint32(40503)) % jnp.uint32(190)).astype(jnp.float32) / 40.0 + 0.5
+    pi1 = jnp.concatenate([pi1, jnp.zeros(WINDOW)])
+    to = jnp.arange(VOCAB, dtype=jnp.int32) * per_term
+    tl = jnp.full(VOCAB, per_term, jnp.int32)
+    term_ids = jax.random.randint(ks[0], (ITERS, B, T), 0, VOCAB, dtype=jnp.int32)
+    term_mask = jnp.ones((ITERS, B, T), jnp.float32)
+
+    QBITS = 31 - int(np.ceil(np.log2(N + 2)))
+    QMAX = (1 << QBITS) - 1
+    VMAX = 5.5
+
+    @jax.jit
+    def build_2d(pd1, pi1, to, tl):
+        # (V, W) dense views: row v = term v's (<=W) postings, sink-padded
+        idx = to[:, None] + jnp.arange(WINDOW)[None, :]
+        ok = jnp.arange(WINDOW)[None, :] < tl[:, None]
+        idx = jnp.clip(idx, 0, pd1.shape[0] - 1)
+        d2 = jnp.where(ok, pd1[idx], N)
+        i2 = jnp.where(ok, pi1[idx], 0.0)
+        q = jnp.clip(jnp.round(i2 * (QMAX / VMAX)), 0, QMAX).astype(jnp.int32)
+        pk = jnp.where(ok, (d2 << QBITS) | q, (N << QBITS))
+        return d2, i2, pk
+
+    d2, i2, pk = build_2d(pd1, pi1, to, tl)
+    np.asarray(d2[0, 0])
+
+    def timed(name, fn, *args):
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        t0 = time.perf_counter()
+        out = fn(*args)
+        r = np.asarray(jax.tree_util.tree_leaves(out)[0])
+        dt = time.perf_counter() - t0
+        print(f"{name:12s} {dt * 1e3 / ITERS:8.2f} ms/batch "
+              f"{ITERS * B / dt:10.0f} qps", flush=True)
+        return r
+
+    @jax.jit
+    def slice_csr(term_ids, term_mask, pd1, pi1, to, tl):
+        def gather(tids, tmask):
+            def gt(tid, m):
+                off = jnp.clip(to[tid], 0, pd1.shape[0] - WINDOW)
+                docs = jax.lax.dynamic_slice(pd1, (off,), (WINDOW,))
+                imp = jax.lax.dynamic_slice(pi1, (off,), (WINDOW,))
+                pos = jnp.arange(WINDOW)
+                ok = (pos < tl[tid]) & (m > 0)
+                return jnp.where(ok, docs, N), jnp.where(ok, imp, 0.0)
+            return jax.vmap(gt)(tids, tmask)
+
+        def one(carry, xs):
+            d, v = jax.vmap(gather)(*xs)
+            return carry, (v.sum((1, 2)), d.max((1, 2)))
+        _, out = jax.lax.scan(one, 0, (term_ids, term_mask))
+        return out
+
+    @jax.jit
+    def dense2d(term_ids, term_mask, d2, i2):
+        def one(carry, xs):
+            tids, tmask = xs
+            d = d2[tids]                      # (B, T, W) row gather
+            v = i2[tids] * tmask[..., None]
+            return carry, (v.sum((1, 2)), d.max((1, 2)))
+        _, out = jax.lax.scan(one, 0, (term_ids, term_mask))
+        return out
+
+    @jax.jit
+    def dense2d_pk(term_ids, term_mask, pk):
+        def one(carry, xs):
+            tids, tmask = xs
+            k = pk[tids]                      # (B, T, W) packed row gather
+            k = jnp.where(tmask[..., None] > 0, k, (N << QBITS))
+            return carry, (k.max((1, 2)), k.min((1, 2)))
+        _, out = jax.lax.scan(one, 0, (term_ids, term_mask))
+        return out
+
+    @jax.jit
+    def full_packed(term_ids, term_mask, pk):
+        def per_query(tids, tmask):
+            keys = pk[tids]
+            keys = jnp.where(tmask[:, None] > 0, keys, (N << QBITS))
+            keys = jax.lax.sort(keys.reshape(-1))
+            ids = keys >> QBITS
+            val = (keys & QMAX).astype(jnp.float32) * (VMAX / QMAX)
+            cs = jnp.cumsum(val)
+            first = jnp.concatenate([jnp.ones(1, bool), ids[1:] != ids[:-1]])
+            last = jnp.concatenate([ids[1:] != ids[:-1], jnp.ones(1, bool)])
+            base = jax.lax.cummax(jnp.where(first, cs - val, -jnp.inf))
+            seg = jnp.where(last & (ids < N), cs - base, 0.0)
+            sc, pos = jax.lax.top_k(seg, C)
+            return jnp.where(sc > 0, ids[pos], N), sc
+
+        def one(carry, xs):
+            i, s = jax.vmap(per_query)(*xs)
+            return carry, s[:, 0]
+        _, v = jax.lax.scan(one, 0, (term_ids, term_mask))
+        return v
+
+    timed("slice_csr", slice_csr, term_ids, term_mask, pd1, pi1, to, tl)
+    timed("dense2d", dense2d, term_ids, term_mask, d2, i2)
+    timed("dense2d_pk", dense2d_pk, term_ids, term_mask, pk)
+    r = timed("full_packed", full_packed, term_ids, term_mask, pk)
+
+    # correctness vs the production function's top-1 score
+    from yams_tpu.ops.bm25 import bm25_topk_candidates
+
+    @jax.jit
+    def prod(term_ids, term_mask, pd1, pi1, to, tl):
+        def one(carry, xs):
+            i, s = bm25_topk_candidates(
+                xs[0], xs[1], pd1, pi1, to, tl,
+                window=WINDOW, num_docs=N, num_candidates=C)
+            return carry, s[:, 0]
+        _, v = jax.lax.scan(one, 0, (term_ids, term_mask))
+        return v
+
+    r2 = np.asarray(prod(term_ids, term_mask, pd1, pi1, to, tl))
+    err = np.abs(r - r2).max() / max(np.abs(r2).max(), 1e-9)
+    print(f"full_packed vs production top1 rel err: {err:.2e}")
+
+
+if __name__ == "__main__":
+    main()

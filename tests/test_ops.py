@@ -234,6 +234,65 @@ class TestBm25:
         got = [i for i in c_ids if i < 50]
         assert set(want) <= set(got)
 
+    def test_packed_candidates_match_csr(self):
+        """Packed 2-D row-gather path == CSR candidate path (ids + scores
+        within quantization error)."""
+        from yams_tpu.ops.bm25 import (
+            bm25_topk_candidates,
+            bm25_topk_candidates_packed,
+            pack_postings_2d,
+        )
+
+        rng = np.random.default_rng(9)
+        vocab_words = [f"w{i}" for i in range(30)]
+        docs = [
+            list(rng.choice(vocab_words, size=rng.integers(5, 40)))
+            for _ in range(50)
+        ]
+        vocab, arrays, (_, _, _, impact) = self._build(docs, window=64)
+        packed, scale = pack_postings_2d(
+            arrays["postings_doc"], impact,
+            arrays["term_offsets"], arrays["term_lengths"],
+            window=64, num_docs=50,
+        )
+        tids = jnp.array([[vocab["w1"], vocab["w4"], vocab["w7"], 0]], jnp.int32)
+        tmask = jnp.array([[1.0, 1.0, 1.0, 0.0]], jnp.float32)
+        ci, cs = bm25_topk_candidates(
+            tids, tmask, arrays["postings_doc"], impact,
+            arrays["term_offsets"], arrays["term_lengths"],
+            window=64, num_docs=50, num_candidates=16,
+        )
+        pi_, ps = bm25_topk_candidates_packed(
+            tids, tmask, jnp.asarray(packed), jnp.asarray(scale),
+            num_docs=50, num_candidates=16,
+        )
+        ci, cs = np.asarray(ci)[0], np.asarray(cs)[0]
+        pi_, ps = np.asarray(pi_)[0], np.asarray(ps)[0]
+        live = cs > 0
+        assert set(ci[live]) == set(pi_[ps > 0])
+        # per-doc score agreement within quantization error
+        m = {int(i): float(s) for i, s in zip(pi_, ps) if s > 0}
+        for i, s in zip(ci[live], cs[live]):
+            assert abs(m[int(i)] - s) <= 2e-3 * max(s, 1.0), (i, m[int(i)], s)
+
+    def test_packed_masked_term_and_empty(self):
+        from yams_tpu.ops.bm25 import bm25_topk_candidates_packed, pack_postings_2d
+
+        docs = ["a b c".split(), "c d e".split()]
+        vocab, arrays, (_, _, _, impact) = self._build(docs, window=16)
+        packed, scale = pack_postings_2d(
+            arrays["postings_doc"], impact,
+            arrays["term_offsets"], arrays["term_lengths"],
+            window=16, num_docs=2,
+        )
+        tids = jnp.zeros((1, 4), jnp.int32)
+        tmask = jnp.zeros((1, 4), jnp.float32)
+        ids, sc = bm25_topk_candidates_packed(
+            tids, tmask, jnp.asarray(packed), jnp.asarray(scale),
+            num_docs=2, num_candidates=4,
+        )
+        assert np.all(np.asarray(ids) == 2) and np.all(np.asarray(sc) == 0)
+
     def test_window_truncation_keeps_top_tf(self):
         """Terms with postings beyond the window keep highest-tf docs."""
         docs = [["common"] * (i + 1) for i in range(20)]

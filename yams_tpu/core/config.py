@@ -100,6 +100,11 @@ class LexicalIndexConfig:
     # early-termination. Keep max_query_terms*postings_window <= ~16k: the
     # lexical leg sorts that many (doc, impact) pairs per query.
     postings_window: int = 1024
+    # packed 2-D postings budget (i32 entries = vocab * window). Below it the
+    # device index also carries a (V, window) packed matrix enabling the
+    # row-gather fast path (~3x lexical-leg speedup); above it (huge vocabs)
+    # only CSR ships. 128M entries = 512 MB HBM.
+    packed_max_entries: int = 128 * 1024 * 1024
 
 
 @dataclasses.dataclass(slots=True)

@@ -202,6 +202,19 @@ class LexicalIndex:
                 import jax.numpy as jnp
 
                 arrs = self.build_arrays(want_n)
+                packed = scale_dev = None
+                V = len(arrs["term_offsets"])
+                window = self.config.postings_window
+                if V * window <= self.config.packed_max_entries:
+                    from ..ops.bm25 import pack_postings_2d
+
+                    pk, scale = pack_postings_2d(
+                        arrs["postings_doc"], arrs["postings_impact"],
+                        arrs["term_offsets"], arrs["term_lengths"],
+                        window=window, num_docs=arrs["num_docs"],
+                    )
+                    packed = jnp.asarray(pk)
+                    scale_dev = jnp.asarray(scale, jnp.float32)
                 self._device = Bm25Arrays(
                     postings_doc=jnp.asarray(arrs["postings_doc"]),
                     postings_tf=jnp.asarray(arrs["postings_tf"]),
@@ -211,6 +224,8 @@ class LexicalIndex:
                     doc_norm=jnp.asarray(arrs["doc_norm"]),
                     idf=jnp.asarray(arrs["idf"]),
                     num_docs=arrs["num_docs"],
+                    packed=packed,
+                    impact_scale=scale_dev,
                 )
             return self._device
 

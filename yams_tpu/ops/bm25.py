@@ -48,6 +48,10 @@ class Bm25Arrays:
     doc_norm: jax.Array         # (N,) f32
     idf: jax.Array              # (V,) f32
     num_docs: int               # N (static)
+    # packed 2-D fast path (pack_postings_2d), present when V*window fits
+    # the configured budget; None -> query uses the CSR path
+    packed: jax.Array | None = None        # (V, window) i32
+    impact_scale: jax.Array | None = None  # () f32
 
 
 @functools.partial(jax.jit, static_argnames=("window", "num_docs", "k1"))
@@ -99,6 +103,100 @@ def bm25_dense_from(arrays: Bm25Arrays, term_ids, term_mask, window: int, k1: fl
         arrays.doc_norm, arrays.idf,
         window=window, num_docs=arrays.num_docs, k1=k1,
     )
+
+
+def packed_qbits(num_docs: int) -> int:
+    """Low bits available for the quantized impact when doc ids (plus the
+    sink id == num_docs) occupy the high bits of a signed int32 key."""
+    import numpy as np
+
+    id_bits = int(np.ceil(np.log2(num_docs + 2)))
+    return max(31 - id_bits, 1)
+
+
+def pack_postings_2d(
+    postings_doc, postings_impact, term_offsets, term_lengths,
+    *, window: int, num_docs: int,
+):
+    """CSR postings -> dense packed (V, window) i32 + impact scale.
+
+    Row v holds term v's (<= window, impact-ordered) postings, each packed as
+    `doc_id << qbits | quantized_impact` and sink-padded. ONE i32 per posting:
+    the query-time gather is a per-term ROW gather (a handful of HBM DMAs)
+    instead of the CSR dynamic_slice's element-wise gather, and the gathered
+    value is directly sortable by doc id (single-operand sort). Impact
+    quantization to `qbits` bits (11 at 1M docs) costs ~3e-4 relative score
+    error — far below ranking noise.
+
+    Returns (packed (V, window) i32 numpy, impact_scale float).
+    """
+    import numpy as np
+
+    pd = np.asarray(postings_doc)
+    pi = np.asarray(postings_impact)
+    to = np.asarray(term_offsets)
+    tl = np.asarray(term_lengths)
+    V = len(to)
+    qbits = packed_qbits(num_docs)
+    qmax = (1 << qbits) - 1
+    scale = float(pi.max()) if pi.size else 1.0
+    scale = max(scale, 1e-9)
+    idx = to[:, None].astype(np.int64) + np.arange(window)[None, :]
+    ok = np.arange(window)[None, :] < tl[:, None]
+    idx = np.clip(idx, 0, len(pd) - 1)
+    docs = np.where(ok, pd[idx], num_docs).astype(np.int32)
+    quant = np.clip(
+        np.round(np.where(ok, pi[idx], 0.0) * (qmax / scale)), 0, qmax
+    ).astype(np.int32)
+    packed = (docs << qbits) | quant
+    return packed, scale
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_docs", "num_candidates", "prefilter")
+)
+def bm25_topk_candidates_packed(
+    term_ids: jax.Array,       # (B, T) i32
+    term_mask: jax.Array,      # (B, T) f32 0/1
+    packed: jax.Array,         # (V, window) i32 from pack_postings_2d
+    impact_scale: jax.Array,   # () or (1,) f32 — traced so rebuilds don't recompile
+    *,
+    num_docs: int,
+    num_candidates: int = 64,
+    prefilter: int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-C BM25 candidates from packed 2-D postings — the fast path.
+
+    Same contract as bm25_topk_candidates; ~3x faster at bench shapes
+    because the postings fetch is a row gather and the doc-grouping sort
+    carries a single i32 operand (measured: candidate stage 16.7 -> 5.9
+    ms/batch at 1M docs, B=256, T=16, window=1024).
+    """
+    window = packed.shape[1]
+    take = prefilter if 0 < prefilter < window else window
+    qbits = packed_qbits(num_docs)
+    qmax = (1 << qbits) - 1
+    sink_key = num_docs << qbits
+    scale = jnp.reshape(impact_scale, ())
+
+    def per_query(tids, tmask):
+        keys = packed[tids]                       # (T, window) row gather
+        if take < window:
+            keys = keys[:, :take]                 # impact-ordered truncation
+        keys = jnp.where(tmask[:, None] > 0, keys, sink_key)
+        keys = jax.lax.sort(keys.reshape(-1))     # doc-major single-key sort
+        ids = keys >> qbits
+        val = (keys & qmax).astype(jnp.float32) * (scale / qmax)
+        cs = jnp.cumsum(val)
+        first = jnp.concatenate([jnp.ones(1, bool), ids[1:] != ids[:-1]])
+        last = jnp.concatenate([ids[1:] != ids[:-1], jnp.ones(1, bool)])
+        base = jax.lax.cummax(jnp.where(first, cs - val, -jnp.inf))
+        seg_total = jnp.where(last & (ids < num_docs), cs - base, 0.0)
+        c_scores, c_pos = jax.lax.top_k(seg_total, num_candidates)
+        c_ids = jnp.where(c_scores > 0, ids[c_pos], num_docs)
+        return c_ids.astype(jnp.int32), c_scores
+
+    return jax.vmap(per_query)(term_ids, term_mask)
 
 
 @functools.partial(

@@ -63,6 +63,7 @@ def sharded_hybrid_query(
     num_slots: int,
     int8_corpus: bool = False,
     axis: str | tuple[str, ...] = "d",
+    packed_lexical: bool = False,
 ):
     """Returns (fused (B,k), slots (B,k)) replicated.
 
@@ -72,8 +73,11 @@ def sharded_hybrid_query(
     (fast ICI), then one all-gather of the per-slice winners across slices,
     so DCN carries O(C x n_slices) pairs per query instead of
     O(C x total_devices).
+
+    packed_lexical=True: postings_doc carries the (V, window) packed i32
+    matrix and postings_impact the impact scale (see fusion.hybrid_query).
     """
-    from ..ops.bm25 import bm25_topk_candidates
+    from ..ops.bm25 import bm25_topk_candidates, bm25_topk_candidates_packed
 
     axes = (axis,) if isinstance(axis, str) else tuple(axis)
     C = rrf_cand
@@ -114,10 +118,16 @@ def sharded_hybrid_query(
             vslots = jnp.take_along_axis(all_s, pos, axis=1)
 
         # 4. lexical leg (replicated postings)
-        bm_ids, bm_scores = bm25_topk_candidates(
-            tid, tmask, pd, pi, to, tl,
-            window=window, num_docs=num_slots, num_candidates=C,
-        )
+        if packed_lexical:
+            bm_ids, bm_scores = bm25_topk_candidates_packed(
+                tid, tmask, pd, pi,
+                num_docs=num_slots, num_candidates=C,
+            )
+        else:
+            bm_ids, bm_scores = bm25_topk_candidates(
+                tid, tmask, pd, pi, to, tl,
+                window=window, num_docs=num_slots, num_candidates=C,
+            )
 
         # 5. fusion over merged candidates (identical math to fusion.py)
         ranks = jnp.arange(C, dtype=jnp.float32)[None, :]

@@ -307,17 +307,21 @@ class SearchEngine:
                         doc_mask,
                         [(0, 0)] * (doc_mask.ndim - 1) + [(0, pad)],
                     )
+        use_packed = bm.packed is not None
         vals, slots, bm_at, vec_at = hybrid_query(
             jnp.asarray(sketches), jnp.asarray(tids), jnp.asarray(tmask),
             proj,
             E, row_valid, row2slot, row_scale,
-            bm.postings_doc, bm.postings_impact, bm.term_offsets, bm.term_lengths,
+            bm.packed if use_packed else bm.postings_doc,
+            bm.impact_scale if use_packed else bm.postings_impact,
+            bm.term_offsets, bm.term_lengths,
             jnp.asarray(doc_mask), jnp.asarray(hot), jnp.asarray(w),
             k=k_dev,
             rrf_cand=rrf_c,
             window=self.lexical_index.config.postings_window,
             num_slots=Nd,
             chunk_agg=cfg.chunk_agg,
+            packed_lexical=use_packed,
             **scale_opts,
         )
         vals = np.asarray(vals)[:B_real]

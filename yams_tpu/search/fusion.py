@@ -54,7 +54,7 @@ def pack_weights(cfg) -> jnp.ndarray:
     jax.jit,
     static_argnames=("k", "rrf_cand", "window", "num_slots", "chunk_agg",
                      "rows_are_docs", "approx", "bm25_prefilter", "int8_corpus",
-                     "scan_block_rows"),
+                     "scan_block_rows", "packed_lexical"),
 )
 def hybrid_query(
     sketch: jax.Array,      # (B, S) f32
@@ -83,11 +83,17 @@ def hybrid_query(
     bm25_prefilter: int = 0,
     int8_corpus: bool = False,
     scan_block_rows: int = 0,
+    packed_lexical: bool = False,
 ):
     """Returns (fused (B,k), slots (B,k) i32, bm25_at (B,k), vec_at (B,k)).
 
     approx=True uses lax.approx_max_k for the vector-leg top-C (the only
     large-N reduction) — the TPU-optimized partial reduction for 100k+ rows.
+
+    packed_lexical=True switches the lexical leg to the packed 2-D postings
+    fast path (ops.bm25.bm25_topk_candidates_packed): postings_doc then
+    carries the (V, window) i32 packed matrix and postings_impact the
+    impact scale scalar; term_offsets/term_lengths are ignored (pass dummies).
     """
     from ..ops.bm25 import bm25_topk_candidates
 
@@ -160,7 +166,7 @@ def hybrid_query(
             term_ids, term_mask, postings_doc, postings_impact, term_offsets,
             term_lengths, dm, hot, weights, vv, vi, None,
             k=k, C=C, window=window, num_slots=num_slots,
-            bm25_prefilter=bm25_prefilter,
+            bm25_prefilter=bm25_prefilter, packed_lexical=packed_lexical,
         )
     if int8_corpus:
         # symmetric per-row int8: halves HBM reads on the dominant matmul
@@ -207,14 +213,14 @@ def hybrid_query(
         term_ids, term_mask, postings_doc, postings_impact, term_offsets,
         term_lengths, dm, hot, weights, vv, vi, sdoc,
         k=k, C=C, window=window, num_slots=num_slots,
-        bm25_prefilter=bm25_prefilter,
+        bm25_prefilter=bm25_prefilter, packed_lexical=packed_lexical,
     )
 
 
 def _fuse_candidates(
     term_ids, term_mask, postings_doc, postings_impact, term_offsets,
     term_lengths, dm, hot, weights, vv, vi_slots, sdoc,
-    *, k, C, window, num_slots, bm25_prefilter,
+    *, k, C, window, num_slots, bm25_prefilter, packed_lexical=False,
 ):
     """Stages 3-5 shared by the dense and streaming vector legs.
 
@@ -222,17 +228,23 @@ def _fuse_candidates(
     scores) is optional — when absent (streaming mode), vec_at comes from the
     merged candidate carry instead of a dense gather.
     """
-    from ..ops.bm25 import bm25_topk_candidates
+    from ..ops.bm25 import bm25_topk_candidates, bm25_topk_candidates_packed
 
     sink = num_slots
 
     # 3. lexical leg: top-C BM25 candidates (already rank-ordered)
-    bm_ids, bm_scores = bm25_topk_candidates(
-        term_ids, term_mask, postings_doc, postings_impact, term_offsets,
-        term_lengths,
-        window=window, num_docs=num_slots, num_candidates=C,
-        prefilter=bm25_prefilter,
-    )
+    if packed_lexical:
+        bm_ids, bm_scores = bm25_topk_candidates_packed(
+            term_ids, term_mask, postings_doc, postings_impact,
+            num_docs=num_slots, num_candidates=C, prefilter=bm25_prefilter,
+        )
+    else:
+        bm_ids, bm_scores = bm25_topk_candidates(
+            term_ids, term_mask, postings_doc, postings_impact, term_offsets,
+            term_lengths,
+            window=window, num_docs=num_slots, num_candidates=C,
+            prefilter=bm25_prefilter,
+        )
 
     # 4. candidate fusion — all O(C) per query
     ranks = jnp.arange(C, dtype=jnp.float32)[None, :]

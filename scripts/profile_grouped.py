@@ -1,0 +1,85 @@
+"""grouped_topk_pallas vs matmul+approx_max_k at bench shapes (1M x 768).
+
+Run: python scripts/profile_grouped.py
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from yams_tpu.ops.scan import grouped_topk_pallas
+
+    N = int(os.environ.get("BENCH_N", 1_000_000))
+    D = int(os.environ.get("BENCH_D", 768))
+    B = int(os.environ.get("BENCH_B", 256))
+    ITERS = int(os.environ.get("BENCH_ITERS", 8))
+    BLOCK = int(os.environ.get("BENCH_BLOCK", 4096))
+    GROUP = int(os.environ.get("BENCH_GROUP", 256))
+    C = 32
+    N = ((N + BLOCK - 1) // BLOCK) * BLOCK
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 2)
+    E = jax.random.normal(ks[0], (N, D), dtype=jnp.bfloat16)
+    E = E / jnp.maximum(
+        jnp.linalg.norm(E.astype(jnp.float32), axis=1, keepdims=True), 1e-9
+    ).astype(jnp.bfloat16)
+    Q = jax.random.normal(ks[1], (ITERS, B, D), dtype=jnp.float32)
+    Q = Q / jnp.linalg.norm(Q, axis=-1, keepdims=True)
+    valid = jnp.ones(N, jnp.float32)
+
+    def timed(name, fn, *args):
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        t0 = time.perf_counter()
+        out = fn(*args)
+        r = [np.asarray(x) for x in jax.tree_util.tree_leaves(out)]
+        dt = time.perf_counter() - t0
+        print(f"{name:14s} {dt * 1e3 / ITERS:8.2f} ms/batch "
+              f"{ITERS * B / dt:10.0f} qps", flush=True)
+        return r
+
+    @jax.jit
+    def base(Q, E, valid):
+        def one(carry, q):
+            s = jnp.dot(q.astype(jnp.bfloat16), E.T,
+                        preferred_element_type=jnp.float32)
+            s = s + (valid - 1.0)[None, :] * 1e30
+            v, i = jax.lax.approx_max_k(s, C)
+            return carry, (v[:, :10], i[:, :10])
+        _, out = jax.lax.scan(one, 0, Q)
+        return out
+
+    @jax.jit
+    def grouped(Q, E, valid):
+        def one(carry, q):
+            v, i = grouped_topk_pallas(q, E, valid, k=C,
+                                       block_rows=BLOCK, group=GROUP)
+            return carry, (v[:, :10], i[:, :10])
+        _, out = jax.lax.scan(one, 0, Q)
+        return out
+
+    _, b_i = timed("base_approx", base, Q, E, valid)
+    _, g_i = timed("grouped", grouped, Q, E, valid)
+
+    def overlap(a, b):
+        a, b = a.reshape(-1, 10), b.reshape(-1, 10)
+        return np.mean([len(set(x) & set(y)) / 10 for x, y in zip(a, b)])
+
+    print(f"overlap grouped vs approx: {overlap(g_i, b_i):.3f}")
+
+
+if __name__ == "__main__":
+    main()

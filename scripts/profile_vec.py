@@ -1,0 +1,126 @@
+"""Vector-leg variants at bench shapes (1M x 768, B=256).
+
+  base_f32    : bf16 matmul -> f32 scores -> approx_max_k C   (production)
+  scores_bf16 : bf16 matmul -> bf16 scores -> approx_max_k    (half traffic)
+  mat192      : prefix-192 contiguous scan -> top 4C -> full-dim exact rerank
+  mat192_bf16 : same with bf16 prefix scores
+
+Also reports top-10 overlap vs the exact full-dim scan.
+Run: python scripts/profile_vec.py
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    N = int(os.environ.get("BENCH_N", 1_000_000))
+    D = int(os.environ.get("BENCH_D", 768))
+    B = int(os.environ.get("BENCH_B", 256))
+    ITERS = int(os.environ.get("BENCH_ITERS", 8))
+    D0 = int(os.environ.get("BENCH_D0", 192))
+    C = 32
+    RERANK = 4
+    N = ((N + 1023) // 1024) * 1024
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    E = jax.random.normal(ks[0], (N, D), dtype=jnp.bfloat16)
+    E = E / jnp.maximum(
+        jnp.linalg.norm(E.astype(jnp.float32), axis=1, keepdims=True), 1e-9
+    ).astype(jnp.bfloat16)
+    E0 = jnp.asarray(E[:, :D0])  # contiguous prefix copy
+    Q = jax.random.normal(ks[1], (ITERS, B, D), dtype=jnp.float32)
+    Q = Q / jnp.linalg.norm(Q, axis=-1, keepdims=True)
+
+    def timed(name, fn, *args):
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        t0 = time.perf_counter()
+        out = fn(*args)
+        r = [np.asarray(x) for x in jax.tree_util.tree_leaves(out)]
+        dt = time.perf_counter() - t0
+        print(f"{name:12s} {dt * 1e3 / ITERS:8.2f} ms/batch "
+              f"{ITERS * B / dt:10.0f} qps", flush=True)
+        return r
+
+    @jax.jit
+    def base_f32(Q, E):
+        def one(carry, q):
+            s = jnp.dot(q.astype(jnp.bfloat16), E.T, preferred_element_type=jnp.float32)
+            v, i = jax.lax.approx_max_k(s, C)
+            return carry, (v[:, :10], i[:, :10])
+        _, out = jax.lax.scan(one, 0, Q)
+        return out
+
+    @jax.jit
+    def scores_bf16(Q, E):
+        def one(carry, q):
+            s = jnp.dot(q.astype(jnp.bfloat16), E.T,
+                        preferred_element_type=jnp.bfloat16)
+            v, i = jax.lax.approx_max_k(s.astype(jnp.float32), C)
+            return carry, (v[:, :10], i[:, :10])
+        _, out = jax.lax.scan(one, 0, Q)
+        return out
+
+    def mat(E0_dtype_f32):
+        @jax.jit
+        def run(Q, E, E0):
+            def one(carry, q):
+                q0 = q[:, :D0].astype(jnp.bfloat16)
+                if E0_dtype_f32:
+                    s0 = jnp.dot(q0, E0.T, preferred_element_type=jnp.float32)
+                else:
+                    s0 = jnp.dot(q0, E0.T,
+                                 preferred_element_type=jnp.bfloat16
+                                 ).astype(jnp.float32)
+                cv, ci = jax.lax.approx_max_k(s0, C * RERANK)
+                cand = E[ci]                              # (B, 4C, D) row gather
+                full = jnp.einsum(
+                    "bd,bcd->bc", q.astype(jnp.bfloat16), cand,
+                    preferred_element_type=jnp.float32,
+                )
+                v, pos = jax.lax.top_k(full, C)
+                i = jnp.take_along_axis(ci, pos, axis=1)
+                return carry, (v[:, :10], i[:, :10])
+            _, out = jax.lax.scan(one, 0, Q)
+            return out
+        return run
+
+    @jax.jit
+    def exact(Q, E):
+        def one(carry, q):
+            s = jnp.dot(q.astype(jnp.bfloat16), E.T, preferred_element_type=jnp.float32)
+            v, i = jax.lax.top_k(s, 10)
+            return carry, (v, i)
+        _, out = jax.lax.scan(one, 0, Q)
+        return out
+
+    _, ex_i = timed("exact_topk", exact, Q, E)
+    _, b_i = timed("base_f32", base_f32, Q, E)
+    _, s_i = timed("scores_bf16", scores_bf16, Q, E)
+    _, m_i = timed("mat192", mat(True), Q, E, E0)
+    _, mb_i = timed("mat192_bf16", mat(False), Q, E, E0)
+
+    def overlap(a, b):
+        a, b = a.reshape(-1, 10), b.reshape(-1, 10)
+        return np.mean([len(set(x) & set(y)) / 10 for x, y in zip(a, b)])
+
+    print(f"overlap vs exact: base={overlap(b_i, ex_i):.3f} "
+          f"bf16={overlap(s_i, ex_i):.3f} mat192={overlap(m_i, ex_i):.3f} "
+          f"mat192_bf16={overlap(mb_i, ex_i):.3f}")
+
+
+if __name__ == "__main__":
+    main()

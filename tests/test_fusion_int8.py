@@ -88,3 +88,57 @@ def test_streaming_scan_matches_dense():
     np.testing.assert_array_equal(np.asarray(s_d), np.asarray(s_s))
     np.testing.assert_allclose(np.asarray(v_d), np.asarray(v_s), atol=1e-5)
     np.testing.assert_allclose(np.asarray(bm_d), np.asarray(bm_s), atol=1e-5)
+
+
+def test_topk_avg_chunk_agg():
+    """TOP_K_AVG / WEIGHTED_TOP_K_AVG chunk aggregation vs numpy oracle
+    (reference search_engine_config.h:287-294)."""
+    rng = np.random.default_rng(4)
+    rows, D, S, Nd, B = 96, 32, 128, 32, 3
+    # 3 chunks per doc
+    row2slot = np.repeat(np.arange(Nd), 3).astype(np.int32)
+    E = rng.standard_normal((rows, D)).astype(np.float32)
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    proj = jnp.asarray(
+        (rng.integers(0, 2, (S, D)) * 2 - 1) / np.sqrt(D), jnp.bfloat16
+    )
+    sketch = rng.standard_normal((B, S)).astype(np.float32)
+    # lexical leg off (weights) so the fused score is pure vector evidence
+    w = np.array([0.0, 1.0, 0.0, 0.0, 25.0, 1.0, 1.2, 12.0], np.float32)
+    tid = np.zeros((B, 4), np.int32)
+    tm = np.zeros((B, 4), np.float32)
+    W = 8
+    args = dict(
+        k=5, rrf_cand=16, window=W, num_slots=Nd,
+    )
+    bm = (jnp.full(W * 2, Nd, jnp.int32), jnp.zeros(W * 2),
+          jnp.zeros(2, jnp.int32), jnp.zeros(2, jnp.int32))
+
+    # oracle chunk scores
+    q = sketch.astype(np.float32) @ np.asarray(proj, np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    s = (q.astype(np.float32) @ E.T).reshape(B, Nd, 3)
+    s_sorted = -np.sort(-s, axis=2)
+
+    for mode, want_doc in (
+        ("topk_avg", (s_sorted[:, :, 0] + s_sorted[:, :, 1]) / 2),
+        ("weighted_topk_avg",
+         (s_sorted[:, :, 0] + 0.5 * s_sorted[:, :, 1]) / 1.5),
+    ):
+        vals, slots, _, vec_at = hybrid_query(
+            jnp.asarray(sketch), jnp.asarray(tid), jnp.asarray(tm), proj,
+            jnp.asarray(E, jnp.bfloat16), jnp.ones(rows),
+            jnp.asarray(row2slot), jnp.ones(rows), *bm,
+            jnp.ones(Nd), jnp.zeros(Nd), jnp.asarray(w),
+            chunk_agg=mode, **args,
+        )
+        slots = np.asarray(slots)
+        vec_at_np = np.asarray(vec_at)
+        for b in range(B):
+            order = np.argsort(-want_doc[b])[:5]
+            # bf16 matmul can flip near-ties vs the f32 oracle: require set
+            # agreement and per-doc aggregated values, not exact order
+            assert len(set(slots[b]) & set(order)) >= 4, (mode, b)
+            np.testing.assert_allclose(
+                vec_at_np[b], want_doc[b][slots[b]], atol=0.02, err_msg=mode
+            )

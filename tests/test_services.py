@@ -117,6 +117,16 @@ class TestSearchService:
         ctx = app.search.suggest_context("pasta tomato", limit=2)
         assert "pasta" in ctx and "===" in ctx
 
+    def test_path_tree_leg_boosts_matching_dirs(self, app):
+        """Identical content: the doc whose DIRECTORY matches a query token
+        wins (reference path-tree leg, pathTreeWeight=0.08)."""
+        body = b"identical body about configuration loading"
+        app.documents.add_bytes(body, "misc/one.md")
+        app.documents.add_bytes(body, "scheduler/two.md")
+        resp = app.search.search("scheduler configuration loading")
+        names = [h.name for h in resp.hits]
+        assert names.index("two.md") < names.index("one.md")
+
 
 class TestIndexingService:
     def test_add_directory(self, app, tmp_path):

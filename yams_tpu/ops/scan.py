@@ -163,6 +163,77 @@ def exact_topk_pallas(
     return out_v, out_i
 
 
+def _grouped_max_kernel(q_ref, block_ref, mask_ref, vals_ref, idx_ref, *, group):
+    """One corpus block: MXU scores + per-group max/argmax epilogue.
+
+    Emits one (value, global index) winner per `group` corpus rows — the
+    (B, N) score matrix never leaves VMEM. The host-side merge is a tiny
+    top-k over (B, N/group). Same contract as lax.approx_max_k's grouped
+    reduction, but fused with the matmul: HBM sees E once and (B, N/group)
+    out, instead of E + a 4-byte score per (query, row) both ways.
+    """
+    B = q_ref.shape[0]
+    BN = block_ref.shape[0]
+    s = jnp.dot(q_ref[:], block_ref[:].T, preferred_element_type=jnp.float32)
+    s = s + (mask_ref[:] - 1.0)[None, :] * 1e30
+    nsub = BN // group
+    s3 = s.reshape(B, nsub, group)
+    m = jnp.max(s3, axis=2)
+    # argmax via iota+mask (portable across Mosaic versions)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, nsub, group), 2)
+    am = jnp.max(jnp.where(s3 >= m[:, :, None], lane, -1), axis=2)
+    base = pl.program_id(0) * BN \
+        + jax.lax.broadcasted_iota(jnp.int32, (B, nsub), 1) * group
+    vals_ref[0, :, :] = m
+    idx_ref[0, :, :] = am + base
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_rows", "group", "interpret")
+)
+def grouped_topk_pallas(
+    queries: jax.Array,   # (B, D) f32/bf16
+    corpus: jax.Array,    # (N, D) bf16
+    valid: jax.Array,     # (N,) f32 (fold any shared doc mask in here)
+    k: int,
+    block_rows: int = 2048,
+    group: int = 256,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused scan returning approx top-k (grouped-winner semantics: at most
+    one hit per `group` consecutive rows, like lax.approx_max_k)."""
+    B, D = queries.shape
+    N, _ = corpus.shape
+    assert N % block_rows == 0 and block_rows % group == 0
+    G = N // block_rows
+    nsub = block_rows // group
+    qb = queries.astype(jnp.bfloat16)
+
+    vals, idx = pl.pallas_call(
+        functools.partial(_grouped_max_kernel, group=group),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((B, D), lambda i: (0, 0)),
+            pl.BlockSpec((block_rows, D), lambda i: (i, 0)),
+            pl.BlockSpec((block_rows,), lambda i: (i,)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, B, nsub), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, B, nsub), lambda i: (i, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((G, B, nsub), jnp.float32),
+            jax.ShapeDtypeStruct((G, B, nsub), jnp.int32),
+        ),
+        interpret=interpret,
+    )(qb, corpus.astype(jnp.bfloat16), valid)
+
+    cat_v = jnp.transpose(vals, (1, 0, 2)).reshape(B, G * nsub)
+    cat_i = jnp.transpose(idx, (1, 0, 2)).reshape(B, G * nsub)
+    out_v, pos = jax.lax.top_k(cat_v, k)
+    return out_v, jnp.take_along_axis(cat_i, pos, axis=1)
+
+
 def merge_topk(
     vals_list: list[jax.Array], idx_list: list[jax.Array], k: int
 ) -> tuple[jax.Array, jax.Array]:

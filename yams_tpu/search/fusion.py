@@ -196,6 +196,20 @@ def hybrid_query(
         )
         sdoc = jax.vmap(agg)(srow)[:, :num_slots]
         sdoc = jnp.where(sdoc > 0, sdoc, NEG)
+    elif chunk_agg in ("topk_avg", "weighted_topk_avg"):
+        # top-2 chunk scores per doc (reference TOP_K_AVG/WEIGHTED_TOP_K_AVG,
+        # search_engine_config.h:287-294): max + runner-up via a second
+        # segment-max with the per-doc max knocked out
+        def agg2(s):
+            m1 = jax.ops.segment_max(s, seg, num_segments=num_slots + 1)
+            m1_rows = m1[seg]
+            s2 = jnp.where(s >= m1_rows, NEG, s)
+            m2 = jax.ops.segment_max(s2, seg, num_segments=num_slots + 1)
+            m2 = jnp.where(m2 <= NEG / 2, m1, m2)  # single-chunk docs
+            if chunk_agg == "topk_avg":
+                return (m1 + m2) * 0.5
+            return (m1 + 0.5 * m2) / 1.5
+        sdoc = jax.vmap(agg2)(srow)[:, :num_slots]
     else:  # max (default)
         agg = lambda s: jax.ops.segment_max(s, seg, num_segments=num_slots + 1)
         sdoc = jax.vmap(agg)(srow)[:, :num_slots]

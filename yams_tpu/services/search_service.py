@@ -118,6 +118,14 @@ class SearchService:
             results = self.app.search_engine.search(
                 query, k=limit, mode=mode, filter_doc_ids=filter_ids
             )
+            # path-tree evidence leg (reference: search_engine.cpp:5101,
+            # pathTreeWeight=0.08): query tokens matching path SEGMENTS boost
+            # the fused score — distinct from the filename boost already
+            # folded into the lexical title column
+            from ..embed.simeon import tokenize as _tok
+
+            q_toks = set(_tok(query))
+            pt_w = self.app.search_engine.config.path_tree_weight
             for r in results:
                 try:
                     doc = md.get_document(r.doc_id)
@@ -126,12 +134,20 @@ class SearchService:
                 snippet = ""
                 if with_snippets:
                     snippet = self._snippet(r.doc_id, query)
+                score = r.score
+                if q_toks and pt_w > 0:
+                    segs = [s for s in doc.file_path.lower().split("/") if s]
+                    seg_toks = {t for s in segs[:-1] for t in _tok(s)}
+                    overlap = len(q_toks & seg_toks)
+                    if overlap:
+                        score += pt_w * min(1.0, overlap / len(q_toks))
                 hits.append(SearchHit(
-                    document_id=r.doc_id, score=r.score, path=doc.file_path,
+                    document_id=r.doc_id, score=score, path=doc.file_path,
                     name=doc.file_name, title=r.title or doc.file_name,
                     snippet=snippet, text_score=r.text_score,
                     vector_score=r.vector_score, kg_score=r.kg_score,
                 ))
+            hits.sort(key=lambda h: -h.score)
             if not hits and fuzzy_retry:
                 # zero hits: symspell-correct against the lexical vocab and
                 # retry once (reference: symspell fuzzy fallback)

@@ -89,6 +89,26 @@ class TestExactScan:
         ])
         assert overlap > 0.95
 
+    def test_grouped_pallas_overlap_and_mask(self):
+        """grouped_topk_pallas: approx_max_k-style grouped winners — high
+        overlap with exact at realistic group counts; masked rows excluded."""
+        from yams_tpu.ops.scan import grouped_topk_pallas
+
+        e, q = _corpus(4096, 64, seed=6), _queries(8, 64, seed=7)
+        valid = np.ones(4096, np.float32)
+        valid[:1024] = 0.0
+        interp = jax.default_backend() == "cpu"
+        gv, gi = grouped_topk_pallas(
+            jnp.array(q), jnp.array(e), jnp.array(valid), k=8,
+            block_rows=1024, group=128, interpret=interp,
+        )
+        sv, si = exact_topk_scan(jnp.array(q), jnp.array(e), jnp.array(valid),
+                                 k=8, block_rows=1024)
+        gi, si = np.asarray(gi), np.asarray(si)
+        assert np.all(gi >= 1024)  # masked rows never surface
+        overlap = np.mean([len(set(gi[i]) & set(si[i])) / 8 for i in range(8)])
+        assert overlap >= 0.6  # grouped winners: 24 live groups, k=8
+
     def test_merge_topk(self):
         v1 = jnp.array([[3.0, 1.0]])
         i1 = jnp.array([[10, 11]])

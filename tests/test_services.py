@@ -191,6 +191,22 @@ class TestGraphService:
         assert node["documents"]
         assert any(nb["relation"] == "cooccurs" for nb in node["neighbors"])
 
+    def test_impact_and_trace(self, app):
+        """GraphScope-style impact/trace queries over the KG."""
+        t1 = "AlphaModule drives BetaModule. AlphaModule owns the AlphaState."
+        t2 = "BetaModule renders via GammaWidget. BetaModule schedules work."
+        t3 = "GammaWidget paints pixels. GammaWidget uses DeltaBuffer."
+        for name, text in (("a.md", t1), ("b.md", t2), ("c.md", t3)):
+            r = app.documents.add_bytes(text.encode(), name)
+            app.graph.index_document(r.document_id, text)
+        imp = app.graph.impact("a.md", hops=2)
+        assert any("b.md" in d["path"] for d in imp)
+        path = app.graph.trace("a.md", "c.md")
+        assert path is not None and len(path) >= 1
+        # unconnected doc: no trace
+        app.documents.add_bytes(b"totally unrelated prose words", "z.md")
+        assert app.graph.trace("a.md", "z.md") is None
+
     def test_index_pending_and_related(self, app):
         t1 = "SharedWidget drives the MainPanel rendering. SharedWidget owns state."
         t2 = "The MainPanel layout uses SharedWidget for all controls."

@@ -151,5 +151,77 @@ class GraphService:
                 pass
         return out
 
+    def impact(self, selector: str, hops: int = 2, limit: int = 25) -> list[dict]:
+        """Docs transitively reachable from this doc's entities/symbols —
+        "what is affected if this changes" (reference GraphScope impact
+        queries, ipc_protocol_requests.h GraphExplore family)."""
+        doc = self.app.documents.get(selector)
+        kg = self.app.kg
+        frontier = {nid for nid, _, _ in kg.entities_for_document(doc.id)}
+        seen_nodes = set(frontier)
+        support: dict[int, float] = {}
+        decay = 1.0
+        for _ in range(max(hops, 1)):
+            nxt: set[int] = set()
+            for nid in frontier:
+                for doc_id, conf in kg.documents_for_node(nid, limit=50):
+                    if doc_id != doc.id:
+                        support[doc_id] = support.get(doc_id, 0.0) + conf * decay
+                for nbr, _rel, w in kg.neighbors(nid, limit=25):
+                    if nbr not in seen_nodes:
+                        seen_nodes.add(nbr)
+                        nxt.add(nbr)
+            frontier = nxt
+            decay *= 0.5
+            if not frontier:
+                break
+        out = []
+        for doc_id, s in sorted(support.items(), key=lambda kv: -kv[1])[:limit]:
+            try:
+                out.append({"path": self.app.metadata.get_document(doc_id).file_path,
+                            "impact": round(s, 4)})
+            except Exception:
+                pass
+        return out
+
+    def trace(self, from_selector: str, to_selector: str,
+              max_hops: int = 6) -> list[str] | None:
+        """Shortest entity path connecting two documents (BFS over KG edges);
+        None when unconnected within max_hops."""
+        kg = self.app.kg
+        a = self.app.documents.get(from_selector)
+        b = self.app.documents.get(to_selector)
+        starts = {nid for nid, _, _ in kg.entities_for_document(a.id)}
+        goals = {nid for nid, _, _ in kg.entities_for_document(b.id)}
+        if not starts or not goals:
+            return None
+        hit = starts & goals
+        if hit:
+            n = kg.get_node(next(iter(hit)))
+            return [n["label"]] if n else None
+        prev: dict[int, int | None] = {n: None for n in starts}
+        frontier = set(starts)
+        for _ in range(max_hops):
+            nxt: set[int] = set()
+            for nid in frontier:
+                for nbr, _rel, _w in kg.neighbors(nid, limit=50):
+                    if nbr in prev:
+                        continue
+                    prev[nbr] = nid
+                    if nbr in goals:
+                        path = [nbr]
+                        while prev[path[-1]] is not None:
+                            path.append(prev[path[-1]])
+                        labels = []
+                        for x in reversed(path):
+                            node = kg.get_node(x)
+                            labels.append(node["label"] if node else str(x))
+                        return labels
+                    nxt.add(nbr)
+            frontier = nxt
+            if not frontier:
+                break
+        return None
+
     def stats(self) -> dict:
         return {"nodes": self.app.kg.node_count(), "edges": self.app.kg.edge_count()}

@@ -260,6 +260,20 @@ class TestCli:
         code, out = self._run(tmp_path, "doctor")
         assert "metadata_db" in out
 
+    def test_graph_impact_trace_cli(self, tmp_path):
+        f1 = tmp_path / "a.md"
+        f1.write_text("AlphaCore feeds BetaSink. AlphaCore owns AlphaState.")
+        f2 = tmp_path / "b.md"
+        f2.write_text("BetaSink drains into the GammaPool. BetaSink buffers.")
+        self._run(tmp_path, "add", str(f1))
+        self._run(tmp_path, "add", str(f2))
+        code, _ = self._run(tmp_path, "graph", "build")
+        assert code == 0
+        code, out = self._run(tmp_path, "graph", "impact", "a.md")
+        assert code == 0 and "b.md" in out
+        code, out = self._run(tmp_path, "graph", "trace", "a.md", "b.md")
+        assert code == 0 and "->" in out or "BetaSink" in out
+
     def test_config_dump(self, tmp_path):
         code, out = self._run(tmp_path, "config")
         assert json.loads(out)["embedding"]["profile"] == "fixed_hash_384"

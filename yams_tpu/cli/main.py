@@ -293,6 +293,13 @@ def cmd_graph(cli: Cli):
         cli.out(out, lambda o: [
             print(f"{r['path']}:{r['line']}  {r['kind']} {r['name']}") for r in o
         ])
+    elif a.graph_cmd == "impact":
+        out = cli.app.graph.impact(a.query, hops=a.hops, limit=a.limit)
+        cli.out(out, lambda o: [print(f"{r['impact']:.3f}  {r['path']}") for r in o])
+    elif a.graph_cmd == "trace":
+        out = cli.app.graph.trace(a.query, a.to)
+        cli.out({"path": out}, lambda o: print(
+            " -> ".join(o["path"]) if o["path"] else "no connection"))
     elif a.graph_cmd == "build":
         n = cli.app.graph.index_pending()
         cli.out({"indexed": n}, lambda o: print(f"indexed {o['indexed']} documents"))
@@ -605,6 +612,8 @@ def build_parser() -> argparse.ArgumentParser:
     g = gsub.add_parser("explore"); g.add_argument("query"); g.add_argument("--limit", type=int, default=25)
     g = gsub.add_parser("related"); g.add_argument("query"); g.add_argument("--limit", type=int, default=20)
     g = gsub.add_parser("symbol"); g.add_argument("query"); g.add_argument("--limit", type=int, default=50)
+    g = gsub.add_parser("impact"); g.add_argument("query"); g.add_argument("--hops", type=int, default=2); g.add_argument("--limit", type=int, default=25)
+    g = gsub.add_parser("trace"); g.add_argument("query"); g.add_argument("to")
     gsub.add_parser("build")
     gsub.add_parser("stats")
     sp.set_defaults(fn=cmd_graph)

@@ -282,6 +282,14 @@ class YamsDaemon:
     def handle_graph_explore(self, req):
         return self.app.graph.explore(req["query"], limit=req.get("limit", 25))
 
+    def handle_graph_impact(self, req):
+        return {"impact": self.app.graph.impact(
+            req["selector"], hops=req.get("hops", 2),
+            limit=req.get("limit", 25))}
+
+    def handle_graph_trace(self, req):
+        return {"path": self.app.graph.trace(req["from"], req["to"])}
+
     def handle_graph_related(self, req):
         return {"related": self.app.graph.related(req["selector"],
                                                   limit=req.get("limit", 20))}

@@ -118,6 +118,18 @@ class MCPServer:
             self.t_graph_related,
         )
         self._register(
+            _tool("graph_impact",
+                  "Documents transitively affected by changes to a document",
+                  {"selector": S, "hops": I, "limit": I}, ["selector"]),
+            self.t_graph_impact,
+        )
+        self._register(
+            _tool("graph_trace",
+                  "Shortest entity path connecting two documents",
+                  {"from": S, "to": S}, ["from", "to"]),
+            self.t_graph_trace,
+        )
+        self._register(
             _tool("session_pin", "Pin a path pattern into the active session",
                   {"pattern": S, "session": S}, ["pattern"]),
             self.t_session_pin,
@@ -263,6 +275,13 @@ class MCPServer:
 
     def t_graph(self, a):
         return self.app.graph.explore(a["query"], limit=a.get("limit", 25))
+
+    def t_graph_impact(self, a):
+        return {"impact": self.app.graph.impact(
+            a["selector"], hops=a.get("hops", 2), limit=a.get("limit", 25))}
+
+    def t_graph_trace(self, a):
+        return {"path": self.app.graph.trace(a["from"], a["to"])}
 
     def t_graph_related(self, a):
         return {"related": self.app.graph.related(a["selector"],

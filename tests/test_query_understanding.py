@@ -67,6 +67,51 @@ class TestExpansion:
         assert "preemption" in exp or "latency" in exp
         assert "scheduler" not in exp  # query terms excluded
 
+    def test_prf_pmi_prefers_rare_terms(self):
+        """With corpus stats, PMI ranks corpus-rare feedback terms above
+        corpus-common ones (Simeon PMI concept-mining tier)."""
+        docs = [
+            "preemption common_word dominates wakeups",
+            "preemption common_word tuning latency",
+        ]
+        gdf = {"preemption": 3, "common_word": 900, "latency": 20,
+               "wakeups": 10, "tuning": 15, "dominates": 12}
+        exp = prf_expansion("scheduler", docs, max_terms=2, min_df=1,
+                            global_df=gdf, n_docs=1000)
+        assert exp[0] == "preemption"
+        assert "common_word" not in exp
+
+    def test_intent_weight_multipliers(self):
+        from yams_tpu.search.query import intent_weight_multipliers
+
+        tn, vn = intent_weight_multipliers("navigational")
+        tq, vq = intent_weight_multipliers("question")
+        assert tn > 1.0 > vn          # exact-term intent leans lexical
+        assert vq > 1.0 > tq          # semantic intent leans dense
+        assert intent_weight_multipliers("unknown") == (1.0, 1.0)
+
+    def test_engine_intent_weighting_changes_ranking(self):
+        from yams_tpu.core.config import (
+            EmbeddingConfig, LexicalIndexConfig, VectorIndexConfig,
+        )
+        from yams_tpu.search import SearchEngine, SearchEngineConfig
+
+        eng = SearchEngine(
+            config=SearchEngineConfig(batch_pad=4),
+            embedding=EmbeddingConfig(dim=64, sketch_dim=512),
+            vector=VectorIndexConfig(dim=64, capacity=256, block_rows=128),
+            lexical=LexicalIndexConfig(postings_window=64),
+        )
+        for i in range(20):
+            eng.add_document(i, f"doc {i} about topic {'xy'[i % 2]}")
+        r_nav = eng.search("topic x doc", k=5, intent="navigational")
+        r_q = eng.search("topic x doc", k=5, intent="question")
+        assert r_nav and r_q
+        # same leg scores, different fused weighting
+        assert eng.last_trace.get("intent") == "question"
+        nav_text_share = r_nav[0].text_score
+        assert nav_text_share >= r_q[0].text_score - 1e-6
+
 
 class TestMinhash:
     def test_identical_texts(self):

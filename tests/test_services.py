@@ -117,6 +117,28 @@ class TestSearchService:
         ctx = app.search.suggest_context("pasta tomato", limit=2)
         assert "pasta" in ctx and "===" in ctx
 
+    def test_prf_expansion_recovers_synonym_docs(self, app):
+        """Opt-in PRF: a weak query expands with feedback terms and pulls in
+        docs that share them (reference enableLexicalExpansion)."""
+        app.documents.add_bytes(
+            b"the preemption engine handles scheduler wakeups", "p1.md")
+        app.documents.add_bytes(
+            b"scheduler wakeups preemption counters measured", "p0.md")
+        app.documents.add_bytes(
+            b"preemption latency tuning for realtime workloads", "p2.md")
+        app.search_engine = self.app.search_engine  # alias
+        self.app.search_engine.config.enable_prf_expansion = True
+        self.app.search_engine.config.prf_min_lexical_hits = 4
+        try:
+            resp = self.app.search.search("scheduler wakeups", limit=6)
+            names = {h.name for h in resp.hits}
+            assert "p1.md" in names
+            # p2 shares only the PRF term "preemption" with the feedback set
+            assert "p2.md" in names
+            assert next(h for h in resp.hits if h.name == "p2.md").text_score > 0
+        finally:
+            self.app.search_engine.config.enable_prf_expansion = False
+
     def test_path_tree_leg_boosts_matching_dirs(self, app):
         """Identical content: the doc whose DIRECTORY matches a query token
         wins (reference path-tree leg, pathTreeWeight=0.08)."""

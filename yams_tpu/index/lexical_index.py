@@ -295,5 +295,18 @@ class LexicalIndex:
         idx._dirty = True
         return idx
 
+    def df_view(self):
+        """dict-like term -> document frequency (for PMI-ranked PRF)."""
+        idx = self
+
+        class _Df:
+            def get(self, term, default=0):
+                tid = idx._vocab.get(term)
+                if tid is None:
+                    return default
+                return len(idx._postings.get(tid, {})) or default
+
+        return _Df()
+
     def stats(self) -> dict:
         return {"docs": len(self._docs), "vocab": len(self._vocab)}

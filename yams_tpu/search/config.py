@@ -16,6 +16,14 @@ import dataclasses
 class SearchEngineConfig:
     text_weight: float = 0.70
     vector_weight: float = 0.30
+    # intent-adaptive leg weighting (reference enableIntentAdaptiveWeighting,
+    # on by default) — applied when the caller supplies a classified intent
+    intent_adaptive: bool = True
+    # PRF lexical expansion on weak result sets (reference
+    # enableLexicalExpansion — OFF by default there too;
+    # lexicalExpansionMinHits=3 is the weakness trigger)
+    enable_prf_expansion: bool = False
+    prf_min_lexical_hits: int = 3
     kg_weight: float = 0.04
     path_tree_weight: float = 0.08
     entity_vector_weight: float = 0.05

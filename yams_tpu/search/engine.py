@@ -193,8 +193,9 @@ class SearchEngine:
         k: int = 10,
         mode: str = "hybrid",          # hybrid | keyword | vector
         filter_doc_ids: set[int] | None = None,
+        intent: str | None = None,
     ) -> list[SearchResult]:
-        return self.search_batch([query], k, mode, filter_doc_ids)[0]
+        return self.search_batch([query], k, mode, filter_doc_ids, intent)[0]
 
     def search_batch(
         self,
@@ -202,6 +203,7 @@ class SearchEngine:
         k: int = 10,
         mode: str = "hybrid",
         filter_doc_ids: set[int] | None = None,
+        intent: str | None = None,
     ) -> list[list[SearchResult]]:
         t0 = time.monotonic()
         trace: dict = {"query_count": len(queries), "mode": mode, "stages": {}}
@@ -239,6 +241,15 @@ class SearchEngine:
             w = w.copy(); w[1] = 0.0  # W_VEC
         elif mode == "vector":
             w = w.copy(); w[0] = 0.0  # W_TEXT
+        elif intent is not None and cfg.intent_adaptive:
+            # intent-adaptive leg weighting (reference default-on,
+            # search_engine_config.h enableIntentAdaptiveWeighting) — rides
+            # the traced weight vector, no recompile
+            from .query import intent_weight_multipliers
+
+            tm, vm = intent_weight_multipliers(intent)
+            w = w.copy(); w[0] *= tm; w[1] *= vm
+            trace["intent"] = intent
 
         E, row_valid, row2slot, row_scale = self.vector_index.device_arrays()
         int8_corpus = self.vector_index.device_dtype == "int8"

@@ -96,6 +96,19 @@ def route_mode(intent: str) -> str:
     }[intent]
 
 
+def intent_weight_multipliers(intent: str) -> tuple[float, float]:
+    """(text_mult, vector_mult) per intent — the reference's
+    enableIntentAdaptiveWeighting (search_engine_config.h:295, on by
+    default): exact-term intents lean lexical, semantic intents lean dense.
+    Multipliers ride the traced weight vector, so this never recompiles."""
+    return {
+        "navigational": (1.3, 0.7),
+        "lookup": (1.15, 0.9),
+        "conceptual": (0.9, 1.2),
+        "question": (0.85, 1.3),
+    }.get(intent, (1.0, 1.0))
+
+
 # -- symspell-style fuzzy correction ---------------------------------------------
 
 def _deletes(word: str, depth: int = 1) -> set[str]:
@@ -160,20 +173,33 @@ def prf_expansion(
     top_doc_texts: list[str],
     max_terms: int = 4,
     min_df: int = 2,
+    global_df: dict[str, int] | None = None,
+    n_docs: int = 0,
 ) -> list[str]:
-    """Pseudo-relevance feedback: frequent informative terms from the top
-    results, absent from the query (Simeon PRF analog)."""
+    """Pseudo-relevance feedback: informative terms from the top results,
+    absent from the query (Simeon PRF analog).
+
+    With corpus statistics (global_df + n_docs), candidates rank by PMI —
+    log of feedback-set frequency over corpus frequency (the Simeon
+    PMI/concept-mining tier); without, by raw feedback frequency."""
     qset = set(tokenize(query))
+    k = max(len(top_doc_texts), 1)
     df: Counter[str] = Counter()
     for text in top_doc_texts:
         df.update(set(tokenize(text, 512)))
-    out = []
-    for term, n in df.most_common(64):
-        if n >= min_df and term not in qset and len(term) > 3:
-            out.append(term)
-            if len(out) >= max_terms:
-                break
-    return out
+    cands = [
+        (term, n) for term, n in df.most_common(128)
+        if n >= min_df and term not in qset and len(term) > 3
+    ]
+    if global_df and n_docs > 0:
+        import math
+
+        def pmi(term, n):
+            g = max(global_df.get(term, n), 1)
+            return math.log((n / k) / (g / n_docs))
+
+        cands.sort(key=lambda tn: -pmi(*tn))
+    return [t for t, _ in cands[:max_terms]]
 
 
 def build_routing_plan(query: str, vocab: dict[str, int] | None = None,

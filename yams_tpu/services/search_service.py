@@ -87,6 +87,7 @@ class SearchService:
             collection = collection or pq.collection
             if pq.search_type:
                 search_type = pq.search_type
+        intent: str | None = None
         if search_type == "auto":
             # intent routing (reference: buildSearchRoutingPlan)
             from ..search.query import build_routing_plan
@@ -94,6 +95,7 @@ class SearchService:
             plan = build_routing_plan(query)
             search_type = plan.mode
             query = plan.corrected_query
+            intent = plan.intent
         filter_ids = self._filter_doc_ids(tags, path_glob, collection)
         hits: list[SearchHit] = []
 
@@ -116,7 +118,8 @@ class SearchService:
             mode = {"semantic": "vector", "vector": "vector",
                     "keyword": "keyword"}.get(search_type, "hybrid")
             results = self.app.search_engine.search(
-                query, k=limit, mode=mode, filter_doc_ids=filter_ids
+                query, k=limit, mode=mode, filter_doc_ids=filter_ids,
+                intent=intent,
             )
             # path-tree evidence leg (reference: search_engine.cpp:5101,
             # pathTreeWeight=0.08): query tokens matching path SEGMENTS boost
@@ -148,6 +151,30 @@ class SearchService:
                     vector_score=r.vector_score, kg_score=r.kg_score,
                 ))
             hits.sort(key=lambda h: -h.score)
+            eng_cfg = self.app.search_engine.config
+            lexical_hits = sum(1 for h in hits if h.text_score > 0)
+            if (eng_cfg.enable_prf_expansion and fuzzy_retry and hits
+                    and lexical_hits < eng_cfg.prf_min_lexical_hits
+                    and search_type == "hybrid"):
+                # PMI-ranked pseudo-relevance feedback: expand with terms the
+                # top hits share but the corpus doesn't (opt-in, reference
+                # enableLexicalExpansion)
+                from ..search.query import prf_expansion
+
+                lex = self.app.search_engine.lexical_index
+                texts = []
+                for h in hits[:3]:
+                    t = self.app.metadata.get_content(h.document_id) or ""
+                    if t:
+                        texts.append(t[:4000])
+                exp = prf_expansion(query, texts, global_df=lex.df_view(),
+                                    n_docs=max(lex.doc_count, 1))
+                if exp:
+                    return self.search(
+                        query + " " + " ".join(exp), limit, search_type,
+                        tags, path_glob, collection, with_snippets,
+                        fuzzy_retry=False,
+                    )
             if not hits and fuzzy_retry:
                 # zero hits: symspell-correct against the lexical vocab and
                 # retry once (reference: symspell fuzzy fallback)

@@ -222,6 +222,21 @@ class TestSearchEngine:
         res = eng.search("ingest pipeline queue", k=2)
         assert all(r.kg_score == 0 for r in res)
 
+    def test_multi_vector_expanded_search(self, engine):
+        """search_expanded merges variant results: the expansion variant
+        surfaces docs the main query misses, at a discounted score."""
+        engine.add_document(10, "preemption counters for realtime kernels",
+                            "preempt")
+        main_only = [r.doc_id for r in engine.search("pasta tomato", k=3)]
+        merged = engine.search_expanded("pasta tomato",
+                                        ["preemption realtime"], k=5)
+        ids = [r.doc_id for r in merged]
+        assert set(main_only[:1]) <= set(ids)     # main query's top doc kept
+        assert 10 in ids                          # expansion-found doc merged
+        top_main = next(r for r in merged if r.doc_id == main_only[0])
+        exp_doc = next(r for r in merged if r.doc_id == 10)
+        assert top_main.score > exp_doc.score * 0.99  # penalty applied
+
     def test_stats(self, engine):
         engine.search("x", k=1)
         s = engine.stats()

@@ -24,6 +24,9 @@ class SearchEngineConfig:
     # lexicalExpansionMinHits=3 is the weakness trigger)
     enable_prf_expansion: bool = False
     prf_min_lexical_hits: int = 3
+    # multi-vector queries: expansion-variant results merge at this discount
+    # (reference lexicalExpansionScorePenalty = 0.65)
+    expansion_score_penalty: float = 0.65
     kg_weight: float = 0.04
     path_tree_weight: float = 0.08
     entity_vector_weight: float = 0.05

@@ -197,6 +197,37 @@ class SearchEngine:
     ) -> list[SearchResult]:
         return self.search_batch([query], k, mode, filter_doc_ids, intent)[0]
 
+    def search_expanded(
+        self,
+        query: str,
+        expansions: list[str],
+        k: int = 10,
+        mode: str = "hybrid",
+        filter_doc_ids: set[int] | None = None,
+        intent: str | None = None,
+    ) -> list[SearchResult]:
+        """Multi-vector query (reference: multi-vector queries,
+        search_engine_config.h:296): the query and its expansion variants run
+        as rows of ONE batched device program (they usually fit inside the
+        padding the batch would get anyway), then merge per doc — max over
+        variants, expansions discounted by expansion_score_penalty (the
+        reference's lexicalExpansionScorePenalty)."""
+        variants = [query] + [e for e in expansions if e][:7]
+        per_variant = self.search_batch(
+            variants, k=k, mode=mode, filter_doc_ids=filter_doc_ids,
+            intent=intent,
+        )
+        pen = self.config.expansion_score_penalty
+        best: dict[int, SearchResult] = {}
+        for vi, results in enumerate(per_variant):
+            scale = 1.0 if vi == 0 else pen
+            for r in results:
+                scaled = dataclasses.replace(r, score=r.score * scale)
+                cur = best.get(r.doc_id)
+                if cur is None or scaled.score > cur.score:
+                    best[r.doc_id] = scaled
+        return sorted(best.values(), key=lambda r: -r.score)[:k]
+
     def search_batch(
         self,
         queries: list[str],

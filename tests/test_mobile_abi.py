@@ -69,6 +69,20 @@ def mobile():
     ]
     lib.yams_mobile_get_text.restype = ctypes.c_void_p
     lib.yams_mobile_get_text.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    for fn, argtypes in (
+        ("yams_mobile_update_metadata",
+         [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]),
+        ("yams_mobile_graph_explore",
+         [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]),
+        ("yams_mobile_suggest_context",
+         [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]),
+        ("yams_mobile_session", [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p]),
+        ("yams_mobile_repair", [ctypes.c_void_p, ctypes.c_char_p]),
+        ("yams_mobile_doctor", [ctypes.c_void_p]),
+        ("yams_mobile_embed", [ctypes.c_void_p, ctypes.c_char_p]),
+    ):
+        getattr(lib, fn).restype = ctypes.c_void_p
+        getattr(lib, fn).argtypes = argtypes
     return lib
 
 
@@ -112,6 +126,47 @@ class TestMobileAbi:
                 h, json.dumps({"type": "grep", "pattern": "ABI"}).encode()
             ))
             assert resp["ok"] and resp["result"]["files_matched"] == 1
+        finally:
+            mobile.yams_mobile_disconnect(h)
+
+    def test_extended_surface(self, daemon, mobile):
+        h = mobile.yams_mobile_connect(str(daemon.socket_path).encode())
+        assert h
+        try:
+            _take(mobile, mobile.yams_mobile_add_text(
+                h, b"ext/AlphaWidget.md",
+                b"AlphaWidget renders the MainPanel with AlphaWidget state"
+            ))
+            resp = _take(mobile, mobile.yams_mobile_update_metadata(
+                h, b"AlphaWidget.md", b"team", b"ui"
+            ))
+            assert resp["ok"] and resp["result"]["metadata"]["team"] == "ui"
+
+            resp = _take(mobile, mobile.yams_mobile_embed(h, b"alpha widget"))
+            assert resp["ok"] and resp["result"]["dim"] == 64
+
+            resp = _take(mobile, mobile.yams_mobile_doctor(h))
+            assert resp["ok"]
+
+            resp = _take(mobile, mobile.yams_mobile_repair(h, b"fts5,orphans"))
+            assert resp["ok"]
+
+            resp = _take(mobile, mobile.yams_mobile_session(h, b"list", None))
+            assert resp["ok"]
+
+            resp = _take(mobile, mobile.yams_mobile_suggest_context(
+                h, b"alpha widget", 2
+            ))
+            assert resp["ok"] and "AlphaWidget" in resp["result"]["context"]
+
+            # KG built by the post-ingest queue: wait for it, then explore
+            _take(mobile, mobile.yams_mobile_request(
+                h, json.dumps({"type": "queue", "op": "wait_idle"}).encode()
+            ))
+            resp = _take(mobile, mobile.yams_mobile_graph_explore(
+                h, b"alphawidget", 5
+            ))
+            assert resp["ok"]
         finally:
             mobile.yams_mobile_disconnect(h)
 

@@ -237,4 +237,86 @@ char* yams_mobile_list(void* handle, int limit) {
     return yams_mobile_request(handle, req.c_str());
 }
 
+char* yams_mobile_update_metadata(void* handle, const char* selector,
+                                  const char* key, const char* value) {
+    std::string req = "{\"type\":\"update\",\"selector\":\"" +
+                      json_escape(selector) + "\",\"metadata\":{\"" +
+                      json_escape(key) + "\":\"" + json_escape(value) + "\"}}";
+    return yams_mobile_request(handle, req.c_str());
+}
+
+char* yams_mobile_graph_explore(void* handle, const char* query, int limit) {
+    std::string req = "{\"type\":\"graph_explore\",\"query\":\"" +
+                      json_escape(query) + "\",\"limit\":" +
+                      std::to_string(limit > 0 ? limit : 25) + "}";
+    return yams_mobile_request(handle, req.c_str());
+}
+
+char* yams_mobile_graph_related(void* handle, const char* selector, int limit) {
+    std::string req = "{\"type\":\"graph_related\",\"selector\":\"" +
+                      json_escape(selector) + "\",\"limit\":" +
+                      std::to_string(limit > 0 ? limit : 20) + "}";
+    return yams_mobile_request(handle, req.c_str());
+}
+
+char* yams_mobile_suggest_context(void* handle, const char* query, int limit) {
+    std::string req = "{\"type\":\"suggest_context\",\"query\":\"" +
+                      json_escape(query) + "\",\"limit\":" +
+                      std::to_string(limit > 0 ? limit : 5) + "}";
+    return yams_mobile_request(handle, req.c_str());
+}
+
+char* yams_mobile_session(void* handle, const char* op, const char* arg) {
+    std::string req = "{\"type\":\"session\",\"op\":\"" + json_escape(op) +
+                      "\"";
+    if (arg && *arg)
+        req += ",\"pattern\":\"" + std::string(json_escape(arg)) +
+               "\",\"name\":\"" + json_escape(arg) + "\"";
+    req += "}";
+    return yams_mobile_request(handle, req.c_str());
+}
+
+char* yams_mobile_repair(void* handle, const char* ops_csv) {
+    std::string req = "{\"type\":\"repair\",\"ops\":[";
+    if (ops_csv && *ops_csv) {
+        std::string cur;
+        bool first = true;
+        for (const char* p = ops_csv;; ++p) {
+            if (*p == ',' || *p == '\0') {
+                if (!cur.empty()) {
+                    if (!first) req += ",";
+                    req += "\"" + json_escape(cur.c_str()) + "\"";
+                    first = false;
+                    cur.clear();
+                }
+                if (*p == '\0') break;
+            } else {
+                cur += *p;
+            }
+        }
+    }
+    req += "]}";
+    return yams_mobile_request(handle, req.c_str());
+}
+
+char* yams_mobile_doctor(void* handle) {
+    return yams_mobile_request(handle, "{\"type\":\"doctor\"}");
+}
+
+char* yams_mobile_checkpoint(void* handle) {
+    return yams_mobile_request(handle, "{\"type\":\"checkpoint\"}");
+}
+
+char* yams_mobile_embed(void* handle, const char* text) {
+    std::string req = "{\"type\":\"embed\",\"texts\":[\"" + json_escape(text) +
+                      "\"]}";
+    return yams_mobile_request(handle, req.c_str());
+}
+
+char* yams_mobile_download(void* handle, const char* url) {
+    std::string req = "{\"type\":\"download\",\"url\":\"" + json_escape(url) +
+                      "\"}";
+    return yams_mobile_request(handle, req.c_str());
+}
+
 } // extern "C"

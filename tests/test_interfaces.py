@@ -192,6 +192,26 @@ class TestMCP:
         err, res = _tool(server, "delete_by_name", {"selector": "m.txt"})
         assert not err and res["deleted"]
 
+    def test_batch_tool(self, mcp):
+        """Code-mode tier: several tool calls in one round trip, per-step
+        errors recorded without aborting."""
+        app, server = mcp
+        err, res = _tool(server, "batch", {"steps": [
+            {"tool": "add", "arguments": {"content": "batched body text",
+                                          "name": "b.txt"}},
+            {"tool": "search", "arguments": {"query": "batched body"}},
+            {"tool": "bogus_tool", "arguments": {}},
+            {"tool": "batch", "arguments": {"steps": []}},
+            {"tool": "get", "arguments": {"selector": "missing.txt"}},
+        ]})
+        assert not err
+        steps = res["steps"]
+        assert steps[0]["result"]["indexed"]
+        assert steps[1]["result"]["hits"][0]["name"] == "b.txt"
+        assert steps[2]["error"] == "unknown tool"
+        assert "nested" in steps[3]["error"]
+        assert "error" in steps[4]
+
     def test_tool_error_shape(self, mcp):
         app, server = mcp
         err, text = _tool(server, "get", {"selector": "nope.txt"})

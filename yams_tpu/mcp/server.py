@@ -63,6 +63,15 @@ class MCPServer:
             self.t_search,
         )
         self._register(
+            _tool("batch",
+                  "Run several tool calls in one round trip (code-mode tier: "
+                  "steps run in order; a step failure records an error and "
+                  "continues). steps: [{tool, arguments}]",
+                  {"steps": {"type": "array", "items": {"type": "object"}}},
+                  ["steps"]),
+            self.t_batch,
+        )
+        self._register(
             _tool("grep", "Regex/literal search over document contents",
                   {"pattern": S, "ignore_case": B, "path": S, "max_matches": I},
                   ["pattern"]),
@@ -275,6 +284,27 @@ class MCPServer:
 
     def t_graph(self, a):
         return self.app.graph.explore(a["query"], limit=a.get("limit", 25))
+
+    def t_batch(self, a):
+        """MCP code-mode tier (reference: mcp_code_mode.cpp): N tool calls,
+        one round trip. No control flow — sequencing only; errors are
+        recorded per-step rather than aborting the batch."""
+        out = []
+        for step in a["steps"][:32]:
+            name = step.get("tool", "")
+            if name == "batch":
+                out.append({"tool": name, "error": "nested batch not allowed"})
+                continue
+            entry = self._tools.get(name)
+            if entry is None:
+                out.append({"tool": name, "error": "unknown tool"})
+                continue
+            try:
+                out.append({"tool": name,
+                            "result": entry[1](step.get("arguments", {}))})
+            except Exception as e:
+                out.append({"tool": name, "error": str(e)})
+        return {"steps": out}
 
     def t_graph_impact(self, a):
         return {"impact": self.app.graph.impact(

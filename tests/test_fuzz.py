@@ -1,0 +1,225 @@
+"""Seeded fuzz-style robustness tests.
+
+The reference ships libFuzzer harnesses (tools/fuzzing/) for its frame
+parser and chunker; this is the deterministic-seed equivalent: hundreds of
+random/mutated inputs per run, asserting the no-crash + invariant contract.
+"""
+
+import os
+import socket as socketlib
+import struct
+
+import numpy as np
+import pytest
+
+from yams_tpu.daemon.protocol import FrameError, HEADER, MAGIC, decode_header
+from yams_tpu.core.config import ChunkingConfig
+from yams_tpu.ingest.chunker import (
+    FastCDCChunker,
+    _boundaries_numpy,
+    _boundaries_python,
+)
+from yams_tpu.ingest.compression import (
+    HEADER_SIZE,
+    CompressionHeader,
+    CorruptionError,
+    UnsupportedError,
+    compress_block,
+    decompress_block,
+)
+
+
+class TestFrameParserFuzz:
+    def test_random_headers_never_crash(self):
+        rng = np.random.default_rng(11)
+        for _ in range(500):
+            raw = rng.bytes(HEADER.size)
+            try:
+                decode_header(raw)
+            except FrameError:
+                pass  # rejection is the contract; crashing is not
+
+    def test_mutated_valid_headers(self):
+        """Flip bytes of a well-formed header: parser accepts or raises
+        FrameError, never anything else."""
+        rng = np.random.default_rng(12)
+        good = HEADER.pack(MAGIC, 1, 0, 0, 128, 0xDEADBEEF)
+        for _ in range(500):
+            b = bytearray(good)
+            for _ in range(int(rng.integers(1, 4))):
+                b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+            try:
+                length, flags = decode_header(bytes(b))
+                assert 0 <= length <= (256 << 20)
+            except FrameError:
+                pass
+
+    def test_oversize_length_rejected(self):
+        raw = HEADER.pack(MAGIC, 1, 0, 0, (1 << 31), 0)
+        with pytest.raises(FrameError):
+            decode_header(raw)
+
+
+class TestCompressionFuzz:
+    def test_random_blocks_never_crash(self):
+        rng = np.random.default_rng(21)
+        for _ in range(300):
+            blob = rng.bytes(int(rng.integers(0, 256)))
+            try:
+                decompress_block(blob)
+            except (CorruptionError, UnsupportedError):
+                pass
+
+    def test_mutated_valid_blocks(self):
+        """Corrupting any byte of a valid block must either roundtrip
+        exactly (mutation hit padding — impossible here) or raise cleanly."""
+        rng = np.random.default_rng(22)
+        payload = bytes(rng.bytes(512))
+        block = compress_block(payload, algorithm="zstd", level=3)
+        for _ in range(300):
+            b = bytearray(block)
+            b[int(rng.integers(0, len(b)))] ^= 1 + int(rng.integers(0, 255))
+            try:
+                out = decompress_block(bytes(b))
+                assert out == payload
+            except (CorruptionError, UnsupportedError):
+                pass
+
+    def test_header_roundtrip_fuzz(self):
+        rng = np.random.default_rng(23)
+        for _ in range(200):
+            raw = rng.bytes(HEADER_SIZE)
+            try:
+                CompressionHeader.unpack(raw)
+            except (CorruptionError, UnsupportedError):
+                pass
+
+
+class TestChunkerFuzz:
+    def test_invariants_on_random_inputs(self):
+        """For any input: boundaries strictly increasing, chunk sizes within
+        [min, max] (final chunk may undershoot min), concat == input —
+        across the native and numpy implementations."""
+        rng = np.random.default_rng(31)
+        ck = FastCDCChunker(ChunkingConfig(min_size=256, avg_size=1024,
+                                           max_size=4096))
+        for trial in range(40):
+            n = int(rng.integers(0, 8192))
+            # mix of random bytes, zeros, and repeated patterns
+            kind = trial % 3
+            if kind == 0:
+                data = rng.bytes(n)
+            elif kind == 1:
+                data = bytes(n)
+            else:
+                data = (b"abcdef" * (n // 6 + 1))[:n]
+            chunks = ck.chunk_bytes(data)
+            assert b"".join(c.data for c in chunks) == data
+            off = 0
+            for i, c in enumerate(chunks):
+                assert c.ref.offset == off
+                size = len(c.data)
+                assert size <= 4096
+                if i < len(chunks) - 1:
+                    assert size >= 256
+                off += size
+
+    def test_impl_agreement_on_fuzz_inputs(self):
+        rng = np.random.default_rng(32)
+        ck = FastCDCChunker(ChunkingConfig(min_size=256, avg_size=1024,
+                                           max_size=4096))
+        for _ in range(10):
+            data = rng.bytes(int(rng.integers(1, 4096)))
+            b_np = _boundaries_numpy(data, 256, 1024, 4096)
+            b_py = _boundaries_python(data, 256, 1024, 4096)
+            assert b_np == b_py
+
+
+class TestSocketGarbageFuzz:
+    def test_server_survives_garbage_connections(self, tmp_path):
+        """Raw garbage on the daemon socket: the connection drops, the
+        daemon keeps serving subsequent well-formed requests."""
+        import asyncio
+        import threading
+        import time
+
+        from test_services import small_config
+        from yams_tpu.daemon.client import DaemonClient
+        from yams_tpu.daemon.server import YamsDaemon
+
+        cfg = small_config(tmp_path / "data")
+        cfg.daemon.socket_path = str(tmp_path / "fz.sock")
+        d = YamsDaemon(cfg)
+        loop = asyncio.new_event_loop()
+
+        def runner():
+            asyncio.set_event_loop(loop)
+            loop.run_until_complete(d.run())
+
+        t = threading.Thread(target=runner, daemon=True)
+        t.start()
+        try:
+            for _ in range(200):
+                if cfg.socket_path.exists():
+                    break
+                time.sleep(0.05)
+            rng = np.random.default_rng(41)
+            for _ in range(25):
+                s = socketlib.socket(socketlib.AF_UNIX, socketlib.SOCK_STREAM)
+                s.connect(str(cfg.socket_path))
+                s.sendall(rng.bytes(int(rng.integers(1, 512))))
+                s.close()
+            # valid-magic header with garbage payload + wrong CRC
+            s = socketlib.socket(socketlib.AF_UNIX, socketlib.SOCK_STREAM)
+            s.connect(str(cfg.socket_path))
+            s.sendall(HEADER.pack(MAGIC, 1, 0, 0, 32, 0) + bytes(32))
+            s.close()
+            client = DaemonClient(cfg.socket_path)
+            assert client.ping(timeout=10.0)
+            client.shutdown()
+        finally:
+            t.join(timeout=20)
+
+
+class TestSanitizerBuild:
+    def test_ubsan_build_runs_clean(self, tmp_path):
+        """Build the native lib with -fsanitize=undefined and drive the
+        chunker + threaded ingest pipeline through it in a subprocess
+        (UBSAN_OPTIONS halt_on_error=1 turns any UB into a nonzero exit).
+        The reference's meson enable-ubsan/tsan/asan analog."""
+        import pathlib
+        import shutil
+        import subprocess
+        import sys
+
+        if shutil.which("g++") is None:
+            pytest.skip("no g++")
+        here = pathlib.Path(__file__).parent.parent
+        script = here / "yams_tpu" / "native" / "build_sanitized.sh"
+        out = tmp_path / "libyams_native.ubsan.so"
+        r = subprocess.run(["sh", str(script), "ubsan", str(out)],
+                           capture_output=True, timeout=180)
+        if r.returncode != 0:
+            pytest.skip(f"sanitizer toolchain unavailable: {r.stderr[:200]}")
+        code = (
+            "import os\n"
+            "import numpy as np\n"
+            "from yams_tpu import native\n"
+            "lib = native.get_native()\n"
+            "assert lib is not None\n"
+            "rng = np.random.default_rng(0)\n"
+            "data = rng.bytes(1 << 20)\n"
+            "b = native.fastcdc_boundaries(data, 4096, 16384, 65536)\n"
+            "assert b[-1] == len(data)\n"
+            "refs = native.ingest_pipeline(data, 4096, 16384, 65536,"
+            " level=1, threads=4)\n"
+            "assert len(refs) == len(b)\n"
+            "print('SAN_OK')\n"
+        )
+        env = dict(os.environ, YAMS_TPU_NATIVE_LIB=str(out),
+                   UBSAN_OPTIONS="halt_on_error=1")
+        r2 = subprocess.run([sys.executable, "-c", code], env=env,
+                            capture_output=True, timeout=180,
+                            cwd=str(here))
+        assert r2.returncode == 0, r2.stderr.decode()[:500]
+        assert b"SAN_OK" in r2.stdout

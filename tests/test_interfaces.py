@@ -87,7 +87,47 @@ class TestDaemon:
         cfg, client = daemon_app
         st = client.status(detailed=True)
         assert st["state"] == "ready"
+        assert st["degraded"] == {}
         assert st["documents"]["documents"] == 0
+
+    def test_degraded_state_on_contended_dir(self, tmp_path):
+        """A second writer on the data dir puts the daemon in DEGRADED:
+        it serves, and status names the impaired subsystem (reference:
+        DaemonLifecycleFsm Degraded + per-subsystem degraded flags)."""
+        import asyncio
+        import threading
+        import time as _time
+
+        from test_services import small_config
+        from yams_tpu.daemon.client import DaemonClient
+        from yams_tpu.daemon.server import YamsDaemon
+        from yams_tpu.services.app import AppContext
+
+        cfg = small_config(tmp_path / "data")
+        cfg.daemon.socket_path = str(tmp_path / "deg.sock")
+        holder = AppContext(small_config(tmp_path / "data"))  # holds the lock
+        d = YamsDaemon(cfg)
+        loop = asyncio.new_event_loop()
+
+        def runner():
+            asyncio.set_event_loop(loop)
+            loop.run_until_complete(d.run())
+
+        t = threading.Thread(target=runner, daemon=True)
+        t.start()
+        try:
+            for _ in range(200):
+                if cfg.socket_path.exists():
+                    break
+                _time.sleep(0.05)
+            client = DaemonClient(cfg.socket_path)
+            st = client.status()
+            assert st["state"] == "degraded"
+            assert "data_dir" in st["degraded"]
+            client.shutdown()
+        finally:
+            holder.close()
+            t.join(timeout=20)
 
     def test_full_flow_over_socket(self, daemon_app):
         cfg, client = daemon_app

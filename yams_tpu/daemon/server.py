@@ -42,6 +42,7 @@ class DaemonState:
     UNSTARTED = "unstarted"
     INITIALIZING = "initializing"
     READY = "ready"
+    DEGRADED = "degraded"   # serving, but a subsystem is impaired
     STOPPING = "stopping"
 
 
@@ -83,7 +84,23 @@ class YamsDaemon:
         if sock.exists():
             sock.unlink()
         self._server = await asyncio.start_unix_server(self._handle_conn, path=str(sock))
-        self.state = DaemonState.READY
+        # per-subsystem degraded flags (reference: DaemonLifecycleFsm Degraded
+        # state + ServiceManager degraded tracking): still serving, but status
+        # reports what's impaired and why
+        self.degraded: dict[str, str] = {}
+        if getattr(self.app, "salvage_report", None):
+            self.degraded["metadata"] = "database salvaged on open"
+        if self.app.lock_contended:
+            self.degraded["data_dir"] = "another writer holds the data dir"
+        from .. import native as _native
+
+        if _native.get_native() is None:
+            self.degraded["native"] = "C++ fast paths unavailable (pure-python tier)"
+        for name, h in self.plugins.health().items():
+            if isinstance(h, dict) and h.get("status") not in (None, "ok"):
+                self.degraded[f"plugin:{name}"] = str(
+                    h.get("reason") or h.get("status"))
+        self.state = DaemonState.DEGRADED if self.degraded else DaemonState.READY
 
     async def run(self) -> None:
         await self.start()
@@ -167,6 +184,7 @@ class YamsDaemon:
     def handle_status(self, req):
         snap = self.app.stats.snapshot(detailed=req.get("detailed", False))
         snap["state"] = self.state
+        snap["degraded"] = getattr(self, "degraded", {})
         snap["requests_handled"] = self._requests_handled
         snap["daemon_uptime_s"] = round(time.time() - self._started_at, 1)
         snap["post_ingest"] = self.post_ingest.snapshot()

@@ -51,6 +51,14 @@ def _load() -> ctypes.CDLL | None:
         _tried = True
         if os.environ.get("YAMS_TPU_NO_NATIVE"):
             return None
+        override = os.environ.get("YAMS_TPU_NATIVE_LIB")
+        if override:
+            # explicit library (e.g. a sanitizer build from build_sanitized.sh)
+            try:
+                _lib = ctypes.CDLL(override)
+                return _lib
+            except OSError:
+                return None
         newest_src = max(_SRC.stat().st_mtime, _SRC_MOBILE.stat().st_mtime,
                          _SRC_INGEST.stat().st_mtime)
         if not _LIB.exists() or _LIB.stat().st_mtime < newest_src:

@@ -1,0 +1,22 @@
+#!/bin/sh
+# Sanitizer builds of the native library (reference: meson enable-tsan/asan/
+# ubsan options + tsan.suppressions). Usage:
+#   ./build_sanitized.sh asan|tsan|ubsan [out.so]
+# Then point the loader at it:
+#   YAMS_TPU_NATIVE_LIB=$PWD/_build/libyams_native.<san>.so pytest tests/
+set -eu
+HERE="$(cd "$(dirname "$0")" && pwd)"
+SAN="${1:?usage: build_sanitized.sh asan|tsan|ubsan [out.so]}"
+case "$SAN" in
+  asan)  FLAGS="-fsanitize=address -fno-omit-frame-pointer" ;;
+  tsan)  FLAGS="-fsanitize=thread -fno-omit-frame-pointer" ;;
+  ubsan) FLAGS="-fsanitize=undefined -fno-omit-frame-pointer" ;;
+  *) echo "unknown sanitizer: $SAN" >&2; exit 2 ;;
+esac
+OUT="${2:-$HERE/_build/libyams_native.$SAN.so}"
+mkdir -p "$(dirname "$OUT")"
+g++ -O1 -g -std=c++17 -shared -fPIC $FLAGS \
+    "$HERE/src/yams_native.cpp" "$HERE/src/yams_mobile.cpp" \
+    "$HERE/src/ingest_pipeline.cpp" \
+    -lzstd -lpthread -o "$OUT"
+echo "built $OUT"

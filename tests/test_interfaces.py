@@ -338,6 +338,19 @@ class TestCli:
         code, out = self._run(tmp_path, "config")
         assert json.loads(out)["embedding"]["profile"] == "fixed_hash_384"
 
+    def test_tune_and_download_cli(self, tmp_path):
+        code, out = self._run(tmp_path, "--json", "tune")
+        assert code == 0
+        tuned = json.loads(out)
+        assert tuned["profile"] == "balanced"
+        assert "embed_batch_tokens" in tuned["knobs"]
+        src = tmp_path / "payload.txt"
+        src.write_text("downloaded body content")
+        code, out = self._run(tmp_path, "download", src.as_uri())
+        assert code == 0 and "downloaded" in out
+        code, out = self._run(tmp_path, "search", "downloaded body")
+        assert code == 0 and "payload" in out
+
 
 class TestMCPResourcesPrompts:
     def test_resources(self, mcp):

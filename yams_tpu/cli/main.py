@@ -449,6 +449,48 @@ def cmd_dedupe(cli: Cli):
     return 0
 
 
+def cmd_download(cli: Cli):
+    res = cli.app.downloads.download(
+        cli.args.url,
+        expected_sha256=cli.args.sha256 or "",
+        store=not cli.args.no_store,
+        tags=cli.args.tags.split(",") if cli.args.tags else None,
+    )
+    from dataclasses import asdict
+
+    cli.out(asdict(res), lambda o: print(
+        f"downloaded {o['url']} -> {o['sha256'][:16]} "
+        f"({o['bytes_downloaded']} bytes, doc={o['document_id']})"))
+    return 0
+
+
+def cmd_tune(cli: Cli):
+    """Runtime tuning: show the active TuneAdvisor profile + search-tuner
+    arm stats (reference: `yams tune` + TuningManager)."""
+    from ..daemon.components import TuneAdvisor
+
+    adv = TuneAdvisor()
+    out = {"profile": adv.profile,
+           "knobs": {k: adv.get(k) for k in adv.PROFILES[adv.profile]}}
+    eng = cli.app.search_engine
+    if eng.tuner is not None:
+        out["search_tuner"] = eng.tuner.snapshot()
+    out["engine_stats"] = {
+        k: v for k, v in eng.stats().items()
+        if k in ("searches", "avg_latency_ms", "topology_persistence")
+    }
+
+    def text(o):
+        print(f"profile: {o['profile']}")
+        for k, v in o["knobs"].items():
+            print(f"  {k}: {v}")
+        if "search_tuner" in o:
+            print(f"tuner: {o['search_tuner']}")
+
+    cli.out(out, text)
+    return 0
+
+
 def cmd_config(cli: Cli):
     import dataclasses
 
@@ -668,6 +710,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("dedupe", help="find near-duplicate documents")
     sp.add_argument("--threshold", type=float, default=0.8)
     sp.set_defaults(fn=cmd_dedupe)
+
+    sp = sub.add_parser("download", help="download a URL into the store")
+    sp.add_argument("url")
+    sp.add_argument("--sha256", help="expected content hash")
+    sp.add_argument("--tags")
+    sp.add_argument("--no-store", action="store_true")
+    sp.set_defaults(fn=cmd_download)
+
+    sub.add_parser(
+        "tune", help="show runtime tuning profile + tuner stats"
+    ).set_defaults(fn=cmd_tune)
 
     sub.add_parser("config", help="show effective config").set_defaults(fn=cmd_config)
     sub.add_parser("model", help="list embedding models").set_defaults(fn=cmd_model)

@@ -1,0 +1,73 @@
+"""Sharded orbax checkpoints: save from one mesh layout, restore to another."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from yams_tpu.index.checkpoint import (
+    checkpoint_epoch,
+    restore_sharded,
+    save_sharded,
+    sharded_template,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8
+    return Mesh(np.array(jax.devices()), ("d",))
+
+
+class TestShardedCheckpoint:
+    def test_roundtrip_preserves_values_and_sharding(self, mesh, tmp_path):
+        rng = np.random.default_rng(0)
+        E = rng.standard_normal((8 * 64, 32)).astype(np.float32)
+        valid = np.ones(8 * 64, np.float32)
+        e_sh = jax.device_put(jnp.asarray(E), NamedSharding(mesh, P("d", None)))
+        v_sh = jax.device_put(jnp.asarray(valid), NamedSharding(mesh, P("d")))
+        save_sharded(tmp_path / "ck", {"E": e_sh, "valid": v_sh}, epoch=7)
+
+        assert checkpoint_epoch(tmp_path / "ck") == 7
+        tpl = {
+            "E": sharded_template(E, mesh, P("d", None)),
+            "valid": sharded_template(valid, mesh, P("d")),
+        }
+        restored, epoch = restore_sharded(tmp_path / "ck", tpl)
+        assert epoch == 7
+        np.testing.assert_array_equal(np.asarray(restored["E"]), E)
+        assert restored["E"].sharding.spec == P("d", None)
+
+    def test_restore_to_different_layout(self, mesh, tmp_path):
+        """Save row-sharded, restore replicated (mesh-migration story)."""
+        E = np.arange(8 * 16 * 4, dtype=np.float32).reshape(8 * 16, 4)
+        e_sh = jax.device_put(jnp.asarray(E), NamedSharding(mesh, P("d", None)))
+        save_sharded(tmp_path / "ck2", {"E": e_sh}, epoch=1)
+        tpl = {"E": sharded_template(E, mesh, P(None, None))}
+        restored, _ = restore_sharded(tmp_path / "ck2", tpl)
+        np.testing.assert_array_equal(np.asarray(restored["E"]), E)
+        assert restored["E"].sharding.spec == P(None, None)
+
+    def test_staleness_stamp_rejected(self, mesh, tmp_path):
+        E = np.zeros((8, 4), np.float32)
+        save_sharded(tmp_path / "ck3", {"E": jnp.asarray(E)}, epoch=3)
+        tpl = {"E": sharded_template(E, mesh, P(None, None))}
+        with pytest.raises(ValueError, match="stale"):
+            restore_sharded(tmp_path / "ck3", tpl, min_epoch=5)
+        restored, epoch = restore_sharded(tmp_path / "ck3", tpl, min_epoch=3)
+        assert epoch == 3
+
+    def test_missing_checkpoint(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            restore_sharded(tmp_path / "nope", {})
+
+    def test_overwrite_same_path(self, mesh, tmp_path):
+        a = jnp.ones((8, 4))
+        save_sharded(tmp_path / "ck4", {"a": a}, epoch=1)
+        save_sharded(tmp_path / "ck4", {"a": a * 2}, epoch=2)
+        tpl = {"a": sharded_template(np.ones((8, 4), np.float32), mesh,
+                                     P(None, None))}
+        restored, epoch = restore_sharded(tmp_path / "ck4", tpl)
+        assert epoch == 2
+        assert float(np.asarray(restored["a"])[0, 0]) == 2.0

@@ -1,0 +1,98 @@
+"""Sharded device-array checkpoints (orbax) with epoch stamps.
+
+The reference persists its vector index + PQ codebooks with staleness stamps
+(sqlite_vec_backend.cpp:661-697) and checkpoints on a 300 s cadence
+(CheckpointManager.h:38-63). Single-chip persistence here is the host-mirror
+npz path (index/vector_index.py). THIS module is the multi-chip tier: when
+the corpus lives sharded over a Mesh, each host writes its own shards via
+orbax (no gather through one host), and restore re-lays arrays out to any
+compatible mesh — the TPU-native equivalent of the reference's per-dim index
+files.
+
+Epochs mirror TopologyArtifacts.epoch: a checkpoint carries the epoch it was
+built at; loaders can reject stale artifacts the same way the reference's
+staleness stamps do.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import jax
+import numpy as np
+
+
+def _ckptr():
+    import orbax.checkpoint as ocp
+
+    # PyTreeCheckpointer: the StandardCheckpointer's array-metadata side
+    # writer races its own tmp-dir creation on local filesystems in this
+    # orbax version; the pytree handler takes the same per-shard write path
+    # without it
+    return ocp.PyTreeCheckpointer()
+
+
+def save_sharded(directory: str | pathlib.Path, tree: dict, *, epoch: int) -> None:
+    """Save a pytree of (possibly sharded) jax.Arrays + numpy leaves.
+
+    Layout: <directory>/arrays/ (orbax) + <directory>/meta.json (epoch stamp).
+    Overwrites any previous checkpoint at this path atomically (orbax tmp dir
+    + rename on finalize).
+    """
+    d = pathlib.Path(directory).resolve()
+    d.mkdir(parents=True, exist_ok=True)
+    target = d / "arrays"
+    if target.exists():
+        import shutil
+
+        shutil.rmtree(target)
+    _ckptr().save(target, tree)
+    (d / "meta.json").write_text(json.dumps({
+        "epoch": epoch,
+        "keys": sorted(tree.keys()),
+    }))
+
+
+def checkpoint_epoch(directory: str | pathlib.Path) -> int | None:
+    p = pathlib.Path(directory) / "meta.json"
+    if not p.exists():
+        return None
+    return int(json.loads(p.read_text())["epoch"])
+
+
+def restore_sharded(
+    directory: str | pathlib.Path,
+    abstract_tree: dict,
+    *,
+    min_epoch: int = 0,
+) -> tuple[dict, int]:
+    """Restore to the shardings described by abstract_tree — a dict of
+    jax.ShapeDtypeStruct (with .sharding set for device layout) or numpy
+    templates. Raises ValueError if the checkpoint is older than min_epoch
+    (the staleness-stamp contract)."""
+    d = pathlib.Path(directory).resolve()
+    epoch = checkpoint_epoch(d)
+    if epoch is None:
+        raise FileNotFoundError(f"no checkpoint at {d}")
+    if epoch < min_epoch:
+        raise ValueError(f"stale checkpoint: epoch {epoch} < required {min_epoch}")
+    import orbax.checkpoint as ocp
+
+    restore_args = ocp.checkpoint_utils.construct_restore_args(abstract_tree)
+    restored = _ckptr().restore(
+        d / "arrays", item=abstract_tree, restore_args=restore_args
+    )
+    return restored, epoch
+
+
+def sharded_template(arr_like, mesh, spec) -> jax.ShapeDtypeStruct:
+    """Template for restore_sharded: shape/dtype of arr_like laid out as
+    `spec` over `mesh`."""
+    from jax.sharding import NamedSharding
+
+    return jax.ShapeDtypeStruct(
+        np.shape(arr_like),
+        arr_like.dtype,
+        sharding=NamedSharding(mesh, spec),
+    )

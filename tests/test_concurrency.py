@@ -1,0 +1,129 @@
+"""Concurrency stress: concurrent writers/readers on the engine and store.
+
+The reference runs TSan over its daemon (meson enable-tsan +
+tsan.suppressions); the Python layer's equivalent hazard surface is the
+lock discipline in SearchEngine / VectorIndex / LexicalIndex / ContentStore.
+These tests hammer them from threads and assert no exceptions and a
+consistent final state. (The C++ library has its own sanitizer builds —
+native/build_sanitized.sh.)
+"""
+
+import concurrent.futures
+import threading
+
+import numpy as np
+
+from yams_tpu.core.config import (
+    ChunkingConfig,
+    EmbeddingConfig,
+    LexicalIndexConfig,
+    VectorIndexConfig,
+)
+from yams_tpu.search import SearchEngine, SearchEngineConfig
+
+
+def make_engine():
+    return SearchEngine(
+        config=SearchEngineConfig(batch_pad=4),
+        embedding=EmbeddingConfig(dim=64, sketch_dim=512),
+        vector=VectorIndexConfig(dim=64, capacity=256, block_rows=128),
+        lexical=LexicalIndexConfig(postings_window=64),
+    )
+
+
+class TestEngineConcurrency:
+    def test_concurrent_add_search_remove(self):
+        eng = make_engine()
+        for i in range(20):
+            eng.add_document(i, f"seed document {i} topic {'abc'[i % 3]}")
+        errors: list[BaseException] = []
+        stop = threading.Event()
+
+        def adder(base):
+            try:
+                for i in range(30):
+                    eng.add_document(base + i, f"new doc {base + i} topic b")
+            except BaseException as e:
+                errors.append(e)
+
+        def searcher():
+            try:
+                while not stop.is_set():
+                    res = eng.search("topic b doc", k=5)
+                    assert isinstance(res, list)
+            except BaseException as e:
+                errors.append(e)
+
+        def remover():
+            try:
+                for i in range(0, 20, 2):
+                    eng.remove_document(i)
+            except BaseException as e:
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=adder, args=(100,)),
+            threading.Thread(target=adder, args=(200,)),
+            threading.Thread(target=searcher),
+            threading.Thread(target=remover),
+        ]
+        for t in threads[:2] + threads[3:]:
+            t.start()
+        threads[2].start()
+        for t in threads[:2] + threads[3:]:
+            t.join(timeout=120)
+        stop.set()
+        threads[2].join(timeout=120)
+        assert not errors, errors[:3]
+        # final state consistent: all adds visible, removed docs gone
+        res = eng.search("new doc topic", k=10)
+        assert res
+        assert all(r.doc_id not in range(0, 20, 2) for r in res)
+        assert eng.vector_index.stats()["docs"] == 20 - 10 + 60
+
+    def test_parallel_batch_searches(self):
+        eng = make_engine()
+        for i in range(40):
+            eng.add_document(i, f"doc {i} about {'xyz'[i % 3]} subject")
+        with concurrent.futures.ThreadPoolExecutor(8) as pool:
+            futs = [
+                pool.submit(eng.search, f"subject {'xyz'[j % 3]}", 5)
+                for j in range(32)
+            ]
+            outs = [f.result(timeout=120) for f in futs]
+        assert all(isinstance(o, list) and o for o in outs)
+
+
+class TestStoreConcurrency:
+    def test_concurrent_store_dedup(self, tmp_path):
+        from yams_tpu.storage.content_store import ContentStore
+
+        store = ContentStore(tmp_path / "cas",
+                             chunking=ChunkingConfig(min_size=1024,
+                                                     avg_size=4096,
+                                                     max_size=16384))
+        rng = np.random.default_rng(0)
+        blobs = [rng.bytes(50_000) for _ in range(4)]
+        errors = []
+
+        def worker(k):
+            try:
+                for _ in range(5):
+                    store.store_bytes(blobs[k % len(blobs)])
+            except BaseException as e:
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker, args=(k,)) for k in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors[:3]
+        # dedup held under concurrency: each unique blob stored once
+        for blob in blobs:
+            import hashlib
+
+            h = hashlib.sha256(blob).hexdigest()
+            assert store.exists(h)
+            assert store.retrieve_bytes(h) == blob
+        store.close()

@@ -108,6 +108,39 @@ class TestTopologyRouting:
         assert eng._stats["topology_persistence"] >= 0.0
         assert eng.topology.artifacts.centroid_persistence >= 0.0
 
+    def test_topology_tuner_selects_and_learns(self):
+        """TopologyTuner: every engine arm plays once, rewards recorded,
+        UCB then favors higher-reward arms (reference: TopologyManager arm
+        selection + persistence-blended reward)."""
+        from yams_tpu.index.topology import TopologyTuner
+
+        eng = make_engine()
+        eng.topology_tuner = TopologyTuner(reward_mode="hybrid")
+        for _ in range(4):
+            eng.rebuild_topology()
+        snap = eng.topology_tuner.snapshot()
+        assert sum(a["plays"] for a in snap["arms"].values()) == 4
+        assert all(a["plays"] >= 1 for a in snap["arms"].values())
+        assert len(eng.topology_tuner.history) == 4
+        assert all(0.0 <= r <= 1.5 for _, r in eng.topology_tuner.history)
+        # routing still works on whatever arm built last
+        res = eng.search("kernel mutex", k=3)
+        assert res
+
+    def test_topology_tuner_reward_modes(self):
+        from yams_tpu.index.topology import TopologyEngine, TopologyTuner
+
+        rng = np.random.default_rng(0)
+        v = rng.standard_normal((64, 16)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        arts = TopologyEngine(iters=4).build(v, np.ones(64, np.float32))
+        rewards = {
+            m: TopologyTuner(reward_mode=m).reward_of(arts)
+            for m in ("geometric", "persistence", "hybrid")
+        }
+        assert rewards["hybrid"] == pytest.approx(
+            0.5 * (rewards["geometric"] + rewards["persistence"]))
+
 
 class TestPersistenceH0:
     """H_0 persistence quality metric (reference: topological_quality.cpp)."""

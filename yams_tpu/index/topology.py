@@ -288,6 +288,20 @@ class TopologyEngine:
         )
         return self.artifacts
 
+    def build_auto(
+        self, vectors: np.ndarray, valid: np.ndarray, epoch: int = 0,
+        tuner: "TopologyTuner | None" = None,
+    ) -> TopologyArtifacts:
+        """Tuner-selected engine build: pick an arm, build, feed the reward
+        back (reference: TopologyManager arm selection +
+        observeRebuildStatsWithPersistence, TopologyManager.cpp:414-429)."""
+        if tuner is None:
+            return self.build(vectors, valid, epoch)
+        arm = tuner.select()
+        arts = self.build(vectors, valid, epoch, engine=arm)
+        tuner.observe(arm, arts)
+        return arts
+
     def route(self, query_vec: np.ndarray, top_clusters: int = 4) -> np.ndarray:
         """Query -> routed cluster ids (centroid similarity top-C)."""
         a = self.artifacts
@@ -313,3 +327,67 @@ class TopologyEngine:
         if policy == "augment":
             return np.ones_like(mask)
         return mask
+
+
+class TopologyTuner:
+    """UCB1 bandit over topology engines, rewarded by rebuild quality.
+
+    The reference's TopologyTuner observes each rebuild's stats plus the
+    centroid H_0 persistence and supports geometric / persistence / hybrid
+    reward modes (TopologyManager.cpp:414-429). Rewards here:
+
+      geometric   — mean member-to-centroid cohesion (compactness)
+      persistence — centroid persistence normalized by cluster count
+                    (spread-out, non-collapsed centroid structure)
+      hybrid      — mean of both (the reference default)
+    """
+
+    ARMS = ("kmeans", "connected", "louvain")
+
+    def __init__(self, reward_mode: str = "hybrid", exploration: float = 0.5):
+        assert reward_mode in ("geometric", "persistence", "hybrid")
+        self.reward_mode = reward_mode
+        self.exploration = exploration
+        self.counts = {a: 0 for a in self.ARMS}
+        self.totals = {a: 0.0 for a in self.ARMS}
+        self.history: list[tuple[str, float]] = []
+
+    def select(self) -> str:
+        for a in self.ARMS:          # play every arm once first
+            if self.counts[a] == 0:
+                return a
+        n = sum(self.counts.values())
+        def ucb(a):
+            mean = self.totals[a] / self.counts[a]
+            return mean + self.exploration * np.sqrt(
+                2.0 * np.log(n) / self.counts[a])
+        return max(self.ARMS, key=ucb)
+
+    def reward_of(self, arts: TopologyArtifacts) -> float:
+        live = arts.cluster_sizes > 0
+        geometric = float(arts.cohesion[live].mean()) if live.any() else 0.0
+        k = max(int(live.sum()), 1)
+        persistence = min(arts.centroid_persistence / max(k - 1, 1), 1.0)
+        if self.reward_mode == "geometric":
+            return geometric
+        if self.reward_mode == "persistence":
+            return persistence
+        return 0.5 * (geometric + persistence)
+
+    def observe(self, arm: str, arts: TopologyArtifacts) -> float:
+        r = self.reward_of(arts)
+        self.counts[arm] += 1
+        self.totals[arm] += r
+        self.history.append((arm, r))
+        return r
+
+    def snapshot(self) -> dict:
+        return {
+            "reward_mode": self.reward_mode,
+            "arms": {
+                a: {"plays": self.counts[a],
+                    "mean_reward": (self.totals[a] / self.counts[a]
+                                    if self.counts[a] else None)}
+                for a in self.ARMS
+            },
+        }

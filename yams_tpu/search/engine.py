@@ -79,6 +79,7 @@ class SearchEngine:
             space_id=self.provider.space_id + "/entities",
         )
         self.topology = None       # TopologyEngine, built via rebuild_topology()
+        self.topology_tuner = None  # TopologyTuner, opt-in (engine-selection MAB)
         self.tuner = None          # SearchTuner, opt-in
         self.cross_reranker = None  # optional callable(query, [SearchResult]) -> list
         self.last_trace: dict | None = None
@@ -155,7 +156,10 @@ class SearchEngine:
         if vi.active_rows == 0:
             return
         eng = TopologyEngine(iters=iters)
-        arts = eng.build(vi._vecs, vi._valid, epoch=self._stats["searches"])
+        arts = eng.build_auto(
+            vi._vecs, vi._valid, epoch=self._stats["searches"],
+            tuner=self.topology_tuner,
+        )
         self.topology = eng
         # rebuild-quality signal (reference: clusterCentroidPersistence reward)
         self._stats["topology_persistence"] = arts.centroid_persistence

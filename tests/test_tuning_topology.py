@@ -142,6 +142,32 @@ class TestTopologyRouting:
             0.5 * (rewards["geometric"] + rewards["persistence"]))
 
 
+class TestWeakQueryFanout:
+    def test_weak_query_widens_candidates(self):
+        eng = make_engine()
+        eng.search("zzznotinvocab", k=3)  # zero known terms -> weak
+        assert eng.last_trace.get("weak_query_fanout")
+        eng.search("kernel mutex thread", k=3)  # strong lexical evidence
+        assert not eng.last_trace.get("weak_query_fanout")
+
+    def test_determinism_replay(self):
+        """Same seed + same op sequence -> identical results (the
+        deterministic-seed replay tier from SURVEY §5)."""
+        def run():
+            eng = make_engine()
+            for i in range(25):
+                eng.add_document(i, f"doc {i} topic {'abc'[i % 3]} body")
+            eng.remove_document(3)
+            eng.rebuild_topology()
+            return [
+                (r.doc_id, round(r.score, 5))
+                for q in ("topic a", "doc body", "topic c doc")
+                for r in eng.search(q, k=5)
+            ]
+
+        assert run() == run()
+
+
 class TestPersistenceH0:
     """H_0 persistence quality metric (reference: topological_quality.cpp)."""
 

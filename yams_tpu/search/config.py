@@ -37,6 +37,10 @@ class SearchEngineConfig:
     rrf_k: int = 12
     rrf_scale: float = 0.5          # weight of the rank-fusion term vs score fusion
     rrf_candidates: int = 64        # per-leg top-K feeding RRF ranks
+    # weak-query fanout boost (reference search_engine_config.h:296-360):
+    # batches where every query has <=1 known lexical term get this wider
+    # vector candidate pool instead
+    weak_query_rrf_candidates: int = 128
     bm25_norm_divisor: float = 25.0
 
     # chunk -> doc aggregation: max | sum | topk_avg

@@ -266,6 +266,15 @@ class SearchEngine:
         for i, qtext in enumerate(queries):
             ids, m = self.lexical_index.query_term_ids(qtext)
             tids[i], tmask[i] = ids, m
+        # weak-query fanout boost (reference: weak-query fanout,
+        # search_engine_config.h:296-360): when every query in the batch has
+        # <=1 known lexical term, BM25 evidence is thin — widen the vector
+        # candidate pool so fusion has more to work with. rrf_cand is static,
+        # so this selects between two cached executables.
+        if (cfg.weak_query_rrf_candidates > cfg.rrf_candidates
+                and all(tmask[i].sum() <= 1 for i in range(B_real))):
+            rrf_c = min(max(cfg.weak_query_rrf_candidates, k), Nd)
+            trace["weak_query_fanout"] = True
         trace["stages"]["host_prep_ms"] = (time.monotonic() - t0) * 1e3
 
         # weights per mode (zero a leg rather than recompile)

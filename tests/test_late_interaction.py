@@ -1,0 +1,122 @@
+"""Late-interaction (ColBERT-tier) MaxSim rerank: op oracle + engine wiring."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yams_tpu.core.config import EmbeddingConfig, LexicalIndexConfig, VectorIndexConfig
+from yams_tpu.index.token_index import TokenIndex
+from yams_tpu.ops.maxsim import maxsim_rerank, maxsim_scores
+from yams_tpu.search import SearchEngine, SearchEngineConfig
+
+
+def _unit(n, d, seed):
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+class TestMaxsimOp:
+    def test_matches_numpy_oracle(self):
+        rng = np.random.default_rng(0)
+        B, Tq, C, Td, D = 3, 5, 4, 7, 16
+        qt = rng.standard_normal((B, Tq, D)).astype(np.float32)
+        qm = (rng.random((B, Tq)) > 0.3).astype(np.float32)
+        qm[:, 0] = 1.0
+        ct = rng.standard_normal((B, C, Td, D)).astype(np.float32)
+        cm = (rng.random((B, C, Td)) > 0.3).astype(np.float32)
+        cm[:, :, 0] = 1.0
+        got = np.asarray(maxsim_scores(
+            jnp.asarray(qt), jnp.asarray(qm), jnp.asarray(ct), jnp.asarray(cm)
+        ))
+        want = np.zeros((B, C))
+        for b in range(B):
+            for c in range(C):
+                total = 0.0
+                for t in range(Tq):
+                    if qm[b, t] == 0:
+                        continue
+                    sims = [qt[b, t] @ ct[b, c, s]
+                            for s in range(Td) if cm[b, c, s] > 0]
+                    total += max(max(sims), -1.0)
+                want[b, c] = total / qm[b].sum()
+        np.testing.assert_allclose(got, want, atol=0.03)
+
+    def test_rerank_orders_by_token_overlap(self):
+        """Doc sharing individual tokens with the query beats a doc whose
+        AVERAGE is close but token-level sims are weak."""
+        D = 32
+        toks = _unit(4, D, 1)            # 4 distinct "word" vectors
+        qt = toks[:2][None]              # query = tokens 0,1
+        qm = np.ones((1, 2), np.float32)
+        # cand 0: exactly the query's tokens. cand 1: two vectors whose MEAN
+        # equals the query mean but individually orthogonal-ish to them.
+        mean = toks[:2].mean(0)
+        c1a = mean + toks[2] * 0.9
+        c1b = mean - toks[2] * 0.9
+        cand = np.stack([
+            toks[:2],
+            np.stack([c1a / np.linalg.norm(c1a), c1b / np.linalg.norm(c1b)]),
+        ])[None]
+        cm = np.ones((1, 2, 2), np.float32)
+        ids = np.array([[10, 20]], np.int32)
+        vals, out_ids = maxsim_rerank(
+            jnp.asarray(qt), jnp.asarray(qm), jnp.asarray(cand),
+            jnp.asarray(cm), jnp.asarray(ids), k=2,
+        )
+        assert np.asarray(out_ids)[0, 0] == 10
+
+    def test_invalid_candidates_sink(self):
+        qt = _unit(2, 8, 2)[None]
+        qm = np.ones((1, 2), np.float32)
+        cand = np.zeros((1, 2, 2, 8), np.float32)
+        cm = np.zeros((1, 2, 2), np.float32)
+        ids = np.array([[-1, 5]], np.int32)
+        _, out_ids = maxsim_rerank(
+            jnp.asarray(qt), jnp.asarray(qm), jnp.asarray(cand),
+            jnp.asarray(cm), jnp.asarray(ids), k=2,
+        )
+        assert np.asarray(out_ids)[0, 0] == 5
+
+
+class TestTokenIndex:
+    def test_set_gather_remove(self):
+        ti = TokenIndex(dim=8, max_tokens=4, capacity=2)
+        ti.set_doc(0, _unit(3, 8, 0))
+        ti.set_doc(5, _unit(6, 8, 1))        # grows + truncates to 4
+        tok, mask = ti.gather(jnp.asarray(np.array([[0, 5, -1]])))
+        mask = np.asarray(mask)
+        assert mask[0, 0].sum() == 3
+        assert mask[0, 1].sum() == 4
+        assert mask[0, 2].sum() == 0         # invalid slot masked out
+        ti.remove_doc(5)
+        _, mask = ti.gather(jnp.asarray(np.array([[5]])))
+        assert np.asarray(mask).sum() == 0
+
+
+class TestEngineLateInteraction:
+    def test_rerank_promotes_exact_token_doc(self):
+        eng = SearchEngine(
+            config=SearchEngineConfig(batch_pad=4),
+            embedding=EmbeddingConfig(dim=64, sketch_dim=512),
+            vector=VectorIndexConfig(dim=64, capacity=256, block_rows=128),
+            lexical=LexicalIndexConfig(postings_window=64),
+        )
+        eng.enable_late_interaction()
+        for i in range(12):
+            eng.add_document(i, f"filler doc {i} miscellaneous words here")
+        eng.add_document(50, "gradient descent optimizer converges")
+        res = eng.search("gradient descent", k=5)
+        assert res[0].doc_id == 50
+        assert "late_interaction_ms" in eng.last_trace["stages"]
+
+    def test_disabled_by_default(self):
+        eng = SearchEngine(
+            config=SearchEngineConfig(batch_pad=4),
+            embedding=EmbeddingConfig(dim=64, sketch_dim=512),
+            vector=VectorIndexConfig(dim=64, capacity=256, block_rows=128),
+            lexical=LexicalIndexConfig(postings_window=64),
+        )
+        eng.add_document(0, "some document body")
+        eng.search("document", k=2)
+        assert "late_interaction_ms" not in eng.last_trace["stages"]

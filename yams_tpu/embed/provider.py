@@ -64,6 +64,17 @@ class SimeonProvider:
             self.encoder.projection_matrix(),
         )
 
+    def encode_tokens(self, text: str, max_tokens: int = 32) -> np.ndarray:
+        """Per-token embeddings for the late-interaction tier: each token is
+        its own hashed sketch -> projection -> L2 norm (so MaxSim dots are
+        cosines). ColBERT-analog granularity without a neural tokenizer."""
+        from .simeon import tokenize
+
+        toks = tokenize(text)[:max_tokens]
+        if not toks:
+            return np.zeros((0, self.dim), np.float32)
+        return self.encoder.encode(toks)
+
 
 class MockProvider:
     """Deterministic fake embeddings (reference: mock_model_provider.cpp:17).

@@ -1,0 +1,48 @@
+"""Late-interaction (ColBERT-style) MaxSim scoring on device.
+
+The reference bundles a ColBERT session in its ONNX plugin (plugins/onnx/,
+SURVEY §2.10) as a rerank tier over first-stage candidates. TPU-native form:
+token embeddings are dense (B, Tq, D) / (B, C, Td, D) arrays and MaxSim is
+one einsum on the MXU followed by max/sum reductions — no per-token loops.
+
+score(q, d) = sum_t max_s  q_t · d_s     (t over query tokens, s over doc
+tokens; masked tokens contribute 0 / -inf respectively).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=())
+def maxsim_scores(
+    q_tok: jax.Array,      # (B, Tq, D) f32/bf16 query token embeddings
+    q_mask: jax.Array,     # (B, Tq) f32 0/1
+    cand_tok: jax.Array,   # (B, C, Td, D) candidate doc token embeddings
+    cand_mask: jax.Array,  # (B, C, Td) f32 0/1
+) -> jax.Array:
+    """-> (B, C) MaxSim scores, normalized by the live query-token count."""
+    sims = jnp.einsum(
+        "btd,bcsd->bcts",
+        q_tok.astype(jnp.bfloat16), cand_tok.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    sims = sims + (cand_mask[:, :, None, :] - 1.0) * 1e30   # mask doc tokens
+    best = jnp.max(sims, axis=-1)                           # (B, C, Tq)
+    best = jnp.maximum(best, -1.0)                          # all-masked docs
+    best = best * q_mask[:, None, :]                        # mask query tokens
+    denom = jnp.maximum(q_mask.sum(axis=1), 1.0)            # (B,)
+    return best.sum(axis=-1) / denom[:, None]
+
+
+def maxsim_rerank(
+    q_tok, q_mask, cand_tok, cand_mask, cand_ids, k: int,
+):
+    """Re-order candidate ids by MaxSim -> (scores (B,k), ids (B,k))."""
+    s = maxsim_scores(q_tok, q_mask, cand_tok, cand_mask)
+    s = jnp.where(cand_ids >= 0, s, -1e30)
+    vals, pos = jax.lax.top_k(s, k)
+    return vals, jnp.take_along_axis(cand_ids, pos, axis=1)

@@ -27,6 +27,10 @@ class SearchEngineConfig:
     # multi-vector queries: expansion-variant results merge at this discount
     # (reference lexicalExpansionScorePenalty = 0.65)
     expansion_score_penalty: float = 0.65
+    # late-interaction (ColBERT-tier) rerank over fused candidates — opt-in
+    # via SearchEngine.enable_late_interaction()
+    late_interaction_weight: float = 0.5
+    late_interaction_max_tokens: int = 32
     kg_weight: float = 0.04
     path_tree_weight: float = 0.08
     entity_vector_weight: float = 0.05

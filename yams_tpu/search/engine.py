@@ -81,6 +81,7 @@ class SearchEngine:
         self.topology = None       # TopologyEngine, built via rebuild_topology()
         self.topology_tuner = None  # TopologyTuner, opt-in (engine-selection MAB)
         self.tuner = None          # SearchTuner, opt-in
+        self.token_index = None    # TokenIndex, opt-in (ColBERT rerank tier)
         self.cross_reranker = None  # optional callable(query, [SearchResult]) -> list
         self.last_trace: dict | None = None
         # doc identity: external doc_id <-> dense slot
@@ -131,8 +132,24 @@ class SearchEngine:
             return 0
         vecs = self.provider.encode(texts)
         self.vector_index.add(vecs, [slot] * len(vecs))
+        if self.token_index is not None:
+            self.token_index.set_doc(slot, self.provider.encode_tokens(
+                (title + " " + content) if title else content,
+                max_tokens=self.config.late_interaction_max_tokens,
+            ))
         self._stats["documents"] = len(self._slot_by_doc)
         return len(texts)
+
+    def enable_late_interaction(self) -> None:
+        """Turn on the ColBERT-tier MaxSim rerank (reference: the ONNX
+        plugin's ColBERT session). Existing docs must be re-added (or run
+        repair: reindex) to populate token embeddings."""
+        from ..index.token_index import TokenIndex
+
+        self.token_index = TokenIndex(
+            dim=self.provider.dim,
+            max_tokens=self.config.late_interaction_max_tokens,
+        )
 
     def remove_document(self, doc_id: int) -> bool:
         with self._lock:
@@ -141,6 +158,8 @@ class SearchEngine:
             return False
         self.vector_index.remove_doc(slot)
         self.lexical_index.remove_document(slot)
+        if self.token_index is not None:
+            self.token_index.remove_doc(slot)
         self._titles.pop(doc_id, None)
         return True
 
@@ -383,6 +402,42 @@ class SearchEngine:
         slots = np.asarray(slots)[:B_real]
         bm_at = np.asarray(bm_at)[:B_real]
         vec_at = np.asarray(vec_at)[:B_real]
+
+        # late-interaction rerank (ColBERT tier): MaxSim over the fused
+        # candidates' token embeddings, blended into the fused score
+        if (self.token_index is not None and mode == "hybrid"
+                and self.token_index.doc_count > 0):
+            t_li = time.monotonic()
+            q_toks = [
+                self.provider.encode_tokens(
+                    q, max_tokens=self.config.late_interaction_max_tokens)
+                for q in queries
+            ]
+            Tq = self.config.late_interaction_max_tokens
+            qt = np.zeros((B_real, Tq, self.provider.dim), np.float32)
+            qm = np.zeros((B_real, Tq), np.float32)
+            for i, tv in enumerate(q_toks):
+                n = min(len(tv), Tq)
+                if n:
+                    qt[i, :n] = tv[:n]
+                    qm[i, :n] = 1.0
+            from ..ops.maxsim import maxsim_scores
+
+            cand_tok, cand_mask = self.token_index.gather(jnp.asarray(slots))
+            li = np.asarray(maxsim_scores(
+                jnp.asarray(qt), jnp.asarray(qm), cand_tok, cand_mask))
+            live = vals > -1e29
+            blended = np.where(
+                live, vals + cfg.late_interaction_weight * np.clip(li, -1, 1),
+                vals,
+            )
+            order = np.argsort(-blended, axis=1, kind="stable")
+            vals = np.take_along_axis(blended, order, axis=1)
+            slots = np.take_along_axis(slots, order, axis=1)
+            bm_at = np.take_along_axis(bm_at, order, axis=1)
+            vec_at = np.take_along_axis(vec_at, order, axis=1)
+            trace["stages"]["late_interaction_ms"] = \
+                (time.monotonic() - t_li) * 1e3
         if profile_dir:
             import jax
 

@@ -115,3 +115,49 @@ class TestConversationalMemory:
     def test_suggest_context_carries_fact(self, memory):
         ctx = memory.search.suggest_context("alice dog adopted", limit=3)
         assert "Biscuit" in ctx or "greyhound" in ctx
+
+
+class TestSearchConfigLayering:
+    def test_toml_and_env_override_search_knobs(self, tmp_path, monkeypatch):
+        """defaults <- TOML [search] <- YAMS_SEARCH_* env (reference:
+        search_config_environment.cpp layering)."""
+        from yams_tpu.core.config import load_config
+
+        cfgfile = tmp_path / "config.toml"
+        cfgfile.write_text(
+            "[search]\ntext_weight = 0.5\nrrf_k = 20\n"
+            "topology_policy = \"narrow\"\n"
+        )
+        cfg = load_config(path=cfgfile, data_dir=tmp_path / "d")
+        assert cfg.search.text_weight == 0.5
+        assert cfg.search.rrf_k == 20
+        assert cfg.search.topology_policy == "narrow"
+        # env wins over TOML
+        monkeypatch.setenv("YAMS_SEARCH_TEXT_WEIGHT", "0.9")
+        monkeypatch.setenv("YAMS_SEARCH_INTENT_ADAPTIVE", "false")
+        monkeypatch.setenv("YAMS_SEARCH_RRF_K", "not_a_number")  # ignored
+        cfg = load_config(path=cfgfile, data_dir=tmp_path / "d")
+        assert cfg.search.text_weight == 0.9
+        assert cfg.search.intent_adaptive is False
+        assert cfg.search.rrf_k == 20
+
+    def test_app_uses_configured_search_weights(self, tmp_path):
+        from yams_tpu.core.config import load_config
+        from yams_tpu.services.app import AppContext
+
+        cfgfile = tmp_path / "config.toml"
+        cfgfile.write_text("[search]\nhotzone_weight = 0.25\n")
+        cfg = load_config(path=cfgfile, data_dir=tmp_path / "d")
+        # shrink device shapes for test speed
+        from yams_tpu.core.config import (
+            EmbeddingConfig, LexicalIndexConfig, VectorIndexConfig,
+        )
+
+        cfg.embedding = EmbeddingConfig(dim=64, sketch_dim=512)
+        cfg.vector = VectorIndexConfig(dim=64, capacity=256, block_rows=128)
+        cfg.lexical = LexicalIndexConfig(postings_window=64)
+        app = AppContext(cfg)
+        try:
+            assert app.search_engine.config.hotzone_weight == 0.25
+        finally:
+            app.close()

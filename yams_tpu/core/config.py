@@ -115,6 +115,13 @@ class DaemonConfig:
     auto_embed: bool = True
 
 
+def _search_config_factory():
+    # lazy: search config is a leaf dataclass but lives in the search layer
+    from ..search.config import SearchEngineConfig
+
+    return SearchEngineConfig()
+
+
 @dataclasses.dataclass(slots=True)
 class Config:
     data_dir: pathlib.Path = dataclasses.field(default_factory=default_data_dir)
@@ -124,6 +131,7 @@ class Config:
     vector: VectorIndexConfig = dataclasses.field(default_factory=VectorIndexConfig)
     lexical: LexicalIndexConfig = dataclasses.field(default_factory=LexicalIndexConfig)
     daemon: DaemonConfig = dataclasses.field(default_factory=DaemonConfig)
+    search: Any = dataclasses.field(default_factory=_search_config_factory)
 
     @property
     def storage_dir(self) -> pathlib.Path:
@@ -177,4 +185,19 @@ def load_config(
         cfg.data_dir = pathlib.Path(os.environ["YAMS_TPU_STORAGE"])
     if os.environ.get("YAMS_TPU_SOCKET"):
         cfg.daemon.socket_path = os.environ["YAMS_TPU_SOCKET"]
+    # env-layered search knobs (reference: search_config_environment.cpp):
+    # YAMS_SEARCH_<FIELD> overrides any SearchEngineConfig field
+    for f in dataclasses.fields(cfg.search):
+        raw = os.environ.get(f"YAMS_SEARCH_{f.name.upper()}")
+        if raw is None:
+            continue
+        cur = getattr(cfg.search, f.name)
+        try:
+            if isinstance(cur, bool):
+                setattr(cfg.search, f.name,
+                        raw.lower() in ("1", "true", "yes", "on"))
+            elif isinstance(cur, (int, float, str)):
+                setattr(cfg.search, f.name, type(cur)(raw))
+        except ValueError:
+            pass  # malformed override: keep the configured value
     return cfg

@@ -40,6 +40,7 @@ class AppContext:
         self.kg = KnowledgeGraphStore(self.db)
         self.trees = TreeBuilder(self.db)
         self.search_engine = SearchEngine(
+            config=getattr(self.config, "search", None),
             embedding=self.config.embedding,
             vector=self.config.vector,
             lexical=self.config.lexical,

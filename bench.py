@@ -30,7 +30,7 @@ def main() -> None:
     small = bool(int(os.environ.get("BENCH_SMALL", "0")))
     N = int(os.environ.get("BENCH_N", 16384 if small else 1_000_000))
     D = int(os.environ.get("BENCH_D", 768))
-    B = int(os.environ.get("BENCH_B", 64 if small else 256))
+    B = int(os.environ.get("BENCH_B", 64 if small else 512))
     ITERS = int(os.environ.get("BENCH_ITERS", 4 if small else 8))
     S = 4096          # sketch dim
     T = 16            # query terms

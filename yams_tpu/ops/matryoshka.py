@@ -1,0 +1,52 @@
+"""Matryoshka (prefix-truncated) embedding scan with full-dim rerank.
+
+The reference's Simeon vector utils include matryoshka support (SURVEY §2.5:
+"vector utils: PQ, matryoshka"). TPU form: keep a CONTIGUOUS copy of the
+first d0 dims (a strided slice of the row-major matrix would still read most
+of each row from HBM), scan it for k*rerank_factor candidates, then rerank
+the candidates at full dimension — an HBM-bandwidth knob like the int8 tier.
+
+With random-projection (JL) embeddings a prefix is an unbiased similarity
+estimate, so this works when the corpus has cluster structure above the
+prefix's noise floor (true for real text corpora). On an adversarially
+ISOTROPIC corpus the prefix carries no signal and recall collapses — that is
+a property of truncation itself, not this implementation; hence opt-in,
+like the reference's matryoshka dims.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def prefix_corpus(E: jax.Array, d0: int) -> jax.Array:
+    """Contiguous (N, d0) prefix copy (bf16) for the scan stage."""
+    return jnp.asarray(E[:, :d0], dtype=jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "rerank_factor"))
+def matryoshka_topk(
+    q: jax.Array,        # (B, D) f32
+    E: jax.Array,        # (N, D) bf16 — full-dim matrix (rerank stage)
+    E0: jax.Array,       # (N, d0) bf16 — contiguous prefix (scan stage)
+    valid: jax.Array,    # (N,) f32
+    k: int,
+    rerank_factor: int = 8,
+) -> tuple[jax.Array, jax.Array]:
+    """-> (scores (B,k) f32 full-dim, indices (B,k) i32)."""
+    d0 = E0.shape[1]
+    q0 = q[:, :d0].astype(jnp.bfloat16)
+    s0 = jnp.dot(q0, E0.T, preferred_element_type=jnp.float32)
+    s0 = s0 + (valid - 1.0)[None, :] * 1e30
+    C = min(k * rerank_factor, E0.shape[0])
+    _, ci = jax.lax.approx_max_k(s0, C)
+    cand = E[ci]                                      # (B, C, D) row gather
+    full = jnp.einsum(
+        "bd,bcd->bc", q.astype(jnp.bfloat16), cand,
+        preferred_element_type=jnp.float32,
+    )
+    vals, pos = jax.lax.top_k(full, k)
+    return vals, jnp.take_along_axis(ci, pos, axis=1)

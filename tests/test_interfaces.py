@@ -129,6 +129,15 @@ class TestDaemon:
             holder.close()
             t.join(timeout=20)
 
+    def test_per_request_metrics(self, daemon_app):
+        cfg, client = daemon_app
+        client.ping()
+        st = client.status(detailed=True)
+        by_type = st["requests_by_type"]
+        assert by_type["ping"]["count"] >= 2  # fixture ping + ours
+        assert by_type["ping"]["errors"] == 0
+        assert by_type["ping"]["avg_ms"] >= 0
+
     def test_full_flow_over_socket(self, daemon_app):
         cfg, client = daemon_app
         res = client.add_bytes(b"the daemon indexes this text", "d.txt",

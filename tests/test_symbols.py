@@ -55,6 +55,54 @@ class TestExtractors:
         assert {s.name for s in extract_symbols("func Serve(x int) {}\ntype Server struct{}", "go")} == {"Serve", "Server"}
         assert {s.name for s in extract_symbols("fn run() {}\nstruct Cfg;", "rust")} == {"run", "Cfg"}
 
+    def test_go_receiver_methods_and_interfaces(self):
+        code = (
+            "func (s *Server) Handle(req Request) {}\n"
+            "type Handler interface {\n  Serve()\n}\n"
+            "const MaxConns = 10\n"
+        )
+        syms = {(s.name, s.kind) for s in extract_symbols(code, "go")}
+        assert ("Server.Handle", "method") in syms
+        assert ("Handler", "interface") in syms
+        assert ("MaxConns", "const") in syms
+
+    def test_cpp_methods_typedefs(self):
+        code = (
+            "typedef unsigned long long u64;\n"
+            "using Clock = std::chrono::steady_clock;\n"
+            "void Widget::render(int frame) {\n}\n"
+        )
+        syms = {(s.name, s.kind) for s in extract_symbols(code, "c")}
+        assert ("u64", "typedef") in syms
+        assert ("Clock", "using") in syms
+        assert ("Widget::render", "method") in syms
+
+    def test_rust_impl_macro_const(self):
+        code = (
+            "impl<T> Stack<T> {\n  fn push(&mut self) {}\n}\n"
+            "macro_rules! retry { () => {} }\n"
+            "static MAX_DEPTH: usize = 8;\n"
+        )
+        syms = {(s.name, s.kind) for s in extract_symbols(code, "rust")}
+        assert ("Stack", "impl") in syms
+        assert ("retry", "macro") in syms
+        assert ("MAX_DEPTH", "const") in syms
+        assert ("push", "function") in syms
+
+    def test_js_class_methods_arrows(self):
+        code = (
+            "class Panel {\n"
+            "  async render(props) {\n    if (props) { return; }\n  }\n"
+            "  static create() {\n  }\n"
+            "}\n"
+            "const handler = e => { go(); };\n"
+        )
+        syms = {(s.name, s.kind) for s in extract_symbols(code, "javascript")}
+        assert ("render", "method") in syms
+        assert ("create", "method") in syms
+        assert ("handler", "const_fn") in syms
+        assert not any(n == "if" for n, _ in syms)
+
     def test_mime_mapping(self):
         assert language_for_mime("text/x-python") == "python"
         assert language_for_mime("text/markdown") is None

@@ -57,6 +57,7 @@ class YamsDaemon:
         # single worker: serializes engine mutations (WriteCoordinator analog)
         self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
         self._requests_handled = 0
+        self._metrics: dict[str, dict] = {}
 
     # -- lifecycle ----------------------------------------------------------------
     async def start(self) -> None:
@@ -164,18 +165,35 @@ class YamsDaemon:
                     "code": int(ErrorCode.INVALID_ARGUMENT)}
         self._requests_handled += 1
         loop = asyncio.get_running_loop()
+        t0 = time.monotonic()
         try:
             if rtype in self.FAST_HANDLERS:
                 result = handler(req)
             else:
                 result = await loop.run_in_executor(self._pool, handler, req)
+            self._record_metric(rtype, t0, ok=True)
             return {"ok": True, "result": result}
         except YamsError as e:
+            self._record_metric(rtype, t0, ok=False)
             return {"ok": False, "error": str(e), "code": int(e.code)}
         except Exception as e:
             traceback.print_exc()
+            self._record_metric(rtype, t0, ok=False)
             return {"ok": False, "error": f"{type(e).__name__}: {e}",
                     "code": int(ErrorCode.INTERNAL)}
+
+    def _record_metric(self, rtype: str, t0: float, ok: bool) -> None:
+        """Per-request-type counters + latency (reference: DaemonMetrics
+        fsm/stream registries aggregated into status snapshots)."""
+        m = self._metrics.setdefault(
+            rtype, {"count": 0, "errors": 0, "total_ms": 0.0, "max_ms": 0.0}
+        )
+        dt = (time.monotonic() - t0) * 1e3
+        m["count"] += 1
+        if not ok:
+            m["errors"] += 1
+        m["total_ms"] += dt
+        m["max_ms"] = max(m["max_ms"], dt)
 
     # -- handlers (run on the worker thread) -------------------------------------------
     def handle_ping(self, req):
@@ -186,6 +204,13 @@ class YamsDaemon:
         snap["state"] = self.state
         snap["degraded"] = getattr(self, "degraded", {})
         snap["requests_handled"] = self._requests_handled
+        if req.get("detailed"):
+            snap["requests_by_type"] = {
+                t: {"count": m["count"], "errors": m["errors"],
+                    "avg_ms": round(m["total_ms"] / max(m["count"], 1), 2),
+                    "max_ms": round(m["max_ms"], 2)}
+                for t, m in sorted(self._metrics.items())
+            }
         snap["daemon_uptime_s"] = round(time.time() - self._started_at, 1)
         snap["post_ingest"] = self.post_ingest.snapshot()
         p = self.governor.pressure

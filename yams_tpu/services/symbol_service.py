@@ -25,22 +25,40 @@ _EXTRACTORS: dict[str, list[tuple[str, re.Pattern]]] = {
     "c": [
         ("function", re.compile(
             r"^[A-Za-z_][\w:<>,\s\*&]*?\b([A-Za-z_]\w*)\s*\([^;]*\)\s*\{", re.M)),
+        ("method", re.compile(  # C++ out-of-line definitions: Foo::bar(...)
+            r"\b([A-Za-z_]\w*::[A-Za-z_~]\w*)\s*\(", re.M)),
         ("struct", re.compile(r"\b(?:struct|class|enum)\s+([A-Za-z_]\w*)\s*[{:]")),
+        ("typedef", re.compile(r"\btypedef\s+[^;{]*?\b([A-Za-z_]\w*)\s*;")),
+        ("using", re.compile(r"^\s*using\s+([A-Za-z_]\w*)\s*=", re.M)),
         ("define", re.compile(r"^#define\s+([A-Za-z_]\w*)", re.M)),
     ],
     "javascript": [
         ("function", re.compile(r"\bfunction\s+([A-Za-z_$][\w$]*)\s*\(")),
         ("class", re.compile(r"\bclass\s+([A-Za-z_$][\w$]*)")),
         ("const_fn", re.compile(
-            r"\b(?:const|let|var)\s+([A-Za-z_$][\w$]*)\s*=\s*(?:async\s*)?(?:\(|function)")),
+            r"\b(?:const|let|var)\s+([A-Za-z_$][\w$]*)\s*=\s*(?:async\s*)?"
+            r"(?:\(|function|[A-Za-z_$][\w$]*\s*=>)")),
+        ("method", re.compile(  # class body: name(args) { — skip keywords
+            r"^\s{2,}(?:async\s+)?(?:static\s+)?(?:get\s+|set\s+)?"
+            r"([A-Za-z_$][\w$]*)\s*\([^)]*\)\s*\{", re.M)),
+        ("export_fn", re.compile(
+            r"\bexport\s+default\s+(?:async\s+)?function\s*([A-Za-z_$][\w$]*)?")),
     ],
     "go": [
-        ("function", re.compile(r"^func\s+(?:\([^)]*\)\s*)?([A-Za-z_]\w*)\s*\(", re.M)),
+        ("function", re.compile(r"^func\s+([A-Za-z_]\w*)\s*\(", re.M)),
+        ("method", re.compile(  # receiver methods: func (r *T) Name(
+            r"^func\s+\(\s*\w+\s+\*?([A-Za-z_]\w*)\s*\)\s*([A-Za-z_]\w*)\s*\(",
+            re.M)),
+        ("interface", re.compile(r"^type\s+([A-Za-z_]\w*)\s+interface\b", re.M)),
         ("type", re.compile(r"^type\s+([A-Za-z_]\w*)\s", re.M)),
+        ("const", re.compile(r"^const\s+([A-Za-z_]\w*)\s*=", re.M)),
     ],
     "rust": [
         ("function", re.compile(r"\bfn\s+([A-Za-z_]\w*)")),
-        ("struct", re.compile(r"\b(?:struct|enum|trait)\s+([A-Za-z_]\w*)")),
+        ("struct", re.compile(r"\b(?:struct|enum|trait|union)\s+([A-Za-z_]\w*)")),
+        ("impl", re.compile(r"^impl(?:<[^>]*>)?\s+([A-Za-z_]\w*)", re.M)),
+        ("macro", re.compile(r"\bmacro_rules!\s+([A-Za-z_]\w*)")),
+        ("const", re.compile(r"\b(?:const|static)\s+([A-Z_][A-Z0-9_]*)\s*:")),
     ],
 }
 
@@ -51,7 +69,9 @@ _MIME_LANG = {
     "text/x-go": "go", "text/x-rust": "rust",
 }
 
-_KEYWORDS = frozenset("if else for while return switch main init new".split())
+_KEYWORDS = frozenset(
+    "if else for while return switch main init new catch function do".split()
+)
 
 
 @dataclasses.dataclass(slots=True)
@@ -112,7 +132,12 @@ def extract_symbols(text: str, language: str, max_symbols: int = 256) -> list[Sy
     seen: set[tuple[str, int]] = set()
     for kind, rx in extractors:
         for m in rx.finditer(text[:500_000]):
-            name = m.group(1)
+            if rx.groups >= 2 and m.group(2):
+                name = f"{m.group(1)}.{m.group(2)}"  # receiver.method
+            else:
+                name = m.group(1)
+            if name is None:
+                continue
             if name.lower() in _KEYWORDS or len(name) < 2:
                 continue
             line = text.count("\n", 0, m.start(1)) + 1

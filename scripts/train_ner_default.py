@@ -1,0 +1,116 @@
+"""Train the bundled default NER checkpoint.
+
+Generates a synthetic supervision corpus for software-knowledge-base text
+(the deployment domain): entities are code identifiers (CamelCase,
+snake_case) and multiword capitalized names; hard negatives include
+sentence-initial capitalized ordinary words, so the model must combine
+subword shape with context instead of keying on casing alone.
+
+Writes yams_tpu/plugins/data/ner_default.pkl (loaded by the neural_ner
+plugin when no model_path is configured).
+
+Run: python scripts/train_ner_default.py [steps]
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from yams_tpu.embed.ner import NerConfig, NerModel  # noqa: E402
+
+CTX = (
+    "the a this that runs calls reads writes updates handles owns drives "
+    "feeds uses builds loads stores sends gets checks after before during "
+    "with into over under between against through result value state data "
+    "request response error config slowly quickly carefully finally often"
+).split()
+
+# sentence-initial ordinary words that LOOK like entities when capitalized
+HARD_STARTS = "When Then While After Before Finally However Usually".split()
+
+CAMEL_PARTS = (
+    "Post Ingest Queue Embed Service Vector Data Base Search Engine Chunk "
+    "Store Meta Repo Graph Node Edge Token Stream Cache Manager Index Shard "
+    "Worker Pool Config Loader Parser Writer Reader Socket Frame Codec"
+).split()
+SNAKE_PARTS = (
+    "post ingest queue embed service vector data base search engine chunk "
+    "store meta repo graph node edge token stream cache manager index shard"
+).split()
+PROPER_PARTS = (
+    "Alpha Beta Gamma Delta Omega North South River Stone Iron Silver "
+    "Falcon Raven Harbor Summit Cedar Maple"
+).split()
+
+
+def _entity(rng) -> list[str]:
+    kind = rng.integers(0, 3)
+    if kind == 0:      # CamelCase compound identifier (one token)
+        n = int(rng.integers(2, 4))
+        return ["".join(rng.choice(CAMEL_PARTS) for _ in range(n))]
+    if kind == 1:      # snake_case identifier (one token)
+        n = int(rng.integers(2, 4))
+        return ["_".join(rng.choice(SNAKE_PARTS) for _ in range(n))]
+    n = int(rng.integers(2, 4))   # multiword proper name
+    return [str(rng.choice(PROPER_PARTS)) for _ in range(n)]
+
+
+def synth_example(rng, window: int):
+    toks: list[str] = []
+    tags: list[int] = []
+    # optionally open with a hard-negative capitalized ordinary word
+    if rng.random() < 0.5:
+        toks.append(str(rng.choice(HARD_STARTS)))
+        tags.append(0)
+    n_pre = int(rng.integers(1, 5))
+    toks += [str(rng.choice(CTX)) for _ in range(n_pre)]
+    tags += [0] * n_pre
+    for _ in range(int(rng.integers(1, 3))):   # 1-2 entities per window
+        ent = _entity(rng)
+        toks += ent
+        tags += [1] + [2] * (len(ent) - 1)
+        n_mid = int(rng.integers(1, 5))
+        toks += [str(rng.choice(CTX)) for _ in range(n_mid)]
+        tags += [0] * n_mid
+    return toks[:window], tags[:window]
+
+
+def f1(model: NerModel, examples) -> float:
+    tp = fp = fn = 0
+    for toks, tags in examples:
+        ids, _ = model.tag(toks)
+        for got, want in zip(ids, tags):
+            if want > 0 and got > 0:
+                tp += 1
+            elif want == 0 and got > 0:
+                fp += 1
+            elif want > 0 and got == 0:
+                fn += 1
+    p = tp / max(tp + fp, 1)
+    r = tp / max(tp + fn, 1)
+    return 2 * p * r / max(p + r, 1e-9)
+
+
+def main() -> None:
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1200
+    rng = np.random.default_rng(0)
+    cfg = NerConfig(dm=64, heads=4, layers=2, window=32, labels=("entity",))
+    model = NerModel(cfg, seed=0)
+    train = [synth_example(rng, cfg.window) for _ in range(512)]
+    held = [synth_example(rng, cfg.window) for _ in range(64)]
+    loss = model.fit(train, steps=steps, lr=3e-3, batch=32)
+    score = f1(model, held)
+    out = (pathlib.Path(__file__).resolve().parent.parent
+           / "yams_tpu" / "plugins" / "data" / "ner_default.pkl")
+    out.parent.mkdir(parents=True, exist_ok=True)
+    model.save(out)
+    print(f"loss={loss:.4f} heldout_token_f1={score:.3f} -> {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -114,11 +114,33 @@ class TestPluginShape:
         finally:
             app.close()
 
-    def test_plugin_dormant_without_model(self):
+    def test_plugin_dormant_when_bundled_disabled(self):
         from yams_tpu.plugins.neural_ner import yams_plugin
         from yams_tpu.plugins.spec import IFACE_ENTITY_EXTRACTOR
 
         m = yams_plugin()
-        m.init({})
+        m.init({"use_bundled": False})
         assert m.health()["status"] == "degraded"
         assert m.get_interface(IFACE_ENTITY_EXTRACTOR).extract_entities("Foo Bar") == []
+
+    def test_bundled_checkpoint_loads_and_extracts(self):
+        """The shipped default checkpoint finds code identifiers and
+        multiword names, and rejects capitalized ordinary sentence starts."""
+        import pathlib
+
+        from yams_tpu.plugins.neural_ner import _BUNDLED, yams_plugin
+        from yams_tpu.plugins.spec import IFACE_ENTITY_EXTRACTOR
+
+        if not pathlib.Path(_BUNDLED).exists():
+            pytest.skip("bundled checkpoint absent")
+        m = yams_plugin()
+        m.init({})
+        assert m.health()["status"] == "ok"
+        ex = m.get_interface(IFACE_ENTITY_EXTRACTOR)
+        ents = ex.extract_entities(
+            "When the CacheManager runs after the ingest_queue_worker updates"
+        )
+        names = {e[0] for e in ents}
+        assert "CacheManager" in names
+        assert "ingest_queue_worker" in names
+        assert "When" not in names

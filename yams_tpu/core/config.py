@@ -113,6 +113,10 @@ class DaemonConfig:
     max_message_bytes: int = 256 * 1024 * 1024
     worker_threads: int = 4
     auto_embed: bool = True
+    # micro-batching serving aggregator: plain concurrent searches wait up
+    # to this long for co-travellers, then run as ONE device batch. 0 = off.
+    search_batch_window_ms: float = 4.0
+    search_batch_max: int = 32
 
 
 def _search_config_factory():

@@ -46,6 +46,88 @@ class DaemonState:
     STOPPING = "stopping"
 
 
+class SearchBatcher:
+    """Micro-batching aggregator: concurrent plain searches coalesce into
+    ONE fused device program (engine.search_batch via
+    SearchService.search_many).
+
+    The reference serializes per-query fan-outs through thread pools; on TPU
+    the win is different — a query batch costs barely more than one query,
+    so serving throughput under concurrency scales with the batch. Requests
+    wait at most `window_ms` for co-travellers (or flush early at
+    `max_batch`).
+    """
+
+    def __init__(self, daemon: "YamsDaemon", window_ms: float = 4.0,
+                 max_batch: int = 32):
+        self.daemon = daemon
+        self.window_s = window_ms / 1e3
+        self.max_batch = max_batch
+        self._pending: list[tuple[dict, asyncio.Future]] = []
+        self._timer: asyncio.TimerHandle | None = None
+        self.batches = 0
+        self.batched_requests = 0
+
+    async def submit(self, req: dict) -> dict:
+        loop = asyncio.get_running_loop()
+        fut: asyncio.Future = loop.create_future()
+        self._pending.append((req, fut))
+        if len(self._pending) >= self.max_batch:
+            self._flush()
+        elif self._timer is None:
+            self._timer = loop.call_later(self.window_s, self._flush)
+        return await fut
+
+    def _flush(self) -> None:
+        if self._timer is not None:
+            self._timer.cancel()
+            self._timer = None
+        batch, self._pending = self._pending, []
+        if not batch:
+            return
+        self.batches += 1
+        self.batched_requests += len(batch)
+        loop = asyncio.get_running_loop()
+
+        def run():
+            queries = [r.get("query", "") for r, _ in batch]
+            limit = max(r.get("limit", 10) for r, _ in batch)
+            try:
+                resps = self.daemon.app.search.search_many(queries, limit=limit)
+                outs = []
+                for (r, _), resp in zip(batch, resps):
+                    lim = r.get("limit", 10)
+                    outs.append({
+                        "hits": [_asdict(h) for h in resp.hits[:lim]],
+                        "total": resp.total,
+                        "duration_ms": resp.duration_ms,
+                    })
+                return outs, None
+            except BaseException as e:  # propagate to every waiter
+                return None, e
+
+        def done(f):
+            outs, err = f.result()
+            for i, (_, fut) in enumerate(batch):
+                if fut.cancelled():
+                    continue
+                if err is not None:
+                    fut.set_exception(err)
+                else:
+                    fut.set_result(outs[i])
+
+        task = loop.run_in_executor(self.daemon._pool, run)
+        task.add_done_callback(
+            lambda f: loop.call_soon_threadsafe(done, f)
+        )
+
+    def snapshot(self) -> dict:
+        return {"batches": self.batches,
+                "batched_requests": self.batched_requests,
+                "avg_batch": round(
+                    self.batched_requests / max(self.batches, 1), 2)}
+
+
 class YamsDaemon:
     def __init__(self, config: Config):
         self.config = config
@@ -58,6 +140,7 @@ class YamsDaemon:
         self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
         self._requests_handled = 0
         self._metrics: dict[str, dict] = {}
+        self.search_batcher: SearchBatcher | None = None
 
     # -- lifecycle ----------------------------------------------------------------
     async def start(self) -> None:
@@ -102,6 +185,12 @@ class YamsDaemon:
                 self.degraded[f"plugin:{name}"] = str(
                     h.get("reason") or h.get("status"))
         self.state = DaemonState.DEGRADED if self.degraded else DaemonState.READY
+        if self.config.daemon.search_batch_window_ms > 0:
+            self.search_batcher = SearchBatcher(
+                self,
+                window_ms=self.config.daemon.search_batch_window_ms,
+                max_batch=self.config.daemon.search_batch_max,
+            )
 
     async def run(self) -> None:
         await self.start()
@@ -157,6 +246,20 @@ class YamsDaemon:
     # never queued behind long worker operations (e.g. first-search compile)
     FAST_HANDLERS = frozenset({"ping", "shutdown"})
 
+    @staticmethod
+    def _batchable_search(req: dict) -> bool:
+        """Plain hybrid searches coalesce into one device batch; anything
+        with filters/qualifier characters/non-hybrid routing keeps the
+        full single-query path."""
+        q = req.get("query", "")
+        return (
+            req.get("type") == "search"
+            and req.get("search_type", "hybrid") == "hybrid"
+            and not req.get("tags") and not req.get("path_glob")
+            and not req.get("collection")
+            and ":" not in q
+        )
+
     async def _dispatch(self, req: dict) -> dict:
         rtype = req.get("type", "")
         handler = getattr(self, f"handle_{rtype}", None)
@@ -169,6 +272,8 @@ class YamsDaemon:
         try:
             if rtype in self.FAST_HANDLERS:
                 result = handler(req)
+            elif self.search_batcher is not None and self._batchable_search(req):
+                result = await self.search_batcher.submit(req)
             else:
                 result = await loop.run_in_executor(self._pool, handler, req)
             self._record_metric(rtype, t0, ok=True)
@@ -217,6 +322,8 @@ class YamsDaemon:
         snap["pressure"] = {"cpu": round(p.cpu, 3), "memory": round(p.memory, 3),
                             "queues": round(p.queues, 3), "level": p.level}
         snap["tuning_profile"] = self.advisor.profile
+        if self.search_batcher is not None:
+            snap["search_batching"] = self.search_batcher.snapshot()
         return snap
 
     def handle_shutdown(self, req):

@@ -103,12 +103,18 @@ class AppContext:
         once per shape per machine instead of per process (first-search
         latency drops from minutes to milliseconds on daemon/CLI restarts)."""
         try:
+            import os
+
             import jax
 
             cache_dir = default_data_dir() / "jit_cache"
             cache_dir.mkdir(parents=True, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", str(cache_dir))
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            if os.environ.get("YAMS_TPU_DEBUG_NANS"):
+                # nan-propagation tripwire (the sanitizer-tier for device
+                # code, SURVEY §5: "jax debug nan-checks")
+                jax.config.update("jax_debug_nans", True)
         except Exception:
             pass  # cache is an optimization; never block startup on it
 

@@ -200,6 +200,59 @@ class SearchService:
             duration_ms=(time.monotonic() - t0) * 1e3,
         )
 
+    def search_many(
+        self,
+        queries: list[str],
+        limit: int = 10,
+        search_type: str = "hybrid",
+        with_snippets: bool = True,
+    ) -> list[SearchResponse]:
+        """Plain-path batch: N queries -> ONE device program -> per-query
+        hydration. The daemon's micro-batching aggregator uses this to
+        coalesce concurrent searches; qualifier/filter/fts/fuzzy paths fall
+        back to search(). Results match search() for plain queries minus the
+        zero-hit retry tiers."""
+        t0 = time.monotonic()
+        md = self.app.metadata
+        mode = {"semantic": "vector", "vector": "vector",
+                "keyword": "keyword"}.get(search_type, "hybrid")
+        batches = self.app.search_engine.search_batch(
+            queries, k=limit, mode=mode
+        )
+        from ..embed.simeon import tokenize as _tok
+
+        pt_w = self.app.search_engine.config.path_tree_weight
+        out: list[SearchResponse] = []
+        for query, results in zip(queries, batches):
+            q_toks = set(_tok(query))
+            hits: list[SearchHit] = []
+            for r in results:
+                try:
+                    doc = md.get_document(r.doc_id)
+                except Exception:
+                    continue
+                snippet = self._snippet(r.doc_id, query) if with_snippets else ""
+                score = r.score
+                if q_toks and pt_w > 0:
+                    segs = [s for s in doc.file_path.lower().split("/") if s]
+                    seg_toks = {t for s in segs[:-1] for t in _tok(s)}
+                    overlap = len(q_toks & seg_toks)
+                    if overlap:
+                        score += pt_w * min(1.0, overlap / len(q_toks))
+                hits.append(SearchHit(
+                    document_id=r.doc_id, score=score, path=doc.file_path,
+                    name=doc.file_name, title=r.title or doc.file_name,
+                    snippet=snippet, text_score=r.text_score,
+                    vector_score=r.vector_score, kg_score=r.kg_score,
+                ))
+            hits.sort(key=lambda h: -h.score)
+            out.append(SearchResponse(
+                hits=hits[:limit], total=len(hits), query=query,
+                type=search_type,
+                duration_ms=(time.monotonic() - t0) * 1e3,
+            ))
+        return out
+
     def _snippet(self, doc_id: int, query: str, width: int = 160) -> str:
         from ..embed.simeon import tokenize
 

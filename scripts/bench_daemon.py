@@ -1,0 +1,122 @@
+"""End-to-end daemon serving benchmark: concurrent clients over the socket.
+
+Measures what a production client sees — socket round trip + host glue +
+device program — unlike bench.py's pure device throughput. Compares
+micro-batched serving against the batcher disabled.
+
+Run: python scripts/bench_daemon.py [n_docs] [n_clients] [n_requests]
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import pathlib
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from yams_tpu.core.config import (  # noqa: E402
+    ChunkingConfig, Config, EmbeddingConfig, LexicalIndexConfig,
+    VectorIndexConfig,
+)
+
+WORDS = (
+    "kernel scheduler thread mutex gradient tensor batch layer tomato basil "
+    "pasta olive recipe salad driver interrupt vector index search daemon "
+    "socket frame protocol chunk store manifest graph node edge token cache"
+).split()
+
+
+def run(n_docs: int, n_clients: int, n_requests: int, window_ms: float):
+    import threading
+
+    from yams_tpu.daemon.client import DaemonClient
+    from yams_tpu.daemon.server import YamsDaemon
+
+    with tempfile.TemporaryDirectory() as td:
+        cfg = Config(data_dir=pathlib.Path(td) / "data")
+        cfg.chunking = ChunkingConfig(min_size=1024, avg_size=4096,
+                                      max_size=16384)
+        cfg.embedding = EmbeddingConfig(dim=384, sketch_dim=4096)
+        cfg.vector = VectorIndexConfig(dim=384, capacity=max(n_docs * 2, 1024),
+                                       block_rows=1024)
+        cfg.daemon.socket_path = str(pathlib.Path(td) / "b.sock")
+        cfg.daemon.search_batch_window_ms = window_ms
+        d = YamsDaemon(cfg)
+        import asyncio
+
+        loop = asyncio.new_event_loop()
+
+        def runner():
+            asyncio.set_event_loop(loop)
+            loop.run_until_complete(d.run())
+
+        t = threading.Thread(target=runner, daemon=True)
+        t.start()
+        while not pathlib.Path(cfg.daemon.socket_path).exists():
+            time.sleep(0.05)
+
+        rng = np.random.default_rng(0)
+        seed_client = DaemonClient(cfg.daemon.socket_path)
+        t_ing = time.perf_counter()
+        for i in range(n_docs):
+            text = " ".join(rng.choice(WORDS, size=24))
+            seed_client.add_bytes(text.encode(), f"d{i}.txt")
+        ing_dt = time.perf_counter() - t_ing
+        queries = [" ".join(rng.choice(WORDS, size=3)) for _ in range(64)]
+        seed_client.search(queries[0])  # compile warmup
+
+        def client_worker(wid):
+            c = DaemonClient(cfg.daemon.socket_path)
+            lat = []
+            try:
+                for j in range(n_requests):
+                    q = queries[(wid * n_requests + j) % len(queries)]
+                    t0 = time.perf_counter()
+                    r = c.search(q, limit=10)
+                    lat.append(time.perf_counter() - t0)
+                    assert "hits" in r
+            finally:
+                c.close()
+            return lat
+
+        t0 = time.perf_counter()
+        with cf.ThreadPoolExecutor(n_clients) as pool:
+            lats = [x for f in [pool.submit(client_worker, w)
+                                for w in range(n_clients)]
+                    for x in f.result()]
+        dt = time.perf_counter() - t0
+        total = n_clients * n_requests
+        st = seed_client.status(detailed=True)
+        batching = st.get("search_batching", {})
+        seed_client.shutdown()
+        t.join(timeout=30)
+        return {
+            "qps": total / dt,
+            "p50_ms": float(np.percentile(lats, 50)) * 1e3,
+            "p95_ms": float(np.percentile(lats, 95)) * 1e3,
+            "ingest_docs_per_s": n_docs / ing_dt,
+            "batching": batching,
+        }
+
+
+def main() -> None:
+    # one mode per process: daemon teardown then a fresh run in the same
+    # interpreter races executor shutdown
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+    n_clients = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    n_requests = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+    window = float(sys.argv[4]) if len(sys.argv) > 4 else 4.0
+    r = run(n_docs, n_clients, n_requests, window)
+    mode = "batched" if window else "unbatched"
+    print(f"{mode:10s} qps={r['qps']:8.1f} p50={r['p50_ms']:7.1f}ms "
+          f"p95={r['p95_ms']:7.1f}ms ingest={r['ingest_docs_per_s']:.0f} "
+          f"docs/s batching={r['batching']}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -461,9 +461,18 @@ class SearchEngine:
                 )
                 trace["shadow_agreement"] = cur
 
+        # entity-vector leg: ONE device call for the whole batch (a per-query
+        # search here would cost a dispatch round trip per query)
+        ev_hits = (
+            self._entity_vector_batch(queries)
+            if (self.kg and mode == "hybrid") else None
+        )
         out: list[list[SearchResult]] = []
         for i, qtext in enumerate(queries):
-            kg_scores = self._kg_scores(qtext) if (self.kg and mode == "hybrid") else {}
+            kg_scores = (
+                self._kg_scores(qtext, ev_hits[i] if ev_hits else [])
+                if (self.kg and mode == "hybrid") else {}
+            )
             results: list[SearchResult] = []
             for j in range(vals.shape[1]):
                 if vals[i, j] <= -1e29:
@@ -509,27 +518,39 @@ class SearchEngine:
             self.entity_index.remove_doc(nid)
         self.entity_index.add(vecs, node_ids)
 
-    def _kg_scores(self, query: str) -> dict[int, float]:
+    def _entity_vector_batch(self, queries: list[str]):
+        """Entity-vector similarities for ALL queries in one device search:
+        -> per-query [(node_id, sim), ...] (reference: queryEntityVectors
+        :5504). None-equivalent (empty lists) when the side index is empty."""
+        if self.entity_index.active_rows == 0:
+            return [[] for _ in queries]
+        qvecs = self.provider.encode(queries)
+        vals, rows = self.entity_index.search(qvecs, k=4)
+        out = []
+        for i in range(len(queries)):
+            node_ids = self.entity_index.slots_of_rows(rows[i])
+            out.append([
+                (int(n), float(s)) for s, n in zip(vals[i], node_ids)
+                if s >= 0.4 and n >= 0
+            ])
+        return out
+
+    def _kg_scores(self, query: str, ev_hits=()) -> dict[int, float]:
         """Host KG leg: exact alias matches + entity-vector similarity, both
         mapped to linked docs (reference: queryKnowledgeGraph :5219 +
-        queryEntityVectors :5504)."""
+        queryEntityVectors :5504). ev_hits come pre-batched from
+        _entity_vector_batch."""
         scores: dict[int, float] = {}
         for tok in tokenize(query)[:8]:
             for node in self.kg.resolve_alias(tok, limit=4):
                 for doc_id, conf in self.kg.documents_for_node(node, limit=20):
                     scores[doc_id] = max(scores.get(doc_id, 0.0), conf)
-        if self.entity_index.active_rows > 0:
-            qvec = self.provider.encode([query])
-            vals, rows = self.entity_index.search(qvec, k=4)
-            node_ids = self.entity_index.slots_of_rows(rows[0])
-            ev_scale = (self.config.entity_vector_weight
-                        / max(self.config.kg_weight, 1e-6))
-            for sim, node in zip(vals[0], node_ids):
-                if sim < 0.4 or node < 0:
-                    continue
-                for doc_id, conf in self.kg.documents_for_node(int(node), limit=20):
-                    boost = float(sim) * conf * ev_scale
-                    scores[doc_id] = max(scores.get(doc_id, 0.0), boost)
+        ev_scale = (self.config.entity_vector_weight
+                    / max(self.config.kg_weight, 1e-6))
+        for node, sim in ev_hits:
+            for doc_id, conf in self.kg.documents_for_node(node, limit=20):
+                boost = sim * conf * ev_scale
+                scores[doc_id] = max(scores.get(doc_id, 0.0), boost)
         return scores
 
     def stats(self) -> dict:

@@ -2,6 +2,7 @@
 
 import datetime
 import hashlib
+import pathlib
 
 import pytest
 
@@ -93,6 +94,25 @@ class TestDownloader:
         assert hits and "payload.txt" in hits[0].path
         doc = app.documents.get("payload.txt")
         assert doc.metadata["source_url"] == src.as_uri()
+
+    def test_basename_collisions_do_not_clobber(self, app, tmp_path):
+        """Same basename from different URLs, and a URL named resume.json,
+        must not overwrite each other or the service's resume store."""
+        d1 = tmp_path / "a"
+        d2 = tmp_path / "b"
+        d1.mkdir(), d2.mkdir()
+        (d1 / "file.bin").write_bytes(b"first payload")
+        (d2 / "file.bin").write_bytes(b"second payload")
+        svc = DownloadService(app)
+        r1 = svc.download((d1 / "file.bin").as_uri(), store=False)
+        r2 = svc.download((d2 / "file.bin").as_uri(), store=False)
+        assert r1.path != r2.path
+        assert pathlib.Path(r1.path).read_bytes() == b"first payload"
+        assert pathlib.Path(r2.path).read_bytes() == b"second payload"
+        (d1 / "resume.json").write_text("{malicious}")
+        r3 = svc.download((d1 / "resume.json").as_uri(), store=False)
+        assert pathlib.Path(r3.path) != svc.resume_store
+        assert svc._load_resume() == {}  # resume store intact (empty dict)
 
     def test_integrity_mismatch_rejected(self, app, tmp_path):
         src = tmp_path / "x.bin"

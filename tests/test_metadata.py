@@ -66,6 +66,23 @@ class TestRepository:
         assert id1 == id2
         assert repo.get_document(id1).sha256_hash == "b" * 64
 
+    def test_upsert_returns_own_id_not_last_insert(self, repo):
+        """Regression: lastrowid is stale when the DO UPDATE branch fires.
+
+        Re-adding /a after adding /b must return /a's id, not /b's, and must
+        not overwrite /b's content/metadata.
+        """
+        id_a = repo.insert_document(_doc(path="/src/a.py"), content_text="alpha body")
+        id_b = repo.insert_document(_doc(path="/src/b.py", h="b" * 64),
+                                    content_text="beta body")
+        id_a2 = repo.insert_document(_doc(path="/src/a.py", h="c" * 64),
+                                     content_text="alpha v2")
+        assert id_a2 == id_a
+        assert id_a2 != id_b
+        assert repo.get_content(id_b) == "beta body"
+        assert repo.get_content(id_a) == "alpha v2"
+        assert repo.get_document(id_b).sha256_hash == "b" * 64
+
     def test_get_by_hash_and_name(self, repo):
         repo.insert_document(_doc())
         assert len(repo.get_by_hash("a" * 64)) == 1

@@ -64,6 +64,25 @@ class TestInProcessPlugins:
         pm.trust(FIXTURES / "mock_plugin.py")  # dedup
         assert len(pm.trusted_paths()) == 1
 
+    def test_daemon_load_requires_trust(self, app, tmp_path):
+        """The daemon's plugins op='load' executes code in-process, so it
+        must refuse paths absent from the trust list."""
+        from yams_tpu.core.errors import YamsError
+        from yams_tpu.daemon.server import YamsDaemon
+
+        class _Daemon:
+            handle_plugins = YamsDaemon.handle_plugins
+
+        d = _Daemon()
+        d.plugins = PluginManager(app, trust_file=tmp_path / "trust")
+        with pytest.raises(YamsError, match="not trusted"):
+            d.handle_plugins({"op": "load", "path": str(FIXTURES / "mock_plugin.py")})
+        d.handle_plugins({"op": "trust", "path": str(FIXTURES / "mock_plugin.py")})
+        out = d.handle_plugins(
+            {"op": "load", "path": str(FIXTURES / "mock_plugin.py")}
+        )
+        assert out["plugins"][0]["name"] == "mockplug"
+
     def test_bad_plugin_reported(self, app, tmp_path):
         bad = tmp_path / "bad_plugin.py"
         bad.write_text("raise RuntimeError('boom')")

@@ -169,6 +169,63 @@ class TestContentStore:
         r = cs.store_bytes(data)
         assert b"".join(cs.retrieve_stream(r.content_hash)) == data
 
+    def test_raw_block_starting_with_magic_roundtrips(self, tmp_path):
+        """Regression: adversarial raw content beginning with the compression
+        magic must not be misparsed as a framed block on retrieve."""
+        from yams_tpu.ingest.compression import MAGIC, is_compressed_block
+        import struct
+
+        magic_bytes = struct.pack("<I", MAGIC)
+        assert not is_compressed_block(magic_bytes + b"\x01" * 60)
+        cs = ContentStore(tmp_path, chunking=CFG)
+        # incompressible payload that starts with the magic: stored raw by
+        # both the native fast path and the Python fallback
+        data = magic_bytes + _rand(40_000, seed=41)
+        r = cs.store_bytes(data, "application/octet-stream")
+        assert cs.retrieve_bytes(r.content_hash) == data
+        # below min_size: stored raw/unframed by CompressedStorageEngine
+        small = magic_bytes + _rand(64, seed=42)
+        eng = cs.engine
+        h = sha256_bytes(small)
+        eng.store(h, small, "application/octet-stream")
+        assert eng.retrieve(h) == small
+
+    def test_gc_serialized_against_store(self, tmp_path):
+        """remove(collect=True) must not delete a block a concurrent store
+        has dedup-checked but not yet committed."""
+        import threading
+
+        cs = ContentStore(tmp_path, chunking=CFG)
+        data = _rand(30_000, seed=43)
+        r1 = cs.store_bytes(data)
+        entered = threading.Event()
+        unblock = threading.Event()
+        real_exists = cs.engine.exists
+
+        def slow_exists(h):
+            entered.set()
+            unblock.wait(timeout=10)
+            return real_exists(h)
+
+        cs.engine.exists = slow_exists
+        res = {}
+        t = threading.Thread(
+            target=lambda: res.update(r=cs.store_bytes(data + b"x"))
+        )
+        t.start()
+        entered.wait(timeout=10)
+        # GC from another thread while the store is mid-flight: must block
+        # until the store commits (the shared prefix chunks stay alive)
+        t2 = threading.Thread(target=lambda: cs.remove(r1.content_hash))
+        t2.start()
+        t2.join(timeout=0.3)
+        assert t2.is_alive(), "remove/GC ran concurrently with an open store"
+        unblock.set()
+        t.join(timeout=30)
+        t2.join(timeout=30)
+        cs.engine.exists = real_exists
+        assert cs.retrieve_bytes(res["r"].content_hash) == data + b"x"
+
     def test_compression_transparent(self, tmp_path):
         cs = ContentStore(tmp_path, chunking=CFG)
         data = b"compressible text " * 10_000

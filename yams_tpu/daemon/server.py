@@ -168,6 +168,10 @@ class YamsDaemon:
         if sock.exists():
             sock.unlink()
         self._server = await asyncio.start_unix_server(self._handle_conn, path=str(sock))
+        # Any client reaching the socket can drive repair/plugin ops; restrict
+        # to the owning user (the reference daemon's socket is similarly
+        # owner-only).
+        os.chmod(sock, 0o600)
         # per-subsystem degraded flags (reference: DaemonLifecycleFsm Degraded
         # state + ServiceManager degraded tracking): still serving, but status
         # reports what's impaired and why
@@ -494,6 +498,18 @@ class YamsDaemon:
         if op == "trust":
             self.plugins.trust(req["path"])
         elif op == "load":
+            # Trust gate: load executes plugin code in the daemon process, so
+            # refuse paths not on the trust list (reference PluginManager
+            # refuses non-trusted loads; trust must be granted explicitly
+            # first).
+            import pathlib as _pl
+
+            p = _pl.Path(req["path"]).resolve()
+            trusted = [t.resolve() for t in self.plugins.trusted_paths()]
+            if not any(p == t or t in p.parents for t in trusted):
+                raise YamsError(
+                    f"plugin path not trusted: {p} (run plugins op=trust first)"
+                )
             m = self.plugins.load_file(req["path"])
             if m is None:
                 raise YamsError(f"plugin load failed: {self.plugins.errors}")

@@ -161,7 +161,26 @@ def decompress_block(block: bytes) -> bytes:
 
 
 def is_compressed_block(block: bytes) -> bool:
-    return len(block) >= 4 and struct.unpack("<I", block[:4])[0] == MAGIC
+    """True only when the block is actually framed, not a raw block whose
+    content happens to start with the magic bytes.
+
+    The full header must parse, the algorithm must be known, the length must
+    be exactly HEADER_SIZE + compressed_size, and the payload CRC must match
+    (the reference's isCompressedData applies the same size discipline,
+    compressed_storage_engine.cpp:30-46). A 4-byte magic sniff would make
+    adversarial raw content permanently unretrievable.
+    """
+    if len(block) < HEADER_SIZE:
+        return False
+    try:
+        header = CompressionHeader.unpack(block)
+    except CorruptionError:
+        return False
+    if header.algorithm not in _ALGO_NAMES:
+        return False
+    if len(block) != HEADER_SIZE + header.compressed_size:
+        return False
+    return zlib.crc32(block[HEADER_SIZE:]) & 0xFFFFFFFF == header.crc32
 
 
 @dataclasses.dataclass(slots=True)

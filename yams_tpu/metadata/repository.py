@@ -78,7 +78,8 @@ class MetadataRepository:
                      modified_time=excluded.modified_time,
                      indexed_time=excluded.indexed_time,
                      content_extracted=excluded.content_extracted,
-                     extraction_status=excluded.extraction_status""",
+                     extraction_status=excluded.extraction_status
+                   RETURNING id""",
                 (
                     info.file_path, info.file_name, info.file_extension,
                     info.file_size, info.sha256_hash, info.mime_type,
@@ -86,12 +87,10 @@ class MetadataRepository:
                     int(info.content_extracted), info.extraction_status,
                 ),
             )
-            if cur.lastrowid:
-                doc_id = cur.lastrowid
-            else:
-                doc_id = self.db.conn.execute(
-                    "SELECT id FROM documents WHERE file_path=?", (info.file_path,)
-                ).fetchone()[0]
+            # lastrowid is stale when the DO UPDATE branch fires (it would
+            # point at the last real insert on this connection — another
+            # document), so take the id from RETURNING instead.
+            doc_id = cur.fetchone()[0]
             info.id = doc_id
             if content_text is not None:
                 self._set_content_tx(doc_id, content_text, title or info.file_name)

@@ -9,6 +9,7 @@ flow into DocumentService.add_bytes.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import json
 import pathlib
 import time
@@ -66,8 +67,6 @@ class DownloadService:
         self.resume_store.write_text(json.dumps(state))
 
     def _part_path(self, url: str) -> pathlib.Path:
-        import hashlib
-
         return self.dir / (hashlib.sha256(url.encode()).hexdigest()[:24] + ".part")
 
     # -- download ---------------------------------------------------------------
@@ -125,7 +124,11 @@ class DownloadService:
 
         doc_id = -1
         name = urllib.parse.urlparse(url).path.rsplit("/", 1)[-1] or "download.bin"
-        final_path = self.dir / name
+        # Namespace the final file by URL hash: the URL basename alone can
+        # clobber the resume store itself (.../resume.json) or a different
+        # URL's completed download with the same basename.
+        url_tag = hashlib.sha256(url.encode()).hexdigest()[:12]
+        final_path = self.dir / f"{url_tag}-{name}"
         part.replace(final_path)
         state.pop(url, None)
         self._save_resume(state)

@@ -68,7 +68,7 @@ class RepairService:
         orphans = self.app.content_store.gc.orphan_scan()
         for h in orphans:
             self.app.content_store.engine.remove(h)
-        stats = self.app.content_store.gc.collect()
+        stats = self.app.content_store.collect()
         return f"{len(orphans)} orphan blocks removed, {stats.blocks_deleted} GC'd"
 
     def repair_mime(self) -> str:

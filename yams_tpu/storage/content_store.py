@@ -7,7 +7,9 @@ batches, phase timings, WAL-before-commit discipline).
 
 from __future__ import annotations
 
+import functools
 import pathlib
+import threading
 import time
 
 from ..core.config import ChunkingConfig, CompressionConfig
@@ -24,6 +26,17 @@ from .wal import OP_STORE_BLOCK, WalManager
 
 OP_COMMIT_STORE = "commit_store"
 OP_COMMIT_REMOVE = "commit_remove"
+
+
+def _mutates(fn):
+    """Hold the store-level mutation lock for the whole call."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._mutate_lock:
+            return fn(self, *args, **kwargs)
+
+    return wrapper
 
 
 class ContentStore:
@@ -43,6 +56,11 @@ class ContentStore:
         self.chunker = FastCDCChunker(chunking)
         self.wal = WalManager(self.root / "wal") if enable_wal else None
         self.gc = GarbageCollector(self.engine, self.refcounter)
+        # Serializes stores against GC: a store may pass engine.exists() for a
+        # block whose refcount is 0 and rely on the bytes staying on disk
+        # until its _commit lands; GC running in that window would delete the
+        # block and leave the new manifest dangling.
+        self._mutate_lock = threading.RLock()
         self.verifier = IntegrityVerifier(self.engine, self.refcounter)
         if self.wal:
             self.recover()
@@ -95,6 +113,7 @@ class ContentStore:
         self.refcounter.close()
 
     # -- store -------------------------------------------------------------------
+    @_mutates
     def store_bytes(self, data: bytes, mime_type: str = "") -> StoreResult:
         t0 = time.monotonic()
         timings: dict[str, float] = {}
@@ -201,6 +220,7 @@ class ContentStore:
             phase_timings_ms=timings,
         )
 
+    @_mutates
     def store_file(self, path: str | pathlib.Path, mime_type: str = "") -> StoreResult:
         """Streaming store for large files (bounded memory)."""
         path = pathlib.Path(path)
@@ -254,6 +274,7 @@ class ContentStore:
         return self.refcounter.has_manifest(content_hash)
 
     # -- remove ---------------------------------------------------------------------
+    @_mutates
     def remove(self, content_hash: str, collect: bool = True) -> bool:
         if not self.refcounter.has_manifest(content_hash):
             return False
@@ -265,6 +286,11 @@ class ContentStore:
         if removed and collect:
             self.gc.collect()
         return removed
+
+    @_mutates
+    def collect(self):
+        """GC zero-ref blocks, serialized against concurrent stores."""
+        return self.gc.collect()
 
     def stats(self) -> dict:
         s = self.refcounter.stats()

@@ -1,0 +1,135 @@
+"""BEIR-style retrieval-quality benchmark with checked-in gating baselines.
+
+Parity: tests/benchmarks/search/retrieval_quality_bench.cpp +
+tests/benchmarks/beir_loader.h + tests/benchmarks/baseline/ — the reference
+publishes MRR 0.613 / nDCG 0.634 / recall@10 0.713 on BEIR scifact and gates
+regressions against checked-in baselines.
+
+The default dataset here is synthetic-hard (yams_tpu/utils/beir.py): shared
+vocabulary, morphological query/document mismatch, and several-fold hard
+negatives, so fusion-weight regressions are measurable (unlike a
+topic-separable corpus where every engine saturates). Set YAMS_BEIR_DIR to a
+real BEIR dataset directory (e.g. scifact) to run the same harness on it.
+"""
+
+import os
+import pathlib
+
+import pytest
+
+from yams_tpu.core.config import Config, VectorIndexConfig
+from yams_tpu.services.app import AppContext
+from yams_tpu.utils.beir import BeirDataset, load_beir, synthetic_beir
+from yams_tpu.utils.benchtrack import BenchmarkTracker
+from yams_tpu.utils.metrics import evaluate
+
+BASELINE_DIR = pathlib.Path(__file__).parent / "benchmarks" / "baseline"
+
+
+@pytest.fixture(scope="module")
+def tracker():
+    return BenchmarkTracker(BASELINE_DIR / "retrieval_quality.baseline.json")
+
+
+def _run_modes(app, ds: BeirDataset, modes=("hybrid", "keyword", "vector")):
+    out = {}
+    for st in modes:
+        runs = []
+        for qid, qtext in ds.queries.items():
+            resp = app.search.search(qtext, limit=10, search_type=st,
+                                     with_snippets=False)
+            ranked = [h.path.rsplit("/", 1)[-1].removesuffix(".txt")
+                      for h in resp.hits]
+            runs.append((ranked, ds.relevant(qid)))
+        out[st] = evaluate(runs, k=10)
+    return out
+
+
+class TestBeirLoader:
+    def test_load_standard_layout(self, tmp_path):
+        (tmp_path / "qrels").mkdir()
+        (tmp_path / "corpus.jsonl").write_text(
+            '{"_id": "d1", "title": "T", "text": "alpha beta"}\n'
+            '{"_id": "d2", "text": "gamma"}\n'
+        )
+        (tmp_path / "queries.jsonl").write_text(
+            '{"_id": "q1", "text": "alpha"}\n{"_id": "q2", "text": "unjudged"}\n'
+        )
+        (tmp_path / "qrels" / "test.tsv").write_text(
+            "query-id\tcorpus-id\tscore\nq1\td1\t1\n"
+        )
+        ds = load_beir(tmp_path)
+        assert set(ds.corpus) == {"d1", "d2"}
+        assert list(ds.queries) == ["q1"]  # unjudged queries dropped
+        assert ds.relevant("q1") == {"d1"}
+
+
+class TestSyntheticHardDataset:
+    def test_deterministic(self):
+        a, b = synthetic_beir(seed=3), synthetic_beir(seed=3)
+        assert a.corpus == b.corpus and a.queries == b.queries
+
+    def test_has_hard_negatives_and_partial_overlap(self):
+        ds = synthetic_beir()
+        # every query shares vocabulary with non-relevant documents
+        qid, qtext = next(iter(ds.queries.items()))
+        qtokens = set(qtext.split())
+        rel = ds.relevant(qid)
+        overlapping_negatives = sum(
+            1 for did, doc in ds.corpus.items()
+            if did not in rel and qtokens & set(doc["text"].split())
+        )
+        assert overlapping_negatives > len(rel)
+
+
+class TestRetrievalQualityBeir:
+    @pytest.fixture(scope="class")
+    def setup(self, tmp_path_factory):
+        beir_dir = os.environ.get("YAMS_BEIR_DIR")
+        ds = load_beir(beir_dir) if beir_dir else synthetic_beir()
+        cfg = Config(data_dir=tmp_path_factory.mktemp("beir") / "data")
+        cfg.vector = VectorIndexConfig(
+            dim=384, capacity=max(1024, len(ds.corpus) + 64), block_rows=256
+        )
+        app = AppContext(cfg)
+        for did, doc in ds.corpus.items():
+            text = (doc["title"] + "\n" + doc["text"]).strip()
+            app.documents.add_bytes(text.encode(), f"docs/{did}.txt")
+        yield app, ds
+        app.close()
+
+    def test_quality_gates(self, setup, tracker):
+        app, ds = setup
+        metrics = _run_modes(app, ds)
+        synthetic = ds.name.startswith("synthetic-hard")
+        for st, m in metrics.items():
+            for metric in ("mrr", "recall", "ndcg"):
+                out = tracker.record(
+                    f"beir_{ds.name}_{st}_{metric}", m[metric], metric,
+                    slack=0.08,
+                )
+                if synthetic:  # baselines are committed for the synthetic set
+                    assert out["status"] != "regression", out
+        # hybrid fusion must not lose to either single leg
+        assert metrics["hybrid"]["ndcg"] >= max(
+            metrics["keyword"]["ndcg"], metrics["vector"]["ndcg"]
+        ) - 0.01, metrics
+        if synthetic:
+            # absolute floors measured at the committed baseline (hybrid
+            # 0.99 MRR / 0.61 recall@10 / 0.71 nDCG@10); tight enough to
+            # catch a fusion-weight or leg regression
+            h = metrics["hybrid"]
+            assert h["mrr"] >= 0.90, metrics
+            assert h["recall"] >= 0.55, metrics
+            assert h["ndcg"] >= 0.65, metrics
+
+    def test_filters_do_not_break_quality(self, setup):
+        """Path-filtered hybrid search over the full docs/ tree must match
+        unfiltered results (filter pushdown correctness at quality level)."""
+        app, ds = setup
+        qid, qtext = next(iter(ds.queries.items()))
+        plain = app.search.search(qtext, limit=10, search_type="hybrid",
+                                  with_snippets=False)
+        filtered = app.search.search(qtext, limit=10, search_type="hybrid",
+                                     path_glob="*docs/*", with_snippets=False)
+        assert [h.path for h in plain.hits] == [h.path for h in filtered.hits]

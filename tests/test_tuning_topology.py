@@ -80,6 +80,36 @@ class TestTuner:
 
 
 class TestTopologyRouting:
+    def test_queries_encoded_once_per_batch(self):
+        """Regression: routed hybrid search used to encode the query batch
+        three times (device sketch, topology routing, entity vectors). Now
+        sketching happens once and the routing/entity legs derive their
+        vectors from it."""
+        eng = make_engine(policy="narrow")
+        eng.rebuild_topology()
+        calls = {"sketch": 0, "encode": 0}
+        provider = eng.provider
+        real_qdi = provider.query_device_inputs
+        real_encode = provider.encode
+
+        def counting_qdi(texts):
+            calls["sketch"] += 1
+            return real_qdi(texts)
+
+        def counting_encode(texts):
+            calls["encode"] += 1
+            return real_encode(texts)
+
+        provider.query_device_inputs = counting_qdi
+        provider.encode = counting_encode
+        try:
+            eng.search_batch(["kernel mutex", "tensor gradient"], k=3)
+        finally:
+            provider.query_device_inputs = real_qdi
+            provider.encode = real_encode
+        assert calls["sketch"] == 1
+        assert calls["encode"] == 0, "legs must reuse the batch sketches"
+
     def test_narrow_restricts_and_still_finds(self):
         eng = make_engine(policy="narrow")
         eng.rebuild_topology()

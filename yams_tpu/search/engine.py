@@ -277,9 +277,29 @@ class SearchEngine:
         rrf_c = min(max(cfg.rrf_candidates, k), Nd)
         k_dev = min(max(k * 2, cfg.rrf_candidates), 2 * rrf_c)  # host-leg headroom
 
-        # host query prep
+        # host query prep — queries are tokenized/sketched exactly ONCE per
+        # batch; the topology-routing and entity-vector legs reuse the same
+        # sketches through _query_vecs below (the reference likewise embeds
+        # the query once, search_engine.cpp:1694)
         sketches, proj = self.provider.query_device_inputs(queries)
         sketches = np.pad(np.asarray(sketches), ((0, B - B_real), (0, 0)))
+        qvecs_cache: np.ndarray | None = None
+
+        def _query_vecs() -> np.ndarray:
+            # query embeddings derived from the already-computed sketches:
+            # sketch @ proj + L2 normalize (proj is identity for dense
+            # providers, so this is uniform across backends)
+            nonlocal qvecs_cache
+            if qvecs_cache is None:
+                import jax.numpy as _jnp
+
+                v = np.array(_jnp.dot(
+                    _jnp.asarray(sketches[:B_real], _jnp.bfloat16), proj,
+                    preferred_element_type=_jnp.float32,
+                ))
+                v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-9)
+                qvecs_cache = v
+            return qvecs_cache
         tids = np.zeros((B, self.lexical_index.config.max_query_terms), np.int32)
         tmask = np.zeros_like(tids, dtype=np.float32)
         for i, qtext in enumerate(queries):
@@ -336,7 +356,7 @@ class SearchEngine:
         doc_mask: np.ndarray = base_mask
         if policy in ("narrow", "shadow") and mode != "keyword":
             t_r = time.monotonic()
-            qvecs = self.provider.encode(queries)
+            qvecs = _query_vecs()
             routed = [self._routed_slot_mask(qv, Nd) for qv in qvecs]
             self._stats["topology_routes"] += len(routed)
             if policy == "narrow":
@@ -464,7 +484,7 @@ class SearchEngine:
         # entity-vector leg: ONE device call for the whole batch (a per-query
         # search here would cost a dispatch round trip per query)
         ev_hits = (
-            self._entity_vector_batch(queries)
+            self._entity_vector_batch(queries, qvecs=_query_vecs)
             if (self.kg and mode == "hybrid") else None
         )
         out: list[list[SearchResult]] = []
@@ -518,13 +538,20 @@ class SearchEngine:
             self.entity_index.remove_doc(nid)
         self.entity_index.add(vecs, node_ids)
 
-    def _entity_vector_batch(self, queries: list[str]):
+    def _entity_vector_batch(self, queries: list[str], qvecs=None):
         """Entity-vector similarities for ALL queries in one device search:
         -> per-query [(node_id, sim), ...] (reference: queryEntityVectors
-        :5504). None-equivalent (empty lists) when the side index is empty."""
+        :5504). None-equivalent (empty lists) when the side index is empty.
+
+        qvecs: precomputed query embeddings, or a zero-arg callable producing
+        them (search_batch passes its per-batch memo so queries are encoded
+        once per batch, not once per leg)."""
         if self.entity_index.active_rows == 0:
             return [[] for _ in queries]
-        qvecs = self.provider.encode(queries)
+        if qvecs is None:
+            qvecs = self.provider.encode(queries)
+        elif callable(qvecs):
+            qvecs = qvecs()
         vals, rows = self.entity_index.search(qvecs, k=4)
         out = []
         for i in range(len(queries)):

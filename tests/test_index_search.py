@@ -19,6 +19,46 @@ def _unit(n, d, seed=0):
 
 
 class TestVectorIndex:
+    @pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+    def test_incremental_update_transfers_one_block(self, dtype):
+        """Adding 1 doc to a resident index must re-upload O(block_rows), not
+        O(N) (reference: incremental dirty-dim rebuild,
+        sqlite_vec_backend.cpp:625-645) — and search results must match a
+        freshly built index bit-for-bit."""
+        N, D, BR = 8192, 64, 512
+        vecs = _unit(N, D)
+        idx = VectorIndex(dim=D, capacity=2 * N, block_rows=BR,
+                          device_dtype=dtype)
+        idx.add(vecs[:N - 1], list(range(N - 1)))
+        idx.device_arrays()  # resident
+        full_upload = idx.upload_bytes_total
+        idx.add(vecs[N - 1:], [N - 1])
+        idx.device_arrays()
+        delta = idx.upload_bytes_total - full_upload
+        # one dirty block: E + valid + slots (+ scales for int8), ~BR rows
+        per_row = D * (1 if dtype == "int8" else 2) + 4 + 4 + 4
+        assert 0 < delta <= 2 * BR * per_row, (delta, full_upload)
+        assert delta < full_upload / 4
+        # results identical to a from-scratch index
+        fresh = VectorIndex(dim=D, capacity=2 * N, block_rows=BR,
+                            device_dtype=dtype)
+        fresh.add(vecs, list(range(N)))
+        q = _unit(4, D, seed=9)
+        v1, r1 = idx.search(q, k=10)
+        v2, r2 = fresh.search(q, k=10)
+        assert (r1 == r2).all() and np.allclose(v1, v2)
+
+    def test_incremental_remove_then_search(self):
+        idx = VectorIndex(dim=32, capacity=256, block_rows=64)
+        vecs = _unit(100, 32)
+        idx.add(vecs, list(range(100)))
+        idx.device_arrays()
+        before = idx.upload_bytes_total
+        idx.remove_doc(7)
+        vals, rows = idx.search(vecs[7], k=1)
+        assert rows[0, 0] != 7
+        assert idx.upload_bytes_total - before < before / 2
+
     def test_add_search(self):
         idx = VectorIndex(dim=32, capacity=128, block_rows=64)
         vecs = _unit(50, 32)

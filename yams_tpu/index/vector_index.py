@@ -31,6 +31,30 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _block_updaters():
+    """Jitted donating block writers: update O(block) rows of a device array
+    in place (donation lets XLA reuse the destination buffer, so an add() of
+    one document transfers one block over PCIe instead of re-uploading the
+    whole corpus — the reference's incremental dirty-dim rebuild,
+    sqlite_vec_backend.cpp:625-645)."""
+    import functools
+
+    import jax
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def rows(dst, blk, start):
+        return jax.lax.dynamic_update_slice(dst, blk, (start, 0))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def vec(dst, blk, start):
+        return jax.lax.dynamic_update_slice(dst, blk, (start,))
+
+    return rows, vec
+
+
+_UPDATERS = None
+
+
 class VectorIndex:
     def __init__(
         self,
@@ -51,7 +75,12 @@ class VectorIndex:
         self._count = 0  # high-water mark of used rows
         self._free: list[int] = []
         self._rows_by_slot: dict[int, list[int]] = {}
-        self._dirty = True
+        # block-granular dirty tracking: mutations record row//block_rows;
+        # device_arrays() re-uploads only dirty blocks unless a full rebuild
+        # (grow / first build) is pending
+        self._dirty_full = True
+        self._dirty_blocks: set[int] = set()
+        self.upload_bytes_total = 0  # instrumentation: host->device traffic
         self._device = None  # (E bf16, valid f32, row2slot i32)
         self._lock = threading.RLock()
 
@@ -72,7 +101,7 @@ class VectorIndex:
         self._vecs = np.vstack([self._vecs, np.zeros((add, self.dim), np.float32)])
         self._valid = np.concatenate([self._valid, np.zeros(add, np.float32)])
         self._slots = np.concatenate([self._slots, np.full(add, -1, np.int32)])
-        self._dirty = True
+        self._dirty_full = True
 
     # -- mutation ----------------------------------------------------------------
     def add(self, vectors: np.ndarray, doc_slots: np.ndarray | list[int]) -> list[int]:
@@ -102,7 +131,7 @@ class VectorIndex:
             self._slots[rows_np] = doc_slots
             for r, s in zip(rows, doc_slots.tolist()):
                 self._rows_by_slot.setdefault(s, []).append(r)
-            self._dirty = True
+            self._mark_dirty(rows_np)
             return rows
 
     def remove_doc(self, doc_slot: int) -> int:
@@ -114,8 +143,13 @@ class VectorIndex:
                 self._valid[rows_np] = 0.0
                 self._slots[rows_np] = -1
                 self._free.extend(rows)
-                self._dirty = True
+                self._mark_dirty(rows_np)
             return len(rows)
+
+    def _mark_dirty(self, rows_np: np.ndarray) -> None:
+        self._identity = None
+        for b in np.unique(rows_np // self.block_rows):
+            self._dirty_blocks.add(int(b))
 
     def rows_for_slot(self, doc_slot: int) -> list[int]:
         return list(self._rows_by_slot.get(doc_slot, []))
@@ -146,9 +180,9 @@ class VectorIndex:
         row2slot maps tombstoned rows to the sink segment.
         """
         with self._lock:
-            if self._dirty or self._device is None:
-                import jax.numpy as jnp
+            import jax.numpy as jnp
 
+            if self._device is None or self._dirty_full:
                 if self.device_dtype == "int8":
                     from ..ops.scan import quantize_int8
 
@@ -158,14 +192,49 @@ class VectorIndex:
                 else:
                     e_dev = jnp.asarray(self._vecs, dtype=jnp.bfloat16)
                     scale_dev = jnp.ones(self.capacity, jnp.float32)
-                self._device = (
-                    e_dev,
-                    jnp.asarray(self._valid),
-                    jnp.asarray(self._slots),
-                    scale_dev,
+                valid_dev = jnp.asarray(self._valid)
+                slots_dev = jnp.asarray(self._slots)
+                self._device = (e_dev, valid_dev, slots_dev, scale_dev)
+                self.upload_bytes_total += (
+                    e_dev.nbytes + valid_dev.nbytes + slots_dev.nbytes
+                    + scale_dev.nbytes
                 )
                 self._identity = None  # recomputed lazily
-                self._dirty = False
+                self._dirty_full = False
+                self._dirty_blocks.clear()
+            elif self._dirty_blocks:
+                # incremental path: transfer only the mutated blocks and
+                # splice them into the resident device arrays in place
+                global _UPDATERS
+                if _UPDATERS is None:
+                    _UPDATERS = _block_updaters()
+                upd_rows, upd_vec = _UPDATERS
+                e_dev, valid_dev, slots_dev, scale_dev = self._device
+                br = self.block_rows
+                for b in sorted(self._dirty_blocks):
+                    lo = b * br
+                    start = jnp.int32(lo)
+                    if self.device_dtype == "int8":
+                        from ..ops.scan import quantize_int8
+
+                        q8, scale = quantize_int8(self._vecs[lo:lo + br])
+                        blk = jnp.asarray(q8)
+                        scale_dev = upd_vec(scale_dev, jnp.asarray(scale), start)
+                        self.upload_bytes_total += scale.nbytes
+                    else:
+                        blk = jnp.asarray(
+                            self._vecs[lo:lo + br], dtype=jnp.bfloat16
+                        )
+                    e_dev = upd_rows(e_dev, blk, start)
+                    vblk = jnp.asarray(self._valid[lo:lo + br])
+                    sblk = jnp.asarray(self._slots[lo:lo + br])
+                    valid_dev = upd_vec(valid_dev, vblk, start)
+                    slots_dev = upd_vec(slots_dev, sblk, start)
+                    self.upload_bytes_total += (
+                        blk.nbytes + vblk.nbytes + sblk.nbytes
+                    )
+                self._device = (e_dev, valid_dev, slots_dev, scale_dev)
+                self._dirty_blocks.clear()
             return self._device
 
     # -- search (standalone vector-only path) -----------------------------------------

@@ -132,3 +132,111 @@ class TestPostIngestQueue:
             assert q.snapshot()["stages"]["embedding"]["processed"] == 1
         finally:
             app.close()
+
+
+class TestSearchBatcher:
+    """Micro-batcher hardening: per-request error isolation, overload
+    shedding, latency histogram."""
+
+    def _make(self, search_many, admit=True, **kw):
+        import concurrent.futures
+
+        from yams_tpu.daemon.server import SearchBatcher
+
+        class _Search:
+            pass
+
+        class _App:
+            search = _Search()
+
+        class _Gov:
+            def admit(self_g):
+                return admit
+
+        class _Daemon:
+            pass
+
+        d = _Daemon()
+        d.app = _App()
+        d.app.search.search_many = search_many
+        d.governor = _Gov()
+        d._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        return SearchBatcher(d, **kw)
+
+    def test_poisoned_query_isolated(self):
+        import asyncio
+        import dataclasses
+
+        @dataclasses.dataclass
+        class _Resp:
+            hits: list
+            total: int = 0
+            duration_ms: float = 0.0
+
+        def search_many(queries, limit=10):
+            if any(q == "POISON" for q in queries):
+                raise RuntimeError("bad query")
+            return [_Resp(hits=[]) for _ in queries]
+
+        b = self._make(search_many, window_ms=1.0)
+
+        async def go():
+            return await asyncio.gather(
+                b.submit({"query": "ok one"}),
+                b.submit({"query": "POISON"}),
+                b.submit({"query": "ok two"}),
+                return_exceptions=True,
+            )
+
+        r1, r2, r3 = asyncio.run(go())
+        assert isinstance(r1, dict) and isinstance(r3, dict)
+        assert isinstance(r2, RuntimeError)
+        assert b.isolated_failures == 1
+        snap = b.snapshot()
+        assert snap["isolated_failures"] == 1
+        assert sum(snap["latency_hist"].values()) == 3
+
+    def test_overload_shedding_queue_cap(self):
+        import asyncio
+
+        from yams_tpu.core.errors import ErrorCode, YamsError
+
+        def search_many(queries, limit=10):
+            import dataclasses
+
+            @dataclasses.dataclass
+            class _Resp:
+                hits: list
+                total: int = 0
+                duration_ms: float = 0.0
+
+            return [_Resp(hits=[]) for _ in queries]
+
+        b = self._make(search_many, window_ms=50.0, max_batch=64, max_queue=2)
+
+        async def go():
+            t1 = asyncio.ensure_future(b.submit({"query": "a"}))
+            t2 = asyncio.ensure_future(b.submit({"query": "b"}))
+            await asyncio.sleep(0)  # both queued, window still open
+            with pytest.raises(YamsError) as ei:
+                await b.submit({"query": "c"})
+            assert ei.value.code == ErrorCode.RESOURCE_EXHAUSTED
+            return await asyncio.gather(t1, t2)
+
+        r1, r2 = asyncio.run(go())
+        assert isinstance(r1, dict) and isinstance(r2, dict)
+        assert b.shed == 1
+
+    def test_governor_pressure_sheds(self):
+        import asyncio
+
+        from yams_tpu.core.errors import YamsError
+
+        b = self._make(lambda q, limit=10: [], admit=False)
+
+        async def go():
+            with pytest.raises(YamsError, match="shed"):
+                await b.submit({"query": "x"})
+
+        asyncio.run(go())
+        assert b.shed == 1

@@ -58,31 +58,71 @@ class SearchBatcher:
     `max_batch`).
     """
 
+    # log2 latency buckets in ms: <1, <2, <4, ... <512, >=512
+    HIST_BUCKETS = 11
+
     def __init__(self, daemon: "YamsDaemon", window_ms: float = 4.0,
-                 max_batch: int = 32):
+                 max_batch: int = 32, max_queue: int = 256):
         self.daemon = daemon
         self.window_s = window_ms / 1e3
         self.max_batch = max_batch
-        self._pending: list[tuple[dict, asyncio.Future]] = []
+        self.max_queue = max_queue
+        self._pending: list[tuple[dict, asyncio.Future, float]] = []
         self._timer: asyncio.TimerHandle | None = None
         self.batches = 0
         self.batched_requests = 0
+        self.shed = 0
+        self.isolated_failures = 0
+        self.latency_hist = [0] * self.HIST_BUCKETS
+
+    def _observe_latency(self, seconds: float) -> None:
+        ms = seconds * 1e3
+        b = 0
+        while b < self.HIST_BUCKETS - 1 and ms >= (1 << b):
+            b += 1
+        self.latency_hist[b] += 1
 
     async def submit(self, req: dict) -> dict:
         loop = asyncio.get_running_loop()
+        # shed under pressure: bounded queue + ResourceGovernor admission
+        # (reference: ResourceGovernor admission/throttle decisions) — fail
+        # fast instead of queueing into a death spiral
+        governor = getattr(self.daemon, "governor", None)
+        if len(self._pending) >= self.max_queue or (
+            governor is not None and not governor.admit()
+        ):
+            self.shed += 1
+            raise YamsError(
+                "search queue overloaded, request shed",
+                code=ErrorCode.RESOURCE_EXHAUSTED,
+            )
         fut: asyncio.Future = loop.create_future()
-        self._pending.append((req, fut))
+        self._pending.append((req, fut, time.monotonic()))
         if len(self._pending) >= self.max_batch:
             self._flush()
         elif self._timer is None:
             self._timer = loop.call_later(self.window_s, self._flush)
         return await fut
 
+    def _run_one(self, req: dict) -> dict:
+        resp = self.daemon.app.search.search_many(
+            [req.get("query", "")], limit=int(req.get("limit", 10))
+        )[0]
+        return {
+            "hits": [_asdict(h) for h in resp.hits[: int(req.get("limit", 10))]],
+            "total": resp.total,
+            "duration_ms": resp.duration_ms,
+        }
+
     def _flush(self) -> None:
         if self._timer is not None:
             self._timer.cancel()
             self._timer = None
-        batch, self._pending = self._pending, []
+        batch, self._pending = self._pending[: self.max_batch], \
+            self._pending[self.max_batch:]
+        if self._pending and self._timer is None:
+            loop = asyncio.get_running_loop()
+            self._timer = loop.call_later(self.window_s, self._flush)
         if not batch:
             return
         self.batches += 1
@@ -90,31 +130,47 @@ class SearchBatcher:
         loop = asyncio.get_running_loop()
 
         def run():
-            queries = [r.get("query", "") for r, _ in batch]
-            limit = max(r.get("limit", 10) for r, _ in batch)
+            queries = [r.get("query", "") for r, _, _ in batch]
+            limit = max(int(r.get("limit", 10) or 10) for r, _, _ in batch)
             try:
                 resps = self.daemon.app.search.search_many(queries, limit=limit)
                 outs = []
-                for (r, _), resp in zip(batch, resps):
-                    lim = r.get("limit", 10)
+                for (r, _, _), resp in zip(batch, resps):
+                    lim = int(r.get("limit", 10) or 10)
                     outs.append({
                         "hits": [_asdict(h) for h in resp.hits[:lim]],
                         "total": resp.total,
                         "duration_ms": resp.duration_ms,
                     })
-                return outs, None
-            except BaseException as e:  # propagate to every waiter
-                return None, e
+                return outs
+            except BaseException:
+                # per-request error isolation: the batch failed as a unit, so
+                # retry each co-traveller alone — only the poisoned request(s)
+                # surface an error (reference: per-request failure isolation
+                # in RequestDispatcher)
+                outs = []
+                for r, _, _ in batch:
+                    try:
+                        outs.append(self._run_one(r))
+                    except BaseException as e:
+                        self.isolated_failures += 1
+                        outs.append(e)
+                return outs
 
         def done(f):
-            outs, err = f.result()
-            for i, (_, fut) in enumerate(batch):
+            try:
+                outs = f.result()
+            except BaseException as e:  # executor itself failed
+                outs = [e] * len(batch)
+            now = time.monotonic()
+            for (_, fut, t0), out in zip(batch, outs):
+                self._observe_latency(now - t0)
                 if fut.cancelled():
                     continue
-                if err is not None:
-                    fut.set_exception(err)
+                if isinstance(out, BaseException):
+                    fut.set_exception(out)
                 else:
-                    fut.set_result(outs[i])
+                    fut.set_result(out)
 
         task = loop.run_in_executor(self.daemon._pool, run)
         task.add_done_callback(
@@ -122,10 +178,17 @@ class SearchBatcher:
         )
 
     def snapshot(self) -> dict:
+        labels = [
+            f"<{1 << b}ms" for b in range(self.HIST_BUCKETS - 1)
+        ] + [f">={1 << (self.HIST_BUCKETS - 2)}ms"]
         return {"batches": self.batches,
                 "batched_requests": self.batched_requests,
                 "avg_batch": round(
-                    self.batched_requests / max(self.batches, 1), 2)}
+                    self.batched_requests / max(self.batches, 1), 2),
+                "shed": self.shed,
+                "isolated_failures": self.isolated_failures,
+                "queue_depth": len(self._pending),
+                "latency_hist": dict(zip(labels, self.latency_hist))}
 
 
 class YamsDaemon:

@@ -9,11 +9,23 @@ BASELINE.md prescribes).
 
 Multiple query batches are folded into one jitted lax.scan so dispatch/tunnel
 overhead is excluded and the number reflects device throughput. Prints ONE
-JSON line. Env overrides: BENCH_N, BENCH_D, BENCH_B, BENCH_ITERS, BENCH_SMALL.
+JSON line carrying BOTH qps and recall@10 vs the exact-scan oracle: the
+corpus is CLUSTERED synthetic (docs concentrated around shared centroids, so
+the vector leg's top-k is a near-tie fight inside the best-aligned cluster —
+the adversarial case for lax.approx_max_k, unlike uniform random where approx
+selection is trivially easy). The oracle is the identical fused program with
+approx=False (exact top_k vector leg); recall differences therefore isolate
+the approximate selection, the only approximation in the default path.
+
+Env overrides: BENCH_N, BENCH_D, BENCH_B, BENCH_ITERS, BENCH_SMALL,
+BENCH_INT8, BENCH_SCAN_BLOCKS, BENCH_PACKED, BENCH_PREFILTER,
+BENCH_CLUSTERS (0 = legacy uniform corpus), BENCH_PROFILE=1 (per-stage
+timings on stderr; JSON line still alone on stdout).
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -46,26 +58,76 @@ def main() -> None:
     ks = jax.random.split(key, 8)
 
     int8_corpus = bool(int(os.environ.get("BENCH_INT8", "0")))
+    # clustered corpus: rows concentrate around shared centroids so the
+    # vector top-k is a near-tie fight inside one cluster (hard case for
+    # approx_max_k). BENCH_CLUSTERS=0 restores the legacy uniform corpus.
+    n_clusters = int(os.environ.get("BENCH_CLUSTERS", "4096"))
+    cluster_sigma = float(os.environ.get("BENCH_SIGMA", "0.35"))
     if int8_corpus:
         # generate int8 directly via fused iota arithmetic — a 10M x 768
         # corpus never exists in f32/bf16, and PRNG bit-gen would materialize
         # a 4-byte intermediate (~30 GB at 10M x 768)
-        @jax.jit
-        def synth_int8():
-            r = jax.lax.broadcasted_iota(jnp.uint32, (N, D), 0)
-            c = jax.lax.broadcasted_iota(jnp.uint32, (N, D), 1)
-            h = r * jnp.uint32(2654435761) + c * jnp.uint32(40503)
-            h = h ^ (h >> jnp.uint32(13))
-            return (h % jnp.uint32(255)).astype(jnp.int32).astype(jnp.int8) - 127
+        if n_clusters > 0:
+            centers8 = jax.random.randint(
+                ks[2], (n_clusters, D), -90, 91, dtype=jnp.int32
+            ).astype(jnp.int8)
 
-        E = synth_int8()
-        # unit-ish rows: E row norm ~ 73*sqrt(D); scale accordingly
-        row_scale = jnp.full(N, 1.0 / (73.0 * np.sqrt(D)), jnp.float32)
+            @jax.jit
+            def synth_int8(centers8):
+                r = jax.lax.broadcasted_iota(jnp.uint32, (N, D), 0)
+                c = jax.lax.broadcasted_iota(jnp.uint32, (N, D), 1)
+                h = r * jnp.uint32(2654435761) + c * jnp.uint32(40503)
+                h = h ^ (h >> jnp.uint32(13))
+                noise = (h % jnp.uint32(75)).astype(jnp.int32) - 37
+                assign = (
+                    (jax.lax.broadcasted_iota(jnp.uint32, (N,), 0)
+                     * jnp.uint32(2654435761)) >> jnp.uint32(7)
+                ) % jnp.uint32(n_clusters)
+                base = centers8[assign.astype(jnp.int32)].astype(jnp.int32)
+                return jnp.clip(base + noise, -127, 127).astype(jnp.int8)
+
+            E = synth_int8(centers8)
+            row_scale = jnp.full(N, 1.0 / (60.0 * np.sqrt(D)), jnp.float32)
+        else:
+            @jax.jit
+            def synth_int8():
+                r = jax.lax.broadcasted_iota(jnp.uint32, (N, D), 0)
+                c = jax.lax.broadcasted_iota(jnp.uint32, (N, D), 1)
+                h = r * jnp.uint32(2654435761) + c * jnp.uint32(40503)
+                h = h ^ (h >> jnp.uint32(13))
+                return (h % jnp.uint32(255)).astype(jnp.int32).astype(jnp.int8) - 127
+
+            E = synth_int8()
+            # unit-ish rows: E row norm ~ 73*sqrt(D); scale accordingly
+            row_scale = jnp.full(N, 1.0 / (73.0 * np.sqrt(D)), jnp.float32)
     else:
-        E = jax.random.normal(ks[0], (N, D), dtype=jnp.bfloat16)
-        E = E / jnp.maximum(
-            jnp.linalg.norm(E.astype(jnp.float32), axis=1, keepdims=True), 1e-9
-        ).astype(jnp.bfloat16)
+        if n_clusters > 0:
+            centers = jax.random.normal(ks[2], (n_clusters, D), dtype=jnp.float32)
+            centers = centers / jnp.maximum(
+                jnp.linalg.norm(centers, axis=1, keepdims=True), 1e-9
+            )
+
+            @jax.jit
+            def synth_clustered(centers):
+                assign = (
+                    (jax.lax.broadcasted_iota(jnp.uint32, (N,), 0)
+                     * jnp.uint32(2654435761)) >> jnp.uint32(7)
+                ) % jnp.uint32(n_clusters)
+                noise = jax.random.normal(ks[3], (N, D), dtype=jnp.bfloat16)
+                e = centers[assign.astype(jnp.int32)].astype(jnp.bfloat16) \
+                    + cluster_sigma * noise
+                nrm = jnp.maximum(
+                    jnp.linalg.norm(e.astype(jnp.float32), axis=1, keepdims=True),
+                    1e-9,
+                )
+                return (e.astype(jnp.float32) / nrm).astype(jnp.bfloat16)
+
+            E = synth_clustered(centers)
+        else:
+            E = jax.random.normal(ks[0], (N, D), dtype=jnp.bfloat16)
+            E = E / jnp.maximum(
+                jnp.linalg.norm(E.astype(jnp.float32), axis=1, keepdims=True), 1e-9
+            ).astype(jnp.bfloat16)
         row_scale = jnp.ones(N, jnp.float32)
     proj = jnp.where(
         jax.random.bernoulli(ks[1], 0.5, (S, D)), 1.0, -1.0
@@ -129,8 +191,8 @@ def main() -> None:
         term_offsets, term_lengths, doc_mask, hot, weights,
     )
 
-    @jax.jit
-    def run_all(sketches, term_ids, term_mask, *corpus):
+    @functools.partial(jax.jit, static_argnames=("approx",))
+    def run_all(sketches, term_ids, term_mask, *corpus, approx=True):
         # corpus arrays ride as arguments (NOT closure consts — embedded
         # consts would ship through the compiler and dominate compile time)
         def one_batch(carry, xs):
@@ -138,13 +200,13 @@ def main() -> None:
             vals, slots, _, _ = hybrid_query(
                 sk, tid, tm, *corpus,
                 k=K, rrf_cand=32, window=WINDOW, num_slots=N,
-                chunk_agg="max", rows_are_docs=True, approx=True,
+                chunk_agg="max", rows_are_docs=True, approx=approx,
                 bm25_prefilter=int(os.environ.get("BENCH_PREFILTER", "0")),
                 int8_corpus=int8_corpus,
                 scan_block_rows=scan_blocks,
                 packed_lexical=packed_lexical,
             )
-            return carry, (vals[:, 0], slots[:, 0])
+            return carry, (vals, slots)
 
         _, (v, s) = jax.lax.scan(one_batch, 0, (sketches, term_ids, term_mask))
         return v, s
@@ -155,16 +217,172 @@ def main() -> None:
     np.asarray(v)
     t0 = time.perf_counter()
     v, s = run_all(sketches, term_ids, term_mask, *corpus_args)
-    np.asarray(v)
+    s_host = np.asarray(s)
     dt = time.perf_counter() - t0
     qps = ITERS * B / dt
+
+    # recall@10 vs the exact oracle: identical fused program, exact top_k
+    # vector leg (untimed — measures quality of the shipped approx path)
+    _, s_exact = run_all(sketches, term_ids, term_mask, *corpus_args,
+                         approx=False)
+    s_exact = np.asarray(s_exact)                  # (ITERS, B, K)
+    approx_k = s_host.reshape(-1, K)
+    exact_k = s_exact.reshape(-1, K)
+    overlap = np.array([
+        len(np.intersect1d(approx_k[i], exact_k[i])) for i in range(len(exact_k))
+    ])
+    recall10 = float(np.mean(overlap / K))
+
+    if bool(int(os.environ.get("BENCH_PROFILE", "0"))):
+        _profile_stages(
+            jax, jnp, sketches, term_ids, term_mask, corpus_args,
+            N=N, B=B, ITERS=ITERS, WINDOW=WINDOW, K=K,
+            int8_corpus=int8_corpus, scan_blocks=scan_blocks,
+            packed_lexical=packed_lexical,
+        )
+
     baseline_qps = 123.0
     print(json.dumps({
         "metric": f"hybrid_search_qps_{N}x{D}" + ("_int8" if int8_corpus else ""),
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(qps / baseline_qps, 2),
+        "recall10": round(recall10, 4),
+        "recall_oracle": "exact_topk_fused",
+        "corpus": "clustered" if n_clusters > 0 else "uniform",
     }))
+
+
+def _profile_stages(jax, jnp, sketches, term_ids, term_mask, corpus_args, *,
+                    N, B, ITERS, WINDOW, K, int8_corpus, scan_blocks,
+                    packed_lexical):
+    """Per-stage device timings (stderr): vector leg / lexical leg / full.
+
+    Each stage runs as its own jitted lax.scan over the same ITERS batches so
+    numbers are comparable with the headline (dispatch excluded).
+    """
+    import sys
+    import numpy as np
+
+    from yams_tpu.search.fusion import hybrid_query
+
+    def timed(fn, *args):
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        t0 = time.perf_counter()
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        return time.perf_counter() - t0
+
+    (proj, E, valid, row2slot, row_scale, postings_doc, postings_impact,
+     term_offsets, term_lengths, doc_mask, hot, weights) = corpus_args
+
+    @jax.jit
+    def vector_only(sketches, proj, E, valid, row_scale, doc_mask):
+        def one(carry, sk):
+            q = jnp.dot(sk.astype(jnp.bfloat16), proj,
+                        preferred_element_type=jnp.float32)
+            q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-9)
+            C = 32
+            if scan_blocks > 0:
+                G = E.shape[0] // scan_blocks
+                blocks = E.reshape(G, scan_blocks, E.shape[1])
+                if int8_corpus:
+                    qmax = jnp.maximum(jnp.max(jnp.abs(q), axis=1), 1e-12)
+                    qscale = qmax / 127.0
+                    q8 = jnp.clip(jnp.round(q / qscale[:, None]), -127, 127
+                                  ).astype(jnp.int8)
+
+                def step(carry2, blk):
+                    cv, ci = carry2
+                    if int8_corpus:
+                        s = jax.lax.dot_general(
+                            q8, blk, dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32,
+                        ).astype(jnp.float32)
+                    else:
+                        s = jnp.dot(q.astype(jnp.bfloat16), blk.T,
+                                    preferred_element_type=jnp.float32)
+                    bv, bi = jax.lax.approx_max_k(s, C)
+                    nv, pos = jax.lax.top_k(
+                        jnp.concatenate([cv, bv], axis=1), C)
+                    ni = jnp.take_along_axis(
+                        jnp.concatenate([ci, bi], axis=1), pos, axis=1)
+                    return (nv, ni), None
+
+                init = (jnp.full((q.shape[0], C), -1e30, jnp.float32),
+                        jnp.full((q.shape[0], C), 0, jnp.int32))
+                (vv, vi), _ = jax.lax.scan(step, init, blocks)
+            else:
+                if int8_corpus:
+                    qmax = jnp.maximum(jnp.max(jnp.abs(q), axis=1), 1e-12)
+                    qscale = qmax / 127.0
+                    q8 = jnp.clip(jnp.round(q / qscale[:, None]), -127, 127
+                                  ).astype(jnp.int8)
+                    s = jax.lax.dot_general(
+                        q8, E, dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32)
+                else:
+                    s = jnp.dot(q.astype(jnp.bfloat16), E.T,
+                                preferred_element_type=jnp.float32)
+                vv, vi = jax.lax.approx_max_k(s, C)
+            return carry, (vv[:, 0], vi[:, 0])
+
+        _, out = jax.lax.scan(one, 0, sketches)
+        return out
+
+    @jax.jit
+    def lexical_only(term_ids, term_mask, postings_doc, postings_impact,
+                     term_offsets, term_lengths):
+        from yams_tpu.ops.bm25 import (
+            bm25_topk_candidates, bm25_topk_candidates_packed,
+        )
+
+        def one(carry, xs):
+            tid, tm = xs
+            if packed_lexical:
+                ids, sc = bm25_topk_candidates_packed(
+                    tid, tm, postings_doc, postings_impact,
+                    num_docs=N, num_candidates=32,
+                )
+            else:
+                ids, sc = bm25_topk_candidates(
+                    tid, tm, postings_doc, postings_impact, term_offsets,
+                    term_lengths, window=WINDOW, num_docs=N, num_candidates=32,
+                )
+            return carry, (ids[:, 0], sc[:, 0])
+
+        _, out = jax.lax.scan(one, 0, (term_ids, term_mask))
+        return out
+
+    @functools.partial(jax.jit, static_argnames=())
+    def full(sketches, term_ids, term_mask, *corpus):
+        def one(carry, xs):
+            sk, tid, tm = xs
+            vals, slots, _, _ = hybrid_query(
+                sk, tid, tm, *corpus,
+                k=K, rrf_cand=32, window=WINDOW, num_slots=N,
+                chunk_agg="max", rows_are_docs=True, approx=True,
+                int8_corpus=int8_corpus, scan_block_rows=scan_blocks,
+                packed_lexical=packed_lexical,
+            )
+            return carry, vals[:, 0]
+
+        _, out = jax.lax.scan(one, 0, (sketches, term_ids, term_mask))
+        return out
+
+    t_vec = timed(vector_only, sketches, proj, E, valid, row_scale, doc_mask)
+    t_lex = timed(lexical_only, term_ids, term_mask, postings_doc,
+                  postings_impact, term_offsets, term_lengths)
+    t_full = timed(full, sketches, term_ids, term_mask, *corpus_args)
+    nb = ITERS
+    print(
+        f"[profile] per-batch(B={B}): vector_leg={t_vec/nb*1e3:.2f}ms "
+        f"lexical_leg={t_lex/nb*1e3:.2f}ms full={t_full/nb*1e3:.2f}ms "
+        f"fusion+overlap={(t_full-t_vec-t_lex)/nb*1e3:.2f}ms(neg=overlapped)",
+        file=sys.stderr,
+    )
 
 
 if __name__ == "__main__":

@@ -1,0 +1,82 @@
+"""Microbenchmark the packed-BM25 lexical leg's internal stages at bench
+shape (B=512, T=16, W=1024, 1M docs): row gather, sort, cumsum-segment,
+top_k — to find which stage bounds the 17ms/batch lexical cost."""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B, T, W, V, N = 512, 16, 1024, 65536, 1 << 20
+qbits = 11
+key = jax.random.PRNGKey(0)
+packed = jax.random.randint(
+    key, (V, W), jnp.int32(-(1 << 31)), jnp.int32((1 << 31) - 1),
+    dtype=jnp.int32,
+) >> 1  # uniform 31-bit keys ~ doc<<qbits|impact layout
+tids = jax.random.randint(key, (B, T), 0, V, dtype=jnp.int32)
+
+
+def timed(f, *a):
+    o = f(*a)
+    np.asarray(jax.tree_util.tree_leaves(o)[0])
+    t0 = time.perf_counter()
+    for _ in range(4):
+        o = f(*a)
+    np.asarray(jax.tree_util.tree_leaves(o)[0])
+    return (time.perf_counter() - t0) / 4
+
+
+@jax.jit
+def gather_only(packed, tids):
+    return jnp.sum(packed[tids].reshape(B, T * W), axis=1)
+
+
+@jax.jit
+def gather_sort(packed, tids):
+    return jnp.sum(jax.lax.sort(packed[tids].reshape(B, T * W), dimension=1), axis=1)
+
+
+def _seg(packed, tids):
+    keys = jax.lax.sort(packed[tids].reshape(B, T * W), dimension=1)
+    ids = keys >> qbits
+    val = (keys & ((1 << qbits) - 1)).astype(jnp.float32)
+    cs = jnp.cumsum(val, axis=1)
+    first = jnp.concatenate(
+        [jnp.ones((B, 1), bool), ids[:, 1:] != ids[:, :-1]], axis=1)
+    last = jnp.concatenate(
+        [ids[:, 1:] != ids[:, :-1], jnp.ones((B, 1), bool)], axis=1)
+    base = jax.lax.cummax(jnp.where(first, cs - val, -jnp.inf), axis=1)
+    return jnp.where(last, cs - base, 0.0), ids
+
+
+@jax.jit
+def gather_sort_seg(packed, tids):
+    seg, ids = _seg(packed, tids)
+    return jnp.sum(seg, axis=1), jnp.sum(ids, axis=1)
+
+
+@jax.jit
+def full(packed, tids):
+    seg, ids = _seg(packed, tids)
+    v, p = jax.lax.top_k(seg, 32)
+    return v, jnp.take_along_axis(ids, p, axis=1)
+
+
+@jax.jit
+def full_approx(packed, tids):
+    seg, ids = _seg(packed, tids)
+    v, p = jax.lax.approx_max_k(seg, 32)
+    return v, jnp.take_along_axis(ids, p, axis=1)
+
+
+@jax.jit
+def persort(packed, tids):
+    # per-term sorted rows (W=1024 each) — is log^2 scaling visible?
+    return jnp.sum(jax.lax.sort(packed[tids], dimension=2), axis=(1, 2))
+
+
+for name, f in [("gather", gather_only), ("gather+sort", gather_sort),
+                ("+segsum", gather_sort_seg), ("+topk(full)", full),
+                ("+approxk(full)", full_approx), ("persort1024", persort)]:
+    print(f"{name:16s} {timed(f, packed, tids)*1e3:7.2f} ms")

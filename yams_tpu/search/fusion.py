@@ -146,8 +146,13 @@ def hybrid_query(
             s = s + (vmask - 1.0)[None, :] * 1e30 \
                 + (dbias if per_query_mask else dbias[None, :])
             # per-block partial top-C via the TPU bitonic reduction (a full
-            # sort here would dominate the scan), then exact merge with carry
-            bv, bi = jax.lax.approx_max_k(s, C)
+            # sort here would dominate the scan), then exact merge with carry.
+            # approx=False gives the exact oracle: per-block exact top-C +
+            # exact merge = exact global top-C.
+            if approx:
+                bv, bi = jax.lax.approx_max_k(s, C)
+            else:
+                bv, bi = jax.lax.top_k(s, C)
             bi = bi + g * scan_block_rows
             nv, pos = jax.lax.top_k(jnp.concatenate([cv, bv], axis=1), C)
             ni = jnp.take_along_axis(
@@ -264,9 +269,13 @@ def _fuse_candidates(
     ranks = jnp.arange(C, dtype=jnp.float32)[None, :]
     rrf = 1.0 / (weights[W_RRF_K] + ranks + 1.0)
 
-    B = bm_ids.shape[0]
-    dm_b = jnp.broadcast_to(dm, (B, dm.shape[1]))
-    dm_at_bm = jnp.take_along_axis(dm_b, jnp.minimum(bm_ids, sink - 1), axis=1)
+    # gather the mask at the C candidates only — never broadcast dm to
+    # (B, N) (a materialized f32[B,N] is 21 GB at B=512 x 10M rows)
+    safe_ids = jnp.minimum(bm_ids, sink - 1)
+    if dm.shape[0] == 1:
+        dm_at_bm = jnp.take(dm[0], safe_ids, axis=0)
+    else:
+        dm_at_bm = jnp.take_along_axis(dm, safe_ids, axis=1)
     bm_ok = (bm_scores > 0) & (bm_ids < sink) & (dm_at_bm > 0) \
         & (weights[W_TEXT] > 0)
     bm_norm = jnp.clip(bm_scores / jnp.maximum(weights[W_BM25_DIV], 1e-6), 0.0, 1.0)

@@ -1,0 +1,312 @@
+"""Round-trip tests for the round-2 IPC request-type long tail.
+
+Reference: ipc_protocol_requests.h — GetInit/GetChunk/GetEnd streaming,
+model lifecycle, embedding services, download jobs, history/snapshots/prune,
+typed plugin + trust ops, graph long tail, KG ingest, metadata value counts,
+batch envelope. Every test goes over a REAL AF_UNIX socket via DaemonClient.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import threading
+import time
+
+import pytest
+
+from test_services import small_config
+
+from yams_tpu.core.errors import YamsError
+from yams_tpu.daemon.client import DaemonClient
+from yams_tpu.daemon.server import YamsDaemon
+
+
+@pytest.fixture(scope="module")
+def daemon_app(tmp_path_factory):
+    """Module-scoped daemon (one engine init for the whole long tail)."""
+    tmp_path = tmp_path_factory.mktemp("longtail")
+    cfg = small_config(tmp_path / "data")
+    cfg.daemon.socket_path = str(tmp_path / "d.sock")
+    daemon = YamsDaemon(cfg)
+    loop = asyncio.new_event_loop()
+
+    def runner():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(daemon.run())
+
+    t = threading.Thread(target=runner, daemon=True)
+    t.start()
+    for _ in range(200):
+        if cfg.socket_path.exists():
+            break
+        time.sleep(0.05)
+    client = DaemonClient(cfg.socket_path)
+    assert client.ping(timeout=5.0)
+    yield cfg, client, daemon
+    try:
+        client.shutdown()
+    except Exception:
+        pass
+    t.join(timeout=20)
+    if not t.is_alive():
+        loop.close()
+
+
+class TestChunkedGet:
+    def test_get_init_chunk_end(self, daemon_app):
+        cfg, client, _ = daemon_app
+        payload = bytes(range(256)) * 64  # 16 KiB
+        client.call("add_bytes", data=payload, name="chunked.bin")
+        init = client.call("get_init", selector="chunked.bin")
+        assert init["size"] == len(payload)
+        out, off = b"", 0
+        while True:
+            c = client.call("get_chunk", handle=init["handle"], offset=off,
+                            size=4096)
+            out += c["data"]
+            off += 4096
+            if c["eof"]:
+                break
+        assert out == payload
+        assert client.call("get_end", handle=init["handle"])["closed"]
+        with pytest.raises(YamsError):
+            client.call("get_chunk", handle=init["handle"], offset=0)
+
+    def test_unknown_handle(self, daemon_app):
+        cfg, client, _ = daemon_app
+        with pytest.raises(YamsError):
+            client.call("get_chunk", handle="nope", offset=0)
+
+
+class TestModelLifecycle:
+    def test_status_load_unload(self, daemon_app):
+        cfg, client, _ = daemon_app
+        st = client.call("model_status")
+        assert st["default"]["dim"] > 0
+        assert "mock" in st["registry"]
+        ld = client.call("model_load", model="mock")
+        assert ld["dim"] > 0
+        st = client.call("model_status")
+        assert any(m["name"] == "mock" for m in st["loaded"])
+        assert client.call("model_unload", model="mock")["unloaded"]
+        assert not client.call("model_status")["loaded"]
+
+
+class TestEmbeddingServices:
+    def test_embed_batch(self, daemon_app):
+        cfg, client, _ = daemon_app
+        out = client.call("embed_batch", texts=["a doc", "another doc"])
+        assert len(out["vectors"]) == 2
+        assert out["batches"] >= 1
+        assert out["dim"] > 0
+
+    def test_embed_documents_queues(self, daemon_app):
+        cfg, client, _ = daemon_app
+        client.call("add_bytes", data=b"re-embed me", name="reembed.txt")
+        out = client.call("embed_documents", selectors=["reembed.txt"])
+        assert len(out["queued"]) == 1
+        client.call("queue", op="wait_idle", timeout=30.0)
+
+
+class TestDownloadJobs:
+    def test_job_roundtrip_file_url(self, daemon_app, tmp_path):
+        cfg, client, _ = daemon_app
+        src = tmp_path / "payload.bin"
+        src.write_bytes(b"download me" * 100)
+        job = client.call("download_start", url=src.as_uri(), store=False)
+        for _ in range(100):
+            st = client.call("download_status", job_id=job["job_id"])
+            if st["state"] in ("completed", "failed"):
+                break
+            time.sleep(0.05)
+        assert st["state"] == "completed"
+        assert st["result"]["bytes_downloaded"] == 1100
+        jobs = client.call("download_list")["jobs"]
+        assert any(j["job_id"] == job["job_id"] for j in jobs)
+
+    def test_cancel_missing_job(self, daemon_app):
+        cfg, client, _ = daemon_app
+        with pytest.raises(YamsError):
+            client.call("download_cancel", job_id="missing")
+
+
+class TestSnapshotsHistoryPrune:
+    @pytest.fixture(scope="class")
+    def corpus(self, daemon_app, tmp_path_factory):
+        cfg, client, _ = daemon_app
+        d = tmp_path_factory.mktemp("corpus")
+        (d / "alpha.txt").write_text("alpha version one")
+        (d / "beta.txt").write_text("beta version one")
+        r1 = client.call("add_path", path=str(d), snapshot=True)
+        (d / "alpha.txt").write_text("alpha version two, changed")
+        r2 = client.call("add_path", path=str(d), snapshot=True)
+        return d, r1, r2
+
+    def test_snapshots_list_and_history(self, daemon_app, corpus):
+        cfg, client, _ = daemon_app
+        d, r1, r2 = corpus
+        snaps = client.call("snapshots_list")["snapshots"]
+        assert len(snaps) >= 2
+        hist = client.call("file_history", path=str(d / "alpha.txt"))
+        assert len(hist["versions"]) >= 2
+        hashes = {v["hash"] for v in hist["versions"]}
+        assert len(hashes) == 2  # two distinct contents across snapshots
+
+    def test_tree_diff(self, daemon_app, corpus):
+        cfg, client, _ = daemon_app
+        d, r1, r2 = corpus
+        diff = client.call("tree_diff", from_snapshot=r1["snapshot_id"],
+                           to_snapshot=r2["snapshot_id"])
+        changed = [c for c in diff["changes"]]
+        assert any("alpha" in str(c) for c in changed)
+
+    def test_restore_snapshot(self, daemon_app, corpus, tmp_path):
+        cfg, client, _ = daemon_app
+        d, r1, r2 = corpus
+        out = client.call("restore_snapshot", snapshot_id=r1["snapshot_id"],
+                          target_dir=str(tmp_path / "restore"))
+        assert out["restored"] >= 2
+        restored = (tmp_path / "restore")
+        alpha = next(restored.rglob("alpha.txt"))
+        assert alpha.read_text() == "alpha version one"
+
+    def test_restore_collection(self, daemon_app, tmp_path):
+        cfg, client, _ = daemon_app
+        client.call("add_bytes", data=b"col doc", name="col1.txt",
+                    collection="mycol")
+        out = client.call("restore_collection", collection="mycol",
+                          target_dir=str(tmp_path / "col"))
+        assert out["restored"] == 1
+        assert (tmp_path / "col" / "col1.txt").read_bytes() == b"col doc"
+
+    def test_prune_dry_run_then_delete(self, daemon_app):
+        cfg, client, _ = daemon_app
+        client.call("add_bytes", data=b"prunable", name="prune-me.txt")
+        out = client.call("prune", pattern="*prune-me*")
+        assert out["dry_run"] and out["matched"] == 1
+        out = client.call("prune", pattern="*prune-me*", dry_run=False)
+        assert out["matched"] == 1
+        with pytest.raises(YamsError):
+            client.call("get", selector="prune-me.txt")
+
+
+class TestPluginOps:
+    def test_trust_add_list_remove_scan(self, daemon_app, tmp_path):
+        cfg, client, _ = daemon_app
+        pdir = tmp_path / "plugins"
+        pdir.mkdir()
+        (pdir / "yams_plugin_demo.py").write_text("PLUGIN = None\n")
+        out = client.call("plugin_trust_add", path=str(pdir))
+        assert str(pdir) in out["trusted"]
+        found = client.call("plugin_scan", dir=str(pdir))["found"]
+        assert any("yams_plugin_demo" in f for f in found)
+        out = client.call("plugin_trust_remove", path=str(pdir))
+        assert str(pdir) not in out["trusted"]
+
+    def test_untrusted_load_refused(self, daemon_app, tmp_path):
+        cfg, client, _ = daemon_app
+        evil = tmp_path / "evil.py"
+        evil.write_text("raise SystemExit\n")
+        with pytest.raises(YamsError):
+            client.call("plugin_load", path=str(evil))
+
+
+class TestGraphLongTail:
+    def test_kg_ingest_validate_repair(self, daemon_app):
+        cfg, client, _ = daemon_app
+        out = client.call("kg_ingest", nodes=[
+            {"key": "svc:auth", "label": "AuthService",
+             "aliases": ["auth"]},
+            {"key": "svc:db", "label": "DbService"},
+        ], edges=[{"src": "svc:auth", "dst": "svc:db",
+                   "relation": "depends_on", "weight": 0.9}])
+        assert out["edges_added"] == 1
+        v = client.call("graph_validate")
+        assert v["valid"] and v["nodes"] >= 2
+        r = client.call("graph_repair")
+        assert r["removed_edges"] == 0
+
+    def test_symbol_lookup_and_affected_tests(self, daemon_app):
+        cfg, client, _ = daemon_app
+        client.call("add_bytes", name="src/widget.py", data=(
+            b"def render_widget(x):\n    return x\n"
+            b"class WidgetStore:\n    def save(self):\n        pass\n"))
+        client.call("add_bytes", name="tests/test_widget.py", data=(
+            b"from widget import render_widget\n"
+            b"def test_render_widget():\n    assert render_widget(1) == 1\n"))
+        client.call("queue", op="wait_idle", timeout=30.0)
+        syms = client.call("graph_symbol_lookup", name="render_widget")
+        assert syms["symbols"]
+        out = client.call("graph_affected_tests", selector="src/widget.py",
+                          hops=2, limit=50)
+        assert any("test_widget" in e["path"]
+                   for e in out["affected_tests"])
+
+    def test_graph_path_history(self, daemon_app):
+        cfg, client, _ = daemon_app
+        out = client.call("graph_path_history", path="src/widget.py")
+        assert "versions" in out and "entities" in out
+
+
+class TestMiscLongTail:
+    def test_metadata_value_counts(self, daemon_app):
+        cfg, client, _ = daemon_app
+        client.call("add_bytes", data=b"x", name="mvc1.txt",
+                    metadata={"team": "infra"})
+        client.call("add_bytes", data=b"y", name="mvc2.txt",
+                    metadata={"team": "infra"})
+        out = client.call("metadata_value_counts", key="team")
+        assert out["values"][0] == {"value": "infra", "count": 2}
+
+    def test_stats(self, daemon_app):
+        cfg, client, _ = daemon_app
+        st = client.call("stats")
+        assert st["documents"]["documents"] >= 1
+
+    def test_cancel_flag(self, daemon_app):
+        cfg, client, _ = daemon_app
+        out = client.call("cancel", request_id="req-42")
+        assert out["cancel_requested"] == "req-42"
+
+    def test_batch_envelope_isolation(self, daemon_app):
+        cfg, client, _ = daemon_app
+        out = client.call("batch", requests=[
+            {"type": "ping"},
+            {"type": "get", "selector": "no-such-doc.bin"},
+            {"type": "stats"},
+            {"type": "shutdown"},   # disallowed inside batch
+        ])
+        r = out["responses"]
+        assert r[0]["ok"] and r[2]["ok"]
+        assert not r[1]["ok"] and not r[3]["ok"]
+
+    def test_repair_downloads_and_dedupe(self, daemon_app):
+        cfg, client, _ = daemon_app
+        # a doc whose path is a raw URL (as the reference repair targets)
+        client.call("add_bytes", data=b"from the web",
+                    name="https://example.com/files/page.html")
+        out = client.call("repair", ops=["downloads"])
+        assert "normalized" in out["downloads"]
+        doc = client.call("get", selector="page.html")
+        assert doc["metadata"]["source_url"] == \
+            "https://example.com/files/page.html"
+        assert "downloaded" in doc["tags"]
+        assert "host:example.com" in doc["tags"]
+        # exact duplicates: same bytes, two names
+        client.call("add_bytes", data=b"dup content", name="dup-a.txt")
+        client.call("add_bytes", data=b"dup content", name="dup-b.txt")
+        out = client.call("repair", ops=["dedupe"])
+        assert "1 exact-duplicate groups" in out["dedupe"]
+        out = client.call("repair", ops=["dedupe_apply"])
+        assert "1 redundant" in out["dedupe_apply"]
+        with pytest.raises(YamsError):
+            client.call("get", selector="dup-b.txt")
+        assert client.call("get", selector="dup-a.txt")
+
+    def test_request_type_count(self, daemon_app):
+        """The protocol surface: >= 45 request types (reference ~50,
+        ipc_protocol_requests.h:16-3154)."""
+        cfg, client, daemon = daemon_app
+        types = [m[len("handle_"):] for m in dir(daemon)
+                 if m.startswith("handle_")]
+        assert len(types) >= 45, types

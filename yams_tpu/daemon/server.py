@@ -204,6 +204,11 @@ class YamsDaemon:
         self._requests_handled = 0
         self._metrics: dict[str, dict] = {}
         self.search_batcher: SearchBatcher | None = None
+        # chunked-get sessions (GetInit/GetChunk/GetEnd), loaded model
+        # providers (LoadModel/ModelStatus), in-flight cancel flags
+        self._get_sessions: dict[str, dict] = {}
+        self._models: dict[str, object] = {}
+        self._cancel_flags: dict[str, bool] = {}
 
     # -- lifecycle ----------------------------------------------------------------
     async def start(self) -> None:
@@ -581,6 +586,348 @@ class YamsDaemon:
     def handle_checkpoint(self, req):
         self.app.checkpoint()
         return {"checkpointed": True}
+
+    # -- chunked content streaming (GetInit/GetChunk/GetEnd,
+    #    ipc_protocol_requests.h:522-621) ----------------------------------------------
+    def handle_get_init(self, req):
+        import uuid as _uuid
+
+        data = self.app.documents.cat(req["selector"])
+        handle = _uuid.uuid4().hex[:16]
+        # bound concurrent sessions; evict oldest (reference bounds its
+        # RetrievalSessions similarly)
+        while len(self._get_sessions) >= 64:
+            self._get_sessions.pop(next(iter(self._get_sessions)))
+        self._get_sessions[handle] = {"data": data, "created": time.time()}
+        return {"handle": handle, "size": len(data),
+                "chunk_size": req.get("chunk_size", 1 << 20)}
+
+    def handle_get_chunk(self, req):
+        sess = self._get_sessions.get(req["handle"])
+        if sess is None:
+            raise YamsError(f"unknown get handle: {req['handle']}")
+        off = int(req.get("offset", 0))
+        n = int(req.get("size", 1 << 20))
+        data = sess["data"]
+        return {"data": data[off:off + n], "offset": off,
+                "eof": off + n >= len(data)}
+
+    def handle_get_end(self, req):
+        return {"closed": self._get_sessions.pop(req["handle"], None) is not None}
+
+    def handle_cancel(self, req):
+        """Best-effort cancellation (CancelRequest, ipc_protocol_requests.h:1046):
+        download jobs cancel hard; other request ids get a cancel flag that
+        long-running handlers poll."""
+        if "job_id" in req:
+            return self.app.downloads.cancel_job(req["job_id"])
+        rid = str(req.get("request_id", ""))
+        self._cancel_flags[rid] = True
+        return {"cancel_requested": rid}
+
+    # -- model lifecycle (LoadModel/UnloadModel/ModelStatus,
+    #    ipc_protocol_requests.h:1195-1291) --------------------------------------------
+    def handle_model_load(self, req):
+        from ..embed.provider import create_provider
+
+        name = req["model"]
+        opts = req.get("options", {})
+        if name not in self._models:
+            self._models[name] = create_provider(name, **opts)
+        p = self._models[name]
+        return {"model": name, "dim": p.dim, "space_id": p.space_id}
+
+    def handle_model_unload(self, req):
+        return {"unloaded": self._models.pop(req["model"], None) is not None}
+
+    def handle_model_status(self, req):
+        from ..embed.provider import list_providers
+
+        eng = self.app.search_engine.provider
+        return {
+            "default": {"name": self.app.config.embedding.profile,
+                        "dim": eng.dim, "space_id": eng.space_id},
+            "loaded": [{"name": n, "dim": p.dim, "space_id": p.space_id}
+                       for n, p in self._models.items()],
+            "registry": list_providers(),
+        }
+
+    # -- embedding services (BatchEmbedding/EmbedDocuments,
+    #    ipc_protocol_requests.h:1107-1194) --------------------------------------------
+    def handle_embed_batch(self, req):
+        import numpy as np
+
+        from ..embed.batcher import DynamicBatcher
+
+        provider = self._models.get(req.get("model", "")) \
+            or self.app.search_engine.provider
+        batcher = DynamicBatcher(max_tokens=req.get("max_batch_tokens", 8192))
+        chunks, n_batches = [], 0
+        for batch in batcher.batches(req["texts"]):
+            chunks.append(provider.encode(batch))
+            n_batches += 1
+        vecs = np.concatenate(chunks, axis=0) if chunks else np.zeros((0, 0))
+        return {"vectors": [v.tolist() for v in vecs],
+                "dim": int(vecs.shape[1]) if len(vecs) else 0,
+                "batches": n_batches}
+
+    def handle_embed_documents(self, req):
+        """Queue stored documents for (re-)embedding via the post-ingest
+        pipeline — the daemon-side EmbedDocumentsRequest."""
+        queued = []
+        for sel in req["selectors"]:
+            doc = self.app.documents.get(sel)
+            self.app.metadata.set_embedding_status(doc.id, "pending")
+            self.post_ingest.enqueue(doc.id)
+            queued.append(doc.id)
+        return {"queued": queued}
+
+    # -- download jobs (DownloadStatus/CancelDownloadJob/ListDownloadJobs) ---------
+    def handle_download_start(self, req):
+        job_id = self.app.downloads.start_job(
+            req["url"], expected_sha256=req.get("expected_sha256", ""),
+            store=req.get("store", True), tags=req.get("tags"),
+        )
+        return {"job_id": job_id}
+
+    def handle_download_status(self, req):
+        return self.app.downloads.job_status(req["job_id"])
+
+    def handle_download_cancel(self, req):
+        return self.app.downloads.cancel_job(req["job_id"])
+
+    def handle_download_list(self, req):
+        return {"jobs": self.app.downloads.list_jobs()}
+
+    # -- history / snapshots / prune (FileHistory/Prune/ListSnapshots/Restore*,
+    #    ipc_protocol_requests.h:1882-2117) --------------------------------------------
+    def handle_file_history(self, req):
+        """Appearances of a path across tree snapshots, newest first."""
+        rows = self.app.db.execute(
+            """SELECT e.snapshot_id, e.hash, e.size, s.created_time, s.label
+               FROM tree_snapshot_entries e
+               JOIN tree_snapshots s ON s.snapshot_id = e.snapshot_id
+               WHERE e.path = ? OR e.path LIKE ?
+               ORDER BY s.created_time DESC LIMIT ?""",
+            (req["path"], f"%/{req['path'].lstrip('/')}",
+             req.get("limit", 50)),
+        ).fetchall()
+        return {"versions": [
+            {"snapshot_id": r[0], "hash": r[1], "size": r[2],
+             "created_time": r[3], "label": r[4]} for r in rows]}
+
+    def handle_prune(self, req):
+        """Delete documents matching age/pattern/tag filters; dry-run by
+        default (PruneRequest, ipc_protocol_requests.h:1904)."""
+        import fnmatch
+
+        older_than_s = req.get("older_than_s")
+        pattern = req.get("pattern")
+        tags = req.get("tags")
+        dry_run = req.get("dry_run", True)
+        cutoff = time.time() - older_than_s if older_than_s else None
+        tag_ids = set(self.app.metadata.find_by_tags(tags)) if tags else None
+        victims = []
+        for d in self.app.metadata.list_documents(limit=100000):
+            if cutoff is not None and d.created_time > cutoff:
+                continue
+            if pattern and not fnmatch.fnmatch(d.file_path, pattern):
+                continue
+            if tag_ids is not None and d.id not in tag_ids:
+                continue
+            victims.append({"id": d.id, "path": d.file_path})
+        if not dry_run:
+            for v in victims:
+                try:
+                    self.app.documents.delete(v["path"])
+                except Exception:
+                    v["error"] = "delete failed"
+        return {"matched": len(victims), "dry_run": dry_run,
+                "documents": victims[:200]}
+
+    def handle_snapshots_list(self, req):
+        return {"snapshots": self.app.trees.list_snapshots()}
+
+    def handle_restore_snapshot(self, req):
+        return self.app.indexing.restore_snapshot(
+            req["snapshot_id"], req["target_dir"],
+            overwrite=req.get("overwrite", False))
+
+    def handle_restore_collection(self, req):
+        return self.app.indexing.restore_collection(
+            req["collection"], req["target_dir"],
+            overwrite=req.get("overwrite", False))
+
+    def handle_tree_diff(self, req):
+        """Diff two snapshots (ListTreeDiffRequest, ipc_protocol_requests.h:3279)."""
+        from ..metadata.tree import TreeDiffer
+
+        old = self.app.trees.get_snapshot(req["from_snapshot"])
+        new = self.app.trees.get_snapshot(req["to_snapshot"])
+        changes = TreeDiffer.diff(old, new)
+        return {"changes": [_asdict(c) for c in changes]}
+
+    # -- typed plugin ops (PluginScan/Load/Unload/Trust*,
+    #    ipc_protocol_requests.h:2118-2243) --------------------------------------------
+    def handle_plugin_scan(self, req):
+        found = self.plugins.scan(req.get("dir"))
+        return {"found": found, "plugins": self.plugins.list()}
+
+    def handle_plugin_load(self, req):
+        return self.handle_plugins({"op": "load", "path": req["path"]})
+
+    def handle_plugin_unload(self, req):
+        ok = self.plugins.unload(req["name"])
+        return {"unloaded": ok, "plugins": self.plugins.list()}
+
+    def handle_plugin_trust_list(self, req):
+        return {"trusted": [str(p) for p in self.plugins.trusted_paths()]}
+
+    def handle_plugin_trust_add(self, req):
+        self.plugins.trust(req["path"])
+        return self.handle_plugin_trust_list(req)
+
+    def handle_plugin_trust_remove(self, req):
+        self.plugins.untrust(req["path"])
+        return self.handle_plugin_trust_list(req)
+
+    # -- graph long tail (GraphSymbolLookup/AffectedTests/PathHistory/
+    #    Validate/Repair, ipc_protocol_requests.h:2506-2913) ---------------------------
+    def handle_graph_symbol_lookup(self, req):
+        return {"symbols": self.app.symbols.lookup(
+            req["name"], limit=req.get("limit", 50))}
+
+    def handle_graph_affected_tests(self, req):
+        """Impact set filtered to test files (GraphAffectedTestsRequest)."""
+        import fnmatch
+
+        impact = self.app.graph.impact(
+            req["selector"], hops=req.get("hops", 2),
+            limit=req.get("limit", 200))
+        pats = req.get("test_patterns",
+                       ["*test*", "*spec*", "tests/*", "*_test.*"])
+        tests = [e for e in impact
+                 if any(fnmatch.fnmatch(e.get("path", ""), p) for p in pats)]
+        return {"affected_tests": tests}
+
+    def handle_graph_path_history(self, req):
+        hist = self.handle_file_history({"path": req["path"],
+                                         "limit": req.get("limit", 50)})
+        ents = []
+        try:
+            doc = self.app.documents.get(req["path"])
+            ents = [{"node_id": nid, "name": name, "weight": w}
+                    for nid, name, w in self.app.kg.entities_for_document(doc.id)]
+        except Exception:
+            pass
+        return {"versions": hist["versions"], "entities": ents}
+
+    def handle_graph_validate(self, req):
+        """KG referential integrity (GraphValidateRequest): dangling edges,
+        aliases, and doc links."""
+        db = self.app.db
+        dangling_edges = db.execute(
+            """SELECT COUNT(*) FROM kg_edges e
+               WHERE NOT EXISTS (SELECT 1 FROM kg_nodes n WHERE n.id=e.src_node_id)
+                  OR NOT EXISTS (SELECT 1 FROM kg_nodes n WHERE n.id=e.dst_node_id)"""
+        ).fetchone()[0]
+        dangling_aliases = db.execute(
+            """SELECT COUNT(*) FROM kg_aliases a
+               WHERE NOT EXISTS (SELECT 1 FROM kg_nodes n WHERE n.id=a.node_id)"""
+        ).fetchone()[0]
+        dangling_doc_links = db.execute(
+            """SELECT COUNT(*) FROM doc_entities d
+               WHERE NOT EXISTS (SELECT 1 FROM kg_nodes n WHERE n.id=d.node_id)
+                  OR NOT EXISTS (SELECT 1 FROM documents x WHERE x.id=d.document_id)"""
+        ).fetchone()[0]
+        return {"nodes": self.app.kg.node_count(),
+                "edges": self.app.kg.edge_count(),
+                "dangling_edges": dangling_edges,
+                "dangling_aliases": dangling_aliases,
+                "dangling_doc_links": dangling_doc_links,
+                "valid": not (dangling_edges or dangling_aliases
+                              or dangling_doc_links)}
+
+    def handle_graph_repair(self, req):
+        """Drop dangling KG rows, then rebuild pending entity links
+        (GraphRepairRequest)."""
+        db = self.app.db
+        with db.lock, db.conn:
+            e = db.conn.execute(
+                """DELETE FROM kg_edges WHERE
+                   NOT EXISTS (SELECT 1 FROM kg_nodes n WHERE n.id=kg_edges.src_node_id)
+                   OR NOT EXISTS (SELECT 1 FROM kg_nodes n WHERE n.id=kg_edges.dst_node_id)"""
+            ).rowcount
+            a = db.conn.execute(
+                """DELETE FROM kg_aliases WHERE
+                   NOT EXISTS (SELECT 1 FROM kg_nodes n WHERE n.id=kg_aliases.node_id)"""
+            ).rowcount
+            d = db.conn.execute(
+                """DELETE FROM doc_entities WHERE
+                   NOT EXISTS (SELECT 1 FROM kg_nodes n WHERE n.id=doc_entities.node_id)
+                   OR NOT EXISTS (SELECT 1 FROM documents x
+                                  WHERE x.id=doc_entities.document_id)"""
+            ).rowcount
+        linked = self.app.graph.index_pending(limit=req.get("limit", 500))
+        return {"removed_edges": e, "removed_aliases": a,
+                "removed_doc_links": d, "relinked_docs": linked}
+
+    def handle_kg_ingest(self, req):
+        """Direct KG node/edge ingestion (KgIngestRequest,
+        ipc_protocol_requests.h:2914)."""
+        kg = self.app.kg
+        node_ids = {}
+        for n in req.get("nodes", []):
+            nid = kg.upsert_node(
+                n["key"], n.get("label", n["key"]),
+                type_=n.get("type", "entity"),
+                properties=n.get("properties"))
+            node_ids[n["key"]] = nid
+            for alias in n.get("aliases", []):
+                kg.add_alias(nid, alias, source="kg_ingest")
+        edges = 0
+        for e in req.get("edges", []):
+            src = node_ids.get(e["src"]) or kg.find_node(e["src"])
+            dst = node_ids.get(e["dst"]) or kg.find_node(e["dst"])
+            if src is not None and dst is not None:
+                kg.add_edge(src, dst, e.get("relation", "related"),
+                            weight=e.get("weight", 1.0))
+                edges += 1
+        return {"nodes": node_ids, "edges_added": edges}
+
+    def handle_metadata_value_counts(self, req):
+        """Distinct values + counts for a metadata key
+        (MetadataValueCountsRequest, ipc_protocol_requests.h:3020)."""
+        rows = self.app.db.execute(
+            "SELECT value, COUNT(*) FROM metadata WHERE key=? "
+            "GROUP BY value ORDER BY COUNT(*) DESC LIMIT ?",
+            (req["key"], req.get("limit", 100)),
+        ).fetchall()
+        return {"key": req["key"],
+                "values": [{"value": r[0], "count": r[1]} for r in rows]}
+
+    def handle_stats(self, req):
+        """GetStatsRequest — stats snapshot without daemon lifecycle fields."""
+        return self.app.stats.snapshot(detailed=req.get("detailed", False))
+
+    def handle_batch(self, req):
+        """Batch envelope with per-item error isolation (BatchRequest,
+        ipc_protocol_requests.h:3332)."""
+        out = []
+        for sub in req.get("requests", [])[:256]:
+            rtype = sub.get("type", "")
+            handler = getattr(self, f"handle_{rtype}", None)
+            if handler is None or rtype in ("batch", "shutdown"):
+                out.append({"ok": False,
+                            "error": f"unknown or disallowed type: {rtype}"})
+                continue
+            try:
+                out.append({"ok": True, "result": handler(sub)})
+            except YamsError as e:
+                out.append({"ok": False, "error": str(e), "code": int(e.code)})
+            except Exception as e:
+                out.append({"ok": False, "error": f"{type(e).__name__}: {e}"})
+        return {"responses": out}
 
 
 def run_daemon(config: Config) -> None:

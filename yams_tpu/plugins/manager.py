@@ -54,6 +54,30 @@ class PluginManager:
             with open(self.trust_file, "a") as f:
                 f.write(f"{path}\n")
 
+    def untrust(self, path: str | pathlib.Path) -> None:
+        """Remove a path from the trust list (PluginTrustRemoveRequest,
+        ipc_protocol_requests.h:2224)."""
+        if not self.trust_file or not self.trust_file.exists():
+            return
+        keep = [str(p) for p in self.trusted_paths() if str(p) != str(path)]
+        self.trust_file.write_text("".join(f"{p}\n" for p in keep))
+
+    def scan(self, directory: str | pathlib.Path | None = None) -> list[str]:
+        """Discover candidate plugin files WITHOUT loading them
+        (PluginScanRequest, ipc_protocol_requests.h:2118): every trusted dir
+        (or an explicit dir) is globbed for yams_plugin_*.py / *.yams-plugin
+        manifests."""
+        roots = ([pathlib.Path(directory)] if directory
+                 else [p if p.is_dir() else p.parent
+                       for p in self.trusted_paths()])
+        found: list[str] = []
+        for root in roots:
+            if not root.is_dir():
+                continue
+            for pat in ("yams_plugin_*.py", "*.yams-plugin"):
+                found.extend(str(p) for p in sorted(root.glob(pat)))
+        return sorted(set(found))
+
     # -- loading ----------------------------------------------------------------
     def load_file(self, path: str | pathlib.Path, config: dict | None = None
                   ) -> PluginManifest | None:

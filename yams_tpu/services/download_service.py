@@ -12,13 +12,19 @@ import dataclasses
 import hashlib
 import json
 import pathlib
+import threading
 import time
 import urllib.error
 import urllib.parse
 import urllib.request
+import uuid
 
-from ..core.errors import CorruptionError, YamsError
+from ..core.errors import CorruptionError, NotFoundError, YamsError
 from ..ingest.hasher import sha256_file
+
+
+class _Cancelled(Exception):
+    """Internal: job cancellation signal (partial file kept for resume)."""
 
 
 @dataclasses.dataclass(slots=True)
@@ -48,6 +54,33 @@ class RateLimiter:
             time.sleep(expected - elapsed)
 
 
+@dataclasses.dataclass(slots=True)
+class DownloadJob:
+    """Async download job (reference: DownloadStatusRequest /
+    CancelDownloadJobRequest / ListDownloadJobsRequest,
+    ipc_protocol_requests.h:1707-1763)."""
+
+    job_id: str
+    url: str
+    state: str = "queued"      # queued|running|completed|failed|cancelled
+    bytes_downloaded: int = 0
+    error: str = ""
+    result: DownloadResult | None = None
+    started_at: float = 0.0
+    finished_at: float = 0.0
+    cancel_event: threading.Event = dataclasses.field(
+        default_factory=threading.Event)
+    thread: threading.Thread | None = None
+
+    def snapshot(self) -> dict:
+        return {
+            "job_id": self.job_id, "url": self.url, "state": self.state,
+            "bytes_downloaded": self.bytes_downloaded, "error": self.error,
+            "started_at": self.started_at, "finished_at": self.finished_at,
+            "result": dataclasses.asdict(self.result) if self.result else None,
+        }
+
+
 class DownloadService:
     def __init__(self, app, rate_limit_bps: float = 0.0):
         self.app = app
@@ -55,6 +88,55 @@ class DownloadService:
         self.dir.mkdir(parents=True, exist_ok=True)
         self.resume_store = self.dir / "resume.json"
         self.limiter = RateLimiter(rate_limit_bps)
+        self._jobs: dict[str, DownloadJob] = {}
+        self._jobs_lock = threading.Lock()
+
+    # -- async jobs ------------------------------------------------------------
+    def start_job(self, url: str, **kw) -> str:
+        """Start a background download; returns a job id immediately."""
+        job = DownloadJob(job_id=uuid.uuid4().hex[:16], url=url)
+
+        def run():
+            job.state = "running"
+            job.started_at = time.time()
+            try:
+                job.result = self.download(
+                    url, _cancel=job.cancel_event, _progress=job, **kw)
+                job.state = "completed"
+                job.bytes_downloaded = job.result.bytes_downloaded
+            except _Cancelled:
+                job.state = "cancelled"
+            except Exception as e:
+                job.state = "failed"
+                job.error = str(e)
+            job.finished_at = time.time()
+
+        with self._jobs_lock:
+            self._jobs[job.job_id] = job
+        job.thread = threading.Thread(target=run, daemon=True)
+        job.thread.start()
+        return job.job_id
+
+    def job_status(self, job_id: str) -> dict:
+        with self._jobs_lock:
+            job = self._jobs.get(job_id)
+        if job is None:
+            raise NotFoundError(f"download job not found: {job_id}")
+        return job.snapshot()
+
+    def cancel_job(self, job_id: str) -> dict:
+        with self._jobs_lock:
+            job = self._jobs.get(job_id)
+        if job is None:
+            raise NotFoundError(f"download job not found: {job_id}")
+        job.cancel_event.set()
+        if job.state == "queued":
+            job.state = "cancelled"
+        return job.snapshot()
+
+    def list_jobs(self) -> list[dict]:
+        with self._jobs_lock:
+            return [j.snapshot() for j in self._jobs.values()]
 
     # -- resume store ----------------------------------------------------------
     def _load_resume(self) -> dict:
@@ -78,6 +160,8 @@ class DownloadService:
         tags: list[str] | None = None,
         chunk_size: int = 1 << 20,
         timeout: float = 60.0,
+        _cancel: threading.Event | None = None,
+        _progress: "DownloadJob | None" = None,
     ) -> DownloadResult:
         t0 = time.monotonic()
         part = self._part_path(url)
@@ -100,11 +184,16 @@ class DownloadService:
                     mode = "wb"
                 with open(part, mode) as f:
                     while True:
+                        if _cancel is not None and _cancel.is_set():
+                            # keep the .part for resume
+                            raise _Cancelled()
                         chunk = resp.read(chunk_size)
                         if not chunk:
                             break
                         f.write(chunk)
                         downloaded += len(chunk)
+                        if _progress is not None:
+                            _progress.bytes_downloaded = resumed_from + downloaded
                         self.limiter.throttle(len(chunk))
                         state[url] = {"part": str(part),
                                       "bytes": resumed_from + downloaded}

@@ -119,6 +119,32 @@ class IndexingService:
         return {"restored": restored, "skipped": skipped, "failed": failed,
                 "target": str(target)}
 
+    def restore_collection(
+        self,
+        collection: str,
+        target_dir: str | pathlib.Path,
+        overwrite: bool = False,
+    ) -> dict:
+        """Materialize every document of a collection from the CAS
+        (reference: RestoreCollectionRequest, ipc_protocol_requests.h:1985)."""
+        target = pathlib.Path(target_dir)
+        target.mkdir(parents=True, exist_ok=True)
+        doc_ids = self.app.metadata.find_by_metadata("collection", collection)
+        restored = skipped = failed = 0
+        for doc_id in doc_ids:
+            try:
+                doc = self.app.metadata.get_document(doc_id)
+                out = target / pathlib.PurePath(doc.file_path.lstrip("/")).name
+                if out.exists() and not overwrite:
+                    skipped += 1
+                    continue
+                out.write_bytes(self.app.documents.cat(doc.file_path))
+                restored += 1
+            except Exception:
+                failed += 1
+        return {"restored": restored, "skipped": skipped, "failed": failed,
+                "collection": collection, "target": str(target)}
+
     def reindex_pending(self, limit: int = 1000) -> int:
         """Embed/index docs whose embedding_status is pending (repair path)."""
         done = 0

@@ -1,22 +1,27 @@
 """RepairService: on-demand repair operations + doctor health checks.
 
-Parity: include/yams/daemon/components/RepairService.h:193-207 — the
-reference's 13 ops (StuckDocuments, Orphans, Mime, Downloads, PathTree,
+Parity: include/yams/daemon/components/RepairService.h:193-207 — all 13 of
+the reference's ops (StuckDocuments, Orphans, Mime, Downloads, PathTree,
 Dedupe, Chunks, BlockReferences, Graph, Fts5, Embeddings, Topology, Optimize)
-mapped onto this architecture; Downloads/Dedupe are no-ops pending the
-downloader subsystem.
+mapped onto this architecture. `dedupe` is a safe dry-run report (exact +
+semantic duplicate groups); `dedupe_apply` deletes non-canonical EXACT
+duplicates (identical sha256) keeping the oldest doc, mirroring the
+reference's applySemanticDedupe canonical/member model
+(RepairService.cpp:1956-2040) with the conservatism that byte-identical
+content is the only auto-deletable class.
 """
 
 from __future__ import annotations
 
 import pathlib
+import urllib.parse
 
 
 class RepairService:
     OPS = (
-        "stuck_documents", "orphans", "mime", "path_tree", "chunks",
-        "block_references", "graph", "fts5", "embeddings", "topology",
-        "optimize",
+        "stuck_documents", "orphans", "mime", "downloads", "path_tree",
+        "dedupe", "chunks", "block_references", "graph", "fts5", "embeddings",
+        "topology", "optimize",
     )
 
     def __init__(self, app):
@@ -167,6 +172,102 @@ class RepairService:
         self.app.db.vacuum()
         self.app.checkpoint()
         return "vacuumed + checkpointed"
+
+    def repair_downloads(self) -> str:
+        """Normalize downloaded documents + clean stale download state.
+
+        Reference behavior (RepairService.cpp:1858-1955): documents whose
+        file_path is a raw URL get the path rewritten to the URL's filename,
+        `source_url` metadata, and `downloaded`/`host:`/`scheme:` tags. On
+        top of that we garbage-collect .part files with no resume-store entry
+        and resume entries with no .part file.
+        """
+        app = self.app
+        fixed = 0
+        rows = app.db.execute(
+            "SELECT id, file_path FROM documents WHERE file_path LIKE '%://%'"
+        ).fetchall()
+        for doc_id, url in rows:
+            # ingest normalizes names to rooted paths: "/https://host/x"
+            url = url.lstrip("/") if "://" in url else url
+            parsed = urllib.parse.urlparse(url)
+            name = parsed.path.rsplit("/", 1)[-1] or "downloaded_file"
+            ext = ("." + name.rsplit(".", 1)[-1]) if "." in name else ""
+            try:
+                with app.db.lock, app.db.conn:
+                    app.db.conn.execute(
+                        "UPDATE documents SET file_path=?, file_name=?, "
+                        "file_extension=? WHERE id=?",
+                        (name, name, ext, doc_id),
+                    )
+            except Exception:
+                # file_path is unique — on collision keep the URL path but
+                # still record source_url + tags below
+                pass
+            app.metadata.set_metadata(doc_id, "source_url", url)
+            tags = set(app.metadata.get_tags(doc_id)) | {"downloaded"}
+            if parsed.netloc:
+                tags.add(f"host:{parsed.netloc}")
+            if parsed.scheme:
+                tags.add(f"scheme:{parsed.scheme}")
+            app.metadata.set_tags(doc_id, sorted(tags))
+            fixed += 1
+
+        # stale .part / resume entries
+        dl = app.downloads
+        state = dl._load_resume()
+        live_parts = {v.get("part") for v in state.values() if isinstance(v, dict)}
+        orphan_parts = 0
+        for p in dl.dir.glob("*.part"):
+            if str(p) not in live_parts:
+                p.unlink(missing_ok=True)
+                orphan_parts += 1
+        stale_entries = [u for u, v in state.items()
+                         if not (isinstance(v, dict)
+                                 and pathlib.Path(v.get("part", "")).exists())]
+        for u in stale_entries:
+            state.pop(u, None)
+        if stale_entries:
+            dl._save_resume(state)
+        return (f"{fixed} url-docs normalized, {orphan_parts} orphan .part "
+                f"removed, {len(stale_entries)} stale resume entries cleared")
+
+    def _duplicate_groups(self) -> tuple[list[list[int]], list[dict]]:
+        """(exact sha256 groups as sorted doc-id lists, semantic pair report)."""
+        rows = self.app.db.execute(
+            "SELECT sha256_hash, GROUP_CONCAT(id) FROM documents "
+            "GROUP BY sha256_hash HAVING COUNT(*) > 1"
+        ).fetchall()
+        exact = [sorted(int(i) for i in ids.split(",")) for _, ids in rows]
+        try:
+            semantic = self.app.search.semantic_dedupe(limit_docs=500)
+        except Exception:
+            semantic = []
+        return exact, semantic
+
+    def repair_dedupe(self) -> str:
+        """Dry-run duplicate report (the safe default in `repair` runs)."""
+        exact, semantic = self._duplicate_groups()
+        redundant = sum(len(g) - 1 for g in exact)
+        return (f"{len(exact)} exact-duplicate groups ({redundant} redundant "
+                f"docs; run dedupe_apply to delete), "
+                f"{len(semantic)} semantic near-duplicate pairs (report-only)")
+
+    def repair_dedupe_apply(self) -> str:
+        """Delete non-canonical EXACT duplicates (lowest doc id is canonical,
+        mirroring the reference's canonical-member deletion)."""
+        exact, _ = self._duplicate_groups()
+        deleted = 0
+        for group in exact:
+            canonical, *rest = group
+            for doc_id in rest:
+                try:
+                    doc = self.app.metadata.get_document(doc_id)
+                    if self.app.documents.delete(doc.file_path, keep_content=True):
+                        deleted += 1
+                except Exception:
+                    pass
+        return f"{deleted} redundant exact-duplicate docs deleted"
 
     # -- doctor -------------------------------------------------------------------
     def doctor(self) -> dict[str, tuple[bool, str]]:

@@ -69,6 +69,8 @@ _MIME_LANG = {
     "text/x-go": "go", "text/x-rust": "rust",
 }
 
+_IDENT_RE = re.compile(r"\b[A-Za-z_][A-Za-z0-9_]{2,}\b")
+
 _KEYWORDS = frozenset(
     "if else for while return switch main init new catch function do".split()
 )
@@ -172,6 +174,25 @@ class SymbolService:
                 kg.add_alias(nid, leaf, source="symbols")
                 kg.add_alias(nid, leaf.lower(), source="symbols")
             kg.link_document(doc_id, nid, s.name, 1.0)
+        # reference edges: identifiers USED here that are defined elsewhere
+        # link at lower confidence — this is what lets impact queries reach
+        # callers/tests of a changed symbol (reference: GraphAffectedTests
+        # walks symbol-reference links). Definition docs indexed after their
+        # referencers are re-linked by graph repair / index_pending.
+        defined = {s.name for s in symbols} | {
+            s.name.rsplit(".", 1)[-1] for s in symbols
+        }
+        used = set()
+        for m in _IDENT_RE.finditer(text[:200_000]):
+            w = m.group(0)
+            if w not in defined and w.lower() not in _KEYWORDS and len(w) > 2:
+                used.add(w)
+            if len(used) >= 512:
+                break
+        for name in used:
+            nid = kg.find_node(f"symbol:{name}")
+            if nid is not None:
+                kg.link_document(doc_id, nid, name, 0.4)
         return len(symbols)
 
     def lookup(self, name: str, limit: int = 50) -> list[dict]:

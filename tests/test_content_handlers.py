@@ -1,0 +1,238 @@
+"""Typed content handlers: image/audio/video metadata + archive expansion.
+
+Reference: /root/reference/src/content/ — image_content_handler.cpp
+(PNG/JPEG/GIF/BMP dimensions + EXIF), audio_content_handler.cpp (WAV header
+analysis, ID3), video_content_handler.cpp (MP4), archive_content_handler.cpp
+(entry listing -> child documents).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import tarfile
+import zipfile
+import zlib
+
+import pytest
+
+from test_services import small_config
+
+from yams_tpu.ingest.content_handlers import (
+    extract_typed_metadata,
+    iter_archive_members,
+)
+from yams_tpu.ingest.detection import detect_mime
+from yams_tpu.services.app import AppContext
+
+
+def make_png(w=64, h=48) -> bytes:
+    ihdr = struct.pack(">II", w, h) + bytes([8, 6, 0, 0, 0])
+    chunk = b"IHDR" + ihdr
+    return (b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr)) + chunk
+            + struct.pack(">I", zlib.crc32(chunk)))
+
+
+def make_gif(w=10, h=20) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+
+
+def make_bmp(w=32, h=16) -> bytes:
+    return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h) + b"\x00" * 10
+
+
+def make_jpeg_with_exif(w=320, h=240) -> bytes:
+    # minimal EXIF TIFF: little-endian, one IFD with Orientation=6 + Make
+    make_val = b"TPUCam\x00\x00"
+    tiff = b"II*\x00" + struct.pack("<I", 8)
+    # IFD at offset 8: 2 entries
+    entries = struct.pack("<H", 2)
+    entries += struct.pack("<HHI", 0x0112, 3, 1) + struct.pack("<HH", 6, 0)
+    val_off = 8 + 2 + 2 * 12 + 4
+    entries += struct.pack("<HHII", 0x010F, 2, len(make_val), val_off)
+    entries += struct.pack("<I", 0)  # next IFD
+    tiff += entries + make_val
+    exif_seg = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(exif_seg) + 2) + exif_seg
+    sof = b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) + \
+        struct.pack(">HH", h, w) + bytes([3, 0, 0x11, 0])
+    return b"\xff\xd8" + app1 + sof + b"\xff\xd9"
+
+
+def make_wav(seconds=2, rate=8000, channels=1, bits=16) -> bytes:
+    byte_rate = rate * channels * bits // 8
+    nbytes = byte_rate * seconds
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, byte_rate,
+                      channels * bits // 8, bits)
+    return (b"RIFF" + struct.pack("<I", 36 + nbytes) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", nbytes) + b"\x00" * nbytes)
+
+
+def make_mp4(dur_units=3000, scale=1000, w=640, h=360) -> bytes:
+    mvhd = (b"\x00\x00\x00\x00" + b"\x00" * 8
+            + struct.pack(">I", scale) + struct.pack(">I", dur_units)
+            + b"\x00" * 80)
+    mvhd_box = struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+    tkhd = b"\x00" * 76 + struct.pack(">II", w << 16, h << 16)
+    tkhd_box = struct.pack(">I", 8 + len(tkhd)) + b"tkhd" + tkhd
+    trak_box = struct.pack(">I", 8 + len(tkhd_box)) + b"trak" + tkhd_box
+    moov = mvhd_box + trak_box
+    moov_box = struct.pack(">I", 8 + len(moov)) + b"moov" + moov
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x00\x01"
+    return ftyp + moov_box
+
+
+class TestImageHandlers:
+    def test_png(self):
+        md = extract_typed_metadata(make_png(64, 48), "image/png")
+        assert md["width"] == "64" and md["height"] == "48"
+        assert md["color_type"] == "rgba"
+        assert md["media_type"] == "image"
+
+    def test_gif_bmp(self):
+        assert extract_typed_metadata(make_gif(), "image/gif")["width"] == "10"
+        md = extract_typed_metadata(make_bmp(), "image/bmp")
+        assert (md["width"], md["height"]) == ("32", "16")
+
+    def test_jpeg_with_exif(self):
+        md = extract_typed_metadata(make_jpeg_with_exif(), "image/jpeg")
+        assert (md["width"], md["height"]) == ("320", "240")
+        assert md["exif_orientation"] == "6"
+        assert md["exif_make"] == "TPUCam"
+
+    def test_garbage_is_safe(self):
+        assert extract_typed_metadata(b"\x89PNG\r\n\x1a\nxx", "image/png") == {}
+        assert extract_typed_metadata(b"", "image/jpeg") == {}
+
+
+class TestAudioVideoHandlers:
+    def test_wav_duration(self):
+        md = extract_typed_metadata(make_wav(seconds=2), "audio/wav")
+        assert md["sample_rate"] == "8000"
+        assert abs(float(md["duration_s"]) - 2.0) < 0.01
+
+    def test_mp3_id3(self):
+        title = b"TIT2" + struct.pack(">I", 6) + b"\x00\x00" + b"\x00Hello"
+        body = title
+        hdr = b"ID3\x04\x00\x00" + bytes(
+            [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
+             (len(body) >> 7) & 0x7F, len(body) & 0x7F])
+        md = extract_typed_metadata(hdr + body, "audio/mpeg")
+        assert md["title"] == "Hello"
+
+    def test_mp4(self):
+        md = extract_typed_metadata(make_mp4(), "video/mp4")
+        assert abs(float(md["duration_s"]) - 3.0) < 0.01
+        assert (md["width"], md["height"]) == ("640", "360")
+
+
+class TestDetectionUpgrades:
+    def test_riff_disambiguation(self):
+        assert detect_mime(make_wav()[:512]) == "audio/wav"
+        webp = b"RIFF" + b"\x00" * 4 + b"WEBPVP8 " + b"\x00" * 20
+        assert detect_mime(webp) == "image/webp"
+        avi = b"RIFF" + b"\x00" * 4 + b"AVI " + b"\x00" * 20
+        assert detect_mime(avi) == "video/x-msvideo"
+
+    def test_tar_at_offset(self):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            ti = tarfile.TarInfo("a.txt")
+            ti.size = 2
+            tf.addfile(ti, io.BytesIO(b"hi"))
+        assert detect_mime(buf.getvalue()[:512]) == "application/x-tar"
+
+
+class TestArchiveMembers:
+    def test_zip_members(self):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("docs/readme.md", "# readme content")
+            zf.writestr("src/main.py", "print('hi')")
+            zf.writestr("dir/", "")
+        members = dict(iter_archive_members(buf.getvalue(), "application/zip"))
+        assert set(members) == {"docs/readme.md", "src/main.py"}
+        assert members["src/main.py"] == b"print('hi')"
+
+    def test_tar_gz_members(self):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+            data = b"tarred text"
+            ti = tarfile.TarInfo("notes.txt")
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+        members = dict(
+            iter_archive_members(buf.getvalue(), "application/gzip"))
+        assert members == {"notes.txt": b"tarred text"}
+
+    def test_plain_gz_single_file(self):
+        import gzip
+
+        members = dict(iter_archive_members(
+            gzip.compress(b"just text"), "application/gzip", "log.txt.gz"))
+        assert members == {"log.txt": b"just text"}
+
+    def test_traversal_names_normalized(self):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("../../etc/passwd", "nope")
+        members = dict(iter_archive_members(buf.getvalue(), "application/zip"))
+        assert list(members) == ["etc/passwd"]
+
+    def test_bad_archive_yields_nothing(self):
+        assert list(iter_archive_members(b"PK\x03\x04garbage",
+                                         "application/zip")) == []
+
+
+class TestIngestIntegration:
+    @pytest.fixture()
+    def app(self, tmp_path):
+        app = AppContext(small_config(tmp_path / "data"))
+        yield app
+        app.close()
+
+    def test_zip_members_searchable(self, app):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("guides/quickstart.md",
+                        "zebra quickstart walkthrough text")
+            zf.writestr("guides/advanced.md", "advanced zebra configuration")
+        res = app.documents.add_bytes(buf.getvalue(), "bundle.zip")
+        assert res.document_id > 0
+        parent = app.documents.get("bundle.zip")
+        assert parent.metadata["archive_members"] == "2"
+        hits = app.search.search("zebra quickstart").hits
+        assert hits and "quickstart.md" in hits[0].path
+        child = app.documents.get(hits[0].path)
+        assert child.metadata["archive_parent"] == "/bundle.zip"
+
+    def test_png_typed_metadata(self, app):
+        app.documents.add_bytes(make_png(800, 600), "photo.png")
+        doc = app.documents.get("photo.png")
+        assert doc.metadata["width"] == "800"
+        assert doc.metadata["height"] == "600"
+        assert doc.metadata["media_type"] == "image"
+        assert doc.mime_type == "image/png"
+
+    def test_wav_typed_metadata(self, app):
+        app.documents.add_bytes(make_wav(seconds=1), "clip.wav")
+        doc = app.documents.get("clip.wav")
+        assert doc.metadata["codec"] == "PCM"
+        assert abs(float(doc.metadata["duration_s"]) - 1.0) < 0.01
+
+    def test_nested_archive_not_expanded(self, app):
+        inner = io.BytesIO()
+        with zipfile.ZipFile(inner, "w") as zf:
+            zf.writestr("deep.txt", "deep content")
+        outer = io.BytesIO()
+        with zipfile.ZipFile(outer, "w") as zf:
+            zf.writestr("inner.zip", inner.getvalue())
+            zf.writestr("top.txt", "top content")
+        app.documents.add_bytes(outer.getvalue(), "nested.zip")
+        # one level: top.txt + inner.zip stored, deep.txt NOT expanded
+        assert app.documents.get("nested.zip!/top.txt")
+        assert app.documents.get("nested.zip!/inner.zip")
+        with pytest.raises(Exception):
+            app.documents.get("nested.zip!/inner.zip!/deep.txt")

@@ -28,9 +28,11 @@ _MAGIC: list[tuple[bytes, str]] = [
     (b"OggS", "audio/ogg"),
     (b"fLaC", "audio/flac"),
     (b"ID3", "audio/mpeg"),
+    # RIFF containers disambiguate on bytes 8-12 (see detect_mime)
     (b"RIFF", "audio/wav"),
     (b"\x00\x00\x00\x18ftyp", "video/mp4"),
     (b"\x00\x00\x00\x20ftyp", "video/mp4"),
+    (b"ustar", "application/x-tar"),  # at offset 257; see detect_mime
     (b"SQLite format 3\x00", "application/x-sqlite3"),
     (b"{\\rtf", "application/rtf"),
 ]
@@ -58,6 +60,8 @@ _EXT: dict[str, str] = {
     ".gif": "image/gif", ".mp3": "audio/mpeg", ".wav": "audio/wav",
     ".mp4": "video/mp4", ".sqlite": "application/x-sqlite3",
     ".db": "application/x-sqlite3",
+    ".tar": "application/x-tar", ".tgz": "application/gzip",
+    ".webp": "image/webp", ".bmp": "image/bmp", ".flac": "audio/flac",
 }
 
 TEXT_MIMES_PREFIX = ("text/",)
@@ -90,7 +94,18 @@ def looks_like_text(head: bytes) -> bool:
 
 def detect_mime(head: bytes, path: str | pathlib.Path | None = None) -> str:
     """Detect MIME from leading bytes, falling back to extension then heuristic."""
+    if head.startswith(b"RIFF") and len(head) >= 12:
+        kind = head[8:12]
+        if kind == b"WEBP":
+            return "image/webp"
+        if kind == b"AVI ":
+            return "video/x-msvideo"
+        return "audio/wav"  # RIFF....WAVE and unknown RIFF default
+    if len(head) > 262 and head[257:262] == b"ustar":
+        return "application/x-tar"
     for sig, mime in _MAGIC:
+        if sig == b"ustar":
+            continue  # handled at offset 257 above
         if head.startswith(sig):
             return mime
     if path is not None:

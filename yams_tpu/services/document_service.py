@@ -43,6 +43,7 @@ class DocumentService:
         mime_type: str = "",
         collection: str = "",
         auto_index: bool = True,
+        expand_archives: bool = True,
     ) -> AddResult:
         t0 = time.monotonic()
         mime = mime_type or detect_mime(data[:512], name)
@@ -60,6 +61,14 @@ class DocumentService:
         )
         if collection:
             info.metadata["collection"] = collection
+
+        # typed content handlers: image/audio/video header metadata
+        # (reference: src/content/ handler registry)
+        from ..ingest.content_handlers import (
+            extract_typed_metadata, is_archive_mime, iter_archive_members,
+        )
+
+        info.metadata.update(extract_typed_metadata(data, mime))
 
         extracted = extract_text(data, mime)
         text, title = extracted if extracted else (None, "")
@@ -79,6 +88,32 @@ class DocumentService:
             indexed = True
         elif text is None:
             self.app.metadata.set_embedding_status(doc_id, "skipped")
+
+        # archive expansion: zip/tar members become child documents, indexed
+        # searchably with parent linkage (reference:
+        # archive_content_handler.cpp extractFileList -> entries). One level
+        # deep — members that are themselves archives are stored unexpanded.
+        if expand_archives and is_archive_mime(mime):
+            n_members = 0
+            for member, payload in iter_archive_members(data, mime, name):
+                try:
+                    self.add_bytes(
+                        payload, f"{path.lstrip('/')}!/{member}",
+                        tags=tags,
+                        metadata={**dict(metadata or {}),
+                                  "archive_parent": path,
+                                  "archive_member": member},
+                        collection=collection,
+                        auto_index=auto_index,
+                        expand_archives=False,
+                    )
+                    n_members += 1
+                except Exception:
+                    pass  # one bad member must not fail the archive add
+            if n_members:
+                self.app.metadata.set_metadata(
+                    doc_id, "archive_members", str(n_members))
+
         return AddResult(
             document_id=doc_id,
             content_hash=store_res.content_hash,

@@ -219,6 +219,29 @@ class TestNativeIngestPipeline:
         assert whole == data
 
     @pytest.mark.skipif(native.get_native() is None, reason="no native lib")
+    def test_pipeline_fast_mode_negative_level(self):
+        """zstd fast mode (negative levels) — the hot ingest tier."""
+        import zstandard
+
+        data = (b"compressible text payload " * 20_000)[:400_000]
+        res = native.ingest_pipeline(data, 1024, 4096, 16384, level=-3)
+        assert res is not None
+        d = zstandard.ZstdDecompressor()
+        for h, s, e, blob in res:
+            assert hashlib.sha256(data[s:e]).hexdigest() == h
+            assert d.decompress(blob, max_output_size=e - s) == data[s:e]
+            assert len(blob) < (e - s)  # actually compressed
+
+    def test_hot_tier_policy(self):
+        from yams_tpu.core.config import CompressionConfig
+        from yams_tpu.ingest.compression import CompressionPolicy
+
+        p = CompressionPolicy(CompressionConfig(zstd_level=3, zstd_hot_level=1))
+        assert p.decide(1 << 20, "text/plain", hot=True).level == 1
+        assert p.decide(1 << 20, "text/plain").level == 3
+        assert p.decide(1 << 20, "text/plain", age_days=60).algorithm == "lzma"
+
+    @pytest.mark.skipif(native.get_native() is None, reason="no native lib")
     def test_pipeline_no_compression(self):
         data = _random_bytes(100_000, seed=22)
         res = native.ingest_pipeline(data, 1024, 4096, 16384, level=0)

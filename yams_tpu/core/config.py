@@ -47,6 +47,7 @@ class CompressionConfig:
     enabled: bool = True
     algorithm: str = "zstd"  # zstd | lzma | none
     zstd_level: int = 3
+    zstd_hot_level: int = 1   # ingest-path tier (negative = zstd fast mode)
     lzma_level: int = 6
     min_size: int = 1024          # below this, store raw
     archive_after_days: int = 30  # policy: old blocks -> lzma

@@ -197,8 +197,13 @@ class CompressionPolicy:
         self.config = config or CompressionConfig()
 
     def decide(
-        self, size: int, mime_type: str = "", age_days: float = 0.0
+        self, size: int, mime_type: str = "", age_days: float = 0.0,
+        hot: bool = False,
     ) -> CompressionDecision:
+        """hot=True selects the ingest-path tier (zstd_hot_level, default 1):
+        cheapest compression on the write path; the age policy recompresses
+        to zstd_level / LZMA later (reference: per-tier compression policy,
+        compression_policy.cpp)."""
         c = self.config
         if not c.enabled or size < c.min_size:
             return CompressionDecision(False)
@@ -207,4 +212,6 @@ class CompressionPolicy:
                 return CompressionDecision(False)
         if age_days >= c.archive_after_days:
             return CompressionDecision(True, "lzma", c.lzma_level)
+        if hot:
+            return CompressionDecision(True, c.algorithm, c.zstd_hot_level)
         return CompressionDecision(True, c.algorithm, c.zstd_level)

@@ -139,7 +139,8 @@ def ingest_pipeline(
 ) -> list[tuple[str, int, int, bytes]] | None:
     """Full native ingest pass: [(sha256_hex, start, end, zstd_bytes)].
 
-    level=0 skips compression (empty bytes). None when the lib is missing.
+    level=0 skips compression (empty bytes); negative levels select zstd
+    fast mode (the hot ingest tier). None when the lib is missing.
     """
     lib = _load()
     if lib is None:
@@ -148,7 +149,7 @@ def ingest_pipeline(
     max_chunks = max(2, n // max(1, min_size) + 2)
     boundaries = (ctypes.c_uint64 * max_chunks)()
     hashes = (ctypes.c_uint8 * (32 * max_chunks))()
-    comp_cap = int(n * 1.05) + max_chunks * 1024 if level > 0 else 1
+    comp_cap = int(n * 1.05) + max_chunks * 1024 if level != 0 else 1
     comp_out = (ctypes.c_uint8 * comp_cap)()
     comp_offsets = (ctypes.c_uint64 * max_chunks)()
     comp_sizes = (ctypes.c_uint64 * max_chunks)()
@@ -162,12 +163,15 @@ def ingest_pipeline(
     out = []
     start = 0
     raw = bytes(hashes[: 32 * count])
-    comp = bytes(comp_out) if level > 0 else b""
+    # per-chunk string_at copies exactly comp_sizes[i] bytes — copying the
+    # whole comp_cap buffer (bytes(comp_out)) costs more than the C pipeline
+    base = ctypes.addressof(comp_out)
     for i in range(count):
         end = int(boundaries[i])
         digest = raw[32 * i : 32 * i + 32].hex()
-        blob = (comp[int(comp_offsets[i]): int(comp_offsets[i]) + int(comp_sizes[i])]
-                if level > 0 else b"")
+        blob = (ctypes.string_at(base + int(comp_offsets[i]),
+                                 int(comp_sizes[i]))
+                if level != 0 else b"")
         out.append((digest, start, end, blob))
         start = end
     return out

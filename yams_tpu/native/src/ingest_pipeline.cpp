@@ -294,6 +294,8 @@ void ytn_sha256(const uint8_t* data, size_t n, uint8_t* out32) {
 //              ZSTD_compressBound(chunk_size); per-chunk regions are laid
 //              out at bound-prefix offsets so threads never overlap.
 //  level:      zstd level; 0 disables compression (hash+chunk only).
+//              Negative levels select zstd fast mode (the hot ingest tier:
+//              ~2x the speed of L1 for ~15% ratio loss).
 size_t ytn_ingest_pipeline(
     const uint8_t* data, size_t n,
     size_t min_size, size_t avg_size, size_t max_size,
@@ -307,7 +309,7 @@ size_t ytn_ingest_pipeline(
     if (n_chunks == 0 || n_chunks > max_chunks) return 0;
 
     // per-chunk compressed regions at compressBound prefix offsets
-    if (level > 0) {
+    if (level != 0) {
         uint64_t off = 0;
         for (size_t i = 0; i < n_chunks; ++i) {
             size_t start = i ? boundaries[i - 1] : 0;
@@ -321,14 +323,14 @@ size_t ytn_ingest_pipeline(
     std::atomic<size_t> next{0};
     std::atomic<bool> failed{false};
     auto worker = [&]() {
-        ZSTD_CCtx* cctx = level > 0 ? ZSTD_createCCtx() : nullptr;
+        ZSTD_CCtx* cctx = level != 0 ? ZSTD_createCCtx() : nullptr;
         for (;;) {
             size_t i = next.fetch_add(1);
             if (i >= n_chunks) break;
             size_t start = i ? boundaries[i - 1] : 0;
             size_t len = boundaries[i] - start;
             sha256(data + start, len, hashes + 32 * i);
-            if (level > 0) {
+            if (level != 0) {
                 size_t bound = ZSTD_compressBound(len);
                 size_t csz = ZSTD_compressCCtx(
                     cctx, comp_out + comp_offsets[i], bound,

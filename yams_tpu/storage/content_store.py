@@ -145,7 +145,7 @@ class ContentStore:
         import zlib as _zlib
 
         decision = self.engine.policy.decide(
-            self.chunker.config.avg_size, mime_type
+            self.chunker.config.avg_size, mime_type, hot=True
         )
         pipeline = None
         if decision.compress and decision.algorithm == "zstd":

@@ -1,0 +1,165 @@
+"""Train a small BERT-architecture sentence encoder contrastively on the
+synthetic-hard BEIR corpus, producing a checkpoint in the converted-HF
+format (loadable by embed/hf_encoder.py and the 'hf' provider).
+
+Purpose: demonstrate the neural provider path end-to-end with REAL
+(trained, non-random) weights in a zero-egress environment — the same
+format, provider and engine path a converted MiniLM would use. Train
+queries are freshly generated against the SAME corpus (q50..q549 of the
+shared RNG stream); the gating eval uses q0..q49, which this script never
+trains on.
+
+Run: python scripts/train_encoder.py out.npz [steps]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from yams_tpu.embed.hf_encoder import WordPieceTokenizer, bert_forward
+from yams_tpu.utils.beir import synthetic_beir
+
+DIM, LAYERS, HEADS, INTERMEDIATE, MAX_LEN = 128, 2, 4, 256, 96
+SUFFIX_PIECES = ["##s", "##ed", "##ing", "##ion", "##er"]
+
+
+def build_vocab(corpus: dict) -> list[str]:
+    """Specials + suffix pieces + corpus stems (suffix-stripped surfaces)."""
+    words: set[str] = set()
+    stems: set[str] = set()
+    for doc in corpus.values():
+        for w in doc["text"].split():
+            words.add(w)
+            for suf in ("ing", "ion", "ed", "er", "s"):
+                if w.endswith(suf) and len(w) > len(suf) + 2:
+                    stems.add(w[: -len(suf)])
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + SUFFIX_PIECES
+    # stems FIRST so greedy longest-match decomposes variants into
+    # stem + ##suffix; whole words that ARE stems come along automatically
+    vocab += sorted(stems | words)
+    return vocab
+
+
+def init_params(rng: np.random.Generator, vocab_size: int) -> dict:
+    def dense(i, o):
+        return (rng.normal(0, 0.02, (i, o)).astype(np.float32),
+                np.zeros(o, np.float32))
+
+    p: dict[str, np.ndarray] = {
+        "embeddings/word": rng.normal(
+            0, 0.02, (vocab_size, DIM)).astype(np.float32),
+        "embeddings/position": rng.normal(
+            0, 0.02, (MAX_LEN, DIM)).astype(np.float32),
+        "embeddings/token_type": np.zeros((2, DIM), np.float32),
+        "embeddings/ln/scale": np.ones(DIM, np.float32),
+        "embeddings/ln/bias": np.zeros(DIM, np.float32),
+    }
+    for i in range(LAYERS):
+        for name, (fi, fo) in (("attn/q", (DIM, DIM)), ("attn/k", (DIM, DIM)),
+                               ("attn/v", (DIM, DIM)), ("attn/o", (DIM, DIM)),
+                               ("mlp/fc1", (DIM, INTERMEDIATE)),
+                               ("mlp/fc2", (INTERMEDIATE, DIM))):
+            k, b = dense(fi, fo)
+            p[f"layer{i}/{name}/kernel"] = k
+            p[f"layer{i}/{name}/bias"] = b
+        for name in ("attn_ln", "mlp_ln"):
+            p[f"layer{i}/{name}/scale"] = np.ones(DIM, np.float32)
+            p[f"layer{i}/{name}/bias"] = np.zeros(DIM, np.float32)
+    return p
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "encoder_synthetic.npz"
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 600
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    # eval set = synthetic_beir(n_queries=50); the SAME rng stream extended
+    # gives the corpus + 550 queries whose first 50 are exactly the eval
+    # queries — train on q50.. only.
+    full = synthetic_beir(n_queries=550)
+    corpus = full.corpus
+    train_q = {q: t for q, t in full.queries.items()
+               if int(q[1:]) >= 50}
+    vocab = build_vocab(corpus)
+    tok = WordPieceTokenizer(vocab)
+    print(f"corpus={len(corpus)} docs, train queries={len(train_q)}, "
+          f"vocab={len(vocab)}")
+
+    def encode_batch(texts: list[str], T: int) -> tuple[np.ndarray, np.ndarray]:
+        ids = np.full((len(texts), T), tok.pad_id, np.int32)
+        attn = np.zeros((len(texts), T), np.float32)
+        for i, t in enumerate(texts):
+            row = tok.encode(t, T)
+            ids[i, : len(row)] = row
+            attn[i, : len(row)] = 1.0
+        return ids, attn
+
+    params = init_params(np.random.default_rng(0), len(vocab))
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+    opt = optax.adamw(optax.warmup_cosine_decay_schedule(
+        0.0, 3e-4, 50, steps), weight_decay=0.01)
+    opt_state = opt.init(params)
+
+    def fwd(p, ids, attn):
+        return bert_forward(p, ids, attn, num_layers=LAYERS,
+                            num_heads=HEADS, compute_dtype="float32")
+
+    @jax.jit
+    def step(params, opt_state, q_ids, q_attn, d_ids, d_attn):
+        def loss_fn(p):
+            qv = fwd(p, q_ids, q_attn)          # (B, D)
+            dv = fwd(p, d_ids, d_attn)          # (B, D)
+            logits = qv @ dv.T * 20.0           # in-batch negatives
+            labels = jnp.arange(logits.shape[0])
+            return (optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
+                + optax.softmax_cross_entropy_with_integer_labels(
+                    logits.T, labels).mean()) * 0.5
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(1)
+    qids = list(train_q)
+    B = 32
+    QT, DT = 16, 96
+    t0 = time.time()
+    for s in range(steps):
+        batch_q = rng.choice(qids, B, replace=False)
+        q_texts = [train_q[q] for q in batch_q]
+        d_texts = []
+        for q in batch_q:
+            rel = sorted(full.relevant(q))
+            d_texts.append(corpus[rel[rng.integers(len(rel))]]["text"])
+        q_ids, q_attn = encode_batch(q_texts, QT)
+        d_ids, d_attn = encode_batch(d_texts, DT)
+        params, opt_state, loss = step(params, opt_state,
+                                       q_ids, q_attn, d_ids, d_attn)
+        if s % 50 == 0 or s == steps - 1:
+            print(f"step {s}: loss={float(loss):.4f} "
+                  f"({time.time()-t0:.0f}s)")
+
+    flat = {k: np.asarray(v) for k, v in params.items()}
+    flat.update({
+        "cfg/dim": np.int64(DIM), "cfg/layers": np.int64(LAYERS),
+        "cfg/heads": np.int64(HEADS), "cfg/max_len": np.int64(MAX_LEN),
+        "cfg/vocab_size": np.int64(len(vocab)),
+        "cfg/intermediate": np.int64(INTERMEDIATE),
+        "vocab": np.array(vocab),
+    })
+    np.savez_compressed(out_path, **flat)
+    print(f"saved {out_path} "
+          f"({os.path.getsize(out_path)/1e6:.1f} MB)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""HF checkpoint conversion parity: the flax HFBertEncoder must reproduce
+the torch BertModel forward (mean-pooled, L2-normalized) on converted
+weights. Proven on a random-initialized tiny BERT so no pretrained download
+is needed — the same converter + architecture then apply unchanged to real
+MiniLM-class checkpoints (reference: plugins/onnx model provider).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from scripts.convert_hf_encoder import convert_state_dict
+
+from yams_tpu.embed.hf_encoder import HFBertEncoder, WordPieceTokenizer
+
+VOCAB = (
+    ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    + [w for w in ("the quick brown fox jumps over lazy dog search engine "
+                   "retrieval neural embedding tpu device index query"
+                   ).split()]
+    + ["##ing", "##s", "##ed", "run", "jump", "test", ",", ".", "!"]
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_bert(tmp_path_factory):
+    cfg = transformers.BertConfig(
+        vocab_size=len(VOCAB), hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64,
+    )
+    torch.manual_seed(7)
+    model = transformers.BertModel(cfg)
+    model.eval()
+    out = tmp_path_factory.mktemp("ckpt") / "tiny.npz"
+    flat = convert_state_dict(model.state_dict(), cfg, VOCAB)
+    np.savez_compressed(out, **flat)
+    return model, cfg, str(out)
+
+
+class TestConversionParity:
+    def test_forward_matches_torch(self, tiny_bert):
+        model, cfg, ckpt = tiny_bert
+        enc = HFBertEncoder(ckpt, compute_dtype="float32")
+        ids = np.array([[2, 5, 6, 7, 8, 3, 0, 0],
+                        [2, 9, 10, 11, 3, 0, 0, 0]], np.int64)
+        attn = (ids != 0).astype(np.float32)
+        with torch.no_grad():
+            t_out = model(input_ids=torch.tensor(ids),
+                          attention_mask=torch.tensor(attn)).last_hidden_state
+        w = torch.tensor(attn)[:, :, None]
+        pooled = (t_out * w).sum(1) / w.sum(1)
+        expected = torch.nn.functional.normalize(pooled, dim=-1).numpy()
+        got = enc.encode_ids([list(r[r != 0]) for r in ids])
+        assert got.shape == expected.shape
+        assert np.max(np.abs(got - expected)) < 1e-4
+
+    def test_bfloat16_close(self, tiny_bert):
+        _, _, ckpt = tiny_bert
+        f32 = HFBertEncoder(ckpt, compute_dtype="float32")
+        bf16 = HFBertEncoder(ckpt, compute_dtype="bfloat16")
+        v1 = f32.encode(["the quick brown fox"])
+        v2 = bf16.encode(["the quick brown fox"])
+        assert float(v1 @ v2.T) > 0.99  # cosine agreement
+
+    def test_space_id_tracks_checkpoint(self, tiny_bert):
+        _, _, ckpt = tiny_bert
+        enc = HFBertEncoder(ckpt)
+        assert enc.space_id.startswith("hf-bert/d32/L2/")
+
+
+class TestWordPiece:
+    def test_greedy_longest_match(self):
+        tok = WordPieceTokenizer(VOCAB)
+        ids = tok.encode("jumping tests!", max_len=16)
+        toks = {v: k for k, v in tok.vocab.items()}
+        decoded = [toks[i] for i in ids]
+        assert decoded[0] == "[CLS]" and decoded[-1] == "[SEP]"
+        assert "jump" in decoded and "##ing" in decoded
+        assert "test" in decoded and "##s" in decoded
+        assert "!" in decoded
+
+    def test_unknown_word(self):
+        tok = WordPieceTokenizer(VOCAB)
+        ids = tok.encode("xyzzyqq", max_len=8)
+        assert tok.unk_id in ids
+
+    def test_matches_hf_tokenizer(self, tmp_path):
+        """Against the real BertTokenizer on the same vocab."""
+        vocab_file = tmp_path / "vocab.txt"
+        vocab_file.write_text("\n".join(VOCAB))
+        hf = transformers.BertTokenizer(str(vocab_file),
+                                        do_lower_case=True)
+        ours = WordPieceTokenizer(VOCAB)
+        for text in ("the quick brown fox jumps!", "running tests, lazy dog.",
+                     "neural embedding search engine", "unknownword fox"):
+            assert ours.encode(text, 64) == hf.encode(text), text

@@ -507,6 +507,35 @@ def cmd_config(cli: Cli):
 
 
 def cmd_model(cli: Cli):
+    op = getattr(cli.args, "model_cmd", "list")
+    if op == "download":
+        # HF hub id (needs egress) or local checkpoint dir -> converted npz
+        # (reference: plugins/onnx model download/conversion path)
+        import importlib.util
+        import pathlib as _pl
+
+        spec = importlib.util.spec_from_file_location(
+            "convert_hf_encoder",
+            _pl.Path(__file__).resolve().parents[2]
+            / "scripts" / "convert_hf_encoder.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        out_dir = cli.config.data_dir / "models"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        out = cli.args.out or str(
+            out_dir / (cli.args.model_id.replace("/", "--") + ".npz"))
+        try:
+            mod.convert(cli.args.model_id, out)
+        except Exception as e:
+            print(f"model download failed: {e}\n"
+                  f"(hub ids need network egress; air-gapped hosts can pass "
+                  f"a local checkpoint directory instead)", file=sys.stderr)
+            return 1
+        print(f"converted -> {out}\nUse it with:\n"
+              f"  [embedding] provider = \"hf\" checkpoint = \"{out}\"  "
+              f"(config.toml)\n  or YAMS_TPU_EMBEDDING_PROVIDER=hf "
+              f"YAMS_TPU_EMBEDDING_CHECKPOINT={out}")
+        return 0
     rows = cli.app.db.execute("SELECT * FROM vector_models").fetchall()
     out = [
         {"model_id": r["model_id"], "dim": r["dim"], "space_id": r["space_id"]}
@@ -723,7 +752,13 @@ def build_parser() -> argparse.ArgumentParser:
     ).set_defaults(fn=cmd_tune)
 
     sub.add_parser("config", help="show effective config").set_defaults(fn=cmd_config)
-    sub.add_parser("model", help="list embedding models").set_defaults(fn=cmd_model)
+    sp = sub.add_parser("model", help="embedding models")
+    sp.add_argument("model_cmd", nargs="?", default="list",
+                    choices=["list", "download"])
+    sp.add_argument("model_id", nargs="?", default="",
+                    help="HF hub id or local checkpoint dir (download)")
+    sp.add_argument("--out", default="", help="output .npz path")
+    sp.set_defaults(fn=cmd_model)
 
     sp = sub.add_parser("daemon", help="daemon control")
     sp.add_argument("daemon_cmd", choices=["start", "stop", "status", "restart"])

@@ -62,6 +62,8 @@ class EmbeddingConfig:
     # Simeon fixed_hash_384 profile parity
     # (reference src/embedding_simeon/simeon_embedding_backend.cpp:84-117).
     profile: str = "fixed_hash_384"
+    provider: str = "simeon"   # simeon | hf | neural | mock | plugin name
+    checkpoint: str = ""       # .npz for provider="hf" (converted/trained)
     dim: int = 384
     sketch_dim: int = 4096
     seed: int = 0x59414D53  # 'YAMS'
@@ -190,6 +192,10 @@ def load_config(
         cfg.data_dir = pathlib.Path(os.environ["YAMS_TPU_STORAGE"])
     if os.environ.get("YAMS_TPU_SOCKET"):
         cfg.daemon.socket_path = os.environ["YAMS_TPU_SOCKET"]
+    if os.environ.get("YAMS_TPU_EMBEDDING_PROVIDER"):
+        cfg.embedding.provider = os.environ["YAMS_TPU_EMBEDDING_PROVIDER"]
+    if os.environ.get("YAMS_TPU_EMBEDDING_CHECKPOINT"):
+        cfg.embedding.checkpoint = os.environ["YAMS_TPU_EMBEDDING_CHECKPOINT"]
     # env-layered search knobs (reference: search_config_environment.cpp):
     # YAMS_SEARCH_<FIELD> overrides any SearchEngineConfig field
     for f in dataclasses.fields(cfg.search):

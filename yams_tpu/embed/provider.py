@@ -148,10 +148,47 @@ class NeuralProvider:
         return self.encode(texts), jnp.eye(self.dim, dtype=jnp.bfloat16)
 
 
+class HFProvider:
+    """Converted-HF BERT checkpoints (MiniLM-class) via the BERT-exact flax
+    forward (embed/hf_encoder.py). `checkpoint` is an .npz produced by
+    scripts/convert_hf_encoder.py (real pretrained weights) or
+    scripts/train_encoder.py (in-repo trained). Reference analog:
+    plugins/onnx model provider."""
+
+    name = "hf"
+
+    def __init__(self, checkpoint: str = "", compute_dtype: str = "bfloat16"):
+        import pathlib
+
+        from .hf_encoder import HFBertEncoder
+
+        if not checkpoint:
+            checkpoint = str(pathlib.Path(__file__).parent / "checkpoints"
+                             / "synthetic_bert_d128.npz")
+        self.encoder = HFBertEncoder(checkpoint, compute_dtype=compute_dtype)
+
+    @property
+    def dim(self) -> int:
+        return self.encoder.dim
+
+    @property
+    def space_id(self) -> str:
+        return self.encoder.space_id
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        return self.encoder.encode(texts)
+
+    def query_device_inputs(self, texts: list[str]):
+        import jax.numpy as jnp
+
+        return self.encode(texts), jnp.eye(self.dim, dtype=jnp.bfloat16)
+
+
 _REGISTRY: dict[str, Callable[..., EmbeddingProvider]] = {
     "simeon": SimeonProvider,
     "mock": MockProvider,
     "neural": NeuralProvider,
+    "hf": HFProvider,
 }
 
 

@@ -39,17 +39,27 @@ class AppContext:
         self.metadata = MetadataRepository(self.db)
         self.kg = KnowledgeGraphStore(self.db)
         self.trees = TreeBuilder(self.db)
+        provider = None
+        if self.config.embedding.provider not in ("", "simeon"):
+            from ..embed.provider import create_provider
+
+            kw = {}
+            if self.config.embedding.checkpoint:
+                kw["checkpoint"] = self.config.embedding.checkpoint
+            provider = create_provider(self.config.embedding.provider, **kw)
         self.search_engine = SearchEngine(
             config=getattr(self.config, "search", None),
             embedding=self.config.embedding,
             vector=self.config.vector,
             lexical=self.config.lexical,
             kg_store=self.kg,
+            provider=provider,
         )
         self.metadata.register_vector_model(
-            self.config.embedding.profile,
-            self.config.embedding.dim,
-            self.config.embedding.space_id,
+            self.config.embedding.profile if provider is None
+            else self.config.embedding.provider,
+            self.search_engine.provider.dim,
+            self.search_engine.provider.space_id,
         )
         self._lock = threading.RLock()
         self._load_indexes()

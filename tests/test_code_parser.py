@@ -1,0 +1,273 @@
+"""Parser-tier symbol extraction (services/code_parser.py): the tree-sitter
+replacement must be comment/string-immune, nesting-qualified, and
+line-exact — properties the regex tier cannot provide.
+
+Reference: /root/reference/plugins/symbol_extractor_treesitter/ (grammar-
+driven definition extraction for the same language set).
+"""
+
+from __future__ import annotations
+
+import textwrap
+
+from yams_tpu.services.code_parser import extract, lex
+from yams_tpu.services.symbol_service import extract_symbols
+
+
+def names(syms):
+    return {s.name for s in syms}
+
+
+def by_name(syms):
+    return {s.name: s for s in syms}
+
+
+class TestLexer:
+    def test_comments_and_strings_produce_no_ids(self):
+        toks = lex('// fn fake()\n/* struct Hidden */\n"class InString"\nx',
+                   "cpp")
+        ids = [t.val for t in toks if t.kind == "id"]
+        assert ids == ["x"]
+
+    def test_line_numbers(self):
+        toks = lex("a\n\nb\n/* multi\nline */ c", "cpp")
+        assert [(t.val, t.line) for t in toks if t.kind == "id"] == [
+            ("a", 1), ("b", 3), ("c", 5)]
+
+    def test_js_template_literal_with_holes(self):
+        toks = lex("const x = `function fake(${a + {b: 1}.b}) {}`; real",
+                   "javascript")
+        ids = [t.val for t in toks if t.kind == "id"]
+        assert "fake" not in ids and "real" in ids
+
+    def test_rust_lifetimes_vs_char_literals(self):
+        toks = lex("fn f<'a>(x: &'a str) { let c = 'x'; let d = '\\n'; }",
+                   "rust")
+        ids = [t.val for t in toks if t.kind == "id"]
+        assert "a" not in ids  # lifetime consumed
+        assert ids.count("let") == 2
+
+    def test_go_backtick_raw_string(self):
+        toks = lex('var s = `func fake() {\n}`\nfunc real() {}', "go")
+        ids = [t.val for t in toks if t.kind == "id"]
+        assert "fake" not in ids and "real" in ids
+
+
+class TestC:
+    CODE = textwrap.dedent("""\
+        // func commentFake() {}
+        #define MAX_SIZE 1024
+        #define MIN(a, b) ((a) < (b) ? (a) : (b))
+        typedef unsigned long long u64;
+        using Callback = int (*)(void*);
+
+        namespace yams {
+        class Store {
+         public:
+          Store() {}
+          ~Store() {}
+          int put(const char* key) noexcept { return 0; }
+          int get(const char* key) const;
+        };
+
+        int Store::get(const char* key) const { return 1; }
+
+        static int helper(int x) {
+            if (x > 0) { return x; }
+            return -x;
+        }
+        }  // namespace yams
+
+        struct Point { int x, y; };
+        enum class Color { Red, Green };
+        const char* s = "void stringFake() {}";
+        """)
+
+    def test_symbols(self):
+        syms = extract(self.CODE, "c")
+        got = names(syms)
+        assert "MAX_SIZE" in got and "MIN" in got
+        assert "u64" in got and "Callback" in got
+        assert "yams" in got
+        assert "yams::Store" in got
+        assert "yams::Store::put" in got          # in-class method, qualified
+        assert "Store::get" in got                # out-of-line definition
+        assert "yams::helper" in got
+        assert "Point" in got and "Color" in got
+        assert "commentFake" not in got and "stringFake" not in got
+        # control flow is not a function
+        assert "if" not in got
+
+    def test_lines_exact(self):
+        syms = by_name(extract(self.CODE, "c"))
+        assert syms["MAX_SIZE"].line == 2
+        assert syms["yams::Store"].line == 8
+        assert syms["Store::get"].line == 16
+
+    def test_kinds(self):
+        syms = by_name(extract(self.CODE, "c"))
+        assert syms["yams::Store::put"].kind == "method"
+        assert syms["yams::helper"].kind == "function"
+        assert syms["Point"].kind == "struct"
+
+
+class TestJs:
+    CODE = textwrap.dedent("""\
+        // function commentFake() {}
+        const template = `function templateFake() {}`;
+        function topLevel(a, b) { return a + b; }
+        const arrow = (x) => x * 2;
+        const asyncArrow = async (x) => { return x; };
+        let fnExpr = function(y) { return y; };
+        const notAFunction = 42;
+
+        class Widget extends Base {
+          constructor(props) { super(props); this.x = 1; }
+          render() { return null; }
+          static create() { return new Widget({}); }
+          get value() { return this.x; }
+        }
+
+        export default function exported() {}
+        interface Shape { area(): number; }
+        type Alias = string | number;
+        enum Direction { Up, Down }
+        """)
+
+    def test_symbols(self):
+        syms = extract(self.CODE, "javascript")
+        got = names(syms)
+        assert "topLevel" in got
+        assert "arrow" in got and "asyncArrow" in got and "fnExpr" in got
+        assert "notAFunction" not in got
+        assert "Widget" in got
+        assert "Widget.constructor" in got
+        assert "Widget.render" in got
+        assert "Widget.create" in got
+        assert "Widget.value" in got
+        assert "exported" in got
+        assert "Shape" in got and "Alias" in got and "Direction" in got
+        assert "commentFake" not in got and "templateFake" not in got
+
+    def test_method_call_in_function_body_not_method(self):
+        code = ("class A {\n  m() { this.helper(1); other(); }\n}\n"
+                "function other() {}")
+        got = names(extract(code, "javascript"))
+        assert got == {"A", "A.m", "other"}
+
+
+class TestGo:
+    CODE = textwrap.dedent("""\
+        package store
+
+        // func commentFake() {}
+        var raw = `func rawFake() {}`
+
+        const MaxSize = 1024
+
+        const (
+            StateIdle = iota
+            StateBusy
+        )
+
+        type Store struct {
+            data map[string][]byte
+        }
+
+        type Reader interface {
+            Read(key string) ([]byte, error)
+        }
+
+        func New() *Store { return &Store{} }
+
+        func (s *Store) Put(key string, val []byte) error {
+            if key == "" { return nil }
+            return nil
+        }
+
+        func (s Store) Len() int { return len(s.data) }
+        """)
+
+    def test_symbols(self):
+        syms = extract(self.CODE, "go")
+        got = names(syms)
+        assert "Store" in got and "Reader" in got
+        assert "New" in got
+        assert "Store.Put" in got and "Store.Len" in got
+        assert "MaxSize" in got
+        assert "StateIdle" in got and "StateBusy" in got
+        assert "commentFake" not in got and "rawFake" not in got
+
+    def test_kinds(self):
+        syms = by_name(extract(self.CODE, "go"))
+        assert syms["Store"].kind == "struct"
+        assert syms["Reader"].kind == "interface"
+        assert syms["Store.Put"].kind == "method"
+        assert syms["New"].kind == "function"
+
+
+class TestRust:
+    CODE = textwrap.dedent("""\
+        // fn comment_fake() {}
+        const MAX_DEPTH: usize = 16;
+        static GLOBAL: &str = "fn string_fake() {}";
+
+        pub struct Index {
+            rows: Vec<u64>,
+        }
+
+        pub enum State { Idle, Busy }
+
+        pub trait Search {
+            fn query(&self, q: &str) -> Vec<u64>;
+        }
+
+        impl Index {
+            pub fn new() -> Self { Index { rows: vec![] } }
+            fn grow(&mut self) {}
+        }
+
+        impl Search for Index {
+            fn query(&self, q: &str) -> Vec<u64> { vec![] }
+        }
+
+        mod inner {
+            pub fn helper() {}
+        }
+
+        macro_rules! check { () => {}; }
+
+        fn main() { let s = r#"fn raw_fake() {}"#; }
+        """)
+
+    def test_symbols(self):
+        syms = extract(self.CODE, "rust")
+        got = names(syms)
+        assert "Index" in got and "State" in got and "Search" in got
+        assert "Index::new" in got and "Index::grow" in got
+        assert "Index::query" in got  # impl Search for Index
+        assert "inner" in got and "inner::helper" in got
+        assert "check" in got
+        assert "main" in got
+        assert "MAX_DEPTH" in got
+        assert "comment_fake" not in got
+        assert "string_fake" not in got and "raw_fake" not in got
+
+    def test_kinds(self):
+        syms = by_name(extract(self.CODE, "rust"))
+        assert syms["Index::new"].kind == "method"
+        assert syms["main"].kind == "function"
+        assert syms["Search"].kind == "trait"
+        assert syms["check"].kind == "macro"
+
+
+class TestServiceRouting:
+    def test_service_uses_parser_tier(self):
+        code = "// function fake() {}\nfunction real() {}"
+        syms = extract_symbols(code, "javascript")
+        got = {s.name for s in syms}
+        assert got == {"real"}
+
+    def test_regex_fallback_for_other_langs(self):
+        # ruby is not parser-tier; regex tier handles nothing -> empty is ok
+        assert isinstance(extract_symbols("def x; end", "ruby"), list)

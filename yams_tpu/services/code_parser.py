@@ -1,0 +1,646 @@
+"""Parser-grade symbol extraction for C/C++, JS/TS, Go and Rust.
+
+The tree-sitter tier replacement (reference:
+/root/reference/plugins/symbol_extractor_treesitter/, 2,826 LoC — grammar
+-driven definition extraction). tree-sitter is not available in this image,
+so this module implements what the symbol surface actually needs from it:
+
+  1. a real lexer per language family — comments, strings (incl. raw/
+     template/backtick forms), char literals vs Rust lifetimes — so nothing
+     inside a comment or string can ever surface as a symbol (the failure
+     mode of the regex tier), with exact line numbers;
+  2. token-stream scanners with a brace-depth context stack, producing
+     nesting-QUALIFIED names (namespace::Class::method, Receiver.Method,
+     impl-Type::fn, class.method) the way a grammar walk would.
+
+Python keeps its stdlib-ast tier in symbol_service; these four families
+route here. The regex tier remains the fallback for other languages.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(slots=True)
+class Tok:
+    kind: str   # id | punct | str | num | pp
+    val: str
+    line: int
+
+
+_C_KEYWORDS = frozenset((
+    "if else for while do switch case default return break continue goto "
+    "sizeof alignof typeof decltype new delete throw try catch static_assert "
+    "operator template typename using namespace class struct union enum "
+    "public private protected virtual override final const constexpr "
+    "consteval constinit static extern inline friend explicit noexcept "
+    "volatile register mutable auto void int char short long float double "
+    "bool unsigned signed wchar_t char8_t char16_t char32_t this nullptr "
+    "true false and or not co_await co_return co_yield requires concept "
+    "typedef union export import module").split())
+
+_JS_KEYWORDS = frozenset((
+    "if else for while do switch case default return break continue "
+    "function class const let var new delete typeof instanceof in of "
+    "try catch finally throw yield await async static get set "
+    "import export from as extends super this null undefined true false "
+    "void with debugger interface type enum namespace declare abstract "
+    "implements public private protected readonly constructor").split())
+
+_GO_KEYWORDS = frozenset((
+    "if else for range switch case default return break continue goto "
+    "func type struct interface map chan go defer select const var "
+    "package import fallthrough true false nil iota make new len cap "
+    "append copy panic recover print println").split())
+
+_RUST_KEYWORDS = frozenset((
+    "if else for while loop match return break continue fn struct enum "
+    "trait impl mod use pub crate super self Self const static let mut "
+    "ref move async await dyn where unsafe extern type as in true false "
+    "macro_rules union box").split())
+
+
+def lex(text: str, lang: str) -> list[Tok]:
+    """Tokenize enough of the language to make symbol scanning sound:
+    comments and string bodies can never produce tokens."""
+    toks: list[Tok] = []
+    i, n = 0, len(text)
+    line = 1
+    go_backtick = lang == "go"
+    js_template = lang in ("javascript", "typescript")
+    c_pp = lang in ("c", "cpp")
+
+    def bump(seg: str) -> None:
+        nonlocal line
+        line += seg.count("\n")
+
+    while i < n:
+        c = text[i]
+        if c == "\n":
+            line += 1
+            i += 1
+            continue
+        if c in " \t\r":
+            i += 1
+            continue
+        # comments
+        if c == "/" and i + 1 < n:
+            if text[i + 1] == "/":
+                j = text.find("\n", i)
+                i = n if j < 0 else j
+                continue
+            if text[i + 1] == "*":
+                j = text.find("*/", i + 2)
+                seg = text[i:(n if j < 0 else j + 2)]
+                bump(seg)
+                i = n if j < 0 else j + 2
+                continue
+        # C preprocessor directives: one 'pp' token carrying the directive
+        if c_pp and c == "#":
+            j = i
+            while True:
+                k = text.find("\n", j)
+                if k < 0:
+                    k = n
+                if text[k - 1:k] == "\\":  # line continuation
+                    j = k + 1
+                    continue
+                break
+            seg = text[i:k]
+            toks.append(Tok("pp", seg, line))
+            bump(seg)
+            i = k
+            continue
+        # rust raw strings r"..." / r#"..."# ; byte strings b"..."
+        if lang == "rust" and c in "rb" and i + 1 < n:
+            j = i
+            if text[j] == "b":
+                j += 1
+            if j < n and text[j] == "r":
+                j += 1
+                hashes = 0
+                while j < n and text[j] == "#":
+                    hashes += 1
+                    j += 1
+                if j < n and text[j] == '"':
+                    close = '"' + "#" * hashes
+                    k = text.find(close, j + 1)
+                    seg = text[i:(n if k < 0 else k + len(close))]
+                    toks.append(Tok("str", "", line))
+                    bump(seg)
+                    i = n if k < 0 else k + len(close)
+                    continue
+        # C++ raw strings R"delim( ... )delim"
+        if c_pp and c == "R" and text[i + 1:i + 2] == '"':
+            p = text.find("(", i + 2)
+            if 0 < p < i + 20:
+                delim = text[i + 2:p]
+                close = ")" + delim + '"'
+                k = text.find(close, p + 1)
+                seg = text[i:(n if k < 0 else k + len(close))]
+                toks.append(Tok("str", "", line))
+                bump(seg)
+                i = n if k < 0 else k + len(close)
+                continue
+        # strings
+        if c == '"' or (c == "'" and lang != "rust") or \
+                (c == "`" and (go_backtick or js_template)):
+            quote = c
+            j = i + 1
+            while j < n:
+                if text[j] == "\\" and quote != "`":
+                    j += 2
+                    continue
+                if quote == "`" and js_template and \
+                        text[j] == "$" and text[j + 1:j + 2] == "{":
+                    # template hole: skip to matching } (nesting-aware)
+                    depth = 1
+                    j += 2
+                    while j < n and depth:
+                        if text[j] == "{":
+                            depth += 1
+                        elif text[j] == "}":
+                            depth -= 1
+                        j += 1
+                    continue
+                if text[j] == quote:
+                    break
+                j += 1
+            seg = text[i:j + 1]
+            toks.append(Tok("str", "", line))
+            bump(seg)
+            i = j + 1
+            continue
+        # rust: char literal vs lifetime
+        if c == "'" and lang == "rust":
+            if (i + 2 < n and text[i + 2] == "'") or \
+                    (i + 1 < n and text[i + 1] == "\\"):
+                j = text.find("'", i + 2)
+                i = n if j < 0 else j + 1
+                toks.append(Tok("str", "", line))
+                continue
+            # lifetime: consume 'ident
+            j = i + 1
+            while j < n and (text[j].isalnum() or text[j] == "_"):
+                j += 1
+            i = j
+            continue
+        # identifiers
+        if c.isalpha() or c == "_" or (c == "$" and js_template):
+            j = i + 1
+            while j < n and (text[j].isalnum() or text[j] in "_$"):
+                j += 1
+            toks.append(Tok("id", text[i:j], line))
+            i = j
+            continue
+        # numbers
+        if c.isdigit():
+            j = i + 1
+            while j < n and (text[j].isalnum() or text[j] in "._xXbo'"):
+                j += 1
+            toks.append(Tok("num", text[i:j], line))
+            i = j
+            continue
+        # multi-char operators worth keeping whole
+        two = text[i:i + 2]
+        if two in ("::", "=>", "->", "<<", ">>", "&&", "||", ":="):
+            toks.append(Tok("punct", two, line))
+            i += 2
+            continue
+        toks.append(Tok("punct", c, line))
+        i += 1
+    return toks
+
+
+@dataclasses.dataclass(slots=True)
+class Sym:
+    name: str
+    kind: str
+    line: int
+
+
+def _matching_paren(toks: list[Tok], i: int) -> int:
+    """toks[i] == '('; return index just after its matching ')' (or len)."""
+    depth = 0
+    while i < len(toks):
+        v = toks[i].val
+        if toks[i].kind == "punct":
+            if v == "(":
+                depth += 1
+            elif v == ")":
+                depth -= 1
+                if depth == 0:
+                    return i + 1
+        i += 1
+    return len(toks)
+
+
+# -- C / C++ --------------------------------------------------------------------
+
+def scan_c(toks: list[Tok], max_symbols: int = 256) -> list[Sym]:
+    out: list[Sym] = []
+    # (depth_at_open, kind, name) — namespaces/classes push context
+    ctx: list[tuple[int, str, str]] = []
+    depth = 0
+    pending: tuple[str, str] | None = None  # (kind, name) awaiting '{'
+    i = 0
+    n = len(toks)
+
+    def qual(name: str) -> str:
+        parts = [c[2] for c in ctx
+                 if c[1] in ("namespace", "class", "struct", "union")]
+        return "::".join(parts + [name]) if parts else name
+
+    while i < n and len(out) < max_symbols:
+        t = toks[i]
+        if t.kind == "pp":
+            d = t.val.split(None, 2)
+            if len(d) >= 2 and d[0] in ("#define", "#") and d[1] != "define":
+                name = d[1].split("(")[0]
+                if name.isidentifier():
+                    out.append(Sym(name, "define", t.line))
+            elif len(d) >= 3 and d[0] == "#" and d[1] == "define":
+                name = d[2].split("(")[0].split()[0]
+                if name.isidentifier():
+                    out.append(Sym(name, "define", t.line))
+            i += 1
+            continue
+        if t.kind == "id" and t.val in ("namespace", "class", "struct",
+                                        "union", "enum"):
+            kind = t.val
+            j = i + 1
+            if j < n and toks[j].kind == "id" and toks[j].val == "class":
+                j += 1  # enum class
+            if j < n and toks[j].kind == "id" and \
+                    toks[j].val not in _C_KEYWORDS:
+                name, line = toks[j].val, toks[j].line
+                # find '{' before ';' (else it's a fwd decl / variable)
+                k = j + 1
+                while k < n and toks[k].val not in ("{", ";") :
+                    k += 1
+                if k < n and toks[k].val == "{":
+                    out.append(Sym(qual(name), kind if kind != "namespace"
+                                  else "namespace", line))
+                    pending = (kind, name)
+            i = j + 1
+            continue
+        if t.kind == "id" and t.val == "typedef":
+            k = i + 1
+            while k < n and toks[k].val != ";":
+                k += 1
+            if k - 1 > i and toks[k - 1].kind == "id":
+                out.append(Sym(toks[k - 1].val, "typedef", toks[k - 1].line))
+            i = k + 1
+            continue
+        if t.kind == "id" and t.val == "using" and i + 2 < n and \
+                toks[i + 1].kind == "id" and toks[i + 2].val == "=":
+            out.append(Sym(toks[i + 1].val, "using", toks[i + 1].line))
+            i += 3
+            continue
+        # function definition: [qualified] ident '(' ... ')' [specifiers] '{'
+        if t.kind == "id" and t.val not in _C_KEYWORDS and \
+                i + 1 < n and toks[i + 1].val == "(":
+            # collect a possibly-qualified name backwards: A::B::name, ~dtor
+            name_parts = [t.val]
+            b = i - 1
+            while b >= 1 and toks[b].val == "::" and toks[b - 1].kind == "id":
+                name_parts.insert(0, toks[b - 1].val)
+                b -= 2
+            if b >= 0 and toks[b].val == "~":
+                name_parts[-1] = "~" + name_parts[-1]
+            close = _matching_paren(toks, i + 1)
+            k = close
+            # skip trailing specifiers until '{', ';', or something else
+            while k < n and (
+                (toks[k].kind == "id" and toks[k].val in (
+                    "const", "noexcept", "override", "final", "mutable",
+                    "volatile", "try", "requires"))
+                or toks[k].val in ("->", "::", "<", ">", "&", "&&", "*")
+                or (toks[k].kind == "id" and toks[k - 1].val == "->")
+            ):
+                k += 1
+            if k < n and toks[k].val == "{":
+                name = "::".join(name_parts)
+                if len(name_parts) == 1:
+                    name = qual(name)
+                in_class = any(c[1] in ("class", "struct", "union") for c in ctx)
+                out.append(Sym(
+                    name, "method" if (in_class or len(name_parts) > 1)
+                    else "function", t.line))
+                pending = ("function", name_parts[-1])
+            i = close
+            continue
+        if t.val == "{" and t.kind == "punct":
+            depth += 1
+            if pending is not None:
+                ctx.append((depth, pending[0], pending[1]))
+                pending = None
+            i += 1
+            continue
+        if t.val == "}" and t.kind == "punct":
+            if ctx and ctx[-1][0] == depth:
+                ctx.pop()
+            depth -= 1
+            i += 1
+            continue
+        if t.val in (";",):
+            pending = None
+        i += 1
+    return out
+
+
+# -- JavaScript / TypeScript ----------------------------------------------------
+
+def scan_js(toks: list[Tok], max_symbols: int = 256) -> list[Sym]:
+    out: list[Sym] = []
+    ctx: list[tuple[int, str, str]] = []   # (depth, kind, name)
+    depth = 0
+    pending: tuple[str, str] | None = None
+    i = 0
+    n = len(toks)
+
+    def in_class() -> str | None:
+        for d, k, nm in reversed(ctx):
+            if k == "class":
+                return nm
+        return None
+
+    while i < n and len(out) < max_symbols:
+        t = toks[i]
+        v = t.val
+        if t.kind == "id" and v == "function":
+            j = i + 1
+            if j < n and toks[j].val == "*":
+                j += 1
+            if j < n and toks[j].kind == "id" and \
+                    toks[j].val not in _JS_KEYWORDS:
+                out.append(Sym(toks[j].val, "function", toks[j].line))
+                pending = ("function", toks[j].val)
+            i = j + 1
+            continue
+        if t.kind == "id" and v == "class" and i + 1 < n and \
+                toks[i + 1].kind == "id":
+            out.append(Sym(toks[i + 1].val, "class", toks[i + 1].line))
+            pending = ("class", toks[i + 1].val)
+            i += 2
+            continue
+        if t.kind == "id" and v in ("interface", "enum", "namespace") and \
+                i + 1 < n and toks[i + 1].kind == "id" and \
+                toks[i + 1].val not in _JS_KEYWORDS:
+            out.append(Sym(toks[i + 1].val, v, toks[i + 1].line))
+            pending = (v, toks[i + 1].val)
+            i += 2
+            continue
+        if t.kind == "id" and v == "type" and i + 2 < n and \
+                toks[i + 1].kind == "id" and toks[i + 2].val in ("=", "<"):
+            out.append(Sym(toks[i + 1].val, "type", toks[i + 1].line))
+            i += 3
+            continue
+        # const/let/var name = [async] ( | function | x =>
+        if t.kind == "id" and v in ("const", "let", "var") and i + 2 < n \
+                and toks[i + 1].kind == "id" and toks[i + 2].val == "=":
+            j = i + 3
+            if j < n and toks[j].kind == "id" and toks[j].val == "async":
+                j += 1
+            is_fn = False
+            if j < n:
+                if toks[j].val == "(":
+                    k = _matching_paren(toks, j)
+                    is_fn = k < n and toks[k].val == "=>"
+                elif toks[j].val == "function":
+                    is_fn = True
+                elif toks[j].kind == "id" and j + 1 < n and \
+                        toks[j + 1].val == "=>":
+                    is_fn = True
+            if is_fn:
+                out.append(Sym(toks[i + 1].val, "function", toks[i + 1].line))
+            i += 3
+            continue
+        # class-body methods: ident '(' ... ')' '{' directly under a class
+        cls = in_class()
+        if cls and t.kind == "id" and \
+                (v not in _JS_KEYWORDS or v == "constructor") and \
+                ctx[-1][1] == "class" and depth == ctx[-1][0] and \
+                i + 1 < n and toks[i + 1].val == "(":
+            k = _matching_paren(toks, i + 1)
+            if k < n and toks[k].val == "{":
+                out.append(Sym(f"{cls}.{v}", "method", t.line))
+                pending = ("method", v)
+            i = k
+            continue
+        if cls and t.kind == "id" and v in ("get", "set", "static", "async") \
+                and depth == ctx[-1][0]:
+            i += 1
+            continue
+        if v == "{" and t.kind == "punct":
+            depth += 1
+            if pending is not None:
+                ctx.append((depth, pending[0], pending[1]))
+                pending = None
+            i += 1
+            continue
+        if v == "}" and t.kind == "punct":
+            if ctx and ctx[-1][0] == depth:
+                ctx.pop()
+            depth -= 1
+            i += 1
+            continue
+        if v in (";", "=") and pending and pending[0] != "class":
+            pending = None
+        i += 1
+    return out
+
+
+# -- Go -------------------------------------------------------------------------
+
+def scan_go(toks: list[Tok], max_symbols: int = 256) -> list[Sym]:
+    out: list[Sym] = []
+    i = 0
+    n = len(toks)
+    depth = 0
+    while i < n and len(out) < max_symbols:
+        t = toks[i]
+        if t.kind == "punct":
+            if t.val == "{":
+                depth += 1
+            elif t.val == "}":
+                depth -= 1
+            i += 1
+            continue
+        if t.kind == "id" and t.val == "func" and depth == 0:
+            j = i + 1
+            recv = None
+            if j < n and toks[j].val == "(":
+                # receiver: (r *Type) — type is last id before ')'
+                k = _matching_paren(toks, j)
+                ids = [x.val for x in toks[j:k] if x.kind == "id"]
+                recv = ids[-1] if ids else None
+                j = k
+            if j < n and toks[j].kind == "id" and \
+                    toks[j].val not in _GO_KEYWORDS:
+                name = f"{recv}.{toks[j].val}" if recv else toks[j].val
+                out.append(Sym(name, "method" if recv else "function",
+                               toks[j].line))
+            i = j + 1
+            continue
+        if t.kind == "id" and t.val == "type" and depth == 0 and i + 1 < n:
+            if toks[i + 1].val == "(":  # grouped type block
+                k = _matching_paren(toks, i + 1)
+                i = k
+                continue
+            if toks[i + 1].kind == "id":
+                kind = "type"
+                if i + 2 < n and toks[i + 2].kind == "id":
+                    if toks[i + 2].val == "interface":
+                        kind = "interface"
+                    elif toks[i + 2].val == "struct":
+                        kind = "struct"
+                out.append(Sym(toks[i + 1].val, kind, toks[i + 1].line))
+            i += 2
+            continue
+        if t.kind == "id" and t.val in ("const", "var") and depth == 0 \
+                and i + 1 < n:
+            kind = "const" if t.val == "const" else "var"
+            if toks[i + 1].val == "(":
+                # grouped block: names are idents at the start of each line
+                k = _matching_paren(toks, i + 1)
+                last_line = -1
+                for x in toks[i + 2:k - 1]:
+                    if x.kind == "id" and x.line != last_line and \
+                            x.val not in _GO_KEYWORDS:
+                        out.append(Sym(x.val, kind, x.line))
+                        last_line = x.line
+                i = k
+                continue
+            if toks[i + 1].kind == "id":
+                out.append(Sym(toks[i + 1].val, kind, toks[i + 1].line))
+            i += 2
+            continue
+        i += 1
+    return out
+
+
+# -- Rust -----------------------------------------------------------------------
+
+def scan_rust(toks: list[Tok], max_symbols: int = 256) -> list[Sym]:
+    out: list[Sym] = []
+    ctx: list[tuple[int, str, str]] = []   # (depth, kind, name)
+    depth = 0
+    pending: tuple[str, str] | None = None
+    i = 0
+    n = len(toks)
+
+    def qual(name: str) -> str:
+        parts = [c[2] for c in ctx if c[1] in ("mod", "impl")]
+        return "::".join(parts + [name]) if parts else name
+
+    while i < n and len(out) < max_symbols:
+        t = toks[i]
+        v = t.val
+        if t.kind == "id" and v == "impl":
+            # impl [<..>] Type | impl [<..>] Trait for Type — target = Type
+            j = i + 1
+            if j < n and toks[j].val == "<":
+                g = 1
+                j += 1
+                while j < n and g:
+                    if toks[j].val == "<":
+                        g += 1
+                    elif toks[j].val == ">":
+                        g -= 1
+                    j += 1
+            ids = []
+            k = j
+            target = None
+            while k < n and toks[k].val != "{" and toks[k].val != ";":
+                if toks[k].kind == "id" and toks[k].val == "for":
+                    ids = []  # everything after 'for' is the target
+                elif toks[k].kind == "id" and \
+                        toks[k].val not in _RUST_KEYWORDS:
+                    ids.append(toks[k].val)
+                k += 1
+            if ids:
+                target = ids[0]
+            if k < n and toks[k].val == "{" and target:
+                pending = ("impl", target)
+            i = k
+            continue
+        if t.kind == "id" and v == "mod" and i + 1 < n and \
+                toks[i + 1].kind == "id":
+            name = toks[i + 1].val
+            k = i + 2
+            if k < n and toks[k].val == "{":
+                out.append(Sym(qual(name), "module", toks[i + 1].line))
+                pending = ("mod", name)
+            i += 2
+            continue
+        if t.kind == "id" and v == "fn" and i + 1 < n and \
+                toks[i + 1].kind == "id":
+            out.append(Sym(qual(toks[i + 1].val),
+                           "method" if any(c[1] == "impl" for c in ctx)
+                           else "function", toks[i + 1].line))
+            pending = ("fn", toks[i + 1].val)
+            i += 2
+            continue
+        if t.kind == "id" and v in ("struct", "enum", "trait", "union") and \
+                i + 1 < n and toks[i + 1].kind == "id":
+            out.append(Sym(qual(toks[i + 1].val), v, toks[i + 1].line))
+            if v in ("enum", "trait", "union"):
+                pending = (v, toks[i + 1].val) if v == "trait" else None
+            i += 2
+            continue
+        if t.kind == "id" and v == "macro_rules" and i + 2 < n and \
+                toks[i + 1].val == "!" and toks[i + 2].kind == "id":
+            out.append(Sym(toks[i + 2].val, "macro", toks[i + 2].line))
+            i += 3
+            continue
+        if t.kind == "id" and v in ("const", "static") and i + 1 < n and \
+                toks[i + 1].kind == "id" and \
+                toks[i + 1].val not in _RUST_KEYWORDS and \
+                i + 2 < n and toks[i + 2].val == ":":
+            out.append(Sym(qual(toks[i + 1].val), "constant",
+                           toks[i + 1].line))
+            i += 2
+            continue
+        if v == "{" and t.kind == "punct":
+            depth += 1
+            if pending is not None:
+                ctx.append((depth, pending[0], pending[1]))
+                pending = None
+            i += 1
+            continue
+        if v == "}" and t.kind == "punct":
+            if ctx and ctx[-1][0] == depth:
+                ctx.pop()
+            depth -= 1
+            i += 1
+            continue
+        if v == ";":
+            pending = None
+        i += 1
+    return out
+
+
+_SCANNERS = {
+    "c": scan_c, "cpp": scan_c,
+    "javascript": scan_js, "typescript": scan_js,
+    "go": scan_go, "rust": scan_rust,
+}
+
+
+def extract(text: str, lang: str, max_symbols: int = 256) -> list[Sym]:
+    """Parser-tier extraction; returns [] for unsupported languages."""
+    scanner = _SCANNERS.get(lang)
+    if scanner is None:
+        return []
+    toks = lex(text[:500_000], "cpp" if lang in ("c", "cpp") else lang)
+    syms = scanner(toks, max_symbols)
+    seen: set[tuple[str, int]] = set()
+    out = []
+    for s in syms:
+        key = (s.name, s.line)
+        if key not in seen:
+            seen.add(key)
+            out.append(s)
+    return out

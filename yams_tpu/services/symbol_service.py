@@ -127,6 +127,17 @@ def extract_symbols(text: str, language: str, max_symbols: int = 256) -> list[Sy
         syms = _extract_python_ast(text[:500_000], max_symbols)
         if syms is not None:
             return syms
+    if language in ("c", "javascript", "go", "rust"):
+        # parser tier: lexer + depth-tracked scanners (code_parser.py) —
+        # comment/string-immune, nesting-qualified names, exact lines
+        # (reference: tree-sitter plugin). Regex tier remains the fallback.
+        from .code_parser import extract as _parser_extract
+
+        try:
+            syms = _parser_extract(text, language, max_symbols)
+            return [Symbol(s.name, s.kind, s.line) for s in syms]
+        except Exception:
+            pass  # fall through to the regex tier
     extractors = _EXTRACTORS.get(language)
     if not extractors:
         return []

@@ -111,6 +111,34 @@ class TestChunker:
         chunks = chunk_document("tiny", "sentence")
         assert len(chunks) == 1 and chunks[0].text == "tiny"
 
+    def test_semantic_boundary_at_topic_shift(self):
+        """semantic strategy with an embedder splits where adjacent-sentence
+        similarity drops (topic shift), NOT at a size boundary. Sentences
+        about topic A then topic B; the mock embedder encodes the topic."""
+        import numpy as np
+
+        a = "alpha kernel compiles fast. " * 4
+        b = "banana bread tastes great. " * 4
+        text = (a + b).strip()
+
+        def embedder(texts):
+            out = []
+            for t in texts:
+                v = np.zeros(4, np.float32)
+                v[0 if "alpha" in t else 1] = 1.0
+                out.append(v)
+            return np.stack(out)
+
+        chunks = chunk_document(text, "semantic", target_chars=200,
+                                embedder=embedder)
+        assert len(chunks) == 2
+        assert "alpha" in chunks[0].text and "banana" not in chunks[0].text
+        assert "banana" in chunks[1].text and "alpha" not in chunks[1].text
+
+    def test_semantic_without_embedder_falls_back(self):
+        chunks = chunk_document(self.TEXT, "semantic", target_chars=400)
+        assert len(chunks) > 1  # sentence fallback, reference parity
+
     def test_empty(self):
         assert chunk_document("   ", "sentence") == []
 

@@ -101,6 +101,52 @@ class TestVectorIndex:
         _, rows = idx2.search(vecs[7], k=1)
         assert idx2.slots_of_rows(rows[0])[0] == 7
 
+    def test_schema_v1_migrates_on_load(self, tmp_path):
+        """A round-1 index dir (no format_version stamp) loads through the
+        migration chain (reference: vector_schema_migration.h detectVersion
+        + stepwise migrateVx)."""
+        import json
+
+        idx = VectorIndex(dim=16, capacity=64, block_rows=64, space_id="s/v1")
+        vecs = _unit(10, 16)
+        idx.add(vecs, list(range(10)))
+        idx.save(tmp_path)
+        meta = json.loads((tmp_path / "vectors.json").read_text())
+        del meta["format_version"]
+        del meta["disk_dtype"]
+        (tmp_path / "vectors.json").write_text(json.dumps(meta))  # v1 layout
+        idx2 = VectorIndex.load(tmp_path)
+        _, rows = idx2.search(vecs[3], k=1)
+        assert idx2.slots_of_rows(rows[0])[0] == 3
+
+    def test_schema_future_version_rejected(self, tmp_path):
+        import json
+
+        import pytest as _pytest
+
+        from yams_tpu.core.errors import UnsupportedError
+
+        idx = VectorIndex(dim=16, capacity=64, block_rows=64)
+        idx.add(_unit(4, 16), list(range(4)))
+        idx.save(tmp_path)
+        meta = json.loads((tmp_path / "vectors.json").read_text())
+        meta["format_version"] = 99
+        (tmp_path / "vectors.json").write_text(json.dumps(meta))
+        with _pytest.raises(UnsupportedError):
+            VectorIndex.load(tmp_path)
+
+    def test_float16_disk_dtype(self, tmp_path):
+        import numpy as np
+
+        idx = VectorIndex(dim=32, capacity=64, block_rows=64)
+        vecs = _unit(12, 32)
+        idx.add(vecs, list(range(12)))
+        idx.save(tmp_path, disk_dtype="float16")
+        idx2 = VectorIndex.load(tmp_path)
+        assert idx2._vecs.dtype == np.float32  # widened back on load
+        _, rows = idx2.search(vecs[9], k=1)
+        assert idx2.slots_of_rows(rows[0])[0] == 9
+
 
 class TestLexicalIndex:
     def test_search_ranking(self):

@@ -1,0 +1,159 @@
+"""Routing-safety contracts as executable properties.
+
+The reference states these as Lean 4 theorems
+(/root/reference/formal/topology/Yams/Topology/SelectiveRouting.lean):
+
+  selectiveRoute_emptyFallback_identity — an empty route is exactly the
+    global scan;
+  selectiveRoute_augmentation_preservesGlobal — a rejected/augmenting route
+    cannot remove a global candidate;
+  selectiveRoute_narrow_subset — narrowing cannot invent a candidate absent
+    from the allowed set;
+  selectiveRoute_preservesProtected — when the route covers the protected
+    candidates (certificate soundness), narrowing returns every one of them.
+
+Lean is not available here; this module pins the SAME invariants as
+randomized property tests against the real engine, across seeds and both
+topology engines — the runtime obligations the proofs discharge statically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from yams_tpu.core.config import (
+    EmbeddingConfig,
+    LexicalIndexConfig,
+    VectorIndexConfig,
+)
+from yams_tpu.search import SearchEngine, SearchEngineConfig
+
+EMB = EmbeddingConfig(dim=64, sketch_dim=512)
+VEC = VectorIndexConfig(dim=64, capacity=256, block_rows=128)
+LEX = LexicalIndexConfig(postings_window=64)
+
+TOPICS = [
+    ["kernel", "driver", "mutex", "thread", "interrupt"],
+    ["tomato", "basil", "pasta", "olive", "pepper"],
+    ["tensor", "matrix", "gradient", "batch", "layer"],
+    ["violin", "sonata", "tempo", "chord", "melody"],
+]
+
+
+def build_engine(policy: str, seed: int, topo_engine: str = "kmeans",
+                 top_clusters: int = 3):
+    eng = SearchEngine(
+        config=SearchEngineConfig(batch_pad=4, topology_policy=policy,
+                                  topology_top_clusters=top_clusters),
+        embedding=EMB, vector=VEC, lexical=LEX,
+    )
+    rng = np.random.default_rng(seed)
+    for i in range(60):
+        words = rng.choice(TOPICS[i % len(TOPICS)], size=20)
+        eng.add_document(i, " ".join(words))
+    eng.rebuild_topology(engine=topo_engine)
+    return eng
+
+
+def docs(hits):
+    return [h.doc_id for h in hits]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("topo_engine", ["kmeans", "connected"])
+class TestRoutingContracts:
+    def test_narrow_subset_of_allowed(self, seed, topo_engine):
+        """selectiveRoute_narrow_subset: every narrow result's slot is inside
+        the routed mask (narrowing cannot invent candidates)."""
+        eng = build_engine("narrow", seed, topo_engine)
+        for q in ("kernel mutex", "pasta olive", "violin tempo"):
+            qv = eng.provider.encode([q])[0]
+            mask = eng._routed_slot_mask(
+                qv / max(np.linalg.norm(qv), 1e-9), eng.num_slots_padded)
+            for h in eng.search(q, k=10):
+                slot = eng._slot_by_doc[h.doc_id]
+                assert mask[slot] > 0, (q, h.doc_id)
+
+    def test_augment_preserves_global(self, seed, topo_engine):
+        """selectiveRoute_augmentation_preservesGlobal: augment returns
+        exactly the global candidate ranking (additivity here means the
+        full scan is never masked)."""
+        off = build_engine("off", seed, topo_engine)
+        aug = build_engine("augment", seed, topo_engine)
+        for q in ("kernel mutex", "tensor gradient"):
+            assert docs(off.search(q, k=10)) == docs(aug.search(q, k=10)), q
+
+    def test_shadow_observationally_identical(self, seed, topo_engine):
+        """Shadow routing only measures; results match the global scan."""
+        off = build_engine("off", seed, topo_engine)
+        sh = build_engine("shadow", seed, topo_engine)
+        for q in ("basil pepper", "matrix batch"):
+            assert docs(off.search(q, k=10)) == docs(sh.search(q, k=10)), q
+
+    def test_narrow_preserves_protected_when_covered(self, seed, topo_engine):
+        """selectiveRoute_preservesProtected + the VERDICT invariant: when
+        the route covers the global top-k (certificate soundness — checked
+        by widening top_clusters until coverage holds, the theorem's
+        hypothesis), narrow returns the SAME top-k."""
+        off = build_engine("off", seed, topo_engine)
+        nar = build_engine("narrow", seed, topo_engine)
+        n_clusters = len(nar.topology.artifacts.centroids)
+        checked = 0
+        for q in ("kernel driver interrupt", "tomato basil pasta",
+                  "tensor matrix layer", "violin sonata chord"):
+            global_top = docs(off.search(q, k=5))
+            qv = nar.provider.encode([q])[0]
+            qv = qv / max(np.linalg.norm(qv), 1e-9)
+            # widen the certificate until it covers the protected set;
+            # require it to stay a REAL narrowing (< all clusters)
+            for c in range(1, n_clusters):
+                nar.config.topology_top_clusters = c
+                mask = nar._routed_slot_mask(qv, nar.num_slots_padded)
+                if all(mask[nar._slot_by_doc[d]] > 0 for d in global_top):
+                    break
+            else:
+                continue  # needs every cluster: theorem imposes nothing
+            if mask.sum() >= len(nar._slot_by_doc):
+                continue  # degenerate certificate: not narrowing
+            checked += 1
+            assert docs(nar.search(q, k=5)) == global_top, q
+        assert checked >= 2  # the property must actually have been exercised
+
+
+class TestEmptyRouteFallback:
+    def test_empty_route_is_global_scan(self):
+        """selectiveRoute_emptyFallback_identity: when every routed cluster
+        member is gone (tombstoned), the narrow mask degenerates to the
+        global scan instead of returning nothing."""
+        eng = build_engine("narrow", seed=0, top_clusters=1)
+        # tombstone EVERY doc of topic 0 (kernel/...); a kernel query then
+        # routes to a cluster with no live members
+        for i in range(0, 60, len(TOPICS)):
+            eng.remove_document(i)
+        hits = eng.search("kernel mutex driver", k=5)
+        assert hits, "empty route must fall back to the global scan"
+        # and fallback results equal the unrouted engine's on the same corpus
+        off = build_engine("off", seed=0)
+        for i in range(0, 60, len(TOPICS)):
+            off.remove_document(i)
+        assert docs(hits) == docs(off.search("kernel mutex driver", k=5))
+
+
+class TestRouterArtifacts:
+    @pytest.mark.parametrize("topo_engine", ["kmeans", "connected", "louvain"])
+    def test_routed_clusters_known(self, topo_engine):
+        """routedCluster_known: route() only returns valid cluster ids and
+        assignments reference existing centroids."""
+        eng = build_engine("off", seed=3, topo_engine=topo_engine)
+        a = eng.topology.artifacts
+        n_clusters = len(a.centroids)
+        live = a.assignments[np.asarray(eng.vector_index._valid)
+                             [: len(a.assignments)] > 0]
+        assert live.min() >= 0          # every live row has a known cluster
+        assert live.max() < n_clusters
+        qv = eng.provider.encode(["kernel mutex"])[0]
+        routed = eng.topology.route(qv / max(np.linalg.norm(qv), 1e-9),
+                                    top_clusters=3)
+        assert all(0 <= c < n_clusters for c in routed)
+        assert len(set(routed.tolist())) == len(routed)  # no duplicates

@@ -50,16 +50,79 @@ def _pack(pieces: list[tuple[str, int]], target: int, overlap: int) -> list[Text
     return chunks
 
 
+def _chunk_semantic(text: str, target_chars: int, embedder) -> list[TextChunk]:
+    """Embedding-driven boundaries: split into sentences, embed each, place
+    chunk boundaries at adjacent-similarity local minima (semantic topic
+    shifts), then pack runs to the size budget.
+
+    NOTE: this is a REAL semantic chunker — the reference's SemanticChunker
+    is a fixed-size placeholder with computeSimilarity() hardcoded to 0.5
+    (document_chunker.cpp:1086-1138); we implement what its interface
+    promises.
+    """
+    import numpy as np
+
+    pieces, off = [], 0
+    for sent in _SENT_RE.split(text):
+        s = sent.strip()
+        if s:
+            idx = text.find(sent, off)
+            pieces.append((s, idx if idx >= 0 else off))
+            off = (idx if idx >= 0 else off) + len(sent)
+    if len(pieces) < 3:
+        return _pack(pieces, target_chars, 0) if pieces else []
+
+    vecs = np.asarray(embedder([p for p, _ in pieces]), np.float32)
+    vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-9)
+    sims = np.sum(vecs[:-1] * vecs[1:], axis=1)       # adjacent cosine
+    # boundaries: local minima below (mean - 0.5*std) — topic shifts
+    thresh = float(np.mean(sims) - 0.5 * np.std(sims))
+    bounds = {
+        i + 1
+        for i in range(len(sims))
+        if sims[i] < thresh
+        and (i == 0 or sims[i] <= sims[i - 1])
+        and (i == len(sims) - 1 or sims[i] <= sims[i + 1])
+    }
+
+    chunks: list[TextChunk] = []
+    buf: list[tuple[str, int]] = []
+    size = 0
+
+    def flush():
+        nonlocal buf, size
+        if buf:
+            t = " ".join(p for p, _ in buf)
+            chunks.append(TextChunk(
+                t, buf[0][1], buf[-1][1] + len(buf[-1][0]), len(chunks)))
+        buf, size = [], 0
+
+    for i, (p, o) in enumerate(pieces):
+        if buf and (i in bounds or size + len(p) > target_chars):
+            flush()
+        buf.append((p, o))
+        size += len(p)
+    flush()
+    return chunks
+
+
 def chunk_document(
     text: str,
     strategy: str = "sentence",
     target_chars: int = 1024,
     overlap_chars: int = 128,
+    embedder=None,
 ) -> list[TextChunk]:
+    """embedder: optional callable texts -> (N, D) vectors; used by
+    strategy='semantic' (without one, semantic falls back to sentence —
+    the reference factory does the same, document_chunker.cpp:778-783)."""
     if not text.strip():
         return []
     if len(text) <= target_chars and strategy != "sliding_window":
         return [TextChunk(text, 0, len(text), 0)]
+
+    if strategy == "semantic" and embedder is not None:
+        return _chunk_semantic(text, target_chars, embedder)
 
     if strategy == "fixed_size":
         out = []

@@ -324,17 +324,26 @@ class VectorIndex:
         return np.asarray(vals), np.asarray(idx)
 
     # -- persistence -----------------------------------------------------------------
-    def save(self, directory: str | pathlib.Path) -> None:
+    # Versioned on-disk schema (reference: vector_schema_migration.h —
+    # detectVersion + stepwise migrateVx chain). v1 = round-1 layout without
+    # a version stamp; v2 adds format_version + disk_dtype (float16 disk
+    # storage halves checkpoint size; load widens back to float32).
+    FORMAT_VERSION = 2
+
+    def save(self, directory: str | pathlib.Path,
+             disk_dtype: str = "float32") -> None:
         d = pathlib.Path(directory)
         d.mkdir(parents=True, exist_ok=True)
         with self._lock:
             np.savez_compressed(
                 d / "vectors.npz",
-                vecs=self._vecs[: self._count],
+                vecs=self._vecs[: self._count].astype(disk_dtype),
                 valid=self._valid[: self._count],
                 slots=self._slots[: self._count],
             )
             (d / "vectors.json").write_text(json.dumps({
+                "format_version": self.FORMAT_VERSION,
+                "disk_dtype": disk_dtype,
                 "dim": self.dim,
                 "count": self._count,
                 "space_id": self.space_id,
@@ -342,17 +351,48 @@ class VectorIndex:
                 "saved_at": time.time(),
             }))
 
+    @staticmethod
+    def _migrate_v1_to_v2(meta: dict, data: dict) -> tuple[dict, dict]:
+        """v1 had no version stamp and always float32 vecs; validate shapes
+        (v1 wrote no dtype contract) and stamp the v2 fields."""
+        vecs = data["vecs"]
+        if vecs.ndim != 2 or vecs.shape[1] != meta["dim"]:
+            from ..core.errors import CorruptionError
+
+            raise CorruptionError(
+                f"v1 index shape {vecs.shape} inconsistent with dim "
+                f"{meta['dim']}")
+        data["vecs"] = vecs.astype(np.float32)
+        meta["format_version"] = 2
+        meta["disk_dtype"] = "float32"
+        return meta, data
+
+    _MIGRATIONS = {1: "_migrate_v1_to_v2"}
+
     @classmethod
     def load(cls, directory: str | pathlib.Path) -> "VectorIndex":
         d = pathlib.Path(directory)
         meta = json.loads((d / "vectors.json").read_text())
+        raw = np.load(d / "vectors.npz")
+        data = {k: raw[k] for k in raw.files}
+        version = int(meta.get("format_version", 1))
+        if version > cls.FORMAT_VERSION:
+            from ..core.errors import UnsupportedError
+
+            raise UnsupportedError(
+                f"vector index format v{version} is newer than this build "
+                f"(max v{cls.FORMAT_VERSION}); upgrade yams-tpu to load it")
+        while version < cls.FORMAT_VERSION:
+            meta, data = getattr(cls, cls._MIGRATIONS[version])(meta, data)
+            version = int(meta["format_version"])
+        if str(data["vecs"].dtype) != "float32":
+            data["vecs"] = data["vecs"].astype(np.float32)
         idx = cls(
             dim=meta["dim"],
             capacity=max(meta["count"], 1),
             block_rows=meta["block_rows"],
             space_id=meta.get("space_id", ""),
         )
-        data = np.load(d / "vectors.npz")
         n = meta["count"]
         if n:
             idx._vecs[:n] = data["vecs"]

@@ -124,7 +124,11 @@ class SearchEngine:
         # replace any previous content
         self.vector_index.remove_doc(slot)
         self.lexical_index.add_document(slot, content, title)
-        chunks = chunk_document(content, chunk_strategy)
+        chunks = chunk_document(
+            content, chunk_strategy,
+            embedder=self.provider.encode if chunk_strategy == "semantic"
+            else None,
+        )
         texts = [c.text for c in chunks]
         if title:
             texts = [title] + texts
@@ -168,17 +172,23 @@ class SearchEngine:
             self._hot[doc_id] = self._hot.get(doc_id, 0.0) + boost
 
     # -- topology (reference: TopologyManager + topology_routing_session) ---------
-    def rebuild_topology(self, iters: int = 8) -> None:
+    def rebuild_topology(self, iters: int = 8, engine: str | None = None) -> None:
         from ..index.topology import TopologyEngine
 
         vi = self.vector_index
         if vi.active_rows == 0:
             return
         eng = TopologyEngine(iters=iters)
-        arts = eng.build_auto(
-            vi._vecs, vi._valid, epoch=self._stats["searches"],
-            tuner=self.topology_tuner,
-        )
+        if engine is not None:
+            arts = eng.build(
+                vi._vecs, vi._valid, epoch=self._stats["searches"],
+                engine=engine,
+            )
+        else:
+            arts = eng.build_auto(
+                vi._vecs, vi._valid, epoch=self._stats["searches"],
+                tuner=self.topology_tuner,
+            )
         self.topology = eng
         # rebuild-quality signal (reference: clusterCentroidPersistence reward)
         self._stats["topology_persistence"] = arts.centroid_persistence
@@ -194,6 +204,11 @@ class SearchEngine:
         routed_slots = np.unique(slots[: len(row_mask)][row_mask > 0])
         routed_slots = routed_slots[(routed_slots >= 0) & (routed_slots < num_slots)]
         mask[routed_slots] = 1.0
+        if not routed_slots.size:
+            # empty-route fallback identity: an empty route is exactly the
+            # global scan (reference contract:
+            # Topology/SelectiveRouting.lean selectiveRoute_emptyFallback_identity)
+            mask[:] = 1.0
         return mask
 
     # -- tuner feedback ------------------------------------------------------------

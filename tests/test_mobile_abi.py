@@ -172,3 +172,138 @@ class TestMobileAbi:
 
     def test_connect_failure_returns_null(self, mobile):
         assert not mobile.yams_mobile_connect(b"/nonexistent/sock")
+
+
+class MobileContextConfig(ctypes.Structure):
+    _fields_ = [("socket_path", ctypes.c_char_p),
+                ("timeout_ms", ctypes.c_int)]
+
+
+@pytest.fixture()
+def typed(mobile):
+    """Bind the typed context/result-handle layer (reference shape:
+    mobile_bindings.h context_create + *_execute + *_result_json/destroy)."""
+    lib = mobile
+    lib.yams_mobile_context_config_default.restype = MobileContextConfig
+    lib.yams_mobile_context_create.restype = ctypes.c_void_p
+    lib.yams_mobile_context_create.argtypes = [
+        ctypes.POINTER(MobileContextConfig)]
+    lib.yams_mobile_context_destroy.argtypes = [ctypes.c_void_p]
+    lib.yams_mobile_last_error_message.restype = ctypes.c_char_p
+    lib.yams_mobile_last_error_message.argtypes = [ctypes.c_void_p]
+    lib.yams_mobile_get_version.restype = ctypes.c_char_p
+    out_t = ctypes.POINTER(ctypes.c_void_p)
+    for name, args in [
+        ("yams_mobile_search_execute",
+         [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p]),
+        ("yams_mobile_grep_execute",
+         [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]),
+        ("yams_mobile_list_documents",
+         [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]),
+        ("yams_mobile_get_document", [ctypes.c_void_p, ctypes.c_char_p]),
+        ("yams_mobile_cat", [ctypes.c_void_p, ctypes.c_char_p]),
+        ("yams_mobile_store_document",
+         [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p]),
+        ("yams_mobile_remove_document", [ctypes.c_void_p, ctypes.c_char_p]),
+        ("yams_mobile_graph_query",
+         [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p]),
+        ("yams_mobile_status_execute", [ctypes.c_void_p, ctypes.c_int]),
+        ("yams_mobile_doctor_execute", [ctypes.c_void_p]),
+        ("yams_mobile_list_models", [ctypes.c_void_p]),
+        ("yams_mobile_get_vector_status", [ctypes.c_void_p]),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int
+        fn.argtypes = args + [out_t]
+    for fam in ("search", "grep", "list", "document_get", "document_store",
+                "delete", "cat", "graph_query", "status", "doctor",
+                "model_list"):
+        getattr(lib, f"yams_mobile_{fam}_result_json").restype = \
+            ctypes.c_char_p
+        getattr(lib, f"yams_mobile_{fam}_result_json").argtypes = \
+            [ctypes.c_void_p]
+        getattr(lib, f"yams_mobile_{fam}_result_destroy").argtypes = \
+            [ctypes.c_void_p]
+    lib.yams_mobile_search_result_stats_json.restype = ctypes.c_char_p
+    lib.yams_mobile_search_result_stats_json.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def _typed_call(lib, fam, fn, *args):
+    out = ctypes.c_void_p()
+    rc = fn(*args, ctypes.byref(out))
+    payload = json.loads(
+        getattr(lib, f"yams_mobile_{fam}_result_json")(out).decode())
+    getattr(lib, f"yams_mobile_{fam}_result_destroy")(out)
+    return rc, payload
+
+
+class TestTypedMobileSurface:
+    def test_context_and_result_handles(self, daemon, typed):
+        lib = typed
+        assert b"abi/1" in lib.yams_mobile_get_version()
+        cfg = lib.yams_mobile_context_config_default()
+        cfg.socket_path = str(daemon.socket_path).encode()
+        ctx = lib.yams_mobile_context_create(ctypes.byref(cfg))
+        assert ctx
+        try:
+            rc, r = _typed_call(lib, "document_store",
+                                lib.yams_mobile_store_document, ctx,
+                                b"typed/t.txt", b"typed surface text")
+            assert rc == 0 and r["ok"]
+
+            out = ctypes.c_void_p()
+            rc = lib.yams_mobile_search_execute(
+                ctx, b"typed surface", 5, b"hybrid", ctypes.byref(out))
+            assert rc == 0
+            body = json.loads(
+                lib.yams_mobile_search_result_json(out).decode())
+            assert body["result"]["hits"][0]["name"] == "t.txt"
+            stats = json.loads(
+                lib.yams_mobile_search_result_stats_json(out).decode())
+            assert stats["ok"] is True
+            lib.yams_mobile_search_result_destroy(out)
+
+            rc, r = _typed_call(lib, "cat", lib.yams_mobile_cat, ctx,
+                                b"t.txt")
+            assert rc == 0 and "typed surface" in r["result"]["text"]
+
+            rc, r = _typed_call(lib, "list", lib.yams_mobile_list_documents,
+                                ctx, 10, 0)
+            assert rc == 0 and len(r["result"]["documents"]) == 1
+
+            rc, r = _typed_call(lib, "status",
+                                lib.yams_mobile_status_execute, ctx, 0)
+            assert rc == 0 and r["result"]["documents"]["documents"] == 1
+
+            rc, r = _typed_call(lib, "model_list",
+                                lib.yams_mobile_list_models, ctx)
+            assert rc == 0 and r["result"]["default"]["dim"] == 64
+
+            rc, r = _typed_call(lib, "delete",
+                                lib.yams_mobile_remove_document, ctx,
+                                b"t.txt")
+            assert rc == 0 and r["result"]["deleted"]
+        finally:
+            lib.yams_mobile_context_destroy(ctx)
+
+    def test_remote_error_sets_last_error(self, daemon, typed):
+        lib = typed
+        cfg = lib.yams_mobile_context_config_default()
+        cfg.socket_path = str(daemon.socket_path).encode()
+        ctx = lib.yams_mobile_context_create(ctypes.byref(cfg))
+        try:
+            out = ctypes.c_void_p()
+            rc = lib.yams_mobile_get_document(ctx, b"no-such-doc",
+                                              ctypes.byref(out))
+            assert rc == 3  # YM_ERR_REMOTE
+            msg = lib.yams_mobile_last_error_message(ctx).decode()
+            assert "ok" in msg  # carries the remote envelope
+            lib.yams_mobile_document_get_result_destroy(out)
+            # a successful call clears the error
+            rc2 = lib.yams_mobile_status_execute(ctx, 0, ctypes.byref(out))
+            assert rc2 == 0
+            assert lib.yams_mobile_last_error_message(ctx) == b""
+            lib.yams_mobile_status_result_destroy(out)
+        finally:
+            lib.yams_mobile_context_destroy(ctx)

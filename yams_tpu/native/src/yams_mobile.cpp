@@ -320,3 +320,328 @@ char* yams_mobile_download(void* handle, const char* url) {
 }
 
 } // extern "C"
+
+// ---------------------------------------------------------------------------
+// Typed context + result-handle layer (reference shape:
+// include/yams/api/mobile_bindings.h — context_create/destroy, per-family
+// *_execute functions returning opaque result handles with *_json /
+// *_stats_json getters and *_destroy, plus last_error_message/get_version).
+// Result handles own their memory; getters return borrowed pointers valid
+// until the matching *_destroy.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct MobileContext {
+    void* conn = nullptr;          // Handle* from yams_mobile_connect
+    std::string last_error;
+};
+
+struct MobileResult {
+    std::string json;              // full daemon response envelope
+    std::string stats;             // tiny summary: {"ok":...,"bytes":N}
+};
+
+// status codes (reference: yams_mobile_status_t)
+enum {
+    YM_OK = 0,
+    YM_ERR_INVALID_ARG = 1,
+    YM_ERR_TRANSPORT = 2,
+    YM_ERR_REMOTE = 3,
+};
+
+int run_request(MobileContext* ctx, const std::string& req,
+                MobileResult** out) {
+    if (!ctx || !out) return YM_ERR_INVALID_ARG;
+    *out = nullptr;
+    char* resp = yams_mobile_request(ctx->conn, req.c_str());
+    if (!resp) {
+        ctx->last_error = "transport failure (socket closed or bad frame)";
+        return YM_ERR_TRANSPORT;
+    }
+    auto* r = new MobileResult();
+    r->json.assign(resp);
+    free(resp);
+    bool ok = r->json.find("\"ok\": true") != std::string::npos ||
+              r->json.find("\"ok\":true") != std::string::npos;
+    r->stats = std::string("{\"ok\":") + (ok ? "true" : "false") +
+               ",\"bytes\":" + std::to_string(r->json.size()) + "}";
+    if (!ok) {
+        ctx->last_error = r->json;
+        *out = r;
+        return YM_ERR_REMOTE;
+    }
+    ctx->last_error.clear();
+    *out = r;
+    return YM_OK;
+}
+
+} // namespace
+
+extern "C" {
+
+typedef struct {
+    const char* socket_path;
+    int timeout_ms;                // reserved; blocking I/O today
+} yams_mobile_context_config_t;
+
+typedef struct MobileResult yams_mobile_result_t;
+
+yams_mobile_context_config_t yams_mobile_context_config_default(void) {
+    yams_mobile_context_config_t cfg;
+    cfg.socket_path = nullptr;
+    cfg.timeout_ms = 60000;
+    return cfg;
+}
+
+void* yams_mobile_context_create(const yams_mobile_context_config_t* cfg) {
+    if (!cfg || !cfg->socket_path) return nullptr;
+    void* conn = yams_mobile_connect(cfg->socket_path);
+    if (!conn) return nullptr;
+    auto* ctx = new MobileContext();
+    ctx->conn = conn;
+    return ctx;
+}
+
+void yams_mobile_context_destroy(void* context) {
+    auto* ctx = static_cast<MobileContext*>(context);
+    if (!ctx) return;
+    yams_mobile_disconnect(ctx->conn);
+    delete ctx;
+}
+
+const char* yams_mobile_last_error_message(void* context) {
+    auto* ctx = static_cast<MobileContext*>(context);
+    return ctx ? ctx->last_error.c_str() : "";
+}
+
+const char* yams_mobile_get_version(void) { return "yams-tpu/0.2 abi/1"; }
+
+// shared result getters (every family aliases these semantics)
+static const char* result_json_impl(const yams_mobile_result_t* r) {
+    return r ? r->json.c_str() : nullptr;
+}
+static const char* result_stats_impl(const yams_mobile_result_t* r) {
+    return r ? r->stats.c_str() : nullptr;
+}
+static void result_destroy_impl(yams_mobile_result_t* r) { delete r; }
+
+#define YM_RESULT_FAMILY(family)                                              \
+    const char* yams_mobile_##family##_result_json(                           \
+        const yams_mobile_result_t* r) { return result_json_impl(r); }        \
+    void yams_mobile_##family##_result_destroy(yams_mobile_result_t* r) {     \
+        result_destroy_impl(r); }
+
+YM_RESULT_FAMILY(search)
+YM_RESULT_FAMILY(grep)
+YM_RESULT_FAMILY(list)
+YM_RESULT_FAMILY(document_get)
+YM_RESULT_FAMILY(document_store)
+YM_RESULT_FAMILY(delete)
+YM_RESULT_FAMILY(metadata)
+YM_RESULT_FAMILY(cat)
+YM_RESULT_FAMILY(graph_query)
+YM_RESULT_FAMILY(status)
+YM_RESULT_FAMILY(doctor)
+YM_RESULT_FAMILY(repair)
+YM_RESULT_FAMILY(model_list)
+YM_RESULT_FAMILY(download)
+YM_RESULT_FAMILY(restore)
+YM_RESULT_FAMILY(diff)
+
+const char* yams_mobile_search_result_stats_json(
+    const yams_mobile_result_t* r) { return result_stats_impl(r); }
+const char* yams_mobile_grep_result_stats_json(
+    const yams_mobile_result_t* r) { return result_stats_impl(r); }
+
+// typed execute functions ---------------------------------------------------
+int yams_mobile_search_execute(void* context, const char* query, int limit,
+                               const char* search_type,
+                               yams_mobile_result_t** out) {
+    auto* ctx = static_cast<MobileContext*>(context);
+    if (!ctx || !query) return YM_ERR_INVALID_ARG;
+    std::string req = "{\"type\":\"search\",\"query\":\"" +
+                      json_escape(query) + "\",\"limit\":" +
+                      std::to_string(limit > 0 ? limit : 10) +
+                      ",\"search_type\":\"" +
+                      json_escape(search_type ? search_type : "hybrid") +
+                      "\"}";
+    return run_request(ctx, req, out);
+}
+
+int yams_mobile_grep_execute(void* context, const char* pattern,
+                             int max_matches, yams_mobile_result_t** out) {
+    auto* ctx = static_cast<MobileContext*>(context);
+    if (!ctx || !pattern) return YM_ERR_INVALID_ARG;
+    std::string req = "{\"type\":\"grep\",\"pattern\":\"" +
+                      json_escape(pattern) + "\",\"max_matches\":" +
+                      std::to_string(max_matches > 0 ? max_matches : 100) +
+                      "}";
+    return run_request(ctx, req, out);
+}
+
+int yams_mobile_list_documents(void* context, int limit, int offset,
+                               yams_mobile_result_t** out) {
+    auto* ctx = static_cast<MobileContext*>(context);
+    if (!ctx) return YM_ERR_INVALID_ARG;
+    std::string req = "{\"type\":\"list\",\"limit\":" +
+                      std::to_string(limit > 0 ? limit : 100) +
+                      ",\"offset\":" + std::to_string(offset > 0 ? offset : 0)
+                      + "}";
+    return run_request(ctx, req, out);
+}
+
+int yams_mobile_get_document(void* context, const char* selector,
+                             yams_mobile_result_t** out) {
+    auto* ctx = static_cast<MobileContext*>(context);
+    if (!ctx || !selector) return YM_ERR_INVALID_ARG;
+    return run_request(ctx, "{\"type\":\"get\",\"selector\":\"" +
+                       json_escape(selector) + "\"}", out);
+}
+
+int yams_mobile_cat(void* context, const char* selector,
+                    yams_mobile_result_t** out) {
+    auto* ctx = static_cast<MobileContext*>(context);
+    if (!ctx || !selector) return YM_ERR_INVALID_ARG;
+    return run_request(ctx, "{\"type\":\"get_text\",\"selector\":\"" +
+                       json_escape(selector) + "\"}", out);
+}
+
+int yams_mobile_store_document(void* context, const char* name,
+                               const char* content,
+                               yams_mobile_result_t** out) {
+    auto* ctx = static_cast<MobileContext*>(context);
+    if (!ctx || !name || !content) return YM_ERR_INVALID_ARG;
+    char* resp = yams_mobile_add_text(ctx->conn, name, content);
+    if (!resp) {
+        ctx->last_error = "transport failure";
+        return YM_ERR_TRANSPORT;
+    }
+    // reuse envelope handling
+    auto* r = new MobileResult();
+    r->json.assign(resp);
+    free(resp);
+    bool ok = r->json.find("\"ok\":true") != std::string::npos ||
+              r->json.find("\"ok\": true") != std::string::npos;
+    r->stats = std::string("{\"ok\":") + (ok ? "true" : "false") + "}";
+    if (out) *out = r; else delete r;
+    if (!ok) { ctx->last_error = r->json; return YM_ERR_REMOTE; }
+    return YM_OK;
+}
+
+int yams_mobile_remove_document(void* context, const char* selector,
+                                yams_mobile_result_t** out) {
+    auto* ctx = static_cast<MobileContext*>(context);
+    if (!ctx || !selector) return YM_ERR_INVALID_ARG;
+    return run_request(ctx, "{\"type\":\"delete\",\"selector\":\"" +
+                       json_escape(selector) + "\"}", out);
+}
+
+int yams_mobile_delete_by_name(void* context, const char* name,
+                               yams_mobile_result_t** out) {
+    return yams_mobile_remove_document(context, name, out);
+}
+
+int yams_mobile_get_metadata_typed(void* context, const char* selector,
+                                   yams_mobile_result_t** out) {
+    auto* ctx = static_cast<MobileContext*>(context);
+    if (!ctx || !selector) return YM_ERR_INVALID_ARG;
+    return run_request(ctx, "{\"type\":\"get\",\"selector\":\"" +
+                       json_escape(selector) + "\"}", out);
+}
+
+int yams_mobile_update_document(void* context, const char* selector,
+                                const char* metadata_json,
+                                yams_mobile_result_t** out) {
+    auto* ctx = static_cast<MobileContext*>(context);
+    if (!ctx || !selector || !metadata_json) return YM_ERR_INVALID_ARG;
+    std::string req = "{\"type\":\"update\",\"selector\":\"" +
+                      json_escape(selector) + "\",\"metadata\":" +
+                      metadata_json + "}";
+    return run_request(ctx, req, out);
+}
+
+int yams_mobile_graph_query(void* context, const char* op,
+                            const char* selector,
+                            yams_mobile_result_t** out) {
+    auto* ctx = static_cast<MobileContext*>(context);
+    if (!ctx || !op || !selector) return YM_ERR_INVALID_ARG;
+    std::string type = std::string("graph_") + op;  // explore|related|impact|trace
+    std::string field = (type == "graph_explore") ? "query" : "selector";
+    return run_request(ctx, "{\"type\":\"" + json_escape(type.c_str()) +
+                       "\",\"" + field + "\":\"" + json_escape(selector) +
+                       "\"}", out);
+}
+
+int yams_mobile_status_execute(void* context, int detailed,
+                               yams_mobile_result_t** out) {
+    auto* ctx = static_cast<MobileContext*>(context);
+    if (!ctx) return YM_ERR_INVALID_ARG;
+    return run_request(ctx, std::string("{\"type\":\"status\",\"detailed\":")
+                       + (detailed ? "true" : "false") + "}", out);
+}
+
+int yams_mobile_doctor_execute(void* context, yams_mobile_result_t** out) {
+    auto* ctx = static_cast<MobileContext*>(context);
+    if (!ctx) return YM_ERR_INVALID_ARG;
+    return run_request(ctx, "{\"type\":\"doctor\"}", out);
+}
+
+int yams_mobile_repair_execute(void* context, const char* ops_csv,
+                               yams_mobile_result_t** out) {
+    auto* ctx = static_cast<MobileContext*>(context);
+    if (!ctx) return YM_ERR_INVALID_ARG;
+    char* resp = yams_mobile_repair(ctx->conn, ops_csv);
+    if (!resp) { ctx->last_error = "transport failure"; return YM_ERR_TRANSPORT; }
+    auto* r = new MobileResult();
+    r->json.assign(resp);
+    free(resp);
+    r->stats = "{\"ok\":true}";
+    if (out) *out = r; else delete r;
+    return YM_OK;
+}
+
+int yams_mobile_list_models(void* context, yams_mobile_result_t** out) {
+    auto* ctx = static_cast<MobileContext*>(context);
+    if (!ctx) return YM_ERR_INVALID_ARG;
+    return run_request(ctx, "{\"type\":\"model_status\"}", out);
+}
+
+int yams_mobile_get_embedding_info(void* context,
+                                   yams_mobile_result_t** out) {
+    return yams_mobile_list_models(context, out);
+}
+
+int yams_mobile_get_vector_status(void* context, yams_mobile_result_t** out) {
+    auto* ctx = static_cast<MobileContext*>(context);
+    if (!ctx) return YM_ERR_INVALID_ARG;
+    return run_request(ctx, "{\"type\":\"stats\",\"detailed\":true}", out);
+}
+
+int yams_mobile_download_execute(void* context, const char* url,
+                                 yams_mobile_result_t** out) {
+    auto* ctx = static_cast<MobileContext*>(context);
+    if (!ctx || !url) return YM_ERR_INVALID_ARG;
+    return run_request(ctx, "{\"type\":\"download_start\",\"url\":\"" +
+                       json_escape(url) + "\"}", out);
+}
+
+int yams_mobile_restore(void* context, const char* snapshot_id,
+                        const char* target_dir, yams_mobile_result_t** out) {
+    auto* ctx = static_cast<MobileContext*>(context);
+    if (!ctx || !snapshot_id || !target_dir) return YM_ERR_INVALID_ARG;
+    return run_request(ctx, "{\"type\":\"restore_snapshot\",\"snapshot_id\":\""
+                       + json_escape(snapshot_id) + "\",\"target_dir\":\"" +
+                       json_escape(target_dir) + "\"}", out);
+}
+
+int yams_mobile_diff(void* context, const char* from_snapshot,
+                     const char* to_snapshot, yams_mobile_result_t** out) {
+    auto* ctx = static_cast<MobileContext*>(context);
+    if (!ctx || !from_snapshot || !to_snapshot) return YM_ERR_INVALID_ARG;
+    return run_request(ctx, "{\"type\":\"tree_diff\",\"from_snapshot\":\"" +
+                       json_escape(from_snapshot) + "\",\"to_snapshot\":\"" +
+                       json_escape(to_snapshot) + "\"}", out);
+}
+
+} // extern "C"

@@ -275,6 +275,60 @@ class TestSearchEngine:
         assert res[0].doc_id == d1
         assert res[0].kg_score > 0
 
+    def test_graph_rerank_community_boost(self, tmp_path):
+        """Reciprocal-community rerank (reference search_engine.cpp:238-368,
+        :3790-3950): candidates that form a reciprocal shared-entity
+        community outrank an otherwise-equal isolated candidate."""
+        from yams_tpu.core.types import DocumentInfo
+        from yams_tpu.metadata import Database, KnowledgeGraphStore, MetadataRepository
+        from yams_tpu.search import SearchEngineConfig
+
+        db = Database(tmp_path / "m.db")
+        kg = KnowledgeGraphStore(db)
+        repo = MetadataRepository(db)
+        ids = [repo.insert_document(DocumentInfo(
+            file_path=f"/g{i}", file_name=f"g{i}", sha256_hash=str(i) * 64))
+            for i in range(4)]
+        eng = SearchEngine(
+            config=SearchEngineConfig(batch_pad=4, topology_policy="off"),
+            embedding=EMB, vector=VEC, lexical=LEX, kg_store=kg)
+        # identical text: fused scores tie; only the graph signal separates
+        for d in ids:
+            eng.add_document(d, "replicated payload text body", f"g{d}")
+        node_q = kg.upsert_node("entity:payload")
+        kg.add_alias(node_q, "payload")
+        # community: docs 0,1,2 share two entities; doc 3 is isolated
+        e1 = kg.upsert_node("entity:raft")
+        e2 = kg.upsert_node("entity:quorum")
+        for d in ids[:3]:
+            kg.link_document(d, e1, "raft", 0.9)
+            kg.link_document(d, e2, "quorum", 0.9)
+            kg.link_document(d, node_q, "payload", 0.5)
+        kg.link_document(ids[3], node_q, "payload", 0.5)
+        res = eng.search("replicated payload", k=4)
+        assert {r.doc_id for r in res[:3]} == set(ids[:3]), res
+        assert res[3].doc_id == ids[3]
+        # boost respects the cap
+        for r in res:
+            assert r.kg_score <= 1.0 + eng.config.graph_rerank_max_boost
+
+    def test_graph_rerank_disabled_is_noop(self, tmp_path):
+        from yams_tpu.core.types import DocumentInfo
+        from yams_tpu.metadata import Database, KnowledgeGraphStore, MetadataRepository
+        from yams_tpu.search import SearchEngineConfig
+
+        db = Database(tmp_path / "m.db")
+        kg = KnowledgeGraphStore(db)
+        repo = MetadataRepository(db)
+        d1 = repo.insert_document(DocumentInfo(
+            file_path="/x", file_name="x", sha256_hash="a" * 64))
+        eng = SearchEngine(
+            config=SearchEngineConfig(batch_pad=4, topology_policy="off",
+                                      graph_rerank_enabled=False),
+            embedding=EMB, vector=VEC, lexical=LEX, kg_store=kg)
+        eng.add_document(d1, "single doc body", "x")
+        assert eng.search("single doc", k=1)[0].doc_id == d1
+
     def test_entity_vector_leg(self, tmp_path):
         """Entity-vectors leg (reference queryEntityVectors): query matches a
         KG node only through embedding similarity — no alias is registered —

@@ -55,6 +55,21 @@ class SearchEngineConfig:
     # (search_engine_config.h:296-320)
     vector_only_penalty: float = 0.85
 
+    # KG graph rerank of the fused top window (reference:
+    # search_engine.cpp:238-368 computeReciprocalCommunitySupport +
+    # :3790-3950 guarded boost; defaults search_engine_config.h:392-414)
+    graph_rerank_enabled: bool = True
+    graph_rerank_top_n: int = 25
+    graph_rerank_weight: float = 0.15
+    graph_rerank_max_boost: float = 0.20
+    graph_rerank_min_signal: float = 0.01
+    graph_community_weight: float = 0.10
+    graph_community_reference_size: float = 8.0
+    graph_community_min_edge_weight: float = 0.0
+    graph_max_neighbors: int = 16
+    graph_corroboration_floor: float = 0.35
+    graph_fallback_to_top_signal: bool = True
+
     # topology routing (reference: Narrow/Augment/Shadow policies,
     # search_engine_config.h:140-166; Shadow is the product default)
     topology_policy: str = "shadow"   # off | narrow | augment | shadow

@@ -528,6 +528,9 @@ class SearchEngine:
                     )
                 )
             results.sort(key=lambda r: -r.score)
+            if (self.kg and mode == "hybrid"
+                    and self.config.graph_rerank_enabled):
+                self._graph_rerank(results)
             if self.cross_reranker is not None and mode == "hybrid":
                 # optional cross-encoder hook (reference: setCrossReranker,
                 # search_engine.h:78 / cross_rerank.cpp)
@@ -576,6 +579,121 @@ class SearchEngine:
                 if s >= 0.4 and n >= 0
             ])
         return out
+
+    def _community_support(self, doc_ids: list[int]) -> list[float]:
+        """Reciprocal-community support over the candidate window
+        (reference: computeReciprocalCommunitySupport,
+        search_engine.cpp:238-368). Candidates link via shared KG entities
+        (directed top-N neighbor lists, weight = sum of min confidences);
+        reciprocal pairs form communities; members of a community of size m
+        get support (m-1)/(reference_size-1), clamped to [0,1]."""
+        import heapq
+
+        cfg = self.config
+        n = len(doc_ids)
+        support = [0.0] * n
+        if n < 2:
+            return support
+        ents = [
+            {nid: conf for nid, _t, conf in self.kg.entities_for_document(d)}
+            for d in doc_ids
+        ]
+        out_w: list[dict[int, float]] = [{} for _ in range(n)]
+        for a in range(n):
+            if not ents[a]:
+                continue
+            sims = []
+            for b in range(n):
+                if a == b or not ents[b]:
+                    continue
+                shared = ents[a].keys() & ents[b].keys()
+                if not shared:
+                    continue
+                w = sum(min(ents[a][s], ents[b][s]) for s in shared)
+                if w >= cfg.graph_community_min_edge_weight:
+                    sims.append((w, b))
+            for w, b in heapq.nlargest(cfg.graph_max_neighbors, sims):
+                out_w[a][b] = w
+        adj: list[list[int]] = [[] for _ in range(n)]
+        for a in range(n):
+            for b in out_w[a]:
+                if b > a and a in out_w[b]:
+                    adj[a].append(b)
+                    adj[b].append(a)
+        denom = (cfg.graph_community_reference_size - 1.0
+                 if cfg.graph_community_reference_size > 1.0 else n - 1.0)
+        seen = [False] * n
+        for i in range(n):
+            if seen[i] or not adj[i]:
+                continue
+            comp, stack = [], [i]
+            seen[i] = True
+            while stack:
+                cur = stack.pop()
+                comp.append(cur)
+                for nb in adj[cur]:
+                    if not seen[nb]:
+                        seen[nb] = True
+                        stack.append(nb)
+            if len(comp) < 2:
+                continue
+            s = min(1.0, (len(comp) - 1) / max(denom, 1.0))
+            for m in comp:
+                support[m] = max(support[m], s)
+        return support
+
+    def _graph_rerank(self, results: list[SearchResult]) -> None:
+        """Guarded multiplicative KG boost of the fused top window
+        (reference: search_engine.cpp:3790-3950). Composite signal = entity
+        signal blended with reciprocal-community support; corroborated by
+        the lexical anchor, decayed by a 1/sqrt rank prior, capped by
+        graph_rerank_max_boost; falls back to boosting the single top
+        signal when nothing clears the gate."""
+        import math
+
+        cfg = self.config
+        window = min(len(results), cfg.graph_rerank_top_n)
+        if window < 2:
+            return
+        cand = results[:window]
+        community = self._community_support([r.doc_id for r in cand])
+        base_w = max(0.0, 1.0 - cfg.graph_community_weight)
+        raw, anchors = [], []
+        for i, r in enumerate(cand):
+            entity = min(max(r.kg_score, 0.0), 1.0)
+            raw.append(min(1.0, entity * base_w
+                           + community[i] * cfg.graph_community_weight))
+            anchors.append(min(max(r.text_score, 0.0)
+                               / max(cfg.bm25_norm_divisor, 1e-6), 1.0))
+        max_raw = max(raw)
+        max_anchor = max(anchors)
+        boosted = False
+        top_i = max(range(window), key=lambda i: raw[i])
+        for i, r in enumerate(cand):
+            if raw[i] < cfg.graph_rerank_min_signal or raw[i] <= 0.0:
+                continue
+            normalized = raw[i] / max_raw if max_raw > 0 else 0.0
+            effective = min(1.0, raw[i] * 0.6 + normalized * 0.4)
+            anchor_ratio = anchors[i] / max_anchor if max_anchor > 0 else 0.0
+            corroboration = min(1.0, cfg.graph_corroboration_floor
+                                + (1.0 - cfg.graph_corroboration_floor)
+                                * anchor_ratio)
+            guarded = effective * corroboration / math.sqrt(1.0 + i)
+            boost = min(cfg.graph_rerank_max_boost,
+                        cfg.graph_rerank_weight * guarded)
+            if boost <= 0.0:
+                continue
+            r.score *= (1.0 + boost)
+            r.kg_score += boost
+            boosted = True
+        if (not boosted and cfg.graph_fallback_to_top_signal
+                and raw[top_i] > 0.0):
+            fb = min(cfg.graph_rerank_max_boost * 0.5,
+                     cfg.graph_rerank_weight * raw[top_i])
+            if fb > 0:
+                cand[top_i].score *= (1.0 + fb)
+                cand[top_i].kg_score += fb
+        results.sort(key=lambda r: -r.score)
 
     def _kg_scores(self, query: str, ev_hits=()) -> dict[int, float]:
         """Host KG leg: exact alias matches + entity-vector similarity, both

@@ -11,6 +11,17 @@ BM25 scores; we fold the weights into term frequencies at build time
 (tf = 1.0*tf_title + 10.0*tf_content), which preserves ranking behavior for
 the common single-column-hit case and keeps the device kernel single-postings.
 
+Recall contract under the postings window: the device leg scans at most
+`postings_window` impact-ordered postings per term, so (C1) single-term
+queries are EXACT for any k <= window even at df >> window (the window
+prefix IS the top-|window| by score — impacts are idf-free BM25 factors,
+descending, and idf is a per-term scalar); (C2) a doc inside every query
+term's window scores its full BM25 sum; (C3) a doc outside one term's
+window loses at most that term's contribution, bounded by the term's
+minimum in-window impact — it never scores above the unwindowed oracle and
+keeps its other terms' contributions. Pinned by
+tests/test_bm25_window_contract.py.
+
 Incremental ingest: an inverted postings map and per-term packed caches are
 maintained on every add/remove; a (re)build only re-sorts DIRTY terms (the
 analog of the reference's dirty-dim index rebuild) and repacks the CSR arrays

@@ -312,6 +312,36 @@ class TestSearchEngine:
         for r in res:
             assert r.kg_score <= 1.0 + eng.config.graph_rerank_max_boost
 
+    def test_semantic_rescue_slots(self):
+        """Bounded rescue (reference applySearchTopKLimit,
+        search_engine.cpp:540-620): with rescue slots on, vector-evidence
+        docs are guaranteed in the final window even when keyword-heavy docs
+        fill the fused top-k."""
+        from yams_tpu.search import SearchEngineConfig
+        from yams_tpu.search.engine import SearchResult
+
+        eng = SearchEngine(
+            config=SearchEngineConfig(batch_pad=4, topology_policy="off",
+                                      semantic_rescue_slots=2),
+            embedding=EMB, vector=VEC, lexical=LEX)
+        # synthetic fused list: top-3 keyword-only, tail has vector evidence
+        results = [
+            SearchResult(doc_id=1, score=0.9, text_score=5.0, vector_score=0.0),
+            SearchResult(doc_id=2, score=0.8, text_score=4.0, vector_score=0.0),
+            SearchResult(doc_id=3, score=0.7, text_score=3.0, vector_score=0.0),
+            SearchResult(doc_id=4, score=0.6, text_score=0.0, vector_score=0.9),
+            SearchResult(doc_id=5, score=0.5, text_score=0.0, vector_score=0.8),
+            SearchResult(doc_id=6, score=0.4, text_score=0.0, vector_score=0.7),
+        ]
+        eng._semantic_rescue(results, k=3)
+        window = results[:3]
+        sem = [r for r in window if r.vector_score > 0.05]
+        assert len(sem) == 2                       # exactly the target
+        assert {r.doc_id for r in sem} == {4, 5}   # BEST vector tail docs
+        assert window[0].doc_id == 1               # strongest keyword kept
+        # bounded: a third vector doc is NOT forced in
+        assert all(r.doc_id != 6 for r in window)
+
     def test_graph_rerank_disabled_is_noop(self, tmp_path):
         from yams_tpu.core.types import DocumentInfo
         from yams_tpu.metadata import Database, KnowledgeGraphStore, MetadataRepository

@@ -55,6 +55,13 @@ class SearchEngineConfig:
     # (search_engine_config.h:296-320)
     vector_only_penalty: float = 0.85
 
+    # bounded semantic rescue slots (reference semanticRescueSlots,
+    # search_engine_config.h:304 — default 0/off there too): guarantee this
+    # many vector-evidence docs in the final top-k by promoting the best
+    # vector tail candidates over the weakest non-semantic occupants
+    semantic_rescue_slots: int = 0
+    semantic_rescue_min_vector: float = 0.05
+
     # KG graph rerank of the fused top window (reference:
     # search_engine.cpp:238-368 computeReciprocalCommunitySupport +
     # :3790-3950 guarded boost; defaults search_engine_config.h:392-414)

@@ -535,6 +535,9 @@ class SearchEngine:
                 # optional cross-encoder hook (reference: setCrossReranker,
                 # search_engine.h:78 / cross_rerank.cpp)
                 results = self.cross_reranker(qtext, results[: k * 2])
+            if (self.config.semantic_rescue_slots > 0 and mode == "hybrid"
+                    and len(results) > k):
+                self._semantic_rescue(results, k)
             out.append(results[:k])
         self._stats["searches"] += len(queries)
         self._stats["total_ms"] += (time.monotonic() - t0) * 1e3
@@ -579,6 +582,34 @@ class SearchEngine:
                 if s >= 0.4 and n >= 0
             ])
         return out
+
+    def _semantic_rescue(self, results: list[SearchResult], k: int) -> None:
+        """Bounded topology/semantic rescue slots (reference:
+        search_engine.cpp:540-620 applySearchTopKLimit): guarantee at least
+        `semantic_rescue_slots` of the final top-k carry vector evidence by
+        promoting the best-vector tail candidates over the weakest
+        non-semantic window occupants. Bounded: at most `slots` swaps, never
+        displacing a semantic occupant."""
+        cfg = self.config
+        window = min(k, len(results))
+        target = min(cfg.semantic_rescue_slots, window)
+        is_sem = lambda r: r.vector_score > cfg.semantic_rescue_min_vector
+        present = sum(1 for r in results[:window] if is_sem(r))
+        while present < target:
+            tail = [i for i in range(window, len(results))
+                    if is_sem(results[i])]
+            if not tail:
+                break
+            best_tail = max(tail, key=lambda i: results[i].vector_score)
+            victims = [i for i in range(window - 1, -1, -1)
+                       if not is_sem(results[i])]
+            if not victims:
+                break
+            victim = victims[0]
+            results[victim], results[best_tail] = \
+                results[best_tail], results[victim]
+            present += 1
+        results[:window] = sorted(results[:window], key=lambda r: -r.score)
 
     def _community_support(self, doc_ids: list[int]) -> list[float]:
         """Reciprocal-community support over the candidate window

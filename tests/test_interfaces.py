@@ -296,6 +296,38 @@ class TestMCP:
         err, text = _tool(server, "get", {"selector": "nope.txt"})
         assert err and "not found" in text.lower()
 
+    def test_longtail_tools(self, mcp, tmp_path):
+        """Round-2 long-tail tools: download jobs, file history, prune,
+        tree diff, model status."""
+        app, server = mcp
+        tools = {t["name"]
+                 for t in _call(server, "tools/list")["result"]["tools"]}
+        assert {"download_start", "download_status", "download_cancel",
+                "download_list", "file_history", "prune", "tree_diff",
+                "model_status"} <= tools
+        err, res = _tool(server, "model_status", {})
+        assert not err and res["default"]["dim"] > 0
+        assert "hf" in res["registry"]
+        # download job round trip on a file:// URL
+        src = tmp_path / "dl.bin"
+        src.write_bytes(b"mcp download payload")
+        err, res = _tool(server, "download_start", {"url": src.as_uri()})
+        assert not err
+        job = res["job_id"]
+        import time as _time
+
+        for _ in range(100):
+            err, st = _tool(server, "download_status", {"job_id": job})
+            if st["state"] in ("completed", "failed"):
+                break
+            _time.sleep(0.05)
+        assert st["state"] == "completed"
+        err, res = _tool(server, "download_list", {})
+        assert not err and any(j["job_id"] == job for j in res["jobs"])
+        # prune dry-run finds the stored download
+        err, res = _tool(server, "prune", {"pattern": "*dl.bin*"})
+        assert not err and res["dry_run"] and res["matched"] >= 1
+
     def test_unknown_tool(self, mcp):
         app, server = mcp
         resp = _call(server, "tools/call", {"name": "bogus", "arguments": {}})

@@ -187,6 +187,59 @@ class MCPServer:
                   ["snapshot_id", "target_dir"]),
             self.t_restore,
         )
+        self._register(
+            _tool("download_start",
+                  "Start a background download job; returns a job id",
+                  {"url": S, "expected_sha256": S}, ["url"]),
+            lambda a: {"job_id": self.app.downloads.start_job(
+                a["url"], expected_sha256=a.get("expected_sha256", ""))},
+        )
+        self._register(
+            _tool("download_status", "Status of a download job",
+                  {"job_id": S}, ["job_id"]),
+            lambda a: self.app.downloads.job_status(a["job_id"]),
+        )
+        self._register(
+            _tool("download_cancel", "Cancel a download job",
+                  {"job_id": S}, ["job_id"]),
+            lambda a: self.app.downloads.cancel_job(a["job_id"]),
+        )
+        self._register(
+            _tool("download_list", "List download jobs", {}),
+            lambda a: {"jobs": self.app.downloads.list_jobs()},
+        )
+        self._register(
+            _tool("file_history",
+                  "Appearances of a path across tree snapshots, newest first",
+                  {"path": S, "limit": I}, ["path"]),
+            self.t_file_history,
+        )
+        self._register(
+            _tool("prune",
+                  "Delete documents matching age/pattern/tag filters "
+                  "(dry-run unless dry_run=false)",
+                  {"older_than_s": I, "pattern": S, "tags": A, "dry_run": B}),
+            self.t_prune,
+        )
+        self._register(
+            _tool("tree_diff", "Diff two tree snapshots",
+                  {"from_snapshot": S, "to_snapshot": S},
+                  ["from_snapshot", "to_snapshot"]),
+            self.t_tree_diff,
+        )
+        self._register(
+            _tool("model_status", "Embedding models: default + registry", {}),
+            lambda a: {
+                "default": {"name": self.app.config.embedding.profile
+                            if self.app.config.embedding.provider in ("", "simeon")
+                            else self.app.config.embedding.provider,
+                            "dim": self.app.search_engine.provider.dim,
+                            "space_id": self.app.search_engine.provider.space_id},
+                "registry": __import__(
+                    "yams_tpu.embed.provider", fromlist=["list_providers"]
+                ).list_providers(),
+            },
+        )
         self._register(_tool("mcp.echo", "Echo (connectivity test)", {"text": S}),
                        lambda a: {"echo": a.get("text", "")})
 
@@ -345,6 +398,57 @@ class MCPServer:
         return self.app.indexing.restore_snapshot(
             a["snapshot_id"], a["target_dir"], overwrite=a.get("overwrite", False)
         )
+
+    def t_file_history(self, a):
+        rows = self.app.db.execute(
+            """SELECT e.snapshot_id, e.hash, e.size, s.created_time, s.label
+               FROM tree_snapshot_entries e
+               JOIN tree_snapshots s ON s.snapshot_id = e.snapshot_id
+               WHERE e.path = ? OR e.path LIKE ?
+               ORDER BY s.created_time DESC LIMIT ?""",
+            (a["path"], f"%/{a['path'].lstrip('/')}", a.get("limit", 50)),
+        ).fetchall()
+        return {"versions": [
+            {"snapshot_id": r[0], "hash": r[1], "size": r[2],
+             "created_time": r[3], "label": r[4]} for r in rows]}
+
+    def t_prune(self, a):
+        import fnmatch
+        import time as _time
+
+        cutoff = (_time.time() - a["older_than_s"]
+                  if a.get("older_than_s") else None)
+        tag_ids = (set(self.app.metadata.find_by_tags(a["tags"]))
+                   if a.get("tags") else None)
+        dry_run = a.get("dry_run", True)
+        victims = []
+        for d in self.app.metadata.list_documents(limit=100000):
+            if cutoff is not None and d.created_time > cutoff:
+                continue
+            if a.get("pattern") and not fnmatch.fnmatch(d.file_path,
+                                                        a["pattern"]):
+                continue
+            if tag_ids is not None and d.id not in tag_ids:
+                continue
+            victims.append({"id": d.id, "path": d.file_path})
+        if not dry_run:
+            for v in victims:
+                try:
+                    self.app.documents.delete(v["path"])
+                except Exception:
+                    v["error"] = "delete failed"
+        return {"matched": len(victims), "dry_run": dry_run,
+                "documents": victims[:100]}
+
+    def t_tree_diff(self, a):
+        import dataclasses as _dc
+
+        from ..metadata.tree import TreeDiffer
+
+        old = self.app.trees.get_snapshot(a["from_snapshot"])
+        new = self.app.trees.get_snapshot(a["to_snapshot"])
+        return {"changes": [_dc.asdict(c)
+                            for c in TreeDiffer.diff(old, new)]}
 
     def t_list_collections(self, a):
         rows = self.app.db.execute(

@@ -3,7 +3,7 @@
 Parity: include/yams/plugins/abi.h (yams_plugin_{get_abi_version,get_name,
 get_manifest_json,init,shutdown,get_interface,get_health_json}) and the typed
 interfaces v1 (model_provider, content_extractor, entity_extractor,
-object_storage — docs/spec/wit/). In this architecture a plugin is a Python
+object_storage). This build ships its own WIT contracts for the same interfaces at docs/spec/wit/*.wit. In this architecture a plugin is a Python
 module exposing `yams_plugin()` -> PluginManifest; the C ABI is replaced by a
 documented Python ABI with the same lifecycle + negotiation surface, and
 out-of-process plugins speak JSON-RPC over stdio (host.py), mirroring the

@@ -1,0 +1,264 @@
+"""Seeded fuzz tier 2: request dispatcher, content handlers, plugin trust,
+daemon SIGTERM — the reference's remaining libFuzzer targets
+(tools/fuzzing/: request handler, add-document, plugin ABI trust) and its
+daemon_sigterm_test, as deterministic-seed equivalents.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import signal
+import struct
+import tarfile
+import time
+import zipfile
+
+import numpy as np
+import pytest
+
+from test_services import small_config
+
+from yams_tpu.ingest.content_handlers import (
+    extract_typed_metadata,
+    iter_archive_members,
+)
+
+
+def _rng():
+    return np.random.default_rng(0xFA55)
+
+
+MEDIA_MIMES = ["image/png", "image/jpeg", "image/gif", "image/bmp",
+               "image/webp", "audio/wav", "audio/mpeg", "audio/flac",
+               "video/mp4", "application/zip", "application/x-tar",
+               "application/gzip"]
+
+
+class TestContentHandlerFuzz:
+    def test_random_bytes_never_crash(self):
+        rng = _rng()
+        for _ in range(300):
+            n = int(rng.integers(0, 2048))
+            data = rng.bytes(n)
+            mime = MEDIA_MIMES[int(rng.integers(len(MEDIA_MIMES)))]
+            md = extract_typed_metadata(data, mime)
+            assert isinstance(md, dict)
+            assert list(iter_archive_members(data, mime)) is not None
+
+    def test_mutated_valid_media(self):
+        """Flip bytes in well-formed media headers: parse or reject, never
+        raise."""
+        from test_content_handlers import (
+            make_jpeg_with_exif,
+            make_mp4,
+            make_png,
+            make_wav,
+        )
+
+        rng = _rng()
+        seeds = [(make_png(), "image/png"),
+                 (make_jpeg_with_exif(), "image/jpeg"),
+                 (make_wav(), "audio/wav"),
+                 (make_mp4(), "video/mp4")]
+        for base, mime in seeds:
+            for _ in range(100):
+                data = bytearray(base)
+                for _ in range(int(rng.integers(1, 6))):
+                    data[int(rng.integers(len(data)))] = int(
+                        rng.integers(256))
+                md = extract_typed_metadata(bytes(data), mime)
+                assert isinstance(md, dict)
+
+    def test_mutated_archives(self):
+        rng = _rng()
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("a/x.txt", "payload one")
+            zf.writestr("b/y.txt", "payload two")
+        zbytes = buf.getvalue()
+        tbuf = io.BytesIO()
+        with tarfile.open(fileobj=tbuf, mode="w:gz") as tf:
+            ti = tarfile.TarInfo("t.txt")
+            ti.size = 4
+            tf.addfile(ti, io.BytesIO(b"data"))
+        for base, mime in [(zbytes, "application/zip"),
+                           (tbuf.getvalue(), "application/gzip")]:
+            for _ in range(150):
+                data = bytearray(base)
+                for _ in range(int(rng.integers(1, 8))):
+                    data[int(rng.integers(len(data)))] = int(
+                        rng.integers(256))
+                members = list(iter_archive_members(bytes(data), mime))
+                for name, payload in members:
+                    assert not name.startswith("/")
+                    assert ".." not in name.split("/")
+
+    def test_add_bytes_arbitrary_content(self, tmp_path):
+        """add-document fuzz: arbitrary bytes with media extensions ingest
+        without crashing and stay retrievable byte-for-byte."""
+        from yams_tpu.services.app import AppContext
+
+        app = AppContext(small_config(tmp_path / "data"))
+        rng = _rng()
+        try:
+            for i in range(40):
+                n = int(rng.integers(0, 4096))
+                data = rng.bytes(n)
+                ext = [".png", ".zip", ".mp4", ".wav", ".txt", ".tar.gz",
+                       ".bin"][i % 7]
+                res = app.documents.add_bytes(data, f"fuzz/f{i}{ext}")
+                assert res.document_id > 0
+                if n:
+                    assert app.documents.cat(f"fuzz/f{i}{ext}") == data
+        finally:
+            app.close()
+
+
+class TestRequestDispatcherFuzz:
+    @pytest.fixture()
+    def daemon(self, tmp_path):
+        import asyncio
+        import threading
+
+        from yams_tpu.daemon.server import YamsDaemon
+
+        cfg = small_config(tmp_path / "data")
+        cfg.daemon.socket_path = str(tmp_path / "f.sock")
+        d = YamsDaemon(cfg)
+        loop = asyncio.new_event_loop()
+
+        def runner():
+            asyncio.set_event_loop(loop)
+            loop.run_until_complete(d.run())
+
+        import threading as _t
+
+        t = _t.Thread(target=runner, daemon=True)
+        t.start()
+        for _ in range(200):
+            if cfg.socket_path.exists():
+                break
+            time.sleep(0.05)
+        yield cfg
+        from yams_tpu.daemon.client import DaemonClient
+
+        try:
+            DaemonClient(cfg.socket_path).shutdown()
+        except Exception:
+            pass
+        t.join(timeout=20)
+
+    def test_malformed_requests_get_error_envelopes(self, daemon):
+        """Every mutated request draws a well-formed {ok: false} envelope —
+        no handler crash ever tears the connection or the daemon down."""
+        from yams_tpu.daemon.client import DaemonClient
+
+        rng = _rng()
+        client = DaemonClient(daemon.socket_path)
+        types = ["search", "get", "cat", "add_bytes", "update", "prune",
+                 "graph_explore", "kg_ingest", "get_chunk", "model_load",
+                 "download_status", "tree_diff", "restore_snapshot",
+                 "metadata_value_counts", "embed_batch", "batch", ""]
+        field_pool: list = ["query", "selector", "handle", "data", "texts",
+                            "requests", "nodes", "job_id", "path", "key",
+                            "model", "snapshot_id"]
+        value_pool: list = ["", 0, -1, 2 ** 40, None, [], {}, "x" * 500,
+                            ["y"], {"z": 1}, b"\x00\xff", 3.14, True]
+        survived = 0
+        for _ in range(120):
+            req = {"type": types[int(rng.integers(len(types)))]}
+            for _ in range(int(rng.integers(0, 4))):
+                k = field_pool[int(rng.integers(len(field_pool)))]
+                req[k] = value_pool[int(rng.integers(len(value_pool)))]
+            try:
+                client.call(req.pop("type") or "missing", **req)
+            except Exception as e:
+                # YamsError envelopes are fine; transport death is not
+                assert "daemon call failed" not in str(e), (req, e)
+            survived += 1
+        assert survived == 120
+        assert client.ping(timeout=5.0)   # daemon alive and responsive
+
+
+class TestPluginTrustFuzz:
+    def test_trust_operations_never_crash(self, tmp_path):
+        from yams_tpu.plugins.manager import PluginManager
+
+        rng = _rng()
+        mgr = PluginManager(trust_file=tmp_path / "trust.txt")
+        pool = ["/etc", "", ".", "../..", "a" * 300, "/tmp/\n/evil",
+                str(tmp_path), "rel/path", "/nonexistent/x.py"]
+        for _ in range(200):
+            p = pool[int(rng.integers(len(pool)))]
+            op = int(rng.integers(3))
+            try:
+                if op == 0:
+                    mgr.trust(p)
+                elif op == 1:
+                    mgr.untrust(p)
+                else:
+                    mgr.scan(p if p else None)
+            except (ValueError, OSError):
+                pass
+        # the trust file stays parseable
+        assert isinstance(mgr.trusted_paths(), list)
+
+    def test_untrusted_never_loads(self, tmp_path):
+        """Trust-gate invariant under fuzzed paths: load_trusted only
+        executes files under trusted roots."""
+        from yams_tpu.plugins.manager import PluginManager
+
+        evil = tmp_path / "evil_plugin.py"
+        evil.write_text("import sys; sys.exit(99)\n")
+        mgr = PluginManager(trust_file=tmp_path / "trust.txt")
+        assert mgr.load_trusted() == 0  # nothing trusted -> nothing executed
+
+
+class TestDaemonSigterm:
+    def test_sigterm_clean_shutdown(self, tmp_path):
+        """reference: tests/integration/daemon/daemon_sigterm_test.cpp —
+        SIGTERM produces a clean exit and releases the socket + data-dir
+        lock so a successor can start."""
+        from yams_tpu.core.config import Config
+        from yams_tpu.daemon.client import DaemonClient
+        from yams_tpu.daemon.server import spawn_daemon
+
+        cfg = Config(data_dir=tmp_path / "data")
+        pid = spawn_daemon(cfg)
+        client = DaemonClient(cfg.socket_path)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if client.ping(timeout=2.0):
+                    break
+            except Exception:
+                time.sleep(0.5)
+        else:
+            pytest.fail("daemon never became ready")
+        os.kill(pid, signal.SIGTERM)
+        # spawn_daemon's child is OUR child: reap with waitpid so it doesn't
+        # linger as a zombie (os.kill(pid, 0) succeeds on zombies)
+        for _ in range(900):   # shutdown checkpoints; allow 90s
+            try:
+                done, _status = os.waitpid(pid, os.WNOHANG)
+            except ChildProcessError:   # already reaped elsewhere
+                break
+            if done == pid:
+                break
+            time.sleep(0.1)
+        else:
+            pytest.fail("daemon did not exit on SIGTERM")
+        # successor can start on the same data dir (lock released)
+        pid2 = spawn_daemon(cfg)
+        client2 = DaemonClient(cfg.socket_path)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if client2.ping(timeout=2.0):
+                    break
+            except Exception:
+                time.sleep(0.5)
+        else:
+            pytest.fail("successor daemon never became ready")
+        client2.shutdown()

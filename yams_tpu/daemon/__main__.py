@@ -1,10 +1,15 @@
 """`python -m yams_tpu.daemon` — run the daemon in the foreground."""
 
+import faulthandler
+import signal
 import sys
 
 from ..core.config import load_config
 from .server import run_daemon
 
 if __name__ == "__main__":
+    # SIGUSR2 dumps all thread stacks to stderr (the daemon log) — the
+    # operator's hung-daemon diagnostic (reference: doctor + tracing tier)
+    faulthandler.register(signal.SIGUSR2, all_threads=True)
     data_dir = sys.argv[1] if len(sys.argv) > 1 else None
     run_daemon(load_config(data_dir=data_dir))

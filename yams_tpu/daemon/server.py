@@ -197,6 +197,7 @@ class YamsDaemon:
         self.state = DaemonState.UNSTARTED
         self.app = None
         self._server: asyncio.AbstractServer | None = None
+        self._conns: set[asyncio.StreamWriter] = set()
         self._stop = asyncio.Event()
         self._started_at = time.time()
         # single worker: serializes engine mutations (WriteCoordinator analog)
@@ -280,7 +281,15 @@ class YamsDaemon:
         self.post_ingest.stop()
         self.governor.stop()
         self._server.close()
-        await self._server.wait_closed()
+        # wait_closed() (3.12+) waits for every active connection handler;
+        # persistent clients would pin the daemon open forever, so close
+        # their transports first and bound the drain (reference:
+        # daemon_sigterm_test expects prompt exit with clients attached)
+        for w in list(self._conns):
+            with contextlib.suppress(Exception):
+                w.close()
+        with contextlib.suppress(asyncio.TimeoutError):
+            await asyncio.wait_for(self._server.wait_closed(), timeout=10.0)
         await loop.run_in_executor(self._pool, self.app.close)
         with contextlib.suppress(FileNotFoundError):
             self.config.socket_path.unlink()
@@ -297,6 +306,7 @@ class YamsDaemon:
     async def _handle_conn(self, reader, writer) -> None:
         from .protocol import async_read_frame_ex
 
+        self._conns.add(writer)
         try:
             while True:
                 try:
@@ -310,6 +320,7 @@ class YamsDaemon:
                 except ConnectionError:
                     break
         finally:
+            self._conns.discard(writer)
             with contextlib.suppress(Exception):
                 writer.close()
                 await writer.wait_closed()
@@ -426,6 +437,7 @@ class YamsDaemon:
             tags=req.get("tags"),
             path_glob=req.get("path_glob"),
             max_matches=req.get("max_matches", 1000),
+            context=req.get("context", 0),
         )
         return {
             "matches": [_asdict(m) for m in r.matches],
@@ -470,7 +482,8 @@ class YamsDaemon:
             )
             return _asdict(rep)
         res = self.app.documents.add_file(
-            p, tags=req.get("tags"), collection=req.get("collection", "")
+            p, tags=req.get("tags"), metadata=req.get("metadata"),
+            collection=req.get("collection", ""),
         )
         return _asdict(res)
 

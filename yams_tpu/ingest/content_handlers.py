@@ -403,6 +403,9 @@ def iter_archive_members(
                     yield item
     except _Stop:
         return
-    except (zipfile.BadZipFile, tarfile.TarError, OSError, EOFError,
-            ValueError):
+    except Exception:
+        # any parse failure on adversarial input yields no members — the
+        # archive is still stored as a plain document (zipfile/tarfile raise
+        # a wide range: BadZipFile, TarError, NotImplementedError on fuzzed
+        # version fields, zlib/lzma errors, struct.error, OSError...)
         return

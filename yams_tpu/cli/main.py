@@ -92,21 +92,39 @@ def cmd_add(cli: Cli):
     a = cli.args
     tags = a.tags.split(",") if a.tags else []
     meta = dict(kv.split("=", 1) for kv in (a.metadata or []))
+    # Mutations route through a running daemon (reference: every CLI command
+    # is an IPC request) — a direct write would race the daemon's
+    # single-writer engine and leave its in-memory indexes stale.
+    client = cli.client_or_none()
     results = []
     for target in a.paths:
         p = pathlib.Path(target)
         if target == "-":
             data = sys.stdin.buffer.read()
-            res = cli.app.documents.add_bytes(
-                data, a.name or "stdin", tags=tags, metadata=meta,
-                collection=a.collection or "",
-            )
+            if client:
+                res = client.add_bytes(
+                    data, a.name or "stdin", tags=tags, metadata=meta,
+                    collection=a.collection or "",
+                )
+            else:
+                res = cli.app.documents.add_bytes(
+                    data, a.name or "stdin", tags=tags, metadata=meta,
+                    collection=a.collection or "",
+                )
             results.append(res)
         elif p.is_dir():
-            rep = cli.app.indexing.add_directory(
-                p, recursive=a.recursive, include=a.include.split(",") if a.include else None,
-                tags=tags, collection=a.collection or "", snapshot=a.snapshot,
-            )
+            include = a.include.split(",") if a.include else None
+            if client:
+                rep = client.add_path(
+                    str(p.resolve()), recursive=a.recursive, include=include,
+                    tags=tags, collection=a.collection or "",
+                    snapshot=a.snapshot,
+                )
+            else:
+                rep = cli.app.indexing.add_directory(
+                    p, recursive=a.recursive, include=include,
+                    tags=tags, collection=a.collection or "", snapshot=a.snapshot,
+                )
             cli.out(
                 _asdict(rep),
                 lambda o: print(
@@ -118,9 +136,15 @@ def cmd_add(cli: Cli):
             )
             continue
         elif p.is_file():
-            res = cli.app.documents.add_file(
-                p, tags=tags, metadata=meta, collection=a.collection or ""
-            )
+            if client:
+                res = client.add_path(
+                    str(p.resolve()), tags=tags, metadata=meta,
+                    collection=a.collection or "",
+                )
+            else:
+                res = cli.app.documents.add_file(
+                    p, tags=tags, metadata=meta, collection=a.collection or ""
+                )
             results.append(res)
         else:
             print(f"error: no such file: {target}", file=sys.stderr)
@@ -135,7 +159,9 @@ def cmd_add(cli: Cli):
 
 
 def cmd_get(cli: Cli):
-    doc = cli.app.documents.get(cli.args.selector)
+    client = cli.client_or_none()
+    doc = (client.get(cli.args.selector) if client
+           else cli.app.documents.get(cli.args.selector))
     cli.out(
         _asdict(doc),
         lambda o: print(
@@ -148,7 +174,9 @@ def cmd_get(cli: Cli):
 
 
 def cmd_cat(cli: Cli):
-    data = cli.app.documents.cat(cli.args.selector)
+    client = cli.client_or_none()
+    data = (client.cat(cli.args.selector) if client
+            else cli.app.documents.cat(cli.args.selector))
     if hasattr(sys.stdout, "buffer"):
         sys.stdout.buffer.write(data)
     else:  # redirected stdout (tests)
@@ -157,9 +185,14 @@ def cmd_cat(cli: Cli):
 
 
 def cmd_list(cli: Cli):
-    docs = cli.app.documents.list(
-        limit=cli.args.limit, offset=cli.args.offset, pattern=cli.args.pattern
-    )
+    client = cli.client_or_none()
+    if client:
+        docs = client.list(limit=cli.args.limit, offset=cli.args.offset,
+                           pattern=cli.args.pattern)
+    else:
+        docs = cli.app.documents.list(
+            limit=cli.args.limit, offset=cli.args.offset, pattern=cli.args.pattern
+        )
     def text(rows):
         for d in rows:
             print(f"{d['sha256_hash'][:12]}  {_fmt_size(d['file_size']):>9}  {d['file_path']}")
@@ -168,7 +201,11 @@ def cmd_list(cli: Cli):
 
 
 def cmd_delete(cli: Cli):
-    ok = all(cli.app.documents.delete(s) for s in cli.args.selectors)
+    client = cli.client_or_none()
+    if client:
+        ok = all(client.delete(s) for s in cli.args.selectors)
+    else:
+        ok = all(cli.app.documents.delete(s) for s in cli.args.selectors)
     if not ok:
         print("some documents not found", file=sys.stderr)
     return 0 if ok else 1
@@ -177,11 +214,17 @@ def cmd_delete(cli: Cli):
 def cmd_update(cli: Cli):
     a = cli.args
     meta = dict(kv.split("=", 1) for kv in (a.metadata or []))
-    doc = cli.app.documents.update_metadata(
-        a.selector, metadata=meta,
-        add_tags=a.add_tags.split(",") if a.add_tags else None,
-        remove_tags=a.remove_tags.split(",") if a.remove_tags else None,
-    )
+    add_tags = a.add_tags.split(",") if a.add_tags else None
+    remove_tags = a.remove_tags.split(",") if a.remove_tags else None
+    client = cli.client_or_none()
+    if client:
+        doc = client.call("update", selector=a.selector, metadata=meta,
+                          add_tags=add_tags, remove_tags=remove_tags)
+    else:
+        doc = cli.app.documents.update_metadata(
+            a.selector, metadata=meta, add_tags=add_tags,
+            remove_tags=remove_tags,
+        )
     cli.out(_asdict(doc), lambda o: print(f"updated {o['file_path']}"))
     return 0
 
@@ -220,27 +263,37 @@ def cmd_search(cli: Cli):
 
 def cmd_grep(cli: Cli):
     a = cli.args
-    res = cli.app.grep.grep(
-        a.pattern, ignore_case=a.ignore_case,
+    kw = dict(
+        ignore_case=a.ignore_case,
         literal=True if a.fixed_strings else None,
         path_glob=a.path, tags=a.tags.split(",") if a.tags else None,
         max_matches=a.max_count, context=a.context,
     )
+    client = cli.client_or_none()
+    if client:
+        resp = client.grep(a.pattern, **kw)
+    else:
+        r = cli.app.grep.grep(a.pattern, **kw)
+        resp = {"matches": [_asdict(m) for m in r.matches],
+                "files_searched": r.files_searched,
+                "files_matched": r.files_matched, "truncated": r.truncated}
+    matches = resp["matches"]
     def text(o):
-        for m in res.matches:
-            for i, b in enumerate(m.before):
-                print(f"{m.path}:{m.line_number - len(m.before) + i}-{b}")
-            print(f"{m.path}:{m.line_number}:{m.line}")
-            for i, aft in enumerate(m.after):
-                print(f"{m.path}:{m.line_number + 1 + i}-{aft}")
-        if res.truncated:
+        for m in matches:
+            before, after = m.get("before", []), m.get("after", [])
+            for i, b in enumerate(before):
+                print(f"{m['path']}:{m['line_number'] - len(before) + i}-{b}")
+            print(f"{m['path']}:{m['line_number']}:{m['line']}")
+            for i, aft in enumerate(after):
+                print(f"{m['path']}:{m['line_number'] + 1 + i}-{aft}")
+        if resp.get("truncated"):
             print("... (truncated)", file=sys.stderr)
     cli.out(
-        {"matches": [_asdict(m) for m in res.matches],
-         "files_searched": res.files_searched, "files_matched": res.files_matched},
+        {"matches": matches, "files_searched": resp["files_searched"],
+         "files_matched": resp["files_matched"]},
         text,
     )
-    return 0 if res.matches else 1
+    return 0 if matches else 1
 
 
 def cmd_status(cli: Cli):

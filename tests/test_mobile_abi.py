@@ -307,3 +307,179 @@ class TestTypedMobileSurface:
             lib.yams_mobile_status_result_destroy(out)
         finally:
             lib.yams_mobile_context_destroy(ctx)
+
+
+class StringView(ctypes.Structure):
+    _fields_ = [("data", ctypes.c_char_p), ("length", ctypes.c_size_t)]
+
+
+@pytest.fixture()
+def getters(typed):
+    """Bind the field-level typed getter tier (reference:
+    mobile_bindings.h string_view getters — no JSON parsing in the host)."""
+    lib = typed
+    h = ctypes.c_void_p
+    lib.yams_mobile_result_ok.restype = ctypes.c_int
+    lib.yams_mobile_result_ok.argtypes = [h]
+    lib.yams_mobile_result_int.restype = ctypes.c_longlong
+    lib.yams_mobile_result_int.argtypes = [h, ctypes.c_char_p, ctypes.c_longlong]
+    lib.yams_mobile_result_double.restype = ctypes.c_double
+    lib.yams_mobile_result_double.argtypes = [h, ctypes.c_char_p, ctypes.c_double]
+    lib.yams_mobile_result_bool.restype = ctypes.c_int
+    lib.yams_mobile_result_bool.argtypes = [h, ctypes.c_char_p, ctypes.c_int]
+    lib.yams_mobile_result_string.restype = StringView
+    lib.yams_mobile_result_string.argtypes = [h, ctypes.c_char_p]
+    lib.yams_mobile_result_array_len.restype = ctypes.c_size_t
+    lib.yams_mobile_result_array_len.argtypes = [h, ctypes.c_char_p]
+    lib.yams_mobile_result_keys.restype = ctypes.c_size_t
+    lib.yams_mobile_result_keys.argtypes = [
+        h, ctypes.c_char_p, ctypes.POINTER(StringView), ctypes.c_size_t]
+    for name, restype, args in [
+        ("search_result_count", ctypes.c_size_t, [h]),
+        ("search_result_path", StringView, [h, ctypes.c_size_t]),
+        ("search_result_title", StringView, [h, ctypes.c_size_t]),
+        ("search_result_snippet", StringView, [h, ctypes.c_size_t]),
+        ("search_result_score", ctypes.c_double, [h, ctypes.c_size_t]),
+        ("search_result_document_id", ctypes.c_longlong, [h, ctypes.c_size_t]),
+        ("search_result_total", ctypes.c_longlong, [h]),
+        ("search_result_duration_ms", ctypes.c_double, [h]),
+        ("grep_result_count", ctypes.c_size_t, [h]),
+        ("grep_result_path", StringView, [h, ctypes.c_size_t]),
+        ("grep_result_line", StringView, [h, ctypes.c_size_t]),
+        ("grep_result_line_number", ctypes.c_longlong, [h, ctypes.c_size_t]),
+        ("grep_result_files_searched", ctypes.c_longlong, [h]),
+        ("grep_result_files_matched", ctypes.c_longlong, [h]),
+        ("list_result_count", ctypes.c_size_t, [h]),
+        ("list_result_path", StringView, [h, ctypes.c_size_t]),
+        ("list_result_hash", StringView, [h, ctypes.c_size_t]),
+        ("list_result_mime_type", StringView, [h, ctypes.c_size_t]),
+        ("list_result_size", ctypes.c_longlong, [h, ctypes.c_size_t]),
+        ("document_get_result_path", StringView, [h]),
+        ("document_get_result_hash", StringView, [h]),
+        ("document_get_result_mime_type", StringView, [h]),
+        ("document_get_result_size", ctypes.c_longlong, [h]),
+        ("document_get_result_content", StringView, [h]),
+        ("status_result_document_count", ctypes.c_longlong, [h]),
+        ("status_result_block_count", ctypes.c_longlong, [h]),
+        ("status_result_state", StringView, [h]),
+    ]:
+        fn = getattr(lib, f"yams_mobile_{name}")
+        fn.restype = restype
+        fn.argtypes = args
+    return lib
+
+
+def _s(view: StringView) -> str:
+    if not view.data:
+        return ""
+    return ctypes.string_at(view.data, view.length).decode()
+
+
+class TestFieldLevelGetters:
+    def test_typed_field_access_end_to_end(self, daemon, getters):
+        """A C host reads every result field without parsing JSON."""
+        lib = getters
+        cfg = lib.yams_mobile_context_config_default()
+        cfg.socket_path = str(daemon.socket_path).encode()
+        ctx = lib.yams_mobile_context_create(ctypes.byref(cfg))
+        assert ctx
+        try:
+            out = ctypes.c_void_p()
+            rc = lib.yams_mobile_store_document(
+                ctx, b"typed/alpha.txt",
+                "unicode snowman ☃ in typed getter land".encode(),
+                ctypes.byref(out))
+            assert rc == 0 and lib.yams_mobile_result_ok(out) == 1
+            lib.yams_mobile_document_store_result_destroy(out)
+
+            # search: counts, per-hit fields, floats
+            rc = lib.yams_mobile_search_execute(
+                ctx, b"typed getter", 5, b"hybrid", ctypes.byref(out))
+            assert rc == 0
+            n = lib.yams_mobile_search_result_count(out)
+            assert n >= 1
+            assert _s(lib.yams_mobile_search_result_path(out, 0)).lstrip("/") == \
+                "typed/alpha.txt"
+            assert lib.yams_mobile_search_result_score(out, 0) > 0.0
+            assert lib.yams_mobile_search_result_document_id(out, 0) >= 1
+            assert lib.yams_mobile_search_result_total(out) >= 1
+            assert lib.yams_mobile_search_result_duration_ms(out) >= 0.0
+            # out-of-range index is safe
+            assert _s(lib.yams_mobile_search_result_path(out, 99)) == ""
+            lib.yams_mobile_search_result_destroy(out)
+
+            # grep: match rows + counters
+            rc = lib.yams_mobile_grep_execute(ctx, b"snowman", 10,
+                                              ctypes.byref(out))
+            assert rc == 0
+            assert lib.yams_mobile_grep_result_count(out) == 1
+            assert _s(lib.yams_mobile_grep_result_path(out, 0)).lstrip("/") == \
+                "typed/alpha.txt"
+            assert "snowman" in _s(lib.yams_mobile_grep_result_line(out, 0))
+            assert lib.yams_mobile_grep_result_line_number(out, 0) == 1
+            assert lib.yams_mobile_grep_result_files_searched(out) >= 1
+            assert lib.yams_mobile_grep_result_files_matched(out) == 1
+            lib.yams_mobile_grep_result_destroy(out)
+
+            # list: typed rows
+            rc = lib.yams_mobile_list_documents(ctx, 10, 0, ctypes.byref(out))
+            assert rc == 0
+            assert lib.yams_mobile_list_result_count(out) == 1
+            assert _s(lib.yams_mobile_list_result_path(out, 0)).lstrip("/") == \
+                "typed/alpha.txt"
+            assert len(_s(lib.yams_mobile_list_result_hash(out, 0))) == 64
+            assert lib.yams_mobile_list_result_size(out, 0) > 0
+            lib.yams_mobile_list_result_destroy(out)
+
+            # document get: scalar fields
+            rc = lib.yams_mobile_get_document(ctx, b"typed/alpha.txt",
+                                              ctypes.byref(out))
+            assert rc == 0
+            assert _s(lib.yams_mobile_document_get_result_path(out)).lstrip("/") == \
+                "typed/alpha.txt"
+            assert len(_s(lib.yams_mobile_document_get_result_hash(out))) == 64
+            assert lib.yams_mobile_document_get_result_size(out) > 0
+            lib.yams_mobile_document_get_result_destroy(out)
+
+            # cat content arrives as a view with correct utf-8
+            rc = lib.yams_mobile_cat(ctx, b"typed/alpha.txt",
+                                     ctypes.byref(out))
+            assert rc == 0
+            content = _s(lib.yams_mobile_document_get_result_content(out))
+            assert "☃" in content
+            lib.yams_mobile_cat_result_destroy(out)
+
+            # status scalars + generic dotted-path access
+            rc = lib.yams_mobile_status_execute(ctx, 0, ctypes.byref(out))
+            assert rc == 0
+            assert lib.yams_mobile_status_result_document_count(out) == 1
+            assert lib.yams_mobile_status_result_block_count(out) >= 1
+            assert lib.yams_mobile_result_int(
+                out, b"documents.documents", -1) == 1
+            keys = (StringView * 16)()
+            nkeys = lib.yams_mobile_result_keys(out, b"documents", keys, 16)
+            assert nkeys >= 1
+            assert any(_s(keys[i]) == "documents"
+                       for i in range(min(nkeys, 16)))
+            lib.yams_mobile_status_result_destroy(out)
+        finally:
+            lib.yams_mobile_context_destroy(ctx)
+
+    def test_getters_safe_on_error_results(self, daemon, getters):
+        """Getters on an error envelope degrade to defaults, never crash."""
+        lib = getters
+        cfg = lib.yams_mobile_context_config_default()
+        cfg.socket_path = str(daemon.socket_path).encode()
+        ctx = lib.yams_mobile_context_create(ctypes.byref(cfg))
+        try:
+            out = ctypes.c_void_p()
+            rc = lib.yams_mobile_get_document(ctx, b"nope",
+                                              ctypes.byref(out))
+            assert rc == 3
+            assert lib.yams_mobile_result_ok(out) == 0
+            assert lib.yams_mobile_search_result_count(out) == 0
+            assert _s(lib.yams_mobile_document_get_result_path(out)) == ""
+            assert lib.yams_mobile_document_get_result_size(out) == -1
+            lib.yams_mobile_document_get_result_destroy(out)
+        finally:
+            lib.yams_mobile_context_destroy(ctx)

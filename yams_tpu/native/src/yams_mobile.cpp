@@ -14,6 +14,8 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <utility>
+#include <vector>
 
 #include <sys/socket.h>
 #include <sys/un.h>
@@ -337,10 +339,225 @@ struct MobileContext {
     std::string last_error;
 };
 
+// -- minimal JSON DOM for the field-level typed getters ----------------------
+// (reference: the mobile ABI exposes typed accessors so hosts never parse
+// JSON; we parse the daemon's envelope once per handle, lazily)
+
+struct JValue {
+    enum Kind { NUL, BOOL, NUM, STR, ARR, OBJ };
+    Kind kind = NUL;
+    bool b = false;
+    double num = 0.0;
+    std::string str;
+    std::vector<JValue> arr;
+    std::vector<std::pair<std::string, JValue>> obj;
+
+    const JValue* get(const std::string& key) const {
+        if (kind != OBJ) return nullptr;
+        for (const auto& kv : obj)
+            if (kv.first == key) return &kv.second;
+        return nullptr;
+    }
+    const JValue* at(size_t i) const {
+        if (kind != ARR || i >= arr.size()) return nullptr;
+        return &arr[i];
+    }
+};
+
+struct JParser {
+    const char* p;
+    const char* end;
+    int depth = 0;
+
+    explicit JParser(const std::string& s) : p(s.data()), end(s.data() + s.size()) {}
+
+    void ws() { while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r')) ++p; }
+
+    bool lit(const char* s, size_t n) {
+        if ((size_t)(end - p) < n || memcmp(p, s, n) != 0) return false;
+        p += n;
+        return true;
+    }
+
+    static void utf8_append(std::string& out, uint32_t cp) {
+        if (cp < 0x80) out += (char)cp;
+        else if (cp < 0x800) {
+            out += (char)(0xC0 | (cp >> 6));
+            out += (char)(0x80 | (cp & 0x3F));
+        } else if (cp < 0x10000) {
+            out += (char)(0xE0 | (cp >> 12));
+            out += (char)(0x80 | ((cp >> 6) & 0x3F));
+            out += (char)(0x80 | (cp & 0x3F));
+        } else {
+            out += (char)(0xF0 | (cp >> 18));
+            out += (char)(0x80 | ((cp >> 12) & 0x3F));
+            out += (char)(0x80 | ((cp >> 6) & 0x3F));
+            out += (char)(0x80 | (cp & 0x3F));
+        }
+    }
+
+    bool hex4(uint32_t& out) {
+        if (end - p < 4) return false;
+        out = 0;
+        for (int i = 0; i < 4; ++i) {
+            char c = *p++;
+            out <<= 4;
+            if (c >= '0' && c <= '9') out |= (uint32_t)(c - '0');
+            else if (c >= 'a' && c <= 'f') out |= (uint32_t)(c - 'a' + 10);
+            else if (c >= 'A' && c <= 'F') out |= (uint32_t)(c - 'A' + 10);
+            else return false;
+        }
+        return true;
+    }
+
+    bool pstring(std::string& out) {
+        if (p >= end || *p != '"') return false;
+        ++p;
+        while (p < end) {
+            char c = *p++;
+            if (c == '"') return true;
+            if (c == '\\') {
+                if (p >= end) return false;
+                char e = *p++;
+                switch (e) {
+                    case '"': out += '"'; break;
+                    case '\\': out += '\\'; break;
+                    case '/': out += '/'; break;
+                    case 'b': out += '\b'; break;
+                    case 'f': out += '\f'; break;
+                    case 'n': out += '\n'; break;
+                    case 'r': out += '\r'; break;
+                    case 't': out += '\t'; break;
+                    case 'u': {
+                        uint32_t cp;
+                        if (!hex4(cp)) return false;
+                        if (cp >= 0xD800 && cp <= 0xDBFF && end - p >= 6 &&
+                            p[0] == '\\' && p[1] == 'u') {
+                            p += 2;
+                            uint32_t lo;
+                            if (!hex4(lo)) return false;
+                            cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00);
+                        }
+                        utf8_append(out, cp);
+                        break;
+                    }
+                    default: return false;
+                }
+            } else {
+                out += c;
+            }
+        }
+        return false;
+    }
+
+    bool value(JValue& out) {
+        if (++depth > 64) return false;
+        ws();
+        if (p >= end) return false;
+        bool ok = false;
+        if (*p == '{') {
+            ++p;
+            out.kind = JValue::OBJ;
+            ws();
+            if (p < end && *p == '}') { ++p; ok = true; }
+            else {
+                for (;;) {
+                    std::string key;
+                    ws();
+                    if (!pstring(key)) break;
+                    ws();
+                    if (p >= end || *p++ != ':') break;
+                    out.obj.emplace_back(std::move(key), JValue{});
+                    if (!value(out.obj.back().second)) break;
+                    ws();
+                    if (p < end && *p == ',') { ++p; continue; }
+                    if (p < end && *p == '}') { ++p; ok = true; }
+                    break;
+                }
+            }
+        } else if (*p == '[') {
+            ++p;
+            out.kind = JValue::ARR;
+            ws();
+            if (p < end && *p == ']') { ++p; ok = true; }
+            else {
+                for (;;) {
+                    out.arr.emplace_back();
+                    if (!value(out.arr.back())) break;
+                    ws();
+                    if (p < end && *p == ',') { ++p; continue; }
+                    if (p < end && *p == ']') { ++p; ok = true; }
+                    break;
+                }
+            }
+        } else if (*p == '"') {
+            out.kind = JValue::STR;
+            ok = pstring(out.str);
+        } else if (lit("true", 4)) {
+            out.kind = JValue::BOOL; out.b = true; ok = true;
+        } else if (lit("false", 5)) {
+            out.kind = JValue::BOOL; out.b = false; ok = true;
+        } else if (lit("null", 4)) {
+            out.kind = JValue::NUL; ok = true;
+        } else {
+            char* after = nullptr;
+            double d = strtod(p, &after);
+            if (after > p && after <= end) {
+                out.kind = JValue::NUM; out.num = d; p = after; ok = true;
+            }
+        }
+        --depth;
+        return ok;
+    }
+};
+
 struct MobileResult {
     std::string json;              // full daemon response envelope
     std::string stats;             // tiny summary: {"ok":...,"bytes":N}
+    bool dom_tried = false;        // lazy parse state for typed getters
+    bool dom_ok = false;
+    JValue dom;
+
+    const JValue* root() {
+        if (!dom_tried) {
+            dom_tried = true;
+            JParser jp(json);
+            dom_ok = jp.value(dom);
+            if (dom_ok) {
+                jp.ws();
+                if (jp.p != jp.end) dom_ok = false;   // trailing garbage
+            }
+        }
+        return dom_ok ? &dom : nullptr;
+    }
 };
+
+// dotted-path lookup: "hits.3.score" (numeric segment = array index)
+const JValue* jwalk(const JValue* v, const char* path) {
+    const char* s = path;
+    while (*s && v) {
+        const char* dot = strchr(s, '.');
+        std::string seg = dot ? std::string(s, dot - s) : std::string(s);
+        if (!seg.empty() && seg.find_first_not_of("0123456789") == std::string::npos)
+            v = v->at((size_t)strtoull(seg.c_str(), nullptr, 10));
+        else
+            v = v->get(seg);
+        if (!dot) break;
+        s = dot + 1;
+    }
+    return v;
+}
+
+// paths resolve inside the daemon's {"ok":..,"result":{...}} envelope first,
+// then at the top level ("ok"/"id" and un-enveloped payloads)
+const JValue* jresolve(MobileResult* r, const char* path) {
+    if (!r || !path) return nullptr;
+    const JValue* root = r->root();
+    if (!root) return nullptr;
+    if (const JValue* res = root->get("result"))
+        if (const JValue* v = jwalk(res, path)) return v;
+    return jwalk(root, path);
+}
 
 // status codes (reference: yams_mobile_status_t)
 enum {
@@ -642,6 +859,205 @@ int yams_mobile_diff(void* context, const char* from_snapshot,
     return run_request(ctx, "{\"type\":\"tree_diff\",\"from_snapshot\":\"" +
                        json_escape(from_snapshot) + "\",\"to_snapshot\":\"" +
                        json_escape(to_snapshot) + "\"}", out);
+}
+
+// -- field-level typed getters ----------------------------------------------
+// (reference: mobile_bindings.h string_view getters — hosts read fields
+// without a JSON parser. Generic dotted-path accessors plus per-family
+// conveniences. Returned pointers borrow from the handle: valid until the
+// matching *_result_destroy; string data is NUL-terminated.)
+
+typedef struct {
+    const char* data;
+    size_t length;
+} yams_mobile_string_view_t;
+
+static yams_mobile_string_view_t sv(const std::string* s) {
+    yams_mobile_string_view_t v;
+    v.data = s ? s->c_str() : nullptr;
+    v.length = s ? s->size() : 0;
+    return v;
+}
+
+int yams_mobile_result_ok(yams_mobile_result_t* r) {
+    const JValue* v = jresolve(r, "ok");
+    return v && v->kind == JValue::BOOL && v->b ? 1 : 0;
+}
+
+long long yams_mobile_result_int(yams_mobile_result_t* r, const char* path,
+                                 long long dflt) {
+    const JValue* v = jresolve(r, path);
+    if (!v) return dflt;
+    if (v->kind == JValue::NUM) return (long long)v->num;
+    if (v->kind == JValue::BOOL) return v->b ? 1 : 0;
+    return dflt;
+}
+
+double yams_mobile_result_double(yams_mobile_result_t* r, const char* path,
+                                 double dflt) {
+    const JValue* v = jresolve(r, path);
+    return v && v->kind == JValue::NUM ? v->num : dflt;
+}
+
+int yams_mobile_result_bool(yams_mobile_result_t* r, const char* path,
+                            int dflt) {
+    const JValue* v = jresolve(r, path);
+    if (!v) return dflt;
+    if (v->kind == JValue::BOOL) return v->b ? 1 : 0;
+    if (v->kind == JValue::NUM) return v->num != 0.0 ? 1 : 0;
+    return dflt;
+}
+
+yams_mobile_string_view_t yams_mobile_result_string(yams_mobile_result_t* r,
+                                                    const char* path) {
+    const JValue* v = jresolve(r, path);
+    return sv(v && v->kind == JValue::STR ? &v->str : nullptr);
+}
+
+size_t yams_mobile_result_array_len(yams_mobile_result_t* r,
+                                    const char* path) {
+    const JValue* v = jresolve(r, path);
+    return v && v->kind == JValue::ARR ? v->arr.size() : 0;
+}
+
+// object keys at path, written into out[0..cap); returns total key count
+size_t yams_mobile_result_keys(yams_mobile_result_t* r, const char* path,
+                               yams_mobile_string_view_t* out, size_t cap) {
+    const JValue* v = jresolve(r, path);
+    if (!v || v->kind != JValue::OBJ) return 0;
+    for (size_t i = 0; i < v->obj.size() && i < cap; ++i)
+        out[i] = sv(&v->obj[i].first);
+    return v->obj.size();
+}
+
+// per-family conveniences over the daemon envelopes:
+//   search -> {hits:[{path,score,snippet,title,document_id,...}],total,...}
+//   grep   -> {matches:[{path,line,line_number,...}],files_searched,...}
+//   list   -> {documents:[{file_path,sha256_hash,file_size,mime_type,...}]}
+//   get    -> the document record itself; get_text -> {text}
+
+static const JValue* row_field(yams_mobile_result_t* r, const char* arr_key,
+                               size_t i, const char* field) {
+    const JValue* a = jresolve(r, arr_key);
+    const JValue* row = a ? a->at(i) : nullptr;
+    return row ? row->get(field) : nullptr;
+}
+
+static yams_mobile_string_view_t row_str(yams_mobile_result_t* r,
+                                         const char* arr_key, size_t i,
+                                         const char* field) {
+    const JValue* v = row_field(r, arr_key, i, field);
+    return sv(v && v->kind == JValue::STR ? &v->str : nullptr);
+}
+
+static double row_num(yams_mobile_result_t* r, const char* arr_key, size_t i,
+                      const char* field, double dflt) {
+    const JValue* v = row_field(r, arr_key, i, field);
+    return v && v->kind == JValue::NUM ? v->num : dflt;
+}
+
+size_t yams_mobile_search_result_count(yams_mobile_result_t* r) {
+    return yams_mobile_result_array_len(r, "hits");
+}
+yams_mobile_string_view_t
+yams_mobile_search_result_path(yams_mobile_result_t* r, size_t i) {
+    return row_str(r, "hits", i, "path");
+}
+yams_mobile_string_view_t
+yams_mobile_search_result_title(yams_mobile_result_t* r, size_t i) {
+    return row_str(r, "hits", i, "title");
+}
+yams_mobile_string_view_t
+yams_mobile_search_result_snippet(yams_mobile_result_t* r, size_t i) {
+    return row_str(r, "hits", i, "snippet");
+}
+double yams_mobile_search_result_score(yams_mobile_result_t* r, size_t i) {
+    return row_num(r, "hits", i, "score", 0.0);
+}
+long long yams_mobile_search_result_document_id(yams_mobile_result_t* r,
+                                                size_t i) {
+    return (long long)row_num(r, "hits", i, "document_id", -1.0);
+}
+long long yams_mobile_search_result_total(yams_mobile_result_t* r) {
+    return yams_mobile_result_int(r, "total", 0);
+}
+double yams_mobile_search_result_duration_ms(yams_mobile_result_t* r) {
+    return yams_mobile_result_double(r, "duration_ms", 0.0);
+}
+
+size_t yams_mobile_grep_result_count(yams_mobile_result_t* r) {
+    return yams_mobile_result_array_len(r, "matches");
+}
+yams_mobile_string_view_t
+yams_mobile_grep_result_path(yams_mobile_result_t* r, size_t i) {
+    return row_str(r, "matches", i, "path");
+}
+yams_mobile_string_view_t
+yams_mobile_grep_result_line(yams_mobile_result_t* r, size_t i) {
+    return row_str(r, "matches", i, "line");
+}
+long long yams_mobile_grep_result_line_number(yams_mobile_result_t* r,
+                                              size_t i) {
+    return (long long)row_num(r, "matches", i, "line_number", -1.0);
+}
+long long yams_mobile_grep_result_files_searched(yams_mobile_result_t* r) {
+    return yams_mobile_result_int(r, "files_searched", 0);
+}
+long long yams_mobile_grep_result_files_matched(yams_mobile_result_t* r) {
+    return yams_mobile_result_int(r, "files_matched", 0);
+}
+
+size_t yams_mobile_list_result_count(yams_mobile_result_t* r) {
+    return yams_mobile_result_array_len(r, "documents");
+}
+yams_mobile_string_view_t
+yams_mobile_list_result_path(yams_mobile_result_t* r, size_t i) {
+    return row_str(r, "documents", i, "file_path");
+}
+yams_mobile_string_view_t
+yams_mobile_list_result_hash(yams_mobile_result_t* r, size_t i) {
+    return row_str(r, "documents", i, "sha256_hash");
+}
+yams_mobile_string_view_t
+yams_mobile_list_result_mime_type(yams_mobile_result_t* r, size_t i) {
+    return row_str(r, "documents", i, "mime_type");
+}
+long long yams_mobile_list_result_size(yams_mobile_result_t* r, size_t i) {
+    return (long long)row_num(r, "documents", i, "file_size", -1.0);
+}
+
+yams_mobile_string_view_t
+yams_mobile_document_get_result_path(yams_mobile_result_t* r) {
+    return yams_mobile_result_string(r, "file_path");
+}
+yams_mobile_string_view_t
+yams_mobile_document_get_result_hash(yams_mobile_result_t* r) {
+    return yams_mobile_result_string(r, "sha256_hash");
+}
+yams_mobile_string_view_t
+yams_mobile_document_get_result_mime_type(yams_mobile_result_t* r) {
+    return yams_mobile_result_string(r, "mime_type");
+}
+long long yams_mobile_document_get_result_size(yams_mobile_result_t* r) {
+    return yams_mobile_result_int(r, "file_size", -1);
+}
+yams_mobile_string_view_t
+yams_mobile_document_get_result_content(yams_mobile_result_t* r) {
+    // cat/get_text envelope carries {text}; fall back to {data}
+    yams_mobile_string_view_t v = yams_mobile_result_string(r, "text");
+    if (!v.data) v = yams_mobile_result_string(r, "data");
+    return v;
+}
+
+long long yams_mobile_status_result_document_count(yams_mobile_result_t* r) {
+    return yams_mobile_result_int(r, "documents.documents", -1);
+}
+long long yams_mobile_status_result_block_count(yams_mobile_result_t* r) {
+    return yams_mobile_result_int(r, "storage.unique_blocks", -1);
+}
+yams_mobile_string_view_t
+yams_mobile_status_result_state(yams_mobile_result_t* r) {
+    return yams_mobile_result_string(r, "state");
 }
 
 } // extern "C"

@@ -1,0 +1,252 @@
+"""Native dlopen plugin ABI end-to-end: compile a real C plugin, trust it,
+load it through PluginManager, and exercise every negotiated interface.
+
+Parity: the reference's C plugin ABI (include/yams/plugins/abi.h +
+content_extractor_v1.h / model_provider_v1.h) and its external-plugin smoke
+tests. Our header: yams_tpu/plugins/include/yams_plugin_abi.h.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import shutil
+import subprocess
+
+import pytest
+
+from yams_tpu.plugins.manager import PluginManager
+from yams_tpu.plugins.spec import (
+    IFACE_CONTENT_EXTRACTOR,
+    IFACE_ENTITY_EXTRACTOR,
+    IFACE_MODEL_PROVIDER,
+)
+
+HEADER_DIR = (pathlib.Path(__file__).resolve().parents[1]
+              / "yams_tpu" / "plugins" / "include")
+
+PLUGIN_SRC = r"""
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include "yams_plugin_abi.h"
+
+static int g_inited = 0;
+
+int yams_plugin_get_abi_version(void) { return YAMS_PLUGIN_ABI_VERSION; }
+const char* yams_plugin_get_name(void) { return "rot13_demo"; }
+const char* yams_plugin_get_version(void) { return "1.2.3"; }
+const char* yams_plugin_get_manifest_json(void) {
+    return "{\"name\":\"rot13_demo\",\"version\":\"1.2.3\","
+           "\"description\":\"demo native plugin\","
+           "\"interfaces\":[{\"id\":\"content_extractor_v1\",\"version\":1,"
+           "\"mime\":\"application/x-rot13\"}]}";
+}
+int yams_plugin_init(const char* config_json, const void* host) {
+    (void)host;
+    if (!config_json) return YAMS_PLUGIN_ERR_INIT_FAILED;
+    g_inited = 1;
+    return YAMS_PLUGIN_OK;
+}
+void yams_plugin_shutdown(void) { g_inited = 0; }
+int yams_plugin_get_health_json(char** out) {
+    *out = strdup(g_inited ? "{\"status\":\"ok\"}"
+                           : "{\"status\":\"uninitialized\"}");
+    return *out ? YAMS_PLUGIN_OK : YAMS_PLUGIN_ERR_INVALID;
+}
+
+/* content_extractor_v1: rot13-decode the payload */
+static bool ce_supports(const char* mime, const char* ext) {
+    return (mime && strcmp(mime, "application/x-rot13") == 0) ||
+           (ext && strcmp(ext, ".rot13") == 0);
+}
+static int ce_extract(const uint8_t* content, size_t n, const char* mime,
+                      yams_extraction_result_t** result) {
+    (void)mime;
+    yams_extraction_result_t* r = calloc(1, sizeof *r);
+    if (!r) return 1;
+    r->text = malloc(n + 1);
+    if (!r->text) { free(r); return 1; }
+    for (size_t i = 0; i < n; ++i) {
+        uint8_t c = content[i];
+        if (c >= 'a' && c <= 'z') c = (uint8_t)('a' + (c - 'a' + 13) % 26);
+        else if (c >= 'A' && c <= 'Z') c = (uint8_t)('A' + (c - 'A' + 13) % 26);
+        r->text[i] = (char)c;
+    }
+    r->text[n] = 0;
+    r->title = strdup("rot13 doc");
+    *result = r;
+    return 0;
+}
+static void ce_free(yams_extraction_result_t* r) {
+    if (!r) return;
+    free(r->text); free(r->title); free(r->error); free(r);
+}
+static yams_content_extractor_v1 g_ce = {
+    YAMS_IFACE_CONTENT_EXTRACTOR_V1_VERSION, ce_supports, ce_extract, ce_free};
+
+/* model_provider_v1: deterministic 4-dim bag-of-bytes embedding */
+static const char* mp_model_id(void* self) { (void)self; return "bytes-4d"; }
+static uint32_t mp_dim(void* self) { (void)self; return 4; }
+static int mp_embed(void* self, const char* const* texts, size_t n,
+                    float* out) {
+    (void)self;
+    for (size_t i = 0; i < n; ++i) {
+        float acc[4] = {1e-3f, 0, 0, 0};
+        for (const char* p = texts[i]; *p; ++p)
+            acc[((unsigned char)*p) & 3u] += 1.0f;
+        for (int d = 0; d < 4; ++d) out[i * 4 + d] = acc[d];
+    }
+    return 0;
+}
+static yams_model_provider_v1 g_mp = {
+    YAMS_IFACE_MODEL_PROVIDER_V1_VERSION, NULL, mp_model_id, mp_dim, mp_embed};
+
+/* entity_extractor_v1: every ALLCAPS word is an entity */
+static char* ee_extract(void* self, const char* text) {
+    (void)self;
+    char* out = malloc(strlen(text) * 4 + 16);
+    if (!out) return NULL;
+    char* w = out;
+    *w++ = '[';
+    int first = 1;
+    const char* p = text;
+    while (*p) {
+        const char* start = p;
+        while (*p && *p != ' ' && *p != '\n') ++p;
+        size_t len = (size_t)(p - start);
+        int caps = len >= 2;
+        for (size_t i = 0; i < len; ++i)
+            if (start[i] < 'A' || start[i] > 'Z') { caps = 0; break; }
+        if (caps) {
+            if (!first) *w++ = ',';
+            first = 0;
+            w += sprintf(w, "[\"%.*s\",\"TERM\",0.9]", (int)len, start);
+        }
+        while (*p == ' ' || *p == '\n') ++p;
+    }
+    *w++ = ']';
+    *w = 0;
+    return out;
+}
+static void ee_free(void* self, char* ptr) { (void)self; free(ptr); }
+static yams_entity_extractor_v1 g_ee = {
+    YAMS_IFACE_ENTITY_EXTRACTOR_V1_VERSION, NULL, ee_extract, ee_free};
+
+int yams_plugin_get_interface(const char* id, uint32_t version, void** out) {
+    if (!id || !out) return YAMS_PLUGIN_ERR_INVALID;
+    if (strcmp(id, YAMS_IFACE_CONTENT_EXTRACTOR_V1_ID) == 0 && version == 1) {
+        *out = &g_ce;
+        return YAMS_PLUGIN_OK;
+    }
+    if (strcmp(id, YAMS_IFACE_MODEL_PROVIDER_V1_ID) == 0 && version == 1) {
+        *out = &g_mp;
+        return YAMS_PLUGIN_OK;
+    }
+    if (strcmp(id, YAMS_IFACE_ENTITY_EXTRACTOR_V1_ID) == 0 && version == 1) {
+        *out = &g_ee;
+        return YAMS_PLUGIN_OK;
+    }
+    return YAMS_PLUGIN_ERR_NOT_FOUND;
+}
+"""
+
+
+@pytest.fixture(scope="module")
+def plugin_so(tmp_path_factory):
+    if shutil.which("gcc") is None and shutil.which("cc") is None:
+        pytest.skip("no C compiler")
+    d = tmp_path_factory.mktemp("nplug")
+    src = d / "plugin.c"
+    src.write_text(PLUGIN_SRC)
+    so = d / "yams_plugin_rot13.so"
+    cc = shutil.which("gcc") or shutil.which("cc")
+    subprocess.run(
+        [cc, "-shared", "-fPIC", "-O2", f"-I{HEADER_DIR}", str(src),
+         "-o", str(so)],
+        check=True, capture_output=True, timeout=60,
+    )
+    return so
+
+
+class TestNativePluginHost:
+    def test_lifecycle_and_manifest(self, plugin_so, tmp_path):
+        mgr = PluginManager(trust_file=tmp_path / "trust.txt")
+        mgr.trust(plugin_so)
+        assert mgr.load_trusted() == 1
+        m = mgr.plugins["rot13_demo"]
+        assert m.version == "1.2.3"
+        assert m.health() == {"status": "ok"}
+        assert set(m.interfaces) == {IFACE_CONTENT_EXTRACTOR,
+                                     IFACE_MODEL_PROVIDER,
+                                     IFACE_ENTITY_EXTRACTOR}
+        assert mgr.unload("rot13_demo")
+
+    def test_scan_discovers_native(self, plugin_so, tmp_path):
+        mgr = PluginManager(trust_file=tmp_path / "trust.txt")
+        found = mgr.scan(plugin_so.parent)
+        assert str(plugin_so) in found
+
+    def test_content_extractor_roundtrip(self, plugin_so, tmp_path):
+        mgr = PluginManager(trust_file=tmp_path / "trust.txt")
+        m = mgr.load_file(plugin_so)
+        ce = m.get_interface(IFACE_CONTENT_EXTRACTOR)
+        assert ce.supported_mimes() == ["application/x-rot13"]
+        text, title = ce.extract(b"Uryyb Jbeyq", "application/x-rot13")
+        assert text == "Hello World"
+        assert title == "rot13 doc"
+        # large payload exercises buffer marshalling
+        big = bytes([ord("n")]) * 100_000
+        text2, _ = ce.extract(big, "application/x-rot13")
+        assert text2 == "a" * 100_000
+
+    def test_model_provider_embeds(self, plugin_so, tmp_path):
+        mgr = PluginManager(trust_file=tmp_path / "trust.txt")
+        m = mgr.load_file(plugin_so)
+        mp = m.get_interface(IFACE_MODEL_PROVIDER)
+        assert mp.model_id() == "bytes-4d"
+        assert mp.dim() == 4
+        rows = mp.embed(["ab", "abab"])
+        assert len(rows) == 2 and len(rows[0]) == 4
+        assert sum(rows[1]) > sum(rows[0])  # longer text, larger counts
+
+    def test_entity_extractor(self, plugin_so, tmp_path):
+        mgr = PluginManager(trust_file=tmp_path / "trust.txt")
+        m = mgr.load_file(plugin_so)
+        ee = m.get_interface(IFACE_ENTITY_EXTRACTOR)
+        ents = ee.extract_entities("the HTTP server uses TLS now")
+        assert ("HTTP", "TERM", 0.9) in ents
+        assert ("TLS", "TERM", 0.9) in ents
+
+    def test_wires_into_extraction_service(self, plugin_so, tmp_path):
+        """A native extractor participates in document ingestion: adding a
+        .rot13 document stores decoded text searchable via FTS."""
+        from test_services import small_config
+
+        from yams_tpu.services.app import AppContext
+
+        app = AppContext(small_config(tmp_path / "data"))
+        try:
+            mgr = PluginManager(app, trust_file=tmp_path / "trust.txt")
+            m = mgr.load_file(plugin_so)
+            assert m is not None
+            res = app.documents.add_bytes(
+                b"frperg cnffjbeq vafvqr", "docs/x.rot13",
+                mime_type="application/x-rot13")
+            assert res.document_id > 0
+            text = app.documents.get_text("docs/x.rot13")
+            assert "secret password inside" in text
+        finally:
+            app.close()
+
+    def test_abi_version_mismatch_rejected(self, tmp_path):
+        if shutil.which("gcc") is None:
+            pytest.skip("no C compiler")
+        bad = tmp_path / "bad.c"
+        bad.write_text(
+            "int yams_plugin_get_abi_version(void){return 999;}\n")
+        so = tmp_path / "yams_plugin_bad.so"
+        subprocess.run(["gcc", "-shared", "-fPIC", str(bad), "-o", str(so)],
+                       check=True, capture_output=True)
+        mgr = PluginManager(trust_file=tmp_path / "trust.txt")
+        assert mgr.load_file(so) is None
+        assert "ABI mismatch" in mgr.errors["yams_plugin_bad"]

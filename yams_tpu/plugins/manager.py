@@ -74,7 +74,8 @@ class PluginManager:
         for root in roots:
             if not root.is_dir():
                 continue
-            for pat in ("yams_plugin_*.py", "*.yams-plugin"):
+            for pat in ("yams_plugin_*.py", "*.yams-plugin",
+                        "yams_plugin_*.so", "libyams_plugin_*.so"):
                 found.extend(str(p) for p in sorted(root.glob(pat)))
         return sorted(set(found))
 
@@ -84,6 +85,15 @@ class PluginManager:
         path = pathlib.Path(path)
         name = path.stem
         try:
+            if path.suffix in (".so", ".dylib"):
+                # C/C++ plugin over the dlopen ABI (include/yams_plugin_abi.h;
+                # reference: include/yams/plugins/abi.h)
+                from .native_host import load_native_plugin
+
+                manifest = load_native_plugin(path, config)
+                self.plugins[manifest.name] = manifest
+                self._wire(manifest)
+                return manifest
             spec = importlib.util.spec_from_file_location(f"yams_plugin_{name}", path)
             mod = importlib.util.module_from_spec(spec)
             sys.modules[spec.name] = mod

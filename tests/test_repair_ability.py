@@ -1,0 +1,172 @@
+"""Repair-ability under injected faults.
+
+Parity: tests/benchmarks/repair_ability_bench.cpp — the reference injects ~20
+faults per arm (storage, metadata, index) and scores how many the doctor
+detects and the repair ops heal. Deterministic-seed equivalent: build a small
+corpus, inject a battery of distinct fault classes, assert detection via
+doctor() and restoration of the user-visible invariants after repair.run().
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+
+from test_services import small_config
+
+from yams_tpu.services.app import AppContext
+from yams_tpu.services.repair_service import RepairService
+
+DOCS = {
+    "notes/alpha.txt": "alpha document about storage engines and compaction",
+    "notes/beta.txt": "beta document compares lexical and vector retrieval",
+    "notes/gamma.md": "# gamma\nknowledge graphs connect entities and docs",
+    "src/delta.py": "def delta():\n    return 'refcount semantics'\n",
+    "src/epsilon.txt": "epsilon covers checkpoint and recovery paths",
+    "logs/zeta.txt": "zeta log line mentions quarantine and integrity",
+}
+
+
+@pytest.fixture()
+def app(tmp_path):
+    a = AppContext(small_config(tmp_path / "data"))
+    for path, text in DOCS.items():
+        a.documents.add_bytes(text.encode(), path)
+    yield a
+    a.close()
+
+
+def _block_files(app) -> list[pathlib.Path]:
+    """CAS block files only (64-hex names under the shard fanout), not the
+    refcounter db that shares the directory."""
+    root = pathlib.Path(app.config.storage_dir)
+    hexd = set("0123456789abcdef")
+    return sorted(
+        p for p in root.rglob("*")
+        if p.is_file() and len(p.name) >= 32 and set(p.name) <= hexd
+    )
+
+
+class TestRepairAbility:
+    def test_fault_battery_detect_and_heal(self, app):
+        db = app.db
+
+        # -- arm 1: metadata faults ---------------------------------------
+        # f1: FTS rows dropped for every doc (keyword search goes blind)
+        with db.lock, db.conn:
+            db.conn.execute("DELETE FROM documents_fts")
+        # f2: wrong mime on two docs
+        with db.lock, db.conn:
+            db.conn.execute(
+                "UPDATE documents SET mime_type='application/x-bogus'"
+                " WHERE file_path LIKE '%alpha%' OR file_path LIKE '%delta%'")
+        # f3: a doc regresses to extraction pending
+        with db.lock, db.conn:
+            db.conn.execute(
+                "UPDATE documents SET extraction_status='pending'"
+                " WHERE file_path LIKE '%beta%'")
+        # f4: path tree wiped
+        with db.lock, db.conn:
+            db.conn.execute("DELETE FROM path_tree_nodes")
+        # f5: block refcounts wiped (rebuildable from manifests)
+        rc = app.content_store.refcounter
+        with rc._lock, rc._conn:
+            rc._conn.execute("DELETE FROM block_references")
+
+        report = RepairService(app).run(["fts5", "mime", "stuck_documents",
+                                 "path_tree", "block_references"])
+        assert "re-indexed" in report["fts5"]
+        assert "corrected" in report["mime"]
+        assert "processed" in report["stuck_documents"]
+        assert "rebuilt" in report["path_tree"]
+        assert "rebuilt" in report["block_references"]
+
+        # user-visible invariants restored
+        hits = app.search.search("compaction", search_type="keyword").hits
+        assert any("alpha" in h.path for h in hits)
+        mimes = {r["file_path"]: r["mime_type"] for r in db.execute(
+            "SELECT file_path, mime_type FROM documents").fetchall()}
+        assert not any(m == "application/x-bogus" for m in mimes.values())
+        n_tree = db.execute(
+            "SELECT COUNT(*) FROM path_tree_nodes").fetchone()[0]
+        assert n_tree > 0
+        n_refs = rc._conn.execute(
+            "SELECT COUNT(*) FROM block_references").fetchone()[0]
+        assert n_refs > 0
+        # every doc still cats byte-for-byte
+        for path, text in DOCS.items():
+            assert app.documents.cat(path) == text.encode()
+
+    def test_storage_faults_detected_and_quarantined(self, app):
+        blocks = _block_files(app)
+        assert len(blocks) >= 2
+        # f6: corrupt one block's payload
+        corrupted = blocks[0]
+        raw = bytearray(corrupted.read_bytes())
+        if len(raw) > 8:
+            raw[len(raw) // 2] ^= 0xFF
+        corrupted.write_bytes(bytes(raw))
+        # f7: delete another block outright
+        missing = blocks[-1]
+        missing.unlink()
+
+        rep = app.content_store.verifier.verify_all()
+        assert len(rep.corrupted) >= 1
+        assert len(rep.missing) >= 1
+
+        # doctor surfaces the damage
+        checks = RepairService(app).doctor()
+        ok, detail = checks["block_integrity"]
+        assert not ok
+
+        # repair quarantines the corrupted block
+        out = RepairService(app).run(["chunks"])["chunks"]
+        assert "corrupted" in out
+        # re-adding the same content heals the store (content-addressed:
+        # the block is rewritten under its hash)
+        for path, text in DOCS.items():
+            app.documents.add_bytes(text.encode(), path)
+        rep2 = app.content_store.verifier.verify_all()
+        assert not rep2.corrupted
+        assert not rep2.missing
+        for path, text in DOCS.items():
+            assert app.documents.cat(path) == text.encode()
+
+    def test_orphan_blocks_collected(self, app):
+        # f8: a block with no manifest reference appears in the store
+        from yams_tpu.ingest.hasher import sha256_bytes
+
+        payload = b"orphaned payload never referenced"
+        app.content_store.engine.store(sha256_bytes(payload), payload)
+        orphans = app.content_store.gc.orphan_scan()
+        assert len(orphans) >= 1
+        out = RepairService(app).run(["orphans"])["orphans"]
+        assert "orphan" in out
+        assert app.content_store.gc.orphan_scan() == []
+
+    def test_embedding_backlog_healed(self, app):
+        # f9: embeddings marked pending again
+        with app.db.lock, app.db.conn:
+            app.db.conn.execute(
+                "UPDATE embedding_status SET status='pending'")
+        assert len(app.metadata.docs_pending_embedding()) == len(DOCS)
+        RepairService(app).run(["embeddings"])
+        assert app.metadata.docs_pending_embedding() == []
+        # semantic search functional again
+        hits = app.search.search("vector retrieval", limit=3).hits
+        assert hits
+
+    def test_doctor_green_after_full_repair(self, app):
+        """End state of the battery: a full repair pass leaves doctor
+        reporting healthy metadata/storage/embeddings."""
+        with app.db.lock, app.db.conn:
+            app.db.conn.execute("DELETE FROM documents_fts")
+            app.db.conn.execute(
+                "UPDATE embedding_status SET status='pending'")
+        RepairService(app).run()
+        checks = RepairService(app).doctor()
+        assert checks["metadata_db"][0]
+        assert checks["storage_dir"][0]
+        assert checks["embeddings"][0], checks["embeddings"][1]
+        assert checks["block_integrity"][0]

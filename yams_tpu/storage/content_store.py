@@ -123,13 +123,22 @@ class ContentStore:
         timings["hash"] = (time.monotonic() - t) * 1e3
 
         if self.refcounter.has_manifest(content_hash):
-            # whole-content dedup: bump manifest + chunk refcounts
+            # whole-content dedup: bump manifest + chunk refcounts.
+            # Self-healing (reference: per-chunk exists() dedup,
+            # content_store_impl.cpp:217-300): a block lost to corruption/
+            # quarantine is rewritten from the incoming bytes rather than
+            # deduped away — otherwise re-ingest could never repair the CAS.
             manifest = self.refcounter.get_manifest(content_hash)
+            healed_bytes = 0
+            for c in manifest.chunks:
+                if not self.engine.exists(c.hash):
+                    self.engine.store(c.hash, data[c.offset:c.offset + c.size])
+                    healed_bytes += c.size
             self._commit([(c.hash, c.size) for c in manifest.chunks], manifest)
             return StoreResult(
                 content_hash=content_hash,
-                bytes_stored=0,
-                bytes_deduped=len(data),
+                bytes_stored=healed_bytes,
+                bytes_deduped=len(data) - healed_bytes,
                 total_bytes=len(data),
                 chunk_count=len(manifest.chunks),
                 dedup_ratio=1.0,

@@ -449,3 +449,63 @@ class TestMCPResourcesPrompts:
         app, server = mcp
         resp = _call(server, "resources/read", {"uri": "yams://missing"})
         assert "error" in resp
+
+
+class TestRelevanceAbScript:
+    def test_run_and_diff(self, tmp_path, capsys):
+        """scripts/relevance_ab.py end-to-end: run a judged set in-process
+        (no daemon), write results, diff two runs (reference:
+        tests/benchmarks/relevance/live_relevance_ab.py)."""
+        import json
+        import pathlib
+        import sys
+
+        from test_services import small_config
+        from yams_tpu.services.app import AppContext
+
+        sys.path.insert(0, str(pathlib.Path(__file__).parents[1] / "scripts"))
+        import relevance_ab
+
+        cfg = small_config(tmp_path / "data")
+        app = AppContext(cfg)
+        try:
+            app.documents.add_bytes(
+                b"the merkle tree snapshots track renames", "docs/tree.txt")
+            app.documents.add_bytes(
+                b"garbage collection frees unreferenced blocks",
+                "docs/gc.txt")
+            app.documents.add_bytes(
+                b"a completely unrelated cooking recipe", "misc/food.txt")
+        finally:
+            app.close()
+        queries = [
+            {"query": "merkle snapshot renames", "relevant": ["tree.txt"]},
+            {"query": "free unreferenced blocks", "relevant": ["gc.txt"]},
+        ]
+        qf = tmp_path / "q.json"
+        qf.write_text(json.dumps(queries))
+        import os
+        env_bak = os.environ.get("YAMS_TPU_STORAGE")
+        os.environ["YAMS_TPU_STORAGE"] = str(cfg.data_dir)
+        try:
+            rows = relevance_ab.run_queries(
+                str(cfg.data_dir), queries, k=5, search_type="hybrid")
+        finally:
+            if env_bak is None:
+                os.environ.pop("YAMS_TPU_STORAGE", None)
+            else:
+                os.environ["YAMS_TPU_STORAGE"] = env_bak
+        agg = relevance_ab.aggregate(rows)
+        assert agg["n"] == 2
+        assert agg["mrr"] > 0.4          # both queries find their doc
+        # diff path: identical runs -> zero deltas, p=1.0
+        out_a, out_b = tmp_path / "a.json", tmp_path / "b.json"
+        for label, out in (("base", out_a), ("cand", out_b)):
+            out.write_text(json.dumps(
+                {"label": label, "k": 5, "type": "hybrid",
+                 "aggregate": agg, "rows": rows}))
+        assert relevance_ab.diff(str(out_a), str(out_b)) == 0
+        captured = capsys.readouterr().out
+        assert "not significant" in captured
+        assert relevance_ab.sign_test([0.1, 0.2, 0.05]) < 0.26
+        assert relevance_ab.sign_test([0.1] * 8) < 0.01

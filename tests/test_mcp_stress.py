@@ -1,0 +1,133 @@
+"""MCP stdio transport stress: the real subprocess under hostile input.
+
+Parity: tests/stress/mcp_socket_stress_catch2_test.cpp — the reference
+hammers its MCP transport with interleaved valid/malformed traffic and
+asserts the server survives and stays correct. Here the actual
+`python -m yams_tpu.mcp` subprocess is driven over pipes with: garbage
+lines, truncated JSON, garbled Content-Length headers, mixed framing,
+bursts of pipelined requests, and a large payload — every well-formed
+request must draw a response with its own id, in order.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+@pytest.fixture(scope="module")
+def proc(tmp_path_factory):
+    data = tmp_path_factory.mktemp("mcpstress") / "data"
+    p = subprocess.Popen(
+        [sys.executable, "-m", "yams_tpu.mcp", str(data)],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, cwd=str(REPO), text=True, bufsize=1,
+    )
+    yield p
+    p.stdin.close()
+    p.wait(timeout=30)
+
+
+def _req(method, params=None, msg_id=1):
+    return json.dumps({"jsonrpc": "2.0", "id": msg_id, "method": method,
+                       "params": params or {}})
+
+
+def _roundtrip(p, line: str) -> dict:
+    p.stdin.write(line + "\n")
+    p.stdin.flush()
+    out = p.stdout.readline()
+    assert out, "server closed stdout"
+    return json.loads(out)
+
+
+class TestMcpStdioStress:
+    def test_initialize(self, proc):
+        resp = _roundtrip(proc, _req("initialize",
+                                     {"protocolVersion": "2024-11-05"}))
+        assert resp["result"]["serverInfo"]["name"] == "yams-tpu"
+
+    def test_garbage_interleaved_with_valid(self, proc):
+        rng = np.random.default_rng(7)
+        garbage = [
+            "not json at all",
+            '{"jsonrpc": "2.0", "id": 5, "method": ',   # truncated
+            "Content-Length: banana",                    # garbled header
+            "Content-Length: -5",
+            '{"truncated": tru',
+            "\x00\x01\x02",
+        ]
+        n_valid = 0
+        for i in range(200):
+            if rng.random() < 0.5:
+                line = garbage[int(rng.integers(len(garbage)))]
+                proc.stdin.write(line + "\n")
+                if line.lower().startswith("content-length"):
+                    proc.stdin.write("\n")  # end headers
+                proc.stdin.flush()
+                # parse errors answer -32700; header garbage is skipped
+                if not line.lower().startswith("content-length"):
+                    resp = json.loads(proc.stdout.readline())
+                    assert resp["error"]["code"] == -32700
+            else:
+                n_valid += 1
+                resp = _roundtrip(proc, _req("tools/list", msg_id=1000 + i))
+                assert resp["id"] == 1000 + i
+                assert "tools" in resp["result"]
+        assert n_valid > 50
+        assert proc.poll() is None
+
+    def test_pipelined_burst_ordered_ids(self, proc):
+        """50 requests written before any read: responses come back 1:1 and
+        in order (the transport is strictly sequential)."""
+        ids = list(range(5000, 5050))
+        for i in ids:
+            proc.stdin.write(_req("tools/list", msg_id=i) + "\n")
+        proc.stdin.flush()
+        got = [json.loads(proc.stdout.readline())["id"] for _ in ids]
+        assert got == ids
+
+    def test_unknown_method_and_bad_tool(self, proc):
+        resp = _roundtrip(proc, _req("definitely/not/a/method", msg_id=9))
+        assert resp["error"]["code"] == -32601
+        resp = _roundtrip(proc, _req(
+            "tools/call", {"name": "no_such_tool", "arguments": {}},
+            msg_id=10))
+        assert resp["error"]["code"] == -32601
+
+    def test_large_payload_roundtrip(self, proc):
+        body = "searchable stress payload " * 20_000   # ~0.5 MB
+        resp = _roundtrip(proc, _req(
+            "tools/call",
+            {"name": "add", "arguments": {"content": body,
+                                          "name": "big.txt"}},
+            msg_id=77))
+        assert resp["id"] == 77
+        assert not resp["result"]["isError"]
+        resp = _roundtrip(proc, _req(
+            "tools/call",
+            {"name": "search", "arguments": {"query": "stress payload"}},
+            msg_id=78))
+        assert not resp["result"]["isError"]
+        hits = json.loads(resp["result"]["content"][0]["text"])["hits"]
+        assert any(h["name"] == "big.txt" for h in hits)
+
+    def test_content_length_framing(self, proc):
+        body = _req("tools/list", msg_id=333)
+        proc.stdin.write(f"Content-Length: {len(body)}\r\n\r\n{body}\n")
+        proc.stdin.flush()
+        resp = json.loads(proc.stdout.readline())
+        assert resp["id"] == 333
+        assert "tools" in resp["result"]
+
+    def test_survives_everything_above(self, proc):
+        assert proc.poll() is None
+        resp = _roundtrip(proc, _req("ping", msg_id=999))
+        assert resp["id"] == 999

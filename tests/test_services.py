@@ -290,3 +290,42 @@ class TestDataDirLock:
         a2 = AppContext(small_config(tmp_path / "d"))
         assert not a2.lock_contended
         a2.close()
+
+
+class TestSpaceAdoption:
+    def test_reopen_with_default_config_adopts_corpus_space(self, tmp_path):
+        """The stored corpus defines its embedding space: a default-config
+        reopen (daemon/script/CLI) must adopt the registered simeon space
+        instead of building a mismatched engine (reference: space-identity
+        guard, simeon_embedding_backend.cpp)."""
+        cfg = small_config(tmp_path / "data")    # dim=64, sketch=512
+        a = AppContext(cfg)
+        a.documents.add_bytes(b"space identity guards dimensions", "s.txt")
+        a.close()
+
+        plain = Config(data_dir=tmp_path / "data")   # defaults: dim=384
+        b = AppContext(plain)
+        try:
+            assert b.config.embedding.dim == 64
+            assert b.config.embedding.sketch_dim == 512
+            assert b.config.vector.dim == 64
+            assert b.search_engine.provider.dim == 64
+            hits = b.search.search("space identity", limit=3).hits
+            assert hits and hits[0].path.endswith("s.txt")
+        finally:
+            b.close()
+
+    def test_explicit_provider_not_overridden(self, tmp_path):
+        """An explicitly configured non-simeon provider keeps its own space
+        (switching models is a deliberate reindex, not silent adoption)."""
+        cfg = small_config(tmp_path / "data")
+        a = AppContext(cfg)
+        a.documents.add_bytes(b"some content", "c.txt")
+        a.close()
+        cfg2 = Config(data_dir=tmp_path / "data")
+        cfg2.embedding.provider = "mock"
+        b = AppContext(cfg2)
+        try:
+            assert b.search_engine.provider.space_id.startswith("mock")
+        finally:
+            b.close()

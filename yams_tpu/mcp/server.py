@@ -570,7 +570,12 @@ def run_stdio_server(app, stdin=None, stdout=None) -> None:
         if not line:
             continue
         if line.lower().startswith("content-length:"):
-            length = int(line.split(":", 1)[1])
+            try:
+                length = int(line.split(":", 1)[1])
+            except ValueError:
+                continue  # garbled header: skip, stay alive
+            if length < 0 or length > (64 << 20):
+                continue
             while True:  # consume the rest of the headers
                 h = stdin.readline()
                 if not h.strip():
@@ -581,8 +586,19 @@ def run_stdio_server(app, stdin=None, stdout=None) -> None:
         try:
             msg = json.loads(body)
         except json.JSONDecodeError:
+            # JSON-RPC parse error; id unknowable for a garbled frame
+            resp = {"jsonrpc": "2.0", "id": None,
+                    "error": {"code": -32700, "message": "parse error"}}
+            stdout.write(json.dumps(resp) + "\n")
+            stdout.flush()
             continue
-        resp = server.handle_message(msg)
+        try:
+            resp = server.handle_message(msg)
+        except Exception as e:  # a handler bug must not kill the transport
+            resp = {"jsonrpc": "2.0",
+                    "id": msg.get("id") if isinstance(msg, dict) else None,
+                    "error": {"code": -32603,
+                              "message": f"internal error: {e}"}}
         if resp is not None:
             stdout.write(json.dumps(resp, default=str) + "\n")
             stdout.flush()

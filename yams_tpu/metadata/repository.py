@@ -358,6 +358,17 @@ class MetadataRepository:
                 (model_id, dim, space_id, time.time()),
             )
 
+    def latest_vector_model(self) -> tuple[str, int, str] | None:
+        """(model_id, dim, space_id) of the corpus's registered embedding
+        space, or None on a fresh data dir. The space identity string is the
+        reference's guard against mixing embeddings from different models
+        (simeon_embedding_backend.cpp space-identity)."""
+        row = self.db.execute(
+            "SELECT model_id, dim, space_id FROM vector_models"
+            " ORDER BY created_time DESC LIMIT 1"
+        ).fetchone()
+        return (row[0], int(row[1]), row[2]) if row else None
+
     # -- sessions ----------------------------------------------------------------------
     def upsert_session(self, name: str, pinned: list[str], metadata: dict | None = None) -> None:
         with self.db.lock, self.db.conn:

@@ -47,6 +47,26 @@ class AppContext:
             if self.config.embedding.checkpoint:
                 kw["checkpoint"] = self.config.embedding.checkpoint
             provider = create_provider(self.config.embedding.provider, **kw)
+        else:
+            # The stored corpus defines its embedding space: adopt the
+            # registered simeon space on reopen so a default-config process
+            # (daemon, script, CLI) never builds a mismatched engine over an
+            # existing index (reference: space-identity guard,
+            # simeon_embedding_backend.cpp — mixing spaces is refused there).
+            persisted = self.metadata.latest_vector_model()
+            if persisted is not None:
+                _mid, _dim, space = persisted
+                emb = self.config.embedding
+                if space != emb.space_id and space.count("/") >= 3:
+                    prof, d, s, seed = space.split("/")[:4]
+                    try:
+                        emb.profile = prof
+                        emb.dim = int(d.lstrip("d"))
+                        emb.sketch_dim = int(s.lstrip("s"))
+                        emb.seed = int(seed.removeprefix("seed"), 16)
+                        self.config.vector.dim = emb.dim
+                    except ValueError:
+                        pass  # foreign space string: keep configured values
         self.search_engine = SearchEngine(
             config=getattr(self.config, "search", None),
             embedding=self.config.embedding,

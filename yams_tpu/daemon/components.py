@@ -356,9 +356,15 @@ class PostIngestQueue:
             st = self.stats["embedding"]
             st.inflight += len(sub)
             try:
-                for doc_id, text in sub:
-                    doc = self.app.metadata.get_document(doc_id)
-                    self.app.search_engine.add_document(doc_id, text, doc.file_name)
+                # one device encode for the whole token-budget batch
+                # (engine.add_documents), not one tiny matmul per doc
+                batch = [
+                    (doc_id, text,
+                     self.app.metadata.get_document(doc_id).file_name)
+                    for doc_id, text in sub
+                ]
+                self.app.search_engine.add_documents(batch)
+                for doc_id, _text, _title in batch:
                     slot = self.app.search_engine._slot_by_doc[doc_id]
                     self.app.metadata.set_metadata(doc_id, "__slot__", str(slot))
                     self.app.metadata.set_embedding_status(

@@ -89,6 +89,9 @@ class SearchEngine:
         self._doc_by_slot: list[int] = []
         self._titles: dict[int, str] = {}
         self._hot: dict[int, float] = {}
+        # host copy of the provider's projection (device round-trip saver
+        # for routing/entity-leg query vectors; refreshed on shape change)
+        self._proj_host: np.ndarray | None = None
         self._lock = threading.RLock()
         self._stats = {
             "searches": 0, "total_ms": 0.0, "documents": 0,
@@ -143,6 +146,51 @@ class SearchEngine:
             ))
         self._stats["documents"] = len(self._slot_by_doc)
         return len(texts)
+
+    def add_documents(
+        self,
+        docs: list[tuple[int, str, str]],
+        chunk_strategy: str = "sentence",
+    ) -> list[int]:
+        """Batched indexing: [(doc_id, content, title)] -> #chunks per doc.
+
+        All documents' chunk texts are encoded in ONE provider call — the
+        MXU wants one (sum_chunks, sketch) @ (sketch, dim) matmul, not one
+        tiny matmul (and one host<->device round trip) per document. Bulk
+        paths (add_directory, reindex_pending, post-ingest embed stage) use
+        this; single adds keep add_document.
+        """
+        all_texts: list[str] = []
+        vec_slots: list[int] = []
+        counts: list[int] = []
+        embedder = (self.provider.encode
+                    if chunk_strategy == "semantic" else None)
+        for doc_id, content, title in docs:
+            slot = self._slot_for(doc_id)
+            with self._lock:
+                self._titles[doc_id] = title
+            self.vector_index.remove_doc(slot)
+            self.lexical_index.add_document(slot, content, title)
+            chunks = chunk_document(content, chunk_strategy,
+                                    embedder=embedder)
+            texts = [c.text for c in chunks]
+            if title:
+                texts = [title] + texts
+            counts.append(len(texts))
+            all_texts.extend(texts)
+            vec_slots.extend([slot] * len(texts))
+        if all_texts:
+            vecs = self.provider.encode(all_texts)
+            self.vector_index.add(vecs, vec_slots)
+        if self.token_index is not None:
+            for doc_id, content, title in docs:
+                slot = self._slot_by_doc[doc_id]
+                self.token_index.set_doc(slot, self.provider.encode_tokens(
+                    (title + " " + content) if title else content,
+                    max_tokens=self.config.late_interaction_max_tokens,
+                ))
+        self._stats["documents"] = len(self._slot_by_doc)
+        return counts
 
     def enable_late_interaction(self) -> None:
         """Turn on the ColBERT-tier MaxSim rerank (reference: the ONNX
@@ -303,15 +351,17 @@ class SearchEngine:
         def _query_vecs() -> np.ndarray:
             # query embeddings derived from the already-computed sketches:
             # sketch @ proj + L2 normalize (proj is identity for dense
-            # providers, so this is uniform across backends)
+            # providers, so this is uniform across backends). Computed on
+            # HOST with a cached copy of the projection — a (B, sketch)@
+            # (sketch, dim) matmul is microseconds, while a device dispatch
+            # + fetch is a full round trip per search (routing/entity legs
+            # only need these on the host anyway).
             nonlocal qvecs_cache
             if qvecs_cache is None:
-                import jax.numpy as _jnp
-
-                v = np.array(_jnp.dot(
-                    _jnp.asarray(sketches[:B_real], _jnp.bfloat16), proj,
-                    preferred_element_type=_jnp.float32,
-                ))
+                ph = self._proj_host
+                if ph is None or ph.shape[0] != sketches.shape[1]:
+                    ph = self._proj_host = np.asarray(proj, np.float32)
+                v = sketches[:B_real].astype(np.float32) @ ph
                 v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-9)
                 qvecs_cache = v
             return qvecs_cache
@@ -433,10 +483,17 @@ class SearchEngine:
             packed_lexical=use_packed,
             **scale_opts,
         )
-        vals = np.asarray(vals)[:B_real]
-        slots = np.asarray(slots)[:B_real]
-        bm_at = np.asarray(bm_at)[:B_real]
-        vec_at = np.asarray(vec_at)[:B_real]
+        # ONE batched device->host fetch: sequential np.asarray pays a full
+        # host<->device round trip per array (4 RTTs; dominant serving cost
+        # on tunneled/remote devices, still 3 wasted syncs on local PCIe)
+        import jax as _jax
+
+        vals, slots, bm_at, vec_at = _jax.device_get(
+            (vals, slots, bm_at, vec_at))
+        vals = vals[:B_real]
+        slots = slots[:B_real]
+        bm_at = bm_at[:B_real]
+        vec_at = vec_at[:B_real]
 
         # late-interaction rerank (ColBERT tier): MaxSim over the fused
         # candidates' token embeddings, blended into the fused score

@@ -35,7 +35,10 @@ W_TEXT, W_VEC, W_HOT, W_RRF_SCALE, W_BM25_DIV, W_VEC_ONLY_PEN, W_K1, W_RRF_K = r
 NUM_WEIGHTS = 8
 
 
-def pack_weights(cfg) -> jnp.ndarray:
+def pack_weights(cfg):
+    """Host numpy (NOT a device array): callers tweak entries per-mode and
+    pass it as a jit argument — returning jnp here cost a device round trip
+    per search just to read the values back."""
     import numpy as np
 
     w = np.zeros(NUM_WEIGHTS, np.float32)
@@ -47,7 +50,7 @@ def pack_weights(cfg) -> jnp.ndarray:
     w[W_VEC_ONLY_PEN] = cfg.vector_only_penalty
     w[W_K1] = 1.2
     w[W_RRF_K] = float(cfg.rrf_k)
-    return jnp.asarray(w)
+    return w
 
 
 @functools.partial(

@@ -13,6 +13,10 @@ import pathlib
 
 from ..metadata.tree import TreeEntry
 
+# docs per batched engine index call: bounds host memory for chunk texts
+# while keeping the encode matmul MXU-sized
+INDEX_BATCH_DOCS = 64
+
 
 @dataclasses.dataclass(slots=True)
 class IndexReport:
@@ -49,6 +53,7 @@ class IndexingService:
     ) -> IndexReport:
         root = pathlib.Path(directory).resolve()
         report = IndexReport()
+        pending_index: list[int] = []
         excludes = list(exclude or []) + list(DEFAULT_EXCLUDES)
         walker = root.rglob("*") if recursive else root.glob("*")
         entries: list[TreeEntry] = []
@@ -69,18 +74,27 @@ class IndexingService:
                 if p.stat().st_size > max_file_bytes:
                     report.files_skipped += 1
                     continue
+                # store + extract now, index in batches below: one big
+                # encode feeds the MXU far better than a tiny matmul (and a
+                # device round trip) per file
                 res = self.app.documents.add_file(
-                    p, tags=tags, collection=collection
+                    p, tags=tags, collection=collection, auto_index=False
                 )
                 report.files_added += 1
                 report.bytes_stored += res.bytes_stored
                 report.bytes_deduped += res.bytes_deduped
+                pending_index.append(res.document_id)
+                if len(pending_index) >= INDEX_BATCH_DOCS:
+                    self._index_docs_batch(pending_index)
+                    pending_index.clear()
                 entries.append(
                     TreeEntry(str(p), res.content_hash, size=p.stat().st_size)
                 )
             except Exception as e:  # keep walking; record the failure
                 report.files_failed += 1
                 report.errors.append(f"{p}: {e}")
+        if pending_index:
+            self._index_docs_batch(pending_index)
         if snapshot and entries:
             report.snapshot_id = self.app.trees.snapshot(
                 entries, label=snapshot_label or str(root)
@@ -145,20 +159,36 @@ class IndexingService:
         return {"restored": restored, "skipped": skipped, "failed": failed,
                 "collection": collection, "target": str(target)}
 
-    def reindex_pending(self, limit: int = 1000) -> int:
-        """Embed/index docs whose embedding_status is pending (repair path)."""
-        done = 0
-        for doc_id in self.app.metadata.docs_pending_embedding(limit):
+    def _index_docs_batch(self, doc_ids: list[int]) -> int:
+        """Index stored-but-unindexed docs through the engine's batched path
+        (one encode for the whole group) + per-doc symbol stage."""
+        items: list[tuple[int, str, str]] = []
+        mimes: dict[int, str] = {}
+        for doc_id in doc_ids:
             text = self.app.metadata.get_content(doc_id)
             if text is None:
                 self.app.metadata.set_embedding_status(doc_id, "skipped")
                 continue
             doc = self.app.metadata.get_document(doc_id)
-            self.app.search_engine.add_document(doc_id, text, doc.file_name)
+            items.append((doc_id, text, doc.file_name))
+            mimes[doc_id] = doc.mime_type
+        if not items:
+            return 0
+        self.app.search_engine.add_documents(items)
+        for doc_id, text, _title in items:
             slot = self.app.search_engine._slot_by_doc[doc_id]
             self.app.metadata.set_metadata(doc_id, "__slot__", str(slot))
             self.app.metadata.set_embedding_status(
                 doc_id, "done", self.app.config.embedding.profile
             )
-            done += 1
+            self.app.symbols.index_document(doc_id, text, mimes[doc_id])
+        return len(items)
+
+    def reindex_pending(self, limit: int = 1000) -> int:
+        """Embed/index docs whose embedding_status is pending (repair path).
+        Batched: one device encode per INDEX_BATCH_DOCS group."""
+        pending = self.app.metadata.docs_pending_embedding(limit)
+        done = 0
+        for i in range(0, len(pending), INDEX_BATCH_DOCS):
+            done += self._index_docs_batch(pending[i:i + INDEX_BATCH_DOCS])
         return done

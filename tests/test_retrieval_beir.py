@@ -34,6 +34,9 @@ def tracker():
 def _run_modes(app, ds: BeirDataset, modes=("hybrid", "keyword", "vector")):
     out = {}
     for st in modes:
+        # isolate modes: hotzone feedback from a previous mode's queries must
+        # not bias this mode's ranking (measured: +-0.06 recall@10 of noise)
+        app.search_engine.clear_hot()
         runs = []
         for qid, qtext in ds.queries.items():
             resp = app.search.search(qtext, limit=10, search_type=st,
@@ -116,12 +119,14 @@ class TestRetrievalQualityBeir:
         ) - 0.01, metrics
         if synthetic:
             # absolute floors measured at the committed baseline (hybrid
-            # 0.99 MRR / 0.61 recall@10 / 0.71 nDCG@10); tight enough to
-            # catch a fusion-weight or leg regression
+            # 1.0 MRR / 0.81 recall@10 / 0.86 nDCG@10 with stem expansion;
+            # the recall@10 CEILING is 10/12 = 0.833 — every query has 12
+            # relevant docs); tight enough to catch a fusion-weight, leg,
+            # or stem-expansion regression
             h = metrics["hybrid"]
-            assert h["mrr"] >= 0.90, metrics
-            assert h["recall"] >= 0.55, metrics
-            assert h["ndcg"] >= 0.65, metrics
+            assert h["mrr"] >= 0.95, metrics
+            assert h["recall"] >= 0.75, metrics
+            assert h["ndcg"] >= 0.80, metrics
 
     def test_filters_do_not_break_quality(self, setup):
         """Path-filtered hybrid search over the full docs/ tree must match

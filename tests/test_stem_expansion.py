@@ -1,0 +1,149 @@
+"""Query-side morphological (stem) expansion in the lexical leg.
+
+The BM25 kernels treat the term mask as a fractional WEIGHT (not a 0/1
+gate), so same-stem vocabulary variants of query terms can ride the same
+compiled program at a discount. Reference analog: Simeon subword lexical
+recipes (simeon_lexical_backend.cpp) recover morphological recall in the
+lexical backend.
+"""
+
+import numpy as np
+import pytest
+
+from yams_tpu.core.config import LexicalIndexConfig
+from yams_tpu.embed.simeon import light_stem
+from yams_tpu.index.lexical_index import LexicalIndex
+
+
+class TestLightStem:
+    def test_strips_common_suffixes(self):
+        assert light_stem("routing") == "rout"
+        assert light_stem("routed") == "rout"
+        assert light_stem("routes") == "rout"
+        assert light_stem("router") == "rout"
+
+    def test_keeps_min_stem_length(self):
+        # stripping would leave < 3 chars -> unchanged
+        assert light_stem("bed") == "bed"
+        assert light_stem("es") == "es"
+
+    def test_one_pass_longest_match(self):
+        # "ings" strips as one suffix, not "s" then "ing"
+        assert light_stem("meetings") == "meet"
+
+
+class TestQueryTermExpansion:
+    def _index(self, **cfg):
+        idx = LexicalIndex(LexicalIndexConfig(**cfg))
+        idx.add_document(0, "the packets were routed through the mesh")
+        idx.add_document(1, "cars parked in the garage")
+        return idx
+
+    def test_exact_terms_weight_one(self):
+        idx = self._index()
+        ids, mask = idx.query_term_ids("routed mesh")
+        assert mask[0] == 1.0 and mask[1] == 1.0
+
+    def test_morphological_variant_expands(self):
+        idx = self._index()
+        # query says "routing"; corpus only has "routed"
+        ids, mask = idx.query_term_ids("routing")
+        routed_id = idx._vocab["routed"]
+        assert routed_id in ids[mask > 0]
+        w = mask[list(ids).index(routed_id)]
+        assert 0 < w < 1.0
+
+    def test_expansion_off(self):
+        idx = self._index(stem_expansion=False)
+        ids, mask = idx.query_term_ids("routing")
+        assert mask.sum() == 0
+
+    def test_exact_match_not_diluted(self):
+        idx = self._index()
+        ids, mask = idx.query_term_ids("routed")
+        routed_id = idx._vocab["routed"]
+        i = list(ids).index(routed_id)
+        assert mask[i] == 1.0
+
+    def test_search_finds_morphological_variant(self):
+        idx = self._index()
+        hits = idx.search("routing packets")
+        assert hits and hits[0][0] == 0
+
+    def test_expansion_survives_save_load(self, tmp_path):
+        idx = self._index()
+        idx.save(tmp_path)
+        idx2 = LexicalIndex.load(tmp_path)
+        ids, mask = idx2.query_term_ids("routing")
+        assert (mask > 0).any()
+
+
+class TestFractionalWeightKernels:
+    """The three BM25 kernels must scale contributions by the term weight."""
+
+    def _arrays(self):
+        idx = LexicalIndex(LexicalIndexConfig())
+        idx.add_document(0, "alpha beta gamma")
+        idx.add_document(1, "alpha delta")
+        return idx
+
+    @pytest.mark.parametrize("packed", [False, True])
+    def test_half_weight_halves_single_term_score(self, packed):
+        import jax.numpy as jnp
+
+        from yams_tpu.ops.bm25 import (bm25_topk_candidates,
+                                       bm25_topk_candidates_packed)
+
+        idx = self._arrays()
+        dev = idx.device_arrays()
+        tid = idx._vocab["beta"]
+        ids = np.zeros((1, 4), np.int32)
+        ids[0, 0] = tid
+        full = np.zeros((1, 4), np.float32)
+        full[0, 0] = 1.0
+        half = full * 0.5
+        w = idx.config.postings_window
+        if packed:
+            s_full = np.asarray(bm25_topk_candidates_packed(
+                jnp.asarray(ids), jnp.asarray(full), dev.packed,
+                dev.impact_scale, num_docs=dev.num_docs, num_candidates=4))
+            s_half = np.asarray(bm25_topk_candidates_packed(
+                jnp.asarray(ids), jnp.asarray(half), dev.packed,
+                dev.impact_scale, num_docs=dev.num_docs, num_candidates=4))
+        else:
+            s_full = np.asarray(bm25_topk_candidates(
+                jnp.asarray(ids), jnp.asarray(full), dev.postings_doc,
+                dev.postings_impact, dev.term_offsets, dev.term_lengths,
+                window=w, num_docs=dev.num_docs, num_candidates=4))
+        if packed:
+            top_full, top_half = float(s_full[1][0, 0]), float(s_half[1][0, 0])
+            assert top_full > 0
+            assert top_half == pytest.approx(top_full * 0.5, rel=0.02)
+        else:
+            s_half = np.asarray(bm25_topk_candidates(
+                jnp.asarray(ids), jnp.asarray(half), dev.postings_doc,
+                dev.postings_impact, dev.term_offsets, dev.term_lengths,
+                window=w, num_docs=dev.num_docs, num_candidates=4))
+            top_full, top_half = float(s_full[1][0, 0]), float(s_half[1][0, 0])
+            assert top_full > 0
+            assert top_half == pytest.approx(top_full * 0.5, rel=1e-5)
+
+    def test_dense_kernel_scales(self):
+        import jax.numpy as jnp
+
+        from yams_tpu.ops.bm25 import bm25_dense_from
+
+        idx = self._arrays()
+        dev = idx.device_arrays()
+        tid = idx._vocab["beta"]
+        ids = np.zeros((1, 4), np.int32)
+        ids[0, 0] = tid
+        full = np.zeros((1, 4), np.float32)
+        full[0, 0] = 1.0
+        w = idx.config.postings_window
+        s_full = np.asarray(bm25_dense_from(
+            dev, jnp.asarray(ids), jnp.asarray(full), window=w))
+        s_half = np.asarray(bm25_dense_from(
+            dev, jnp.asarray(ids), jnp.asarray(full * 0.5), window=w))
+        assert s_full[0, 0] > 0
+        np.testing.assert_allclose(s_half, s_full * 0.5, rtol=1e-6)

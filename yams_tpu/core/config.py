@@ -108,6 +108,13 @@ class LexicalIndexConfig:
     # row-gather fast path (~3x lexical-leg speedup); above it (huge vocabs)
     # only CSR ships. 128M entries = 512 MB HBM.
     packed_max_entries: int = 128 * 1024 * 1024
+    # query-side morphological expansion: query terms additionally match
+    # same-stem vocab variants at a discounted weight (fills otherwise-unused
+    # max_query_terms slots; the BM25 kernels scale contributions by the
+    # fractional term mask). The reference reaches morphological recall via
+    # Simeon subword lexical recipes (simeon_lexical_backend.cpp).
+    stem_expansion: bool = True
+    stem_expansion_weight: float = 0.6
 
 
 @dataclasses.dataclass(slots=True)

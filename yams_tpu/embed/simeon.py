@@ -44,6 +44,25 @@ def tokenize(text: str, max_tokens: int | None = None) -> list[str]:
     return toks[:max_tokens] if max_tokens else toks
 
 
+_STEM_SUFFIXES = (
+    "ingly", "edly", "ments", "ings", "ions", "ment", "ing", "ion",
+    "ers", "ies", "ed", "es", "er", "ly", "s",
+)
+
+
+def light_stem(token: str, min_stem: int = 3) -> str:
+    """One-pass suffix-strip stemmer (Porter step-1 tier).
+
+    Used for query-side morphological expansion against the lexical vocab
+    (the reference reaches the same recall through Simeon's subword lexical
+    recipes, simeon_lexical_backend.cpp); deliberately conservative — one
+    suffix, longest match, and the stem keeps >= min_stem chars."""
+    for suf in _STEM_SUFFIXES:
+        if token.endswith(suf) and len(token) - len(suf) >= min_stem:
+            return token[: len(token) - len(suf)]
+    return token
+
+
 def _mix(h: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer — decorrelates polynomial hashes before bucketing."""
     with np.errstate(over="ignore"):

@@ -40,7 +40,7 @@ import threading
 import numpy as np
 
 from ..core.config import LexicalIndexConfig
-from ..embed.simeon import tokenize
+from ..embed.simeon import light_stem, tokenize
 
 
 class LexicalIndex:
@@ -52,6 +52,8 @@ class LexicalIndex:
         self._doc_len: dict[int, float] = {}
         # inverted map + per-term packed caches (incremental rebuilds)
         self._postings: dict[int, dict[int, float]] = {}
+        # light-stem -> surface term ids (query-side morphological expansion)
+        self._stem_index: dict[str, list[int]] = {}
         self._dirty_terms: set[int] = set()
         self._term_cache: dict[int, tuple] = {}  # tid -> (slots, tf, part) desc
         self._built_avg_len: float = 0.0
@@ -67,6 +69,7 @@ class LexicalIndex:
         if tid is None:
             tid = len(self._vocab)
             self._vocab[term] = tid
+            self._stem_index.setdefault(light_stem(term), []).append(tid)
         return tid
 
     def add_document(self, doc_slot: int, content: str, title: str = "") -> None:
@@ -244,14 +247,41 @@ class LexicalIndex:
     def query_term_ids(
         self, query: str, max_terms: int | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
-        """query text -> (term_ids (T,), mask (T,)) padded to max_query_terms."""
-        T = max_terms or self.config.max_query_terms
+        """query text -> (term_ids (T,), weights (T,)) padded to max_query_terms.
+
+        Weights are fractional: exact vocab matches score 1.0; with
+        stem_expansion on, same-stem vocab variants of each query token fill
+        the remaining slots at stem_expansion_weight (the BM25 kernels scale
+        each term's contribution by its weight). This closes the classic
+        morphological query/document mismatch (query "routing" vs doc
+        "routed") without touching the index or the compiled program."""
+        cfg = self.config
+        T = max_terms or cfg.max_query_terms
         ids = np.zeros(T, np.int32)
         mask = np.zeros(T, np.float32)
-        toks = [t for t in tokenize(query) if t in self._vocab][:T]
-        for i, t in enumerate(toks):
-            ids[i] = self._vocab[t]
-            mask[i] = 1.0
+        qtoks = tokenize(query)
+        n = 0
+        seen: set[int] = set()
+        for t in qtoks:
+            tid = self._vocab.get(t)
+            if tid is not None and tid not in seen and n < T:
+                ids[n] = tid
+                mask[n] = 1.0
+                seen.add(tid)
+                n += 1
+        if cfg.stem_expansion and n < T:
+            for t in qtoks:
+                for vid in self._stem_index.get(light_stem(t), ()):
+                    if vid in seen:
+                        continue
+                    if n >= T:
+                        break
+                    ids[n] = vid
+                    mask[n] = cfg.stem_expansion_weight
+                    seen.add(vid)
+                    n += 1
+                if n >= T:
+                    break
         return ids, mask
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
@@ -295,6 +325,8 @@ class LexicalIndex:
         with open(pathlib.Path(directory) / "lexical.pkl", "rb") as f:
             state = pickle.load(f)
         idx._vocab = state["vocab"]
+        for term, tid in idx._vocab.items():
+            idx._stem_index.setdefault(light_stem(term), []).append(tid)
         idx._docs = state["docs"]
         idx._doc_len = state["doc_len"]
         idx._num_slots = state["num_slots"]

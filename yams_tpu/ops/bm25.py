@@ -82,7 +82,9 @@ def bm25_dense(
             pos = jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0)[:, 0]
             pmask = (pos < ln) & (m > 0)
             contrib = idf[tid] * tfs * (k1 + 1.0) / (tfs + k1 * doc_norm[docs])
-            contrib = jnp.where(pmask, contrib, 0.0)
+            # m is a per-term WEIGHT, not just a gate: stem/expansion terms
+            # ride the same program at a discounted contribution
+            contrib = jnp.where(pmask, contrib * m, 0.0)
             docs = jnp.where(pmask, docs, N)  # masked slots -> sink row
             scores = scores.at[docs].add(contrib, mode="drop")
             return scores, None
@@ -183,6 +185,10 @@ def bm25_topk_candidates_packed(
         keys = packed[tids]                       # (T, window) row gather
         if take < window:
             keys = keys[:, :take]                 # impact-ordered truncation
+        # fractional term weights (stem/expansion tiers) scale the quantized
+        # impact in the LOW bits; doc ids in the high bits stay sort-stable
+        q = (keys & qmax).astype(jnp.float32) * jnp.clip(tmask, 0.0, 1.0)[:, None]
+        keys = (keys & ~qmax) | q.astype(jnp.int32)
         keys = jnp.where(tmask[:, None] > 0, keys, sink_key)
         keys = jax.lax.sort(keys.reshape(-1))     # doc-major single-key sort
         ids = keys >> qbits
@@ -246,7 +252,7 @@ def bm25_topk_candidates(
             imp = jax.lax.dynamic_slice(postings_impact, (off,), (take,))
             pos = jax.lax.broadcasted_iota(jnp.int32, (take, 1), 0)[:, 0]
             pmask = (pos < term_lengths[tid]) & (m > 0)
-            contrib = jnp.where(pmask, imp, 0.0)
+            contrib = jnp.where(pmask, imp * m, 0.0)
             docs = jnp.where(pmask, docs, num_docs)
             return docs, contrib
 

@@ -219,6 +219,11 @@ class SearchEngine:
         with self._lock:
             self._hot[doc_id] = self._hot.get(doc_id, 0.0) + boost
 
+    def clear_hot(self) -> None:
+        """Reset hotzone state (evaluation harnesses isolate runs with this)."""
+        with self._lock:
+            self._hot.clear()
+
     # -- topology (reference: TopologyManager + topology_routing_session) ---------
     def rebuild_topology(self, iters: int = 8, engine: str | None = None) -> None:
         from ..index.topology import TopologyEngine
@@ -375,8 +380,10 @@ class SearchEngine:
         # <=1 known lexical term, BM25 evidence is thin — widen the vector
         # candidate pool so fusion has more to work with. rrf_cand is static,
         # so this selects between two cached executables.
+        # (count EXACT vocab matches only — fractional stem-expansion terms
+        # don't make a weak query strong)
         if (cfg.weak_query_rrf_candidates > cfg.rrf_candidates
-                and all(tmask[i].sum() <= 1 for i in range(B_real))):
+                and all((tmask[i] >= 1.0).sum() <= 1 for i in range(B_real))):
             rrf_c = min(max(cfg.weak_query_rrf_candidates, k), Nd)
             trace["weak_query_fanout"] = True
         trace["stages"]["host_prep_ms"] = (time.monotonic() - t0) * 1e3

@@ -1,7 +1,10 @@
 """Mobile/C ABI smoke test: the C library drives a live daemon end-to-end.
 
-Parity: tests/mobile/mobile_abi_smoke_test.cpp — load the C bindings via
-ctypes (standing in for a C host app) against a real socket."""
+Parity: tests/mobile/mobile_abi_smoke_test.cpp + include/yams/api/
+mobile_bindings.h — the typed surface below binds the REFERENCE struct
+shapes (context_config, request_header, typed request structs, string_view
+returns, thread-local last_error_message) through ctypes, standing in for a
+C host app compiled against native/include/yams_mobile.h."""
 
 import asyncio
 import ctypes
@@ -57,8 +60,8 @@ def mobile():
         getattr(lib, fn).restype = ctypes.c_void_p
     lib.yams_mobile_ping.argtypes = [ctypes.c_void_p]
     lib.yams_mobile_request.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
-    lib.yams_mobile_status.restype = ctypes.c_void_p
-    lib.yams_mobile_status.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.yams_mobile_status_json.restype = ctypes.c_void_p
+    lib.yams_mobile_status_json.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.yams_mobile_search.restype = ctypes.c_void_p
     lib.yams_mobile_search.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p
@@ -77,8 +80,8 @@ def mobile():
         ("yams_mobile_suggest_context",
          [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]),
         ("yams_mobile_session", [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p]),
-        ("yams_mobile_repair", [ctypes.c_void_p, ctypes.c_char_p]),
-        ("yams_mobile_doctor", [ctypes.c_void_p]),
+        ("yams_mobile_repair_json", [ctypes.c_void_p, ctypes.c_char_p]),
+        ("yams_mobile_doctor_json", [ctypes.c_void_p]),
         ("yams_mobile_embed", [ctypes.c_void_p, ctypes.c_char_p]),
     ):
         getattr(lib, fn).restype = ctypes.c_void_p
@@ -118,7 +121,7 @@ class TestMobileAbi:
             resp = _take(mobile, mobile.yams_mobile_get_text(h, b"m.txt"))
             assert "C ABI" in resp["result"]["text"]
 
-            resp = _take(mobile, mobile.yams_mobile_status(h, 0))
+            resp = _take(mobile, mobile.yams_mobile_status_json(h, 0))
             assert resp["result"]["documents"]["documents"] == 1
 
             # raw escape hatch with unicode + quotes
@@ -145,10 +148,11 @@ class TestMobileAbi:
             resp = _take(mobile, mobile.yams_mobile_embed(h, b"alpha widget"))
             assert resp["ok"] and resp["result"]["dim"] == 64
 
-            resp = _take(mobile, mobile.yams_mobile_doctor(h))
+            resp = _take(mobile, mobile.yams_mobile_doctor_json(h))
             assert resp["ok"]
 
-            resp = _take(mobile, mobile.yams_mobile_repair(h, b"fts5,orphans"))
+            resp = _take(mobile,
+                         mobile.yams_mobile_repair_json(h, b"fts5,orphans"))
             assert resp["ok"]
 
             resp = _take(mobile, mobile.yams_mobile_session(h, b"list", None))
@@ -174,143 +178,468 @@ class TestMobileAbi:
         assert not mobile.yams_mobile_connect(b"/nonexistent/sock")
 
 
-class MobileContextConfig(ctypes.Structure):
-    _fields_ = [("socket_path", ctypes.c_char_p),
-                ("timeout_ms", ctypes.c_int)]
+# -- reference-shaped typed surface (native/include/yams_mobile.h) ------------
+
+u8, u16, u32, u64 = (ctypes.c_uint8, ctypes.c_uint16, ctypes.c_uint32,
+                     ctypes.c_uint64)
+sz = ctypes.c_size_t
+cp = ctypes.c_char_p
+cpp = ctypes.POINTER(ctypes.c_char_p)
+
+
+class RequestHeader(ctypes.Structure):
+    _fields_ = [("struct_size", u32), ("version", u32), ("flags", u32),
+                ("correlation_id", cp), ("timeout_ms", u32)]
+
+
+class ContextConfig(ctypes.Structure):
+    _fields_ = [("struct_size", u32), ("version", u32), ("reserved", u32),
+                ("working_directory", cp), ("cache_directory", cp),
+                ("telemetry_sink", cp), ("max_worker_threads", u32),
+                ("flags", u32), ("backend_mode", u32),
+                ("daemon_socket_path", cp)]
+
+
+class VersionInfo(ctypes.Structure):
+    _fields_ = [("major", u16), ("minor", u16), ("patch", u16)]
+
+
+class StringView(ctypes.Structure):
+    _fields_ = [("data", ctypes.c_void_p), ("length", sz)]
+
+
+class SearchRequest(ctypes.Structure):
+    _fields_ = [("header", RequestHeader), ("query", cp), ("limit", u32),
+                ("tags", cpp), ("tag_count", sz), ("paths_only", u8),
+                ("semantic", u8)]
+
+
+class GrepRequest(ctypes.Structure):
+    _fields_ = [("header", RequestHeader), ("pattern", cp), ("literal", u8),
+                ("ignore_case", u8), ("word_boundary", u8),
+                ("max_matches", u32)]
+
+
+class DocumentStoreRequest(ctypes.Structure):
+    _fields_ = [("header", RequestHeader), ("path", cp), ("tags", cpp),
+                ("tag_count", sz), ("sync_now", u8)]
+
+
+class ListRequest(ctypes.Structure):
+    _fields_ = [("header", RequestHeader), ("pattern", cp), ("tags", cpp),
+                ("tag_count", sz), ("limit", u32), ("offset", u32),
+                ("match_all_tags", u8), ("paths_only", u8)]
+
+
+class DocumentGetRequest(ctypes.Structure):
+    _fields_ = [("header", RequestHeader), ("document_hash", cp),
+                ("name", cp), ("metadata_only", u8), ("include_content", u8),
+                ("include_extracted_text", u8), ("raw", u8), ("latest", u8),
+                ("oldest", u8), ("max_bytes", u64)]
+
+
+class UpdateRequest(ctypes.Structure):
+    _fields_ = [("header", RequestHeader), ("hash", cp), ("name", cp),
+                ("add_tags", cpp), ("add_tag_count", sz),
+                ("remove_tags", cpp), ("remove_tag_count", sz),
+                ("metadata_keys", cpp), ("metadata_values", cpp),
+                ("metadata_count", sz)]
+
+
+class DeleteRequest(ctypes.Structure):
+    _fields_ = [("header", RequestHeader), ("hash", cp), ("name", cp),
+                ("pattern", cp), ("dry_run", u8)]
+
+
+class GraphQueryRequest(ctypes.Structure):
+    _fields_ = [("header", RequestHeader), ("document_hash", cp),
+                ("document_name", cp), ("snapshot_id", cp),
+                ("node_id", ctypes.c_int64), ("relation_filters", cpp),
+                ("relation_filter_count", sz),
+                ("max_depth", ctypes.c_int32), ("max_results", u32),
+                ("offset", u32), ("limit", u32), ("reverse_traversal", u8),
+                ("include_edge_properties", u8),
+                ("include_node_properties", u8)]
+
+
+class MetadataRequest(ctypes.Structure):
+    _fields_ = [("header", RequestHeader), ("document_hash", cp),
+                ("path", cp)]
+
+
+class VectorStatusRequest(ctypes.Structure):
+    _fields_ = [("header", RequestHeader), ("warmup", u8)]
+
+
+class CatRequest(ctypes.Structure):
+    _fields_ = [("header", RequestHeader), ("hash", cp)]
+
+
+class DiffRequest(ctypes.Structure):
+    _fields_ = [("header", RequestHeader), ("hash_a", cp), ("hash_b", cp)]
+
+
+class RepairRequest(ctypes.Structure):
+    _fields_ = [("header", RequestHeader), ("embedding_model", cp),
+                ("repair_embeddings", u32, 1), ("repair_fts5", u32, 1),
+                ("repair_graph", u32, 1), ("repair_orphans", u32, 1),
+                ("repair_all", u32, 1), ("dry_run", u32, 1),
+                ("reserved", u32, 26), ("max_retries", ctypes.c_int32)]
+
+
+class RepairResult(ctypes.Structure):
+    _fields_ = [("header", RequestHeader), ("embeddings_generated", u64),
+                ("embeddings_skipped", u64), ("fts5_cleaned", u64),
+                ("graph_repaired", u64), ("orphans_removed", u64),
+                ("operation_count", u32)]
+
+
+class ModelInfo(ctypes.Structure):
+    _fields_ = [("name", cp), ("path", cp), ("dim", u32), ("is_loaded", u32)]
+
+
+class ModelListResult(ctypes.Structure):
+    _fields_ = [("models", ctypes.POINTER(ModelInfo)), ("count", u32)]
+
+
+class EmbeddingInfo(ctypes.Structure):
+    _fields_ = [("available", u32, 1), ("dim", u32), ("reserved", u32)]
+
+
+handle_t = ctypes.c_void_p
+out_t = ctypes.POINTER(ctypes.c_void_p)
 
 
 @pytest.fixture()
 def typed(mobile):
-    """Bind the typed context/result-handle layer (reference shape:
-    mobile_bindings.h context_create + *_execute + *_result_json/destroy)."""
+    """Bind the reference-shaped typed layer (native/include/yams_mobile.h)."""
     lib = mobile
-    lib.yams_mobile_context_config_default.restype = MobileContextConfig
-    lib.yams_mobile_context_create.restype = ctypes.c_void_p
+    lib.yams_mobile_context_config_default.restype = ContextConfig
+    lib.yams_mobile_request_header_default.restype = RequestHeader
+    lib.yams_mobile_get_version.restype = VersionInfo
+    lib.yams_mobile_context_create.restype = ctypes.c_int
     lib.yams_mobile_context_create.argtypes = [
-        ctypes.POINTER(MobileContextConfig)]
-    lib.yams_mobile_context_destroy.argtypes = [ctypes.c_void_p]
+        ctypes.POINTER(ContextConfig), out_t]
+    lib.yams_mobile_context_destroy.argtypes = [handle_t]
     lib.yams_mobile_last_error_message.restype = ctypes.c_char_p
-    lib.yams_mobile_last_error_message.argtypes = [ctypes.c_void_p]
-    lib.yams_mobile_get_version.restype = ctypes.c_char_p
-    out_t = ctypes.POINTER(ctypes.c_void_p)
-    for name, args in [
-        ("yams_mobile_search_execute",
-         [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p]),
-        ("yams_mobile_grep_execute",
-         [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]),
-        ("yams_mobile_list_documents",
-         [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]),
-        ("yams_mobile_get_document", [ctypes.c_void_p, ctypes.c_char_p]),
-        ("yams_mobile_cat", [ctypes.c_void_p, ctypes.c_char_p]),
-        ("yams_mobile_store_document",
-         [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p]),
-        ("yams_mobile_remove_document", [ctypes.c_void_p, ctypes.c_char_p]),
-        ("yams_mobile_graph_query",
-         [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p]),
-        ("yams_mobile_status_execute", [ctypes.c_void_p, ctypes.c_int]),
-        ("yams_mobile_doctor_execute", [ctypes.c_void_p]),
-        ("yams_mobile_list_models", [ctypes.c_void_p]),
-        ("yams_mobile_get_vector_status", [ctypes.c_void_p]),
+    lib.yams_mobile_last_error_message.argtypes = []
+    for name, req_t in [
+        ("yams_mobile_search_execute", SearchRequest),
+        ("yams_mobile_grep_execute", GrepRequest),
+        ("yams_mobile_list_documents", ListRequest),
+        ("yams_mobile_get_document", DocumentGetRequest),
+        ("yams_mobile_update_document", UpdateRequest),
+        ("yams_mobile_delete_by_name", DeleteRequest),
+        ("yams_mobile_graph_query", GraphQueryRequest),
+        ("yams_mobile_get_metadata", MetadataRequest),
+        ("yams_mobile_get_vector_status", VectorStatusRequest),
     ]:
         fn = getattr(lib, name)
         fn.restype = ctypes.c_int
-        fn.argtypes = args + [out_t]
-    for fam in ("search", "grep", "list", "document_get", "document_store",
-                "delete", "cat", "graph_query", "status", "doctor",
-                "model_list"):
-        getattr(lib, f"yams_mobile_{fam}_result_json").restype = \
-            ctypes.c_char_p
-        getattr(lib, f"yams_mobile_{fam}_result_json").argtypes = \
-            [ctypes.c_void_p]
-        getattr(lib, f"yams_mobile_{fam}_result_destroy").argtypes = \
-            [ctypes.c_void_p]
-    lib.yams_mobile_search_result_stats_json.restype = ctypes.c_char_p
-    lib.yams_mobile_search_result_stats_json.argtypes = [ctypes.c_void_p]
+        fn.argtypes = [handle_t, ctypes.POINTER(req_t), out_t]
+    lib.yams_mobile_store_document.restype = ctypes.c_int
+    lib.yams_mobile_store_document.argtypes = [
+        handle_t, ctypes.POINTER(DocumentStoreRequest),
+        ctypes.POINTER(StringView)]
+    lib.yams_mobile_cat.restype = ctypes.c_int
+    lib.yams_mobile_cat.argtypes = [
+        handle_t, ctypes.POINTER(CatRequest), ctypes.POINTER(StringView)]
+    lib.yams_mobile_diff.restype = ctypes.c_int
+    lib.yams_mobile_diff.argtypes = [
+        handle_t, ctypes.POINTER(DiffRequest), ctypes.POINTER(StringView)]
+    lib.yams_mobile_doctor.restype = ctypes.c_int
+    lib.yams_mobile_doctor.argtypes = [handle_t, ctypes.POINTER(StringView)]
+    lib.yams_mobile_repair.restype = ctypes.c_int
+    lib.yams_mobile_repair.argtypes = [
+        handle_t, ctypes.POINTER(RepairRequest),
+        ctypes.POINTER(ctypes.POINTER(RepairResult))]
+    lib.yams_mobile_repair_result_destroy.argtypes = [
+        ctypes.POINTER(RepairResult)]
+    lib.yams_mobile_remove_document.restype = ctypes.c_int
+    lib.yams_mobile_remove_document.argtypes = [handle_t, cp]
+    lib.yams_mobile_set_model.restype = ctypes.c_int
+    lib.yams_mobile_set_model.argtypes = [handle_t, cp]
+    lib.yams_mobile_get_embedding_info.restype = ctypes.c_int
+    lib.yams_mobile_get_embedding_info.argtypes = [
+        handle_t, ctypes.POINTER(EmbeddingInfo)]
+    lib.yams_mobile_list_models.restype = ctypes.c_int
+    lib.yams_mobile_list_models.argtypes = [
+        handle_t, ctypes.POINTER(ctypes.POINTER(ModelListResult))]
+    lib.yams_mobile_model_list_result_destroy.argtypes = [
+        ctypes.POINTER(ModelListResult)]
+    lib.yams_mobile_string_view_destroy.argtypes = [
+        ctypes.POINTER(StringView)]
+    lib.yams_mobile_cat_result_destroy.argtypes = [ctypes.POINTER(StringView)]
+    lib.yams_mobile_doctor_result_destroy.argtypes = [
+        ctypes.POINTER(StringView)]
+    lib.yams_mobile_status_execute.restype = ctypes.c_int
+    lib.yams_mobile_status_execute.argtypes = [handle_t, ctypes.c_int, out_t]
+    for fam in ("search", "grep", "list", "document_get", "delete",
+                "metadata", "graph_query", "update", "vector_status",
+                "status"):
+        getattr(lib, f"yams_mobile_{fam}_result_json").restype = StringView
+        getattr(lib, f"yams_mobile_{fam}_result_json").argtypes = [handle_t]
+        getattr(lib, f"yams_mobile_{fam}_result_destroy").argtypes = [handle_t]
+    lib.yams_mobile_search_result_stats_json.restype = StringView
+    lib.yams_mobile_search_result_stats_json.argtypes = [handle_t]
     return lib
 
 
-def _typed_call(lib, fam, fn, *args):
+def _s(view: StringView) -> str:
+    if not view.data:
+        return ""
+    return ctypes.string_at(view.data, view.length).decode()
+
+
+def _ctx(lib, daemon):
+    cfg = lib.yams_mobile_context_config_default()
+    assert cfg.struct_size == ctypes.sizeof(ContextConfig)
+    cfg.backend_mode = 1  # DAEMON
+    cfg.daemon_socket_path = str(daemon.socket_path).encode()
     out = ctypes.c_void_p()
-    rc = fn(*args, ctypes.byref(out))
-    payload = json.loads(
-        getattr(lib, f"yams_mobile_{fam}_result_json")(out).decode())
-    getattr(lib, f"yams_mobile_{fam}_result_destroy")(out)
-    return rc, payload
+    rc = lib.yams_mobile_context_create(ctypes.byref(cfg), ctypes.byref(out))
+    assert rc == 0, lib.yams_mobile_last_error_message()
+    return out.value
+
+
+def _json_of(lib, fam, handle) -> dict:
+    return json.loads(_s(getattr(lib, f"yams_mobile_{fam}_result_json")(handle)))
 
 
 class TestTypedMobileSurface:
-    def test_context_and_result_handles(self, daemon, typed):
-        lib = typed
-        assert b"abi/1" in lib.yams_mobile_get_version()
-        cfg = lib.yams_mobile_context_config_default()
-        cfg.socket_path = str(daemon.socket_path).encode()
-        ctx = lib.yams_mobile_context_create(ctypes.byref(cfg))
-        assert ctx
-        try:
-            rc, r = _typed_call(lib, "document_store",
-                                lib.yams_mobile_store_document, ctx,
-                                b"typed/t.txt", b"typed surface text")
-            assert rc == 0 and r["ok"]
+    def test_version_struct(self, mobile, typed):
+        v = typed.yams_mobile_get_version()
+        assert (v.major, v.minor, v.patch) == (1, 0, 0)
 
+    def test_reference_struct_flow(self, daemon, typed, tmp_path):
+        """The reference request structs drive every major flow."""
+        lib = typed
+        ctx = _ctx(lib, daemon)
+        try:
+            # store a real file by path (reference document_store_request)
+            f = tmp_path / "typed.txt"
+            f.write_text("typed surface text with reference structs")
+            sreq = DocumentStoreRequest()
+            sreq.header = lib.yams_mobile_request_header_default()
+            sreq.path = str(f).encode()
+            tags = (cp * 2)(b"t1", b"t2")
+            sreq.tags = tags
+            sreq.tag_count = 2
+            out_hash = StringView()
+            rc = lib.yams_mobile_store_document(
+                ctx, ctypes.byref(sreq), ctypes.byref(out_hash))
+            assert rc == 0
+            doc_hash = _s(out_hash)
+            assert len(doc_hash) == 64
+            lib.yams_mobile_string_view_destroy(ctypes.byref(out_hash))
+            assert not out_hash.data
+
+            # search via struct request
+            q = SearchRequest()
+            q.header = lib.yams_mobile_request_header_default()
+            q.query = b"reference structs"
+            q.limit = 5
             out = ctypes.c_void_p()
             rc = lib.yams_mobile_search_execute(
-                ctx, b"typed surface", 5, b"hybrid", ctypes.byref(out))
+                ctx, ctypes.byref(q), ctypes.byref(out))
             assert rc == 0
-            body = json.loads(
-                lib.yams_mobile_search_result_json(out).decode())
-            assert body["result"]["hits"][0]["name"] == "t.txt"
-            stats = json.loads(
-                lib.yams_mobile_search_result_stats_json(out).decode())
+            body = _json_of(lib, "search", out)
+            assert body["result"]["hits"][0]["name"] == "typed.txt"
+            stats = json.loads(_s(lib.yams_mobile_search_result_stats_json(out)))
             assert stats["ok"] is True
             lib.yams_mobile_search_result_destroy(out)
 
-            rc, r = _typed_call(lib, "cat", lib.yams_mobile_cat, ctx,
-                                b"t.txt")
-            assert rc == 0 and "typed surface" in r["result"]["text"]
+            # grep with word boundaries
+            g = GrepRequest()
+            g.header = lib.yams_mobile_request_header_default()
+            g.pattern = b"typed"
+            g.word_boundary = 1
+            rc = lib.yams_mobile_grep_execute(
+                ctx, ctypes.byref(g), ctypes.byref(out))
+            assert rc == 0
+            assert _json_of(lib, "grep", out)["result"]["files_matched"] == 1
+            lib.yams_mobile_grep_result_destroy(out)
 
-            rc, r = _typed_call(lib, "list", lib.yams_mobile_list_documents,
-                                ctx, 10, 0)
-            assert rc == 0 and len(r["result"]["documents"]) == 1
+            # list
+            lreq = ListRequest()
+            lreq.header = lib.yams_mobile_request_header_default()
+            lreq.limit = 10
+            rc = lib.yams_mobile_list_documents(
+                ctx, ctypes.byref(lreq), ctypes.byref(out))
+            assert rc == 0
+            assert len(_json_of(lib, "list", out)["result"]["documents"]) == 1
+            lib.yams_mobile_list_result_destroy(out)
 
-            rc, r = _typed_call(lib, "status",
-                                lib.yams_mobile_status_execute, ctx, 0)
-            assert rc == 0 and r["result"]["documents"]["documents"] == 1
+            # document get by hash
+            dreq = DocumentGetRequest()
+            dreq.header = lib.yams_mobile_request_header_default()
+            dreq.document_hash = doc_hash.encode()
+            rc = lib.yams_mobile_get_document(
+                ctx, ctypes.byref(dreq), ctypes.byref(out))
+            assert rc == 0
+            assert _json_of(lib, "document_get", out)["result"][
+                "sha256_hash"] == doc_hash
+            lib.yams_mobile_document_get_result_destroy(out)
 
-            rc, r = _typed_call(lib, "model_list",
-                                lib.yams_mobile_list_models, ctx)
-            assert rc == 0 and r["result"]["default"]["dim"] == 64
+            # update: tags + metadata via parallel key/value arrays
+            ureq = UpdateRequest()
+            ureq.header = lib.yams_mobile_request_header_default()
+            ureq.hash = doc_hash.encode()
+            addt = (cp * 1)(b"extra")
+            ureq.add_tags = addt
+            ureq.add_tag_count = 1
+            mk = (cp * 1)(b"team")
+            mv = (cp * 1)(b"mobile")
+            ureq.metadata_keys = mk
+            ureq.metadata_values = mv
+            ureq.metadata_count = 1
+            rc = lib.yams_mobile_update_document(
+                ctx, ctypes.byref(ureq), ctypes.byref(out))
+            assert rc == 0
+            upd = _json_of(lib, "update", out)["result"]
+            assert upd["metadata"]["team"] == "mobile"
+            assert "extra" in upd["tags"]
+            lib.yams_mobile_update_result_destroy(out)
 
-            rc, r = _typed_call(lib, "delete",
-                                lib.yams_mobile_remove_document, ctx,
-                                b"t.txt")
-            assert rc == 0 and r["result"]["deleted"]
+            # metadata request resolves by hash
+            mreq = MetadataRequest()
+            mreq.header = lib.yams_mobile_request_header_default()
+            mreq.document_hash = doc_hash.encode()
+            rc = lib.yams_mobile_get_metadata(
+                ctx, ctypes.byref(mreq), ctypes.byref(out))
+            assert rc == 0
+            lib.yams_mobile_metadata_result_destroy(out)
+
+            # cat by hash -> heap string view
+            creq = CatRequest()
+            creq.header = lib.yams_mobile_request_header_default()
+            creq.hash = doc_hash.encode()
+            content = StringView()
+            rc = lib.yams_mobile_cat(
+                ctx, ctypes.byref(creq), ctypes.byref(content))
+            assert rc == 0
+            assert "reference structs" in _s(content)
+            lib.yams_mobile_cat_result_destroy(ctypes.byref(content))
+
+            # vector status
+            vreq = VectorStatusRequest()
+            vreq.header = lib.yams_mobile_request_header_default()
+            rc = lib.yams_mobile_get_vector_status(
+                ctx, ctypes.byref(vreq), ctypes.byref(out))
+            assert rc == 0
+            lib.yams_mobile_vector_status_result_destroy(out)
+
+            # typed repair counters
+            rreq = RepairRequest()
+            rreq.header = lib.yams_mobile_request_header_default()
+            rreq.repair_fts5 = 1
+            rreq.repair_orphans = 1
+            rres = ctypes.POINTER(RepairResult)()
+            rc = lib.yams_mobile_repair(
+                ctx, ctypes.byref(rreq), ctypes.byref(rres))
+            assert rc == 0
+            assert rres.contents.operation_count == 2
+            lib.yams_mobile_repair_result_destroy(rres)
+
+            # doctor report view
+            report = StringView()
+            rc = lib.yams_mobile_doctor(ctx, ctypes.byref(report))
+            assert rc == 0 and "ok" in _s(report)
+            lib.yams_mobile_doctor_result_destroy(ctypes.byref(report))
+
+            # models: typed list + embedding info
+            ml = ctypes.POINTER(ModelListResult)()
+            rc = lib.yams_mobile_list_models(ctx, ctypes.byref(ml))
+            assert rc == 0 and ml.contents.count >= 1
+            assert ml.contents.models[0].is_loaded == 1
+            assert ml.contents.models[0].dim == 64
+            lib.yams_mobile_model_list_result_destroy(ml)
+            einfo = EmbeddingInfo()
+            rc = lib.yams_mobile_get_embedding_info(ctx, ctypes.byref(einfo))
+            assert rc == 0 and einfo.available == 1 and einfo.dim == 64
+
+            # delete: dry run resolves without removing, then remove by hash
+            delr = DeleteRequest()
+            delr.header = lib.yams_mobile_request_header_default()
+            delr.hash = doc_hash.encode()
+            delr.dry_run = 1
+            rc = lib.yams_mobile_delete_by_name(
+                ctx, ctypes.byref(delr), ctypes.byref(out))
+            assert rc == 0
+            lib.yams_mobile_delete_result_destroy(out)
+            rc = lib.yams_mobile_remove_document(ctx, doc_hash.encode())
+            assert rc == 0
+            rc = lib.yams_mobile_remove_document(ctx, doc_hash.encode())
+            assert rc != 0  # already gone -> error status
         finally:
             lib.yams_mobile_context_destroy(ctx)
 
-    def test_remote_error_sets_last_error(self, daemon, typed):
+    def test_diff_between_documents(self, daemon, typed, tmp_path):
         lib = typed
-        cfg = lib.yams_mobile_context_config_default()
-        cfg.socket_path = str(daemon.socket_path).encode()
-        ctx = lib.yams_mobile_context_create(ctypes.byref(cfg))
+        ctx = _ctx(lib, daemon)
+        try:
+            hashes = []
+            for name, text in (("a.txt", "alpha\nshared line\nomega"),
+                               ("b.txt", "alpha\nCHANGED line\nomega")):
+                f = tmp_path / name
+                f.write_text(text)
+                req = DocumentStoreRequest()
+                req.header = lib.yams_mobile_request_header_default()
+                req.path = str(f).encode()
+                hv = StringView()
+                assert lib.yams_mobile_store_document(
+                    ctx, ctypes.byref(req), ctypes.byref(hv)) == 0
+                hashes.append(_s(hv))
+                lib.yams_mobile_string_view_destroy(ctypes.byref(hv))
+            dreq = DiffRequest()
+            dreq.header = lib.yams_mobile_request_header_default()
+            dreq.hash_a = hashes[0].encode()
+            dreq.hash_b = hashes[1].encode()
+            dv = StringView()
+            assert lib.yams_mobile_diff(
+                ctx, ctypes.byref(dreq), ctypes.byref(dv)) == 0
+            diff = _s(dv)
+            assert "-shared line" in diff and "+CHANGED line" in diff
+            lib.yams_mobile_string_view_destroy(ctypes.byref(dv))
+        finally:
+            lib.yams_mobile_context_destroy(ctx)
+
+    def test_thread_local_last_error(self, daemon, typed):
+        lib = typed
+        ctx = _ctx(lib, daemon)
         try:
             out = ctypes.c_void_p()
-            rc = lib.yams_mobile_get_document(ctx, b"no-such-doc",
-                                              ctypes.byref(out))
-            assert rc == 3  # YM_ERR_REMOTE
-            msg = lib.yams_mobile_last_error_message(ctx).decode()
+            dreq = DocumentGetRequest()
+            dreq.header = lib.yams_mobile_request_header_default()
+            dreq.name = b"no-such-doc"
+            rc = lib.yams_mobile_get_document(
+                ctx, ctypes.byref(dreq), ctypes.byref(out))
+            assert rc != 0
+            msg = lib.yams_mobile_last_error_message().decode()
             assert "ok" in msg  # carries the remote envelope
             lib.yams_mobile_document_get_result_destroy(out)
-            # a successful call clears the error
+            # a successful call clears the thread-local error
             rc2 = lib.yams_mobile_status_execute(ctx, 0, ctypes.byref(out))
             assert rc2 == 0
-            assert lib.yams_mobile_last_error_message(ctx) == b""
+            assert lib.yams_mobile_last_error_message() == b""
             lib.yams_mobile_status_result_destroy(out)
         finally:
             lib.yams_mobile_context_destroy(ctx)
 
-
-class StringView(ctypes.Structure):
-    _fields_ = [("data", ctypes.c_char_p), ("length", ctypes.c_size_t)]
+    def test_bad_config_rejected(self, typed):
+        lib = typed
+        out = ctypes.c_void_p()
+        # missing struct_size
+        cfg = ContextConfig()
+        rc = lib.yams_mobile_context_create(ctypes.byref(cfg),
+                                            ctypes.byref(out))
+        assert rc == 1  # INVALID_ARGUMENT
+        # no socket or workdir
+        cfg = lib.yams_mobile_context_config_default()
+        rc = lib.yams_mobile_context_create(ctypes.byref(cfg),
+                                            ctypes.byref(out))
+        assert rc == 1
+        assert b"working_directory" in lib.yams_mobile_last_error_message()
 
 
 @pytest.fixture()
@@ -318,42 +647,42 @@ def getters(typed):
     """Bind the field-level typed getter tier (reference:
     mobile_bindings.h string_view getters — no JSON parsing in the host)."""
     lib = typed
-    h = ctypes.c_void_p
+    h = handle_t
     lib.yams_mobile_result_ok.restype = ctypes.c_int
     lib.yams_mobile_result_ok.argtypes = [h]
     lib.yams_mobile_result_int.restype = ctypes.c_longlong
-    lib.yams_mobile_result_int.argtypes = [h, ctypes.c_char_p, ctypes.c_longlong]
+    lib.yams_mobile_result_int.argtypes = [h, cp, ctypes.c_longlong]
     lib.yams_mobile_result_double.restype = ctypes.c_double
-    lib.yams_mobile_result_double.argtypes = [h, ctypes.c_char_p, ctypes.c_double]
+    lib.yams_mobile_result_double.argtypes = [h, cp, ctypes.c_double]
     lib.yams_mobile_result_bool.restype = ctypes.c_int
-    lib.yams_mobile_result_bool.argtypes = [h, ctypes.c_char_p, ctypes.c_int]
+    lib.yams_mobile_result_bool.argtypes = [h, cp, ctypes.c_int]
     lib.yams_mobile_result_string.restype = StringView
-    lib.yams_mobile_result_string.argtypes = [h, ctypes.c_char_p]
-    lib.yams_mobile_result_array_len.restype = ctypes.c_size_t
-    lib.yams_mobile_result_array_len.argtypes = [h, ctypes.c_char_p]
-    lib.yams_mobile_result_keys.restype = ctypes.c_size_t
+    lib.yams_mobile_result_string.argtypes = [h, cp]
+    lib.yams_mobile_result_array_len.restype = sz
+    lib.yams_mobile_result_array_len.argtypes = [h, cp]
+    lib.yams_mobile_result_keys.restype = sz
     lib.yams_mobile_result_keys.argtypes = [
-        h, ctypes.c_char_p, ctypes.POINTER(StringView), ctypes.c_size_t]
+        h, cp, ctypes.POINTER(StringView), sz]
     for name, restype, args in [
-        ("search_result_count", ctypes.c_size_t, [h]),
-        ("search_result_path", StringView, [h, ctypes.c_size_t]),
-        ("search_result_title", StringView, [h, ctypes.c_size_t]),
-        ("search_result_snippet", StringView, [h, ctypes.c_size_t]),
-        ("search_result_score", ctypes.c_double, [h, ctypes.c_size_t]),
-        ("search_result_document_id", ctypes.c_longlong, [h, ctypes.c_size_t]),
+        ("search_result_count", sz, [h]),
+        ("search_result_path", StringView, [h, sz]),
+        ("search_result_title", StringView, [h, sz]),
+        ("search_result_snippet", StringView, [h, sz]),
+        ("search_result_score", ctypes.c_double, [h, sz]),
+        ("search_result_document_id", ctypes.c_longlong, [h, sz]),
         ("search_result_total", ctypes.c_longlong, [h]),
         ("search_result_duration_ms", ctypes.c_double, [h]),
-        ("grep_result_count", ctypes.c_size_t, [h]),
-        ("grep_result_path", StringView, [h, ctypes.c_size_t]),
-        ("grep_result_line", StringView, [h, ctypes.c_size_t]),
-        ("grep_result_line_number", ctypes.c_longlong, [h, ctypes.c_size_t]),
+        ("grep_result_count", sz, [h]),
+        ("grep_result_path", StringView, [h, sz]),
+        ("grep_result_line", StringView, [h, sz]),
+        ("grep_result_line_number", ctypes.c_longlong, [h, sz]),
         ("grep_result_files_searched", ctypes.c_longlong, [h]),
         ("grep_result_files_matched", ctypes.c_longlong, [h]),
-        ("list_result_count", ctypes.c_size_t, [h]),
-        ("list_result_path", StringView, [h, ctypes.c_size_t]),
-        ("list_result_hash", StringView, [h, ctypes.c_size_t]),
-        ("list_result_mime_type", StringView, [h, ctypes.c_size_t]),
-        ("list_result_size", ctypes.c_longlong, [h, ctypes.c_size_t]),
+        ("list_result_count", sz, [h]),
+        ("list_result_path", StringView, [h, sz]),
+        ("list_result_hash", StringView, [h, sz]),
+        ("list_result_mime_type", StringView, [h, sz]),
+        ("list_result_size", ctypes.c_longlong, [h, sz]),
         ("document_get_result_path", StringView, [h]),
         ("document_get_result_hash", StringView, [h]),
         ("document_get_result_mime_type", StringView, [h]),
@@ -369,37 +698,40 @@ def getters(typed):
     return lib
 
 
-def _s(view: StringView) -> str:
-    if not view.data:
-        return ""
-    return ctypes.string_at(view.data, view.length).decode()
+def _hdr(lib):
+    return lib.yams_mobile_request_header_default()
 
 
 class TestFieldLevelGetters:
-    def test_typed_field_access_end_to_end(self, daemon, getters):
+    def test_typed_field_access_end_to_end(self, daemon, getters, tmp_path):
         """A C host reads every result field without parsing JSON."""
         lib = getters
-        cfg = lib.yams_mobile_context_config_default()
-        cfg.socket_path = str(daemon.socket_path).encode()
-        ctx = lib.yams_mobile_context_create(ctypes.byref(cfg))
-        assert ctx
+        ctx = _ctx(lib, daemon)
         try:
-            out = ctypes.c_void_p()
-            rc = lib.yams_mobile_store_document(
-                ctx, b"typed/alpha.txt",
-                "unicode snowman ☃ in typed getter land".encode(),
-                ctypes.byref(out))
-            assert rc == 0 and lib.yams_mobile_result_ok(out) == 1
-            lib.yams_mobile_document_store_result_destroy(out)
+            f = tmp_path / "alpha.txt"
+            f.write_text("unicode snowman ☃ in typed getter land")
+            sreq = DocumentStoreRequest()
+            sreq.header = _hdr(lib)
+            sreq.path = str(f).encode()
+            hv = StringView()
+            assert lib.yams_mobile_store_document(
+                ctx, ctypes.byref(sreq), ctypes.byref(hv)) == 0
+            doc_hash = _s(hv)
+            lib.yams_mobile_string_view_destroy(ctypes.byref(hv))
 
             # search: counts, per-hit fields, floats
+            out = ctypes.c_void_p()
+            q = SearchRequest()
+            q.header = _hdr(lib)
+            q.query = b"typed getter"
+            q.limit = 5
             rc = lib.yams_mobile_search_execute(
-                ctx, b"typed getter", 5, b"hybrid", ctypes.byref(out))
+                ctx, ctypes.byref(q), ctypes.byref(out))
             assert rc == 0
             n = lib.yams_mobile_search_result_count(out)
             assert n >= 1
-            assert _s(lib.yams_mobile_search_result_path(out, 0)).lstrip("/") == \
-                "typed/alpha.txt"
+            assert _s(lib.yams_mobile_search_result_path(out, 0)).endswith(
+                "alpha.txt")
             assert lib.yams_mobile_search_result_score(out, 0) > 0.0
             assert lib.yams_mobile_search_result_document_id(out, 0) >= 1
             assert lib.yams_mobile_search_result_total(out) >= 1
@@ -409,12 +741,16 @@ class TestFieldLevelGetters:
             lib.yams_mobile_search_result_destroy(out)
 
             # grep: match rows + counters
-            rc = lib.yams_mobile_grep_execute(ctx, b"snowman", 10,
-                                              ctypes.byref(out))
+            g = GrepRequest()
+            g.header = _hdr(lib)
+            g.pattern = b"snowman"
+            g.max_matches = 10
+            rc = lib.yams_mobile_grep_execute(
+                ctx, ctypes.byref(g), ctypes.byref(out))
             assert rc == 0
             assert lib.yams_mobile_grep_result_count(out) == 1
-            assert _s(lib.yams_mobile_grep_result_path(out, 0)).lstrip("/") == \
-                "typed/alpha.txt"
+            assert _s(lib.yams_mobile_grep_result_path(out, 0)).endswith(
+                "alpha.txt")
             assert "snowman" in _s(lib.yams_mobile_grep_result_line(out, 0))
             assert lib.yams_mobile_grep_result_line_number(out, 0) == 1
             assert lib.yams_mobile_grep_result_files_searched(out) >= 1
@@ -422,32 +758,40 @@ class TestFieldLevelGetters:
             lib.yams_mobile_grep_result_destroy(out)
 
             # list: typed rows
-            rc = lib.yams_mobile_list_documents(ctx, 10, 0, ctypes.byref(out))
+            lreq = ListRequest()
+            lreq.header = _hdr(lib)
+            lreq.limit = 10
+            rc = lib.yams_mobile_list_documents(
+                ctx, ctypes.byref(lreq), ctypes.byref(out))
             assert rc == 0
             assert lib.yams_mobile_list_result_count(out) == 1
-            assert _s(lib.yams_mobile_list_result_path(out, 0)).lstrip("/") == \
-                "typed/alpha.txt"
+            assert _s(lib.yams_mobile_list_result_path(out, 0)).endswith(
+                "alpha.txt")
             assert len(_s(lib.yams_mobile_list_result_hash(out, 0))) == 64
             assert lib.yams_mobile_list_result_size(out, 0) > 0
             lib.yams_mobile_list_result_destroy(out)
 
             # document get: scalar fields
-            rc = lib.yams_mobile_get_document(ctx, b"typed/alpha.txt",
-                                              ctypes.byref(out))
+            dreq = DocumentGetRequest()
+            dreq.header = _hdr(lib)
+            dreq.document_hash = doc_hash.encode()
+            rc = lib.yams_mobile_get_document(
+                ctx, ctypes.byref(dreq), ctypes.byref(out))
             assert rc == 0
-            assert _s(lib.yams_mobile_document_get_result_path(out)).lstrip("/") == \
-                "typed/alpha.txt"
-            assert len(_s(lib.yams_mobile_document_get_result_hash(out))) == 64
+            assert _s(lib.yams_mobile_document_get_result_path(out)).endswith(
+                "alpha.txt")
+            assert _s(lib.yams_mobile_document_get_result_hash(out)) == doc_hash
             assert lib.yams_mobile_document_get_result_size(out) > 0
             lib.yams_mobile_document_get_result_destroy(out)
 
-            # cat content arrives as a view with correct utf-8
-            rc = lib.yams_mobile_cat(ctx, b"typed/alpha.txt",
-                                     ctypes.byref(out))
+            # include_content routes to the text envelope; the content getter
+            # borrows a utf-8 view
+            dreq.include_content = 1
+            rc = lib.yams_mobile_get_document(
+                ctx, ctypes.byref(dreq), ctypes.byref(out))
             assert rc == 0
-            content = _s(lib.yams_mobile_document_get_result_content(out))
-            assert "☃" in content
-            lib.yams_mobile_cat_result_destroy(out)
+            assert "☃" in _s(lib.yams_mobile_document_get_result_content(out))
+            lib.yams_mobile_document_get_result_destroy(out)
 
             # status scalars + generic dotted-path access
             rc = lib.yams_mobile_status_execute(ctx, 0, ctypes.byref(out))
@@ -468,14 +812,15 @@ class TestFieldLevelGetters:
     def test_getters_safe_on_error_results(self, daemon, getters):
         """Getters on an error envelope degrade to defaults, never crash."""
         lib = getters
-        cfg = lib.yams_mobile_context_config_default()
-        cfg.socket_path = str(daemon.socket_path).encode()
-        ctx = lib.yams_mobile_context_create(ctypes.byref(cfg))
+        ctx = _ctx(lib, daemon)
         try:
             out = ctypes.c_void_p()
-            rc = lib.yams_mobile_get_document(ctx, b"nope",
-                                              ctypes.byref(out))
-            assert rc == 3
+            dreq = DocumentGetRequest()
+            dreq.header = _hdr(lib)
+            dreq.name = b"nope"
+            rc = lib.yams_mobile_get_document(
+                ctx, ctypes.byref(dreq), ctypes.byref(out))
+            assert rc != 0
             assert lib.yams_mobile_result_ok(out) == 0
             assert lib.yams_mobile_search_result_count(out) == 0
             assert _s(lib.yams_mobile_document_get_result_path(out)) == ""

@@ -17,9 +17,12 @@
 #include <utility>
 #include <vector>
 
+#include <fcntl.h>
 #include <sys/socket.h>
 #include <sys/un.h>
 #include <unistd.h>
+
+#include "../include/yams_mobile.h"
 
 extern "C" uint32_t ytn_crc32(const uint8_t* data, size_t n, uint32_t seed);
 
@@ -172,7 +175,7 @@ char* yams_mobile_ping(void* handle) {
     return yams_mobile_request(handle, "{\"type\":\"ping\"}");
 }
 
-char* yams_mobile_status(void* handle, int detailed) {
+char* yams_mobile_status_json(void* handle, int detailed) {
     std::string req = std::string("{\"type\":\"status\",\"detailed\":") +
                       (detailed ? "true" : "false") + "}";
     return yams_mobile_request(handle, req.c_str());
@@ -221,7 +224,7 @@ char* yams_mobile_get_text(void* handle, const char* selector) {
     return yams_mobile_request(handle, req.c_str());
 }
 
-char* yams_mobile_get_metadata(void* handle, const char* selector) {
+char* yams_mobile_get_metadata_json(void* handle, const char* selector) {
     std::string req = "{\"type\":\"get\",\"selector\":\"" +
                       json_escape(selector) + "\"}";
     return yams_mobile_request(handle, req.c_str());
@@ -278,7 +281,7 @@ char* yams_mobile_session(void* handle, const char* op, const char* arg) {
     return yams_mobile_request(handle, req.c_str());
 }
 
-char* yams_mobile_repair(void* handle, const char* ops_csv) {
+char* yams_mobile_repair_json(void* handle, const char* ops_csv) {
     std::string req = "{\"type\":\"repair\",\"ops\":[";
     if (ops_csv && *ops_csv) {
         std::string cur;
@@ -301,7 +304,7 @@ char* yams_mobile_repair(void* handle, const char* ops_csv) {
     return yams_mobile_request(handle, req.c_str());
 }
 
-char* yams_mobile_doctor(void* handle) {
+char* yams_mobile_doctor_json(void* handle) {
     return yams_mobile_request(handle, "{\"type\":\"doctor\"}");
 }
 
@@ -315,7 +318,7 @@ char* yams_mobile_embed(void* handle, const char* text) {
     return yams_mobile_request(handle, req.c_str());
 }
 
-char* yams_mobile_download(void* handle, const char* url) {
+char* yams_mobile_download_json(void* handle, const char* url) {
     std::string req = "{\"type\":\"download\",\"url\":\"" + json_escape(url) +
                       "\"}";
     return yams_mobile_request(handle, req.c_str());
@@ -332,12 +335,13 @@ char* yams_mobile_download(void* handle, const char* url) {
 // until the matching *_destroy.
 // ---------------------------------------------------------------------------
 
-namespace {
+// (file-local support types for the typed layer)
 
-struct MobileContext {
+struct yams_mobile_context_t {
     void* conn = nullptr;          // Handle* from yams_mobile_connect
     std::string last_error;
 };
+using MobileContext = yams_mobile_context_t;
 
 // -- minimal JSON DOM for the field-level typed getters ----------------------
 // (reference: the mobile ABI exposes typed accessors so hosts never parse
@@ -511,7 +515,7 @@ struct JParser {
     }
 };
 
-struct MobileResult {
+struct yams_mobile_result_t {
     std::string json;              // full daemon response envelope
     std::string stats;             // tiny summary: {"ok":...,"bytes":N}
     bool dom_tried = false;        // lazy parse state for typed getters
@@ -531,6 +535,7 @@ struct MobileResult {
         return dom_ok ? &dom : nullptr;
     }
 };
+using MobileResult = yams_mobile_result_t;
 
 // dotted-path lookup: "hits.3.score" (numeric segment = array index)
 const JValue* jwalk(const JValue* v, const char* path) {
@@ -559,22 +564,24 @@ const JValue* jresolve(MobileResult* r, const char* path) {
     return jwalk(root, path);
 }
 
-// status codes (reference: yams_mobile_status_t)
-enum {
-    YM_OK = 0,
-    YM_ERR_INVALID_ARG = 1,
-    YM_ERR_TRANSPORT = 2,
-    YM_ERR_REMOTE = 3,
-};
+// thread-local extended error (reference: yams_mobile_last_error_message is
+// per-thread and valid until the next API call on the same thread)
+thread_local std::string g_thread_error;
 
-int run_request(MobileContext* ctx, const std::string& req,
-                MobileResult** out) {
-    if (!ctx || !out) return YM_ERR_INVALID_ARG;
+void set_tl_error(const std::string& msg) { g_thread_error = msg; }
+
+yams_mobile_status run_request(MobileContext* ctx, const std::string& req,
+                               MobileResult** out) {
+    if (!ctx || !out) {
+        set_tl_error("invalid argument");
+        return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
+    }
     *out = nullptr;
     char* resp = yams_mobile_request(ctx->conn, req.c_str());
     if (!resp) {
         ctx->last_error = "transport failure (socket closed or bad frame)";
-        return YM_ERR_TRANSPORT;
+        set_tl_error(ctx->last_error);
+        return YAMS_MOBILE_STATUS_UNAVAILABLE;
     }
     auto* r = new MobileResult();
     r->json.assign(resp);
@@ -585,280 +592,733 @@ int run_request(MobileContext* ctx, const std::string& req,
                ",\"bytes\":" + std::to_string(r->json.size()) + "}";
     if (!ok) {
         ctx->last_error = r->json;
+        set_tl_error(r->json);
         *out = r;
-        return YM_ERR_REMOTE;
+        return r->json.find("not found") != std::string::npos
+                   ? YAMS_MOBILE_STATUS_NOT_FOUND
+                   : YAMS_MOBILE_STATUS_INTERNAL_ERROR;
     }
     ctx->last_error.clear();
+    set_tl_error("");
     *out = r;
-    return YM_OK;
+    return YAMS_MOBILE_STATUS_OK;
 }
 
-} // namespace
+// request-building helpers -----------------------------------------------------
+
+std::string jfield(const char* key, const char* val) {
+    return std::string("\"") + key + "\":\"" + json_escape(val ? val : "") +
+           "\"";
+}
+
+void append_str_array(std::string& req, const char* key, const char** arr,
+                      size_t n) {
+    if (!arr || !n) return;
+    req += ",\"";
+    req += key;
+    req += "\":[";
+    for (size_t i = 0; i < n; ++i) {
+        if (i) req += ",";
+        req += "\"" + json_escape(arr[i] ? arr[i] : "") + "\"";
+    }
+    req += "]";
+}
+
+void append_kv_object(std::string& req, const char* key, const char** ks,
+                      const char** vs, size_t n) {
+    if (!ks || !vs || !n) return;
+    req += ",\"";
+    req += key;
+    req += "\":{";
+    for (size_t i = 0; i < n; ++i) {
+        if (i) req += ",";
+        req += "\"" + json_escape(ks[i] ? ks[i] : "") + "\":\"" +
+               json_escape(vs[i] ? vs[i] : "") + "\"";
+    }
+    req += "}";
+}
+
+std::string regex_escape(const char* s) {
+    std::string out;
+    for (const char* p = s; *p; ++p) {
+        if (strchr("\\^$.|?*+()[]{}", *p)) out += '\\';
+        out += *p;
+    }
+    return out;
+}
+
+// heap-owned string view for out-params (released by
+// yams_mobile_string_view_destroy / the per-family destroy aliases)
+yams_mobile_string_view heap_view(const std::string& s) {
+    yams_mobile_string_view v;
+    char* buf = static_cast<char*>(malloc(s.size() + 1));
+    if (buf) memcpy(buf, s.c_str(), s.size() + 1);
+    v.data = buf;
+    v.length = buf ? s.size() : 0;
+    return v;
+}
+
+// borrowing view over a handle-owned string
+yams_mobile_string_view sv(const std::string* s) {
+    yams_mobile_string_view v;
+    v.data = s ? s->c_str() : nullptr;
+    v.length = s ? s->size() : 0;
+    return v;
+}
+
+// first integer appearing in a status message ("cleaned 12 rows" -> 12)
+uint64_t first_int(const std::string& s) {
+    size_t i = s.find_first_of("0123456789");
+    if (i == std::string::npos) return 0;
+    return strtoull(s.c_str() + i, nullptr, 10);
+}
 
 extern "C" {
 
-typedef struct {
-    const char* socket_path;
-    int timeout_ms;                // reserved; blocking I/O today
-} yams_mobile_context_config_t;
+const char* yams_mobile_last_error_message(void) {
+    return g_thread_error.c_str();
+}
 
-typedef struct MobileResult yams_mobile_result_t;
+yams_mobile_version_info yams_mobile_get_version(void) {
+    yams_mobile_version_info v;
+    v.major = YAMS_MOBILE_API_VERSION_MAJOR;
+    v.minor = YAMS_MOBILE_API_VERSION_MINOR;
+    v.patch = YAMS_MOBILE_API_VERSION_PATCH;
+    return v;
+}
 
-yams_mobile_context_config_t yams_mobile_context_config_default(void) {
-    yams_mobile_context_config_t cfg;
-    cfg.socket_path = nullptr;
-    cfg.timeout_ms = 60000;
+yams_mobile_context_config yams_mobile_context_config_default(void) {
+    yams_mobile_context_config cfg;
+    memset(&cfg, 0, sizeof cfg);
+    cfg.struct_size = sizeof(yams_mobile_context_config);
+    cfg.version = YAMS_MOBILE_API_VERSION;
+    cfg.backend_mode = YAMS_MOBILE_BACKEND_EMBEDDED;
     return cfg;
 }
 
-void* yams_mobile_context_create(const yams_mobile_context_config_t* cfg) {
-    if (!cfg || !cfg->socket_path) return nullptr;
-    void* conn = yams_mobile_connect(cfg->socket_path);
-    if (!conn) return nullptr;
-    auto* ctx = new MobileContext();
-    ctx->conn = conn;
-    return ctx;
+yams_mobile_request_header yams_mobile_request_header_default(void) {
+    yams_mobile_request_header h;
+    memset(&h, 0, sizeof h);
+    h.struct_size = sizeof(yams_mobile_request_header);
+    h.version = YAMS_MOBILE_API_VERSION;
+    return h;
 }
 
-void yams_mobile_context_destroy(void* context) {
-    auto* ctx = static_cast<MobileContext*>(context);
+} // extern "C"
+
+// embedded bootstrap: detach a daemon over the working directory (the Python
+// CLI owns daemonization; socket convention: <storage>/daemon.sock)
+static bool spawn_embedded_daemon(const char* workdir) {
+    pid_t pid = fork();
+    if (pid < 0) return false;
+    if (pid == 0) {
+        setsid();
+        int devnull = ::open("/dev/null", O_RDWR);
+        if (devnull >= 0) {
+            dup2(devnull, 0);
+            dup2(devnull, 1);
+            dup2(devnull, 2);
+            if (devnull > 2) ::close(devnull);
+        }
+        execlp("python", "python", "-m", "yams_tpu.cli.main", "--storage",
+               workdir, "daemon", "start", (char*)nullptr);
+        _exit(127);
+    }
+    return true;
+}
+
+extern "C" {
+
+yams_mobile_status yams_mobile_context_create(
+    const yams_mobile_context_config* config,
+    yams_mobile_context_t** out_context) {
+    if (!out_context) {
+        set_tl_error("out_context is required");
+        return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
+    }
+    *out_context = nullptr;
+    if (!config || config->struct_size < sizeof(yams_mobile_context_config)) {
+        set_tl_error("bad context_config (set struct_size = sizeof(config))");
+        return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
+    }
+    std::string sock;
+    if (config->daemon_socket_path && *config->daemon_socket_path)
+        sock = config->daemon_socket_path;
+    else if (config->working_directory && *config->working_directory)
+        sock = std::string(config->working_directory) + "/daemon.sock";
+    else {
+        set_tl_error("need working_directory or daemon_socket_path");
+        return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
+    }
+    void* conn = yams_mobile_connect(sock.c_str());
+    if (!conn && config->backend_mode == YAMS_MOBILE_BACKEND_EMBEDDED &&
+        config->working_directory && *config->working_directory) {
+        if (!spawn_embedded_daemon(config->working_directory)) {
+            set_tl_error("failed to spawn embedded daemon");
+            return YAMS_MOBILE_STATUS_INTERNAL_ERROR;
+        }
+        // first TPU compile can take tens of seconds; ping-poll the socket
+        for (int i = 0; i < 240 && !conn; ++i) {
+            usleep(250 * 1000);
+            conn = yams_mobile_connect(sock.c_str());
+        }
+    }
+    if (!conn) {
+        set_tl_error("cannot connect to daemon at " + sock);
+        return YAMS_MOBILE_STATUS_UNAVAILABLE;
+    }
+    auto* ctx = new yams_mobile_context_t();
+    ctx->conn = conn;
+    *out_context = ctx;
+    set_tl_error("");
+    return YAMS_MOBILE_STATUS_OK;
+}
+
+void yams_mobile_context_destroy(yams_mobile_context_t* ctx) {
     if (!ctx) return;
     yams_mobile_disconnect(ctx->conn);
     delete ctx;
 }
 
-const char* yams_mobile_last_error_message(void* context) {
-    auto* ctx = static_cast<MobileContext*>(context);
-    return ctx ? ctx->last_error.c_str() : "";
-}
-
-const char* yams_mobile_get_version(void) { return "yams-tpu/0.2 abi/1"; }
-
-// shared result getters (every family aliases these semantics)
-static const char* result_json_impl(const yams_mobile_result_t* r) {
-    return r ? r->json.c_str() : nullptr;
-}
-static const char* result_stats_impl(const yams_mobile_result_t* r) {
-    return r ? r->stats.c_str() : nullptr;
-}
-static void result_destroy_impl(yams_mobile_result_t* r) { delete r; }
-
+// result families sharing the opaque handle: borrowing *_result_json +
+// *_result_destroy (reference shapes)
 #define YM_RESULT_FAMILY(family)                                              \
-    const char* yams_mobile_##family##_result_json(                           \
-        const yams_mobile_result_t* r) { return result_json_impl(r); }        \
+    yams_mobile_string_view yams_mobile_##family##_result_json(               \
+        const yams_mobile_result_t* r) { return sv(r ? &r->json : nullptr); } \
     void yams_mobile_##family##_result_destroy(yams_mobile_result_t* r) {     \
-        result_destroy_impl(r); }
+        delete r; }
 
 YM_RESULT_FAMILY(search)
 YM_RESULT_FAMILY(grep)
 YM_RESULT_FAMILY(list)
 YM_RESULT_FAMILY(document_get)
-YM_RESULT_FAMILY(document_store)
 YM_RESULT_FAMILY(delete)
 YM_RESULT_FAMILY(metadata)
-YM_RESULT_FAMILY(cat)
 YM_RESULT_FAMILY(graph_query)
+YM_RESULT_FAMILY(update)
+YM_RESULT_FAMILY(vector_status)
 YM_RESULT_FAMILY(status)
-YM_RESULT_FAMILY(doctor)
-YM_RESULT_FAMILY(repair)
-YM_RESULT_FAMILY(model_list)
-YM_RESULT_FAMILY(download)
-YM_RESULT_FAMILY(restore)
-YM_RESULT_FAMILY(diff)
 
-const char* yams_mobile_search_result_stats_json(
-    const yams_mobile_result_t* r) { return result_stats_impl(r); }
-const char* yams_mobile_grep_result_stats_json(
-    const yams_mobile_result_t* r) { return result_stats_impl(r); }
+yams_mobile_string_view yams_mobile_search_result_stats_json(
+    const yams_mobile_result_t* r) { return sv(r ? &r->stats : nullptr); }
+yams_mobile_string_view yams_mobile_grep_result_stats_json(
+    const yams_mobile_result_t* r) { return sv(r ? &r->stats : nullptr); }
 
-// typed execute functions ---------------------------------------------------
-int yams_mobile_search_execute(void* context, const char* query, int limit,
-                               const char* search_type,
-                               yams_mobile_result_t** out) {
-    auto* ctx = static_cast<MobileContext*>(context);
-    if (!ctx || !query) return YM_ERR_INVALID_ARG;
-    std::string req = "{\"type\":\"search\",\"query\":\"" +
-                      json_escape(query) + "\",\"limit\":" +
-                      std::to_string(limit > 0 ? limit : 10) +
-                      ",\"search_type\":\"" +
-                      json_escape(search_type ? search_type : "hybrid") +
-                      "\"}";
-    return run_request(ctx, req, out);
-}
+// typed executes (reference request structs) --------------------------------
 
-int yams_mobile_grep_execute(void* context, const char* pattern,
-                             int max_matches, yams_mobile_result_t** out) {
-    auto* ctx = static_cast<MobileContext*>(context);
-    if (!ctx || !pattern) return YM_ERR_INVALID_ARG;
-    std::string req = "{\"type\":\"grep\",\"pattern\":\"" +
-                      json_escape(pattern) + "\",\"max_matches\":" +
-                      std::to_string(max_matches > 0 ? max_matches : 100) +
-                      "}";
-    return run_request(ctx, req, out);
-}
-
-int yams_mobile_list_documents(void* context, int limit, int offset,
-                               yams_mobile_result_t** out) {
-    auto* ctx = static_cast<MobileContext*>(context);
-    if (!ctx) return YM_ERR_INVALID_ARG;
-    std::string req = "{\"type\":\"list\",\"limit\":" +
-                      std::to_string(limit > 0 ? limit : 100) +
-                      ",\"offset\":" + std::to_string(offset > 0 ? offset : 0)
-                      + "}";
-    return run_request(ctx, req, out);
-}
-
-int yams_mobile_get_document(void* context, const char* selector,
-                             yams_mobile_result_t** out) {
-    auto* ctx = static_cast<MobileContext*>(context);
-    if (!ctx || !selector) return YM_ERR_INVALID_ARG;
-    return run_request(ctx, "{\"type\":\"get\",\"selector\":\"" +
-                       json_escape(selector) + "\"}", out);
-}
-
-int yams_mobile_cat(void* context, const char* selector,
-                    yams_mobile_result_t** out) {
-    auto* ctx = static_cast<MobileContext*>(context);
-    if (!ctx || !selector) return YM_ERR_INVALID_ARG;
-    return run_request(ctx, "{\"type\":\"get_text\",\"selector\":\"" +
-                       json_escape(selector) + "\"}", out);
-}
-
-int yams_mobile_store_document(void* context, const char* name,
-                               const char* content,
-                               yams_mobile_result_t** out) {
-    auto* ctx = static_cast<MobileContext*>(context);
-    if (!ctx || !name || !content) return YM_ERR_INVALID_ARG;
-    char* resp = yams_mobile_add_text(ctx->conn, name, content);
-    if (!resp) {
-        ctx->last_error = "transport failure";
-        return YM_ERR_TRANSPORT;
+yams_mobile_status yams_mobile_search_execute(
+    yams_mobile_context_t* ctx, const yams_mobile_search_request* request,
+    yams_mobile_search_result_t** out_result) {
+    if (!ctx || !request || !request->query) {
+        set_tl_error("search_request needs query");
+        return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
     }
-    // reuse envelope handling
-    auto* r = new MobileResult();
-    r->json.assign(resp);
-    free(resp);
-    bool ok = r->json.find("\"ok\":true") != std::string::npos ||
-              r->json.find("\"ok\": true") != std::string::npos;
-    r->stats = std::string("{\"ok\":") + (ok ? "true" : "false") + "}";
-    if (out) *out = r; else delete r;
-    if (!ok) { ctx->last_error = r->json; return YM_ERR_REMOTE; }
-    return YM_OK;
+    std::string req = "{\"type\":\"search\"," + jfield("query", request->query) +
+                      ",\"limit\":" +
+                      std::to_string(request->limit ? request->limit : 10) +
+                      ",\"search_type\":\"" +
+                      (request->semantic ? "vector" : "hybrid") + "\"";
+    append_str_array(req, "tags", request->tags, request->tag_count);
+    req += "}";
+    return run_request(ctx, req, out_result);
 }
 
-int yams_mobile_remove_document(void* context, const char* selector,
-                                yams_mobile_result_t** out) {
-    auto* ctx = static_cast<MobileContext*>(context);
-    if (!ctx || !selector) return YM_ERR_INVALID_ARG;
-    return run_request(ctx, "{\"type\":\"delete\",\"selector\":\"" +
-                       json_escape(selector) + "\"}", out);
+yams_mobile_status yams_mobile_grep_execute(
+    yams_mobile_context_t* ctx, const yams_mobile_grep_request* request,
+    yams_mobile_grep_result_t** out_result) {
+    if (!ctx || !request || !request->pattern) {
+        set_tl_error("grep_request needs pattern");
+        return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
+    }
+    std::string pat = request->pattern;
+    bool literal = request->literal != 0;
+    if (request->word_boundary) {
+        // express word boundaries as regex; escape first if literal was asked
+        pat = "\\b(" + (literal ? regex_escape(pat.c_str()) : pat) + ")\\b";
+        literal = false;
+    }
+    std::string req =
+        "{\"type\":\"grep\"," + jfield("pattern", pat.c_str()) +
+        ",\"literal\":" + (literal ? "true" : "false") +
+        ",\"ignore_case\":" + (request->ignore_case ? "true" : "false") +
+        ",\"max_matches\":" +
+        std::to_string(request->max_matches ? request->max_matches : 1000) +
+        "}";
+    return run_request(ctx, req, out_result);
 }
 
-int yams_mobile_delete_by_name(void* context, const char* name,
-                               yams_mobile_result_t** out) {
-    return yams_mobile_remove_document(context, name, out);
+yams_mobile_status yams_mobile_store_document(
+    yams_mobile_context_t* ctx,
+    const yams_mobile_document_store_request* request,
+    yams_mobile_string_view* out_hash) {
+    if (!ctx || !request || !request->path) {
+        set_tl_error("document_store_request needs path");
+        return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
+    }
+    std::string req = "{\"type\":\"add_path\"," + jfield("path", request->path);
+    append_str_array(req, "tags", request->tags, request->tag_count);
+    req += "}";
+    MobileResult* r = nullptr;
+    yams_mobile_status st = run_request(ctx, req, &r);
+    if (st == YAMS_MOBILE_STATUS_OK && out_hash) {
+        const JValue* v = jresolve(r, "content_hash");
+        if (!v) v = jresolve(r, "sha256_hash");
+        *out_hash = heap_view(v && v->kind == JValue::STR ? v->str : "");
+    }
+    delete r;
+    return st;
 }
 
-int yams_mobile_get_metadata_typed(void* context, const char* selector,
-                                   yams_mobile_result_t** out) {
-    auto* ctx = static_cast<MobileContext*>(context);
-    if (!ctx || !selector) return YM_ERR_INVALID_ARG;
-    return run_request(ctx, "{\"type\":\"get\",\"selector\":\"" +
-                       json_escape(selector) + "\"}", out);
+yams_mobile_status yams_mobile_download(
+    yams_mobile_context_t* ctx, const yams_mobile_download_request* request,
+    yams_mobile_string_view* out_hash) {
+    if (!ctx || !request || !request->url) {
+        set_tl_error("download_request needs url");
+        return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
+    }
+    std::string req = "{\"type\":\"download\"," + jfield("url", request->url);
+    append_str_array(req, "tags", request->tags, request->tag_count);
+    req += "}";
+    MobileResult* r = nullptr;
+    yams_mobile_status st = run_request(ctx, req, &r);
+    if (st == YAMS_MOBILE_STATUS_OK && out_hash) {
+        const JValue* v = jresolve(r, "sha256");
+        *out_hash = heap_view(v && v->kind == JValue::STR ? v->str : "");
+    }
+    delete r;
+    return st;
 }
 
-int yams_mobile_update_document(void* context, const char* selector,
-                                const char* metadata_json,
-                                yams_mobile_result_t** out) {
-    auto* ctx = static_cast<MobileContext*>(context);
-    if (!ctx || !selector || !metadata_json) return YM_ERR_INVALID_ARG;
-    std::string req = "{\"type\":\"update\",\"selector\":\"" +
-                      json_escape(selector) + "\",\"metadata\":" +
-                      metadata_json + "}";
-    return run_request(ctx, req, out);
+yams_mobile_status yams_mobile_update_document(
+    yams_mobile_context_t* ctx, const yams_mobile_update_request* request,
+    yams_mobile_update_result_t** out_result) {
+    if (!ctx || !request || (!request->hash && !request->name)) {
+        set_tl_error("update_request needs hash or name");
+        return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
+    }
+    const char* sel = request->hash ? request->hash : request->name;
+    std::string req = "{\"type\":\"update\"," + jfield("selector", sel);
+    append_str_array(req, "add_tags", request->add_tags,
+                     request->add_tag_count);
+    append_str_array(req, "remove_tags", request->remove_tags,
+                     request->remove_tag_count);
+    append_kv_object(req, "metadata", request->metadata_keys,
+                     request->metadata_values, request->metadata_count);
+    req += "}";
+    return run_request(ctx, req, out_result);
 }
 
-int yams_mobile_graph_query(void* context, const char* op,
-                            const char* selector,
-                            yams_mobile_result_t** out) {
-    auto* ctx = static_cast<MobileContext*>(context);
-    if (!ctx || !op || !selector) return YM_ERR_INVALID_ARG;
-    std::string type = std::string("graph_") + op;  // explore|related|impact|trace
-    std::string field = (type == "graph_explore") ? "query" : "selector";
-    return run_request(ctx, "{\"type\":\"" + json_escape(type.c_str()) +
-                       "\",\"" + field + "\":\"" + json_escape(selector) +
-                       "\"}", out);
+yams_mobile_status yams_mobile_delete_by_name(
+    yams_mobile_context_t* ctx, const yams_mobile_delete_request* request,
+    yams_mobile_delete_result_t** out_result) {
+    if (!ctx || !request ||
+        (!request->hash && !request->name && !request->pattern)) {
+        set_tl_error("delete_request needs hash, name, or pattern");
+        return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
+    }
+    const char* sel = request->hash     ? request->hash
+                      : request->name   ? request->name
+                                        : request->pattern;
+    if (request->dry_run) {
+        // resolve without deleting: report what WOULD be removed
+        return run_request(
+            ctx, "{\"type\":\"get\"," + jfield("selector", sel) + "}",
+            out_result);
+    }
+    return run_request(
+        ctx, "{\"type\":\"delete\"," + jfield("selector", sel) + "}",
+        out_result);
 }
 
-int yams_mobile_status_execute(void* context, int detailed,
-                               yams_mobile_result_t** out) {
-    auto* ctx = static_cast<MobileContext*>(context);
-    if (!ctx) return YM_ERR_INVALID_ARG;
-    return run_request(ctx, std::string("{\"type\":\"status\",\"detailed\":")
-                       + (detailed ? "true" : "false") + "}", out);
+yams_mobile_status yams_mobile_graph_query(
+    yams_mobile_context_t* ctx, const yams_mobile_graph_query_request* request,
+    yams_mobile_graph_query_result_t** out_result) {
+    if (!ctx || !request ||
+        (!request->document_hash && !request->document_name)) {
+        set_tl_error("graph_query_request needs document_hash or name");
+        return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
+    }
+    const char* sel = request->document_hash ? request->document_hash
+                                             : request->document_name;
+    uint32_t limit = request->limit    ? request->limit
+                     : request->max_results ? request->max_results
+                                            : 20;
+    std::string req = "{\"type\":\"graph_related\"," +
+                      jfield("selector", sel) +
+                      ",\"limit\":" + std::to_string(limit) + "}";
+    return run_request(ctx, req, out_result);
 }
 
-int yams_mobile_doctor_execute(void* context, yams_mobile_result_t** out) {
-    auto* ctx = static_cast<MobileContext*>(context);
-    if (!ctx) return YM_ERR_INVALID_ARG;
+yams_mobile_status yams_mobile_remove_document(yams_mobile_context_t* ctx,
+                                               const char* document_hash) {
+    if (!ctx || !document_hash) {
+        set_tl_error("document_hash is required");
+        return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
+    }
+    MobileResult* r = nullptr;
+    yams_mobile_status st = run_request(
+        ctx, "{\"type\":\"delete\"," + jfield("selector", document_hash) + "}",
+        &r);
+    if (st == YAMS_MOBILE_STATUS_OK) {
+        // the daemon reports a no-op delete as {deleted:false}; surface it
+        // as NOT_FOUND (reference remove_document semantics)
+        const JValue* v = jresolve(r, "deleted");
+        if (v && v->kind == JValue::BOOL && !v->b) {
+            set_tl_error("document not found: " + std::string(document_hash));
+            st = YAMS_MOBILE_STATUS_NOT_FOUND;
+        }
+    }
+    delete r;
+    return st;
+}
+
+yams_mobile_status yams_mobile_get_metadata(
+    yams_mobile_context_t* ctx, const yams_mobile_metadata_request* request,
+    yams_mobile_metadata_result_t** out_result) {
+    if (!ctx || !request || (!request->document_hash && !request->path)) {
+        set_tl_error("metadata_request needs document_hash or path");
+        return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
+    }
+    const char* sel =
+        request->document_hash ? request->document_hash : request->path;
+    return run_request(
+        ctx, "{\"type\":\"get\"," + jfield("selector", sel) + "}", out_result);
+}
+
+yams_mobile_status yams_mobile_get_vector_status(
+    yams_mobile_context_t* ctx,
+    const yams_mobile_vector_status_request* request,
+    yams_mobile_vector_status_result_t** out_result) {
+    (void)request; // warmup is a deprecated no-op (ABI compatibility)
+    if (!ctx) return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
+    return run_request(ctx, "{\"type\":\"stats\",\"detailed\":true}",
+                       out_result);
+}
+
+yams_mobile_status yams_mobile_list_documents(
+    yams_mobile_context_t* ctx, const yams_mobile_list_request* request,
+    yams_mobile_list_result_t** out_result) {
+    if (!ctx) return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
+    uint32_t limit = request && request->limit ? request->limit : 100;
+    uint32_t offset = request ? request->offset : 0;
+    std::string req = "{\"type\":\"list\",\"limit\":" + std::to_string(limit) +
+                      ",\"offset\":" + std::to_string(offset);
+    if (request && request->pattern)
+        req += "," + jfield("pattern", request->pattern);
+    req += "}";
+    return run_request(ctx, req, out_result);
+}
+
+yams_mobile_status yams_mobile_get_document(
+    yams_mobile_context_t* ctx,
+    const yams_mobile_document_get_request* request,
+    yams_mobile_document_get_result_t** out_result) {
+    if (!ctx || !request || (!request->document_hash && !request->name)) {
+        set_tl_error("document_get_request needs document_hash or name");
+        return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
+    }
+    const char* sel =
+        request->document_hash ? request->document_hash : request->name;
+    const char* type = (request->include_content ||
+                        request->include_extracted_text || request->raw)
+                           ? "get_text"
+                           : "get";
+    return run_request(
+        ctx, std::string("{\"type\":\"") + type + "\"," +
+                 jfield("selector", sel) + "}",
+        out_result);
+}
+
+// mobile extensions: repair / diff / cat / restore / model / doctor ----------
+
+yams_mobile_status yams_mobile_repair(
+    yams_mobile_context_t* ctx, const yams_mobile_repair_request* request,
+    yams_mobile_repair_result** out_result) {
+    if (!ctx || !request || !out_result)
+        return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
+    *out_result = nullptr;
+    std::string req = "{\"type\":\"repair\",\"ops\":[";
+    bool first = true;
+    auto add = [&](const char* op) {
+        if (!first) req += ",";
+        req += std::string("\"") + op + "\"";
+        first = false;
+    };
+    if (request->repair_all) {
+        req += "]}";
+        req = "{\"type\":\"repair\"}"; // all ops
+    } else {
+        if (request->repair_embeddings) add("embeddings");
+        if (request->repair_fts5) add("fts5");
+        if (request->repair_graph) add("graph");
+        if (request->repair_orphans) add("orphans");
+        req += "]}";
+    }
+    MobileResult* r = nullptr;
+    yams_mobile_status st = run_request(ctx, req, &r);
+    if (st != YAMS_MOBILE_STATUS_OK) {
+        delete r;
+        return st;
+    }
+    auto* res = new yams_mobile_repair_result();
+    memset(res, 0, sizeof *res);
+    res->header = yams_mobile_request_header_default();
+    const JValue* root = r->root();
+    const JValue* body = root ? root->get("result") : nullptr;
+    if (body && body->kind == JValue::OBJ) {
+        res->operation_count = (uint32_t)body->obj.size();
+        for (const auto& kv : body->obj) {
+            if (kv.second.kind != JValue::STR) continue;
+            uint64_t n = first_int(kv.second.str);
+            if (kv.first == "embeddings") res->embeddings_generated = n;
+            else if (kv.first == "fts5") res->fts5_cleaned = n;
+            else if (kv.first == "graph") res->graph_repaired = n;
+            else if (kv.first == "orphans") res->orphans_removed = n;
+        }
+    }
+    delete r;
+    *out_result = res;
+    return YAMS_MOBILE_STATUS_OK;
+}
+
+void yams_mobile_repair_result_destroy(yams_mobile_repair_result* result) {
+    delete result;
+}
+
+void yams_mobile_string_view_destroy(yams_mobile_string_view* sv_) {
+    if (!sv_) return;
+    free((void*)sv_->data);
+    sv_->data = nullptr;
+    sv_->length = 0;
+}
+
+yams_mobile_status yams_mobile_cat(yams_mobile_context_t* ctx,
+                                   const yams_mobile_cat_request* request,
+                                   yams_mobile_string_view* out_content) {
+    if (!ctx || !request || !request->hash || !out_content)
+        return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
+    MobileResult* r = nullptr;
+    yams_mobile_status st = run_request(
+        ctx, "{\"type\":\"get_text\"," + jfield("selector", request->hash) +
+                 "}",
+        &r);
+    if (st == YAMS_MOBILE_STATUS_OK) {
+        const JValue* v = jresolve(r, "text");
+        if (!v) v = jresolve(r, "data");
+        *out_content = heap_view(v && v->kind == JValue::STR ? v->str : "");
+    }
+    delete r;
+    return st;
+}
+
+void yams_mobile_cat_result_destroy(yams_mobile_string_view* content) {
+    yams_mobile_string_view_destroy(content);
+}
+
+yams_mobile_status yams_mobile_diff(yams_mobile_context_t* ctx,
+                                    const yams_mobile_diff_request* request,
+                                    yams_mobile_string_view* out_diff) {
+    if (!ctx || !request || !request->hash_a || !out_diff)
+        return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
+    // fetch both texts, then a prefix/suffix-trimmed line diff (summary tier;
+    // the CLI's `diff` does full tree/structural diffs)
+    auto fetch = [&](const char* sel, std::string& out) -> yams_mobile_status {
+        MobileResult* r = nullptr;
+        yams_mobile_status st = run_request(
+            ctx, "{\"type\":\"get_text\"," + jfield("selector", sel) + "}",
+            &r);
+        if (st == YAMS_MOBILE_STATUS_OK) {
+            const JValue* v = jresolve(r, "text");
+            if (v && v->kind == JValue::STR) out = v->str;
+        }
+        delete r;
+        return st;
+    };
+    std::string ta, tb;
+    yams_mobile_status st = fetch(request->hash_a, ta);
+    if (st != YAMS_MOBILE_STATUS_OK) return st;
+    if (request->hash_b) {
+        st = fetch(request->hash_b, tb);
+        if (st != YAMS_MOBILE_STATUS_OK) return st;
+    }
+    auto split = [](const std::string& s) {
+        std::vector<std::string> out;
+        size_t start = 0;
+        for (size_t i = 0; i <= s.size(); ++i)
+            if (i == s.size() || s[i] == '\n') {
+                out.push_back(s.substr(start, i - start));
+                start = i + 1;
+            }
+        return out;
+    };
+    std::vector<std::string> la = split(ta), lb = split(tb);
+    size_t pre = 0;
+    while (pre < la.size() && pre < lb.size() && la[pre] == lb[pre]) ++pre;
+    size_t sa = la.size(), sb = lb.size();
+    while (sa > pre && sb > pre && la[sa - 1] == lb[sb - 1]) { --sa; --sb; }
+    std::string diff;
+    diff += "@@ -" + std::to_string(pre + 1) + "," + std::to_string(sa - pre) +
+            " +" + std::to_string(pre + 1) + "," + std::to_string(sb - pre) +
+            " @@\n";
+    for (size_t i = pre; i < sa; ++i) diff += "-" + la[i] + "\n";
+    for (size_t i = pre; i < sb; ++i) diff += "+" + lb[i] + "\n";
+    if (sa == pre && sb == pre) diff = "(identical)\n";
+    *out_diff = heap_view(diff);
+    return YAMS_MOBILE_STATUS_OK;
+}
+
+yams_mobile_status yams_mobile_restore(
+    yams_mobile_context_t* ctx, const yams_mobile_restore_request* request,
+    yams_mobile_string_view* out_summary) {
+    if (!ctx || !request || !request->output_directory ||
+        (!request->snapshot_id && !request->collection))
+        return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
+    std::string req;
+    if (request->snapshot_id)
+        req = "{\"type\":\"restore_snapshot\"," +
+              jfield("snapshot_id", request->snapshot_id) + "," +
+              jfield("target_dir", request->output_directory) +
+              ",\"overwrite\":" + (request->overwrite ? "true" : "false") +
+              "}";
+    else
+        req = "{\"type\":\"restore_collection\"," +
+              jfield("collection", request->collection) + "," +
+              jfield("target_dir", request->output_directory) +
+              ",\"overwrite\":" + (request->overwrite ? "true" : "false") +
+              "}";
+    MobileResult* r = nullptr;
+    yams_mobile_status st = run_request(ctx, req, &r);
+    if (st == YAMS_MOBILE_STATUS_OK && out_summary)
+        *out_summary = heap_view(r->json);
+    delete r;
+    return st;
+}
+
+void yams_mobile_restore_result_destroy(yams_mobile_string_view* summary) {
+    yams_mobile_string_view_destroy(summary);
+}
+
+yams_mobile_status yams_mobile_list_models(
+    yams_mobile_context_t* ctx, yams_mobile_model_list_result** out_result) {
+    if (!ctx || !out_result) return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
+    *out_result = nullptr;
+    MobileResult* r = nullptr;
+    yams_mobile_status st =
+        run_request(ctx, "{\"type\":\"model_status\"}", &r);
+    if (st != YAMS_MOBILE_STATUS_OK) {
+        delete r;
+        return st;
+    }
+    struct Row { std::string name, path; uint32_t dim, loaded; };
+    std::vector<Row> rows;
+    auto push = [&](const JValue* m, uint32_t loaded) {
+        if (!m || m->kind != JValue::OBJ) return;
+        Row row;
+        const JValue* n = m->get("name");
+        const JValue* d = m->get("dim");
+        const JValue* s = m->get("space_id");
+        row.name = n && n->kind == JValue::STR ? n->str : "";
+        row.path = s && s->kind == JValue::STR ? s->str : "";
+        row.dim = d && d->kind == JValue::NUM ? (uint32_t)d->num : 0;
+        row.loaded = loaded;
+        rows.push_back(std::move(row));
+    };
+    push(jresolve(r, "default"), 1);
+    if (const JValue* loaded = jresolve(r, "loaded"))
+        for (const auto& m : loaded->arr) push(&m, 1);
+    if (const JValue* reg = jresolve(r, "registry"))
+        for (const auto& m : reg->arr)
+            if (m.kind == JValue::STR) {
+                bool seen = false;
+                for (const auto& row : rows) seen |= (row.name == m.str);
+                if (!seen) rows.push_back(Row{m.str, "", 0, 0});
+            }
+    delete r;
+    auto* res = new yams_mobile_model_list_result();
+    res->count = (uint32_t)rows.size();
+    res->models = res->count ? new yams_mobile_model_info[res->count]
+                             : nullptr;
+    for (uint32_t i = 0; i < res->count; ++i) {
+        res->models[i].name = strdup(rows[i].name.c_str());
+        res->models[i].path = strdup(rows[i].path.c_str());
+        res->models[i].dim = rows[i].dim;
+        res->models[i].is_loaded = rows[i].loaded;
+    }
+    *out_result = res;
+    return YAMS_MOBILE_STATUS_OK;
+}
+
+void yams_mobile_model_list_result_destroy(
+    yams_mobile_model_list_result* result) {
+    if (!result) return;
+    for (uint32_t i = 0; i < result->count; ++i) {
+        free((void*)result->models[i].name);
+        free((void*)result->models[i].path);
+    }
+    delete[] result->models;
+    delete result;
+}
+
+yams_mobile_status yams_mobile_set_model(yams_mobile_context_t* ctx,
+                                         const char* model_name) {
+    if (!ctx || !model_name) return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
+    MobileResult* r = nullptr;
+    yams_mobile_status st = run_request(
+        ctx, "{\"type\":\"model_load\"," + jfield("model", model_name) + "}",
+        &r);
+    delete r;
+    return st;
+}
+
+yams_mobile_status yams_mobile_get_embedding_info(
+    yams_mobile_context_t* ctx, yams_mobile_embedding_info* out_info) {
+    if (!ctx || !out_info) return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
+    memset(out_info, 0, sizeof *out_info);
+    MobileResult* r = nullptr;
+    yams_mobile_status st =
+        run_request(ctx, "{\"type\":\"model_status\"}", &r);
+    if (st == YAMS_MOBILE_STATUS_OK) {
+        const JValue* d = jresolve(r, "default.dim");
+        out_info->available = 1;
+        out_info->dim = d && d->kind == JValue::NUM ? (uint32_t)d->num : 0;
+    }
+    delete r;
+    return st;
+}
+
+yams_mobile_status yams_mobile_doctor(yams_mobile_context_t* ctx,
+                                      yams_mobile_string_view* out_report) {
+    if (!ctx || !out_report) return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
+    MobileResult* r = nullptr;
+    yams_mobile_status st = run_request(ctx, "{\"type\":\"doctor\"}", &r);
+    if (st == YAMS_MOBILE_STATUS_OK) *out_report = heap_view(r->json);
+    delete r;
+    return st;
+}
+
+void yams_mobile_doctor_result_destroy(yams_mobile_string_view* report) {
+    yams_mobile_string_view_destroy(report);
+}
+
+// convenience execute retained from the pre-1.0 yams-tpu surface
+yams_mobile_status yams_mobile_status_execute(yams_mobile_context_t* ctx,
+                                              int detailed,
+                                              yams_mobile_result_t** out) {
+    if (!ctx) return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
+    return run_request(ctx,
+                       std::string("{\"type\":\"status\",\"detailed\":") +
+                           (detailed ? "true" : "false") + "}",
+                       out);
+}
+
+yams_mobile_status yams_mobile_doctor_execute(yams_mobile_context_t* ctx,
+                                              yams_mobile_result_t** out) {
+    if (!ctx) return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
     return run_request(ctx, "{\"type\":\"doctor\"}", out);
 }
 
-int yams_mobile_repair_execute(void* context, const char* ops_csv,
-                               yams_mobile_result_t** out) {
-    auto* ctx = static_cast<MobileContext*>(context);
-    if (!ctx) return YM_ERR_INVALID_ARG;
-    char* resp = yams_mobile_repair(ctx->conn, ops_csv);
-    if (!resp) { ctx->last_error = "transport failure"; return YM_ERR_TRANSPORT; }
-    auto* r = new MobileResult();
-    r->json.assign(resp);
-    free(resp);
-    r->stats = "{\"ok\":true}";
-    if (out) *out = r; else delete r;
-    return YM_OK;
-}
-
-int yams_mobile_list_models(void* context, yams_mobile_result_t** out) {
-    auto* ctx = static_cast<MobileContext*>(context);
-    if (!ctx) return YM_ERR_INVALID_ARG;
-    return run_request(ctx, "{\"type\":\"model_status\"}", out);
-}
-
-int yams_mobile_get_embedding_info(void* context,
-                                   yams_mobile_result_t** out) {
-    return yams_mobile_list_models(context, out);
-}
-
-int yams_mobile_get_vector_status(void* context, yams_mobile_result_t** out) {
-    auto* ctx = static_cast<MobileContext*>(context);
-    if (!ctx) return YM_ERR_INVALID_ARG;
-    return run_request(ctx, "{\"type\":\"stats\",\"detailed\":true}", out);
-}
-
-int yams_mobile_download_execute(void* context, const char* url,
-                                 yams_mobile_result_t** out) {
-    auto* ctx = static_cast<MobileContext*>(context);
-    if (!ctx || !url) return YM_ERR_INVALID_ARG;
-    return run_request(ctx, "{\"type\":\"download_start\",\"url\":\"" +
-                       json_escape(url) + "\"}", out);
-}
-
-int yams_mobile_restore(void* context, const char* snapshot_id,
-                        const char* target_dir, yams_mobile_result_t** out) {
-    auto* ctx = static_cast<MobileContext*>(context);
-    if (!ctx || !snapshot_id || !target_dir) return YM_ERR_INVALID_ARG;
-    return run_request(ctx, "{\"type\":\"restore_snapshot\",\"snapshot_id\":\""
-                       + json_escape(snapshot_id) + "\",\"target_dir\":\"" +
-                       json_escape(target_dir) + "\"}", out);
-}
-
-int yams_mobile_diff(void* context, const char* from_snapshot,
-                     const char* to_snapshot, yams_mobile_result_t** out) {
-    auto* ctx = static_cast<MobileContext*>(context);
-    if (!ctx || !from_snapshot || !to_snapshot) return YM_ERR_INVALID_ARG;
-    return run_request(ctx, "{\"type\":\"tree_diff\",\"from_snapshot\":\"" +
-                       json_escape(from_snapshot) + "\",\"to_snapshot\":\"" +
-                       json_escape(to_snapshot) + "\"}", out);
+void yams_mobile_doctor_result_json_destroy(yams_mobile_result_t* r) {
+    delete r;
 }
 
 // -- field-level typed getters ----------------------------------------------
@@ -866,18 +1326,6 @@ int yams_mobile_diff(void* context, const char* from_snapshot,
 // without a JSON parser. Generic dotted-path accessors plus per-family
 // conveniences. Returned pointers borrow from the handle: valid until the
 // matching *_result_destroy; string data is NUL-terminated.)
-
-typedef struct {
-    const char* data;
-    size_t length;
-} yams_mobile_string_view_t;
-
-static yams_mobile_string_view_t sv(const std::string* s) {
-    yams_mobile_string_view_t v;
-    v.data = s ? s->c_str() : nullptr;
-    v.length = s ? s->size() : 0;
-    return v;
-}
 
 int yams_mobile_result_ok(yams_mobile_result_t* r) {
     const JValue* v = jresolve(r, "ok");
@@ -908,8 +1356,8 @@ int yams_mobile_result_bool(yams_mobile_result_t* r, const char* path,
     return dflt;
 }
 
-yams_mobile_string_view_t yams_mobile_result_string(yams_mobile_result_t* r,
-                                                    const char* path) {
+yams_mobile_string_view yams_mobile_result_string(yams_mobile_result_t* r,
+                                                  const char* path) {
     const JValue* v = jresolve(r, path);
     return sv(v && v->kind == JValue::STR ? &v->str : nullptr);
 }
@@ -922,7 +1370,7 @@ size_t yams_mobile_result_array_len(yams_mobile_result_t* r,
 
 // object keys at path, written into out[0..cap); returns total key count
 size_t yams_mobile_result_keys(yams_mobile_result_t* r, const char* path,
-                               yams_mobile_string_view_t* out, size_t cap) {
+                               yams_mobile_string_view* out, size_t cap) {
     const JValue* v = jresolve(r, path);
     if (!v || v->kind != JValue::OBJ) return 0;
     for (size_t i = 0; i < v->obj.size() && i < cap; ++i)
@@ -943,9 +1391,9 @@ static const JValue* row_field(yams_mobile_result_t* r, const char* arr_key,
     return row ? row->get(field) : nullptr;
 }
 
-static yams_mobile_string_view_t row_str(yams_mobile_result_t* r,
-                                         const char* arr_key, size_t i,
-                                         const char* field) {
+static yams_mobile_string_view row_str(yams_mobile_result_t* r,
+                                       const char* arr_key, size_t i,
+                                       const char* field) {
     const JValue* v = row_field(r, arr_key, i, field);
     return sv(v && v->kind == JValue::STR ? &v->str : nullptr);
 }
@@ -959,15 +1407,15 @@ static double row_num(yams_mobile_result_t* r, const char* arr_key, size_t i,
 size_t yams_mobile_search_result_count(yams_mobile_result_t* r) {
     return yams_mobile_result_array_len(r, "hits");
 }
-yams_mobile_string_view_t
+yams_mobile_string_view
 yams_mobile_search_result_path(yams_mobile_result_t* r, size_t i) {
     return row_str(r, "hits", i, "path");
 }
-yams_mobile_string_view_t
+yams_mobile_string_view
 yams_mobile_search_result_title(yams_mobile_result_t* r, size_t i) {
     return row_str(r, "hits", i, "title");
 }
-yams_mobile_string_view_t
+yams_mobile_string_view
 yams_mobile_search_result_snippet(yams_mobile_result_t* r, size_t i) {
     return row_str(r, "hits", i, "snippet");
 }
@@ -988,11 +1436,11 @@ double yams_mobile_search_result_duration_ms(yams_mobile_result_t* r) {
 size_t yams_mobile_grep_result_count(yams_mobile_result_t* r) {
     return yams_mobile_result_array_len(r, "matches");
 }
-yams_mobile_string_view_t
+yams_mobile_string_view
 yams_mobile_grep_result_path(yams_mobile_result_t* r, size_t i) {
     return row_str(r, "matches", i, "path");
 }
-yams_mobile_string_view_t
+yams_mobile_string_view
 yams_mobile_grep_result_line(yams_mobile_result_t* r, size_t i) {
     return row_str(r, "matches", i, "line");
 }
@@ -1010,15 +1458,15 @@ long long yams_mobile_grep_result_files_matched(yams_mobile_result_t* r) {
 size_t yams_mobile_list_result_count(yams_mobile_result_t* r) {
     return yams_mobile_result_array_len(r, "documents");
 }
-yams_mobile_string_view_t
+yams_mobile_string_view
 yams_mobile_list_result_path(yams_mobile_result_t* r, size_t i) {
     return row_str(r, "documents", i, "file_path");
 }
-yams_mobile_string_view_t
+yams_mobile_string_view
 yams_mobile_list_result_hash(yams_mobile_result_t* r, size_t i) {
     return row_str(r, "documents", i, "sha256_hash");
 }
-yams_mobile_string_view_t
+yams_mobile_string_view
 yams_mobile_list_result_mime_type(yams_mobile_result_t* r, size_t i) {
     return row_str(r, "documents", i, "mime_type");
 }
@@ -1026,26 +1474,27 @@ long long yams_mobile_list_result_size(yams_mobile_result_t* r, size_t i) {
     return (long long)row_num(r, "documents", i, "file_size", -1.0);
 }
 
-yams_mobile_string_view_t
+yams_mobile_string_view
 yams_mobile_document_get_result_path(yams_mobile_result_t* r) {
     return yams_mobile_result_string(r, "file_path");
 }
-yams_mobile_string_view_t
+yams_mobile_string_view
 yams_mobile_document_get_result_hash(yams_mobile_result_t* r) {
     return yams_mobile_result_string(r, "sha256_hash");
 }
-yams_mobile_string_view_t
+yams_mobile_string_view
 yams_mobile_document_get_result_mime_type(yams_mobile_result_t* r) {
     return yams_mobile_result_string(r, "mime_type");
 }
 long long yams_mobile_document_get_result_size(yams_mobile_result_t* r) {
     return yams_mobile_result_int(r, "file_size", -1);
 }
-yams_mobile_string_view_t
-yams_mobile_document_get_result_content(yams_mobile_result_t* r) {
+yams_mobile_string_view
+yams_mobile_document_get_result_content(const yams_mobile_result_t* r) {
     // cat/get_text envelope carries {text}; fall back to {data}
-    yams_mobile_string_view_t v = yams_mobile_result_string(r, "text");
-    if (!v.data) v = yams_mobile_result_string(r, "data");
+    auto* mr = const_cast<yams_mobile_result_t*>(r);
+    yams_mobile_string_view v = yams_mobile_result_string(mr, "text");
+    if (!v.data) v = yams_mobile_result_string(mr, "data");
     return v;
 }
 
@@ -1055,7 +1504,7 @@ long long yams_mobile_status_result_document_count(yams_mobile_result_t* r) {
 long long yams_mobile_status_result_block_count(yams_mobile_result_t* r) {
     return yams_mobile_result_int(r, "storage.unique_blocks", -1);
 }
-yams_mobile_string_view_t
+yams_mobile_string_view
 yams_mobile_status_result_state(yams_mobile_result_t* r) {
     return yams_mobile_result_string(r, "state");
 }

@@ -828,3 +828,31 @@ class TestFieldLevelGetters:
             lib.yams_mobile_document_get_result_destroy(out)
         finally:
             lib.yams_mobile_context_destroy(ctx)
+
+
+class TestEmbeddedSpawn:
+    def test_embedded_mode_spawns_daemon(self, typed, tmp_path):
+        """BACKEND_EMBEDDED boots a daemon over working_directory and
+        connects once the socket appears (reference: embedded backend mode
+        in mobile_bindings.h context_config)."""
+        lib = typed
+        wd = tmp_path / "embedded"
+        wd.mkdir()
+        cfg = lib.yams_mobile_context_config_default()
+        assert cfg.backend_mode == 0  # EMBEDDED is the default
+        cfg.working_directory = str(wd).encode()
+        out = ctypes.c_void_p()
+        rc = lib.yams_mobile_context_create(ctypes.byref(cfg),
+                                            ctypes.byref(out))
+        assert rc == 0, lib.yams_mobile_last_error_message()
+        ctx = out.value
+        try:
+            res = ctypes.c_void_p()
+            rc = lib.yams_mobile_status_execute(ctx, 0, ctypes.byref(res))
+            assert rc == 0
+            lib.yams_mobile_status_result_destroy(res)
+        finally:
+            lib.yams_mobile_context_destroy(ctx)
+            from yams_tpu.daemon.client import DaemonClient
+
+            DaemonClient(wd / "daemon.sock").shutdown()

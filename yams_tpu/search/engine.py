@@ -461,6 +461,10 @@ class SearchEngine:
         flat = self.vector_index.identity_layout and rows >= Nd
         scale_opts: dict = {"approx": Nd > cfg.approx_threshold,
                             "int8_corpus": int8_corpus}
+        if Nd > cfg.approx_threshold and cfg.bm25_prefilter > 0:
+            # impact-ordered lexical early termination (large corpora only —
+            # small corpora keep the exact full-window scan)
+            scale_opts["bm25_prefilter"] = cfg.bm25_prefilter
         if flat:
             scale_opts["rows_are_docs"] = True
             if (rows > cfg.streaming_threshold

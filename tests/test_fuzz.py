@@ -223,3 +223,165 @@ class TestSanitizerBuild:
                             cwd=str(here))
         assert r2.returncode == 0, r2.stderr.decode()[:500]
         assert b"SAN_OK" in r2.stdout
+
+
+class TestMobileResultParserFuzz:
+    """The C library's in-library JSON DOM (yams_mobile.cpp JParser) parses
+    daemon responses for the typed getters. A corrupted or hostile daemon
+    must never crash a C host: getters degrade to defaults on any byte
+    garbage, deep nesting, truncation, or type confusion."""
+
+    def _serve_one(self, sock_path, payload: bytes, flags=0x02):
+        """Accept one connection, read a frame, reply with `payload`."""
+        import socket
+        import struct
+        import threading
+        import zlib
+
+        def crc(b):
+            return zlib.crc32(b) & 0xFFFFFFFF
+
+        srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        srv.bind(str(sock_path))
+        srv.listen(1)
+
+        def run():
+            conn, _ = srv.accept()
+            try:
+                hdr = b""
+                while len(hdr) < 16:
+                    part = conn.recv(16 - len(hdr))
+                    if not part:
+                        return
+                    hdr += part
+                _, _, _, _, length, _ = struct.unpack("<IBBHII", hdr)
+                body = b""
+                while len(body) < length:
+                    part = conn.recv(length - len(body))
+                    if not part:
+                        return
+                    body += part
+                resp = struct.pack("<IBBHII", 0x59545044, 1, flags, 0,
+                                   len(payload), crc(payload)) + payload
+                conn.sendall(resp)
+            finally:
+                conn.close()
+                srv.close()
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        return t
+
+    @pytest.mark.parametrize("payload", [
+        b"",                                     # empty
+        b"not json at all",                      # garbage
+        b'{"ok": true, "result": ',              # truncated
+        b'{"ok": true, "result": {"hits": 3}}',  # type confusion: not array
+        b'{"ok": true, "result": {"hits": [{"path": 42}]}}',  # wrong type
+        b'[' * 4096 + b']' * 4096,               # deep nesting
+        b'{"ok": true, "result": {"total": 1e999}}',  # inf overflow
+        b'{"ok": true, "result": {"hits": [' + b'{},' * 999 + b'{}]}}',
+        bytes(range(256)),                       # raw bytes
+        b'{"ok": true, "result": {"text": "' + b'\\ud800' + b'"}}',
+    ])
+    def test_hostile_daemon_payload_never_crashes_getters(
+            self, tmp_path, payload):
+        import ctypes
+
+        from yams_tpu import native
+
+        lib = native.get_native()
+        if lib is None:
+            pytest.skip("no native lib")
+        sock = tmp_path / "hostile.sock"
+        t = self._serve_one(sock, payload)
+
+        lib.yams_mobile_connect.restype = ctypes.c_void_p
+        lib.yams_mobile_connect.argtypes = [ctypes.c_char_p]
+        lib.yams_mobile_request.restype = ctypes.c_void_p
+        lib.yams_mobile_request.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+
+        h = lib.yams_mobile_connect(str(sock).encode())
+        assert h
+        try:
+            ptr = lib.yams_mobile_request(h, b'{"type":"ping"}')
+            if not ptr:
+                return  # transport-level rejection is a fine outcome
+            # feed the raw payload through the DOM via a result handle:
+            # build one through the typed path against the same payload
+            raw = ctypes.string_at(ptr)
+            lib.yams_mobile_free(ctypes.c_void_p(ptr))
+            assert isinstance(raw, bytes)
+        finally:
+            lib.yams_mobile_disconnect(ctypes.c_void_p(h))
+            t.join(timeout=5)
+
+    def test_typed_getters_on_hostile_payloads(self, tmp_path):
+        """Drive the full typed path (run_request -> JParser -> getters)
+        against each hostile payload via a fresh one-shot server."""
+        import ctypes
+
+        from yams_tpu import native
+
+        lib = native.get_native()
+        if lib is None:
+            pytest.skip("no native lib")
+        lib.yams_mobile_status_execute.restype = ctypes.c_int
+        lib.yams_mobile_status_execute.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p)]
+        lib.yams_mobile_result_int.restype = ctypes.c_longlong
+        lib.yams_mobile_result_int.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_longlong]
+        lib.yams_mobile_result_array_len.restype = ctypes.c_size_t
+        lib.yams_mobile_result_array_len.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p]
+        lib.yams_mobile_search_result_count.restype = ctypes.c_size_t
+        lib.yams_mobile_search_result_count.argtypes = [ctypes.c_void_p]
+
+        # bind context_create (reference shape)
+        class Cfg(ctypes.Structure):
+            _fields_ = [("struct_size", ctypes.c_uint32),
+                        ("version", ctypes.c_uint32),
+                        ("reserved", ctypes.c_uint32),
+                        ("working_directory", ctypes.c_char_p),
+                        ("cache_directory", ctypes.c_char_p),
+                        ("telemetry_sink", ctypes.c_char_p),
+                        ("max_worker_threads", ctypes.c_uint32),
+                        ("flags", ctypes.c_uint32),
+                        ("backend_mode", ctypes.c_uint32),
+                        ("daemon_socket_path", ctypes.c_char_p)]
+
+        lib.yams_mobile_context_config_default.restype = Cfg
+        lib.yams_mobile_context_create.restype = ctypes.c_int
+        lib.yams_mobile_context_create.argtypes = [
+            ctypes.POINTER(Cfg), ctypes.POINTER(ctypes.c_void_p)]
+
+        payloads = [
+            b'{"ok": true, "result": {"hits": "nope"}}',
+            b'{"ok": true, "result": {"hits": [[[[[[]]]]]]}}',
+            b'{"ok": true', b'\x00\xff\xfe', b'{}',
+            b'{"ok": true, "result": null}',
+        ]
+        for i, payload in enumerate(payloads):
+            sock = tmp_path / f"h{i}.sock"
+            t = self._serve_one(sock, payload)
+            cfg = lib.yams_mobile_context_config_default()
+            cfg.backend_mode = 1
+            cfg.daemon_socket_path = str(sock).encode()
+            ctx = ctypes.c_void_p()
+            rc = lib.yams_mobile_context_create(
+                ctypes.byref(cfg), ctypes.byref(ctx))
+            assert rc == 0
+            out = ctypes.c_void_p()
+            rc = lib.yams_mobile_status_execute(
+                ctx.value, 0, ctypes.byref(out))
+            if out.value:
+                # any garbage: getters return defaults/typed values without
+                # crashing; row getters on non-object rows degrade to empty
+                assert lib.yams_mobile_result_int(out, b"total", -7) in (-7, 1)
+                assert 0 <= lib.yams_mobile_result_array_len(out, b"hits") < 10
+                assert 0 <= lib.yams_mobile_search_result_count(out) < 10
+                lib.yams_mobile_status_result_destroy(out)
+            lib.yams_mobile_context_destroy(ctx)
+            t.join(timeout=5)

@@ -64,6 +64,7 @@ def sharded_hybrid_query(
     int8_corpus: bool = False,
     axis: str | tuple[str, ...] = "d",
     packed_lexical: bool = False,
+    bm25_prefilter: int = 0,
 ):
     """Returns (fused (B,k), slots (B,k)) replicated.
 
@@ -122,11 +123,13 @@ def sharded_hybrid_query(
             bm_ids, bm_scores = bm25_topk_candidates_packed(
                 tid, tmask, pd, pi,
                 num_docs=num_slots, num_candidates=C,
+                prefilter=bm25_prefilter,
             )
         else:
             bm_ids, bm_scores = bm25_topk_candidates(
                 tid, tmask, pd, pi, to, tl,
                 window=window, num_docs=num_slots, num_candidates=C,
+                prefilter=bm25_prefilter,
             )
 
         # 5. fusion over merged candidates (identical math to fusion.py)

@@ -345,15 +345,17 @@ def _profile_stages(jax, jnp, sketches, term_ids, term_mask, corpus_args, *,
 
         def one(carry, xs):
             tid, tm = xs
+            pf = int(os.environ.get("BENCH_PREFILTER", "256"))
             if packed_lexical:
                 ids, sc = bm25_topk_candidates_packed(
                     tid, tm, postings_doc, postings_impact,
-                    num_docs=N, num_candidates=32,
+                    num_docs=N, num_candidates=32, prefilter=pf,
                 )
             else:
                 ids, sc = bm25_topk_candidates(
                     tid, tm, postings_doc, postings_impact, term_offsets,
                     term_lengths, window=WINDOW, num_docs=N, num_candidates=32,
+                    prefilter=pf,
                 )
             return carry, (ids[:, 0], sc[:, 0])
 

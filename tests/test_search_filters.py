@@ -1,0 +1,189 @@
+"""Search filter long tail: time bounds, mime/type filters, tag semantics,
+session scoping, similarity floor, hash lookup, query sources.
+
+Parity: src/cli/commands/search_command.cpp option surface (--created-after,
+--file-type, --text-only, --match-all-tags, --similarity, --hash, --stdin,
+--query-file, --session, --show-hash) wired through SearchService filter
+pushdown rather than post-fusion filtering.
+"""
+
+import io
+import json
+import time
+
+import pytest
+
+from test_services import small_config
+from yams_tpu.services.app import AppContext
+
+
+@pytest.fixture(scope="module")
+def app(tmp_path_factory):
+    cfg = small_config(tmp_path_factory.mktemp("filters") / "data")
+    app = AppContext(cfg)
+    app.documents.add_bytes(b"alpha report quarterly numbers",
+                            "docs/report.md", tags=["work", "q3"])
+    app.documents.add_bytes(b"alpha meeting notes for the quarterly sync",
+                            "docs/notes.txt", tags=["work"])
+    app.documents.add_bytes(b'{"alpha": "quarterly json payload"}',
+                            "data/payload.json", tags=["data"])
+    app.documents.add_bytes(bytes([0, 1, 2, 3, 255]) + b" alpha",
+                            "bin/blob.bin", tags=["data"],
+                            mime_type="application/octet-stream")
+    yield app
+    app.close()
+
+
+def paths(resp):
+    return {h.path.lstrip('/') for h in resp.hits}
+
+
+class TestFilterPushdown:
+    def test_file_type_extension(self, app):
+        r = app.search.search("alpha quarterly", limit=10,
+                              filters={"file_types": ["md"]})
+        assert paths(r) == {"docs/report.md"}
+
+    def test_file_type_mime(self, app):
+        r = app.search.search("alpha quarterly", limit=10,
+                              filters={"file_types": ["application/json"]})
+        assert paths(r) == {"data/payload.json"}
+
+    def test_text_only_excludes_binary(self, app):
+        r = app.search.search("alpha", limit=10, filters={"text_only": True})
+        assert "bin/blob.bin" not in paths(r)
+        assert "docs/report.md" in paths(r)
+        # json counts as text (reference --text-only semantics)
+        assert "data/payload.json" in paths(r)
+
+    def test_binary_only(self, app):
+        r = app.search.search("alpha", limit=10,
+                              filters={"binary_only": True})
+        assert paths(r) <= {"bin/blob.bin"}
+
+    def test_match_all_tags(self, app):
+        any_r = app.search.search("alpha", limit=10, tags=["work", "q3"])
+        all_r = app.search.search("alpha", limit=10, tags=["work", "q3"],
+                                  filters={"match_all_tags": True})
+        assert "docs/notes.txt" in paths(any_r)
+        assert paths(all_r) == {"docs/report.md"}
+
+    def test_time_bounds(self, app):
+        now = time.time()
+        r = app.search.search("alpha", limit=10,
+                              filters={"indexed_after": now + 3600})
+        assert not r.hits
+        r = app.search.search("alpha", limit=10,
+                              filters={"indexed_after": now - 3600,
+                                       "indexed_before": now + 3600})
+        assert r.hits
+
+    def test_min_score_floor(self, app):
+        full = app.search.search("alpha quarterly", limit=10)
+        floor = full.hits[0].score + 1.0
+        r = app.search.search("alpha quarterly", limit=10,
+                              filters={"min_score": floor})
+        assert not r.hits
+
+    def test_session_scoping(self, app):
+        app.sessions.create("focus")
+        app.sessions.pin("*docs/*", session="focus")
+        r = app.search.search("alpha", limit=10,
+                              filters={"session": "focus"})
+        assert paths(r) <= {"docs/report.md", "docs/notes.txt"}
+        assert r.hits
+
+    def test_hits_carry_hash(self, app):
+        r = app.search.search("alpha quarterly", limit=3)
+        assert all(len(h.hash) == 64 for h in r.hits)
+
+
+class TestTimeSpecParser:
+    def test_formats(self):
+        from yams_tpu.cli.main import _parse_time_spec
+
+        assert _parse_time_spec("1700000000") == 1700000000.0
+        iso = _parse_time_spec("2026-01-15")
+        assert abs(iso - time.mktime((2026, 1, 15, 0, 0, 0, 0, 0, -1))) < 2
+        rel = _parse_time_spec("7d")
+        assert abs((time.time() - rel) - 7 * 86400) < 5
+
+    def test_rejects_garbage(self):
+        from yams_tpu.cli.main import _parse_time_spec
+
+        with pytest.raises(SystemExit):
+            _parse_time_spec("not-a-time")
+
+
+class TestSearchCli:
+    @pytest.fixture(scope="class")
+    def storage(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("cli") / "data"
+        cfg = small_config(d)
+        app = AppContext(cfg)
+        app.documents.add_bytes(b"the gamma function extends factorials",
+                                "math/gamma.md", tags=["math"])
+        app.documents.add_bytes(b"gamma radiation shielding notes",
+                                "phys/shield.txt", tags=["physics"])
+        app.close()
+        return d
+
+    def _run(self, argv, capsys):
+        from yams_tpu.cli.main import main
+
+        rc = main(argv)
+        out = capsys.readouterr().out
+        return rc, out
+
+    def test_filtered_search(self, storage, capsys):
+        rc, out = self._run(
+            ["--storage", str(storage), "--no-daemon", "--json",
+             "search", "gamma", "--file-type", "md"], capsys)
+        hits = json.loads(out)
+        assert rc == 0
+        assert [h["path"].lstrip("/") for h in hits] == ["math/gamma.md"]
+
+    def test_show_hash(self, storage, capsys):
+        rc, out = self._run(
+            ["--storage", str(storage), "--no-daemon",
+             "search", "gamma", "--show-hash", "-n", "1"], capsys)
+        assert rc == 0
+        # 12-hex-digit hash prefix in the line
+        line = out.splitlines()[0]
+        assert any(len(tok) == 12 and all(c in "0123456789abcdef" for c in tok)
+                   for tok in line.split())
+
+    def test_hash_lookup(self, storage, capsys):
+        rc, out = self._run(
+            ["--storage", str(storage), "--no-daemon", "--json",
+             "search", "--hash", "", "ignored"], capsys)
+        # empty prefix is invalid -> fall through to query; use a real one
+        from yams_tpu.core.config import load_config
+
+        app = AppContext(load_config(data_dir=storage))
+        doc = app.documents.get("math/gamma.md")
+        app.close()
+        rc, out = self._run(
+            ["--storage", str(storage), "--no-daemon", "--json",
+             "search", "--hash", doc.sha256_hash[:16]], capsys)
+        assert rc == 0
+        assert json.loads(out)["file_path"].lstrip("/") == "math/gamma.md"
+
+    def test_stdin_query(self, storage, capsys, monkeypatch):
+        monkeypatch.setattr("sys.stdin", io.StringIO("radiation shielding"))
+        rc, out = self._run(
+            ["--storage", str(storage), "--no-daemon", "--json",
+             "search", "--stdin"], capsys)
+        assert rc == 0
+        assert json.loads(out)[0]["path"].lstrip("/") == "phys/shield.txt"
+
+    def test_similarity_floor(self, storage, capsys):
+        rc, out = self._run(
+            ["--storage", str(storage), "--no-daemon", "--json",
+             "search", "gamma", "--similarity", "99.0"], capsys)
+        assert rc == 0 and json.loads(out) == []
+
+    def test_no_query_errors(self, storage, capsys):
+        rc, _ = self._run(
+            ["--storage", str(storage), "--no-daemon", "search"], capsys)
+        assert rc == 1

@@ -229,19 +229,79 @@ def cmd_update(cli: Cli):
     return 0
 
 
+def _parse_time_spec(spec: str) -> float:
+    """ISO date/datetime, unix seconds, or relative age ("7d", "12h", "30m")."""
+    import datetime
+    import re
+    import time as _t
+
+    spec = spec.strip()
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)([smhdw])", spec)
+    if m:
+        mult = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}[m.group(2)]
+        return _t.time() - float(m.group(1)) * mult
+    try:
+        return float(spec)
+    except ValueError:
+        pass
+    for fmt in ("%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            return datetime.datetime.strptime(spec, fmt).timestamp()
+        except ValueError:
+            continue
+    raise SystemExit(f"error: cannot parse time spec: {spec!r}")
+
+
+def _search_filters(a) -> dict | None:
+    f: dict = {}
+    if a.match_all_tags:
+        f["match_all_tags"] = True
+    if a.file_type:
+        f["file_types"] = a.file_type
+    if a.text_only:
+        f["text_only"] = True
+    if a.binary_only:
+        f["binary_only"] = True
+    if a.session:
+        f["session"] = a.session
+    if a.similarity is not None:
+        f["min_score"] = a.similarity
+    for when in ("created", "modified", "indexed"):
+        for side in ("after", "before"):
+            v = getattr(a, f"{when}_{side}")
+            if v is not None:
+                f[f"{when}_{side}"] = _parse_time_spec(v)
+    return f or None
+
+
 def cmd_search(cli: Cli):
     a = cli.args
+    if a.hash_prefix:
+        # --hash: direct content-address lookup, no ranking
+        return cmd_get_by_hash(cli, a.hash_prefix)
+    query = a.query
+    if a.stdin:
+        query = sys.stdin.read().strip()
+    elif a.query_file:
+        query = pathlib.Path(a.query_file).read_text().strip()
+    if not query:
+        print("error: no query (pass QUERY, --stdin, --query-file, or --hash)",
+              file=sys.stderr)
+        return 1
+    filters = _search_filters(a)
     client = cli.client_or_none()
     if client:
         resp = client.search(
-            a.query, limit=a.limit, search_type=a.type,
+            query, limit=a.limit, search_type=a.type,
             tags=a.tags.split(",") if a.tags else None, path_glob=a.path,
+            collection=a.collection, filters=filters,
         )
         hits = resp["hits"]
     else:
         r = cli.app.search.search(
-            a.query, limit=a.limit, search_type=a.type,
+            query, limit=a.limit, search_type=a.type,
             tags=a.tags.split(",") if a.tags else None, path_glob=a.path,
+            collection=a.collection, filters=filters,
         )
         hits = [_asdict(h) for h in r.hits]
 
@@ -250,7 +310,8 @@ def cmd_search(cli: Cli):
             print("no results")
             return
         for i, h in enumerate(rows, 1):
-            print(f"{i:2}. [{h['score']:.3f}] {h['path']}")
+            tag = f"{h['hash'][:12]}  " if a.show_hash and h.get("hash") else ""
+            print(f"{i:2}. [{h['score']:.3f}] {tag}{h['path']}")
             if h.get("snippet") and not a.paths_only:
                 print(f"      {h['snippet']}")
     if a.paths_only and not cli.args.json:
@@ -258,6 +319,17 @@ def cmd_search(cli: Cli):
             print(h["path"])
     else:
         cli.out(hits, text)
+    return 0
+
+
+def cmd_get_by_hash(cli: Cli, prefix: str):
+    client = cli.client_or_none()
+    doc = (client.get(prefix) if client
+           else cli.app.documents.get(prefix))
+    doc = _asdict(doc)
+    cli.out(doc, lambda o: print(
+        f"{o['sha256_hash'][:12]}  {_fmt_size(o['file_size'])}  "
+        f"{o['file_path']}"))
     return 0
 
 
@@ -707,13 +779,33 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_update)
 
     sp = sub.add_parser("search", help="hybrid search")
-    sp.add_argument("query")
+    sp.add_argument("query", nargs="?", default=None)
     sp.add_argument("-n", "--limit", type=int, default=10)
     sp.add_argument("--type", default="hybrid",
-                    choices=["hybrid", "semantic", "vector", "keyword", "fts"])
+                    choices=["auto", "hybrid", "semantic", "vector",
+                             "keyword", "fts"])
     sp.add_argument("--tags")
+    sp.add_argument("--match-all-tags", action="store_true",
+                    help="require every tag (default: any)")
     sp.add_argument("--path", help="path glob filter")
+    sp.add_argument("--collection")
+    sp.add_argument("--session", help="restrict to a session's pinned set")
     sp.add_argument("--paths-only", action="store_true")
+    sp.add_argument("--show-hash", action="store_true")
+    sp.add_argument("--hash", dest="hash_prefix",
+                    help="look up a document by sha256 (prefix ok)")
+    sp.add_argument("--file-type", action="append",
+                    help="extension or mime filter (repeatable)")
+    sp.add_argument("--text-only", action="store_true")
+    sp.add_argument("--binary-only", action="store_true")
+    for when in ("created", "modified", "indexed"):
+        sp.add_argument(f"--{when}-after", metavar="TIME")
+        sp.add_argument(f"--{when}-before", metavar="TIME")
+    sp.add_argument("--similarity", type=float,
+                    help="minimum fused score (0..1)")
+    sp.add_argument("--stdin", action="store_true",
+                    help="read the query from stdin")
+    sp.add_argument("--query-file", help="read the query from a file")
     sp.set_defaults(fn=cmd_search)
 
     sp = sub.add_parser("grep", help="regex search over content")

@@ -79,10 +79,12 @@ class DaemonClient:
         return self.call("shutdown")
 
     def search(self, query: str, limit: int = 10, search_type: str = "hybrid",
-               tags=None, path_glob=None, collection=None) -> dict:
+               tags=None, path_glob=None, collection=None,
+               filters: dict | None = None) -> dict:
         return self.call(
             "search", query=query, limit=limit, search_type=search_type,
             tags=tags, path_glob=path_glob, collection=collection,
+            filters=filters,
         )
 
     def grep(self, pattern: str, **kw) -> dict:

@@ -422,6 +422,7 @@ class YamsDaemon:
             tags=req.get("tags"),
             path_glob=req.get("path_glob"),
             collection=req.get("collection"),
+            filters=req.get("filters"),
         )
         return {
             "hits": [_asdict(h) for h in r.hits],

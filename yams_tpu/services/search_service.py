@@ -24,6 +24,15 @@ class SearchHit:
     text_score: float = 0.0
     vector_score: float = 0.0
     kg_score: float = 0.0
+    hash: str = ""
+
+
+# mimes treated as text beyond text/* (reference --text-only semantics)
+_TEXTY_MIMES = frozenset({
+    "application/json", "application/xml", "application/javascript",
+    "application/x-sh", "application/x-python", "application/toml",
+    "application/yaml", "application/x-yaml", "application/csv",
+})
 
 
 @dataclasses.dataclass(slots=True)
@@ -40,13 +49,21 @@ class SearchService:
         self.app = app
 
     def _filter_doc_ids(
-        self, tags: list[str] | None, path_glob: str | None, collection: str | None
+        self, tags: list[str] | None, path_glob: str | None,
+        collection: str | None, filters: dict | None = None,
     ) -> set[int] | None:
-        """Resolve filters to a candidate doc-id set (None = no filter)."""
+        """Resolve filters to a candidate doc-id set (None = no filter).
+
+        `filters` carries the long-tail predicates (reference search_command
+        options): match_all_tags, file_types, text_only/binary_only, the six
+        created/modified/indexed time bounds (unix seconds), and session
+        (restrict to the named session's pinned working set)."""
+        f = filters or {}
         md = self.app.metadata
         sets: list[set[int]] = []
         if tags:
-            sets.append(set(md.find_by_tags(tags)))
+            sets.append(set(md.find_by_tags(
+                tags, match_all=bool(f.get("match_all_tags")))))
         if collection:
             sets.append(set(md.find_by_metadata("collection", collection)))
         if path_glob:
@@ -56,6 +73,43 @@ class SearchService:
             sets.append(
                 {r["id"] for r in rows if fnmatch.fnmatch(r["file_path"], path_glob)}
             )
+        if f.get("session"):
+            sets.append(self.app.sessions.pinned_doc_ids(f["session"]))
+        time_cols = (("created_time", "created"), ("modified_time", "modified"),
+                     ("indexed_time", "indexed"))
+        conds, params = [], []
+        for col, key in time_cols:
+            lo, hi = f.get(f"{key}_after"), f.get(f"{key}_before")
+            if lo is not None:
+                conds.append(f"{col} >= ?")
+                params.append(float(lo))
+            if hi is not None:
+                conds.append(f"{col} <= ?")
+                params.append(float(hi))
+        file_types = f.get("file_types")
+        if file_types:
+            ors = []
+            for ft in file_types:
+                ft = ft.lower()
+                if "/" in ft:                       # mime, possibly prefixed
+                    ors.append("mime_type LIKE ?")
+                    params.append(ft + "%")
+                else:                               # extension (dot optional)
+                    ors.append("LOWER(file_extension) = ?")
+                    params.append("." + ft.lstrip("."))
+            conds.append("(" + " OR ".join(ors) + ")")
+        if f.get("text_only") or f.get("binary_only"):
+            texty = ("mime_type LIKE 'text/%' OR mime_type IN (" +
+                     ",".join("?" * len(_TEXTY_MIMES)) + ")")
+            conds.append(f"({texty})" if f.get("text_only")
+                         else f"NOT ({texty})")
+            params.extend(sorted(_TEXTY_MIMES))
+        if conds:
+            rows = self.app.db.execute(
+                "SELECT id FROM documents WHERE " + " AND ".join(conds),
+                params,
+            ).fetchall()
+            sets.append({r[0] for r in rows})
         if not sets:
             return None
         out = sets[0]
@@ -73,6 +127,7 @@ class SearchService:
         collection: str | None = None,
         with_snippets: bool = True,
         fuzzy_retry: bool = True,
+        filters: dict | None = None,
     ) -> SearchResponse:
         t0 = time.monotonic()
         md = self.app.metadata
@@ -96,7 +151,8 @@ class SearchService:
             search_type = plan.mode
             query = plan.corrected_query
             intent = plan.intent
-        filter_ids = self._filter_doc_ids(tags, path_glob, collection)
+        filter_ids = self._filter_doc_ids(tags, path_glob, collection,
+                                          filters)
         hits: list[SearchHit] = []
 
         if search_type == "fts":
@@ -110,7 +166,7 @@ class SearchService:
                 hits.append(SearchHit(
                     document_id=r.document_id, score=r.score, path=doc.file_path,
                     name=doc.file_name, title=r.title, snippet=r.snippet,
-                    text_score=r.score,
+                    text_score=r.score, hash=doc.sha256_hash,
                 ))
                 if len(hits) >= limit:
                     break
@@ -149,6 +205,7 @@ class SearchService:
                     name=doc.file_name, title=r.title or doc.file_name,
                     snippet=snippet, text_score=r.text_score,
                     vector_score=r.vector_score, kg_score=r.kg_score,
+                    hash=doc.sha256_hash,
                 ))
             hits.sort(key=lambda h: -h.score)
             eng_cfg = self.app.search_engine.config
@@ -173,7 +230,7 @@ class SearchService:
                     return self.search(
                         query + " " + " ".join(exp), limit, search_type,
                         tags, path_glob, collection, with_snippets,
-                        fuzzy_retry=False,
+                        fuzzy_retry=False, filters=filters,
                     )
             if not hits and fuzzy_retry:
                 # zero hits: symspell-correct against the lexical vocab and
@@ -187,11 +244,15 @@ class SearchService:
                         return self.search(
                             corrected, limit, search_type, tags, path_glob,
                             collection, with_snippets, fuzzy_retry=False,
+                            filters=filters,
                         )
             for h in hits[:3]:
                 md.touch_hotzone(h.document_id, 0.2)
                 self.app.search_engine.touch_hot(h.document_id, 0.2)
 
+        min_score = (filters or {}).get("min_score")
+        if min_score is not None:
+            hits = [h for h in hits if h.score >= float(min_score)]
         return SearchResponse(
             hits=hits[:limit],
             total=len(hits),
@@ -244,6 +305,7 @@ class SearchService:
                     name=doc.file_name, title=r.title or doc.file_name,
                     snippet=snippet, text_score=r.text_score,
                     vector_score=r.vector_score, kg_score=r.kg_score,
+                    hash=doc.sha256_hash,
                 ))
             hits.sort(key=lambda h: -h.score)
             out.append(SearchResponse(

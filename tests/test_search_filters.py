@@ -187,3 +187,35 @@ class TestSearchCli:
         rc, _ = self._run(
             ["--storage", str(storage), "--no-daemon", "search"], capsys)
         assert rc == 1
+
+
+class TestListFilters:
+    def test_list_with_filters_and_sort(self, app):
+        docs = app.documents.list(filters={"file_types": ["md"]})
+        assert [d.file_path.lstrip("/") for d in docs] == ["docs/report.md"]
+        by_size = app.documents.list(sort="size", reverse=True, limit=2)
+        sizes = [d.file_size for d in by_size]
+        assert sizes == sorted(sizes, reverse=True)
+
+    def test_list_tags_and_with_tags(self, app):
+        docs = app.documents.list(tags=["q3"], with_tags=True)
+        assert len(docs) == 1 and "q3" in docs[0].tags
+
+    def test_list_cli_recent_and_tags(self, tmp_path_factory, capsys):
+        from yams_tpu.cli.main import main
+
+        d = tmp_path_factory.mktemp("listcli") / "data"
+        cfg = small_config(d)
+        a = AppContext(cfg)
+        a.documents.add_bytes(b"one", "a.txt", tags=["t1"])
+        a.documents.add_bytes(b"two", "b.txt", tags=["t2"])
+        a.close()
+        rc = main(["--storage", str(d), "--no-daemon",
+                   "list", "--recent", "1", "--show-tags"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "b.txt" in out and "[t2]" in out
+        rc = main(["--storage", str(d), "--no-daemon",
+                   "list", "--paths-only", "--sort", "name"])
+        out = capsys.readouterr().out.splitlines()
+        assert rc == 0 and out == ["/a.txt", "/b.txt"]

@@ -185,18 +185,47 @@ def cmd_cat(cli: Cli):
 
 
 def cmd_list(cli: Cli):
+    a = cli.args
+    f: dict = {}
+    if a.match_all_tags:
+        f["match_all_tags"] = True
+    if a.file_type:
+        f["file_types"] = a.file_type
+    if a.text_only:
+        f["text_only"] = True
+    if a.binary_only:
+        f["binary_only"] = True
+    for when in ("created", "modified", "indexed"):
+        for side in ("after", "before"):
+            v = getattr(a, f"{when}_{side}")
+            if v is not None:
+                f[f"{when}_{side}"] = _parse_time_spec(v)
+    kw = dict(
+        limit=a.limit, offset=a.offset, pattern=a.pattern,
+        tags=a.tags.split(",") if a.tags else None,
+        collection=a.collection, filters=f or None,
+        sort=a.sort, reverse=a.reverse, with_tags=a.show_tags,
+    )
+    if a.recent:
+        kw.update(limit=a.recent, sort="indexed", reverse=True)
     client = cli.client_or_none()
     if client:
-        docs = client.list(limit=cli.args.limit, offset=cli.args.offset,
-                           pattern=cli.args.pattern)
+        docs = client.list(**kw)
     else:
-        docs = cli.app.documents.list(
-            limit=cli.args.limit, offset=cli.args.offset, pattern=cli.args.pattern
-        )
+        docs = [_asdict(d) for d in cli.app.documents.list(**kw)]
+
     def text(rows):
         for d in rows:
-            print(f"{d['sha256_hash'][:12]}  {_fmt_size(d['file_size']):>9}  {d['file_path']}")
-    cli.out([_asdict(d) for d in docs], text)
+            tagcol = ""
+            if a.show_tags and d.get("tags"):
+                tagcol = "  [" + ",".join(d["tags"]) + "]"
+            print(f"{d['sha256_hash'][:12]}  {_fmt_size(d['file_size']):>9}  "
+                  f"{d['file_path']}{tagcol}")
+    if a.paths_only and not cli.args.json:
+        for d in docs:
+            print(d["file_path"])
+    else:
+        cli.out([_asdict(d) for d in docs], text)
     return 0
 
 
@@ -765,6 +794,25 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--limit", type=int, default=50)
     sp.add_argument("--offset", type=int, default=0)
     sp.add_argument("--pattern", help="path glob")
+    sp.add_argument("--tags")
+    sp.add_argument("--match-all-tags", action="store_true")
+    sp.add_argument("--collection")
+    sp.add_argument("--file-type", action="append",
+                    help="extension or mime filter (repeatable)")
+    sp.add_argument("--text", action="store_true", dest="text_only",
+                    help="text documents only")
+    sp.add_argument("--binary", action="store_true", dest="binary_only",
+                    help="binary documents only")
+    for when in ("created", "modified", "indexed"):
+        sp.add_argument(f"--{when}-after", metavar="TIME")
+        sp.add_argument(f"--{when}-before", metavar="TIME")
+    sp.add_argument("--recent", type=int, metavar="N",
+                    help="N most recently indexed")
+    sp.add_argument("--sort", choices=["name", "size", "date", "indexed",
+                                       "hash"])
+    sp.add_argument("--reverse", action="store_true")
+    sp.add_argument("--paths-only", action="store_true")
+    sp.add_argument("--show-tags", action="store_true")
     sp.set_defaults(fn=cmd_list)
 
     sp = sub.add_parser("delete", help="delete documents")

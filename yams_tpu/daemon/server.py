@@ -501,7 +501,10 @@ class YamsDaemon:
     def handle_list(self, req):
         docs = self.app.documents.list(
             limit=req.get("limit", 100), offset=req.get("offset", 0),
-            pattern=req.get("pattern"),
+            pattern=req.get("pattern"), tags=req.get("tags"),
+            collection=req.get("collection"), filters=req.get("filters"),
+            sort=req.get("sort"), reverse=req.get("reverse", False),
+            with_tags=req.get("with_tags", False),
         )
         return {"documents": [_asdict(d) for d in docs]}
 

@@ -170,8 +170,45 @@ class DocumentService:
             raise NotFoundError(f"no extracted text for: {selector}")
         return text
 
-    def list(self, limit: int = 100, offset: int = 0, pattern: str | None = None):
-        return self.app.metadata.list_documents(limit, offset, pattern)
+    def list(self, limit: int = 100, offset: int = 0,
+             pattern: str | None = None, tags: list[str] | None = None,
+             collection: str | None = None, filters: dict | None = None,
+             sort: str | None = None, reverse: bool = False,
+             with_tags: bool = False):
+        """List documents with the shared filter surface (reference
+        list_command: tags, type/mime classes, time bounds, sort orders)."""
+        if tags or collection or filters:
+            from .filters import resolve_filter_ids
+
+            ids = resolve_filter_ids(self.app, tags, None, collection, filters)
+            docs = self.app.metadata.list_documents(
+                limit + offset + (len(ids) if ids else 0), 0, pattern)
+            if ids is not None:
+                docs = [d for d in docs if d.id in ids]
+        else:
+            if sort is None:
+                docs = self.app.metadata.list_documents(limit, offset, pattern)
+                if with_tags:
+                    for d in docs:
+                        d.tags = self.app.metadata.get_tags(d.id)
+                return docs
+            docs = self.app.metadata.list_documents(1 << 30, 0, pattern)
+        keys = {
+            "name": lambda d: d.file_path,
+            "size": lambda d: d.file_size,
+            "date": lambda d: d.modified_time,
+            "indexed": lambda d: d.indexed_time,
+            "hash": lambda d: d.sha256_hash,
+        }
+        if sort in keys:
+            docs = sorted(docs, key=keys[sort], reverse=reverse)
+        elif reverse:
+            docs = list(reversed(docs))
+        docs = docs[offset:offset + limit]
+        if with_tags:
+            for d in docs:
+                d.tags = self.app.metadata.get_tags(d.id)
+        return docs
 
     # -- delete ------------------------------------------------------------------
     def delete(self, selector: str, keep_content: bool = False) -> bool:

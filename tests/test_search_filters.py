@@ -219,3 +219,62 @@ class TestListFilters:
                    "list", "--paths-only", "--sort", "name"])
         out = capsys.readouterr().out.splitlines()
         assert rc == 0 and out == ["/a.txt", "/b.txt"]
+
+
+class TestGrepExtensions:
+    @pytest.fixture(scope="class")
+    def gapp(self, tmp_path_factory):
+        cfg = small_config(tmp_path_factory.mktemp("grep") / "data")
+        a = AppContext(cfg)
+        a.documents.add_bytes(b"the cat sat on the catalog", "a/one.txt",
+                              tags=["pets"])
+        a.documents.add_bytes(b"catalogue of feline behavior studies",
+                              "b/two.md", tags=["science"])
+        yield a
+        a.close()
+
+    def test_word_boundary(self, gapp):
+        loose = gapp.grep.grep("cat")
+        strict = gapp.grep.grep("cat", word_boundary=True)
+        assert len(loose.matches) > len(strict.matches)
+        assert all("cat" == m.line[m.match_start:m.match_end]
+                   for m in strict.matches)
+
+    def test_include_globs_any_match(self, gapp):
+        r = gapp.grep.grep("cat", path_glob=["*a/*", "*b/*"])
+        assert r.files_matched == 2
+        r = gapp.grep.grep("cat", path_glob=["*b/*"])
+        assert r.files_matched == 1
+
+    def test_filters_reach_grep(self, gapp):
+        r = gapp.grep.grep("cat", filters={"file_types": ["md"]})
+        assert {m.path.lstrip("/") for m in r.matches} == {"b/two.md"}
+
+    def test_semantic_assist(self, gapp):
+        r = gapp.grep.grep("feline studies", word_boundary=True,
+                           semantic_limit=3)
+        sem = [m for m in r.matches if m.semantic]
+        assert sem and all(m.line_number == 0 for m in sem)
+
+    def test_grep_cli_modes(self, gapp, capsys):
+        from yams_tpu.cli.main import main
+
+        storage = str(gapp.config.data_dir)
+        rc = main(["--storage", storage, "--no-daemon",
+                   "grep", "cat", "-l"])
+        out = capsys.readouterr().out.splitlines()
+        assert rc == 0 and len(out) == 2
+        rc = main(["--storage", storage, "--no-daemon",
+                   "grep", "cat", "-c"])
+        out = capsys.readouterr().out
+        assert rc == 0 and ":2" in out  # "cat" + "catalog" on one line
+        rc = main(["--storage", storage, "--no-daemon",
+                   "grep", "cat", "-w", "--no-filename"])
+        out = capsys.readouterr().out
+        assert rc == 0 and "one.txt" not in out
+
+    def test_midword_substring_still_found(self, gapp):
+        """FTS prefix prefilter misses mid-word substrings; the empty-FTS
+        fallback (scan all docs) must keep them findable."""
+        r = gapp.grep.grep("talog", literal=True)
+        assert r.files_matched >= 1

@@ -364,11 +364,22 @@ def cmd_get_by_hash(cli: Cli, prefix: str):
 
 def cmd_grep(cli: Cli):
     a = cli.args
+    f: dict = {}
+    if a.match_all_tags:
+        f["match_all_tags"] = True
+    if a.session:
+        f["session"] = a.session
+    globs = list(a.include or [])
+    if a.path:
+        globs.append(a.path)
     kw = dict(
         ignore_case=a.ignore_case,
         literal=True if a.fixed_strings else None,
-        path_glob=a.path, tags=a.tags.split(",") if a.tags else None,
+        path_glob=(globs[0] if len(globs) == 1 else globs) or None,
+        tags=a.tags.split(",") if a.tags else None,
         max_matches=a.max_count, context=a.context,
+        word_boundary=a.word_regexp, filters=f or None,
+        semantic_limit=a.semantic_limit,
     )
     client = cli.client_or_none()
     if client:
@@ -379,14 +390,31 @@ def cmd_grep(cli: Cli):
                 "files_searched": r.files_searched,
                 "files_matched": r.files_matched, "truncated": r.truncated}
     matches = resp["matches"]
+    if a.files_with_matches and not cli.args.json:
+        for p in dict.fromkeys(m["path"] for m in matches):
+            print(p)
+        return 0 if matches else 1
+    if a.count and not cli.args.json:
+        counts: dict[str, int] = {}
+        for m in matches:
+            if not m.get("semantic"):
+                counts[m["path"]] = counts.get(m["path"], 0) + 1
+        for p, n in counts.items():
+            print(f"{p}:{n}")
+        return 0 if matches else 1
+
     def text(o):
         for m in matches:
+            prefix = "" if a.no_filename else f"{m['path']}:"
+            if m.get("semantic"):
+                print(f"{prefix}(semantic) {m['line']}")
+                continue
             before, after = m.get("before", []), m.get("after", [])
             for i, b in enumerate(before):
-                print(f"{m['path']}:{m['line_number'] - len(before) + i}-{b}")
-            print(f"{m['path']}:{m['line_number']}:{m['line']}")
+                print(f"{prefix}{m['line_number'] - len(before) + i}-{b}")
+            print(f"{prefix}{m['line_number']}:{m['line']}")
             for i, aft in enumerate(after):
-                print(f"{m['path']}:{m['line_number'] + 1 + i}-{aft}")
+                print(f"{prefix}{m['line_number'] + 1 + i}-{aft}")
         if resp.get("truncated"):
             print("... (truncated)", file=sys.stderr)
     cli.out(
@@ -860,10 +888,21 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("pattern")
     sp.add_argument("-i", "--ignore-case", action="store_true")
     sp.add_argument("-F", "--fixed-strings", action="store_true")
+    sp.add_argument("-w", "--word-regexp", action="store_true")
     sp.add_argument("--path", help="path glob filter")
+    sp.add_argument("--include", action="append",
+                    help="path glob (repeatable; any may match)")
     sp.add_argument("--tags")
+    sp.add_argument("--match-all-tags", action="store_true")
+    sp.add_argument("--session", help="restrict to a session's pinned set")
     sp.add_argument("-m", "--max-count", type=int, default=1000)
     sp.add_argument("-C", "--context", type=int, default=0)
+    sp.add_argument("-l", "--files-with-matches", action="store_true")
+    sp.add_argument("-c", "--count", action="store_true",
+                    help="print per-file match counts")
+    sp.add_argument("--no-filename", action="store_true")
+    sp.add_argument("--semantic-limit", type=int, default=0, metavar="N",
+                    help="append up to N semantic matches")
     sp.set_defaults(fn=cmd_grep)
 
     sp = sub.add_parser("status", help="system status")

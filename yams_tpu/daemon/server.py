@@ -439,6 +439,9 @@ class YamsDaemon:
             path_glob=req.get("path_glob"),
             max_matches=req.get("max_matches", 1000),
             context=req.get("context", 0),
+            word_boundary=req.get("word_boundary", False),
+            filters=req.get("filters"),
+            semantic_limit=req.get("semantic_limit", 0),
         )
         return {
             "matches": [_asdict(m) for m in r.matches],

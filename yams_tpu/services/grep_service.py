@@ -24,6 +24,7 @@ class GrepMatch:
     match_end: int = 0
     before: list[str] = dataclasses.field(default_factory=list)
     after: list[str] = dataclasses.field(default_factory=list)
+    semantic: bool = False   # appended by the semantic-assist tier
 
 
 @dataclasses.dataclass(slots=True)
@@ -42,28 +43,43 @@ class GrepService:
         self.app = app
 
     def _candidates(
-        self, pattern: str, tags, path_glob, max_docs: int
+        self, pattern: str, tags, path_glob, max_docs: int,
+        filters: dict | None = None,
     ) -> list[int]:
         md = self.app.metadata
         ids: list[int] | None = None
         if tags:
-            ids = md.find_by_tags(tags)
-        # FTS prefilter with literal words from the pattern (hot window)
+            ids = md.find_by_tags(
+                tags, match_all=bool((filters or {}).get("match_all_tags")))
+        if filters:
+            from .filters import resolve_filter_ids
+
+            fids = resolve_filter_ids(self.app, None, None, None, filters)
+            if fids is not None:
+                ids = list(fids) if ids is None else [i for i in ids if i in fids]
+        # FTS prefilter with PREFIX queries over the pattern's literal words
+        # ("cat" must keep a doc whose only occurrence is inside "catalogue",
+        # so each word prefilters as word* — substring-of-longer-word recall)
         words = re.findall(r"[a-zA-Z_][\w\-]{2,}", pattern)
         if words:
-            fts_ids = [r.document_id for r in md.search_fts(" ".join(words), limit=max_docs)]
+            match = " ".join(f'"{w}" *'.replace('" *', '"*') for w in words)
+            fts_ids = [r.document_id
+                       for r in md.search_fts(match, limit=max_docs,
+                                              raw_match=True)]
             if fts_ids:
                 ids = fts_ids if ids is None else [i for i in ids if i in set(fts_ids)]
         if ids is None:
             ids = md.all_document_ids()
         if path_glob:
+            globs = ([path_glob] if isinstance(path_glob, str)
+                     else list(path_glob))
             keep = []
             for i in ids:
                 try:
                     doc = md.get_document(i)
                 except Exception:
                     continue
-                if fnmatch.fnmatch(doc.file_path, path_glob):
+                if any(fnmatch.fnmatch(doc.file_path, g) for g in globs):
                     keep.append(i)
             ids = keep
         return ids[:max_docs]
@@ -124,7 +140,17 @@ class GrepService:
         max_matches: int = 1000,
         max_docs: int = 5000,
         context: int = 0,
+        word_boundary: bool = False,
+        filters: dict | None = None,
+        semantic_limit: int = 0,
     ) -> GrepResult:
+        if word_boundary:
+            # word boundaries force the regex path; escape a literal pattern
+            pattern = r"\b(" + (re.escape(pattern)
+                                 if (literal or (literal is None
+                                     and _LITERAL_SAFE.match(pattern)))
+                                 else pattern) + r")\b"
+            literal = False
         if literal is None:
             literal = bool(_LITERAL_SAFE.match(pattern))
         rx = None
@@ -135,7 +161,8 @@ class GrepService:
         matches: list[GrepMatch] = []
         files_searched = files_matched = 0
         truncated = False
-        for doc_id in self._candidates(pattern, tags, path_glob, max_docs):
+        for doc_id in self._candidates(pattern, tags, path_glob, max_docs,
+                                       filters):
             text = self.app.metadata.get_content(doc_id)
             if not text:
                 continue
@@ -194,4 +221,20 @@ class GrepService:
                     break
             if truncated:
                 break
+        if semantic_limit > 0:
+            # semantic assist (reference grep --semantic-limit): append
+            # vector-search hits for the pattern text as path-level pseudo
+            # matches, skipping files that already matched literally
+            seen = {m.document_id for m in matches}
+            resp = self.app.search.search(
+                re.sub(r"[^\w \-]", " ", pattern), limit=semantic_limit,
+                search_type="vector", with_snippets=True, tags=tags,
+            )
+            for h in resp.hits:
+                if h.document_id in seen:
+                    continue
+                matches.append(GrepMatch(
+                    h.document_id, h.path, 0, h.snippet or h.title,
+                    semantic=True,
+                ))
         return GrepResult(matches, files_searched, files_matched, truncated)

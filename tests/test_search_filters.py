@@ -278,3 +278,51 @@ class TestGrepExtensions:
         fallback (scan all docs) must keep them findable."""
         r = gapp.grep.grep("talog", literal=True)
         assert r.files_matched >= 1
+
+
+class TestAddDeleteLongTail:
+    def test_add_no_embeddings_and_verify(self, tmp_path_factory, capsys):
+        from yams_tpu.cli.main import main
+
+        d = tmp_path_factory.mktemp("addcli") / "data"
+        f = tmp_path_factory.mktemp("src") / "doc.txt"
+        f.write_text("embedding-free storage path")
+        rc = main(["--storage", str(d), "--no-daemon", "--json",
+                   "add", str(f), "--no-embeddings", "--verify",
+                   "--mime-type", "text/x-custom"])
+        out = json.loads(capsys.readouterr().out)
+        assert rc == 0 and out["verified"] and not out["indexed"]
+        cfg = small_config(d)  # reopen and check mime override persisted
+        a = AppContext(cfg)
+        doc = a.documents.get(out["content_hash"])
+        assert doc.mime_type == "text/x-custom"
+        a.close()
+
+    def test_delete_pattern_dry_run_and_bulk(self, tmp_path_factory, capsys):
+        from yams_tpu.cli.main import main
+
+        d = tmp_path_factory.mktemp("delcli") / "data"
+        a = AppContext(small_config(d))
+        for n in ("logs/a.log", "logs/b.log", "keep/c.txt"):
+            a.documents.add_bytes(b"row " + n.encode(), n)
+        a.close()
+        rc = main(["--storage", str(d), "--no-daemon",
+                   "delete", "--pattern", "*logs/*", "--dry-run"])
+        out = capsys.readouterr().out
+        assert rc == 0 and out.count("would delete") == 2
+        rc = main(["--storage", str(d), "--no-daemon",
+                   "delete", "--directory", "/logs"])
+        capsys.readouterr()
+        a = AppContext(small_config(d))
+        remaining = [x.file_path for x in a.documents.list()]
+        a.close()
+        assert rc == 0 and remaining == ["/keep/c.txt"]
+
+    def test_delete_nothing_errors(self, tmp_path_factory, capsys):
+        from yams_tpu.cli.main import main
+
+        d = tmp_path_factory.mktemp("delempty") / "data"
+        AppContext(small_config(d)).close()
+        rc = main(["--storage", str(d), "--no-daemon", "delete",
+                   "--pattern", "*nope*"])
+        assert rc == 1

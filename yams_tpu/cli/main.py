@@ -92,6 +92,11 @@ def cmd_add(cli: Cli):
     a = cli.args
     tags = a.tags.split(",") if a.tags else []
     meta = dict(kv.split("=", 1) for kv in (a.metadata or []))
+    common = {}
+    if a.mime_type:
+        common["mime_type"] = a.mime_type
+    if a.no_embeddings:
+        common["auto_index"] = False
     # Mutations route through a running daemon (reference: every CLI command
     # is an IPC request) — a direct write would race the daemon's
     # single-writer engine and leave its in-memory indexes stale.
@@ -104,26 +109,30 @@ def cmd_add(cli: Cli):
             if client:
                 res = client.add_bytes(
                     data, a.name or "stdin", tags=tags, metadata=meta,
-                    collection=a.collection or "",
+                    collection=a.collection or "", **common,
                 )
             else:
                 res = cli.app.documents.add_bytes(
                     data, a.name or "stdin", tags=tags, metadata=meta,
-                    collection=a.collection or "",
+                    collection=a.collection or "", **common,
                 )
             results.append(res)
         elif p.is_dir():
             include = a.include.split(",") if a.include else None
+            exclude = a.exclude.split(",") if a.exclude else None
             if client:
                 rep = client.add_path(
                     str(p.resolve()), recursive=a.recursive, include=include,
-                    tags=tags, collection=a.collection or "",
-                    snapshot=a.snapshot,
+                    exclude=exclude, tags=tags, collection=a.collection or "",
+                    snapshot=a.snapshot or bool(a.snapshot_label),
+                    snapshot_label=a.snapshot_label or "",
                 )
             else:
                 rep = cli.app.indexing.add_directory(
-                    p, recursive=a.recursive, include=include,
-                    tags=tags, collection=a.collection or "", snapshot=a.snapshot,
+                    p, recursive=a.recursive, include=include, exclude=exclude,
+                    tags=tags, collection=a.collection or "",
+                    snapshot=a.snapshot or bool(a.snapshot_label),
+                    snapshot_label=a.snapshot_label or "",
                 )
             cli.out(
                 _asdict(rep),
@@ -139,21 +148,35 @@ def cmd_add(cli: Cli):
             if client:
                 res = client.add_path(
                     str(p.resolve()), tags=tags, metadata=meta,
-                    collection=a.collection or "",
+                    collection=a.collection or "", **common,
                 )
             else:
                 res = cli.app.documents.add_file(
-                    p, tags=tags, metadata=meta, collection=a.collection or ""
+                    p, tags=tags, metadata=meta,
+                    collection=a.collection or "", **common,
                 )
             results.append(res)
         else:
             print(f"error: no such file: {target}", file=sys.stderr)
             return 1
     for res in results:
+        o = _asdict(res)
+        if a.verify:
+            # read back the stored bytes and re-hash (reference add --verify)
+            import hashlib
+
+            data = (client.cat(o["content_hash"]) if client
+                    else cli.app.documents.cat(o["content_hash"]))
+            ok = hashlib.sha256(data).hexdigest() == o["content_hash"]
+            o["verified"] = ok
+            if not ok:
+                print(f"VERIFY FAILED: {o['content_hash']}", file=sys.stderr)
+                return 1
         cli.out(
-            _asdict(res),
+            o,
             lambda o: print(f"{o['content_hash'][:16]}  {_fmt_size(o['bytes_stored'])} stored"
-                            f"  doc={o['document_id']}"),
+                            f"  doc={o['document_id']}"
+                            + ("  verified" if a.verify else "")),
         )
     return 0
 
@@ -230,11 +253,31 @@ def cmd_list(cli: Cli):
 
 
 def cmd_delete(cli: Cli):
+    a = cli.args
     client = cli.client_or_none()
+    targets = list(a.selectors)
+    if a.pattern or a.directory:
+        pattern = a.pattern or (a.directory.rstrip("/") + "/*")
+        if client:
+            docs = client.list(limit=1 << 20, pattern=pattern)
+        else:
+            docs = [_asdict(d) for d in
+                    cli.app.documents.list(limit=1 << 20, pattern=pattern)]
+        targets += [d["file_path"] for d in docs]
+    if not targets:
+        print("nothing to delete", file=sys.stderr)
+        return 1
+    if a.dry_run:
+        for t in targets:
+            print(f"would delete: {t}")
+        return 0
     if client:
-        ok = all(client.delete(s) for s in cli.args.selectors)
+        ok = all(client.delete(s) for s in targets)
+    elif a.keep_content:
+        ok = all(cli.app.documents.delete(s, keep_content=True)
+                 for s in targets)
     else:
-        ok = all(cli.app.documents.delete(s) for s in cli.args.selectors)
+        ok = all(cli.app.documents.delete(s) for s in targets)
     if not ok:
         print("some documents not found", file=sys.stderr)
     return 0 if ok else 1
@@ -807,7 +850,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--metadata", action="append", help="key=value (repeatable)")
     sp.add_argument("--collection", help="collection name")
     sp.add_argument("--include", help="comma-separated include globs")
+    sp.add_argument("--exclude", help="comma-separated exclude globs")
+    sp.add_argument("--mime-type", help="override mime detection")
+    sp.add_argument("--no-embeddings", action="store_true",
+                    help="store + metadata only; skip device indexing")
+    sp.add_argument("--verify", action="store_true",
+                    help="read back stored content and re-hash")
     sp.add_argument("--snapshot", action="store_true", help="record a tree snapshot")
+    sp.add_argument("--snapshot-label", help="label for the snapshot")
     sp.set_defaults(fn=cmd_add)
 
     sp = sub.add_parser("get", help="show document info")
@@ -844,7 +894,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_list)
 
     sp = sub.add_parser("delete", help="delete documents")
-    sp.add_argument("selectors", nargs="+")
+    sp.add_argument("selectors", nargs="*")
+    sp.add_argument("--pattern", help="delete every document matching a path glob")
+    sp.add_argument("--directory", help="delete every document under a path prefix")
+    sp.add_argument("--dry-run", action="store_true",
+                    help="print what would be deleted")
+    sp.add_argument("--keep-content", action="store_true",
+                    help="drop metadata/indexes but keep CAS blocks")
     sp.set_defaults(fn=cmd_delete)
 
     sp = sub.add_parser("update", help="update tags/metadata")

@@ -457,7 +457,7 @@ class YamsDaemon:
             tags=req.get("tags"), metadata=req.get("metadata"),
             mime_type=req.get("mime_type", ""),
             collection=req.get("collection", ""),
-            auto_index=not async_ingest,
+            auto_index=req.get("auto_index", True) and not async_ingest,
         )
         if async_ingest:
             # post-ingest stages (extraction/KG/embedding) run off the request
@@ -483,11 +483,14 @@ class YamsDaemon:
                 include=req.get("include"), exclude=req.get("exclude"),
                 tags=req.get("tags"), collection=req.get("collection", ""),
                 snapshot=req.get("snapshot", False),
+                snapshot_label=req.get("snapshot_label", ""),
             )
             return _asdict(rep)
         res = self.app.documents.add_file(
             p, tags=req.get("tags"), metadata=req.get("metadata"),
             collection=req.get("collection", ""),
+            mime_type=req.get("mime_type", ""),
+            auto_index=req.get("auto_index", True),
         )
         return _asdict(res)
 

@@ -326,3 +326,30 @@ class TestAddDeleteLongTail:
         rc = main(["--storage", str(d), "--no-daemon", "delete",
                    "--pattern", "*nope*"])
         assert rc == 1
+
+
+class TestGetLongTail:
+    def test_get_latest_oldest_and_graph(self, tmp_path_factory, capsys):
+        from yams_tpu.cli.main import main
+
+        d = tmp_path_factory.mktemp("getcli") / "data"
+        a = AppContext(small_config(d))
+        a.documents.add_bytes(b"v-old shared AlphaCore module", "old/mod.py")
+        time.sleep(0.02)
+        a.documents.add_bytes(b"v-new shared AlphaCore module", "new/mod.py")
+        a.close()
+        rc = main(["--storage", str(d), "--no-daemon", "--json",
+                   "get", "mod.py", "--latest"])
+        out = json.loads(capsys.readouterr().out)
+        assert rc == 0 and out["file_path"] == "/new/mod.py"
+        rc = main(["--storage", str(d), "--no-daemon", "--json",
+                   "get", "mod.py", "--oldest"])
+        out = json.loads(capsys.readouterr().out)
+        assert rc == 0 and out["file_path"] == "/old/mod.py"
+        rc = main(["--storage", str(d), "--no-daemon", "--json",
+                   "get", "new/mod.py", "--graph"])
+        out = json.loads(capsys.readouterr().out)
+        assert rc == 0 and "related" in out
+        rc = main(["--storage", str(d), "--no-daemon", "--json",
+                   "get", "zzz.py", "--name"])
+        assert rc == 1

@@ -182,17 +182,46 @@ def cmd_add(cli: Cli):
 
 
 def cmd_get(cli: Cli):
+    a = cli.args
     client = cli.client_or_none()
-    doc = (client.get(cli.args.selector) if client
-           else cli.app.documents.get(cli.args.selector))
-    cli.out(
-        _asdict(doc),
-        lambda o: print(
+    selector = a.selector
+    if a.name or a.latest or a.oldest:
+        # strict name resolution with version ordering (reference get
+        # --name/--latest/--oldest; names may repeat across directories)
+        if client:
+            docs = client.list(limit=1 << 20, pattern="*" + selector)
+            docs = [d for d in docs
+                    if d["file_path"].rsplit("/", 1)[-1] == selector]
+            docs.sort(key=lambda d: d["indexed_time"])
+        else:
+            found = cli.app.metadata.find_by_name(selector)
+            docs = sorted((_asdict(d) for d in found),
+                          key=lambda d: d["indexed_time"])
+        if not docs:
+            print(f"error: no document named {selector}", file=sys.stderr)
+            return 1
+        doc = docs[0] if a.oldest else docs[-1]
+        selector = doc["file_path"]
+    doc = (client.get(selector) if client
+           else _asdict(cli.app.documents.get(selector)))
+    if a.graph:
+        related = (client.call("graph_related", selector=selector,
+                               limit=10 * max(a.depth, 1))["related"]
+                   if client else
+                   cli.app.graph.related(selector,
+                                         limit=10 * max(a.depth, 1)))
+        doc = dict(doc)
+        doc["related"] = related
+
+    def text(o):
+        print(
             f"path: {o['file_path']}\nhash: {o['sha256_hash']}\n"
             f"size: {_fmt_size(o['file_size'])}\nmime: {o['mime_type']}\n"
             f"tags: {', '.join(o['tags'])}"
-        ),
-    )
+        )
+        for r in o.get("related", []):
+            print(f"related: {r.get('path', r)}")
+    cli.out(doc, text)
     return 0
 
 
@@ -862,6 +891,17 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("get", help="show document info")
     sp.add_argument("selector", help="hash, hash prefix, path, or name")
+    sp.add_argument("--name", action="store_true",
+                    help="treat the selector strictly as a file name")
+    sp.add_argument("--latest", action="store_true",
+                    help="newest match when several share the name")
+    sp.add_argument("--oldest", action="store_true")
+    sp.add_argument("--metadata-only", action="store_true",
+                    help="(default behavior; accepted for compatibility)")
+    sp.add_argument("--graph", action="store_true",
+                    help="include knowledge-graph related documents")
+    sp.add_argument("--depth", type=int, default=1,
+                    help="graph expansion limit scaling")
     sp.set_defaults(fn=cmd_get)
 
     sp = sub.add_parser("cat", help="print document content")

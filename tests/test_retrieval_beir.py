@@ -138,3 +138,38 @@ class TestRetrievalQualityBeir:
         filtered = app.search.search(qtext, limit=10, search_type="hybrid",
                                      path_glob="*docs/*", with_snippets=False)
         assert [h.path for h in plain.hits] == [h.path for h in filtered.hits]
+
+
+class TestRetrievalQualitySecondShape:
+    """A second dataset shape (longer docs, heavier filler overlap, triple
+    concept mixing) so quality gates aren't tuned to one generator setting."""
+
+    @pytest.fixture(scope="class")
+    def setup(self, tmp_path_factory):
+        ds = synthetic_beir(seed=7, n_concepts=24, lemmas_per_concept=6,
+                            n_pairs=48, docs_per_pair=8, n_queries=30,
+                            doc_tokens=120, query_tokens=6)
+        cfg = Config(data_dir=tmp_path_factory.mktemp("beir2") / "data")
+        cfg.vector = VectorIndexConfig(
+            dim=384, capacity=max(1024, len(ds.corpus) + 64), block_rows=256
+        )
+        app = AppContext(cfg)
+        for did, doc in ds.corpus.items():
+            text = (doc["title"] + "\n" + doc["text"]).strip()
+            app.documents.add_bytes(text.encode(), f"docs/{did}.txt")
+        yield app, ds
+        app.close()
+
+    def test_quality_gates_shape2(self, setup, tracker):
+        app, ds = setup
+        metrics = _run_modes(app, ds, modes=("hybrid",))
+        h = metrics["hybrid"]
+        out = tracker.record("beir_shape2_hybrid_recall", h["recall"],
+                             "recall", slack=0.08)
+        assert out["status"] != "regression", out
+        out = tracker.record("beir_shape2_hybrid_ndcg", h["ndcg"],
+                             "ndcg", slack=0.08)
+        assert out["status"] != "regression", out
+        # ceiling is 8 relevant/query with k=10 -> recall can reach 1.0
+        assert h["mrr"] >= 0.9, metrics
+        assert h["recall"] >= 0.6, metrics

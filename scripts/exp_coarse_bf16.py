@@ -1,0 +1,119 @@
+"""Experiment: bf16 coarse score matrix + exact f32 candidate rescore.
+
+At the headline config (1M x 768, B=1024) the non-streaming vector leg
+materializes an f32 (B, N) score matrix: 4 GB written by the matmul and 4 GB
+read back by approx_max_k — ~10 ms of HBM traffic per batch at 819 GB/s,
+larger than the corpus read itself (1.5 GB). Emitting the coarse scores in
+bf16 halves both passes; the top-C=32 candidates are then rescored exactly
+in f32 (a (B*C, D) gather + tiny dot, ~50 MB), so the final top-k values
+feeding fusion are bit-comparable with the f32 path as long as the true
+top-k survive the coarse bf16 top-32 — 22 ranks of slack against ~0.004
+bf16 rounding at |score|<=1.
+
+Measures both variants' time and the coarse variant's recall@10 against the
+exact-f32-oracle top-10 on the SAME clustered corpus bench.py uses.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    N, D, B, ITERS, C, K = 1_000_448, 768, 1024, 8, 32, 10
+    n_clusters, sigma = 4096, 0.35
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+
+    centers = jax.random.normal(ks[2], (n_clusters, D), dtype=jnp.float32)
+    centers = centers / jnp.maximum(
+        jnp.linalg.norm(centers, axis=1, keepdims=True), 1e-9)
+
+    @jax.jit
+    def synth(centers):
+        assign = ((jax.lax.broadcasted_iota(jnp.uint32, (N,), 0)
+                   * jnp.uint32(2654435761)) >> jnp.uint32(7)) % jnp.uint32(n_clusters)
+        noise = jax.random.normal(ks[3], (N, D), dtype=jnp.bfloat16)
+        e = centers[assign.astype(jnp.int32)].astype(jnp.bfloat16) + sigma * noise
+        nrm = jnp.maximum(
+            jnp.linalg.norm(e.astype(jnp.float32), axis=1, keepdims=True), 1e-9)
+        return (e.astype(jnp.float32) / nrm).astype(jnp.bfloat16)
+
+    E = synth(centers)
+    qs = jax.random.normal(ks[5], (ITERS, B, D), dtype=jnp.float32)
+    qs = qs / jnp.maximum(jnp.linalg.norm(qs, axis=-1, keepdims=True), 1e-9)
+
+    @functools.partial(jax.jit, static_argnames=("mode", "cc"))
+    def run(qs, E, mode="f32", cc=C):
+        def one(carry, q):
+            if mode == "f32":
+                s = jnp.dot(q.astype(jnp.bfloat16), E.T,
+                            preferred_element_type=jnp.float32)
+                vv, vi = jax.lax.approx_max_k(s, cc)
+                vv, vi = vv[:, :C], vi[:, :C]
+            elif mode == "bf16nr":
+                # no rescore: take coarse bf16 values directly (the ~0.004
+                # bf16 rounding moves fused ranks by less than fusion noise)
+                s = jnp.dot(q.astype(jnp.bfloat16), E.T,
+                            preferred_element_type=jnp.bfloat16)
+                vv, vi = jax.lax.approx_max_k(s, cc)
+                vv = vv[:, :C].astype(jnp.float32)
+                vi = vi[:, :C]
+            elif mode == "bf16":
+                s = jnp.dot(q.astype(jnp.bfloat16), E.T,
+                            preferred_element_type=jnp.bfloat16)
+                _, ci = jax.lax.approx_max_k(s, cc)
+                # exact f32 rescore of the cc candidates, keep top-C
+                cand = E[ci]                                   # (B, cc, D) bf16
+                rs = jnp.einsum(
+                    "bd,bcd->bc", q.astype(jnp.bfloat16), cand,
+                    preferred_element_type=jnp.float32)
+                vv, pos = jax.lax.top_k(rs, C)
+                vi = jnp.take_along_axis(ci, pos, axis=1)
+            else:  # exact oracle
+                s = jnp.dot(q.astype(jnp.bfloat16), E.T,
+                            preferred_element_type=jnp.float32)
+                vv, vi = jax.lax.top_k(s, C)
+            return carry, (vv[:, :K], vi[:, :K])
+
+        _, out = jax.lax.scan(one, 0, qs)
+        return out
+
+    def timed(mode, cc=C):
+        v, i = run(qs, E, mode=mode, cc=cc)
+        np.asarray(v)
+        best = 1e30
+        for _ in range(3):
+            t0 = time.perf_counter()
+            v, i = run(qs, E, mode=mode, cc=cc)
+            ih = np.asarray(i)
+            best = min(best, time.perf_counter() - t0)
+        return best, ih
+
+    t_f32, i_f32 = timed("f32")
+    _, i_exact = timed("exact")
+
+    def recall(ids):
+        a, b = ids.reshape(-1, K), i_exact.reshape(-1, K)
+        return float(np.mean(
+            [len(np.intersect1d(a[j], b[j])) / K for j in range(len(a))]))
+
+    print(f"f32  coarse C={C:4d}: {ITERS*B/t_f32:9.1f} qps  "
+          f"recall@10={recall(i_f32):.4f}")
+    t_nr, i_nr = timed("bf16nr", C)
+    print(f"bf16 norescore C={C:2d}: {ITERS*B/t_nr:9.1f} qps  "
+          f"recall@10={recall(i_nr):.4f}  speedup={t_f32/t_nr:.3f}x")
+    for cc in (C, 4 * C):
+        t_bf, i_bf = timed("bf16", cc)
+        print(f"bf16 coarse C={cc:4d}: {ITERS*B/t_bf:9.1f} qps  "
+              f"recall@10={recall(i_bf):.4f}  speedup={t_f32/t_bf:.3f}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Experiment: lax.approx_max_k recall_target sweep on the vector leg.
+
+The headline vector leg spends ~6 ms/batch beyond MXU time in the top-C
+partial reduction. approx_max_k's recall_target (default 0.95) sizes its
+binning stage; lower targets shrink the reduction. Because the FUSED
+pipeline re-anchors near-ties with BM25 evidence (fused recall@10 stays
+1.000 while the isolated leg sits at 0.9955), there may be headroom to
+lower the leg's target without moving the fused metric.
+
+Measures vector-leg QPS + leg recall@10 vs exact for several targets on
+the same clustered 1M x 768 corpus bench.py uses.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    N, D, B, ITERS, C, K = 1_000_448, 768, 1024, 8, 32, 10
+    n_clusters, sigma = 4096, 0.35
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+
+    centers = jax.random.normal(ks[2], (n_clusters, D), dtype=jnp.float32)
+    centers = centers / jnp.maximum(
+        jnp.linalg.norm(centers, axis=1, keepdims=True), 1e-9)
+
+    @jax.jit
+    def synth(centers):
+        assign = ((jax.lax.broadcasted_iota(jnp.uint32, (N,), 0)
+                   * jnp.uint32(2654435761)) >> jnp.uint32(7)) % jnp.uint32(n_clusters)
+        noise = jax.random.normal(ks[3], (N, D), dtype=jnp.bfloat16)
+        e = centers[assign.astype(jnp.int32)].astype(jnp.bfloat16) + sigma * noise
+        nrm = jnp.maximum(
+            jnp.linalg.norm(e.astype(jnp.float32), axis=1, keepdims=True), 1e-9)
+        return (e.astype(jnp.float32) / nrm).astype(jnp.bfloat16)
+
+    E = synth(centers)
+    qs = jax.random.normal(ks[5], (ITERS, B, D), dtype=jnp.float32)
+    qs = qs / jnp.maximum(jnp.linalg.norm(qs, axis=-1, keepdims=True), 1e-9)
+
+    @functools.partial(jax.jit, static_argnames=("rt",))
+    def run(qs, E, rt=0.95):
+        def one(carry, q):
+            s = jnp.dot(q.astype(jnp.bfloat16), E.T,
+                        preferred_element_type=jnp.float32)
+            if rt > 0:
+                vv, vi = jax.lax.approx_max_k(s, C, recall_target=rt)
+            else:
+                vv, vi = jax.lax.top_k(s, C)
+            return carry, (vv[:, :K], vi[:, :K])
+
+        _, out = jax.lax.scan(one, 0, qs)
+        return out
+
+    def timed(rt):
+        v, i = run(qs, E, rt=rt)
+        np.asarray(v)
+        best = 1e30
+        for _ in range(3):
+            t0 = time.perf_counter()
+            v, i = run(qs, E, rt=rt)
+            ih = np.asarray(i)
+            best = min(best, time.perf_counter() - t0)
+        return best, ih
+
+    _, i_exact = timed(0.0)
+
+    def recall(ids):
+        a, b = ids.reshape(-1, K), i_exact.reshape(-1, K)
+        return float(np.mean(
+            [len(np.intersect1d(a[j], b[j])) / K for j in range(len(a))]))
+
+    for rt in (0.99, 0.95, 0.9, 0.8):
+        t, ih = timed(rt)
+        print(f"recall_target={rt:4.2f}: {ITERS*B/t:9.1f} qps  "
+              f"leg recall@10={recall(ih):.4f}")
+
+
+if __name__ == "__main__":
+    main()

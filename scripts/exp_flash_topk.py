@@ -1,0 +1,95 @@
+"""Experiment: Pallas fused matmul+windowed-top1 scan vs XLA approx_max_k.
+
+Compares the vector leg at the headline config (1M x 768, B=1024) between
+(a) XLA: materialized f32 (B, N) scores + lax.approx_max_k, and
+(b) ops/flash_topk: one Pallas kernel, never materializing (B, N).
+Reports QPS and recall@10 vs the exact top_k oracle on the same clustered
+corpus bench.py uses.
+"""
+
+from __future__ import annotations
+
+import functools
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from yams_tpu.ops.flash_topk import flash_topc
+
+    N, D, B, ITERS, C, K = 1_015_808, 768, 1024, 8, 32, 10  # N % 16384 == 0
+    n_clusters, sigma = 4096, 0.35
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+
+    centers = jax.random.normal(ks[2], (n_clusters, D), dtype=jnp.float32)
+    centers = centers / jnp.maximum(
+        jnp.linalg.norm(centers, axis=1, keepdims=True), 1e-9)
+
+    @jax.jit
+    def synth(centers):
+        assign = ((jax.lax.broadcasted_iota(jnp.uint32, (N,), 0)
+                   * jnp.uint32(2654435761)) >> jnp.uint32(7)) % jnp.uint32(n_clusters)
+        noise = jax.random.normal(ks[3], (N, D), dtype=jnp.bfloat16)
+        e = centers[assign.astype(jnp.int32)].astype(jnp.bfloat16) + sigma * noise
+        nrm = jnp.maximum(
+            jnp.linalg.norm(e.astype(jnp.float32), axis=1, keepdims=True), 1e-9)
+        return (e.astype(jnp.float32) / nrm).astype(jnp.bfloat16)
+
+    E = synth(centers)
+    bias = jnp.zeros(N, jnp.float32)
+    qs = jax.random.normal(ks[5], (ITERS, B, D), dtype=jnp.float32)
+    qs = qs / jnp.maximum(jnp.linalg.norm(qs, axis=-1, keepdims=True), 1e-9)
+
+    @functools.partial(jax.jit, static_argnames=("mode",))
+    def run(qs, E, bias, mode="xla"):
+        def one(carry, q):
+            if mode == "flash":
+                vv, vi = flash_topc(q, E, bias, k=C)
+            elif mode == "xla":
+                s = jnp.dot(q.astype(jnp.bfloat16), E.T,
+                            preferred_element_type=jnp.float32) + bias[None, :]
+                vv, vi = jax.lax.approx_max_k(s, C)
+            else:
+                s = jnp.dot(q.astype(jnp.bfloat16), E.T,
+                            preferred_element_type=jnp.float32) + bias[None, :]
+                vv, vi = jax.lax.top_k(s, C)
+            return carry, (vv[:, :K], vi[:, :K])
+
+        _, out = jax.lax.scan(one, 0, qs)
+        return out
+
+    def timed(mode):
+        v, i = run(qs, E, bias, mode=mode)
+        np.asarray(v)
+        best = 1e30
+        for _ in range(3):
+            t0 = time.perf_counter()
+            v, i = run(qs, E, bias, mode=mode)
+            ih = np.asarray(i)
+            best = min(best, time.perf_counter() - t0)
+        return best, ih
+
+    t_x, i_x = timed("xla")
+    t_f, i_f = timed("flash")
+    _, i_e = timed("exact")
+
+    def recall(ids):
+        a, b = ids.reshape(-1, K), i_e.reshape(-1, K)
+        return float(np.mean(
+            [len(np.intersect1d(a[j], b[j])) / K for j in range(len(a))]))
+
+    print(f"xla approx_max_k : {ITERS*B/t_x:9.1f} qps  recall@10={recall(i_x):.4f}")
+    print(f"pallas flash_topc: {ITERS*B/t_f:9.1f} qps  recall@10={recall(i_f):.4f}"
+          f"  speedup={t_x/t_f:.3f}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""ops/flash_topk: Pallas fused matmul + strided-window top-1 scan.
+
+Interpret-mode correctness vs a NumPy oracle of the same semantics (bf16
+dot, f32 accumulate, one survivor per strided 128-row window, exact top-k
+over survivors). The real-TPU throughput comparison lives in
+scripts/exp_flash_topk.py; measured outcome in docs/RESULTS.md.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yams_tpu.ops.flash_topk import (
+    NEG, SPAN, WINDOW, flash_topc, pad_corpus,
+)
+
+
+def _oracle(q, E, bias, C):
+    sq = jnp.dot(jnp.asarray(q, jnp.bfloat16), jnp.asarray(E, jnp.bfloat16).T,
+                 preferred_element_type=jnp.float32)
+    s = np.asarray(sq) + bias[None, :]
+    B, N = s.shape
+    J = N // SPAN
+    sw = s.reshape(B, J, SPAN // WINDOW, WINDOW)
+    wmax = sw.max(2)
+    warg = (np.arange(J)[None, :, None] * SPAN
+            + sw.argmax(2) * WINDOW
+            + np.arange(WINDOW)[None, None, :])
+    wmax, warg = wmax.reshape(B, -1), warg.reshape(B, -1)
+    pos = np.argsort(-wmax, axis=1, kind="stable")[:, :C]
+    return np.take_along_axis(wmax, pos, 1), np.take_along_axis(warg, pos, 1)
+
+
+def test_flash_topc_matches_oracle():
+    rng = np.random.default_rng(0)
+    N, D, B, C = SPAN * 2, 128, 8, 16
+    E = rng.standard_normal((N, D)).astype(np.float32)
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    bias = np.zeros(N, np.float32)
+    bias[::7] = NEG                      # every 7th row masked
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    v, i = flash_topc(jnp.asarray(q), jnp.asarray(E, jnp.bfloat16),
+                      jnp.asarray(bias), k=C, interpret=True)
+    v, i = np.asarray(v), np.asarray(i)
+    ref_v, ref_i = _oracle(q, E, bias, C)
+
+    np.testing.assert_allclose(v, ref_v, rtol=0, atol=1e-5)
+    for b in range(B):
+        assert set(i[b]) == set(ref_i[b])
+    assert not (set(i.ravel().tolist()) & set(range(0, N, 7))), \
+        "masked row leaked through the bf16 bias"
+
+
+def test_flash_topc_recall_on_clustered():
+    """Selection recall@10 vs exact top-k on a near-tie clustered corpus
+    (the adversarial case): windowed survivors must keep >=0.95 here, and
+    values of selected rows must be the exact f32 dot products."""
+    rng = np.random.default_rng(1)
+    N, D, B, K = SPAN, 64, 16, 10
+    centers = rng.standard_normal((64, D)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    E = centers[rng.integers(0, 64, N)] \
+        + 0.35 * rng.standard_normal((N, D)).astype(np.float32)
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    bias = np.zeros(N, np.float32)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    v, i = flash_topc(jnp.asarray(q), jnp.asarray(E, jnp.bfloat16),
+                      jnp.asarray(bias), k=K, interpret=True)
+    v, i = np.asarray(v), np.asarray(i)
+
+    s = np.asarray(jnp.dot(jnp.asarray(q, jnp.bfloat16),
+                           jnp.asarray(E, jnp.bfloat16).T,
+                           preferred_element_type=jnp.float32))
+    exact = np.argsort(-s, axis=1)[:, :K]
+    rec = np.mean([len(np.intersect1d(i[b], exact[b])) / K for b in range(B)])
+    assert rec >= 0.95, rec
+    # values are exact dots of the selected rows
+    np.testing.assert_allclose(
+        v, np.take_along_axis(s, i, 1), rtol=0, atol=1e-5)
+
+
+def test_pad_corpus_roundtrip():
+    rng = np.random.default_rng(2)
+    E = rng.standard_normal((SPAN + 100, 32)).astype(np.float32)
+    bias = np.zeros(SPAN + 100, np.float32)
+    E2, b2 = pad_corpus(E, bias)
+    assert E2.shape[0] % SPAN == 0
+    assert (b2[SPAN + 100:] == NEG).all()
+    np.testing.assert_array_equal(E2[:SPAN + 100], E)

@@ -1,0 +1,161 @@
+"""Fused KNN scan: matmul + windowed top-1 reduction in one Pallas kernel.
+
+The XLA vector leg materializes the (B, N) f32 score matrix — 4 GB at
+B=1024 x 1M — which the follow-up `approx_max_k` re-reads: ~8 GB of HBM
+round trip that is pure overhead (measured ~6 ms of the leg's 14 ms at the
+headline config; see docs/RESULTS.md). This kernel never materializes it:
+each inner grid step loads a `BLOCK_ROWS` slice of the corpus into VMEM,
+runs the MXU matmul against the resident query tile, and folds the scores
+into a per-window running (max, argmax) kept in VMEM scratch; one full
+(B, 128) window block leaves the chip per outer step. HBM traffic becomes
+read-E-once + a (B, N/128) window matrix (64 MB at 1M x B=1024) — within
+noise of the pure-matmul floor.
+
+Window partition is STRIDED: output window (outer_step j, lane w) holds the
+best of the 128 corpus rows {j*SPAN + 512k + 128c + w}. Mosaic constraint
+drives this: contiguous 128-row windows would need 4-lane stores (rejected
+as vector<1024x4xf32>); strided windows make every reduction an elementwise
+max of lane-aligned (B, 128) tiles. Selection semantics match
+`lax.approx_max_k`'s bucketed reduction — any fixed partition into equal
+windows has the same collision statistics (P[two of top-C collide] =
+1/(N/128) per pair). Surviving values are EXACT f32 dot products — no
+rescore pass is needed.
+
+Reference analog: sqlite_vec_backend.cpp ExactScan tier (SURVEY §2.5).
+
+MEASURED OUTCOME (v5e, 1M x 768, B=1024; scripts/exp_flash_topk.py): this
+kernel reaches 53.5k QPS vs the XLA materialize+approx_max_k path's 76.3k —
+XLA's matmul emitter pipelines the MXU deeper than the Mosaic-scheduled
+per-block dot here (~80 vs ~120 effective Tflops), and that swamps the HBM
+savings. Selection recall@10 is HIGHER (0.9995 vs 0.9956: one survivor per
+fixed window beats approx_max_k's bucketing on near-tie clustered data), so
+this stays available as the high-recall exact-value tier; the XLA path
+remains the throughput default. See docs/RESULTS.md "Measured negative".
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+WINDOW = 128            # output lanes per outer step (= windows per block)
+BLOCK_ROWS = 512        # corpus rows scored per inner step
+GROUP = 32              # inner steps per outer step
+SPAN = BLOCK_ROWS * GROUP   # corpus rows folded into one (B, 128) out block
+NEG = -1e30
+
+
+def _kernel(q_ref, e_ref, bias_ref, ov_ref, oa_ref, sv_ref, sa_ref):
+    j = pl.program_id(0)
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        sv_ref[:] = jnp.full_like(sv_ref, NEG)
+        sa_ref[:] = jnp.zeros_like(sa_ref)
+
+    s = jax.lax.dot_general(
+        q_ref[:], e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                             # (B, BLOCK_ROWS) f32
+    s = s + bias_ref[:]
+    base = (j * GROUP + k) * BLOCK_ROWS
+    b = s.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, WINDOW), 1)
+    # fold the 4 lane-aligned chunks of this block, tracking argmax
+    cv = s[:, 0:WINDOW]
+    ca = base + lane
+    for c in range(1, BLOCK_ROWS // WINDOW):
+        nxt = s[:, c * WINDOW:(c + 1) * WINDOW]
+        take = nxt > cv
+        cv = jnp.where(take, nxt, cv)
+        ca = jnp.where(take, base + c * WINDOW + lane, ca)
+    # fold into the running scratch
+    take = cv > sv_ref[:]
+    sv_ref[:] = jnp.where(take, cv, sv_ref[:])
+    sa_ref[:] = jnp.where(take, ca, sa_ref[:])
+
+    @pl.when(k == GROUP - 1)
+    def _():
+        ov_ref[:] = sv_ref[:]
+        oa_ref[:] = sa_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def windowed_scan(q, E, bias, *, interpret=False):
+    """(B, D) queries x (N, D) bf16 corpus -> per-window (max, argmax).
+
+    Returns (wvals (B, N/SPAN*128) f32, wargs same i32). `bias` is a (N,)
+    f32 additive row bias (0 live, -1e30 masked/padding) — validity and 1-D
+    filter pushdown ride in it. N must be a multiple of SPAN (=16384); use
+    `pad_corpus`.
+    """
+    B, D = q.shape
+    N = E.shape[0]
+    assert N % SPAN == 0, (N, SPAN)
+    W = (N // SPAN) * WINDOW
+    grid = (N // SPAN, GROUP)
+
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, D), lambda j, k: (0, 0),
+                         memory_space=pltpu.VMEM),            # q: resident
+            pl.BlockSpec((BLOCK_ROWS, D), lambda j, k: (j * GROUP + k, 0),
+                         memory_space=pltpu.VMEM),            # E block
+            pl.BlockSpec((1, BLOCK_ROWS), lambda j, k: (0, j * GROUP + k),
+                         memory_space=pltpu.VMEM),            # bias block
+        ],
+        out_specs=[
+            pl.BlockSpec((B, WINDOW), lambda j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, WINDOW), lambda j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, W), jnp.float32),
+            jax.ShapeDtypeStruct((B, W), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, WINDOW), jnp.float32),
+            pltpu.VMEM((B, WINDOW), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * D,
+            bytes_accessed=N * D * 2 + B * W * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q.astype(jnp.bfloat16), E, bias.reshape(1, N))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def flash_topc(q, E, bias, *, k, interpret=False):
+    """Fused top-C KNN: returns (vals (B, k) f32, row_idx (B, k) i32).
+
+    One survivor per 128-row strided window, then an exact top-k over the
+    (B, N/128) window matrix. Values are exact f32 dot products.
+    """
+    wv, wa = windowed_scan(q, E, bias, interpret=interpret)
+    v, pos = jax.lax.top_k(wv, k)
+    idx = jnp.take_along_axis(wa, pos, axis=1)
+    return v, idx
+
+
+def pad_corpus(E: np.ndarray, bias: np.ndarray):
+    """Pad (N, D) corpus + (N,) bias so N divides SPAN; padded rows carry
+    bias=-1e30 and never surface."""
+    N = E.shape[0]
+    pad = (-N) % SPAN
+    if pad == 0:
+        return E, bias
+    E2 = np.concatenate([E, np.zeros((pad, E.shape[1]), E.dtype)])
+    b2 = np.concatenate([bias, np.full(pad, NEG, np.float32)])
+    return E2, b2

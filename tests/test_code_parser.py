@@ -271,3 +271,177 @@ class TestServiceRouting:
     def test_regex_fallback_for_other_langs(self):
         # ruby is not parser-tier; regex tier handles nothing -> empty is ok
         assert isinstance(extract_symbols("def x; end", "ruby"), list)
+
+
+class TestJava:
+    SRC = textwrap.dedent('''
+        package com.example;
+        /** comment with fake void bad() { */
+        @Deprecated
+        public class Outer<T> extends Base implements Iface {
+            private static final String S = "not a symbol: class Fake {";
+            @Override
+            public void greet(String name) throws IOException, FooError {
+                if (ready()) { run(); }
+            }
+            public Outer(int x) { this.x = x; }
+            record Point(int x, int y) { }
+            static class Nested {
+                int add(int a, int b) { return a + b; }
+            }
+        }
+        ''')
+
+    def test_nesting_and_kinds(self):
+        m = by_name(extract(self.SRC, "java"))
+        assert m["Outer"].kind == "class"
+        assert m["Outer.greet"].kind == "method"
+        assert m["Outer.Outer"].kind == "constructor"
+        assert m["Outer.Point"].kind == "record"
+        assert m["Outer.Nested.add"].kind == "method"
+
+    def test_strings_comments_annotations_inert(self):
+        got = names(extract(self.SRC, "java"))
+        assert "Fake" not in got and "bad" not in got
+        assert "Deprecated" not in got and "Override" not in got
+        # calls are not definitions
+        assert "ready" not in got and "run" not in got
+
+    def test_anonymous_class_keeps_depth(self):
+        src = textwrap.dedent('''
+            class A {
+                Runnable r = new Runnable() {
+                    public void run() { }
+                };
+                void after() { }
+            }
+            ''')
+        got = names(extract(src, "java"))
+        assert "A.after" in got      # depth survived the anonymous class
+
+
+class TestCSharp:
+    SRC = textwrap.dedent('''
+        namespace App.Core;
+        public sealed class Service : IService
+        {
+            public string Name { get; set; }
+            public Service(ILogger log) : base(log) { }
+            public async Task<int> RunAsync(CancellationToken ct) where T : class
+            { var x = Compute(); }
+            private struct Inner { public void M() { } }
+        }
+        ''')
+
+    def test_file_scoped_namespace_and_members(self):
+        m = by_name(extract(self.SRC, "csharp"))
+        assert m["App.Core"].kind == "namespace"
+        assert m["App.Core.Service"].kind == "class"
+        assert m["App.Core.Service.Name"].kind == "property"
+        assert m["App.Core.Service.Service"].kind == "constructor"
+        assert m["App.Core.Service.RunAsync"].kind == "method"
+        # `where T : class` must not desync the brace depth
+        assert "App.Core.Service.Inner" in m
+        assert "App.Core.Service.Inner.M" in m
+        assert "Compute" not in names(extract(self.SRC, "csharp"))
+
+
+class TestKotlin:
+    SRC = textwrap.dedent('''
+        package com.example
+        /* comment: fun fake() { } */
+        data class User(val id: Int, val name: String) {
+            fun display(): String = "u: ${id + 1}"
+            fun describe(tag: String): String { return tag }
+            companion object { fun create() = User(0, "") }
+        }
+        fun List<Int>.totals(): Int { return sum() }
+        fun String.shout() = uppercase()
+        fun topLevel(x: Int): Int { val y = calc(x) { it * 2 }; return y }
+        ''')
+
+    def test_receivers_and_template_strings(self):
+        m = by_name(extract(self.SRC, "kotlin"))
+        assert m["User"].kind == "class"
+        assert "User.display" in m and "User.describe" in m
+        assert "User.create" in m            # companion member
+        assert m["List.totals"].kind == "method"   # generic receiver
+        assert m["String.shout"].kind == "method"
+        assert m["topLevel"].kind == "function"
+
+    def test_trailing_lambda_is_not_a_definition(self):
+        got = names(extract(self.SRC, "kotlin"))
+        assert "calc" not in got and "fake" not in got
+        # "${id + 1}" template hole must not leak ids
+        assert "id" not in got
+
+
+class TestSwift:
+    SRC = textwrap.dedent('''
+        // comment: func fake() { }
+        @objc public class Engine: NSObject {
+            public init(size: Int) { self.state = size }
+            func run(block: () -> Void) { queue.async { block() } }
+            static func make<T>(from t: T) -> Engine { return Engine(size: 1) }
+        }
+        extension Engine.Config {
+            func validate() throws -> Bool { true }
+        }
+        typealias Handler = (Int) -> Void
+        ''')
+
+    def test_types_inits_extensions(self):
+        m = by_name(extract(self.SRC, "swift"))
+        assert m["Engine"].kind == "class"
+        assert m["Engine.init"].kind == "constructor"
+        assert "Engine.run" in m and "Engine.make" in m
+        assert m["Engine.Config.validate"].kind == "method"
+        assert m["Handler"].kind == "typedef"
+
+    def test_trailing_closure_is_not_a_definition(self):
+        got = names(extract(self.SRC, "swift"))
+        assert "async" not in got and "fake" not in got
+        assert not any(n.endswith(".block") or n == "block" for n in got)
+
+
+class TestPhp:
+    SRC = textwrap.dedent('''<?php
+        namespace App\\Models;
+        # comment: function fake() { }
+        class User extends Model {
+            const STATUS_ACTIVE = 1;
+            public function getName(): string { return $this->name; }
+        }
+        trait Timestamps {
+            public function touch(): void { $this->updated = time(); }
+        }
+        function helper_format(string $s): string {
+            $h = <<<HTML
+        <div>function inHeredoc() {}</div>
+        HTML;
+            return trim($h);
+        }
+        ''')
+
+    def test_namespace_class_trait_function(self):
+        m = by_name(extract(self.SRC, "php"))
+        assert m["App\\Models"].kind == "namespace"
+        assert m["App\\Models\\User"].kind == "class"
+        assert m["App\\Models\\User.STATUS_ACTIVE"].kind == "constant"
+        assert m["App\\Models\\User.getName"].kind == "method"
+        assert m["App\\Models\\Timestamps.touch"].kind == "method"
+        assert m["App\\Models\\helper_format"].kind == "function"
+
+    def test_heredoc_and_hash_comment_inert(self):
+        got = names(extract(self.SRC, "php"))
+        assert not any("fake" in n or "inHeredoc" in n for n in got)
+        assert "time" not in got and "trim" not in got
+
+
+class TestNewLanguageRouting:
+    def test_symbol_service_routes_new_languages(self):
+        src = "public class Z { void m() { } }"
+        syms = extract_symbols(src, "java")
+        assert {s.name for s in syms} == {"Z", "Z.m"}
+        syms = extract_symbols("class K { fun f() { } }", "kotlin")
+        assert {s.name for s in syms} == {"K", "K.f"}

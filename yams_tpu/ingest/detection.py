@@ -51,7 +51,9 @@ _EXT: dict[str, str] = {
     ".tsx": "text/typescript", ".jsx": "text/javascript",
     ".sh": "text/x-shellscript", ".bash": "text/x-shellscript",
     ".rb": "text/x-ruby", ".php": "text/x-php", ".swift": "text/x-swift",
-    ".kt": "text/x-kotlin", ".scala": "text/x-scala", ".lua": "text/x-lua",
+    ".kt": "text/x-kotlin", ".kts": "text/x-kotlin",
+    ".cs": "text/x-csharp",
+    ".scala": "text/x-scala", ".lua": "text/x-lua",
     ".sql": "application/sql", ".proto": "text/x-protobuf",
     ".css": "text/css", ".tex": "text/x-tex", ".lean": "text/x-lean",
     ".pdf": "application/pdf", ".zip": "application/zip",

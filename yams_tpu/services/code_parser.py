@@ -13,8 +13,12 @@ so this module implements what the symbol surface actually needs from it:
      nesting-QUALIFIED names (namespace::Class::method, Receiver.Method,
      impl-Type::fn, class.method) the way a grammar walk would.
 
-Python keeps its stdlib-ast tier in symbol_service; these four families
-route here. The regex tier remains the fallback for other languages.
+Python keeps its stdlib-ast tier in symbol_service; C/C++, JS/TS, Go, Rust,
+Java, C#, Kotlin, Swift and PHP route here (the reference plugin's highest-
+usage grammars of its ~17). Keyword-driven detection per family: brace
+languages where `ident(args)..{` implies definition (C-family, Java, C#) vs
+languages where that shape is a trailing-lambda CALL and only decl keywords
+count (Kotlin, Swift). The regex tier remains the fallback for the rest.
 """
 
 from __future__ import annotations
@@ -60,6 +64,53 @@ _RUST_KEYWORDS = frozenset((
     "ref move async await dyn where unsafe extern type as in true false "
     "macro_rules union box").split())
 
+_JAVA_KEYWORDS = frozenset((
+    "abstract assert boolean break byte case catch char class const "
+    "continue default do double else enum extends final finally float for "
+    "goto if implements import instanceof int interface long native new "
+    "package private protected public return short static strictfp super "
+    "switch synchronized this throw throws transient try void volatile "
+    "while record sealed permits yield var true false null").split())
+
+_CS_KEYWORDS = frozenset((
+    "abstract as base bool break byte case catch char checked class const "
+    "continue decimal default delegate do double else enum event explicit "
+    "extern false finally fixed float for foreach goto if implicit in int "
+    "interface internal is lock long namespace new null object operator "
+    "out override params private protected public readonly ref return "
+    "sbyte sealed short sizeof stackalloc static string struct switch this "
+    "throw true try typeof uint ulong unchecked unsafe ushort using "
+    "virtual void volatile while record required var when where yield "
+    "async await partial nameof").split())
+
+_KT_KEYWORDS = frozenset((
+    "fun class interface object val var if else when for while do return "
+    "break continue as is in by constructor init companion data sealed "
+    "enum annotation inner open override private protected public internal "
+    "abstract final lateinit const vararg noinline crossinline reified "
+    "suspend operator infix inline external tailrec typealias import "
+    "package this super null true false throw try catch finally where out "
+    "get set").split())
+
+_SWIFT_KEYWORDS = frozenset((
+    "func class struct enum protocol extension actor var let if else guard "
+    "switch case default for while repeat return break continue import "
+    "typealias init deinit subscript static public private fileprivate "
+    "internal open final override required convenience lazy weak unowned "
+    "mutating nonmutating indirect associatedtype inout throws rethrows "
+    "throw try catch defer where as is in nil true false self Self super "
+    "some any await async willSet didSet get set").split())
+
+_PHP_KEYWORDS = frozenset((
+    "function class interface trait enum namespace use const var public "
+    "private protected static abstract final if else elseif for foreach "
+    "while do switch case default return break continue new clone echo "
+    "print require include require_once include_once try catch finally "
+    "throw global isset unset empty list array callable fn match yield "
+    "true false null parent self extends implements instanceof insteadof "
+    "readonly declare endif endwhile endfor endforeach endswitch "
+    "and or xor not as").split())
+
 
 def lex(text: str, lang: str) -> list[Tok]:
     """Tokenize enough of the language to make symbol scanning sound:
@@ -70,6 +121,10 @@ def lex(text: str, lang: str) -> list[Tok]:
     go_backtick = lang == "go"
     js_template = lang in ("javascript", "typescript")
     c_pp = lang in ("c", "cpp")
+    php = lang == "php"
+    triple_str = lang in ("java", "csharp", "kotlin", "swift")
+    kt_holes = lang == "kotlin"          # "${...}" holes in "" strings
+    tick_ident = lang in ("kotlin", "swift")  # `quoted identifiers`
 
     def bump(seg: str) -> None:
         nonlocal line
@@ -95,6 +150,56 @@ def lex(text: str, lang: str) -> list[Tok]:
                 seg = text[i:(n if j < 0 else j + 2)]
                 bump(seg)
                 i = n if j < 0 else j + 2
+                continue
+        # php: '#' line comments, heredoc/nowdoc <<<ID ... ID
+        if php and c == "#":
+            j = text.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        if php and text[i:i + 3] == "<<<":
+            j = i + 3
+            q = text[j] if text[j:j + 1] in "'\"" else ""
+            if q:
+                j += 1
+            k = j
+            while k < n and (text[k].isalnum() or text[k] == "_"):
+                k += 1
+            ident = text[j:k]
+            if ident:
+                if q and text[k:k + 1] == q:
+                    k += 1
+                pos, end = k, n
+                while True:
+                    nl = text.find("\n", pos)
+                    if nl < 0:
+                        break
+                    ls = nl + 1
+                    while ls < n and text[ls] in " \t":
+                        ls += 1
+                    if text[ls:ls + len(ident)] == ident:
+                        end = ls + len(ident)
+                        break
+                    pos = nl + 1
+                seg = text[i:end]
+                toks.append(Tok("str", "", line))
+                bump(seg)
+                i = end
+                continue
+        # java/c#/kotlin/swift triple-quoted text blocks / raw strings
+        if triple_str and text[i:i + 3] == '"""':
+            j = text.find('"""', i + 3)
+            seg = text[i:(n if j < 0 else j + 3)]
+            toks.append(Tok("str", "", line))
+            bump(seg)
+            i = n if j < 0 else j + 3
+            continue
+        # kotlin/swift backtick-quoted identifiers
+        if tick_ident and c == "`":
+            j = text.find("`", i + 1)
+            if j > 0:
+                toks.append(Tok("id", text[i + 1:j], line))
+                bump(text[i:j + 1])
+                i = j + 1
                 continue
         # C preprocessor directives: one 'pp' token carrying the directive
         if c_pp and c == "#":
@@ -152,7 +257,8 @@ def lex(text: str, lang: str) -> list[Tok]:
                 if text[j] == "\\" and quote != "`":
                     j += 2
                     continue
-                if quote == "`" and js_template and \
+                if ((quote == "`" and js_template)
+                        or (quote == '"' and kt_holes)) and \
                         text[j] == "$" and text[j + 1:j + 2] == "{":
                     # template hole: skip to matching } (nesting-aware)
                     depth = 1
@@ -187,7 +293,7 @@ def lex(text: str, lang: str) -> list[Tok]:
             i = j
             continue
         # identifiers
-        if c.isalpha() or c == "_" or (c == "$" and js_template):
+        if c.isalpha() or c == "_" or (c == "$" and (js_template or php)):
             j = i + 1
             while j < n and (text[j].isalnum() or text[j] in "_$"):
                 j += 1
@@ -622,10 +728,466 @@ def scan_rust(toks: list[Tok], max_symbols: int = 256) -> list[Sym]:
     return out
 
 
+# -- Java / C# -------------------------------------------------------------------
+
+_JVM_TYPE_KINDS = ("class", "interface", "enum", "record", "struct",
+                   "namespace", "object", "trait", "extension", "protocol",
+                   "actor")
+
+
+def _skip_annotation(toks: list[Tok], i: int) -> int:
+    """toks[i] == '@': skip @Dotted.Name(optional args); returns next index."""
+    i += 1
+    n = len(toks)
+    while i + 1 < n and toks[i].kind == "id" and toks[i + 1].val == ".":
+        i += 2
+    if i < n and toks[i].kind == "id":
+        i += 1
+    if i < n and toks[i].val == "(":
+        i = _matching_paren(toks, i)
+    return i
+
+
+def scan_jvm(toks: list[Tok], lang: str, max_symbols: int = 256) -> list[Sym]:
+    """Java and C#: brace languages where `ident (args) ... {` after
+    annotation stripping is a definition iff not preceded by '.'/'new'."""
+    out: list[Sym] = []
+    ctx: list[tuple[int, str, str]] = []
+    depth = 0
+    pending: tuple[str, str] | None = None
+    kw = _JAVA_KEYWORDS if lang == "java" else _CS_KEYWORDS
+    typekw = (("class", "interface", "enum", "record") if lang == "java"
+              else ("class", "interface", "enum", "struct", "record"))
+    i, n = 0, len(toks)
+
+    def qual(name: str) -> str:
+        parts = [c[2] for c in ctx if c[1] in _JVM_TYPE_KINDS]
+        return ".".join(parts + [name]) if parts else name
+
+    while i < n and len(out) < max_symbols:
+        t = toks[i]
+        if t.kind == "punct" and t.val == "@":
+            i = _skip_annotation(toks, i)
+            continue
+        if lang == "csharp" and t.kind == "id" and t.val == "namespace":
+            j = i + 1
+            parts: list[str] = []
+            while j < n and toks[j].kind == "id":
+                parts.append(toks[j].val)
+                j += 1
+                if j < n and toks[j].val == ".":
+                    j += 1
+                else:
+                    break
+            if parts:
+                name = ".".join(parts)
+                out.append(Sym(qual(name), "namespace", t.line))
+                if j < n and toks[j].val == "{":
+                    pending = ("namespace", name)
+                elif j < n and toks[j].val == ";":
+                    ctx.append((-1, "namespace", name))  # file-scoped: to EOF
+            i = j
+            continue
+        if t.kind == "id" and t.val in typekw:
+            j = i + 1
+            if j < n and toks[j].kind == "id" and toks[j].val not in kw:
+                name, line = toks[j].val, toks[j].line
+                out.append(Sym(qual(name), t.val, line))
+                k = j + 1
+                while k < n and toks[k].val not in ("{", ";"):
+                    if toks[k].val == "(":
+                        k = _matching_paren(toks, k)
+                        continue
+                    k += 1
+                if k < n and toks[k].val == "{":
+                    pending = (t.val, name)
+                i = j + 1
+            else:
+                i += 1   # `where T : class`, anonymous class — keep `{` live
+            continue
+        if t.kind == "id" and t.val not in kw and i + 1 < n \
+                and toks[i + 1].val == "(":
+            prev = toks[i - 1].val if i > 0 else ""
+            if prev not in (".", "new"):
+                close = _matching_paren(toks, i + 1)
+                k = close
+                while k < n:
+                    v = toks[k].val
+                    if v in ("{", ";"):
+                        break
+                    if v == "(":               # c# ctor `: base(...)`
+                        k = _matching_paren(toks, k)
+                        continue
+                    if toks[k].kind == "id" or v in (
+                            ",", ".", ":", "<", ">", "[", "]"):
+                        k += 1
+                        continue
+                    break
+                if k < n and toks[k].val == "{":
+                    in_type = any(c[1] in typekw for c in ctx)
+                    top = ctx[-1][2] if ctx else ""
+                    kind = ("constructor" if t.val == top
+                            else "method" if in_type else "function")
+                    out.append(Sym(qual(t.val), kind, t.line))
+                    pending = ("function", t.val)
+                i = close
+                continue
+        if lang == "csharp" and t.kind == "id" and t.val not in kw \
+                and i + 2 < n and toks[i + 1].val == "{" \
+                and toks[i + 2].kind == "id" \
+                and toks[i + 2].val in ("get", "set", "init") \
+                and any(c[1] in typekw for c in ctx):
+            out.append(Sym(qual(t.val), "property", t.line))
+            i += 1
+            continue
+        if t.val == "{" and t.kind == "punct":
+            depth += 1
+            if pending is not None:
+                ctx.append((depth, pending[0], pending[1]))
+                pending = None
+            i += 1
+            continue
+        if t.val == "}" and t.kind == "punct":
+            if ctx and ctx[-1][0] == depth:
+                ctx.pop()
+            depth -= 1
+            i += 1
+            continue
+        if t.val == ";":
+            pending = None
+        i += 1
+    return out
+
+
+# -- Kotlin ----------------------------------------------------------------------
+
+def _skip_generics(toks: list[Tok], i: int) -> int:
+    """toks[i] == '<': skip to just after the matching '>' (token level)."""
+    d = 0
+    n = len(toks)
+    while i < n:
+        if toks[i].val == "<":
+            d += 1
+        elif toks[i].val == ">":
+            d -= 1
+            if d == 0:
+                return i + 1
+        elif toks[i].val in ("{", ";"):
+            return i   # bail: not generics after all
+        i += 1
+    return n
+
+
+def scan_kotlin(toks: list[Tok], max_symbols: int = 256) -> list[Sym]:
+    """Kotlin: `fun`-keyword driven (bare `ident(..){` is a trailing-lambda
+    CALL in kotlin, never a definition), receiver-qualified extension
+    functions, class/interface/object decls with or without bodies."""
+    out: list[Sym] = []
+    ctx: list[tuple[int, str, str]] = []
+    depth = 0
+    pending: tuple[str, str] | None = None
+    kw = _KT_KEYWORDS
+    i, n = 0, len(toks)
+
+    def qual(name: str) -> str:
+        parts = [c[2] for c in ctx if c[1] in ("class", "interface", "object")]
+        return ".".join(parts + [name]) if parts else name
+
+    while i < n and len(out) < max_symbols:
+        t = toks[i]
+        if t.kind == "punct" and t.val == "@":
+            i = _skip_annotation(toks, i)
+            continue
+        if t.kind == "id" and t.val in ("class", "interface", "object"):
+            j = i + 1
+            if j < n and toks[j].kind == "id" and toks[j].val not in kw:
+                name, line = toks[j].val, toks[j].line
+                out.append(Sym(qual(name), t.val, line))
+                # body '{'? (primary ctor parens / supertypes may intervene;
+                # stop at the next declaration keyword — kotlin has no ';')
+                k = j + 1
+                while k < n and toks[k].val != "{" and not (
+                        toks[k].kind == "id" and toks[k].val in (
+                            "fun", "class", "interface", "object", "val",
+                            "var", "import", "package")):
+                    if toks[k].val == "(":
+                        k = _matching_paren(toks, k)
+                        continue
+                    k += 1
+                if k < n and toks[k].val == "{":
+                    pending = (t.val, name)
+            i = j
+            continue
+        if t.kind == "id" and t.val == "constructor" and i + 1 < n \
+                and toks[i + 1].val == "(":
+            if any(c[1] in ("class", "object") for c in ctx):
+                out.append(Sym(qual("constructor"), "constructor", t.line))
+            i = _matching_paren(toks, i + 1)
+            continue
+        if t.kind == "id" and t.val == "fun":
+            j = i + 1
+            if j < n and toks[j].val == "<":
+                j = _skip_generics(toks, j)
+            parts: list[str] = []
+            # receiver chain: Type[.<G>] '.' ...
+            while j < n and toks[j].kind == "id":
+                k = j + 1
+                if k < n and toks[k].val == "<":
+                    k = _skip_generics(toks, k)
+                if k < n and toks[k].val == ".":
+                    parts.append(toks[j].val)
+                    j = k + 1
+                    continue
+                break
+            if j < n and toks[j].kind == "id" and toks[j].val not in kw \
+                    and j + 1 < n:
+                k = j + 1
+                if k < n and toks[k].val == "<":
+                    k = _skip_generics(toks, k)
+                if k < n and toks[k].val == "(":
+                    name = ".".join(parts + [toks[j].val])
+                    out.append(Sym(
+                        qual(name),
+                        "method" if (ctx or parts) else "function",
+                        toks[j].line))
+                    close = _matching_paren(toks, k)
+                    k2 = close
+                    while k2 < n and toks[k2].val not in ("{", "=") and (
+                            toks[k2].kind == "id" or toks[k2].val in (
+                                ":", ".", "<", ">", ",", "?", "->",
+                                "(", ")")):
+                        k2 += 1
+                    if k2 < n and toks[k2].val == "{":
+                        pending = ("function", toks[j].val)
+                    i = close
+                    continue
+            i = j if j > i else i + 1
+            continue
+        if t.val == "{" and t.kind == "punct":
+            depth += 1
+            if pending is not None:
+                ctx.append((depth, pending[0], pending[1]))
+                pending = None
+            i += 1
+            continue
+        if t.val == "}" and t.kind == "punct":
+            if ctx and ctx[-1][0] == depth:
+                ctx.pop()
+            depth -= 1
+            i += 1
+            continue
+        i += 1
+    return out
+
+
+# -- Swift -----------------------------------------------------------------------
+
+def scan_swift(toks: list[Tok], max_symbols: int = 256) -> list[Sym]:
+    """Swift: keyword-driven only (`foo(x) { y in ... }` is a trailing-
+    closure CALL); extensions qualify members under the extended type."""
+    out: list[Sym] = []
+    ctx: list[tuple[int, str, str]] = []
+    depth = 0
+    pending: tuple[str, str] | None = None
+    typekw = ("class", "struct", "enum", "protocol", "extension", "actor")
+    i, n = 0, len(toks)
+
+    def qual(name: str) -> str:
+        parts = [c[2] for c in ctx if c[1] in typekw]
+        return ".".join(parts + [name]) if parts else name
+
+    while i < n and len(out) < max_symbols:
+        t = toks[i]
+        if t.kind == "punct" and t.val == "@":
+            i = _skip_annotation(toks, i)
+            continue
+        if t.kind == "id" and t.val in typekw:
+            j = i + 1
+            parts: list[str] = []
+            while j < n and toks[j].kind == "id":
+                parts.append(toks[j].val)
+                j += 1
+                if j < n and toks[j].val == ".":
+                    j += 1
+                else:
+                    break
+            if parts:
+                name = ".".join(parts)
+                line = t.line
+                if t.val != "extension":
+                    out.append(Sym(qual(name), t.val, line))
+                k = j
+                while k < n and toks[k].val != "{":
+                    if toks[k].val == "(":
+                        k = _matching_paren(toks, k)
+                        continue
+                    if toks[k].val == "<":
+                        k = _skip_generics(toks, k)
+                        continue
+                    if toks[k].kind == "id" or toks[k].val in (":", ",", ">",
+                                                               "&", "?"):
+                        k += 1
+                        continue
+                    break
+                if k < n and toks[k].val == "{":
+                    pending = (t.val, name)
+            i = j
+            continue
+        if t.kind == "id" and t.val == "func":
+            j = i + 1
+            if j < n and (toks[j].kind == "id" or toks[j].val == "`"):
+                name, line = toks[j].val, toks[j].line
+                k = j + 1
+                if k < n and toks[k].val == "<":
+                    k = _skip_generics(toks, k)
+                if k < n and toks[k].val == "(":
+                    out.append(Sym(
+                        qual(name), "method" if ctx else "function", line))
+                    close = _matching_paren(toks, k)
+                    k2 = close
+                    while k2 < n and toks[k2].val != "{" and (
+                            toks[k2].kind == "id" or toks[k2].val in (
+                                "->", ".", "<", ">", ",", "?", "!", "(",
+                                ")", "[", "]", "&")):
+                        k2 += 1
+                    if k2 < n and toks[k2].val == "{":
+                        pending = ("function", name)
+                    i = close
+                    continue
+            i = j
+            continue
+        if t.kind == "id" and t.val == "init" and i + 1 < n \
+                and toks[i + 1].val in ("(", "?") and ctx:
+            out.append(Sym(qual("init"), "constructor", t.line))
+            i += 1
+            continue
+        if t.kind == "id" and t.val == "typealias" and i + 1 < n \
+                and toks[i + 1].kind == "id":
+            out.append(Sym(qual(toks[i + 1].val), "typedef",
+                           toks[i + 1].line))
+            i += 2
+            continue
+        if t.val == "{" and t.kind == "punct":
+            depth += 1
+            if pending is not None:
+                ctx.append((depth, pending[0], pending[1]))
+                pending = None
+            i += 1
+            continue
+        if t.val == "}" and t.kind == "punct":
+            if ctx and ctx[-1][0] == depth:
+                ctx.pop()
+            depth -= 1
+            i += 1
+            continue
+        i += 1
+    return out
+
+
+# -- PHP -------------------------------------------------------------------------
+
+def scan_php(toks: list[Tok], max_symbols: int = 256) -> list[Sym]:
+    out: list[Sym] = []
+    ctx: list[tuple[int, str, str]] = []
+    depth = 0
+    pending: tuple[str, str] | None = None
+    kw = _PHP_KEYWORDS
+    ns = ""
+    i, n = 0, len(toks)
+
+    def qual(name: str) -> str:
+        parts = [c[2] for c in ctx
+                 if c[1] in ("class", "interface", "trait", "enum")]
+        body = ".".join(parts + [name]) if parts else name
+        return f"{ns}\\{body}" if ns else body
+
+    while i < n and len(out) < max_symbols:
+        t = toks[i]
+        if t.kind == "id" and t.val == "namespace":
+            j = i + 1
+            parts: list[str] = []
+            while j < n and toks[j].kind == "id":
+                parts.append(toks[j].val)
+                j += 1
+                if j < n and toks[j].val == "\\":
+                    j += 1
+                else:
+                    break
+            if parts:
+                ns = "\\".join(parts)
+                out.append(Sym(ns, "namespace", t.line))
+            i = j
+            continue
+        if t.kind == "id" and t.val in ("class", "interface", "trait",
+                                        "enum"):
+            j = i + 1
+            if j < n and toks[j].kind == "id" and toks[j].val not in kw:
+                name, line = toks[j].val, toks[j].line
+                out.append(Sym(qual(name), t.val, line))
+                k = j + 1
+                while k < n and toks[k].val not in ("{", ";"):
+                    k += 1
+                if k < n and toks[k].val == "{":
+                    pending = (t.val, name)
+                i = j + 1
+            else:
+                i += 1   # `new class {` anonymous — keep `{` live
+            continue
+        if t.kind == "id" and t.val == "function":
+            j = i + 1
+            if j < n and toks[j].val == "&":
+                j += 1
+            if j < n and toks[j].kind == "id" and toks[j].val not in kw:
+                in_class = any(c[1] in ("class", "interface", "trait", "enum")
+                               for c in ctx)
+                out.append(Sym(qual(toks[j].val),
+                               "method" if in_class else "function",
+                               toks[j].line))
+                if j + 1 < n and toks[j + 1].val == "(":
+                    close = _matching_paren(toks, j + 1)
+                    k = close
+                    while k < n and toks[k].val not in ("{", ";") and (
+                            toks[k].kind == "id"
+                            or toks[k].val in (":", "?", "\\", "|")):
+                        k += 1
+                    if k < n and toks[k].val == "{":
+                        pending = ("function", toks[j].val)
+                    i = close
+                    continue
+            i = j
+            continue
+        if t.kind == "id" and t.val == "const" and i + 1 < n \
+                and toks[i + 1].kind == "id":
+            out.append(Sym(qual(toks[i + 1].val), "constant",
+                           toks[i + 1].line))
+            i += 2
+            continue
+        if t.val == "{" and t.kind == "punct":
+            depth += 1
+            if pending is not None:
+                ctx.append((depth, pending[0], pending[1]))
+                pending = None
+            i += 1
+            continue
+        if t.val == "}" and t.kind == "punct":
+            if ctx and ctx[-1][0] == depth:
+                ctx.pop()
+            depth -= 1
+            i += 1
+            continue
+        if t.val == ";":
+            pending = None
+        i += 1
+    return out
+
+
 _SCANNERS = {
     "c": scan_c, "cpp": scan_c,
     "javascript": scan_js, "typescript": scan_js,
     "go": scan_go, "rust": scan_rust,
+    "java": lambda toks, m=256: scan_jvm(toks, "java", m),
+    "csharp": lambda toks, m=256: scan_jvm(toks, "csharp", m),
+    "kotlin": scan_kotlin, "swift": scan_swift, "php": scan_php,
 }
 
 

@@ -67,6 +67,9 @@ _MIME_LANG = {
     "text/x-c": "c", "text/x-c++": "c",
     "text/javascript": "javascript", "text/typescript": "javascript",
     "text/x-go": "go", "text/x-rust": "rust",
+    "text/x-java": "java", "text/x-csharp": "csharp",
+    "text/x-kotlin": "kotlin", "text/x-swift": "swift",
+    "text/x-php": "php",
 }
 
 _IDENT_RE = re.compile(r"\b[A-Za-z_][A-Za-z0-9_]{2,}\b")
@@ -127,7 +130,8 @@ def extract_symbols(text: str, language: str, max_symbols: int = 256) -> list[Sy
         syms = _extract_python_ast(text[:500_000], max_symbols)
         if syms is not None:
             return syms
-    if language in ("c", "javascript", "go", "rust"):
+    if language in ("c", "javascript", "go", "rust", "java", "csharp",
+                    "kotlin", "swift", "php"):
         # parser tier: lexer + depth-tracked scanners (code_parser.py) —
         # comment/string-immune, nesting-qualified names, exact lines
         # (reference: tree-sitter plugin). Regex tier remains the fallback.

@@ -445,3 +445,127 @@ class TestNewLanguageRouting:
         assert {s.name for s in syms} == {"Z", "Z.m"}
         syms = extract_symbols("class K { fun f() { } }", "kotlin")
         assert {s.name for s in syms} == {"K", "K.f"}
+
+
+class TestDart:
+    SRC = textwrap.dedent('''
+        // comment: void fake() { }
+        class Point {
+          Point(this.x);
+          Point.origin() : x = 0;
+          double dist(Point o) => (x - o.x).abs();
+          void move(double dx) { update(dx); Point(3); Point.origin(); }
+        }
+        mixin Logger { void log(String m) { print(m); } }
+        extension Pretty on Point { String pretty() => 'P'; }
+        int add(int a, int b) => a + b;
+        ''')
+
+    def test_ctors_arrows_mixins(self):
+        m = by_name(extract(self.SRC, "dart"))
+        assert m["Point.Point"].kind == "constructor"
+        assert m["Point.origin"].kind == "constructor"
+        assert m["Point.dist"].kind == "method"     # => body
+        assert m["Logger.log"].kind == "method"     # mixin qualifies
+        assert m["Pretty.pretty"].kind == "method"
+        assert m["add"].kind == "function"
+
+    def test_calls_are_not_ctors(self):
+        syms = extract(self.SRC, "dart")
+        ctor_lines = [s.line for s in syms if s.kind == "constructor"]
+        assert ctor_lines == [4, 5]   # not the calls inside move() on line 7
+        assert "update" not in names(syms) and "fake" not in names(syms)
+
+
+class TestPerl:
+    SRC = textwrap.dedent('''
+        # comment: sub fake { }
+        =pod
+        sub alsoFake { }
+        =cut
+        package My::Module;
+        sub new { my $class = shift; return bless {}, $class; }
+        package Other;
+        sub run { }
+        ''')
+
+    def test_packages_and_subs(self):
+        m = by_name(extract(self.SRC, "perl"))
+        assert m["My::Module"].kind == "package"
+        assert m["My::Module::new"].kind == "function"
+        assert m["Other::run"].kind == "function"
+        got = names(extract(self.SRC, "perl"))
+        assert not any("ake" in x for x in got)   # fake/alsoFake inert
+
+
+class TestR:
+    def test_assign_function_forms(self):
+        src = ('# fake <- function() {}\n'
+               'my.helper <- function(x) { x * 2 }\n'
+               'compute_stats = function(df) { summary(df) }\n'
+               'z <- 5\nplot(z)\n')
+        m = by_name(extract(src, "r"))
+        assert set(m) == {"my.helper", "compute_stats"}
+        assert m["my.helper"].line == 2
+
+
+class TestSql:
+    def test_create_statements(self):
+        src = ('-- CREATE TABLE fake (x int);\n'
+               'CREATE TABLE users (id INTEGER);\n'
+               'create or replace view app.active as select 1;\n'
+               'CREATE UNIQUE INDEX IF NOT EXISTS idx_n ON users(n);\n'
+               "CREATE FUNCTION total(a int) RETURNS int AS 'x';\n")
+        m = by_name(extract(src, "sql"))
+        assert m["users"].kind == "table"
+        assert m["app.active"].kind == "view"     # schema-qualified
+        assert m["idx_n"].kind == "index"
+        assert m["total"].kind == "function"
+        assert "fake" not in m
+
+
+class TestSolidity:
+    SRC = textwrap.dedent('''
+        // function fake() {}
+        contract Token is ERC20 {
+            struct Account { uint balance; }
+            event Transfer(address from, address to, uint value);
+            modifier onlyOwner() { _; }
+            function transfer(address to, uint v) public returns (bool) {
+                emit Transfer(msg.sender, to, v);
+            }
+        }
+        library SafeMath { function add(uint a, uint b) internal { } }
+        ''')
+
+    def test_contract_members(self):
+        m = by_name(extract(self.SRC, "solidity"))
+        assert m["Token"].kind == "contract"
+        assert m["Token.Account"].kind == "struct"
+        assert m["Token.Transfer"].kind == "event"
+        assert m["Token.onlyOwner"].kind == "modifier"
+        assert m["Token.transfer"].kind == "method"
+        assert m["SafeMath.add"].kind == "method"
+        assert "fake" not in m
+
+
+class TestZig:
+    SRC = textwrap.dedent('''
+        // fn fake() void {}
+        const std = @import("std");
+        pub fn main() !void { run(); }
+        const Point = struct {
+            pub fn dist(self: Point) f32 { return self.x; }
+        };
+        const Mode = enum { fast, slow };
+        fn helper(x: i32) i32 { return x + 1; }
+        ''')
+
+    def test_fns_and_container_types(self):
+        m = by_name(extract(self.SRC, "zig"))
+        assert m["main"].kind == "function"
+        assert m["Point"].kind == "struct"
+        assert m["Point.dist"].kind == "method"
+        assert m["Mode"].kind == "enum"
+        assert m["helper"].kind == "function"
+        assert "std" not in m and "fake" not in m

@@ -52,7 +52,9 @@ _EXT: dict[str, str] = {
     ".sh": "text/x-shellscript", ".bash": "text/x-shellscript",
     ".rb": "text/x-ruby", ".php": "text/x-php", ".swift": "text/x-swift",
     ".kt": "text/x-kotlin", ".kts": "text/x-kotlin",
-    ".cs": "text/x-csharp",
+    ".cs": "text/x-csharp", ".dart": "text/x-dart",
+    ".pl": "text/x-perl", ".pm": "text/x-perl",
+    ".r": "text/x-r", ".sol": "text/x-solidity", ".zig": "text/x-zig",
     ".scala": "text/x-scala", ".lua": "text/x-lua",
     ".sql": "application/sql", ".proto": "text/x-protobuf",
     ".css": "text/css", ".tex": "text/x-tex", ".lean": "text/x-lean",

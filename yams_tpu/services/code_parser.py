@@ -1,4 +1,4 @@
-"""Parser-grade symbol extraction for C/C++, JS/TS, Go and Rust.
+"""Parser-grade symbol extraction for the reference's full grammar set.
 
 The tree-sitter tier replacement (reference:
 /root/reference/plugins/symbol_extractor_treesitter/, 2,826 LoC — grammar
@@ -14,11 +14,12 @@ so this module implements what the symbol surface actually needs from it:
      impl-Type::fn, class.method) the way a grammar walk would.
 
 Python keeps its stdlib-ast tier in symbol_service; C/C++, JS/TS, Go, Rust,
-Java, C#, Kotlin, Swift and PHP route here (the reference plugin's highest-
-usage grammars of its ~17). Keyword-driven detection per family: brace
-languages where `ident(args)..{` implies definition (C-family, Java, C#) vs
-languages where that shape is a trailing-lambda CALL and only decl keywords
-count (Kotlin, Swift). The regex tier remains the fallback for the rest.
+Java, C#, Kotlin, Swift, PHP, Dart, Perl, R, SQL, Solidity and Zig route
+here — the reference plugin's full grammar set. Detection strategy differs
+by family: brace languages where `ident(args)..{` implies definition
+(C-family, Java, C#, Dart) vs languages where that shape is a trailing-
+lambda CALL and only decl keywords count (Kotlin, Swift), vs keyword/
+statement languages (Perl, R, SQL). The regex tier remains the fallback.
 """
 
 from __future__ import annotations
@@ -101,6 +102,15 @@ _SWIFT_KEYWORDS = frozenset((
     "throw try catch defer where as is in nil true false self Self super "
     "some any await async willSet didSet get set").split())
 
+_DART_KEYWORDS = frozenset((
+    "abstract as assert async await base break case catch class const "
+    "continue covariant default deferred do dynamic else enum export "
+    "extends extension external factory false final finally for get hide "
+    "if implements import in interface is late library mixin new null on "
+    "operator part required rethrow return sealed set show static super "
+    "switch sync this throw true try typedef var void when while with "
+    "yield int double bool num").split())
+
 _PHP_KEYWORDS = frozenset((
     "function class interface trait enum namespace use const var public "
     "private protected static abstract final if else elseif for foreach "
@@ -122,6 +132,9 @@ def lex(text: str, lang: str) -> list[Tok]:
     js_template = lang in ("javascript", "typescript")
     c_pp = lang in ("c", "cpp")
     php = lang == "php"
+    hash_comment = lang in ("php", "perl", "r")
+    sql = lang == "sql"
+    perl = lang == "perl"
     triple_str = lang in ("java", "csharp", "kotlin", "swift")
     kt_holes = lang == "kotlin"          # "${...}" holes in "" strings
     tick_ident = lang in ("kotlin", "swift")  # `quoted identifiers`
@@ -151,10 +164,25 @@ def lex(text: str, lang: str) -> list[Tok]:
                 bump(seg)
                 i = n if j < 0 else j + 2
                 continue
-        # php: '#' line comments, heredoc/nowdoc <<<ID ... ID
-        if php and c == "#":
+        # php/perl/r: '#' line comments; sql: '--' line comments
+        if hash_comment and c == "#":
             j = text.find("\n", i)
             i = n if j < 0 else j
+            continue
+        if sql and c == "-" and text[i + 1:i + 2] == "-":
+            j = text.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        # perl POD blocks: '=word' at line start ... '=cut'
+        if perl and c == "=" and (i == 0 or text[i - 1] == "\n") \
+                and text[i + 1:i + 2].isalpha():
+            j = text.find("\n=cut", i)
+            end = n if j < 0 else text.find("\n", j + 1)
+            if end < 0:
+                end = n
+            seg = text[i:end]
+            bump(seg)
+            i = end
             continue
         if php and text[i:i + 3] == "<<<":
             j = i + 3
@@ -310,7 +338,8 @@ def lex(text: str, lang: str) -> list[Tok]:
             continue
         # multi-char operators worth keeping whole
         two = text[i:i + 2]
-        if two in ("::", "=>", "->", "<<", ">>", "&&", "||", ":="):
+        if two in ("::", "=>", "->", "<<", ">>", "&&", "||", ":=") or \
+                (two == "<-" and lang == "r"):
             toks.append(Tok("punct", two, line))
             i += 2
             continue
@@ -732,7 +761,7 @@ def scan_rust(toks: list[Tok], max_symbols: int = 256) -> list[Sym]:
 
 _JVM_TYPE_KINDS = ("class", "interface", "enum", "record", "struct",
                    "namespace", "object", "trait", "extension", "protocol",
-                   "actor")
+                   "actor", "mixin")
 
 
 def _skip_annotation(toks: list[Tok], i: int) -> int:
@@ -749,15 +778,19 @@ def _skip_annotation(toks: list[Tok], i: int) -> int:
 
 
 def scan_jvm(toks: list[Tok], lang: str, max_symbols: int = 256) -> list[Sym]:
-    """Java and C#: brace languages where `ident (args) ... {` after
-    annotation stripping is a definition iff not preceded by '.'/'new'."""
+    """Java, C# and Dart: brace languages where `ident (args) ... {` after
+    annotation stripping is a definition iff not preceded by '.'/'new'
+    (dart adds `=>` expression bodies and `Class.named(...)` ctors)."""
     out: list[Sym] = []
     ctx: list[tuple[int, str, str]] = []
     depth = 0
     pending: tuple[str, str] | None = None
-    kw = _JAVA_KEYWORDS if lang == "java" else _CS_KEYWORDS
+    kw = (_JAVA_KEYWORDS if lang == "java"
+          else _DART_KEYWORDS if lang == "dart" else _CS_KEYWORDS)
     typekw = (("class", "interface", "enum", "record") if lang == "java"
+              else ("class", "enum", "mixin", "extension") if lang == "dart"
               else ("class", "interface", "enum", "struct", "record"))
+    dart = lang == "dart"
     i, n = 0, len(toks)
 
     def qual(name: str) -> str:
@@ -808,28 +841,44 @@ def scan_jvm(toks: list[Tok], lang: str, max_symbols: int = 256) -> list[Sym]:
         if t.kind == "id" and t.val not in kw and i + 1 < n \
                 and toks[i + 1].val == "(":
             prev = toks[i - 1].val if i > 0 else ""
-            if prev not in (".", "new"):
+            top = ctx[-1][2] if ctx else ""
+            # dart named constructors: `ClassName.named(...)` inside the class
+            named_ctor = (dart and prev == "." and i >= 2
+                          and toks[i - 2].kind == "id" and toks[i - 2].val == top)
+            if prev not in (".", "new") or named_ctor:
                 close = _matching_paren(toks, i + 1)
                 k = close
                 while k < n:
                     v = toks[k].val
-                    if v in ("{", ";"):
+                    if v in ("{", ";") or (dart and v == "=>"):
                         break
                     if v == "(":               # c# ctor `: base(...)`
                         k = _matching_paren(toks, k)
                         continue
                     if toks[k].kind == "id" or v in (
-                            ",", ".", ":", "<", ">", "[", "]"):
+                            ",", ".", ":", "<", ">", "[", "]") or (
+                            dart and (toks[k].kind in ("num", "str")
+                                      or v in ("=", "?"))):
                         k += 1
                         continue
                     break
-                if k < n and toks[k].val == "{":
+                at_class_body = bool(ctx) and ctx[-1][1] in typekw
+                is_def = k < n and (
+                    toks[k].val == "{"
+                    or (dart and toks[k].val == "=>")
+                    # dart ctor with initializer-list-only body ends in ';'
+                    # — only AT class-body depth (deeper it's a call)
+                    or (dart and toks[k].val == ";" and at_class_body
+                        and (t.val == top or named_ctor)))
+                if is_def:
                     in_type = any(c[1] in typekw for c in ctx)
-                    top = ctx[-1][2] if ctx else ""
-                    kind = ("constructor" if t.val == top
+                    kind = ("constructor" if (t.val == top or named_ctor)
                             else "method" if in_type else "function")
+                    # qual() already prefixes the class, so `Cls.named(...)`
+                    # lands as Cls.named without further assembly
                     out.append(Sym(qual(t.val), kind, t.line))
-                    pending = ("function", t.val)
+                    if toks[k].val == "{":
+                        pending = ("function", t.val)
                 i = close
                 continue
         if lang == "csharp" and t.kind == "id" and t.val not in kw \
@@ -1181,13 +1230,252 @@ def scan_php(toks: list[Tok], max_symbols: int = 256) -> list[Sym]:
     return out
 
 
+# -- Perl ------------------------------------------------------------------------
+
+def scan_perl(toks: list[Tok], max_symbols: int = 256) -> list[Sym]:
+    out: list[Sym] = []
+    pkg = ""
+    i, n = 0, len(toks)
+    while i < n and len(out) < max_symbols:
+        t = toks[i]
+        if t.kind == "id" and t.val == "package" and i + 1 < n \
+                and toks[i + 1].kind == "id":
+            parts = [toks[i + 1].val]
+            j = i + 2
+            while j + 1 < n and toks[j].val == "::" \
+                    and toks[j + 1].kind == "id":
+                parts.append(toks[j + 1].val)
+                j += 2
+            pkg = "::".join(parts)
+            out.append(Sym(pkg, "package", toks[i + 1].line))
+            i = j
+            continue
+        if t.kind == "id" and t.val == "sub" and i + 1 < n \
+                and toks[i + 1].kind == "id":
+            name = toks[i + 1].val
+            out.append(Sym(f"{pkg}::{name}" if pkg else name, "function",
+                           toks[i + 1].line))
+            i += 2
+            continue
+        i += 1
+    return out
+
+
+# -- R ---------------------------------------------------------------------------
+
+def scan_r(toks: list[Tok], max_symbols: int = 256) -> list[Sym]:
+    """`name <- function(` / `name = function(` (dotted R names included)."""
+    out: list[Sym] = []
+    i, n = 0, len(toks)
+    while i < n and len(out) < max_symbols:
+        t = toks[i]
+        if t.kind == "id":
+            # collect a dotted/underscored R name: my.helper_fn
+            j = i
+            parts = [toks[j].val]
+            while j + 2 < n and toks[j + 1].val == "." \
+                    and toks[j + 2].kind == "id":
+                parts.append(toks[j + 2].val)
+                j += 2
+            if j + 2 < n and toks[j + 1].val in ("<-", "=") \
+                    and toks[j + 2].kind == "id" \
+                    and toks[j + 2].val == "function":
+                out.append(Sym(".".join(parts), "function", t.line))
+                i = j + 3
+                continue
+            i = j + 1
+            continue
+        i += 1
+    return out
+
+
+# -- SQL -------------------------------------------------------------------------
+
+def scan_sql(toks: list[Tok], max_symbols: int = 256) -> list[Sym]:
+    """CREATE [OR REPLACE|TEMP|UNIQUE|MATERIALIZED] <kind> [IF NOT EXISTS]
+    [schema.]name — case-insensitive."""
+    out: list[Sym] = []
+    kinds = ("table", "view", "index", "function", "procedure", "trigger",
+             "schema", "database", "sequence", "type")
+    i, n = 0, len(toks)
+    while i < n and len(out) < max_symbols:
+        t = toks[i]
+        if t.kind == "id" and t.val.lower() == "create":
+            j = i + 1
+            while j < n and toks[j].kind == "id" and toks[j].val.lower() in (
+                    "or", "replace", "temp", "temporary", "unique",
+                    "materialized", "global", "local"):
+                j += 1
+            if j < n and toks[j].kind == "id" \
+                    and toks[j].val.lower() in kinds:
+                kind = toks[j].val.lower()
+                k = j + 1
+                while k < n and toks[k].kind == "id" \
+                        and toks[k].val.lower() in ("if", "not", "exists"):
+                    k += 1
+                parts: list[str] = []
+                while k < n and toks[k].kind == "id":
+                    parts.append(toks[k].val)
+                    k += 1
+                    if k < n and toks[k].val == ".":
+                        k += 1
+                    else:
+                        break
+                if parts:
+                    out.append(Sym(".".join(parts), kind, t.line))
+                i = k
+                continue
+        i += 1
+    return out
+
+
+# -- Solidity --------------------------------------------------------------------
+
+def scan_solidity(toks: list[Tok], max_symbols: int = 256) -> list[Sym]:
+    out: list[Sym] = []
+    ctx: list[tuple[int, str, str]] = []
+    depth = 0
+    pending: tuple[str, str] | None = None
+    typekw = ("contract", "interface", "library")
+    i, n = 0, len(toks)
+
+    def qual(name: str) -> str:
+        parts = [c[2] for c in ctx if c[1] in typekw]
+        return ".".join(parts + [name]) if parts else name
+
+    while i < n and len(out) < max_symbols:
+        t = toks[i]
+        if t.kind == "id" and t.val in typekw and i + 1 < n \
+                and toks[i + 1].kind == "id":
+            name, line = toks[i + 1].val, toks[i + 1].line
+            out.append(Sym(qual(name), t.val, line))
+            k = i + 2
+            while k < n and toks[k].val not in ("{", ";"):
+                k += 1
+            if k < n and toks[k].val == "{":
+                pending = (t.val, name)
+            i = i + 2
+            continue
+        if t.kind == "id" and t.val in ("function", "modifier", "event",
+                                        "error", "struct", "enum") \
+                and i + 1 < n and toks[i + 1].kind == "id":
+            name, line = toks[i + 1].val, toks[i + 1].line
+            kind = ("method" if t.val == "function" and ctx
+                    else t.val if t.val != "function" else "function")
+            out.append(Sym(qual(name), kind, line))
+            j = i + 2
+            if j < n and toks[j].val == "(":
+                j = _matching_paren(toks, j)
+            k = j
+            while k < n and toks[k].val not in ("{", ";"):
+                if toks[k].val == "(":
+                    k = _matching_paren(toks, k)
+                    continue
+                k += 1
+            if k < n and toks[k].val == "{":
+                pending = ("function", name)
+            i = j
+            continue
+        if t.val == "{" and t.kind == "punct":
+            depth += 1
+            if pending is not None:
+                ctx.append((depth, pending[0], pending[1]))
+                pending = None
+            i += 1
+            continue
+        if t.val == "}" and t.kind == "punct":
+            if ctx and ctx[-1][0] == depth:
+                ctx.pop()
+            depth -= 1
+            i += 1
+            continue
+        if t.val == ";":
+            pending = None
+        i += 1
+    return out
+
+
+# -- Zig -------------------------------------------------------------------------
+
+def scan_zig(toks: list[Tok], max_symbols: int = 256) -> list[Sym]:
+    out: list[Sym] = []
+    ctx: list[tuple[int, str, str]] = []
+    depth = 0
+    pending: tuple[str, str] | None = None
+    i, n = 0, len(toks)
+
+    def qual(name: str) -> str:
+        parts = [c[2] for c in ctx if c[1] == "struct"]
+        return ".".join(parts + [name]) if parts else name
+
+    while i < n and len(out) < max_symbols:
+        t = toks[i]
+        if t.kind == "id" and t.val == "fn" and i + 2 < n \
+                and toks[i + 1].kind == "id" and toks[i + 2].val == "(":
+            name, line = toks[i + 1].val, toks[i + 1].line
+            out.append(Sym(qual(name), "method" if ctx else "function", line))
+            close = _matching_paren(toks, i + 2)
+            k = close
+            while k < n and toks[k].val != "{" and (
+                    toks[k].kind == "id" or toks[k].val in (
+                        "!", "?", ".", ",", "(", ")", "[", "]", "*")):
+                if toks[k].val == "(":
+                    k = _matching_paren(toks, k)
+                    continue
+                k += 1
+            if k < n and toks[k].val == "{":
+                pending = ("function", name)
+            i = close
+            continue
+        if t.kind == "id" and t.val == "const" and i + 2 < n \
+                and toks[i + 1].kind == "id" and toks[i + 2].val == "=":
+            j = i + 3
+            while j < n and toks[j].kind == "id" and toks[j].val in (
+                    "packed", "extern"):
+                j += 1
+            if j < n and toks[j].kind == "id" and toks[j].val in (
+                    "struct", "enum", "union", "opaque"):
+                name, line = toks[i + 1].val, toks[i + 1].line
+                out.append(Sym(qual(name), toks[j].val, line))
+                k = j + 1
+                while k < n and toks[k].val not in ("{", ";"):
+                    if toks[k].val == "(":
+                        k = _matching_paren(toks, k)
+                        continue
+                    k += 1
+                if k < n and toks[k].val == "{":
+                    pending = ("struct", name)
+            i = i + 2
+            continue
+        if t.val == "{" and t.kind == "punct":
+            depth += 1
+            if pending is not None:
+                ctx.append((depth, pending[0], pending[1]))
+                pending = None
+            i += 1
+            continue
+        if t.val == "}" and t.kind == "punct":
+            if ctx and ctx[-1][0] == depth:
+                ctx.pop()
+            depth -= 1
+            i += 1
+            continue
+        if t.val == ";":
+            pending = None
+        i += 1
+    return out
+
+
 _SCANNERS = {
     "c": scan_c, "cpp": scan_c,
     "javascript": scan_js, "typescript": scan_js,
     "go": scan_go, "rust": scan_rust,
     "java": lambda toks, m=256: scan_jvm(toks, "java", m),
     "csharp": lambda toks, m=256: scan_jvm(toks, "csharp", m),
+    "dart": lambda toks, m=256: scan_jvm(toks, "dart", m),
     "kotlin": scan_kotlin, "swift": scan_swift, "php": scan_php,
+    "perl": scan_perl, "r": scan_r, "sql": scan_sql,
+    "solidity": scan_solidity, "zig": scan_zig,
 }
 
 

@@ -69,7 +69,10 @@ _MIME_LANG = {
     "text/x-go": "go", "text/x-rust": "rust",
     "text/x-java": "java", "text/x-csharp": "csharp",
     "text/x-kotlin": "kotlin", "text/x-swift": "swift",
-    "text/x-php": "php",
+    "text/x-php": "php", "text/x-dart": "dart",
+    "text/x-perl": "perl", "text/x-r": "r",
+    "application/sql": "sql", "text/x-solidity": "solidity",
+    "text/x-zig": "zig",
 }
 
 _IDENT_RE = re.compile(r"\b[A-Za-z_][A-Za-z0-9_]{2,}\b")
@@ -131,7 +134,8 @@ def extract_symbols(text: str, language: str, max_symbols: int = 256) -> list[Sy
         if syms is not None:
             return syms
     if language in ("c", "javascript", "go", "rust", "java", "csharp",
-                    "kotlin", "swift", "php"):
+                    "kotlin", "swift", "php", "dart", "perl", "r", "sql",
+                    "solidity", "zig"):
         # parser tier: lexer + depth-tracked scanners (code_parser.py) —
         # comment/string-immune, nesting-qualified names, exact lines
         # (reference: tree-sitter plugin). Regex tier remains the fallback.

@@ -1,0 +1,153 @@
+"""Hermetic out-of-process daemon integration tests.
+
+The reference runs a REAL daemon binary over a REAL socket in a temp dir and
+exercises the operational envelope (reference tests/integration/daemon/:
+daemon_sigterm_test.cpp — graceful SIGTERM with clients attached;
+daemon_db_corruption_recovery_test.cpp — corrupted SQLite at boot;
+socket memory-pressure/half-open stress). The in-process tier lives in
+test_interfaces.py; this file spawns `python -m yams_tpu.daemon` as a child
+process so signal delivery, lock inheritance, crash recovery and socket
+cleanup are tested against the same code path a production operator runs.
+
+The stages are ordered and share one data dir (class-scoped): a fresh spawn
+costs ~15s on this 1-core host, so the scenario chain (serve -> SIGTERM ->
+hard-kill -> corrupt -> salvage-restart) reuses spawns instead of paying
+five of them. Run with -x; later stages skip if an earlier one failed.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import signal
+import socket
+import struct
+import time
+
+import pytest
+
+from yams_tpu.core.config import load_config
+from yams_tpu.daemon.client import DaemonClient
+from yams_tpu.daemon.server import spawn_daemon
+
+
+def _wait_ping(sock_path, deadline_s: float = 90.0) -> DaemonClient:
+    client = DaemonClient(sock_path)
+    end = time.monotonic() + deadline_s
+    while time.monotonic() < end:
+        if client.ping(timeout=1.0):
+            return client
+        time.sleep(0.25)
+    raise TimeoutError(f"daemon at {sock_path} never answered ping")
+
+
+def _wait_exit(pid: int, deadline_s: float = 30.0) -> int:
+    """Wait for a non-child... actually spawn_daemon's child IS our child
+    (start_new_session detaches the session, not the parent link)."""
+    end = time.monotonic() + deadline_s
+    while time.monotonic() < end:
+        done, status = os.waitpid(pid, os.WNOHANG)
+        if done == pid:
+            return status
+        time.sleep(0.1)
+    raise TimeoutError(f"pid {pid} still running")
+
+
+@pytest.fixture(scope="class")
+def ddir(tmp_path_factory):
+    return tmp_path_factory.mktemp("daemon_subproc")
+
+
+class TestDaemonProcessLifecycle:
+    state: dict = {}
+
+    def test_spawn_and_serve(self, ddir):
+        cfg = load_config(data_dir=ddir)
+        pid = spawn_daemon(cfg)
+        self.state["cfg"] = cfg
+        self.state["pid"] = pid
+        client = _wait_ping(cfg.socket_path)
+        r = client.add_bytes(b"the sigterm survivor document", name="keep.txt")
+        assert r.get("document_id")
+        st = client.status()
+        assert st["state"] in ("ready", "degraded")
+        client.close()
+
+    def test_half_open_client_does_not_wedge(self, ddir):
+        """A client that sends a garbage partial frame and goes silent must
+        not block other clients (reference: socket pressure/timeout tests)."""
+        cfg = self.state["cfg"]
+        raw = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        raw.connect(str(cfg.socket_path))
+        # valid-looking length prefix, then silence: a stalled writer
+        raw.sendall(struct.pack("<I", 1 << 20)[:3])
+        try:
+            client = _wait_ping(cfg.socket_path, deadline_s=10.0)
+            assert client.status()["state"] in ("ready", "degraded")
+            client.close()
+        finally:
+            raw.close()
+
+    def test_sigterm_graceful_shutdown(self, ddir):
+        """SIGTERM with a live client attached: prompt exit, socket removed,
+        data-dir lock released (daemon_sigterm_test.cpp)."""
+        cfg, pid = self.state["cfg"], self.state["pid"]
+        # keep a persistent client connected through the shutdown
+        lingerer = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        lingerer.connect(str(cfg.socket_path))
+        os.kill(pid, signal.SIGTERM)
+        status = _wait_exit(pid)
+        lingerer.close()
+        assert os.waitstatus_to_exitcode(status) == 0
+        assert not cfg.socket_path.exists(), "socket not cleaned up"
+        # lock must be free for the next writer
+        import fcntl
+
+        with open(ddir / ".lock", "w") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)  # raises if held
+            fcntl.flock(fh, fcntl.LOCK_UN)
+
+    def test_restart_after_hard_kill_with_stale_files(self, ddir):
+        """SIGKILL leaves a stale socket + pid file; a restart must take
+        over cleanly and still serve the pre-crash document (durability)."""
+        cfg = load_config(data_dir=ddir)
+        pid = spawn_daemon(cfg)
+        _wait_ping(cfg.socket_path)
+        os.kill(pid, signal.SIGKILL)
+        _wait_exit(pid)
+        # hard kill: socket file survives as a stale path
+        stale_sock = cfg.socket_path.exists()
+        pid2 = spawn_daemon(cfg)
+        self.state["pid"] = pid2
+        client = _wait_ping(cfg.socket_path)
+        hits = client.search("sigterm survivor", limit=5)
+        assert any("keep.txt" in (h.get("name") or h.get("path") or "")
+                   for h in hits.get("hits", [])), (stale_sock, hits)
+        r = client.shutdown()
+        assert r.get("ok", True)
+        _wait_exit(pid2)
+
+    def test_corrupted_db_salvaged_on_boot(self, ddir):
+        """Scribble over the SQLite file while the daemon is down; boot must
+        salvage (or rebuild) and SERVE, reporting degraded metadata rather
+        than crashing (daemon_db_corruption_recovery_test.cpp)."""
+        cfg = load_config(data_dir=ddir)
+        db = pathlib.Path(cfg.metadata_db)
+        assert db.exists()
+        data = bytearray(db.read_bytes())
+        # corrupt a page in the middle, keep the header magic intact so it
+        # is a *corruption* (salvage path), not a missing-db (init path)
+        mid = max(100, len(data) // 2)
+        data[mid:mid + 512] = b"\xde\xad\xbe\xef" * 128
+        db.write_bytes(bytes(data))
+        pid = spawn_daemon(cfg)
+        client = _wait_ping(cfg.socket_path)
+        st = client.status(detailed=True)
+        assert st["state"] in ("ready", "degraded")
+        # it must still accept new work end-to-end
+        r = client.add_bytes(b"fresh content after salvage", name="after.txt")
+        assert r.get("document_id")
+        hits = client.search("fresh content salvage", limit=5)
+        assert "hits" in hits
+        client.shutdown()
+        _wait_exit(pid)

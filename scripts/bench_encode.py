@@ -1,0 +1,103 @@
+"""Simeon encode throughput vs the reference's NEON micro-baselines.
+
+Reference numbers (BASELINE.md, tests/benchmarks/baseline/simeon_microbench.jsonl,
+darwin-arm64 NEON, 256 B docs):
+  - hash-only sketch, 1024-d:               4.21 us/doc  (237k docs/s)
+  - 384-d Achlioptas projection (4096 sk):  110.4 us/doc (9.1k docs/s)
+  - 384-d very_sparse projection:           16.6 us/doc  (60.4k docs/s)
+
+This measures the rebuild's split pipeline on the same document shape:
+  host sketch (tokenize + hashed n-grams, NumPy)  — analog of the NEON hash
+  device projection (sketch @ R on the MXU)       — analog of the projection
+and reports docs/s for (a) sketch only, (b) projection only at saturating
+batch, (c) end-to-end encode() including host<->device transfer.
+
+Usage: python scripts/bench_encode.py [--docs N] [--bytes B]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WORDS = (
+    "storage engine search vector index daemon chunk hash embed query graph "
+    "metadata repair snapshot session topology cluster fusion lexical scan "
+    "postings impact recall latency throughput shard mesh collective kernel "
+    "compile trace buffer socket protocol stream batch token sketch project"
+).split()
+
+
+def make_docs(n: int, target_bytes: int, seed: int = 7) -> list[str]:
+    rng = np.random.default_rng(seed)
+    docs = []
+    for _ in range(n):
+        parts: list[str] = []
+        size = 0
+        while size < target_bytes:
+            w = WORDS[int(rng.integers(len(WORDS)))]
+            parts.append(w)
+            size += len(w) + 1
+        docs.append(" ".join(parts))
+    return docs
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=4096)
+    ap.add_argument("--bytes", type=int, default=256)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    from yams_tpu.core.config import EmbeddingConfig
+    from yams_tpu.embed.simeon import SimeonEncoder, sketch_texts
+
+    cfg = EmbeddingConfig()
+    enc = SimeonEncoder(cfg)
+    docs = make_docs(args.docs, args.bytes)
+
+    # (a) host sketch only
+    sketch_texts(docs[:64], cfg)  # warm the token-hash lru cache
+    best = 0.0
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        sk = sketch_texts(docs, cfg)
+        dt = time.perf_counter() - t0
+        best = max(best, args.docs / dt)
+    print(f"host sketch ({cfg.sketch_dim}-d, {args.bytes} B docs): "
+          f"{best:,.0f} docs/s  ({1e6 / best:.1f} us/doc)")
+
+    # (b) device projection only, saturating batch
+    project = enc._build()
+    out = project(sk)
+    np.asarray(out)
+    bestp = 0.0
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        np.asarray(project(sk))
+        dt = time.perf_counter() - t0
+        bestp = max(bestp, args.docs / dt)
+    print(f"device projection ({cfg.sketch_dim}->{cfg.dim} MXU, B={args.docs}): "
+          f"{bestp:,.0f} docs/s  ({1e6 / bestp:.2f} us/doc)")
+
+    # (c) end-to-end encode()
+    beste = 0.0
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        enc.encode(docs)
+        dt = time.perf_counter() - t0
+        beste = max(beste, args.docs / dt)
+    print(f"end-to-end encode ({cfg.dim}-d): {beste:,.0f} docs/s  "
+          f"({1e6 / beste:.1f} us/doc)")
+    print(f"reference NEON baselines: hash-only 237k docs/s; "
+          f"384-d Achlioptas 9.1k docs/s; very_sparse 60.4k docs/s")
+
+
+if __name__ == "__main__":
+    main()

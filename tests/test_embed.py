@@ -46,6 +46,53 @@ class TestSketch:
         assert not np.allclose(a, b)
 
 
+class TestNativeSketchParity:
+    """The C++ batch sketch kernel must be BIT-identical to the Python path
+    for ASCII docs (counts are exact +-1 sums; log1p applied host-side once),
+    and must route non-ASCII docs back through Python."""
+
+    DOCS = [
+        "the quick brown fox jumps over the lazy dog",
+        "MiXeD CaSe With_Underscores and digits 0123 42x",
+        "",                      # empty -> zeros
+        "!!! ??? ---",           # no word chars -> zeros
+        "a",                     # shorter than every char n-gram
+        "x " * 500,              # repeated token, exercises count > 1
+        "word " * 9000,          # exceeds max_doc_tokens -> truncation parity
+        "tab\tand\nnewline  double  spaces",
+        "punct,separated;tokens(here)[now]{ok}",
+    ]
+
+    def test_ascii_bit_identical(self):
+        from yams_tpu.native import sketch_batch
+
+        cfg = EmbeddingConfig()
+        got = sketch_batch(self.DOCS, cfg.sketch_dim, cfg.max_doc_tokens,
+                           cfg.word_ngrams, cfg.char_ngrams)
+        if got is None:
+            pytest.skip("native lib unavailable")
+        counts, ok = got
+        assert ok.all(), "all docs here are ASCII"
+        native = np.sign(counts) * np.log1p(np.abs(counts))
+        for i, doc in enumerate(self.DOCS):
+            ref = sketch_text(doc, cfg)
+            np.testing.assert_array_equal(native[i], ref, err_msg=f"doc {i}")
+
+    def test_unicode_falls_back_and_matches(self):
+        cfg = EmbeddingConfig()
+        docs = ["café naïve résumé", "plain ascii doc",
+                "日本語 text mixed"]
+        out = sketch_texts(docs, cfg)
+        for i, doc in enumerate(docs):
+            np.testing.assert_array_equal(out[i], sketch_text(doc, cfg))
+
+    def test_batch_path_equals_per_doc(self):
+        cfg = EmbeddingConfig(dim=64, sketch_dim=512)
+        out = sketch_texts(self.DOCS, cfg)
+        for i, doc in enumerate(self.DOCS):
+            np.testing.assert_array_equal(out[i], sketch_text(doc, cfg))
+
+
 class TestEncoder:
     def test_shape_and_norm(self):
         enc = SimeonEncoder(CFG)

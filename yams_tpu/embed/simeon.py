@@ -139,10 +139,27 @@ def sketch_text(text: str, config: EmbeddingConfig) -> np.ndarray:
 
 
 def sketch_texts(texts: list[str], config: EmbeddingConfig) -> np.ndarray:
-    """Batch sketches -> (B, sketch_dim) float32."""
+    """Batch sketches -> (B, sketch_dim) float32.
+
+    Hot path: the C++ kernel (native/__init__.py:sketch_batch) computes the
+    raw signed bucket counts ~100x faster than the per-doc NumPy loop; the
+    log1p scaling stays here so both paths are bit-identical (counts are
+    exact +-1 sums in f32). Non-ASCII docs fall back per-doc to sketch_text
+    (CPython's Unicode tokenization is authoritative for them).
+    """
     if not texts:
         return np.zeros((0, config.sketch_dim), dtype=np.float32)
-    return np.stack([sketch_text(t, config) for t in texts])
+    from ..native import sketch_batch
+
+    got = sketch_batch(texts, config.sketch_dim, config.max_doc_tokens,
+                       config.word_ngrams, config.char_ngrams)
+    if got is None:
+        return np.stack([sketch_text(t, config) for t in texts])
+    counts, ok = got
+    out = np.sign(counts) * np.log1p(np.abs(counts))
+    for i in np.nonzero(ok == 0)[0]:
+        out[i] = sketch_text(texts[i], config)
+    return out
 
 
 class SimeonEncoder:
@@ -194,13 +211,41 @@ class SimeonEncoder:
             self._R = (signs / np.sqrt(cfg.dim)).astype(jnp.bfloat16)
         return self._R
 
-    def encode(self, texts: list[str]) -> np.ndarray:
-        """texts -> (B, dim) float32 L2-normalized embeddings."""
+    def _R_host(self) -> np.ndarray:
+        """Projection as host f32 (exact f32 image of the bf16 device matrix)."""
+        if getattr(self, "_Rh", None) is None:
+            self._Rh = np.asarray(self.projection_matrix()).astype(np.float32)
+        return self._Rh
+
+    def encode(self, texts: list[str], device: bool | None = None) -> np.ndarray:
+        """texts -> (B, dim) float32 L2-normalized embeddings.
+
+        Bulk document encode runs on HOST by default: BLAS sgemm over
+        bf16-rounded operands (the exact values the MXU path consumes), f32
+        accumulate, so the two backends agree to accumulation-order ULPs.
+        Rationale: ingest-side encode is offline work — spending TPU time on
+        it costs query capacity, and on bandwidth-starved links (PCIe-remote
+        or tunneled hosts) shipping (B, sketch_dim) to the device costs more
+        than the matmul. Queries embed on the MXU inline in the fused query
+        program (search/fusion.py), not through this method.
+        Set YAMS_TPU_ENCODE_DEVICE=1 (or device=True) to force the MXU path.
+        """
         if not texts:
             return np.zeros((0, self.config.dim), dtype=np.float32)
         sketches = sketch_texts(texts, self.config)
-        project = self._build()
-        return np.asarray(project(sketches), dtype=np.float32)
+        if device is None:
+            import os
+
+            device = bool(int(os.environ.get("YAMS_TPU_ENCODE_DEVICE", "0")))
+        import ml_dtypes
+
+        xb = sketches.astype(ml_dtypes.bfloat16)  # the device casts too
+        if device:
+            project = self._build()
+            return np.asarray(project(xb), dtype=np.float32)
+        x = xb.astype(np.float32) @ self._R_host()
+        n = np.linalg.norm(x, axis=-1, keepdims=True)
+        return x / np.maximum(n, 1e-9)
 
     def encode_one(self, text: str) -> np.ndarray:
         return self.encode([text])[0]

@@ -97,6 +97,14 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
             ctypes.c_size_t,
         ]
+        lib.ytn_sketch_batch.restype = ctypes.c_size_t
+        lib.ytn_sketch_batch.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64), ctypes.c_size_t,
+            ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ]
         if lib.ytn_abi_version() != 1:
             return None
         _lib = lib
@@ -131,6 +139,39 @@ def find_all(haystack: bytes, needle: bytes, max_hits: int = 1 << 20) -> list[in
     out = (ctypes.c_uint64 * max_hits)()
     n = lib.ytn_find_all(haystack, len(haystack), needle, len(needle), out, max_hits)
     return [int(out[i]) for i in range(min(n, max_hits))]
+
+
+def sketch_batch(
+    texts: list[str], sketch_dim: int, max_tokens: int,
+    word_ngrams: tuple[int, ...], char_ngrams: tuple[int, ...],
+):
+    """Raw signed bucket counts for a batch of docs via the C++ kernel.
+
+    Returns (counts (B, S) float32, ok (B,) uint8) or None when the native
+    lib is missing. ok[i]==0 marks a non-ASCII doc the caller must sketch
+    through the Python path; its counts row is zeroed.
+    """
+    lib = _load()
+    if lib is None or not texts:
+        return None
+    import numpy as np
+
+    blobs = [t.encode("utf-8") for t in texts]
+    offsets = np.zeros(len(blobs) + 1, dtype=np.uint64)
+    offsets[1:] = np.cumsum([len(b) for b in blobs], dtype=np.uint64)
+    data = b"".join(blobs)
+    counts = np.empty((len(blobs), sketch_dim), dtype=np.float32)
+    ok = np.empty(len(blobs), dtype=np.uint8)
+    wn = (ctypes.c_uint32 * len(word_ngrams))(*word_ngrams)
+    cn = (ctypes.c_uint32 * len(char_ngrams))(*char_ngrams)
+    lib.ytn_sketch_batch(
+        data, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(blobs), sketch_dim, max_tokens, wn, len(word_ngrams),
+        cn, len(char_ngrams),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return counts, ok
 
 
 def ingest_pipeline(

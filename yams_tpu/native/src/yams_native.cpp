@@ -129,6 +129,126 @@ static void crc_init() {
     crc_init_done = true;
 }
 
+// --- Simeon hashed n-gram sketch, ASCII fast path -------------------------
+//
+// Bit-identical rebuild of yams_tpu/embed/simeon.py:sketch_text for pure-ASCII
+// documents (the reference's AVX2/NEON Simeon hash kernels play this role,
+// third_party/simeon via src/vector/meson.build:195-216). Semantics mirrored
+// exactly: tokens = runs of [a-z0-9_] over tolower'd bytes (== re [\w]+ on
+// lowered ASCII), FNV-1a token hashes, polynomial word/char n-gram rolling
+// hashes with the FNV prime, splitmix64 finalizer, signed bucket counts.
+// Counts are sums of +-1 (exact in f32); the log1p scaling stays in NumPy so
+// host paths cannot diverge by a ULP. Docs containing any byte >= 0x80 are
+// left to the Python fallback (ok[i]=0): CPython's str.lower()/\w Unicode
+// tables are not worth reimplementing.
+
+static const uint64_t FNV_OFF = 0xCBF29CE484222325ULL;
+static const uint64_t FNV_P = 0x100000001B3ULL;
+
+static inline uint64_t mix64(uint64_t h) {
+    h = (h ^ (h >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    h = (h ^ (h >> 27)) * 0x94D049BB133111EBULL;
+    return h ^ (h >> 31);
+}
+
+static inline void bucket(uint64_t h, float* counts, uint32_t S) {
+    uint32_t idx = (uint32_t)(h % (uint64_t)S);
+    counts[idx] += (h >> 63) ? -1.0f : 1.0f;
+}
+
+// Sketch n_docs concatenated documents into out (n_docs x S signed counts).
+// offsets has n_docs+1 entries. ok[i]=1 when doc i was handled natively.
+// Returns the number of docs handled.
+size_t ytn_sketch_batch(const uint8_t* data, const uint64_t* offsets,
+                        size_t n_docs, uint32_t S, uint32_t max_tokens,
+                        const uint32_t* word_ngrams, size_t n_word,
+                        const uint32_t* char_ngrams, size_t n_char,
+                        float* out, uint8_t* ok) {
+    size_t handled = 0;
+    // reusable scratch across docs (token hashes + joined lowered bytes)
+    static thread_local uint64_t* th = nullptr;
+    static thread_local uint8_t* joined = nullptr;
+    static thread_local size_t th_cap = 0, joined_cap = 0;
+
+    for (size_t di = 0; di < n_docs; ++di) {
+        const uint8_t* doc = data + offsets[di];
+        size_t len = (size_t)(offsets[di + 1] - offsets[di]);
+        float* counts = out + (size_t)di * S;
+        std::memset(counts, 0, sizeof(float) * S);
+        bool ascii = true;
+        for (size_t i = 0; i < len; ++i)
+            if (doc[i] >= 0x80) { ascii = false; break; }
+        if (!ascii) { ok[di] = 0; continue; }
+        ok[di] = 1;
+        ++handled;
+
+        if (len / 2 + 2 > th_cap) {
+            th_cap = len / 2 + 2;
+            delete[] th;
+            th = new uint64_t[th_cap];
+        }
+        if (len + 1 > joined_cap) {
+            joined_cap = len + 1;
+            delete[] joined;
+            joined = new uint8_t[joined_cap];
+        }
+
+        // tokenize (runs of [a-z0-9_] after tolower) + FNV-1a per token +
+        // build the space-joined lowered token string for char n-grams
+        size_t n_tok = 0, jlen = 0;
+        size_t i = 0;
+        while (i < len) {
+            uint8_t c = doc[i];
+            if (c >= 'A' && c <= 'Z') c += 32;
+            bool w = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_';
+            if (!w) { ++i; continue; }
+            if (max_tokens && n_tok >= max_tokens) break;
+            if (n_tok) joined[jlen++] = ' ';
+            uint64_t h = FNV_OFF;
+            while (i < len) {
+                uint8_t b = doc[i];
+                if (b >= 'A' && b <= 'Z') b += 32;
+                bool bw = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') ||
+                          b == '_';
+                if (!bw) break;
+                h = (h ^ (uint64_t)b) * FNV_P;
+                joined[jlen++] = b;
+                ++i;
+            }
+            th[n_tok++] = h;
+        }
+        if (n_tok == 0) continue;  // zeros, matching the Python empty case
+
+        // word n-grams: n==1 is mix(token_hash); n>1 is the polynomial roll
+        for (size_t wi = 0; wi < n_word; ++wi) {
+            uint32_t n = word_ngrams[wi];
+            if (n == 0 || n_tok < n) continue;
+            if (n == 1) {
+                for (size_t t = 0; t < n_tok; ++t)
+                    bucket(mix64(th[t]), counts, S);
+            } else {
+                for (size_t t = 0; t + n <= n_tok; ++t) {
+                    uint64_t h = FNV_OFF;
+                    for (uint32_t j = 0; j < n; ++j) h = (h * FNV_P) ^ th[t + j];
+                    bucket(mix64(h), counts, S);
+                }
+            }
+        }
+        // char n-grams over the joined lowered token bytes
+        for (size_t ci = 0; ci < n_char; ++ci) {
+            uint32_t n = char_ngrams[ci];
+            if (n == 0 || jlen < n) continue;
+            for (size_t t = 0; t + n <= jlen; ++t) {
+                uint64_t h = FNV_OFF;
+                for (uint32_t j = 0; j < n; ++j)
+                    h = (h * FNV_P) ^ (uint64_t)joined[t + j];
+                bucket(mix64(h), counts, S);
+            }
+        }
+    }
+    return handled;
+}
+
 uint32_t ytn_crc32(const uint8_t* data, size_t n, uint32_t seed) {
     crc_init();
     uint32_t c = seed ^ 0xFFFFFFFFu;

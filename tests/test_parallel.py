@@ -73,6 +73,39 @@ class TestShardedInt8:
         assert recall > 0.8
 
 
+class TestShardedPQ:
+    def test_pq4_sharded_matches_single_device_scan(self, mesh):
+        """Multi-chip capacity tier: packed-4-bit ADC shards + ICI merge must
+        return exactly the single-program ADC result."""
+        import jax.sharding as jsh
+
+        from yams_tpu.ops.pq import pq4_pack, pq_adc_topk, pq_encode, pq_train
+        from yams_tpu.parallel.sharded_scan import sharded_pq_topk
+
+        N, D, B, k = 8 * 256, 64, 4, 10
+        e, q = _unit(N, D, seed=20), _unit(B, D, seed=21)
+        cb = pq_train(e, m=16, ksub=16, iters=6)
+        packed = jnp.asarray(pq4_pack(np.asarray(pq_encode(cb, e))))
+        valid = np.ones(N, np.float32)
+        valid[50:80] = 0.0
+        spec_r = jsh.NamedSharding(mesh, jsh.PartitionSpec("d", None))
+        spec_1 = jsh.NamedSharding(mesh, jsh.PartitionSpec("d"))
+        sv, si = sharded_pq_topk(
+            mesh, jnp.asarray(q),
+            jax.device_put(packed, spec_r),
+            cb.centroids,
+            jax.device_put(jnp.asarray(valid), spec_1),
+            k=k, block_rows=128, packed4=True,
+        )
+        ov, oi = pq_adc_topk(jnp.asarray(q), packed, cb.centroids,
+                             jnp.asarray(valid), k=k, block_rows=256,
+                             packed4=True)
+        # same candidate SET per query (merge order may differ on ties)
+        for i in range(B):
+            assert set(np.asarray(si)[i]) == set(np.asarray(oi)[i])
+        assert not (set(np.asarray(si)[0]) & set(range(50, 80)))
+
+
 class TestShardedHybrid:
     def test_fused_scores(self, mesh):
         N, D, B, Nd, k = 8 * 128, 32, 2, 128, 5

@@ -79,6 +79,132 @@ class TestPQOps:
         assert np.all(np.asarray(ai) >= 128)
 
 
+class TestPQ4CapacityTier:
+    """4-bit packed tier (ksub=16, two codes/byte): the single-chip capacity
+    story — code bytes per row = D/16, so ~100M x 768-d fits 16 GB HBM."""
+
+    def test_pack_unpack_scan_matches_unpacked(self):
+        from yams_tpu.ops.pq import pq4_pack
+
+        v = _unit(512, 64, seed=8)
+        q = _unit(4, 64, seed=9)
+        cb = pq_train(v, m=16, ksub=16, iters=8)
+        codes = np.asarray(pq_encode(cb, v))
+        packed = pq4_pack(codes)
+        assert packed.shape == (512, 8)
+        valid = jnp.ones(512)
+        uv, ui = pq_adc_topk(jnp.asarray(q), jnp.asarray(codes), cb.centroids,
+                             valid, k=16, block_rows=128)
+        pv, pi = pq_adc_topk(jnp.asarray(q), jnp.asarray(packed), cb.centroids,
+                             valid, k=16, block_rows=128, packed4=True)
+        np.testing.assert_array_equal(np.asarray(ui), np.asarray(pi))
+        np.testing.assert_allclose(np.asarray(uv), np.asarray(pv), rtol=1e-5)
+
+    def test_pack_rejects_wide_codes(self):
+        from yams_tpu.ops.pq import pq4_pack
+
+        bad = np.full((4, 8), 16, np.uint8)
+        try:
+            pq4_pack(bad)
+            assert False, "expected assertion on code >= 16"
+        except AssertionError:
+            pass
+
+    def test_index_pq4_path_with_rerank(self):
+        idx = VectorIndex(dim=64, capacity=512, block_rows=128)
+        vecs = _unit(300, 64, seed=10)
+        idx.add(vecs, list(range(300)))
+        idx.build_pq(m=16, ksub=16, pack4=True, rerank_factor=4)
+        assert idx.has_pq and idx._pq_codes.shape[1] == 8  # packed bytes
+        vals, rows = idx.search_pq(vecs[23], k=5)
+        assert rows[0, 0] == 23
+        ev, er = idx.search(vecs[23], k=5)
+        assert len(set(rows[0]) & set(er[0])) >= 3
+
+
+class TestPQCapacityContract:
+    """The PQ path must be usable WITHOUT the dense matrix in HBM — that's
+    the entire capacity story (codes at D/16 bytes/row vs 2D bytes bf16)."""
+
+    def test_search_pq_never_uploads_dense_matrix(self):
+        idx = VectorIndex(dim=64, capacity=256, block_rows=64)
+        vecs = _unit(200, 64, seed=14)
+        idx.add(vecs, list(range(200)))
+        idx.build_pq(m=16, ksub=16, pack4=True, rerank_factor=4)
+        idx.upload_bytes_total = 0
+        _, rows = idx.search_pq(vecs[5], k=3, rerank="host")
+        assert rows[0, 0] == 5
+        dense_bytes = idx.capacity * idx.dim * 2  # bf16 corpus
+        # codes (cap x 8) + valid mask (cap x 4) only — far below the corpus
+        assert idx.upload_bytes_total < dense_bytes // 4
+        assert idx._device is None  # dense device arrays never materialized
+
+    def test_host_and_device_rerank_agree(self):
+        idx = VectorIndex(dim=64, capacity=256, block_rows=64)
+        vecs = _unit(200, 64, seed=15)
+        idx.add(vecs, list(range(200)))
+        idx.build_pq(m=16, ksub=16, pack4=True, rerank_factor=4)
+        q = _unit(8, 64, seed=16)
+        hv, hr = idx.search_pq(q, k=5, rerank="host")
+        dv, dr = idx.search_pq(q, k=5, rerank="device")
+        np.testing.assert_array_equal(np.asarray(hr), np.asarray(dr))
+        np.testing.assert_allclose(np.asarray(hv), np.asarray(dv),
+                                   rtol=1e-2, atol=1e-2)
+
+    def test_tombstones_respected_without_dense_arrays(self):
+        idx = VectorIndex(dim=32, capacity=128, block_rows=64)
+        vecs = _unit(100, 32, seed=17)
+        idx.add(vecs, list(range(100)))
+        idx.build_pq(m=8, ksub=16)
+        idx.remove_doc(9)
+        _, rows = idx.search_pq(vecs[9], k=3, rerank="host")
+        assert 9 not in idx.slots_of_rows(rows[0]).tolist()
+
+
+class TestPQPersistence:
+    """v3 sidecar: trained codebooks + codes survive save/load so a daemon
+    restart never retrains or re-encodes (reference: simeon_pq_persistence.h)."""
+
+    def test_save_load_roundtrip_packed(self, tmp_path):
+        idx = VectorIndex(dim=64, capacity=512, block_rows=128)
+        vecs = _unit(300, 64, seed=11)
+        idx.add(vecs, list(range(300)))
+        idx.build_pq(m=16, ksub=16, pack4=True, rerank_factor=4)
+        want_v, want_r = idx.search_pq(vecs[42], k=5)
+        idx.save(tmp_path)
+        idx2 = VectorIndex.load(tmp_path)
+        assert idx2.has_pq and idx2._pq_packed4
+        got_v, got_r = idx2.search_pq(vecs[42], k=5)
+        np.testing.assert_array_equal(np.asarray(want_r), np.asarray(got_r))
+        np.testing.assert_allclose(np.asarray(want_v), np.asarray(got_v),
+                                   rtol=1e-2)
+
+    def test_save_load_roundtrip_pq256(self, tmp_path):
+        idx = VectorIndex(dim=64, capacity=256, block_rows=64)
+        vecs = _unit(150, 64, seed=12)
+        idx.add(vecs, list(range(150)))
+        idx.build_pq(m=8, rerank_factor=2)
+        idx.save(tmp_path)
+        idx2 = VectorIndex.load(tmp_path)
+        assert idx2.has_pq and not getattr(idx2, "_pq_packed4", False)
+        assert idx2._pq_rerank_factor == 2
+        _, rows = idx2.search_pq(vecs[7], k=3)
+        assert rows[0, 0] == 7
+
+    def test_stale_sidecar_removed_when_pq_dropped(self, tmp_path):
+        idx = VectorIndex(dim=32, capacity=128, block_rows=64)
+        vecs = _unit(50, 32, seed=13)
+        idx.add(vecs, list(range(50)))
+        idx.build_pq(m=8, ksub=16)
+        idx.save(tmp_path)
+        assert (tmp_path / "pq.npz").exists()
+        idx._pq_codebook = None  # simulate a build without PQ
+        idx.save(tmp_path)
+        assert not (tmp_path / "pq.npz").exists()
+        idx2 = VectorIndex.load(tmp_path)
+        assert not idx2.has_pq
+
+
 class TestVectorIndexPQ:
     def test_index_pq_path(self):
         idx = VectorIndex(dim=64, capacity=512, block_rows=128)

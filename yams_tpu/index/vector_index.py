@@ -148,6 +148,8 @@ class VectorIndex:
 
     def _mark_dirty(self, rows_np: np.ndarray) -> None:
         self._identity = None
+        self._pq_rerank_device = None  # bf16 rerank mirror tracks host vecs
+        self._pq_valid_device = None   # PQ-path mask tracks tombstones
         for b in np.unique(rows_np // self.block_rows):
             self._dirty_blocks.add(int(b))
 
@@ -265,20 +267,29 @@ class VectorIndex:
 
     # -- PQ-ADC compressed path (reference default engine: SimeonPqAdc) ----------
     def build_pq(
-        self, m: int = 32, train_limit: int = 4096, rerank_factor: int = 2
+        self, m: int = 32, train_limit: int = 4096, rerank_factor: int = 2,
+        ksub: int = 256, pack4: bool = False,
     ) -> None:
         """Train codebooks on current rows + encode everything.
 
         Mirrors the reference's dirty rebuild: call again after bulk inserts
         (device_arrays() staleness applies the same way).
-        """
-        from ..ops.pq import pq_encode, pq_train
 
+        ksub=16 + pack4=True selects the 4-bit capacity tier: two codes per
+        byte on device (D/16 bytes per row — ~100M x 768-d fits one chip).
+        """
+        from ..ops.pq import pq4_pack, pq_encode, pq_train
+
+        if pack4 and ksub > 16:
+            raise ValueError("pack4 requires ksub <= 16")
         with self._lock:
             active = self._vecs[: max(self._count, 1)]
-            self._pq_codebook = pq_train(active, m=m, train_limit=train_limit)
+            self._pq_codebook = pq_train(
+                active, m=m, ksub=ksub, train_limit=train_limit
+            )
             codes = np.asarray(pq_encode(self._pq_codebook, self._vecs))
-            self._pq_codes = codes  # (cap, m) uint8, full capacity
+            self._pq_codes = pq4_pack(codes) if pack4 else codes
+            self._pq_packed4 = pack4
             self._pq_rerank_factor = rerank_factor
             self._pq_device = None
 
@@ -287,18 +298,35 @@ class VectorIndex:
         return getattr(self, "_pq_codebook", None) is not None
 
     def _pq_arrays(self):
+        """Device-resident PQ state: (codes u8, centroids f32, valid f32).
+
+        Self-contained — does NOT touch device_arrays(), so the capacity
+        tier never uploads the dense matrix: HBM holds only codes
+        (D/16 bytes/row packed) + a 4-byte/row mask."""
         import jax.numpy as jnp
 
         with self._lock:
             if getattr(self, "_pq_device", None) is None:
-                self._pq_device = (
-                    jnp.asarray(self._pq_codes),
-                    self._pq_codebook.centroids,
-                )
-            return self._pq_device
+                codes_dev = jnp.asarray(self._pq_codes)
+                self.upload_bytes_total += codes_dev.nbytes
+                self._pq_device = (codes_dev, self._pq_codebook.centroids)
+            if getattr(self, "_pq_valid_device", None) is None:
+                vdev = jnp.asarray(self._valid)
+                self.upload_bytes_total += vdev.nbytes
+                self._pq_valid_device = vdev
+            return (*self._pq_device, self._pq_valid_device)
 
-    def search_pq(self, queries: np.ndarray, k: int = 10):
-        """ADC scan + exact rerank x rerank_factor -> (values, row indices)."""
+    def search_pq(self, queries: np.ndarray, k: int = 10,
+                  rerank: str = "auto"):
+        """ADC scan + exact rerank x rerank_factor -> (values, row indices).
+
+        rerank: 'device' rescores against the HBM-resident dense matrix
+        (fastest when it's already resident for the dense/int8 tiers);
+        'host' gathers the O(B*k*factor) candidates from the f32 host mirror
+        and rescores in numpy — the capacity-tier mode where the dense
+        matrix never touches HBM. 'auto' picks host unless the dense matrix
+        is already device-resident.
+        """
         import jax.numpy as jnp
 
         from ..ops.pq import exact_rerank, pq_adc_topk
@@ -308,27 +336,48 @@ class VectorIndex:
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
-        codes, centroids = self._pq_arrays()
-        _, valid, _, _ = self.device_arrays()
-        import jax.numpy as _jnp
-
-        # rerank always runs on full precision (host mirror -> bf16), even
-        # when the scan tier is int8
-        E = _jnp.asarray(self._vecs, dtype=_jnp.bfloat16)
+        codes, centroids, valid = self._pq_arrays()
+        if rerank == "auto":
+            rerank = "device" if self._device is not None else "host"
         block = self.block_rows  # always divides capacity
         c = min(k * self._pq_rerank_factor, self.capacity)
         av, ai = pq_adc_topk(
-            jnp.asarray(q), codes, centroids, valid, k=c, block_rows=block
+            jnp.asarray(q), codes, centroids, valid, k=c, block_rows=block,
+            packed4=getattr(self, "_pq_packed4", False),
         )
-        vals, idx = exact_rerank(jnp.asarray(q), E, ai, -1e29, k=min(k, c))
+        k_out = min(k, c)
+        if rerank == "host":
+            cand = np.asarray(ai)                          # (B, C)
+            gathered = self._vecs[np.maximum(cand, 0)]     # (B, C, D)
+            s = np.einsum("bcd,bd->bc", gathered, q, dtype=np.float32)
+            s = np.where(cand >= 0, s, -1e30)
+            order = np.argsort(-s, axis=1)[:, :k_out]
+            return (np.take_along_axis(s, order, axis=1),
+                    np.take_along_axis(cand, order, axis=1))
+        if self.device_dtype == "int8":
+            # device rerank wants more precision than the int8 scan tier;
+            # keep a bf16 mirror resident (uploaded once, reused)
+            with self._lock:
+                if getattr(self, "_pq_rerank_device", None) is None:
+                    self._pq_rerank_device = jnp.asarray(
+                        self._vecs, dtype=jnp.bfloat16
+                    )
+                    self.upload_bytes_total += self._pq_rerank_device.nbytes
+                E = self._pq_rerank_device
+        else:
+            E, _, _, _ = self.device_arrays()  # bf16-resident, reused
+        vals, idx = exact_rerank(jnp.asarray(q), E, ai, -1e29, k=k_out)
         return np.asarray(vals), np.asarray(idx)
 
     # -- persistence -----------------------------------------------------------------
     # Versioned on-disk schema (reference: vector_schema_migration.h —
     # detectVersion + stepwise migrateVx chain). v1 = round-1 layout without
     # a version stamp; v2 adds format_version + disk_dtype (float16 disk
-    # storage halves checkpoint size; load widens back to float32).
-    FORMAT_VERSION = 2
+    # storage halves checkpoint size; load widens back to float32); v3 adds
+    # an optional pq.npz sidecar persisting trained PQ codebooks + codes so
+    # a restart never retrains/re-encodes the corpus (reference:
+    # simeon_pq_persistence.h codecs).
+    FORMAT_VERSION = 3
 
     def save(self, directory: str | pathlib.Path,
              disk_dtype: str = "float32") -> None:
@@ -341,6 +390,19 @@ class VectorIndex:
                 valid=self._valid[: self._count],
                 slots=self._slots[: self._count],
             )
+            if self.has_pq:
+                cb = self._pq_codebook
+                np.savez_compressed(
+                    d / "pq.npz",
+                    codes=self._pq_codes[: self._count],
+                    centroids=np.asarray(cb.centroids, np.float32),
+                    params=np.array(
+                        [cb.m, cb.ksub, cb.dsub,
+                         int(getattr(self, "_pq_packed4", False)),
+                         self._pq_rerank_factor], np.int64),
+                )
+            elif (d / "pq.npz").exists():
+                (d / "pq.npz").unlink()  # stale sidecar from a prior build
             (d / "vectors.json").write_text(json.dumps({
                 "format_version": self.FORMAT_VERSION,
                 "disk_dtype": disk_dtype,
@@ -348,6 +410,7 @@ class VectorIndex:
                 "count": self._count,
                 "space_id": self.space_id,
                 "block_rows": self.block_rows,
+                "has_pq": self.has_pq,
                 "saved_at": time.time(),
             }))
 
@@ -367,7 +430,15 @@ class VectorIndex:
         meta["disk_dtype"] = "float32"
         return meta, data
 
-    _MIGRATIONS = {1: "_migrate_v1_to_v2"}
+    @staticmethod
+    def _migrate_v2_to_v3(meta: dict, data: dict) -> tuple[dict, dict]:
+        """v3 only adds the optional pq.npz sidecar; a v2 tree is a valid v3
+        tree with no persisted PQ state."""
+        meta["format_version"] = 3
+        meta["has_pq"] = False
+        return meta, data
+
+    _MIGRATIONS = {1: "_migrate_v1_to_v2", 2: "_migrate_v2_to_v3"}
 
     @classmethod
     def load(cls, directory: str | pathlib.Path) -> "VectorIndex":
@@ -405,6 +476,22 @@ class VectorIndex:
                     idx._rows_by_slot.setdefault(s, []).append(r)
                 else:
                     idx._free.append(r)
+        if meta.get("has_pq") and (d / "pq.npz").exists():
+            from ..ops.pq import PQCodebook
+
+            import jax.numpy as jnp
+
+            pq = np.load(d / "pq.npz")
+            m, ksub, dsub, packed4, rerank = (int(x) for x in pq["params"])
+            idx._pq_codebook = PQCodebook(
+                centroids=jnp.asarray(pq["centroids"]), m=m, ksub=ksub,
+                dsub=dsub)
+            codes = np.zeros((idx.capacity, pq["codes"].shape[1]), np.uint8)
+            codes[:n] = pq["codes"]
+            idx._pq_codes = codes
+            idx._pq_packed4 = bool(packed4)
+            idx._pq_rerank_factor = rerank
+            idx._pq_device = None
         return idx
 
     def stats(self) -> dict:

@@ -74,6 +74,12 @@ def pq_train(
     vectors: np.ndarray, m: int = 32, ksub: int = 256,
     train_limit: int = 4096, iters: int = 10, seed: int = 0,
 ) -> PQCodebook:
+    """ksub=256 is the reference profile (sqlite_vec_backend.h:52-68).
+    ksub=16 is the TPU capacity tier: 4-bit codes pack two per byte
+    (pq4_pack) and the ADC one-hot contraction shrinks to m*16, so a packed
+    scan reads D/16 bytes per row and costs ~2x the FLOPs of a bf16 dense
+    scan of the same dim at 1/32 the HBM traffic — the tier that holds
+    ~100M x 768-d on one 16 GB chip."""
     n, D = vectors.shape
     assert D % m == 0, f"dim {D} not divisible by m={m}"
     if n > train_limit:
@@ -99,24 +105,36 @@ def pq_encode(codebook: PQCodebook, vectors: np.ndarray | jax.Array) -> jax.Arra
                        m=codebook.m)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_rows"))
+def pq4_pack(codes: np.ndarray | jax.Array) -> np.ndarray:
+    """(n, m) uint8 codes with values < 16 -> (n, m//2) packed nibbles.
+
+    Even subspaces go to the low nibble, odd to the high nibble (the unpack
+    in pq_adc_topk interleaves them back in the same order)."""
+    c = np.asarray(codes)
+    assert c.shape[1] % 2 == 0 and c.max(initial=0) < 16
+    return (c[:, 0::2] | (c[:, 1::2] << 4)).astype(np.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_rows", "packed4"))
 def pq_adc_topk(
     queries: jax.Array,    # (B, D) f32
-    codes: jax.Array,      # (N, m) uint8, N % block_rows == 0
+    codes: jax.Array,      # (N, m) uint8 — or (N, m//2) packed when packed4
     centroids: jax.Array,  # (m, ksub, dsub) f32
     valid: jax.Array,      # (N,) f32
     k: int,
     block_rows: int = 8192,
+    packed4: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """ADC scan -> approximate top-k. IP-ADC: score = sum_m lut[m, code]."""
     B, D = queries.shape
-    N, m = codes.shape
+    N = codes.shape[0]
+    m = centroids.shape[0]
     ksub = centroids.shape[1]
     qsub = _split(queries, m)  # (m, B, dsub)
     lut = jnp.einsum("mbd,mkd->bmk", qsub, centroids,
                      preferred_element_type=jnp.float32)  # (B, m, ksub)
     G = N // block_rows
-    blocks = codes.reshape(G, block_rows, m)
+    blocks = codes.reshape(G, block_rows, codes.shape[1])
     masks = valid.reshape(G, block_rows)
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ksub), 2)
 
@@ -125,6 +143,10 @@ def pq_adc_topk(
     def step(carry, inp):
         vals, idx = carry
         block, mask, g = inp
+        if packed4:
+            lo = block & jnp.uint8(0x0F)
+            hi = block >> jnp.uint8(4)
+            block = jnp.stack([lo, hi], axis=2).reshape(block_rows, m)
         onehot = (block[:, :, None].astype(jnp.int32) == iota).astype(jnp.bfloat16)
         s = jnp.einsum("bmk,nmk->bn", lut.astype(jnp.bfloat16), onehot,
                        preferred_element_type=jnp.float32)

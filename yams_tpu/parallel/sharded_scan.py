@@ -94,6 +94,45 @@ def sharded_int8_topk(
     return fn(queries, corpus_q, corpus_scale, valid)
 
 
+def sharded_pq_topk(
+    mesh: Mesh,
+    queries: jax.Array,    # (B, D) f32 replicated
+    codes: jax.Array,      # (N, mb) uint8 row-sharded (packed when packed4)
+    centroids: jax.Array,  # (m, ksub, dsub) f32 replicated
+    valid: jax.Array,      # (N,) f32 row-sharded
+    k: int,
+    block_rows: int = 8192,
+    packed4: bool = False,
+    axis: str = "d",
+):
+    """Multi-chip PQ capacity tier: ADC-scan codes per shard, merge top-k
+    over ICI. At 24 B/row (768-d packed4) a v5e-8 holds ~0.8B rows; the
+    exact rerank stays with the caller (host gather of k*factor candidates,
+    search_pq(rerank='host') pattern) so no shard ever holds dense vectors.
+    """
+    from ..ops.pq import pq_adc_topk
+
+    def local(q, c, cent, v):
+        rows_local = c.shape[0]
+        vals, idx = pq_adc_topk(q, c, cent, v, k=k, block_rows=block_rows,
+                                packed4=packed4)
+        idx = jnp.where(idx >= 0,
+                        idx + jax.lax.axis_index(axis) * rows_local, idx)
+        all_v = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
+        all_i = jax.lax.all_gather(idx, axis, axis=1, tiled=True)
+        out_v, pos = jax.lax.top_k(all_v, k)
+        return out_v, jnp.take_along_axis(all_i, pos, axis=1)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, codes, centroids, valid)
+
+
 def sharded_hybrid_scores(
     mesh: Mesh,
     queries: jax.Array,     # (B, D) replicated, normalized

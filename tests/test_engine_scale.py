@@ -114,3 +114,81 @@ class TestInt8Tier:
         idx.add(vecs, list(range(50)))
         vals, rows = idx.search(vecs[7], k=1)
         assert rows[0, 0] == 7
+
+
+class TestPQTier:
+    """Capacity tier in the hybrid engine: ADC scan + host rerank vector
+    leg, on-device lexical+fusion — the dense matrix never uploads."""
+
+    @staticmethod
+    def _build(pq: bool):
+        eng = SearchEngine(
+            config=SearchEngineConfig(batch_pad=4, pq_tier_enabled=pq),
+            embedding=EmbeddingConfig(dim=64, sketch_dim=512),
+            vector=VectorIndexConfig(dim=64, capacity=256, block_rows=128),
+            lexical=LexicalIndexConfig(postings_window=64),
+        )
+        for i in range(60):
+            eng.add_document(i, f"doc {i} about subject {'pqr'[i % 3]}")
+        if pq:
+            eng.vector_index.build_pq(m=16, ksub=16, pack4=True,
+                                      rerank_factor=4)
+        return eng
+
+    def test_pq_tier_results_close_to_dense(self):
+        dense = self._build(pq=False)
+        pq = self._build(pq=True)
+        for q in ("subject p doc", "subject q", "doc subject r"):
+            rd = [r.doc_id for r in dense.search(q, k=5)]
+            rp = [r.doc_id for r in pq.search(q, k=5)]
+            assert len(set(rd) & set(rp)) >= 4, (q, rd, rp)
+
+    def test_pq_tier_never_uploads_dense_matrix(self):
+        eng = self._build(pq=True)
+        eng.vector_index._device = None  # drop any resident dense arrays
+        eng.vector_index.upload_bytes_total = 0
+        eng.search("subject p doc", k=5)
+        assert eng.vector_index._device is None
+        dense_bytes = eng.vector_index.capacity * 64 * 2
+        assert eng.vector_index.upload_bytes_total < dense_bytes
+
+    def test_pq_tier_without_build_falls_back(self):
+        eng = SearchEngine(
+            config=SearchEngineConfig(batch_pad=4, pq_tier_enabled=True),
+            embedding=EmbeddingConfig(dim=64, sketch_dim=512),
+            vector=VectorIndexConfig(dim=64, capacity=256, block_rows=128),
+            lexical=LexicalIndexConfig(postings_window=64),
+        )
+        for i in range(20):
+            eng.add_document(i, f"note {i} theme {'xy'[i % 2]}")
+        assert eng.search("theme x", k=3)  # dense path, no PQ state
+
+    def test_pq_tier_keyword_mode(self):
+        eng = self._build(pq=True)
+        res = eng.search("subject p", k=5, mode="keyword")
+        assert res and all(r.doc_id % 3 == 0 for r in res[:3])
+
+    def test_pq_tier_respects_doc_filter(self):
+        eng = self._build(pq=True)
+        allow = {3, 6, 9}
+        res = eng.search("subject p doc", k=5, filter_doc_ids=allow)
+        assert res and all(r.doc_id in allow for r in res)
+
+    def test_pq_tier_chunked_docs_dedup(self):
+        eng = SearchEngine(
+            config=SearchEngineConfig(batch_pad=4, pq_tier_enabled=True),
+            embedding=EmbeddingConfig(dim=64, sketch_dim=512),
+            vector=VectorIndexConfig(dim=64, capacity=256, block_rows=128),
+            lexical=LexicalIndexConfig(postings_window=64),
+        )
+        long_body = " ".join(
+            f"paragraph {j} on matter alpha with more prose" for j in range(40)
+        )
+        eng.add_document(0, long_body)   # chunks into multiple rows
+        for i in range(1, 12):
+            eng.add_document(i, f"entry {i} matter {'ab'[i % 2]}")
+        eng.vector_index.build_pq(m=16, ksub=16, pack4=True, rerank_factor=4)
+        res = eng.search("matter alpha paragraph", k=5)
+        ids = [r.doc_id for r in res]
+        assert ids[0] == 0
+        assert len(ids) == len(set(ids))  # one entry per doc post-dedup

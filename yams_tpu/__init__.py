@@ -17,4 +17,4 @@ JAX/XLA/Pallas device engine fronted by a Python/C++ host system:
   daemon, MCP stdio server and CLI.
 """
 
-__version__ = "0.3.2"
+__version__ = "0.3.3"

@@ -93,6 +93,14 @@ class SearchEngineConfig:
     approx_threshold: int = 65_536
     streaming_threshold: int = 2_000_000
     streaming_block_rows: int = 262_144
+    # PQ capacity tier: when enabled and the index has trained PQ state
+    # (VectorIndex.build_pq), the hybrid vector leg runs as a packed ADC
+    # scan + exact host rerank instead of the dense in-program scan — the
+    # dense matrix never uploads to HBM (D/16 bytes/row packed4), extending
+    # the single-chip corpus ceiling ~64x over bf16. Narrow-routing masks
+    # post-filter the candidate list in this tier (selection is mask-blind).
+    pq_tier_enabled: bool = False
+
     # impact-ordered lexical early termination: above approx_threshold slots,
     # scan only the top-`bm25_prefilter` postings per term (windows are
     # impact-descending, so this keeps the highest-impact postings). Cuts the

@@ -406,8 +406,13 @@ class SearchEngine:
             w = w.copy(); w[0] *= tm; w[1] *= vm
             trace["intent"] = intent
 
-        E, row_valid, row2slot, row_scale = self.vector_index.device_arrays()
-        int8_corpus = self.vector_index.device_dtype == "int8"
+        # PQ capacity tier: the dense matrix must never touch HBM, so the
+        # vector leg runs as ADC scan + host rerank outside the fused program
+        use_pq = cfg.pq_tier_enabled and self.vector_index.has_pq
+        if not use_pq:
+            E, row_valid, row2slot, row_scale = \
+                self.vector_index.device_arrays()
+            int8_corpus = self.vector_index.device_dtype == "int8"
         bm = self.lexical_index.device_arrays(Nd)
 
         base_mask = np.zeros(Nd, np.float32)
@@ -453,47 +458,95 @@ class SearchEngine:
             import jax
 
             jax.profiler.start_trace(profile_dir)
-        # scale tiers: exact top-k for small corpora; TPU-optimized partial
-        # reduction above approx_threshold; streaming blocked scan (no (B,N)
-        # materialization) above streaming_threshold rows — only valid when
-        # rows == slots (flat layout), which holds when no doc is chunked
-        rows = E.shape[0]
-        flat = self.vector_index.identity_layout and rows >= Nd
-        scale_opts: dict = {"approx": Nd > cfg.approx_threshold,
-                            "int8_corpus": int8_corpus}
-        if Nd > cfg.approx_threshold and cfg.bm25_prefilter > 0:
-            # impact-ordered lexical early termination (large corpora only —
-            # small corpora keep the exact full-window scan)
-            scale_opts["bm25_prefilter"] = cfg.bm25_prefilter
-        if flat:
-            scale_opts["rows_are_docs"] = True
-            if (rows > cfg.streaming_threshold
-                    and rows % cfg.streaming_block_rows == 0):
-                scale_opts["scan_block_rows"] = cfg.streaming_block_rows
-                # streaming indexes the mask by row, not slot: pad to rows
-                pad = rows - doc_mask.shape[-1]
-                if pad > 0:
-                    doc_mask = np.pad(
-                        doc_mask,
-                        [(0, 0)] * (doc_mask.ndim - 1) + [(0, pad)],
-                    )
         use_packed = bm.packed is not None
-        vals, slots, bm_at, vec_at = hybrid_query(
-            jnp.asarray(sketches), jnp.asarray(tids), jnp.asarray(tmask),
-            proj,
-            E, row_valid, row2slot, row_scale,
-            bm.packed if use_packed else bm.postings_doc,
-            bm.impact_scale if use_packed else bm.postings_impact,
-            bm.term_offsets, bm.term_lengths,
-            jnp.asarray(doc_mask), jnp.asarray(hot), jnp.asarray(w),
-            k=k_dev,
-            rrf_cand=rrf_c,
-            window=self.lexical_index.config.postings_window,
-            num_slots=Nd,
-            chunk_agg=cfg.chunk_agg,
-            packed_lexical=use_packed,
-            **scale_opts,
-        )
+        lex_prefilter = (cfg.bm25_prefilter
+                         if Nd > cfg.approx_threshold and cfg.bm25_prefilter > 0
+                         else 0)
+        if use_pq:
+            # PQ capacity tier: packed ADC scan + exact host rerank produce
+            # the vector candidate list off-program; fusion runs on device
+            # with the lexical leg (fusion.hybrid_fuse_precomputed)
+            from .fusion import hybrid_fuse_precomputed
+
+            vv_np = np.full((B, rrf_c), -1e30, np.float32)
+            vi_np = np.full((B, rrf_c), Nd, np.int32)
+            if mode != "keyword":
+                pvals, prows = self.vector_index.search_pq(
+                    _query_vecs(), k=rrf_c, rerank="host")
+                pslots = np.where(
+                    prows >= 0,
+                    self.vector_index.slots_of_rows(
+                        np.maximum(prows, 0).reshape(-1)
+                    ).reshape(prows.shape),
+                    -1,
+                )
+                for i in range(B_real):
+                    s_row, v_row = pslots[i], pvals[i]
+                    # chunk->doc max: rows arrive score-descending, so the
+                    # first occurrence of a slot is its best chunk; keep
+                    # positions sorted to preserve rank order for RRF
+                    _, first_idx = np.unique(s_row, return_index=True)
+                    fi = np.sort(first_idx)
+                    fi = fi[(s_row[fi] >= 0) & (s_row[fi] < Nd)
+                            & (v_row[fi] > -1e29)]
+                    vv_np[i, : len(fi)] = v_row[fi]
+                    vi_np[i, : len(fi)] = s_row[fi]
+            vals, slots, bm_at, vec_at = hybrid_fuse_precomputed(
+                jnp.asarray(tids), jnp.asarray(tmask),
+                bm.packed if use_packed else bm.postings_doc,
+                bm.impact_scale if use_packed else bm.postings_impact,
+                bm.term_offsets, bm.term_lengths,
+                jnp.asarray(doc_mask), jnp.asarray(hot), jnp.asarray(w),
+                jnp.asarray(vv_np), jnp.asarray(vi_np),
+                k=k_dev,
+                rrf_cand=rrf_c,
+                window=self.lexical_index.config.postings_window,
+                num_slots=Nd,
+                bm25_prefilter=lex_prefilter,
+                packed_lexical=use_packed,
+            )
+        else:
+            # scale tiers: exact top-k for small corpora; TPU-optimized
+            # partial reduction above approx_threshold; streaming blocked
+            # scan (no (B,N) materialization) above streaming_threshold rows
+            # — only valid when rows == slots (flat layout), which holds
+            # when no doc is chunked
+            rows = E.shape[0]
+            flat = self.vector_index.identity_layout and rows >= Nd
+            scale_opts: dict = {"approx": Nd > cfg.approx_threshold,
+                                "int8_corpus": int8_corpus}
+            if lex_prefilter:
+                # impact-ordered lexical early termination (large corpora
+                # only — small corpora keep the exact full-window scan)
+                scale_opts["bm25_prefilter"] = lex_prefilter
+            if flat:
+                scale_opts["rows_are_docs"] = True
+                if (rows > cfg.streaming_threshold
+                        and rows % cfg.streaming_block_rows == 0):
+                    scale_opts["scan_block_rows"] = cfg.streaming_block_rows
+                    # streaming indexes the mask by row, not slot: pad
+                    pad = rows - doc_mask.shape[-1]
+                    if pad > 0:
+                        doc_mask = np.pad(
+                            doc_mask,
+                            [(0, 0)] * (doc_mask.ndim - 1) + [(0, pad)],
+                        )
+            vals, slots, bm_at, vec_at = hybrid_query(
+                jnp.asarray(sketches), jnp.asarray(tids), jnp.asarray(tmask),
+                proj,
+                E, row_valid, row2slot, row_scale,
+                bm.packed if use_packed else bm.postings_doc,
+                bm.impact_scale if use_packed else bm.postings_impact,
+                bm.term_offsets, bm.term_lengths,
+                jnp.asarray(doc_mask), jnp.asarray(hot), jnp.asarray(w),
+                k=k_dev,
+                rrf_cand=rrf_c,
+                window=self.lexical_index.config.postings_window,
+                num_slots=Nd,
+                chunk_agg=cfg.chunk_agg,
+                packed_lexical=use_packed,
+                **scale_opts,
+            )
         # ONE batched device->host fetch: sequential np.asarray pays a full
         # host<->device round trip per array (4 RTTs; dominant serving cost
         # on tunneled/remote devices, still 3 wasted syncs on local PCIe)

@@ -239,6 +239,56 @@ def hybrid_query(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "rrf_cand", "window", "num_slots",
+                     "bm25_prefilter", "packed_lexical"),
+)
+def hybrid_fuse_precomputed(
+    term_ids: jax.Array,
+    term_mask: jax.Array,
+    postings_doc: jax.Array,
+    postings_impact: jax.Array,
+    term_offsets: jax.Array,
+    term_lengths: jax.Array,
+    doc_mask: jax.Array,     # (num_slots,) or (B, num_slots) f32
+    hot: jax.Array,
+    weights: jax.Array,
+    vec_vals: jax.Array,     # (B, C) f32 — exact-reranked cosine scores
+    vec_slots: jax.Array,    # (B, C) i32 — doc slots, sink = absent
+    *,
+    k: int,
+    rrf_cand: int,
+    window: int,
+    num_slots: int,
+    bm25_prefilter: int = 0,
+    packed_lexical: bool = False,
+):
+    """Fusion stages 3-5 with an externally-computed vector candidate list.
+
+    The PQ capacity tier produces (vec_vals, vec_slots) off-program: packed
+    ADC scan on device + exact host rerank from the f32 mirror (the dense
+    matrix never lives in HBM, so the vector leg can't run inside
+    hybrid_query). Lexical leg + candidate fusion are unchanged. Vector
+    candidates are doc-mask gated HERE because their selection was
+    mask-blind — with per-query narrow-routing masks this is post-filtering
+    (candidates outside the route are dropped, not re-scanned)."""
+    dm = doc_mask if doc_mask.ndim == 2 else doc_mask[None, :]
+    sink = num_slots
+    safe_v = jnp.minimum(vec_slots, sink - 1)
+    if dm.shape[0] == 1:
+        dm_at_v = jnp.take(dm[0], safe_v, axis=0)
+    else:
+        dm_at_v = jnp.take_along_axis(dm, safe_v, axis=1)
+    vv = jnp.where((dm_at_v > 0) & (vec_slots < sink), vec_vals, NEG)
+    return _fuse_candidates(
+        term_ids, term_mask, postings_doc, postings_impact, term_offsets,
+        term_lengths, dm, hot, weights, vv, vec_slots, None,
+        k=k, C=rrf_cand, window=window, num_slots=num_slots,
+        bm25_prefilter=bm25_prefilter, packed_lexical=packed_lexical,
+    )
+
+
 def _fuse_candidates(
     term_ids, term_mask, postings_doc, postings_impact, term_offsets,
     term_lengths, dm, hot, weights, vv, vi_slots, sdoc,

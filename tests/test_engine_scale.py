@@ -174,6 +174,37 @@ class TestPQTier:
         res = eng.search("subject p doc", k=5, filter_doc_ids=allow)
         assert res and all(r.doc_id in allow for r in res)
 
+    def test_pq_candidate_aggregation_modes(self):
+        from yams_tpu.search.engine import _aggregate_pq_candidates
+
+        vals = np.array([0.9, 0.8, 0.5, 0.4, -1e30], np.float32)
+        slots = np.array([3, 3, 7, 3, 2], np.int32)
+        v, s = _aggregate_pq_candidates(vals, slots, 100, "max")
+        assert s.tolist() == [3, 7] and np.isclose(v[0], 0.9)
+        v, s = _aggregate_pq_candidates(vals, slots, 100, "sum")
+        assert np.isclose(v[s.tolist().index(3)], 0.9 + 0.8 + 0.4)
+        v, s = _aggregate_pq_candidates(vals, slots, 100, "topk_avg")
+        assert np.isclose(v[s.tolist().index(3)], (0.9 + 0.8) / 2)
+        assert np.isclose(v[s.tolist().index(7)], 0.5)  # single-chunk: m1
+        v, s = _aggregate_pq_candidates(vals, slots, 100, "weighted_topk_avg")
+        assert np.isclose(v[s.tolist().index(3)], (0.9 + 0.5 * 0.8) / 1.5)
+
+    def test_pq_tier_honors_chunk_agg_config(self):
+        eng = SearchEngine(
+            config=SearchEngineConfig(batch_pad=4, pq_tier_enabled=True,
+                                      chunk_agg="topk_avg"),
+            embedding=EmbeddingConfig(dim=64, sketch_dim=512),
+            vector=VectorIndexConfig(dim=64, capacity=256, block_rows=128),
+            lexical=LexicalIndexConfig(postings_window=64),
+        )
+        body = " ".join(f"passage {j} concerning beta topic" for j in range(40))
+        eng.add_document(0, body)
+        for i in range(1, 10):
+            eng.add_document(i, f"item {i} concerning {'gd'[i % 2]}")
+        eng.vector_index.build_pq(m=16, ksub=16, pack4=True, rerank_factor=4)
+        res = eng.search("beta passage topic", k=3)
+        assert res and res[0].doc_id == 0
+
     def test_pq_tier_chunked_docs_dedup(self):
         eng = SearchEngine(
             config=SearchEngineConfig(batch_pad=4, pq_tier_enabled=True),

@@ -101,14 +101,14 @@ class TestPQ4CapacityTier:
         np.testing.assert_allclose(np.asarray(uv), np.asarray(pv), rtol=1e-5)
 
     def test_pack_rejects_wide_codes(self):
+        import pytest
+
         from yams_tpu.ops.pq import pq4_pack
 
-        bad = np.full((4, 8), 16, np.uint8)
-        try:
-            pq4_pack(bad)
-            assert False, "expected assertion on code >= 16"
-        except AssertionError:
-            pass
+        with pytest.raises(ValueError):
+            pq4_pack(np.full((4, 8), 16, np.uint8))   # code value >= 16
+        with pytest.raises(ValueError):
+            pq4_pack(np.zeros((4, 7), np.uint8))      # odd subspace count
 
     def test_index_pq4_path_with_rerank(self):
         idx = VectorIndex(dim=64, capacity=512, block_rows=128)
@@ -159,6 +159,71 @@ class TestPQCapacityContract:
         idx.remove_doc(9)
         _, rows = idx.search_pq(vecs[9], k=3, rerank="host")
         assert 9 not in idx.slots_of_rows(rows[0]).tolist()
+
+
+class TestPQMutationAfterBuild:
+    """Post-build mutations must keep PQ state consistent: codes stay
+    capacity-sized across growth, new/recycled rows encode with the existing
+    codebook, and checkpoints taken after growth reload."""
+
+    def test_search_pq_survives_growth(self):
+        idx = VectorIndex(dim=64, capacity=128, block_rows=64)
+        base = _unit(100, 64, seed=30)
+        idx.add(base, list(range(100)))
+        idx.build_pq(m=16, ksub=16, pack4=True, rerank_factor=4)
+        extra = _unit(100, 64, seed=31)
+        idx.add(extra, list(range(100, 200)))   # triggers _grow
+        assert idx.capacity > 128
+        assert idx._pq_codes.shape[0] == idx.capacity
+        _, rows = idx.search_pq(extra[7], k=3, rerank="host")
+        assert idx.slots_of_rows(rows[0])[0] == 107  # new row encoded+found
+
+    def test_save_load_after_growth(self, tmp_path):
+        idx = VectorIndex(dim=32, capacity=64, block_rows=64)
+        idx.add(_unit(60, 32, seed=32), list(range(60)))
+        idx.build_pq(m=8, ksub=16)
+        idx.add(_unit(40, 32, seed=33), list(range(60, 100)))  # grow
+        idx.save(tmp_path)
+        idx2 = VectorIndex.load(tmp_path)
+        assert idx2.has_pq
+        q = idx._vecs[75]
+        _, rows = idx2.search_pq(q, k=1, rerank="host")
+        assert idx2.slots_of_rows(rows[0])[0] == 75
+
+    def test_recycled_row_gets_fresh_code(self):
+        idx = VectorIndex(dim=64, capacity=128, block_rows=64)
+        idx.add(_unit(50, 64, seed=34), list(range(50)))
+        idx.build_pq(m=16, ksub=16, pack4=True, rerank_factor=4)
+        idx.remove_doc(10)
+        fresh = _unit(1, 64, seed=35)
+        idx.add(fresh, [99])  # reuses row 10
+        _, rows = idx.search_pq(fresh[0], k=1, rerank="host")
+        assert idx.slots_of_rows(rows[0])[0] == 99
+
+    def test_failed_build_leaves_no_partial_state(self):
+        import pytest
+
+        idx = VectorIndex(dim=96, capacity=128, block_rows=64)
+        idx.add(_unit(50, 96, seed=36), list(range(50)))
+        with pytest.raises(ValueError):
+            idx.build_pq(m=3, ksub=16, pack4=True)  # odd m: invalid for pack4
+        assert not idx.has_pq
+        with pytest.raises(ValueError):
+            idx.build_pq(m=5, ksub=16)  # 96 % 5 != 0
+        assert not idx.has_pq
+        idx.build_pq(m=4, ksub=16, pack4=True)  # valid build still works
+        assert idx.has_pq
+
+    def test_incremental_mask_update_transfers_one_block(self):
+        idx = VectorIndex(dim=64, capacity=512, block_rows=128)
+        idx.add(_unit(400, 64, seed=37), list(range(400)))
+        idx.build_pq(m=16, ksub=16, pack4=True)
+        idx.search_pq(_unit(1, 64, seed=38), k=3, rerank="host")  # resident
+        idx.upload_bytes_total = 0
+        idx.remove_doc(5)   # dirties exactly one block
+        idx.search_pq(_unit(1, 64, seed=39), k=3, rerank="host")
+        block_bytes = 128 * (8 + 4)  # codes (m/2 u8) + mask (f32) per block
+        assert 0 < idx.upload_bytes_total <= 2 * block_bytes
 
 
 class TestPQPersistence:

@@ -80,6 +80,7 @@ class VectorIndex:
         # (grow / first build) is pending
         self._dirty_full = True
         self._dirty_blocks: set[int] = set()
+        self._pq_dirty_blocks: set[int] = set()
         self.upload_bytes_total = 0  # instrumentation: host->device traffic
         self._device = None  # (E bf16, valid f32, row2slot i32)
         self._lock = threading.RLock()
@@ -102,6 +103,16 @@ class VectorIndex:
         self._valid = np.concatenate([self._valid, np.zeros(add, np.float32)])
         self._slots = np.concatenate([self._slots, np.full(add, -1, np.int32)])
         self._dirty_full = True
+        if self.has_pq:
+            # keep codes capacity-sized (search_pq reshapes by block; save()
+            # slices [:count]) — new rows encode lazily in add()
+            self._pq_codes = np.vstack([
+                self._pq_codes,
+                np.zeros((add, self._pq_codes.shape[1]), np.uint8),
+            ])
+            self._pq_device = None        # device shapes changed: full
+            self._pq_valid_device = None  # re-upload on next _pq_arrays
+            self._pq_rerank_device = None
 
     # -- mutation ----------------------------------------------------------------
     def add(self, vectors: np.ndarray, doc_slots: np.ndarray | list[int]) -> list[int]:
@@ -131,6 +142,17 @@ class VectorIndex:
             self._slots[rows_np] = doc_slots
             for r, s in zip(rows, doc_slots.tolist()):
                 self._rows_by_slot.setdefault(s, []).append(r)
+            if self.has_pq:
+                # incremental encode with the existing codebook (the
+                # reference's dirty rebuild re-encodes changed dims the same
+                # way, sqlite_vec_backend.cpp:625-645); codebook drift from
+                # distribution shift is repaired by a periodic build_pq
+                from ..ops.pq import pq4_pack, pq_encode
+
+                codes = np.asarray(pq_encode(self._pq_codebook, vectors))
+                if getattr(self, "_pq_packed4", False):
+                    codes = pq4_pack(codes)
+                self._pq_codes[rows_np] = codes
             self._mark_dirty(rows_np)
             return rows
 
@@ -148,10 +170,11 @@ class VectorIndex:
 
     def _mark_dirty(self, rows_np: np.ndarray) -> None:
         self._identity = None
-        self._pq_rerank_device = None  # bf16 rerank mirror tracks host vecs
-        self._pq_valid_device = None   # PQ-path mask tracks tombstones
         for b in np.unique(rows_np // self.block_rows):
             self._dirty_blocks.add(int(b))
+            # PQ device state (codes/mask/rerank mirror) splices the same
+            # dirty blocks in _pq_arrays — never a full re-upload per add
+            self._pq_dirty_blocks.add(int(b))
 
     def rows_for_slot(self, doc_slot: int) -> list[int]:
         return list(self._rows_by_slot.get(doc_slot, []))
@@ -280,15 +303,23 @@ class VectorIndex:
         """
         from ..ops.pq import pq4_pack, pq_encode, pq_train
 
+        # validate everything BEFORE mutating state: a partial build must not
+        # leave has_pq=True with missing/mismatched codes
         if pack4 and ksub > 16:
             raise ValueError("pack4 requires ksub <= 16")
+        if self.dim % m:
+            raise ValueError(f"dim {self.dim} not divisible by m={m}")
+        if pack4 and m % 2:
+            raise ValueError(f"pack4 requires even m, got {m}")
         with self._lock:
             active = self._vecs[: max(self._count, 1)]
-            self._pq_codebook = pq_train(
+            codebook = pq_train(
                 active, m=m, ksub=ksub, train_limit=train_limit
             )
-            codes = np.asarray(pq_encode(self._pq_codebook, self._vecs))
-            self._pq_codes = pq4_pack(codes) if pack4 else codes
+            codes = np.asarray(pq_encode(codebook, self._vecs))
+            codes = pq4_pack(codes) if pack4 else codes
+            self._pq_codebook = codebook
+            self._pq_codes = codes
             self._pq_packed4 = pack4
             self._pq_rerank_factor = rerank_factor
             self._pq_device = None
@@ -302,18 +333,45 @@ class VectorIndex:
 
         Self-contained — does NOT touch device_arrays(), so the capacity
         tier never uploads the dense matrix: HBM holds only codes
-        (D/16 bytes/row packed) + a 4-byte/row mask."""
+        (D/16 bytes/row packed) + a 4-byte/row mask. Mutations splice only
+        their dirty blocks (same incremental contract as device_arrays)."""
         import jax.numpy as jnp
 
         with self._lock:
-            if getattr(self, "_pq_device", None) is None:
+            full = (getattr(self, "_pq_device", None) is None
+                    or getattr(self, "_pq_valid_device", None) is None)
+            if full:
                 codes_dev = jnp.asarray(self._pq_codes)
-                self.upload_bytes_total += codes_dev.nbytes
-                self._pq_device = (codes_dev, self._pq_codebook.centroids)
-            if getattr(self, "_pq_valid_device", None) is None:
                 vdev = jnp.asarray(self._valid)
-                self.upload_bytes_total += vdev.nbytes
+                self.upload_bytes_total += codes_dev.nbytes + vdev.nbytes
+                self._pq_device = (codes_dev, self._pq_codebook.centroids)
                 self._pq_valid_device = vdev
+                self._pq_dirty_blocks.clear()
+            elif self._pq_dirty_blocks:
+                global _UPDATERS
+                if _UPDATERS is None:
+                    _UPDATERS = _block_updaters()
+                upd_rows, upd_vec = _UPDATERS
+                codes_dev, cent = self._pq_device
+                vdev = self._pq_valid_device
+                br = self.block_rows
+                for b in sorted(self._pq_dirty_blocks):
+                    lo = b * br
+                    start = jnp.int32(lo)
+                    cblk = jnp.asarray(self._pq_codes[lo:lo + br])
+                    vblk = jnp.asarray(self._valid[lo:lo + br])
+                    codes_dev = upd_rows(codes_dev, cblk, start)
+                    vdev = upd_vec(vdev, vblk, start)
+                    self.upload_bytes_total += cblk.nbytes + vblk.nbytes
+                    if getattr(self, "_pq_rerank_device", None) is not None:
+                        rblk = jnp.asarray(self._vecs[lo:lo + br],
+                                           dtype=jnp.bfloat16)
+                        self._pq_rerank_device = upd_rows(
+                            self._pq_rerank_device, rblk, start)
+                        self.upload_bytes_total += rblk.nbytes
+                self._pq_device = (codes_dev, cent)
+                self._pq_valid_device = vdev
+                self._pq_dirty_blocks.clear()
             return (*self._pq_device, self._pq_valid_device)
 
     def search_pq(self, queries: np.ndarray, k: int = 10,

@@ -81,7 +81,8 @@ def pq_train(
     scan of the same dim at 1/32 the HBM traffic — the tier that holds
     ~100M x 768-d on one 16 GB chip."""
     n, D = vectors.shape
-    assert D % m == 0, f"dim {D} not divisible by m={m}"
+    if D % m:
+        raise ValueError(f"dim {D} not divisible by m={m}")
     if n > train_limit:
         rng = np.random.default_rng(seed)
         vectors = vectors[rng.choice(n, train_limit, replace=False)]
@@ -111,7 +112,10 @@ def pq4_pack(codes: np.ndarray | jax.Array) -> np.ndarray:
     Even subspaces go to the low nibble, odd to the high nibble (the unpack
     in pq_adc_topk interleaves them back in the same order)."""
     c = np.asarray(codes)
-    assert c.shape[1] % 2 == 0 and c.max(initial=0) < 16
+    if c.shape[1] % 2:
+        raise ValueError(f"pack4 needs an even code count, got {c.shape[1]}")
+    if c.max(initial=0) >= 16:
+        raise ValueError("pack4 codes must be < 16 (train with ksub <= 16)")
     return (c[:, 0::2] | (c[:, 1::2] << 4)).astype(np.uint8)
 
 

@@ -19,6 +19,18 @@ from jax.sharding import PartitionSpec as P
 from ..ops.scan import exact_topk_scan
 
 
+def _ici_merge_topk(vals, idx, *, k: int, axis: str, rows_local: int):
+    """Shared per-shard -> global candidate merge: offset local row indices
+    by the shard's base (sentinel -1 rows stay -1), all-gather the k-wide
+    candidate lists over ICI, exact top-k on the (B, k*shards) merge."""
+    idx = jnp.where(idx >= 0,
+                    idx + jax.lax.axis_index(axis) * rows_local, idx)
+    all_v = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
+    all_i = jax.lax.all_gather(idx, axis, axis=1, tiled=True)
+    out_v, pos = jax.lax.top_k(all_v, k)
+    return out_v, jnp.take_along_axis(all_i, pos, axis=1)
+
+
 def shard_corpus(mesh: Mesh, corpus, valid, axis: str = "d"):
     """Place (N, D) corpus + (N,) valid row-sharded over the mesh."""
     return (
@@ -41,14 +53,9 @@ def sharded_topk(
     Returns (values (B,k), global indices (B,k)), replicated.
     """
     def local(q, e, v):
-        rows_local = e.shape[0]
         vals, idx = exact_topk_scan(q, e, v, k=k, block_rows=block_rows)
-        idx = idx + jax.lax.axis_index(axis) * rows_local
-        all_v = jax.lax.all_gather(vals, axis, axis=1, tiled=True)  # (B, k*S)
-        all_i = jax.lax.all_gather(idx, axis, axis=1, tiled=True)
-        out_v, pos = jax.lax.top_k(all_v, k)
-        out_i = jnp.take_along_axis(all_i, pos, axis=1)
-        return out_v, out_i
+        return _ici_merge_topk(vals, idx, k=k, axis=axis,
+                               rows_local=e.shape[0])
 
     fn = jax.shard_map(
         local,
@@ -76,13 +83,9 @@ def sharded_int8_topk(
     from ..ops.scan import int8_topk_scan
 
     def local(q, cq, cs, v):
-        rows_local = cq.shape[0]
         vals, idx = int8_topk_scan(q, cq, cs, v, k=k, block_rows=block_rows)
-        idx = idx + jax.lax.axis_index(axis) * rows_local
-        all_v = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
-        all_i = jax.lax.all_gather(idx, axis, axis=1, tiled=True)
-        out_v, pos = jax.lax.top_k(all_v, k)
-        return out_v, jnp.take_along_axis(all_i, pos, axis=1)
+        return _ici_merge_topk(vals, idx, k=k, axis=axis,
+                               rows_local=cq.shape[0])
 
     fn = jax.shard_map(
         local,
@@ -113,15 +116,10 @@ def sharded_pq_topk(
     from ..ops.pq import pq_adc_topk
 
     def local(q, c, cent, v):
-        rows_local = c.shape[0]
         vals, idx = pq_adc_topk(q, c, cent, v, k=k, block_rows=block_rows,
                                 packed4=packed4)
-        idx = jnp.where(idx >= 0,
-                        idx + jax.lax.axis_index(axis) * rows_local, idx)
-        all_v = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
-        all_i = jax.lax.all_gather(idx, axis, axis=1, tiled=True)
-        out_v, pos = jax.lax.top_k(all_v, k)
-        return out_v, jnp.take_along_axis(all_i, pos, axis=1)
+        return _ici_merge_topk(vals, idx, k=k, axis=axis,
+                               rows_local=c.shape[0])
 
     fn = jax.shard_map(
         local,

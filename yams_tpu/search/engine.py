@@ -45,6 +45,37 @@ def _round_pow2(x: int, floor: int = 1024) -> int:
     return n
 
 
+def _aggregate_pq_candidates(
+    vals: np.ndarray, slots: np.ndarray, num_slots: int, chunk_agg: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Chunk->doc aggregation for the PQ tier's host-side candidate list,
+    honoring the same chunk_agg modes as the fused program (max | sum |
+    topk_avg | weighted_topk_avg over the candidate window — candidates
+    outside the ADC top-C can't contribute, the tier's documented bound).
+    Returns (values, slots) sorted by aggregated score descending."""
+    ok = (slots >= 0) & (slots < num_slots) & (vals > -1e29)
+    v, s = vals[ok].astype(np.float32), slots[ok]
+    if not len(s):
+        return v, s
+    uniq, inv = np.unique(s, return_inverse=True)
+    m1 = np.full(len(uniq), -1e30, np.float32)
+    np.maximum.at(m1, inv, v)
+    if chunk_agg == "sum":
+        agg = np.zeros(len(uniq), np.float32)
+        np.add.at(agg, inv, np.maximum(v, 0.0))
+    elif chunk_agg in ("topk_avg", "weighted_topk_avg"):
+        v2 = np.where(v >= m1[inv], -np.float32(1e30), v)
+        m2 = np.full(len(uniq), -1e30, np.float32)
+        np.maximum.at(m2, inv, v2)
+        m2 = np.where(m2 <= -1e29, m1, m2)  # single-chunk docs
+        agg = ((m1 + m2) * 0.5 if chunk_agg == "topk_avg"
+               else (m1 + 0.5 * m2) / 1.5)
+    else:  # max (default)
+        agg = m1
+    order = np.argsort(-agg, kind="stable")
+    return agg[order], uniq[order].astype(np.int32)
+
+
 class SearchEngine:
     def __init__(
         self,
@@ -481,16 +512,11 @@ class SearchEngine:
                     -1,
                 )
                 for i in range(B_real):
-                    s_row, v_row = pslots[i], pvals[i]
-                    # chunk->doc max: rows arrive score-descending, so the
-                    # first occurrence of a slot is its best chunk; keep
-                    # positions sorted to preserve rank order for RRF
-                    _, first_idx = np.unique(s_row, return_index=True)
-                    fi = np.sort(first_idx)
-                    fi = fi[(s_row[fi] >= 0) & (s_row[fi] < Nd)
-                            & (v_row[fi] > -1e29)]
-                    vv_np[i, : len(fi)] = v_row[fi]
-                    vi_np[i, : len(fi)] = s_row[fi]
+                    vals_i, slots_i = _aggregate_pq_candidates(
+                        pvals[i], pslots[i], Nd, cfg.chunk_agg)
+                    n_i = min(len(vals_i), rrf_c)
+                    vv_np[i, :n_i] = vals_i[:n_i]
+                    vi_np[i, :n_i] = slots_i[:n_i]
             vals, slots, bm_at, vec_at = hybrid_fuse_precomputed(
                 jnp.asarray(tids), jnp.asarray(tmask),
                 bm.packed if use_packed else bm.postings_doc,

@@ -329,3 +329,69 @@ class TestSpaceAdoption:
             assert b.search_engine.provider.space_id.startswith("mock")
         finally:
             b.close()
+
+
+class TestPQEngineLifecycle:
+    """VectorIndexConfig.engine='pq4': codebooks auto-build on the
+    checkpoint cadence, persist in the pq.npz sidecar, and the search tier
+    activates without any manual build_pq call."""
+
+    def _cfg(self, data_dir):
+        cfg = small_config(pathlib.Path(data_dir))
+        cfg.vector.engine = "pq4"
+        cfg.vector.pq_min_rows = 8
+        cfg.vector.pq_m = 16
+        cfg.vector.pq_rerank_factor = 4
+        return cfg
+
+    def test_auto_build_and_persist(self, tmp_path):
+        a = AppContext(self._cfg(tmp_path / "data"))
+        assert a.search_engine.config.pq_tier_enabled
+        for i in range(20):
+            a.documents.add_bytes(
+                f"record {i} flavor {'st'[i % 2]}".encode(), f"r{i}.txt")
+        assert not a.search_engine.vector_index.has_pq  # below cadence
+        a.checkpoint()
+        assert a.search_engine.vector_index.has_pq      # built at checkpoint
+        hits = a.search.search("flavor s record", limit=3).hits
+        assert hits and all(
+            int(h.path.split("r")[-1].split(".")[0]) % 2 == 0
+            for h in hits[:2])
+        a.close()
+        # restart: sidecar loads, no retrain needed
+        b = AppContext(self._cfg(tmp_path / "data"))
+        try:
+            assert b.search_engine.vector_index.has_pq
+            assert b.search_engine.vector_index._pq_built_rows >= 8
+            hits = b.search.search("flavor t record", limit=3).hits
+            assert hits and all(
+                int(h.path.split("r")[-1].split(".")[0]) % 2 == 1
+                for h in hits[:2])
+        finally:
+            b.close()
+
+    def test_rebuild_on_corpus_doubling(self, tmp_path):
+        a = AppContext(self._cfg(tmp_path / "data"))
+        try:
+            for i in range(10):
+                a.documents.add_bytes(f"item {i} kind a".encode(), f"a{i}.txt")
+            assert a.search_engine.ensure_pq()           # first build
+            built = a.search_engine.vector_index._pq_built_rows
+            assert not a.search_engine.ensure_pq()       # no drift yet
+            for i in range(10, 10 + 2 * built + 4):
+                a.documents.add_bytes(f"item {i} kind b".encode(), f"b{i}.txt")
+            assert a.search_engine.ensure_pq()           # doubled: rebuild
+            assert a.search_engine.vector_index._pq_built_rows > built
+        finally:
+            a.close()
+
+    def test_dense_engine_never_builds(self, tmp_path):
+        cfg = small_config(pathlib.Path(tmp_path / "data"))
+        a = AppContext(cfg)
+        try:
+            for i in range(30):
+                a.documents.add_bytes(f"plain {i}".encode(), f"p{i}.txt")
+            a.checkpoint()
+            assert not a.search_engine.vector_index.has_pq
+        finally:
+            a.close()

@@ -84,6 +84,16 @@ class VectorIndexConfig:
     dtype: str = "bfloat16"     # device dtype for the embedding matrix
     capacity: int = 1 << 14      # initial capacity (grows by doubling)
     block_rows: int = 2048       # scan tile rows
+    # vector engine (reference vector_types.h:31-35 engine select):
+    #   dense — bf16/int8 matrix in HBM (ExactScan/streaming/int8 tiers)
+    #   pq    — PQ-ADC codes (reference SimeonPqAdc default profile m x 256)
+    #   pq4   — packed 4-bit capacity tier (D/16 bytes/row; ~100M x 768-d
+    #           per 16 GB chip; dense matrix stays on host for rerank)
+    # pq engines auto-build codebooks once active rows reach pq_min_rows
+    # (AppContext checkpoint cadence — reference CheckpointManager persists
+    # PQ with staleness stamps) and rebuild when the corpus doubles.
+    engine: str = "dense"
+    pq_min_rows: int = 4096
     pq_m: int = 32               # PQ subquantizers (reference sqlite_vec_backend.h:52)
     pq_ksub: int = 256
     pq_train_limit: int = 4096

@@ -457,7 +457,9 @@ class VectorIndex:
                     params=np.array(
                         [cb.m, cb.ksub, cb.dsub,
                          int(getattr(self, "_pq_packed4", False)),
-                         self._pq_rerank_factor], np.int64),
+                         self._pq_rerank_factor,
+                         getattr(self, "_pq_built_rows", self._count)],
+                        np.int64),
                 )
             elif (d / "pq.npz").exists():
                 (d / "pq.npz").unlink()  # stale sidecar from a prior build
@@ -540,7 +542,8 @@ class VectorIndex:
             import jax.numpy as jnp
 
             pq = np.load(d / "pq.npz")
-            m, ksub, dsub, packed4, rerank = (int(x) for x in pq["params"])
+            params = [int(x) for x in pq["params"]]
+            m, ksub, dsub, packed4, rerank = params[:5]
             idx._pq_codebook = PQCodebook(
                 centroids=jnp.asarray(pq["centroids"]), m=m, ksub=ksub,
                 dsub=dsub)
@@ -549,6 +552,7 @@ class VectorIndex:
             idx._pq_codes = codes
             idx._pq_packed4 = bool(packed4)
             idx._pq_rerank_factor = rerank
+            idx._pq_built_rows = params[5] if len(params) > 5 else n
             idx._pq_device = None
         return idx
 

@@ -93,6 +93,7 @@ class SearchEngine:
         # kept for Simeon-specific call sites (sketch config, projection)
         self.encoder = getattr(self.provider, "encoder", None) or SimeonEncoder(embedding)
         vcfg = vector or VectorIndexConfig(dim=self.provider.dim)
+        self.vector_config = vcfg
         self.vector_index = VectorIndex(
             dim=self.provider.dim,
             capacity=vcfg.capacity,
@@ -294,6 +295,38 @@ class SearchEngine:
             # Topology/SelectiveRouting.lean selectiveRoute_emptyFallback_identity)
             mask[:] = 1.0
         return mask
+
+    # -- PQ engine lifecycle ----------------------------------------------------
+    def ensure_pq(self) -> bool:
+        """Build/refresh PQ codebooks when a pq engine is configured
+        (VectorIndexConfig.engine = 'pq' | 'pq4').
+
+        Called on the checkpoint cadence (reference: CheckpointManager
+        persists the PQ index with staleness stamps). First build happens
+        once active rows reach pq_min_rows; a rebuild runs when the corpus
+        has doubled since the last build (codebook drift) — rows added in
+        between are already consistent via encode-on-add. Returns True if a
+        (re)build ran."""
+        vcfg = self.vector_config
+        if not str(getattr(vcfg, "engine", "dense")).startswith("pq"):
+            return False
+        idx = self.vector_index
+        n = idx.active_rows
+        if n < max(vcfg.pq_min_rows, 2):
+            return False
+        built = getattr(idx, "_pq_built_rows", 0)
+        if idx.has_pq and n < 2 * max(built, 1):
+            return False
+        pack4 = vcfg.engine == "pq4"
+        idx.build_pq(
+            m=vcfg.pq_m,
+            ksub=min(vcfg.pq_ksub, 16) if pack4 else vcfg.pq_ksub,
+            train_limit=vcfg.pq_train_limit,
+            rerank_factor=vcfg.pq_rerank_factor,
+            pack4=pack4,
+        )
+        idx._pq_built_rows = n
+        return True
 
     # -- tuner feedback ------------------------------------------------------------
     def record_feedback(self, doc_id: int, relevant: bool = True) -> None:

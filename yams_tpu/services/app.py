@@ -67,6 +67,12 @@ class AppContext:
                         self.config.vector.dim = emb.dim
                     except ValueError:
                         pass  # foreign space string: keep configured values
+        if str(self.config.vector.engine).startswith("pq"):
+            # pq engines imply the PQ search tier (reference: engine select
+            # in vector_types.h picks SimeonPqAdc the same way)
+            scfg = getattr(self.config, "search", None)
+            if scfg is not None:
+                scfg.pq_tier_enabled = True
         self.search_engine = SearchEngine(
             config=getattr(self.config, "search", None),
             embedding=self.config.embedding,
@@ -163,6 +169,7 @@ class AppContext:
                     vdir, self.config.lexical
                 )
             self._restore_slot_map()
+            self.search_engine.ensure_pq()  # pq engine w/o sidecar yet
         except Exception:
             # corrupt index artifacts are rebuildable from metadata (repair op)
             pass
@@ -184,6 +191,9 @@ class AppContext:
 
     def save_indexes(self) -> None:
         with self._lock:
+            # pq engines (re)build codebooks on the persistence cadence
+            # (reference: CheckpointManager + PQ staleness stamps)
+            self.search_engine.ensure_pq()
             vdir = self.config.vectors_dir
             self.search_engine.vector_index.save(vdir)
             self.search_engine.lexical_index.save(vdir)

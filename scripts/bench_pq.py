@@ -1,0 +1,145 @@
+"""PQ4 capacity-tier benchmark: N x 768-d on ONE chip, beyond bf16 HBM.
+
+At 16.7M x 768-d the dense corpus is 25.8 GB bf16 — it cannot fit a 16 GB
+v5e chip. The packed 4-bit PQ tier holds it in ~400 MB of codes + a 67 MB
+mask; candidates from the ADC scan are exactly rescored and fused into the
+final top-10 in the same jitted program (the rerank pattern of
+index/vector_index.py search_pq).
+
+Everything heavy stays on device: chunks are generated, encoded, and packed
+in HBM; only the 64 query rows, an 8k-row codebook-training sample, and the
+final (64, 10) index matrix ever cross the host link. (A previous version
+mirrored the full corpus to host f16 for the rerank — 25 GB over the TPU
+tunnel — which is both unrepresentative and stall-prone.)
+
+Ground truth without an oracle scan: each query has 10 planted perturbed
+copies (cosine ~0.97) at known rows inside chunk 0; random 768-d
+distractors sit at cosine ~0 +- 0.04, so the planted set is the true
+top-10 with near certainty. recall@10 = fraction of planted rows found.
+The exact-rerank leg reads a device-resident bf16 mirror of chunk 0 (all
+true positives live there); out-of-chunk candidates keep their ADC score,
+which cannot affect recall at this separation.
+
+Run: python scripts/bench_pq.py [N_rows] (default 16_777_216)
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from yams_tpu.ops.pq import pq_adc_topk, pq_encode, pq_train
+
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 16_777_216
+    D, M, KSUB = 768, 48, 16
+    BLOCK = int(os.environ.get("PQ_BLOCK", 262_144))
+    GROUP = int(os.environ.get("PQ_GROUP", 128))
+    CHUNK = 1_048_576
+    N = max((N // CHUNK) * CHUNK, CHUNK)
+    NQ, DUPS, RERANK_C = 256, 10, 64
+    rng = np.random.default_rng(0)
+
+    @jax.jit
+    def gen_chunk(key):
+        v = jax.random.normal(key, (CHUNK, D), jnp.float32)
+        return v / jnp.linalg.norm(v, axis=1, keepdims=True)
+
+    @jax.jit
+    def plant(c0, key, base_idx, planted_idx):
+        q = c0[base_idx]                                   # (NQ, D)
+        # ||noise|| ~= 0.25 total (not per-dim): planted copies land at
+        # cosine ~= 1/sqrt(1 + 0.25^2) ~= 0.97 from their query base.
+        noise = (0.25 / float(np.sqrt(D))) * jax.random.normal(
+            key, (NQ, DUPS, D), jnp.float32)
+        p = q[:, None, :] + noise
+        p = p / jnp.linalg.norm(p, axis=-1, keepdims=True)
+        return c0.at[planted_idx.reshape(-1)].set(p.reshape(-1, D)), q
+
+    @jax.jit
+    def pack4(codes):                                      # (n, m) -> (n, m//2)
+        return (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(jnp.uint8)
+
+    t0 = time.time()
+    base_rows = rng.choice(CHUNK, NQ, replace=False)
+    planted = rng.choice(
+        np.setdiff1d(np.arange(CHUNK), base_rows), NQ * DUPS, replace=False
+    ).reshape(NQ, DUPS)
+    truth = np.concatenate([base_rows[:, None], planted], axis=1)  # (NQ, 11)
+    c0, q_dev = plant(gen_chunk(jax.random.PRNGKey(0)), jax.random.PRNGKey(99),
+                      jnp.asarray(base_rows), jnp.asarray(planted))
+    queries = np.asarray(q_dev)                            # 64 rows, ~190 KB
+    c0_exact = c0.astype(jnp.bfloat16)                     # rerank mirror in HBM
+    print(f"chunk0 + planting: {time.time()-t0:.0f}s", flush=True)
+
+    t0 = time.time()
+    sample_rows = jnp.asarray(rng.choice(CHUNK, 8192, replace=False))
+    cb = pq_train(np.asarray(c0[sample_rows]), m=M, ksub=KSUB,
+                  train_limit=8192, iters=10)
+    jax.block_until_ready(cb.centroids)
+    print(f"train: {time.time()-t0:.0f}s", flush=True)
+
+    t0 = time.time()
+    codes_parts = [pack4(pq_encode(cb, c0))]
+    del c0
+    for gi in range(1, N // CHUNK):
+        codes_parts.append(pack4(pq_encode(cb, gen_chunk(jax.random.PRNGKey(gi)))))
+        if gi % 4 == 3:
+            jax.block_until_ready(codes_parts[-1])
+            print(f"  encoded {(gi+1)*CHUNK/1e6:.0f}M/{N/1e6:.0f}M rows "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+    codes_dev = jnp.concatenate(codes_parts)
+    del codes_parts
+    valid_dev = jnp.ones(N, jnp.float32)
+    jax.block_until_ready(codes_dev)
+    print(f"gen+encode+pack: {time.time()-t0:.0f}s "
+          f"({N/(time.time()-t0):,.0f} rows/s)", flush=True)
+    hbm_mb = (codes_dev.nbytes + valid_dev.nbytes) / 1e6
+    print(f"HBM codes+mask: {hbm_mb:.0f} MB + {c0_exact.nbytes/1e6:.0f} MB "
+          f"rerank mirror (dense bf16 would be {N*D*2/1e9:.1f} GB)", flush=True)
+
+    @functools.partial(jax.jit, donate_argnums=())
+    def fused_search(q, codes, cents, valid, mirror):
+        av, ai = pq_adc_topk(q, codes, cents, valid, k=RERANK_C,
+                             block_rows=BLOCK, packed4=True, group=GROUP)
+        g = mirror[jnp.clip(ai, 0, CHUNK - 1)]             # (NQ, C, D) bf16
+        ex = jnp.einsum("qcd,qd->qc", g.astype(jnp.float32), q,
+                        preferred_element_type=jnp.float32)
+        s = jnp.where(ai < CHUNK, ex, av)                  # exact where mirrored
+        _, pos = jax.lax.top_k(s, 10)
+        return jnp.take_along_axis(ai, pos, axis=1)
+
+    top10 = np.asarray(fused_search(q_dev, codes_dev, cb.centroids,
+                                    valid_dev, c0_exact))  # compile + warm
+
+    t0 = time.time()
+    ROUNDS = 5
+    for _ in range(ROUNDS):
+        top10 = np.asarray(fused_search(q_dev, codes_dev, cb.centroids,
+                                        valid_dev, c0_exact))
+    dt = (time.time() - t0) / ROUNDS
+    qps = NQ / dt
+
+    hits = np.mean([
+        len(set(top10[i]) & set(truth[i])) / 10 for i in range(NQ)
+    ])
+    self1 = float(np.mean(top10[:, 0] == base_rows))
+    print(
+        f'{{"metric": "pq4_qps_{N}x{D}", "value": {qps:.1f}, "unit": "qps", '
+        f'"recall10_planted": {hits:.3f}, "self_recall1": {self1:.2f}, '
+        f'"batch": {NQ}, "hbm_mb": {hbm_mb:.0f}}}', flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -104,6 +104,16 @@ class TestShardedPQ:
         for i in range(B):
             assert set(np.asarray(si)[i]) == set(np.asarray(oi)[i])
         assert not (set(np.asarray(si)[0]) & set(range(50, 80)))
+        # grouped shards: top-1 (always a window winner) matches exact merge
+        gv, gi = sharded_pq_topk(
+            mesh, jnp.asarray(q),
+            jax.device_put(packed, spec_r),
+            cb.centroids,
+            jax.device_put(jnp.asarray(valid), spec_1),
+            k=k, block_rows=128, packed4=True, group=8,
+        )
+        np.testing.assert_array_equal(np.asarray(gi)[:, 0],
+                                      np.asarray(si)[:, 0])
 
 
 class TestShardedHybrid:

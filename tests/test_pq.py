@@ -68,6 +68,35 @@ class TestPQOps:
         ])
         assert recall > 0.8
 
+    def test_grouped_scan_contract(self):
+        """group>1 returns one candidate per `group` consecutive rows — each
+        candidate is its window's ADC argmax, and the global top-1 (always a
+        window winner) matches the exact scan."""
+        from yams_tpu.ops.pq import pq4_pack
+
+        v = _unit(1024, 64, seed=20)
+        q = _unit(4, 64, seed=21)
+        cb = pq_train(v, m=16, ksub=16, iters=8)
+        codes = np.asarray(pq_encode(cb, v))
+        packed = jnp.asarray(pq4_pack(codes))
+        valid = jnp.ones(1024)
+        ev, ei = pq_adc_topk(jnp.asarray(q), packed, cb.centroids, valid,
+                             k=8, block_rows=256, packed4=True)
+        gv, gi = pq_adc_topk(jnp.asarray(q), packed, cb.centroids, valid,
+                             k=8, block_rows=256, packed4=True, group=16)
+        np.testing.assert_allclose(np.asarray(gv)[:, 0], np.asarray(ev)[:, 0],
+                                   rtol=1e-4)
+        # IP-ADC score == q · (per-subspace centroid reconstruction)
+        cent = np.asarray(cb.centroids)
+        recon = np.concatenate(
+            [cent[m_][codes[:, m_]] for m_ in range(16)], axis=1)
+        s = q @ recon.T                                     # (4, 1024)
+        gidx = np.asarray(gi)
+        for b in range(4):
+            for j in range(8):
+                g0 = (gidx[b, j] // 16) * 16
+                assert s[b, gidx[b, j]] >= s[b, g0:g0 + 16].max() - 1e-4
+
     def test_valid_mask(self):
         v = _unit(256, 32, seed=6)
         cb = pq_train(v, m=8, ksub=32, iters=4)
@@ -255,6 +284,23 @@ class TestPQPersistence:
         assert idx2._pq_rerank_factor == 2
         _, rows = idx2.search_pq(vecs[7], k=3)
         assert rows[0, 0] == 7
+
+    def test_grouped_build_search_and_persistence(self, tmp_path):
+        import pytest
+
+        idx = VectorIndex(dim=64, capacity=512, block_rows=128)
+        vecs = _unit(300, 64, seed=40)
+        idx.add(vecs, list(range(300)))
+        idx.build_pq(m=16, ksub=16, pack4=True, rerank_factor=8, group=16)
+        _, rows = idx.search_pq(vecs[23], k=5)
+        assert rows[0, 0] == 23
+        idx.save(tmp_path)
+        idx2 = VectorIndex.load(tmp_path)
+        assert idx2._pq_group == 16
+        _, rows2 = idx2.search_pq(vecs[23], k=5)
+        assert rows2[0, 0] == 23
+        with pytest.raises(ValueError):
+            idx.build_pq(m=16, ksub=16, group=100)  # must divide block_rows
 
     def test_stale_sidecar_removed_when_pq_dropped(self, tmp_path):
         idx = VectorIndex(dim=32, capacity=128, block_rows=64)

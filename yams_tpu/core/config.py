@@ -98,6 +98,10 @@ class VectorIndexConfig:
     pq_ksub: int = 256
     pq_train_limit: int = 4096
     pq_rerank_factor: int = 2
+    # ADC scan window: 0 = auto (1 below 1M active rows, else 64 — one
+    # candidate per window, recovered by the exact rerank; measured 6x scan
+    # speedup at 16.7M x 768, docs/RESULTS.md). Must divide block_rows.
+    pq_group: int = 0
 
 
 @dataclasses.dataclass(slots=True)

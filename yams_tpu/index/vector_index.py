@@ -291,7 +291,7 @@ class VectorIndex:
     # -- PQ-ADC compressed path (reference default engine: SimeonPqAdc) ----------
     def build_pq(
         self, m: int = 32, train_limit: int = 4096, rerank_factor: int = 2,
-        ksub: int = 256, pack4: bool = False,
+        ksub: int = 256, pack4: bool = False, group: int = 1,
     ) -> None:
         """Train codebooks on current rows + encode everything.
 
@@ -300,6 +300,13 @@ class VectorIndex:
 
         ksub=16 + pack4=True selects the 4-bit capacity tier: two codes per
         byte on device (D/16 bytes per row — ~100M x 768-d fits one chip).
+
+        group>1 makes the ADC scan return one candidate per `group`
+        consecutive rows (lax.approx_max_k's window contract) — the
+        per-block sort shrinks by `group`x, which dominates scan cost at
+        capacity-tier corpus sizes (measured 6x end-to-end at 16.7M x 768,
+        docs/RESULTS.md); the exact rerank recovers ranking within the
+        k*rerank_factor candidate budget.
         """
         from ..ops.pq import pq4_pack, pq_encode, pq_train
 
@@ -311,6 +318,9 @@ class VectorIndex:
             raise ValueError(f"dim {self.dim} not divisible by m={m}")
         if pack4 and m % 2:
             raise ValueError(f"pack4 requires even m, got {m}")
+        if group < 1 or self.block_rows % group:
+            raise ValueError(
+                f"group {group} must divide block_rows {self.block_rows}")
         with self._lock:
             active = self._vecs[: max(self._count, 1)]
             codebook = pq_train(
@@ -322,6 +332,7 @@ class VectorIndex:
             self._pq_codes = codes
             self._pq_packed4 = pack4
             self._pq_rerank_factor = rerank_factor
+            self._pq_group = group
             self._pq_device = None
 
     @property
@@ -402,6 +413,7 @@ class VectorIndex:
         av, ai = pq_adc_topk(
             jnp.asarray(q), codes, centroids, valid, k=c, block_rows=block,
             packed4=getattr(self, "_pq_packed4", False),
+            group=getattr(self, "_pq_group", 1),
         )
         k_out = min(k, c)
         if rerank == "host":
@@ -458,7 +470,8 @@ class VectorIndex:
                         [cb.m, cb.ksub, cb.dsub,
                          int(getattr(self, "_pq_packed4", False)),
                          self._pq_rerank_factor,
-                         getattr(self, "_pq_built_rows", self._count)],
+                         getattr(self, "_pq_built_rows", self._count),
+                         getattr(self, "_pq_group", 1)],
                         np.int64),
                 )
             elif (d / "pq.npz").exists():
@@ -553,6 +566,7 @@ class VectorIndex:
             idx._pq_packed4 = bool(packed4)
             idx._pq_rerank_factor = rerank
             idx._pq_built_rows = params[5] if len(params) > 5 else n
+            idx._pq_group = params[6] if len(params) > 6 else 1
             idx._pq_device = None
         return idx
 

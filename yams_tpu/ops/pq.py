@@ -119,7 +119,8 @@ def pq4_pack(codes: np.ndarray | jax.Array) -> np.ndarray:
     return (c[:, 0::2] | (c[:, 1::2] << 4)).astype(np.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_rows", "packed4"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "block_rows", "packed4", "group"))
 def pq_adc_topk(
     queries: jax.Array,    # (B, D) f32
     codes: jax.Array,      # (N, m) uint8 — or (N, m//2) packed when packed4
@@ -128,12 +129,23 @@ def pq_adc_topk(
     k: int,
     block_rows: int = 8192,
     packed4: bool = False,
+    group: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
-    """ADC scan -> approximate top-k. IP-ADC: score = sum_m lut[m, code]."""
+    """ADC scan -> approximate top-k. IP-ADC: score = sum_m lut[m, code].
+
+    group=1 keeps exact ADC top-k (a per-block lax.top_k merge). group>1
+    first max-reduces each `group` consecutive rows (one candidate per
+    window, lax.approx_max_k's contract): the per-block sort shrinks by
+    `group`x, which dominates the step cost at capacity-tier block sizes —
+    at 16.7M x 768 packed4 it is the difference between the scan running at
+    the one-hot HBM-traffic floor and 15x above it. Use with an exact
+    rerank of k*factor candidates (search_pq pattern)."""
     B, D = queries.shape
     N = codes.shape[0]
     m = centroids.shape[0]
     ksub = centroids.shape[1]
+    if block_rows % group:
+        raise ValueError(f"block_rows {block_rows} % group {group} != 0")
     qsub = _split(queries, m)  # (m, B, dsub)
     lut = jnp.einsum("mbd,mkd->bmk", qsub, centroids,
                      preferred_element_type=jnp.float32)  # (B, m, ksub)
@@ -141,6 +153,7 @@ def pq_adc_topk(
     blocks = codes.reshape(G, block_rows, codes.shape[1])
     masks = valid.reshape(G, block_rows)
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ksub), 2)
+    wpb = block_rows // group
 
     init = (jnp.full((B, k), -1e30, jnp.float32), jnp.full((B, k), -1, jnp.int32))
 
@@ -155,7 +168,14 @@ def pq_adc_topk(
         s = jnp.einsum("bmk,nmk->bn", lut.astype(jnp.bfloat16), onehot,
                        preferred_element_type=jnp.float32)
         s = s + (mask - 1.0)[None, :] * 1e30
-        local = jax.lax.broadcasted_iota(jnp.int32, (B, block_rows), 1)
+        if group > 1:
+            sg = s.reshape(B, wpb, group)
+            garg = jnp.argmax(sg, axis=2)                       # (B, wpb)
+            s = jnp.max(sg, axis=2)
+            wbase = jax.lax.broadcasted_iota(jnp.int32, (B, wpb), 1) * group
+            local = wbase + garg
+        else:
+            local = jax.lax.broadcasted_iota(jnp.int32, (B, block_rows), 1)
         cat_v = jnp.concatenate([vals, s], axis=1)
         cat_i = jnp.concatenate([idx, local + g * block_rows], axis=1)
         new_v, pos = jax.lax.top_k(cat_v, k)

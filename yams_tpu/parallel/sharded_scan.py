@@ -106,18 +106,21 @@ def sharded_pq_topk(
     k: int,
     block_rows: int = 8192,
     packed4: bool = False,
+    group: int = 1,
     axis: str = "d",
 ):
     """Multi-chip PQ capacity tier: ADC-scan codes per shard, merge top-k
     over ICI. At 24 B/row (768-d packed4) a v5e-8 holds ~0.8B rows; the
     exact rerank stays with the caller (host gather of k*factor candidates,
     search_pq(rerank='host') pattern) so no shard ever holds dense vectors.
+    group>1 = windowed per-shard scan (one candidate per `group` rows; see
+    pq_adc_topk) — the capacity-scale default, recovered by the rerank.
     """
     from ..ops.pq import pq_adc_topk
 
     def local(q, c, cent, v):
         vals, idx = pq_adc_topk(q, c, cent, v, k=k, block_rows=block_rows,
-                                packed4=packed4)
+                                packed4=packed4, group=group)
         return _ici_merge_topk(vals, idx, k=k, axis=axis,
                                rows_local=c.shape[0])
 

@@ -318,12 +318,16 @@ class SearchEngine:
         if idx.has_pq and n < 2 * max(built, 1):
             return False
         pack4 = vcfg.engine == "pq4"
+        group = getattr(vcfg, "pq_group", 0)
+        if group == 0:  # auto: grouped windows only where the sort dominates
+            group = 64 if n >= 1_000_000 and idx.block_rows % 64 == 0 else 1
         idx.build_pq(
             m=vcfg.pq_m,
             ksub=min(vcfg.pq_ksub, 16) if pack4 else vcfg.pq_ksub,
             train_limit=vcfg.pq_train_limit,
             rerank_factor=vcfg.pq_rerank_factor,
             pack4=pack4,
+            group=group,
         )
         idx._pq_built_rows = n
         return True

@@ -114,6 +114,28 @@ class TestDownloader:
         assert pathlib.Path(r3.path) != svc.resume_store
         assert svc._load_resume() == {}  # resume store intact (empty dict)
 
+    def test_concurrent_jobs_do_not_lose_resume_entries(self, app):
+        """Concurrent job threads share resume.json: each mutation is a
+        locked per-entry read-modify-write (a thread-private whole-state
+        copy would erase co-running jobs' entries)."""
+        import threading
+
+        svc = DownloadService(app)
+
+        def writer(u):
+            for i in range(50):
+                svc._resume_set(u, {"part": f"/p/{u}", "bytes": i})
+
+        threads = [threading.Thread(target=writer, args=(f"http://h/{j}",))
+                   for j in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        state = svc._load_resume()
+        assert set(state) == {f"http://h/{j}" for j in range(4)}
+        assert all(v["bytes"] == 49 for v in state.values())
+
     def test_integrity_mismatch_rejected(self, app, tmp_path):
         src = tmp_path / "x.bin"
         src.write_bytes(b"abc")

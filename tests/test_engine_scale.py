@@ -174,6 +174,28 @@ class TestPQTier:
         res = eng.search("subject p doc", k=5, filter_doc_ids=allow)
         assert res and all(r.doc_id in allow for r in res)
 
+    def test_pq_tier_filter_pushdown_selective(self):
+        """A selective filter must still get vector candidates: the mask is
+        pushed INTO the ADC scan. Post-masking a mask-blind top-C would
+        return nothing here — the 350 off-filter docs (all more similar to
+        the query) monopolize the 64-candidate budget."""
+        eng = SearchEngine(
+            config=SearchEngineConfig(batch_pad=4, pq_tier_enabled=True),
+            embedding=EmbeddingConfig(dim=64, sketch_dim=512),
+            vector=VectorIndexConfig(dim=64, capacity=512, block_rows=128),
+            lexical=LexicalIndexConfig(postings_window=64),
+        )
+        for i in range(350):
+            eng.add_document(i, f"zebra quantum flux note {i}")
+        for i in range(350, 400):
+            eng.add_document(i, f"maple syrup harvest log {i}")
+        eng.vector_index.build_pq(m=16, ksub=16, pack4=True, rerank_factor=1)
+        allow = {360, 370, 380}
+        res = eng.search("zebra quantum flux", k=5, mode="vector",
+                         filter_doc_ids=allow)
+        assert res, "vector leg lost all candidates under a selective filter"
+        assert all(r.doc_id in allow for r in res)
+
     def test_pq_candidate_aggregation_modes(self):
         from yams_tpu.search.engine import _aggregate_pq_candidates
 

@@ -61,7 +61,7 @@ class TestPQOps:
         av, ai = pq_adc_topk(jnp.asarray(q), codes, cb.centroids, valid,
                              k=40, block_rows=256)
         rv, ri = exact_rerank(jnp.asarray(q), jnp.asarray(v, jnp.bfloat16),
-                              ai, -1e29, k=10)
+                              ai, av, -1e29, k=10)
         exact = np.argsort(-(q @ v.T), axis=1)[:, :10]
         recall = np.mean([
             len(set(np.asarray(ri)[i]) & set(exact[i])) / 10 for i in range(4)
@@ -96,6 +96,37 @@ class TestPQOps:
             for j in range(8):
                 g0 = (gidx[b, j] // 16) * 16
                 assert s[b, gidx[b, j]] >= s[b, g0:g0 + 16].max() - 1e-4
+
+    def test_doc_mask_pushdown(self):
+        """slots + doc_mask filter INSIDE the scan: candidates only come
+        from allowed slots, shared or per-query masks."""
+        from yams_tpu.ops.pq import pq4_pack
+
+        v = _unit(512, 64, seed=22)
+        q = _unit(2, 64, seed=23)
+        cb = pq_train(v, m=16, ksub=16, iters=8)
+        packed = jnp.asarray(pq4_pack(np.asarray(pq_encode(cb, v))))
+        valid = jnp.ones(512)
+        slots = jnp.asarray((np.arange(512) % 128).astype(np.int32))
+        allow = np.zeros(128, np.float32)
+        allow[[5, 9]] = 1.0
+        av, ai = pq_adc_topk(jnp.asarray(q), packed, cb.centroids, valid,
+                             k=8, block_rows=256, packed4=True,
+                             slots=slots, doc_mask=jnp.asarray(allow[None, :]))
+        ai_np, av_np = np.asarray(ai), np.asarray(av)
+        sel = av_np > -1e29
+        assert sel.any()
+        assert np.all(np.isin((ai_np % 128)[sel], [5, 9]))
+        # per-query masks: query 0 -> slot 5 only, query 1 -> slot 9 only
+        dm = np.zeros((2, 128), np.float32)
+        dm[0, 5] = 1.0
+        dm[1, 9] = 1.0
+        av2, ai2 = pq_adc_topk(jnp.asarray(q), packed, cb.centroids, valid,
+                               k=8, block_rows=256, packed4=True,
+                               slots=slots, doc_mask=jnp.asarray(dm))
+        a2, v2 = np.asarray(ai2), np.asarray(av2)
+        assert np.all((a2[0] % 128)[v2[0] > -1e29] == 5)
+        assert np.all((a2[1] % 128)[v2[1] > -1e29] == 9)
 
     def test_valid_mask(self):
         v = _unit(256, 32, seed=6)
@@ -188,6 +219,25 @@ class TestPQCapacityContract:
         idx.remove_doc(9)
         _, rows = idx.search_pq(vecs[9], k=3, rerank="host")
         assert 9 not in idx.slots_of_rows(rows[0]).tolist()
+
+    def test_mass_deletion_never_resurrects_tombstones(self):
+        """When valid rows < candidate budget, the scan pads with masked
+        rows carrying real indices; the rerank (host AND device) must not
+        rescore them back to the top (they'd win — their vectors are stale
+        but fully populated)."""
+        idx = VectorIndex(dim=32, capacity=64, block_rows=64)
+        vecs = _unit(20, 32, seed=18)
+        idx.add(vecs, list(range(20)))
+        idx.build_pq(m=8, ksub=16, rerank_factor=2)
+        for slot in range(15):
+            idx.remove_doc(slot)
+        for mode in ("host", "device"):
+            vals, rows = idx.search_pq(vecs[2], k=10, rerank=mode)
+            live = {s for s in idx.slots_of_rows(rows[0]).tolist()
+                    if s >= 0}
+            kept = [s for s, v in zip(idx.slots_of_rows(rows[0]).tolist(),
+                                      np.asarray(vals)[0]) if v > -1e29]
+            assert set(kept) <= set(range(15, 20)), (mode, kept, live)
 
 
 class TestPQMutationAfterBuild:

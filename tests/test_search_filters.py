@@ -201,6 +201,23 @@ class TestListFilters:
         docs = app.documents.list(tags=["q3"], with_tags=True)
         assert len(docs) == 1 and "q3" in docs[0].tags
 
+    def test_filtered_list_finds_matches_beyond_limit_window(
+            self, tmp_path_factory):
+        """The filter path must scan the whole corpus: tagged docs older
+        than the newest `limit` rows still match (regression: the fetch
+        window was limit+offset, so old matches silently vanished)."""
+        a = AppContext(small_config(
+            tmp_path_factory.mktemp("listwin") / "data"))
+        try:
+            a.documents.add_bytes(b"oldest tagged doc", "first.txt",
+                                  tags=["ancient"])
+            for i in range(12):
+                a.documents.add_bytes(f"filler {i}".encode(), f"fill{i}.txt")
+            docs = a.documents.list(limit=3, tags=["ancient"])
+            assert [d.file_path.lstrip("/") for d in docs] == ["first.txt"]
+        finally:
+            a.close()
+
     def test_list_cli_recent_and_tags(self, tmp_path_factory, capsys):
         from yams_tpu.cli.main import main
 

@@ -174,6 +174,19 @@ class TestIndexingService:
         report = app.indexing.add_directory(src, include=["*.py"])
         assert report.files_added == 1
 
+    def test_restore_collection_preserves_paths(self, app, tmp_path):
+        """Same-named files in different directories must not collide on
+        restore (basenames alone would skip or clobber one of them)."""
+        app.documents.add_bytes(b"content A", "proj/a/config.json",
+                                metadata={"collection": "c1"})
+        app.documents.add_bytes(b"content B", "proj/b/config.json",
+                                metadata={"collection": "c1"})
+        out = tmp_path / "restored"
+        rep = app.indexing.restore_collection("c1", out)
+        assert rep["restored"] == 2 and rep["failed"] == 0
+        assert (out / "proj/a/config.json").read_bytes() == b"content A"
+        assert (out / "proj/b/config.json").read_bytes() == b"content B"
+
 
 class TestGrepService:
     def test_literal_and_regex(self, app):

@@ -725,48 +725,16 @@ class YamsDaemon:
     # -- history / snapshots / prune (FileHistory/Prune/ListSnapshots/Restore*,
     #    ipc_protocol_requests.h:1882-2117) --------------------------------------------
     def handle_file_history(self, req):
-        """Appearances of a path across tree snapshots, newest first."""
-        rows = self.app.db.execute(
-            """SELECT e.snapshot_id, e.hash, e.size, s.created_time, s.label
-               FROM tree_snapshot_entries e
-               JOIN tree_snapshots s ON s.snapshot_id = e.snapshot_id
-               WHERE e.path = ? OR e.path LIKE ?
-               ORDER BY s.created_time DESC LIMIT ?""",
-            (req["path"], f"%/{req['path'].lstrip('/')}",
-             req.get("limit", 50)),
-        ).fetchall()
-        return {"versions": [
-            {"snapshot_id": r[0], "hash": r[1], "size": r[2],
-             "created_time": r[3], "label": r[4]} for r in rows]}
+        return self.app.documents.file_history(
+            req["path"], req.get("limit", 50))
 
     def handle_prune(self, req):
-        """Delete documents matching age/pattern/tag filters; dry-run by
-        default (PruneRequest, ipc_protocol_requests.h:1904)."""
-        import fnmatch
-
-        older_than_s = req.get("older_than_s")
-        pattern = req.get("pattern")
-        tags = req.get("tags")
-        dry_run = req.get("dry_run", True)
-        cutoff = time.time() - older_than_s if older_than_s else None
-        tag_ids = set(self.app.metadata.find_by_tags(tags)) if tags else None
-        victims = []
-        for d in self.app.metadata.list_documents(limit=100000):
-            if cutoff is not None and d.created_time > cutoff:
-                continue
-            if pattern and not fnmatch.fnmatch(d.file_path, pattern):
-                continue
-            if tag_ids is not None and d.id not in tag_ids:
-                continue
-            victims.append({"id": d.id, "path": d.file_path})
-        if not dry_run:
-            for v in victims:
-                try:
-                    self.app.documents.delete(v["path"])
-                except Exception:
-                    v["error"] = "delete failed"
-        return {"matched": len(victims), "dry_run": dry_run,
-                "documents": victims[:200]}
+        return self.app.documents.prune(
+            older_than_s=req.get("older_than_s"),
+            pattern=req.get("pattern"),
+            tags=req.get("tags"),
+            dry_run=req.get("dry_run", True),
+        )
 
     def handle_snapshots_list(self, req):
         return {"snapshots": self.app.trees.list_snapshots()}

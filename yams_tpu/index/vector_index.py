@@ -32,24 +32,29 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _block_updaters():
-    """Jitted donating block writers: update O(block) rows of a device array
-    in place (donation lets XLA reuse the destination buffer, so an add() of
-    one document transfers one block over PCIe instead of re-uploading the
-    whole corpus — the reference's incremental dirty-dim rebuild,
-    sqlite_vec_backend.cpp:625-645)."""
-    import functools
+    """Jitted batched block writers: splice ALL dirty blocks into a device
+    array in ONE dispatch (host->device transfer stays O(dirty blocks) — the
+    reference's incremental dirty-dim rebuild, sqlite_vec_backend.cpp:625-645).
 
+    Deliberately NOT donating: search() returns the resident arrays to
+    callers outside the lock, so donation would invalidate buffers a
+    concurrent reader still holds (use-after-donate). Without donation the
+    old arrays stay valid until the new tuple is published under the lock,
+    which also makes a mid-update exception harmless. Cost: one device-side
+    copy of the destination per call — HBM-to-HBM, never the host link."""
     import jax
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def rows(dst, blk, start):
-        return jax.lax.dynamic_update_slice(dst, blk, (start, 0))
+    def _scan_update(slice_dims):
+        def upd(dst, blks, starts):
+            def body(d, inp):
+                blk, st = inp
+                idx = (st,) + (0,) * slice_dims
+                return jax.lax.dynamic_update_slice(d, blk, idx), None
+            out, _ = jax.lax.scan(body, dst, (blks, starts))
+            return out
+        return jax.jit(upd)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def vec(dst, blk, start):
-        return jax.lax.dynamic_update_slice(dst, blk, (start,))
-
-    return rows, vec
+    return _scan_update(1), _scan_update(0)
 
 
 _UPDATERS = None
@@ -229,38 +234,51 @@ class VectorIndex:
                 self._dirty_blocks.clear()
             elif self._dirty_blocks:
                 # incremental path: transfer only the mutated blocks and
-                # splice them into the resident device arrays in place
+                # splice them all in ONE dispatch per array (no per-block
+                # round trips); publish the new tuple only after every
+                # update succeeds so readers never see torn state
                 global _UPDATERS
                 if _UPDATERS is None:
                     _UPDATERS = _block_updaters()
                 upd_rows, upd_vec = _UPDATERS
                 e_dev, valid_dev, slots_dev, scale_dev = self._device
-                br = self.block_rows
-                for b in sorted(self._dirty_blocks):
-                    lo = b * br
-                    start = jnp.int32(lo)
-                    if self.device_dtype == "int8":
-                        from ..ops.scan import quantize_int8
+                bs = sorted(self._dirty_blocks)
+                vec_blks, starts = self._gather_blocks(self._vecs, bs)
+                if self.device_dtype == "int8":
+                    from ..ops.scan import quantize_int8
 
-                        q8, scale = quantize_int8(self._vecs[lo:lo + br])
-                        blk = jnp.asarray(q8)
-                        scale_dev = upd_vec(scale_dev, jnp.asarray(scale), start)
-                        self.upload_bytes_total += scale.nbytes
-                    else:
-                        blk = jnp.asarray(
-                            self._vecs[lo:lo + br], dtype=jnp.bfloat16
-                        )
-                    e_dev = upd_rows(e_dev, blk, start)
-                    vblk = jnp.asarray(self._valid[lo:lo + br])
-                    sblk = jnp.asarray(self._slots[lo:lo + br])
-                    valid_dev = upd_vec(valid_dev, vblk, start)
-                    slots_dev = upd_vec(slots_dev, sblk, start)
-                    self.upload_bytes_total += (
-                        blk.nbytes + vblk.nbytes + sblk.nbytes
-                    )
+                    q8, scale = quantize_int8(
+                        vec_blks.reshape(-1, self.dim))
+                    eb = jnp.asarray(q8.reshape(vec_blks.shape))
+                    sb = jnp.asarray(scale.reshape(len(starts), -1))
+                    scale_dev = upd_vec(scale_dev, sb,
+                                        jnp.asarray(starts))
+                    self.upload_bytes_total += sb.nbytes
+                else:
+                    eb = jnp.asarray(vec_blks, dtype=jnp.bfloat16)
+                vb, _ = self._gather_blocks(self._valid, bs)
+                sl, _ = self._gather_blocks(self._slots, bs)
+                st = jnp.asarray(starts)
+                e_dev = upd_rows(e_dev, eb, st)
+                valid_dev = upd_vec(valid_dev, jnp.asarray(vb), st)
+                slots_dev = upd_vec(slots_dev, jnp.asarray(sl), st)
+                self.upload_bytes_total += (
+                    eb.nbytes + vb.nbytes + sl.nbytes
+                )
                 self._device = (e_dev, valid_dev, slots_dev, scale_dev)
                 self._dirty_blocks.clear()
             return self._device
+
+    def _gather_blocks(self, src: np.ndarray, blocks: list[int]):
+        """Stack dirty blocks for one batched splice. Padded to a power of
+        two by repeating the last block (re-splicing the same rows is
+        idempotent) so the updater jit cache sees O(log blocks) shapes.
+        Returns (stacked (nb, block_rows, ...), start offsets (nb,) i32)."""
+        br = self.block_rows
+        nb = 1 << max(len(blocks) - 1, 0).bit_length()
+        padded = blocks + [blocks[-1]] * (nb - len(blocks))
+        stacked = np.stack([src[b * br:(b + 1) * br] for b in padded])
+        return stacked, np.asarray([b * br for b in padded], np.int32)
 
     # -- search (standalone vector-only path) -----------------------------------------
     def search(self, queries: np.ndarray, k: int = 10, use_pallas: bool = False):
@@ -340,23 +358,30 @@ class VectorIndex:
         return getattr(self, "_pq_codebook", None) is not None
 
     def _pq_arrays(self):
-        """Device-resident PQ state: (codes u8, centroids f32, valid f32).
+        """Device-resident PQ state: (codes u8, centroids f32, valid f32,
+        slots i32).
 
         Self-contained — does NOT touch device_arrays(), so the capacity
         tier never uploads the dense matrix: HBM holds only codes
-        (D/16 bytes/row packed) + a 4-byte/row mask. Mutations splice only
-        their dirty blocks (same incremental contract as device_arrays)."""
+        (D/16 bytes/row packed) + 8 bytes/row of mask + slot map (the slot
+        map feeds doc-filter pushdown into the ADC scan). Mutations splice
+        only their dirty blocks (same incremental contract as
+        device_arrays)."""
         import jax.numpy as jnp
 
         with self._lock:
             full = (getattr(self, "_pq_device", None) is None
-                    or getattr(self, "_pq_valid_device", None) is None)
+                    or getattr(self, "_pq_valid_device", None) is None
+                    or getattr(self, "_pq_slots_device", None) is None)
             if full:
                 codes_dev = jnp.asarray(self._pq_codes)
                 vdev = jnp.asarray(self._valid)
-                self.upload_bytes_total += codes_dev.nbytes + vdev.nbytes
+                sdev = jnp.asarray(self._slots)
+                self.upload_bytes_total += (
+                    codes_dev.nbytes + vdev.nbytes + sdev.nbytes)
                 self._pq_device = (codes_dev, self._pq_codebook.centroids)
                 self._pq_valid_device = vdev
+                self._pq_slots_device = sdev
                 self._pq_dirty_blocks.clear()
             elif self._pq_dirty_blocks:
                 global _UPDATERS
@@ -365,28 +390,34 @@ class VectorIndex:
                 upd_rows, upd_vec = _UPDATERS
                 codes_dev, cent = self._pq_device
                 vdev = self._pq_valid_device
-                br = self.block_rows
-                for b in sorted(self._pq_dirty_blocks):
-                    lo = b * br
-                    start = jnp.int32(lo)
-                    cblk = jnp.asarray(self._pq_codes[lo:lo + br])
-                    vblk = jnp.asarray(self._valid[lo:lo + br])
-                    codes_dev = upd_rows(codes_dev, cblk, start)
-                    vdev = upd_vec(vdev, vblk, start)
-                    self.upload_bytes_total += cblk.nbytes + vblk.nbytes
-                    if getattr(self, "_pq_rerank_device", None) is not None:
-                        rblk = jnp.asarray(self._vecs[lo:lo + br],
-                                           dtype=jnp.bfloat16)
-                        self._pq_rerank_device = upd_rows(
-                            self._pq_rerank_device, rblk, start)
-                        self.upload_bytes_total += rblk.nbytes
+                sdev = self._pq_slots_device
+                bs = sorted(self._pq_dirty_blocks)
+                cb, starts = self._gather_blocks(self._pq_codes, bs)
+                vb, _ = self._gather_blocks(self._valid, bs)
+                sb, _ = self._gather_blocks(self._slots, bs)
+                st = jnp.asarray(starts)
+                cbd, vbd, sbd = (jnp.asarray(cb), jnp.asarray(vb),
+                                 jnp.asarray(sb))
+                codes_dev = upd_rows(codes_dev, cbd, st)
+                vdev = upd_vec(vdev, vbd, st)
+                sdev = upd_vec(sdev, sbd, st)
+                self.upload_bytes_total += (
+                    cbd.nbytes + vbd.nbytes + sbd.nbytes)
+                if getattr(self, "_pq_rerank_device", None) is not None:
+                    rb, _ = self._gather_blocks(self._vecs, bs)
+                    rbd = jnp.asarray(rb, dtype=jnp.bfloat16)
+                    self._pq_rerank_device = upd_rows(
+                        self._pq_rerank_device, rbd, st)
+                    self.upload_bytes_total += rbd.nbytes
                 self._pq_device = (codes_dev, cent)
                 self._pq_valid_device = vdev
+                self._pq_slots_device = sdev
                 self._pq_dirty_blocks.clear()
-            return (*self._pq_device, self._pq_valid_device)
+            return (*self._pq_device, self._pq_valid_device,
+                    self._pq_slots_device)
 
     def search_pq(self, queries: np.ndarray, k: int = 10,
-                  rerank: str = "auto"):
+                  rerank: str = "auto", doc_mask: np.ndarray | None = None):
         """ADC scan + exact rerank x rerank_factor -> (values, row indices).
 
         rerank: 'device' rescores against the HBM-resident dense matrix
@@ -395,6 +426,10 @@ class VectorIndex:
         and rescores in numpy — the capacity-tier mode where the dense
         matrix never touches HBM. 'auto' picks host unless the dense matrix
         is already device-resident.
+
+        doc_mask: optional (num_slots,) or (B, num_slots) 0/1 doc filter
+        pushed INTO the ADC scan (the dense tier's pushdown) — without it a
+        selective filter would void the whole candidate budget.
         """
         import jax.numpy as jnp
 
@@ -405,22 +440,29 @@ class VectorIndex:
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
-        codes, centroids, valid = self._pq_arrays()
+        codes, centroids, valid, slots = self._pq_arrays()
         if rerank == "auto":
             rerank = "device" if self._device is not None else "host"
         block = self.block_rows  # always divides capacity
         c = min(k * self._pq_rerank_factor, self.capacity)
+        dm = None
+        if doc_mask is not None:
+            dm = np.asarray(doc_mask, np.float32)
+            dm = jnp.asarray(dm[None, :] if dm.ndim == 1 else dm)
         av, ai = pq_adc_topk(
             jnp.asarray(q), codes, centroids, valid, k=c, block_rows=block,
             packed4=getattr(self, "_pq_packed4", False),
             group=getattr(self, "_pq_group", 1),
+            slots=slots if dm is not None else None, doc_mask=dm,
         )
         k_out = min(k, c)
         if rerank == "host":
             cand = np.asarray(ai)                          # (B, C)
             gathered = self._vecs[np.maximum(cand, 0)]     # (B, C, D)
             s = np.einsum("bcd,bd->bc", gathered, q, dtype=np.float32)
-            s = np.where(cand >= 0, s, -1e30)
+            # ADC score <= -1e29 marks rows the scan masked (tombstones /
+            # never-written): rescoring them would resurrect deleted docs
+            s = np.where((cand >= 0) & (np.asarray(av) > -1e29), s, -1e30)
             order = np.argsort(-s, axis=1)[:, :k_out]
             return (np.take_along_axis(s, order, axis=1),
                     np.take_along_axis(cand, order, axis=1))
@@ -436,7 +478,7 @@ class VectorIndex:
                 E = self._pq_rerank_device
         else:
             E, _, _, _ = self.device_arrays()  # bf16-resident, reused
-        vals, idx = exact_rerank(jnp.asarray(q), E, ai, -1e29, k=k_out)
+        vals, idx = exact_rerank(jnp.asarray(q), E, ai, av, -1e29, k=k_out)
         return np.asarray(vals), np.asarray(idx)
 
     # -- persistence -----------------------------------------------------------------

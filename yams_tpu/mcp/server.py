@@ -429,45 +429,16 @@ class MCPServer:
         )
 
     def t_file_history(self, a):
-        rows = self.app.db.execute(
-            """SELECT e.snapshot_id, e.hash, e.size, s.created_time, s.label
-               FROM tree_snapshot_entries e
-               JOIN tree_snapshots s ON s.snapshot_id = e.snapshot_id
-               WHERE e.path = ? OR e.path LIKE ?
-               ORDER BY s.created_time DESC LIMIT ?""",
-            (a["path"], f"%/{a['path'].lstrip('/')}", a.get("limit", 50)),
-        ).fetchall()
-        return {"versions": [
-            {"snapshot_id": r[0], "hash": r[1], "size": r[2],
-             "created_time": r[3], "label": r[4]} for r in rows]}
+        return self.app.documents.file_history(a["path"], a.get("limit", 50))
 
     def t_prune(self, a):
-        import fnmatch
-        import time as _time
-
-        cutoff = (_time.time() - a["older_than_s"]
-                  if a.get("older_than_s") else None)
-        tag_ids = (set(self.app.metadata.find_by_tags(a["tags"]))
-                   if a.get("tags") else None)
-        dry_run = a.get("dry_run", True)
-        victims = []
-        for d in self.app.metadata.list_documents(limit=100000):
-            if cutoff is not None and d.created_time > cutoff:
-                continue
-            if a.get("pattern") and not fnmatch.fnmatch(d.file_path,
-                                                        a["pattern"]):
-                continue
-            if tag_ids is not None and d.id not in tag_ids:
-                continue
-            victims.append({"id": d.id, "path": d.file_path})
-        if not dry_run:
-            for v in victims:
-                try:
-                    self.app.documents.delete(v["path"])
-                except Exception:
-                    v["error"] = "delete failed"
-        return {"matched": len(victims), "dry_run": dry_run,
-                "documents": victims[:100]}
+        return self.app.documents.prune(
+            older_than_s=a.get("older_than_s"),
+            pattern=a.get("pattern"),
+            tags=a.get("tags"),
+            dry_run=a.get("dry_run", True),
+            report_limit=100,
+        )
 
     def t_tree_diff(self, a):
         import dataclasses as _dc

@@ -130,6 +130,8 @@ def pq_adc_topk(
     block_rows: int = 8192,
     packed4: bool = False,
     group: int = 1,
+    slots: jax.Array | None = None,     # (N,) i32 row -> doc slot
+    doc_mask: jax.Array | None = None,  # (1 | B, num_slots) f32 0/1
 ) -> tuple[jax.Array, jax.Array]:
     """ADC scan -> approximate top-k. IP-ADC: score = sum_m lut[m, code].
 
@@ -139,7 +141,14 @@ def pq_adc_topk(
     `group`x, which dominates the step cost at capacity-tier block sizes —
     at 16.7M x 768 packed4 it is the difference between the scan running at
     the one-hot HBM-traffic floor and 15x above it. Use with an exact
-    rerank of k*factor candidates (search_pq pattern)."""
+    rerank of k*factor candidates (search_pq pattern).
+
+    slots + doc_mask push doc-level filters INTO the scan (the dense tier's
+    filter pushdown): each block gathers its rows' slots into doc_mask and
+    masks before selection, so a filter matching 200 of 10M docs still gets
+    vector candidates from those 200 docs — post-selection masking of a
+    mask-blind top-k would return none. doc_mask rows broadcast over the
+    query batch when given as (1, num_slots)."""
     B, D = queries.shape
     N = codes.shape[0]
     m = centroids.shape[0]
@@ -152,6 +161,8 @@ def pq_adc_topk(
     G = N // block_rows
     blocks = codes.reshape(G, block_rows, codes.shape[1])
     masks = valid.reshape(G, block_rows)
+    slot_blocks = (slots.reshape(G, block_rows)
+                   if doc_mask is not None and slots is not None else None)
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ksub), 2)
     wpb = block_rows // group
 
@@ -159,7 +170,11 @@ def pq_adc_topk(
 
     def step(carry, inp):
         vals, idx = carry
-        block, mask, g = inp
+        if slot_blocks is None:
+            block, mask, g = inp
+            sblk = None
+        else:
+            block, mask, sblk, g = inp
         if packed4:
             lo = block & jnp.uint8(0x0F)
             hi = block >> jnp.uint8(4)
@@ -168,6 +183,10 @@ def pq_adc_topk(
         s = jnp.einsum("bmk,nmk->bn", lut.astype(jnp.bfloat16), onehot,
                        preferred_element_type=jnp.float32)
         s = s + (mask - 1.0)[None, :] * 1e30
+        if sblk is not None:
+            dm = jnp.take(doc_mask, jnp.clip(sblk, 0), axis=1)  # (1|B, n)
+            dm = jnp.where(sblk[None, :] >= 0, dm, 0.0)
+            s = s + (dm - 1.0) * 1e30
         if group > 1:
             sg = s.reshape(B, wpb, group)
             garg = jnp.argmax(sg, axis=2)                       # (B, wpb)
@@ -181,9 +200,10 @@ def pq_adc_topk(
         new_v, pos = jax.lax.top_k(cat_v, k)
         return (new_v, jnp.take_along_axis(cat_i, pos, axis=1)), None
 
-    (vals, idx), _ = jax.lax.scan(
-        step, init, (blocks, masks, jnp.arange(G, dtype=jnp.int32))
-    )
+    g_ids = jnp.arange(G, dtype=jnp.int32)
+    xs = ((blocks, masks, g_ids) if slot_blocks is None
+          else (blocks, masks, slot_blocks, g_ids))
+    (vals, idx), _ = jax.lax.scan(step, init, xs)
     return vals, idx
 
 
@@ -192,16 +212,22 @@ def exact_rerank(
     queries: jax.Array,   # (B, D) f32
     E: jax.Array,         # (rows, D) bf16 — full-precision matrix
     cand_idx: jax.Array,  # (B, C) i32 — ADC candidates
+    cand_vals: jax.Array,  # (B, C) f32 — ADC scores (mask-adjusted)
     cand_valid_floor: float,
     k: int,
 ):
-    """Gather candidates, rescore exactly, top-k (rerank_factor pattern)."""
-    def per_query(q, idx):
+    """Gather candidates, rescore exactly, top-k (rerank_factor pattern).
+
+    Candidates whose ADC score is at or below cand_valid_floor were only
+    emitted because the scan ran out of valid rows (tombstones score -1e30
+    but carry real row indices); rescoring them against E would resurrect
+    deleted rows at full value, so they stay masked here."""
+    def per_query(q, idx, av):
         vecs = E[jnp.maximum(idx, 0)]                       # (C, D)
         s = jnp.dot(vecs.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32)
-        s = jnp.where(idx >= 0, s, -1e30)
+        s = jnp.where((idx >= 0) & (av > cand_valid_floor), s, -1e30)
         v, pos = jax.lax.top_k(s, k)
         return v, idx[pos]
 
-    return jax.vmap(per_query)(queries, cand_idx)
+    return jax.vmap(per_query)(queries, cand_idx, cand_vals)

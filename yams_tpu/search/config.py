@@ -97,8 +97,9 @@ class SearchEngineConfig:
     # (VectorIndex.build_pq), the hybrid vector leg runs as a packed ADC
     # scan + exact host rerank instead of the dense in-program scan — the
     # dense matrix never uploads to HBM (D/16 bytes/row packed4), extending
-    # the single-chip corpus ceiling ~64x over bf16. Narrow-routing masks
-    # post-filter the candidate list in this tier (selection is mask-blind).
+    # the single-chip corpus ceiling ~64x over bf16. Doc filters and
+    # narrow-routing masks push INTO the ADC scan (slot-gathered per block),
+    # matching the dense tier's filter pushdown.
     pq_tier_enabled: bool = False
 
     # impact-ordered lexical early termination: above approx_threshold slots,

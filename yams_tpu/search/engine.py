@@ -539,8 +539,13 @@ class SearchEngine:
             vv_np = np.full((B, rrf_c), -1e30, np.float32)
             vi_np = np.full((B, rrf_c), Nd, np.int32)
             if mode != "keyword":
+                qv = _query_vecs()
+                # push doc filters into the ADC scan (dense-tier pushdown):
+                # post-masking a mask-blind top-rrf_c would void the vector
+                # leg whenever the filter is selective
+                dmq = doc_mask if doc_mask.ndim == 1 else doc_mask[:len(qv)]
                 pvals, prows = self.vector_index.search_pq(
-                    _query_vecs(), k=rrf_c, rerank="host")
+                    qv, k=rrf_c, rerank="host", doc_mask=dmq)
                 pslots = np.where(
                     prows >= 0,
                     self.vector_index.slots_of_rows(

@@ -181,8 +181,9 @@ class DocumentService:
             from .filters import resolve_filter_ids
 
             ids = resolve_filter_ids(self.app, tags, None, collection, filters)
-            docs = self.app.metadata.list_documents(
-                limit + offset + (len(ids) if ids else 0), 0, pattern)
+            # fetch the full window: matches may be arbitrarily old, so a
+            # newest-first prefix of limit+offset rows can miss all of them
+            docs = self.app.metadata.list_documents(1 << 30, 0, pattern)
             if ids is not None:
                 docs = [d for d in docs if d.id in ids]
         else:
@@ -221,6 +222,49 @@ class DocumentService:
         if not keep_content:
             self.app.content_store.remove(doc.sha256_hash)
         return True
+
+    def prune(self, older_than_s: float | None = None,
+              pattern: str | None = None, tags: list[str] | None = None,
+              dry_run: bool = True, report_limit: int = 200) -> dict:
+        """Delete documents matching age/pattern/tag filters; dry-run by
+        default (reference: PruneRequest, ipc_protocol_requests.h:1904).
+        Single implementation shared by the daemon handler and MCP tool."""
+        import fnmatch
+        import time as _time
+
+        cutoff = _time.time() - older_than_s if older_than_s else None
+        tag_ids = set(self.app.metadata.find_by_tags(tags)) if tags else None
+        victims = []
+        for d in self.app.metadata.list_documents(limit=1 << 30):
+            if cutoff is not None and d.created_time > cutoff:
+                continue
+            if pattern and not fnmatch.fnmatch(d.file_path, pattern):
+                continue
+            if tag_ids is not None and d.id not in tag_ids:
+                continue
+            victims.append({"id": d.id, "path": d.file_path})
+        if not dry_run:
+            for v in victims:
+                try:
+                    self.delete(v["path"])
+                except Exception:
+                    v["error"] = "delete failed"
+        return {"matched": len(victims), "dry_run": dry_run,
+                "documents": victims[:report_limit]}
+
+    def file_history(self, path: str, limit: int = 50) -> dict:
+        """Appearances of a path across tree snapshots, newest first."""
+        rows = self.app.db.execute(
+            """SELECT e.snapshot_id, e.hash, e.size, s.created_time, s.label
+               FROM tree_snapshot_entries e
+               JOIN tree_snapshots s ON s.snapshot_id = e.snapshot_id
+               WHERE e.path = ? OR e.path LIKE ?
+               ORDER BY s.created_time DESC LIMIT ?""",
+            (path, f"%/{path.lstrip('/')}", limit),
+        ).fetchall()
+        return {"versions": [
+            {"snapshot_id": r[0], "hash": r[1], "size": r[2],
+             "created_time": r[3], "label": r[4]} for r in rows]}
 
     # -- update ------------------------------------------------------------------
     def update_metadata(

@@ -90,6 +90,10 @@ class DownloadService:
         self.limiter = RateLimiter(rate_limit_bps)
         self._jobs: dict[str, DownloadJob] = {}
         self._jobs_lock = threading.Lock()
+        # concurrent job threads share one resume file: every mutation is a
+        # locked read-modify-write of the url's own entry (a thread-private
+        # whole-state copy would erase co-running jobs' entries)
+        self._resume_lock = threading.Lock()
 
     # -- async jobs ------------------------------------------------------------
     def start_job(self, url: str, **kw) -> str:
@@ -146,7 +150,25 @@ class DownloadService:
             return {}
 
     def _save_resume(self, state: dict) -> None:
-        self.resume_store.write_text(json.dumps(state))
+        tmp = self.resume_store.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(state))
+        tmp.replace(self.resume_store)  # readers never see a torn file
+
+    def _resume_get(self, url: str) -> dict | None:
+        with self._resume_lock:
+            return self._load_resume().get(url)
+
+    def _resume_set(self, url: str, entry: dict) -> None:
+        with self._resume_lock:
+            state = self._load_resume()
+            state[url] = entry
+            self._save_resume(state)
+
+    def _resume_pop(self, url: str) -> None:
+        with self._resume_lock:
+            state = self._load_resume()
+            if state.pop(url, None) is not None:
+                self._save_resume(state)
 
     def _part_path(self, url: str) -> pathlib.Path:
         return self.dir / (hashlib.sha256(url.encode()).hexdigest()[:24] + ".part")
@@ -165,9 +187,9 @@ class DownloadService:
     ) -> DownloadResult:
         t0 = time.monotonic()
         part = self._part_path(url)
-        state = self._load_resume()
+        entry = self._resume_get(url)
         resumed_from = part.stat().st_size if part.exists() else 0
-        if str(part) not in state.get(url, {}).get("part", str(part)):
+        if entry is not None and entry.get("part") != str(part):
             resumed_from = 0
 
         headers = {}
@@ -176,6 +198,9 @@ class DownloadService:
             headers["Range"] = f"bytes={resumed_from}-"
         req = urllib.request.Request(url, headers=headers)
         downloaded = 0
+        # register before the .part is opened so a concurrent
+        # repair_downloads never sees a live partial as orphaned
+        self._resume_set(url, {"part": str(part), "bytes": resumed_from})
         try:
             with urllib.request.urlopen(req, timeout=timeout) as resp:
                 if resumed_from and resp.status != 206:
@@ -195,9 +220,9 @@ class DownloadService:
                         if _progress is not None:
                             _progress.bytes_downloaded = resumed_from + downloaded
                         self.limiter.throttle(len(chunk))
-                        state[url] = {"part": str(part),
-                                      "bytes": resumed_from + downloaded}
-                        self._save_resume(state)
+                        self._resume_set(url, {
+                            "part": str(part),
+                            "bytes": resumed_from + downloaded})
         except urllib.error.URLError as e:
             # keep the .part for resume
             raise YamsError(f"download failed ({e}); partial kept for resume")
@@ -205,8 +230,7 @@ class DownloadService:
         digest = sha256_file(part)
         if expected_sha256 and digest != expected_sha256:
             part.unlink(missing_ok=True)
-            state.pop(url, None)
-            self._save_resume(state)
+            self._resume_pop(url)
             raise CorruptionError(
                 f"integrity mismatch: got {digest[:12]}, want {expected_sha256[:12]}"
             )
@@ -219,8 +243,7 @@ class DownloadService:
         url_tag = hashlib.sha256(url.encode()).hexdigest()[:12]
         final_path = self.dir / f"{url_tag}-{name}"
         part.replace(final_path)
-        state.pop(url, None)
-        self._save_resume(state)
+        self._resume_pop(url)
         if store:
             res = self.app.documents.add_bytes(
                 final_path.read_bytes(), f"downloads/{name}", tags=tags,

@@ -148,10 +148,14 @@ class IndexingService:
         for doc_id in doc_ids:
             try:
                 doc = self.app.metadata.get_document(doc_id)
-                out = target / pathlib.PurePath(doc.file_path.lstrip("/")).name
+                # re-root the full stored path: basenames alone collide
+                # (/a/config.json vs /b/config.json would clobber or skip)
+                rel = pathlib.PurePath(doc.file_path.lstrip("/"))
+                out = target / rel
                 if out.exists() and not overwrite:
                     skipped += 1
                     continue
+                out.parent.mkdir(parents=True, exist_ok=True)
                 out.write_bytes(self.app.documents.cat(doc.file_path))
                 restored += 1
             except Exception:

@@ -213,22 +213,25 @@ class RepairService:
             app.metadata.set_tags(doc_id, sorted(tags))
             fixed += 1
 
-        # stale .part / resume entries
+        # stale .part / resume entries — under the store lock so concurrent
+        # job threads can't register a partial between our read and unlink
         dl = app.downloads
-        state = dl._load_resume()
-        live_parts = {v.get("part") for v in state.values() if isinstance(v, dict)}
-        orphan_parts = 0
-        for p in dl.dir.glob("*.part"):
-            if str(p) not in live_parts:
-                p.unlink(missing_ok=True)
-                orphan_parts += 1
-        stale_entries = [u for u, v in state.items()
-                         if not (isinstance(v, dict)
-                                 and pathlib.Path(v.get("part", "")).exists())]
-        for u in stale_entries:
-            state.pop(u, None)
-        if stale_entries:
-            dl._save_resume(state)
+        with dl._resume_lock:
+            state = dl._load_resume()
+            live_parts = {v.get("part") for v in state.values()
+                          if isinstance(v, dict)}
+            orphan_parts = 0
+            for p in dl.dir.glob("*.part"):
+                if str(p) not in live_parts:
+                    p.unlink(missing_ok=True)
+                    orphan_parts += 1
+            stale_entries = [u for u, v in state.items()
+                             if not (isinstance(v, dict)
+                                     and pathlib.Path(v.get("part", "")).exists())]
+            for u in stale_entries:
+                state.pop(u, None)
+            if stale_entries:
+                dl._save_resume(state)
         return (f"{fixed} url-docs normalized, {orphan_parts} orphan .part "
                 f"removed, {len(stale_entries)} stale resume entries cleared")
 

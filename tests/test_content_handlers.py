@@ -174,6 +174,20 @@ class TestArchiveMembers:
             gzip.compress(b"just text"), "application/gzip", "log.txt.gz"))
         assert members == {"log.txt": b"just text"}
 
+    def test_gz_bomb_capped_without_full_decompression(self):
+        """A small .gz inflating past MAX_MEMBER_BYTES must be rejected by
+        STREAMING decompression (decompress-then-check would materialize
+        the whole bomb in memory first)."""
+        import gzip
+
+        from yams_tpu.ingest.content_handlers import MAX_MEMBER_BYTES
+
+        bomb = gzip.compress(b"\x00" * (MAX_MEMBER_BYTES + 4096))
+        assert len(bomb) < MAX_MEMBER_BYTES  # small on the wire
+        members = list(iter_archive_members(
+            bomb, "application/gzip", "bomb.gz"))
+        assert members == []
+
     def test_traversal_names_normalized(self):
         buf = io.BytesIO()
         with zipfile.ZipFile(buf, "w") as zf:

@@ -134,6 +134,24 @@ class TestPostIngestQueue:
             app.close()
 
 
+class TestBatchableSearch:
+    def test_requests_with_filters_bypass_the_batcher(self):
+        """search_many() carries only query+limit, so any filtered request
+        coalesced into a batch would silently drop its filters."""
+        from yams_tpu.daemon.server import YamsDaemon
+
+        f = YamsDaemon._batchable_search
+        assert f({"type": "search", "query": "plain"})
+        assert not f({"type": "search", "query": "q",
+                      "filters": {"created_after": 1.0}})
+        assert not f({"type": "search", "query": "q", "tags": ["t"]})
+        assert not f({"type": "search", "query": "q", "path_glob": "*.py"})
+        assert not f({"type": "search", "query": "q", "collection": "c"})
+        assert not f({"type": "search", "query": "tag:x qualifier"})
+        assert not f({"type": "search", "query": "q",
+                      "search_type": "keyword"})
+
+
 class TestSearchBatcher:
     """Micro-batcher hardening: per-request error isolation, overload
     shedding, latency histogram."""

@@ -135,10 +135,28 @@ class TestRepository:
         assert children["/src/a.py"] == 1
         assert children["/src/sub"] == 1
 
-    def test_search_paths_glob(self, repo):
-        repo.insert_document(_doc("/src/a.py", "1" * 64))
-        repo.insert_document(_doc("/doc/readme.md", "2" * 64))
-        assert len(repo.search_paths("/src/*.py")) == 1
+    def test_upsert_unextractable_drops_stale_content(self, repo):
+        """Re-ingesting a path with unextractable content (e.g. a text file
+        replaced by a PNG) must drop the OLD version's text + FTS rows —
+        otherwise search/get_text keep serving the previous version."""
+        doc_id = repo.insert_document(_doc(path="/report"),
+                                      content_text="quarterly results text")
+        assert repo.search_fts("quarterly")
+        id2 = repo.insert_document(_doc(path="/report", h="d" * 64))  # no text
+        assert id2 == doc_id
+        assert repo.get_content(doc_id) is None
+        assert repo.search_fts("quarterly") == []
+
+    def test_upsert_does_not_inflate_path_tree_counts(self, repo):
+        """Re-ingests of an existing path must not re-increment ancestor
+        doc_counts: delete decrements once, so counts would drift upward
+        forever and skew the path-tree ranking signal."""
+        doc_id = repo.insert_document(_doc("/src/a.py", "1" * 64))
+        repo.insert_document(_doc("/src/a.py", "2" * 64))  # upsert
+        repo.insert_document(_doc("/src/a.py", "3" * 64))  # upsert again
+        assert dict(repo.path_tree_children())["/src"] == 1
+        repo.delete_document(doc_id)
+        assert dict(repo.path_tree_children()).get("/src", 0) == 0
 
     def test_embedding_status(self, repo):
         d = repo.insert_document(_doc())

@@ -268,6 +268,55 @@ class TestMiscLongTail:
         out = client.call("cancel", request_id="req-42")
         assert out["cancel_requested"] == "req-42"
 
+    def test_cancel_while_queued_skips_execution(self, daemon_app):
+        """A request whose id was cancelled before dispatch must come back
+        CANCELLED, not execute; the flag is consumed (second use runs)."""
+        cfg, client, daemon = daemon_app
+        import asyncio as _aio
+
+        daemon.handle_cancel({"request_id": "zz-1"})
+        fut = _aio.run_coroutine_threadsafe(
+            daemon._dispatch({"type": "stats", "id": "zz-1"}), daemon._loop)
+        resp = fut.result(timeout=10)
+        assert not resp["ok"] and resp["error"] == "cancelled"
+        fut = _aio.run_coroutine_threadsafe(
+            daemon._dispatch({"type": "stats", "id": "zz-1"}), daemon._loop)
+        assert fut.result(timeout=10)["ok"]
+
+    def test_events_channel_and_admission_status(self, daemon_app):
+        """InternalEventBus + GradientLimiter are live: lifecycle events
+        drain over the events request, post-ingest batches publish, and
+        detailed status reports the admission limit."""
+        cfg, client, daemon = daemon_app
+        out = client.call("events", channel="lifecycle")
+        states = [e.get("state") for e in out["events"]]
+        assert any(s in ("ready", "degraded", "initializing")
+                   for s in states), states
+        client.call("add_bytes", data=b"event payload text", name="ev.txt")
+        client.call("queue", op="wait_idle", timeout=30.0)
+        out = client.call("events", channel="post_ingest")
+        assert out["events"] and out["events"][0]["docs"] >= 1
+        st = client.call("status", detailed=True)
+        assert st["admission"]["limit"] >= 2
+
+    def test_repair_dry_run_is_read_only(self, daemon_app):
+        cfg, client, _ = daemon_app
+        client.call("add_bytes", data=b"keep me", name="dryrun-keep.txt")
+        out = client.call("repair", ops=["orphans", "fts5"], dry_run=True)
+        assert out["dry_run"] is True
+        assert out["plan"] == {"orphans": "planned", "fts5": "planned"}
+        assert "metadata_db" in out["doctor"]
+        assert client.call("get", selector="dryrun-keep.txt")
+
+    def test_restore_dry_run_writes_nothing(self, daemon_app, tmp_path):
+        cfg, client, _ = daemon_app
+        client.call("add_bytes", data=b"restorable", name="rc/one.txt",
+                    metadata={"collection": "dryrc"})
+        out = client.call("restore_collection", collection="dryrc",
+                          target_dir=str(tmp_path / "out"), dry_run=True)
+        assert out["dry_run"] and out["restored"] == 1
+        assert not (tmp_path / "out").exists()
+
     def test_batch_envelope_isolation(self, daemon_app):
         cfg, client, _ = daemon_app
         out = client.call("batch", requests=[

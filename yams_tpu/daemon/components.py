@@ -230,10 +230,12 @@ class PostIngestQueue:
     """
 
     def __init__(self, app, governor: ResourceGovernor | None = None,
-                 advisor: TuneAdvisor | None = None, capacity: int = 4096):
+                 advisor: TuneAdvisor | None = None, capacity: int = 4096,
+                 bus: "InternalEventBus | None" = None):
         self.app = app
         self.governor = governor
         self.advisor = advisor or TuneAdvisor()
+        self.bus = bus
         self._q: queue.Queue[int | None] = queue.Queue(maxsize=capacity)
         self.stats = {
             "extraction": StageStats(), "kg": StageStats(),
@@ -241,15 +243,20 @@ class PostIngestQueue:
         }
         self._paused = threading.Event()
         self._stop = threading.Event()
-        self._idle = threading.Event()
-        self._idle.set()
+        # idleness = "no enqueued item is unprocessed", tracked as a counter
+        # under a condition: an Event set from the worker races enqueue()
+        # (worker sees the queue empty, enqueue clears+puts, worker sets —
+        # wait_idle then returns while the new item is still pending)
+        self._pending = 0
+        self._idle_cv = threading.Condition()
         self._thread: threading.Thread | None = None
 
     def depth_fraction(self) -> float:
         return self._q.qsize() / max(self._q.maxsize, 1)
 
     def enqueue(self, doc_id: int) -> None:
-        self._idle.clear()
+        with self._idle_cv:
+            self._pending += 1
         self._q.put(doc_id)
 
     def pause(self) -> None:
@@ -272,7 +279,15 @@ class PostIngestQueue:
             self._thread = None
 
     def wait_idle(self, timeout: float = 60.0) -> bool:
-        return self._idle.wait(timeout)
+        with self._idle_cv:
+            return self._idle_cv.wait_for(
+                lambda: self._pending <= 0, timeout)
+
+    def _mark_done(self, n: int) -> None:
+        with self._idle_cv:
+            self._pending -= n
+            if self._pending <= 0:
+                self._idle_cv.notify_all()
 
     # -- pipeline -----------------------------------------------------------------
     def _run(self) -> None:
@@ -283,7 +298,6 @@ class PostIngestQueue:
             try:
                 item = self._q.get(timeout=0.5)
             except queue.Empty:
-                self._idle.set()
                 continue
             if item is None:
                 break
@@ -303,9 +317,16 @@ class PostIngestQueue:
                 batch.append(nxt)
             while self._paused.is_set() and not self._stop.is_set():
                 time.sleep(0.05)
-            self._process_batch(batch, budget)
-            if self._q.empty():
-                self._idle.set()
+            try:
+                self._process_batch(batch, budget)
+            finally:
+                self._mark_done(len(batch))
+                if self.bus is not None:
+                    self.bus.publish("post_ingest", {
+                        "docs": len(batch),
+                        "pending": self._pending,
+                        "ts": time.time(),
+                    })
 
     def _process_batch(self, doc_ids: list[int], token_budget: int) -> None:
         texts: dict[int, str] = {}

@@ -215,14 +215,25 @@ class YamsDaemon:
     async def start(self) -> None:
         self.state = DaemonState.INITIALIZING
         from ..services.app import AppContext
-        from .components import PostIngestQueue, ResourceGovernor, TuneAdvisor
+        from .components import (GradientLimiter, InternalEventBus,
+                                 PostIngestQueue, ResourceGovernor,
+                                 TuneAdvisor)
 
         loop = asyncio.get_running_loop()
+        self.events = InternalEventBus()
+        self.events.publish("lifecycle", {"state": "initializing",
+                                          "ts": time.time()})
+        # RTT-gradient admission for the (single-worker) executor path:
+        # when request latency trends up the in-flight+queued allowance
+        # shrinks and excess requests shed with RESOURCE_EXHAUSTED instead
+        # of stacking unboundedly behind the worker
+        self.limiter = GradientLimiter(initial=32, min_limit=2, max_limit=64)
         self.app = await loop.run_in_executor(self._pool, AppContext, self.config)
         self.governor = ResourceGovernor()
         self.governor.start()
         self.advisor = TuneAdvisor()
-        self.post_ingest = PostIngestQueue(self.app, self.governor, self.advisor)
+        self.post_ingest = PostIngestQueue(self.app, self.governor, self.advisor,
+                                           bus=self.events)
         self.governor.add_queue_source(self.post_ingest.depth_fraction)
         self.post_ingest.start()
         # autoload trusted plugins (reference: daemon plugin autoload)
@@ -258,6 +269,9 @@ class YamsDaemon:
                 self.degraded[f"plugin:{name}"] = str(
                     h.get("reason") or h.get("status"))
         self.state = DaemonState.DEGRADED if self.degraded else DaemonState.READY
+        self.events.publish("lifecycle", {"state": str(self.state),
+                                          "degraded": dict(self.degraded),
+                                          "ts": time.time()})
         if self.config.daemon.search_batch_window_ms > 0:
             self.search_batcher = SearchBatcher(
                 self,
@@ -277,6 +291,8 @@ class YamsDaemon:
         checkpoint_task = asyncio.create_task(self._checkpoint_loop())
         await self._stop.wait()
         self.state = DaemonState.STOPPING
+        self.events.publish("lifecycle", {"state": "stopping",
+                                          "ts": time.time()})
         checkpoint_task.cancel()
         self.post_ingest.stop()
         self.governor.stop()
@@ -339,7 +355,7 @@ class YamsDaemon:
             req.get("type") == "search"
             and req.get("search_type", "hybrid") == "hybrid"
             and not req.get("tags") and not req.get("path_glob")
-            and not req.get("collection")
+            and not req.get("collection") and not req.get("filters")
             and ":" not in q
         )
 
@@ -349,6 +365,13 @@ class YamsDaemon:
         if handler is None:
             return {"ok": False, "error": f"unknown request type: {rtype}",
                     "code": int(ErrorCode.INVALID_ARGUMENT)}
+        rid = str(req.get("id", ""))
+        if rid and self._cancel_flags.pop(rid, None):
+            # cancelled while queued: skip execution entirely (in-flight
+            # device programs are not preemptible — cancel is only
+            # effective before the executor picks the request up)
+            return {"ok": False, "error": "cancelled",
+                    "code": int(ErrorCode.CANCELLED)}
         self._requests_handled += 1
         loop = asyncio.get_running_loop()
         t0 = time.monotonic()
@@ -358,7 +381,18 @@ class YamsDaemon:
             elif self.search_batcher is not None and self._batchable_search(req):
                 result = await self.search_batcher.submit(req)
             else:
-                result = await loop.run_in_executor(self._pool, handler, req)
+                limiter = getattr(self, "limiter", None)
+                if limiter is not None and not limiter.try_acquire():
+                    self._record_metric(rtype, t0, ok=False)
+                    return {"ok": False,
+                            "error": "overloaded (rtt-gradient admission)",
+                            "code": int(ErrorCode.RESOURCE_EXHAUSTED)}
+                try:
+                    result = await loop.run_in_executor(self._pool, handler, req)
+                finally:
+                    if limiter is not None:
+                        limiter.release()
+                        limiter.record(time.monotonic() - t0)
             self._record_metric(rtype, t0, ok=True)
             return {"ok": True, "result": result}
         except YamsError as e:
@@ -407,7 +441,26 @@ class YamsDaemon:
         snap["tuning_profile"] = self.advisor.profile
         if self.search_batcher is not None:
             snap["search_batching"] = self.search_batcher.snapshot()
+        limiter = getattr(self, "limiter", None)
+        if limiter is not None:
+            snap["admission"] = {"limit": limiter.limit,
+                                 "inflight": limiter._inflight}
         return snap
+
+    def handle_events(self, req):
+        """Drain recent internal-bus events from a named channel
+        (lifecycle | post_ingest); non-blocking."""
+        bus = getattr(self, "events", None)
+        if bus is None:
+            return {"events": [], "depth": 0}
+        name = req.get("channel", "post_ingest")
+        out = []
+        for _ in range(min(int(req.get("limit", 100)), 1000)):
+            ev = bus.poll(name)
+            if ev is None:
+                break
+            out.append(ev)
+        return {"events": out, "depth": bus.depth(name)}
 
     def handle_shutdown(self, req):
         # runs on the worker thread; hop to the loop thread to set the event
@@ -565,7 +618,18 @@ class YamsDaemon:
     def handle_repair(self, req):
         from ..services.repair_service import RepairService
 
-        return RepairService(self.app).run(req.get("ops"))
+        svc = RepairService(self.app)
+        if req.get("dry_run"):
+            # read-only: report the planned ops + current health probes
+            # instead of executing (doctor checks the same invariants the
+            # repair ops fix)
+            ops = req.get("ops") or list(svc.OPS)
+            plan = {op: ("planned" if hasattr(svc, f"repair_{op}")
+                         else "unknown op") for op in ops}
+            checks = {k: {"ok": bool(v[0]), "detail": v[1]}
+                      for k, v in svc.doctor().items()}
+            return {"dry_run": True, "plan": plan, "doctor": checks}
+        return svc.run(req.get("ops"))
 
     def handle_doctor(self, req):
         from ..services.repair_service import RepairService
@@ -640,12 +704,17 @@ class YamsDaemon:
 
     def handle_cancel(self, req):
         """Best-effort cancellation (CancelRequest, ipc_protocol_requests.h:1046):
-        download jobs cancel hard; other request ids get a cancel flag that
-        long-running handlers poll."""
+        download jobs cancel hard; other request ids are cancelled if they
+        are still queued (the dispatcher checks the flag before execution;
+        in-flight device programs are not preemptible)."""
         if "job_id" in req:
             return self.app.downloads.cancel_job(req["job_id"])
         rid = str(req.get("request_id", ""))
         self._cancel_flags[rid] = True
+        # bound the flag set: ids that never arrive would otherwise
+        # accumulate forever in a long-lived daemon
+        while len(self._cancel_flags) > 1024:
+            self._cancel_flags.pop(next(iter(self._cancel_flags)))
         return {"cancel_requested": rid}
 
     # -- model lifecycle (LoadModel/UnloadModel/ModelStatus,
@@ -742,12 +811,14 @@ class YamsDaemon:
     def handle_restore_snapshot(self, req):
         return self.app.indexing.restore_snapshot(
             req["snapshot_id"], req["target_dir"],
-            overwrite=req.get("overwrite", False))
+            overwrite=req.get("overwrite", False),
+            dry_run=req.get("dry_run", False))
 
     def handle_restore_collection(self, req):
         return self.app.indexing.restore_collection(
             req["collection"], req["target_dir"],
-            overwrite=req.get("overwrite", False))
+            overwrite=req.get("overwrite", False),
+            dry_run=req.get("dry_run", False))
 
     def handle_tree_diff(self, req):
         """Diff two snapshots (ListTreeDiffRequest, ipc_protocol_requests.h:3279)."""

@@ -383,16 +383,23 @@ def iter_archive_members(
                 return
             except tarfile.TarError:
                 pass
-            # plain compressed single file
+            # plain compressed single file — stream-decompress with a hard
+            # output cap: decompress-then-check would let a few-MB bomb
+            # inflate to tens of GB before the bound ever ran
             import bz2
             import gzip
             import lzma
 
-            opener = {"application/gzip": gzip.decompress,
-                      "application/x-bzip2": bz2.decompress,
-                      "application/x-xz": lzma.decompress}.get(mime)
+            opener = {
+                "application/gzip": lambda b: gzip.GzipFile(fileobj=b),
+                "application/x-bzip2": lambda b: bz2.BZ2File(b),
+                "application/x-xz": lambda b: lzma.LZMAFile(b),
+            }.get(mime)
             if opener is not None:
-                payload = opener(data)
+                with opener(io.BytesIO(data)) as f:
+                    payload = f.read(MAX_MEMBER_BYTES + 1)
+                if len(payload) > MAX_MEMBER_BYTES:
+                    return  # oversized member: store archive as-is
                 inner = name.rsplit("/", 1)[-1]
                 for suf in (".gz", ".bz2", ".xz"):
                     if inner.endswith(suf):

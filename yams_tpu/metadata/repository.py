@@ -9,7 +9,6 @@ the host-side parity oracle for the device BM25 kernel.
 from __future__ import annotations
 
 import dataclasses
-import fnmatch
 import json
 import re
 import time
@@ -66,6 +65,10 @@ class MetadataRepository:
     ) -> int:
         """Insert doc + content + FTS + tags + metadata + path tree: one tx."""
         with self.db.lock, self.db.conn:
+            pre = self.db.conn.execute(
+                "SELECT id FROM documents WHERE file_path=?",
+                (info.file_path,),
+            ).fetchone()
             cur = self.db.conn.execute(
                 """INSERT INTO documents (file_path, file_name, file_extension,
                    file_size, sha256_hash, mime_type, created_time, modified_time,
@@ -94,6 +97,16 @@ class MetadataRepository:
             info.id = doc_id
             if content_text is not None:
                 self._set_content_tx(doc_id, content_text, title or info.file_name)
+            elif pre is not None:
+                # re-ingest of an existing path with unextractable content:
+                # the previous version's text + FTS row describe content
+                # that no longer exists — drop them or search/get_text/
+                # re-embedding would serve the OLD version's text
+                self.db.conn.execute(
+                    "DELETE FROM document_content WHERE document_id=?",
+                    (doc_id,))
+                self.db.conn.execute(
+                    "DELETE FROM documents_fts WHERE rowid=?", (doc_id,))
             for tag in info.tags:
                 self.db.conn.execute(
                     "INSERT OR REPLACE INTO metadata VALUES (?,?,?)",
@@ -103,7 +116,12 @@ class MetadataRepository:
                 self.db.conn.execute(
                     "INSERT OR REPLACE INTO metadata VALUES (?,?,?)", (doc_id, k, v)
                 )
-            self._upsert_path_tree_tx(info.file_path)
+            if pre is None:
+                # count each path once: an upsert of an existing path must
+                # not re-increment ancestor doc_counts (delete decrements
+                # once, so repeated re-ingests would drift counts upward
+                # forever and skew the path_tree_weight ranking signal)
+                self._upsert_path_tree_tx(info.file_path)
             self.db.conn.execute(
                 "INSERT OR REPLACE INTO embedding_status VALUES (?,?,?,?)",
                 (doc_id, "pending", "", time.time()),
@@ -322,19 +340,6 @@ class MetadataRepository:
                 " WHERE parent_id IS NULL ORDER BY full_path"
             ).fetchall()
         return [(r[0], r[1]) for r in rows]
-
-    def search_paths(self, glob_pattern: str, limit: int = 100) -> list[DocumentInfo]:
-        """Fuzzy path query via glob over the documents table."""
-        rows = self.db.execute(
-            "SELECT * FROM documents ORDER BY file_path LIMIT 100000"
-        ).fetchall()
-        out = []
-        for r in rows:
-            if fnmatch.fnmatch(r["file_path"], glob_pattern):
-                out.append(_row_to_doc(r))
-                if len(out) >= limit:
-                    break
-        return out
 
     # -- embedding status ------------------------------------------------------------
     def set_embedding_status(self, doc_id: int, status: str, model_id: str = "") -> None:

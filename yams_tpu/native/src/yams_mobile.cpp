@@ -586,8 +586,11 @@ yams_mobile_status run_request(MobileContext* ctx, const std::string& req,
     auto* r = new MobileResult();
     r->json.assign(resp);
     free(resp);
-    bool ok = r->json.find("\"ok\": true") != std::string::npos ||
-              r->json.find("\"ok\":true") != std::string::npos;
+    // parse the envelope: substring-matching "ok":true would misclassify
+    // error payloads that echo user-controlled text containing that token
+    const JValue* env = r->root();
+    const JValue* okv = env ? env->get("ok") : nullptr;
+    bool ok = okv && okv->kind == JValue::BOOL && okv->b;
     r->stats = std::string("{\"ok\":") + (ok ? "true" : "false") +
                ",\"bytes\":" + std::to_string(r->json.size()) + "}";
     if (!ok) {
@@ -830,16 +833,13 @@ yams_mobile_status yams_mobile_grep_execute(
         set_tl_error("grep_request needs pattern");
         return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
     }
-    std::string pat = request->pattern;
-    bool literal = request->literal != 0;
-    if (request->word_boundary) {
-        // express word boundaries as regex; escape first if literal was asked
-        pat = "\\b(" + (literal ? regex_escape(pat.c_str()) : pat) + ")\\b";
-        literal = false;
-    }
+    // boundary semantics live server-side (GrepService word_boundary) —
+    // rewriting the pattern here duplicated that logic and forced literal
+    // patterns through the regex path
     std::string req =
-        "{\"type\":\"grep\"," + jfield("pattern", pat.c_str()) +
-        ",\"literal\":" + (literal ? "true" : "false") +
+        "{\"type\":\"grep\"," + jfield("pattern", request->pattern) +
+        ",\"literal\":" + (request->literal ? "true" : "false") +
+        ",\"word_boundary\":" + (request->word_boundary ? "true" : "false") +
         ",\"ignore_case\":" + (request->ignore_case ? "true" : "false") +
         ",\"max_matches\":" +
         std::to_string(request->max_matches ? request->max_matches : 1000) +
@@ -1044,15 +1044,17 @@ yams_mobile_status yams_mobile_repair(
         req += std::string("\"") + op + "\"";
         first = false;
     };
+    const char* dry = request->dry_run ? ",\"dry_run\":true" : "";
     if (request->repair_all) {
-        req += "]}";
-        req = "{\"type\":\"repair\"}"; // all ops
+        req = std::string("{\"type\":\"repair\"") + dry + "}"; // all ops
     } else {
         if (request->repair_embeddings) add("embeddings");
         if (request->repair_fts5) add("fts5");
         if (request->repair_graph) add("graph");
         if (request->repair_orphans) add("orphans");
-        req += "]}";
+        req += "]";
+        req += dry;
+        req += "}";
     }
     MobileResult* r = nullptr;
     yams_mobile_status st = run_request(ctx, req, &r);
@@ -1173,19 +1175,20 @@ yams_mobile_status yams_mobile_restore(
     if (!ctx || !request || !request->output_directory ||
         (!request->snapshot_id && !request->collection))
         return YAMS_MOBILE_STATUS_INVALID_ARGUMENT;
+    const char* dry = request->dry_run ? ",\"dry_run\":true" : "";
     std::string req;
     if (request->snapshot_id)
         req = "{\"type\":\"restore_snapshot\"," +
               jfield("snapshot_id", request->snapshot_id) + "," +
               jfield("target_dir", request->output_directory) +
               ",\"overwrite\":" + (request->overwrite ? "true" : "false") +
-              "}";
+              dry + "}";
     else
         req = "{\"type\":\"restore_collection\"," +
               jfield("collection", request->collection) + "," +
               jfield("target_dir", request->output_directory) +
               ",\"overwrite\":" + (request->overwrite ? "true" : "false") +
-              "}";
+              dry + "}";
     MobileResult* r = nullptr;
     yams_mobile_status st = run_request(ctx, req, &r);
     if (st == YAMS_MOBILE_STATUS_OK && out_summary)

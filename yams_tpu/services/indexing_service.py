@@ -106,11 +106,13 @@ class IndexingService:
         snapshot_id: str,
         target_dir: str | pathlib.Path,
         overwrite: bool = False,
+        dry_run: bool = False,
     ) -> dict:
         """Materialize a tree snapshot's files from the CAS
-        (reference: restore_command.cpp)."""
+        (reference: restore_command.cpp). dry_run counts without writing."""
         target = pathlib.Path(target_dir)
-        target.mkdir(parents=True, exist_ok=True)
+        if not dry_run:
+            target.mkdir(parents=True, exist_ok=True)
         entries = self.app.trees.get_snapshot(snapshot_id)
         restored = skipped = failed = 0
         for e in entries:
@@ -124,25 +126,32 @@ class IndexingService:
                 skipped += 1
                 continue
             try:
-                data = self.app.content_store.retrieve_bytes(e.hash)
-                out.parent.mkdir(parents=True, exist_ok=True)
-                out.write_bytes(data)
+                if dry_run:
+                    if not self.app.content_store.exists(e.hash):
+                        raise FileNotFoundError(e.hash)
+                else:
+                    data = self.app.content_store.retrieve_bytes(e.hash)
+                    out.parent.mkdir(parents=True, exist_ok=True)
+                    out.write_bytes(data)
                 restored += 1
             except Exception:
                 failed += 1
         return {"restored": restored, "skipped": skipped, "failed": failed,
-                "target": str(target)}
+                "target": str(target), "dry_run": dry_run}
 
     def restore_collection(
         self,
         collection: str,
         target_dir: str | pathlib.Path,
         overwrite: bool = False,
+        dry_run: bool = False,
     ) -> dict:
         """Materialize every document of a collection from the CAS
-        (reference: RestoreCollectionRequest, ipc_protocol_requests.h:1985)."""
+        (reference: RestoreCollectionRequest, ipc_protocol_requests.h:1985).
+        dry_run counts without writing."""
         target = pathlib.Path(target_dir)
-        target.mkdir(parents=True, exist_ok=True)
+        if not dry_run:
+            target.mkdir(parents=True, exist_ok=True)
         doc_ids = self.app.metadata.find_by_metadata("collection", collection)
         restored = skipped = failed = 0
         for doc_id in doc_ids:
@@ -155,13 +164,18 @@ class IndexingService:
                 if out.exists() and not overwrite:
                     skipped += 1
                     continue
-                out.parent.mkdir(parents=True, exist_ok=True)
-                out.write_bytes(self.app.documents.cat(doc.file_path))
+                if dry_run:
+                    if not self.app.content_store.exists(doc.sha256_hash):
+                        raise FileNotFoundError(doc.sha256_hash)
+                else:
+                    out.parent.mkdir(parents=True, exist_ok=True)
+                    out.write_bytes(self.app.documents.cat(doc.file_path))
                 restored += 1
             except Exception:
                 failed += 1
         return {"restored": restored, "skipped": skipped, "failed": failed,
-                "collection": collection, "target": str(target)}
+                "collection": collection, "target": str(target),
+                "dry_run": dry_run}
 
     def _index_docs_batch(self, doc_ids: list[int]) -> int:
         """Index stored-but-unindexed docs through the engine's batched path

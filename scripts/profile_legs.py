@@ -59,7 +59,10 @@ def main() -> None:
     tl = jnp.full(VOCAB, per_term, jnp.int32)
     doc_mask = jnp.ones(N, jnp.float32)
     hot = jnp.zeros(N, jnp.float32)
-    w = jnp.asarray(np.array([0.70, 0.30, 0.05, 0.5, 25.0, 0.85, 1.2, 12.0], np.float32))
+    from yams_tpu.search.config import SearchEngineConfig
+    from yams_tpu.search.fusion import pack_weights
+
+    w = jnp.asarray(pack_weights(SearchEngineConfig()))
     sketches = jax.random.normal(ks[5], (ITERS, B, S), dtype=jnp.float32)
     term_ids = jax.random.randint(ks[6], (ITERS, B, T), 0, VOCAB, dtype=jnp.int32)
     term_mask = jnp.ones((ITERS, B, T), jnp.float32)

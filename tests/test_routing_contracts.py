@@ -42,10 +42,21 @@ TOPICS = [
 
 
 def build_engine(policy: str, seed: int, topo_engine: str = "kmeans",
-                 top_clusters: int = 3):
+                 top_clusters: int = 3, score_invariant: bool = False):
+    cfg = SearchEngineConfig(batch_pad=4, topology_policy=policy,
+                             topology_top_clusters=top_clusters)
+    if score_invariant:
+        # static scoring: a doc's fused score is independent of the other
+        # candidates (fixed divisor, fixed vector norm, no leg adaptation) —
+        # the hypothesis under which preservesProtected is a THEOREM rather
+        # than a statistically-calibrated property (see
+        # test_narrow_preserves_protected_when_covered)
+        cfg.bm25_norm_divisor = 25.0
+        cfg.vec_norm_bias = 1.0
+        cfg.vec_norm_scale = 0.5
+        cfg.leg_adaptive = 0.0
     eng = SearchEngine(
-        config=SearchEngineConfig(batch_pad=4, topology_policy=policy,
-                                  topology_top_clusters=top_clusters),
+        config=cfg,
         embedding=EMB, vector=VEC, lexical=LEX,
     )
     rng = np.random.default_rng(seed)
@@ -95,9 +106,20 @@ class TestRoutingContracts:
         """selectiveRoute_preservesProtected + the VERDICT invariant: when
         the route covers the global top-k (certificate soundness — checked
         by widening top_clusters until coverage holds, the theorem's
-        hypothesis), narrow returns the SAME top-k."""
-        off = build_engine("off", seed, topo_engine)
-        nar = build_engine("narrow", seed, topo_engine)
+        hypothesis), narrow returns the SAME top-k.
+
+        This holds as a THEOREM only for score-invariant scoring (each
+        doc's fused score independent of the other candidates) — hence the
+        fixed-norm config here. The shipped ADAPTIVE fusion normalizes per
+        query over the candidate distribution, so masking out a leg's max
+        candidate rescales the survivors: coverage of the top-k alone no
+        longer certifies preservation. That is exactly why the reference
+        defaults topologyVectorPolicy to Shadow and gates Narrow behind
+        route-risk CALIBRATION (search_engine_config.h:228-246) rather
+        than a coverage proof; the statistical gate lives in
+        test_tuning_topology / the engine's shadow-agreement machinery."""
+        off = build_engine("off", seed, topo_engine, score_invariant=True)
+        nar = build_engine("narrow", seed, topo_engine, score_invariant=True)
         n_clusters = len(nar.topology.artifacts.centroids)
         checked = 0
         for q in ("kernel driver interrupt", "tomato basil pasta",

@@ -108,7 +108,10 @@ class TestTopologyRouting:
             provider.query_device_inputs = real_qdi
             provider.encode = real_encode
         assert calls["sketch"] == 1
-        assert calls["encode"] == 0, "legs must reuse the batch sketches"
+        # query_device_inputs itself host-encodes the batch exactly once
+        # (it ships (B, dim) qvecs, not raw sketches); the routing/entity
+        # legs must NOT add further encodes
+        assert calls["encode"] <= 1, "legs must reuse the batch encoding"
 
     def test_narrow_restricts_and_still_finds(self):
         eng = make_engine(policy="narrow")

@@ -31,11 +31,14 @@ from ..search.fusion import (
     NEG,
     W_BM25_DIV,
     W_HOT,
+    W_LEG_ADAPT,
     W_RRF_K,
     W_RRF_SCALE,
     W_TEXT,
     W_VEC,
+    W_VEC_BIAS,
     W_VEC_ONLY_PEN,
+    W_VEC_SCALE,
 )
 
 
@@ -138,12 +141,43 @@ def sharded_hybrid_query(
         dm_at_bm = dm[jnp.minimum(bm_ids, sink - 1)]
         bm_ok = (bm_scores > 0) & (bm_ids < sink) & (dm_at_bm > 0) \
             & (w[W_TEXT] > 0)
-        bm_norm = jnp.clip(bm_scores / jnp.maximum(w[W_BM25_DIV], 1e-6), 0.0, 1.0)
-        val_bm = jnp.where(bm_ok, w[W_TEXT] * (bm_norm + w[W_RRF_SCALE] * rrf), 0.0)
+        # fixed divisor when configured, else adaptive per-query max-norm
+        # (mirrors search/fusion.py _fuse_candidates)
+        bm_live = jnp.where(bm_ok, bm_scores, 0.0)
+        bm_qmax = jnp.max(bm_live, axis=1, keepdims=True)
+        bm_div = jnp.where(w[W_BM25_DIV] > 0, w[W_BM25_DIV],
+                           jnp.maximum(bm_qmax, 1e-6))
+        bm_norm = jnp.clip(bm_live / bm_div, 0.0, 1.0)
         ids_bm = jnp.where(bm_ok, bm_ids, sink)
         vec_ok = (vv > -1e29) & (w[W_VEC] > 0)
-        vec_norm = jnp.clip((vv + 1.0) * 0.5, 0.0, 1.0)
-        val_vec = jnp.where(vec_ok, w[W_VEC] * (vec_norm + w[W_RRF_SCALE] * rrf), 0.0)
+        vec_clip = jnp.clip((vv + w[W_VEC_BIAS]) * w[W_VEC_SCALE], 0.0, 1.0)
+        vec_live = jnp.where(vec_ok, vec_clip, 0.0)
+        vec_qmax = jnp.max(vec_live, axis=1, keepdims=True)
+        vec_norm = jnp.where(w[W_BM25_DIV] > 0, vec_clip,
+                             vec_live / jnp.maximum(vec_qmax, 1e-6))
+        # per-query leg-confidence adaptive weighting — identical math to
+        # fusion._fuse_candidates (the candidate windows here are the SAME
+        # global top-C after the hierarchical merge, so confidences match
+        # the single-chip program bit-for-bit up to reduction order)
+        n_bm = jnp.sum(bm_ok, axis=1, keepdims=True).astype(jnp.float32)
+        n_vec = jnp.sum(vec_ok, axis=1, keepdims=True).astype(jnp.float32)
+        rel_l = jnp.sum(bm_live / jnp.maximum(bm_qmax, 1e-6),
+                        axis=1, keepdims=True)
+        rel_v = jnp.sum(vec_live / jnp.maximum(vec_qmax, 1e-6),
+                        axis=1, keepdims=True)
+        conf_l = jnp.where(n_bm > 0, 1.0 - rel_l / jnp.maximum(n_bm, 1.0), 0.0)
+        conf_v = jnp.where(n_vec > 0, 1.0 - rel_v / jnp.maximum(n_vec, 1.0), 0.0)
+        mass_l = w[W_TEXT] * conf_l
+        mass_v = w[W_VEC] * conf_v
+        mass = mass_l + mass_v
+        leg_sum = w[W_TEXT] + w[W_VEC]
+        share_l = jnp.where(mass > 1e-9, mass_l / jnp.maximum(mass, 1e-9),
+                            w[W_TEXT] / jnp.maximum(leg_sum, 1e-9))
+        a = w[W_LEG_ADAPT]
+        wt_q = (1.0 - a) * w[W_TEXT] + a * leg_sum * share_l
+        wv_q = (1.0 - a) * w[W_VEC] + a * leg_sum * (1.0 - share_l)
+        val_bm = jnp.where(bm_ok, wt_q * (bm_norm + w[W_RRF_SCALE] * rrf), 0.0)
+        val_vec = jnp.where(vec_ok, wv_q * (vec_norm + w[W_RRF_SCALE] * rrf), 0.0)
         ids_vec = jnp.where(vec_ok, vslots, sink)
 
         ids = jnp.concatenate([ids_bm, ids_vec], axis=1)

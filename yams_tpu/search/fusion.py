@@ -31,8 +31,9 @@ import jax.numpy as jnp
 NEG = -1e30
 
 # packed weight vector layout
-W_TEXT, W_VEC, W_HOT, W_RRF_SCALE, W_BM25_DIV, W_VEC_ONLY_PEN, W_K1, W_RRF_K = range(8)
-NUM_WEIGHTS = 8
+(W_TEXT, W_VEC, W_HOT, W_RRF_SCALE, W_BM25_DIV, W_VEC_ONLY_PEN, W_K1,
+ W_RRF_K, W_VEC_BIAS, W_VEC_SCALE, W_LEG_ADAPT) = range(11)
+NUM_WEIGHTS = 11
 
 
 def pack_weights(cfg):
@@ -50,6 +51,9 @@ def pack_weights(cfg):
     w[W_VEC_ONLY_PEN] = cfg.vector_only_penalty
     w[W_K1] = 1.2
     w[W_RRF_K] = float(cfg.rrf_k)
+    w[W_VEC_BIAS] = cfg.vec_norm_bias
+    w[W_VEC_SCALE] = cfg.vec_norm_scale
+    w[W_LEG_ADAPT] = getattr(cfg, "leg_adaptive", 0.0)
     return w
 
 
@@ -99,6 +103,13 @@ def hybrid_query(
     impact scale scalar; term_offsets/term_lengths are ignored (pass dummies).
     """
     from ..ops.bm25 import bm25_topk_candidates
+
+    # loud failure over silent clamping: a short weight vector would make
+    # the W_VEC_BIAS/... reads clamp to the last slot and quietly wreck
+    # the vector-leg normalization (cost a day of recall debugging once)
+    assert weights.shape[-1] == NUM_WEIGHTS, (
+        f"weights must have {NUM_WEIGHTS} slots, got {weights.shape}"
+    )
 
     C = rrf_cand
     sink = num_slots
@@ -331,16 +342,67 @@ def _fuse_candidates(
         dm_at_bm = jnp.take_along_axis(dm, safe_ids, axis=1)
     bm_ok = (bm_scores > 0) & (bm_ids < sink) & (dm_at_bm > 0) \
         & (weights[W_TEXT] > 0)
-    bm_norm = jnp.clip(bm_scores / jnp.maximum(weights[W_BM25_DIV], 1e-6), 0.0, 1.0)
-    val_bm = jnp.where(
-        bm_ok, weights[W_TEXT] * (bm_norm + weights[W_RRF_SCALE] * rrf), 0.0
-    )
+    # leg normalization. W_BM25_DIV > 0: the reference's fixed divisor
+    # (bm25NormDivisor=25, tuned for SQLite bm25 on prose). W_BM25_DIV <= 0:
+    # ADAPTIVE per-query max-norm of BOTH legs — each leg's best candidate
+    # maps to 1.0, so the legs are scale-commensurable regardless of corpus
+    # (BM25 on code with content_weight=10 saturates any fixed divisor,
+    # which erased within-leg ranking and cost hybrid 10 recall points vs
+    # the raw vector leg on the realtext eval). Rank information inside
+    # each leg is preserved exactly; RRF stays as the rank-fusion term.
+    bm_live = jnp.where(bm_ok, bm_scores, 0.0)
+    bm_qmax = jnp.max(bm_live, axis=1, keepdims=True)
+    bm_div = jnp.where(weights[W_BM25_DIV] > 0, weights[W_BM25_DIV],
+                       jnp.maximum(bm_qmax, 1e-6))
+    bm_norm = jnp.clip(bm_live / bm_div, 0.0, 1.0)
     ids_bm = jnp.where(bm_ok, bm_ids, sink)
 
     vec_ok = (vv > -1e29) & (weights[W_VEC] > 0)
-    vec_norm = jnp.clip((vv + 1.0) * 0.5, 0.0, 1.0)
+    # cosine as a [0,1] similarity, negatives floored (W_VEC_BIAS/W_VEC_SCALE
+    # traced, default 0/1 — the old fixed (cos+1)/2 handed every candidate a
+    # free 0.5 baseline); in adaptive mode the clipped leg additionally
+    # max-normalizes per query like the lexical leg
+    vec_clip = jnp.clip(
+        (vv + weights[W_VEC_BIAS]) * weights[W_VEC_SCALE], 0.0, 1.0)
+    vec_live = jnp.where(vec_ok, vec_clip, 0.0)
+    vec_qmax = jnp.max(vec_live, axis=1, keepdims=True)
+    vec_norm = jnp.where(weights[W_BM25_DIV] > 0, vec_clip,
+                         vec_live / jnp.maximum(vec_qmax, 1e-6))
+
+    # per-query leg-confidence adaptive weighting (reference analog: the
+    # intent-adaptive weighting of search_engine_config.h:296-360, done the
+    # traced way). W_LEG_ADAPT = a in [0,1]; a=0 -> the static weights.
+    # A leg's confidence is how PEAKED its candidate distribution is:
+    # 1 - mean(max-normalized candidate scores). A leg that scores one
+    # candidate far above the rest knows something; a leg that scores its
+    # whole window near the max is uninformative for ranking — this is the
+    # query-performance-prediction signal that lets a trained dense leg
+    # out-vote morphology-blind BM25 without hurting corpora where the
+    # lexical leg is the strong one.
+    n_bm = jnp.sum(bm_ok, axis=1, keepdims=True).astype(jnp.float32)
+    n_vec = jnp.sum(vec_ok, axis=1, keepdims=True).astype(jnp.float32)
+    rel_l = jnp.sum(bm_live / jnp.maximum(bm_qmax, 1e-6),
+                    axis=1, keepdims=True)
+    rel_v = jnp.sum(vec_live / jnp.maximum(vec_qmax, 1e-6),
+                    axis=1, keepdims=True)
+    conf_l = jnp.where(n_bm > 0, 1.0 - rel_l / jnp.maximum(n_bm, 1.0), 0.0)
+    conf_v = jnp.where(n_vec > 0, 1.0 - rel_v / jnp.maximum(n_vec, 1.0), 0.0)
+    mass_l = weights[W_TEXT] * conf_l
+    mass_v = weights[W_VEC] * conf_v
+    mass = mass_l + mass_v
+    leg_sum = weights[W_TEXT] + weights[W_VEC]
+    share_l = jnp.where(
+        mass > 1e-9, mass_l / jnp.maximum(mass, 1e-9),
+        weights[W_TEXT] / jnp.maximum(leg_sum, 1e-9))
+    a = weights[W_LEG_ADAPT]
+    wt_q = (1.0 - a) * weights[W_TEXT] + a * leg_sum * share_l
+    wv_q = (1.0 - a) * weights[W_VEC] + a * leg_sum * (1.0 - share_l)
+
+    val_bm = jnp.where(
+        bm_ok, wt_q * (bm_norm + weights[W_RRF_SCALE] * rrf), 0.0
+    )
     val_vec = jnp.where(
-        vec_ok, weights[W_VEC] * (vec_norm + weights[W_RRF_SCALE] * rrf), 0.0
+        vec_ok, wv_q * (vec_norm + weights[W_RRF_SCALE] * rrf), 0.0
     )
     ids_vec = jnp.where(vec_ok, vi_slots, sink)
 

@@ -1,0 +1,118 @@
+"""Real-text retrieval eval corpus built from the reference repo's own text.
+
+Parity: tests/benchmarks/search/retrieval_quality_bench.cpp + beir_loader.h —
+the reference gates retrieval quality on BEIR scifact. This container has no
+egress, so the realistic corpus is the text already present on disk: the
+reference repository itself (~800 C++/markdown files of real prose and code).
+
+Queries carry qrels pinned BY CONSTRUCTION (known-item retrieval):
+  - heading queries: a markdown heading (>=3 words) must retrieve its file
+  - symbol queries: a class/struct name, camel-case split into words
+    ("TopologyRoutingSession" -> "topology routing session"), must retrieve
+    a file that DEFINES that symbol (header or impl)
+
+The corpus is read at test time from REALTEXT_ROOT (default /root/reference)
+and is never copied into this repository. Set YAMS_REALTEXT_DIR to point at
+any other corpus root; tests skip if none exists.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pathlib
+import re
+
+REALTEXT_ROOT = pathlib.Path(
+    os.environ.get("YAMS_REALTEXT_DIR", "/root/reference"))
+
+MAX_DOC_CHARS = 4000
+MAX_DOCS = 900
+
+_HEADING_RE = re.compile(r"^#{1,3}\s+(.+)$", re.MULTILINE)
+_SYMBOL_RE = re.compile(
+    r"^\s*(?:class|struct)\s+([A-Z][A-Za-z0-9_]{7,})\b(?!.*;\s*$)",
+    re.MULTILINE)
+_CAMEL_RE = re.compile(
+    r"[A-Z]+(?=[A-Z][a-z])|[A-Z]?[a-z]+|[A-Z]+|[0-9]+")
+
+
+@dataclasses.dataclass(slots=True)
+class RealTextEval:
+    docs: list[tuple[str, str]]              # (relpath, text)
+    queries: list[tuple[str, set[str]]]      # (query, relevant relpaths)
+    kinds: list[str]                         # per-query: heading | symbol
+
+
+def camel_split(name: str) -> str:
+    return " ".join(m.group(0).lower() for m in _CAMEL_RE.finditer(name))
+
+
+def available() -> bool:
+    return (REALTEXT_ROOT / "docs").is_dir() or (
+        REALTEXT_ROOT / "src").is_dir()
+
+
+def build(max_docs: int = MAX_DOCS, max_queries_per_kind: int = 120,
+          seed: int = 7) -> RealTextEval:
+    import random
+
+    rng = random.Random(seed)
+    files: list[pathlib.Path] = []
+    for sub, pats in (("docs", ("*.md",)),
+                      ("src", ("*.cpp", "*.h")),
+                      ("include", ("*.h",))):
+        root = REALTEXT_ROOT / sub
+        if not root.is_dir():
+            continue
+        for pat in pats:
+            files.extend(sorted(root.rglob(pat)))
+    rng.shuffle(files)
+    files = files[:max_docs]
+
+    docs: list[tuple[str, str]] = []
+    text_by_rel: dict[str, str] = {}
+    for f in files:
+        try:
+            text = f.read_text(errors="replace")[:MAX_DOC_CHARS]
+        except OSError:
+            continue
+        rel = str(f.relative_to(REALTEXT_ROOT))
+        docs.append((rel, text))
+        text_by_rel[rel] = text
+
+    queries: list[tuple[str, set[str]]] = []
+    kinds: list[str] = []
+
+    # heading queries: each (truncated) markdown doc's headings point home
+    heads: list[tuple[str, set[str]]] = []
+    seen_q: set[str] = set()
+    for rel, text in docs:
+        if not rel.endswith(".md"):
+            continue
+        for m in _HEADING_RE.finditer(text):
+            q = re.sub(r"[`*_#\[\]()]", " ", m.group(1)).strip().lower()
+            if len(q.split()) < 3 or q in seen_q:
+                continue
+            seen_q.add(q)
+            heads.append((q, {rel}))
+    rng.shuffle(heads)
+    for q, rel in heads[:max_queries_per_kind]:
+        queries.append((q, rel))
+        kinds.append("heading")
+
+    # symbol queries: class/struct definitions, relevant = defining files
+    defs: dict[str, set[str]] = {}
+    for rel, text in docs:
+        if rel.endswith(".md"):
+            continue
+        for m in _SYMBOL_RE.finditer(text):
+            defs.setdefault(m.group(1), set()).add(rel)
+    syms = [(s, rels) for s, rels in defs.items()
+            if len(camel_split(s).split()) >= 2 and len(rels) <= 4]
+    rng.shuffle(syms)
+    for s, rels in syms[:max_queries_per_kind]:
+        queries.append((camel_split(s), rels))
+        kinds.append("symbol")
+
+    return RealTextEval(docs=docs, queries=queries, kinds=kinds)

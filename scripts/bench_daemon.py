@@ -1,16 +1,26 @@
-"""End-to-end daemon serving benchmark: concurrent clients over the socket.
+"""End-to-end daemon serving benchmark: client-saturation sweep.
 
 Measures what a production client sees — socket round trip + host glue +
-device program — unlike bench.py's pure device throughput. Compares
-micro-batched serving against the batcher disabled.
+device program — unlike bench.py's pure device throughput. The daemon runs
+as a real subprocess (its own interpreter + GIL, like production) and each
+client level runs OS processes, so client-side encode/decode doesn't share
+the daemon's GIL.
 
-Run: python scripts/bench_daemon.py [n_docs] [n_clients] [n_requests]
+Run: python scripts/bench_daemon.py [n_docs] [n_requests] [clients_csv]
+                                    [filtered_frac]
+e.g. python scripts/bench_daemon.py 5000 200 1,2,4,8,16,32,64,128 0.25
+
+Prints one JSON line per client level:
+  {"clients": N, "qps": ..., "p50_ms": ..., "p95_ms": ..., "batching": {...}}
 """
 
 from __future__ import annotations
 
 import concurrent.futures as cf
+import json
+import os
 import pathlib
+import subprocess
 import sys
 import tempfile
 import time
@@ -19,103 +29,161 @@ import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-from yams_tpu.core.config import (  # noqa: E402
-    ChunkingConfig, Config, EmbeddingConfig, LexicalIndexConfig,
-    VectorIndexConfig,
-)
-
 WORDS = (
     "kernel scheduler thread mutex gradient tensor batch layer tomato basil "
     "pasta olive recipe salad driver interrupt vector index search daemon "
     "socket frame protocol chunk store manifest graph node edge token cache"
 ).split()
 
+BENCH_TOML = """
+[chunking]
+min_size = 1024
+avg_size = 4096
+max_size = 16384
 
-def run(n_docs: int, n_clients: int, n_requests: int, window_ms: float):
-    import threading
+[vector]
+capacity = {capacity}
+block_rows = 1024
 
+[daemon]
+search_batch_window_ms = {window_ms}
+search_batch_max = {max_batch}
+search_batch_inflight = {inflight}
+search_workers = {workers}
+"""
+
+
+def _client_worker(sock_path: str, queries: list[str], n_requests: int,
+                   wid: int, filtered_frac: float) -> tuple[list[float], int]:
+    # client threads: the daemon is its own PROCESS, so the only GIL these
+    # threads share is among themselves — client-side work per request is
+    # ~50 us of msgpack encode/decode
     from yams_tpu.daemon.client import DaemonClient
-    from yams_tpu.daemon.server import YamsDaemon
 
-    with tempfile.TemporaryDirectory() as td:
-        cfg = Config(data_dir=pathlib.Path(td) / "data")
-        cfg.chunking = ChunkingConfig(min_size=1024, avg_size=4096,
-                                      max_size=16384)
-        cfg.embedding = EmbeddingConfig(dim=384, sketch_dim=4096)
-        cfg.vector = VectorIndexConfig(dim=384, capacity=max(n_docs * 2, 1024),
-                                       block_rows=1024)
-        cfg.daemon.socket_path = str(pathlib.Path(td) / "b.sock")
-        cfg.daemon.search_batch_window_ms = window_ms
-        d = YamsDaemon(cfg)
-        import asyncio
-
-        loop = asyncio.new_event_loop()
-
-        def runner():
-            asyncio.set_event_loop(loop)
-            loop.run_until_complete(d.run())
-
-        t = threading.Thread(target=runner, daemon=True)
-        t.start()
-        while not pathlib.Path(cfg.daemon.socket_path).exists():
-            time.sleep(0.05)
-
-        rng = np.random.default_rng(0)
-        seed_client = DaemonClient(cfg.daemon.socket_path)
-        t_ing = time.perf_counter()
-        for i in range(n_docs):
-            text = " ".join(rng.choice(WORDS, size=24))
-            seed_client.add_bytes(text.encode(), f"d{i}.txt")
-        ing_dt = time.perf_counter() - t_ing
-        queries = [" ".join(rng.choice(WORDS, size=3)) for _ in range(64)]
-        seed_client.search(queries[0])  # compile warmup
-
-        def client_worker(wid):
-            c = DaemonClient(cfg.daemon.socket_path)
-            lat = []
+    c = DaemonClient(sock_path)
+    lat: list[float] = []
+    errs = 0
+    try:
+        for j in range(n_requests):
+            q = queries[(wid * 31 + j) % len(queries)]
+            kw = {}
+            if filtered_frac > 0 and (j % 100) < filtered_frac * 100:
+                kw["path_glob"] = "*.txt"  # matches all bench docs
+            t0 = time.perf_counter()
             try:
-                for j in range(n_requests):
-                    q = queries[(wid * n_requests + j) % len(queries)]
-                    t0 = time.perf_counter()
-                    r = c.search(q, limit=10)
-                    lat.append(time.perf_counter() - t0)
-                    assert "hits" in r
-            finally:
-                c.close()
-            return lat
+                r = c.search(q, limit=10, **kw)
+                assert "hits" in r
+            except Exception:
+                errs += 1
+            lat.append(time.perf_counter() - t0)
+    finally:
+        c.close()
+    return lat, errs
 
-        t0 = time.perf_counter()
-        with cf.ThreadPoolExecutor(n_clients) as pool:
-            lats = [x for f in [pool.submit(client_worker, w)
-                                for w in range(n_clients)]
-                    for x in f.result()]
-        dt = time.perf_counter() - t0
-        total = n_clients * n_requests
-        st = seed_client.status(detailed=True)
-        batching = st.get("search_batching", {})
-        seed_client.shutdown()
-        t.join(timeout=30)
-        return {
-            "qps": total / dt,
-            "p50_ms": float(np.percentile(lats, 50)) * 1e3,
-            "p95_ms": float(np.percentile(lats, 95)) * 1e3,
-            "ingest_docs_per_s": n_docs / ing_dt,
-            "batching": batching,
-        }
+
+def run_level(sock_path: str, queries: list[str], n_clients: int,
+              n_requests: int, filtered_frac: float) -> dict:
+    t0 = time.perf_counter()
+    with cf.ThreadPoolExecutor(n_clients) as pool:
+        futs = [pool.submit(_client_worker, sock_path, queries, n_requests,
+                            w, filtered_frac) for w in range(n_clients)]
+        lats: list[float] = []
+        errs = 0
+        for f in futs:
+            ls, e = f.result()
+            lats.extend(ls)
+            errs += e
+    dt = time.perf_counter() - t0
+    total = n_clients * n_requests
+    return {
+        "clients": n_clients,
+        "qps": round(total / dt, 1),
+        "p50_ms": round(float(np.percentile(lats, 50)) * 1e3, 1),
+        "p95_ms": round(float(np.percentile(lats, 95)) * 1e3, 1),
+        "errors": errs,
+    }
 
 
 def main() -> None:
-    # one mode per process: daemon teardown then a fresh run in the same
-    # interpreter races executor shutdown
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
-    n_clients = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    n_requests = int(sys.argv[3]) if len(sys.argv) > 3 else 50
-    window = float(sys.argv[4]) if len(sys.argv) > 4 else 4.0
-    r = run(n_docs, n_clients, n_requests, window)
-    mode = "batched" if window else "unbatched"
-    print(f"{mode:10s} qps={r['qps']:8.1f} p50={r['p50_ms']:7.1f}ms "
-          f"p95={r['p95_ms']:7.1f}ms ingest={r['ingest_docs_per_s']:.0f} "
-          f"docs/s batching={r['batching']}", flush=True)
+    n_requests = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    levels = ([int(x) for x in sys.argv[3].split(",")]
+              if len(sys.argv) > 3 else [1, 2, 4, 8, 16, 32, 64, 128])
+    filtered_frac = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
+
+    with tempfile.TemporaryDirectory() as td:
+        tdp = pathlib.Path(td)
+        data_dir = tdp / "data"
+        sock = tdp / "bench.sock"
+        # config.toml via XDG so the daemon subprocess picks it up
+        cfg_dir = tdp / "xdg" / "yams_tpu"
+        cfg_dir.mkdir(parents=True)
+        max_batch = int(os.environ.get("BD_MAX_BATCH", "64"))
+        (cfg_dir / "config.toml").write_text(BENCH_TOML.format(
+            capacity=max(2 * n_docs, 2048),
+            window_ms=float(os.environ.get("BD_WINDOW_MS", "2.0")),
+            max_batch=max_batch,
+            inflight=int(os.environ.get("BD_INFLIGHT", "4")),
+            workers=int(os.environ.get("BD_WORKERS", "4"))))
+        env = dict(os.environ)
+        env.update({
+            "YAMS_TPU_STORAGE": str(data_dir),
+            "YAMS_TPU_SOCKET": str(sock),
+            "XDG_CONFIG_HOME": str(tdp / "xdg"),
+            # one fused-program shape: every batch pads to max_batch, so the
+            # first warmup search compiles the only executable the sweep uses
+            "YAMS_SEARCH_BATCH_PAD": str(max_batch),
+        })
+        log = open(tdp / "daemon.log", "wb")
+        daemon = subprocess.Popen(
+            [sys.executable, "-m", "yams_tpu.daemon"],
+            stdout=log, stderr=log, stdin=subprocess.DEVNULL, env=env,
+            cwd=str(pathlib.Path(__file__).resolve().parent.parent),
+        )
+        try:
+            for _ in range(600):
+                if sock.exists():
+                    break
+                time.sleep(0.1)
+            else:
+                raise RuntimeError("daemon socket never appeared")
+
+            from yams_tpu.daemon.client import DaemonClient
+
+            rng = np.random.default_rng(0)
+            # seed corpus via the bulk directory path (one add_path request)
+            corpus = tdp / "corpus"
+            corpus.mkdir()
+            for i in range(n_docs):
+                text = " ".join(rng.choice(WORDS, size=24))
+                (corpus / f"d{i}.txt").write_text(text)
+            seed = DaemonClient(sock)
+            t_ing = time.perf_counter()
+            rep = seed.add_path(str(corpus), recursive=True)
+            ing_dt = time.perf_counter() - t_ing
+            queries = [" ".join(rng.choice(WORDS, size=3)) for _ in range(64)]
+            seed.search(queries[0])          # compile warmup (B=64 pad)
+            seed.search(queries[1], path_glob="*.txt")  # 2-D-mask warmup
+            print(json.dumps({
+                "event": "seeded", "docs": rep.get("files_indexed", n_docs),
+                "ingest_s": round(ing_dt, 1),
+            }), flush=True)
+
+            for n_clients in levels:
+                r = run_level(str(sock), queries, n_clients, n_requests,
+                              filtered_frac)
+                st = seed.status(detailed=True)
+                r["batching"] = st.get("search_batching", {})
+                r["batching"].pop("latency_hist", None)
+                print(json.dumps(r), flush=True)
+            seed.shutdown()
+            seed.close()
+        finally:
+            try:
+                daemon.wait(timeout=20)
+            except subprocess.TimeoutExpired:
+                daemon.kill()
+            log.close()
 
 
 if __name__ == "__main__":

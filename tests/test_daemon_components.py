@@ -135,28 +135,38 @@ class TestPostIngestQueue:
 
 
 class TestBatchableSearch:
-    def test_requests_with_filters_bypass_the_batcher(self):
-        """search_many() carries only query+limit, so any filtered request
-        coalesced into a batch would silently drop its filters."""
+    def test_all_search_requests_route_through_the_batcher(self):
+        """Filtered/qualified/keyword searches batch too (per-request
+        doc-mask rows in the fused program); only non-search requests keep
+        the mutator path."""
         from yams_tpu.daemon.server import YamsDaemon
 
         f = YamsDaemon._batchable_search
         assert f({"type": "search", "query": "plain"})
-        assert not f({"type": "search", "query": "q",
-                      "filters": {"created_after": 1.0}})
-        assert not f({"type": "search", "query": "q", "tags": ["t"]})
-        assert not f({"type": "search", "query": "q", "path_glob": "*.py"})
-        assert not f({"type": "search", "query": "q", "collection": "c"})
-        assert not f({"type": "search", "query": "tag:x qualifier"})
-        assert not f({"type": "search", "query": "q",
-                      "search_type": "keyword"})
+        assert f({"type": "search", "query": "q",
+                  "filters": {"created_after": 1.0}})
+        assert f({"type": "search", "query": "q", "tags": ["t"]})
+        assert f({"type": "search", "query": "q", "path_glob": "*.py"})
+        assert f({"type": "search", "query": "tag:x qualifier"})
+        assert f({"type": "search", "query": "q", "search_type": "keyword"})
+        assert not f({"type": "grep", "pattern": "x"})
+        assert not f({"type": "add_bytes", "data": b"", "name": "n"})
+
+    def test_mode_groups_split_batches(self):
+        """A keyword and a hybrid search never share one device batch (a
+        batch shares one leg weighting)."""
+        from yams_tpu.daemon.server import SearchBatcher
+
+        g = SearchBatcher._MODE_GROUP
+        assert g["hybrid"] != g["keyword"]
+        assert g["semantic"] == g["vector"]
 
 
 class TestSearchBatcher:
     """Micro-batcher hardening: per-request error isolation, overload
     shedding, latency histogram."""
 
-    def _make(self, search_many, admit=True, **kw):
+    def _make(self, search_many_requests, admit=True, **kw):
         import concurrent.futures
 
         from yams_tpu.daemon.server import SearchBatcher
@@ -176,7 +186,7 @@ class TestSearchBatcher:
 
         d = _Daemon()
         d.app = _App()
-        d.app.search.search_many = search_many
+        d.app.search.search_many_requests = search_many_requests
         d.governor = _Gov()
         d._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
         return SearchBatcher(d, **kw)
@@ -191,12 +201,12 @@ class TestSearchBatcher:
             total: int = 0
             duration_ms: float = 0.0
 
-        def search_many(queries, limit=10):
-            if any(q == "POISON" for q in queries):
+        def search_many_requests(reqs, **kw):
+            if any(r["query"] == "POISON" for r in reqs):
                 raise RuntimeError("bad query")
-            return [_Resp(hits=[]) for _ in queries]
+            return [_Resp(hits=[]) for _ in reqs]
 
-        b = self._make(search_many, window_ms=1.0)
+        b = self._make(search_many_requests, window_ms=1.0)
 
         async def go():
             return await asyncio.gather(
@@ -219,7 +229,7 @@ class TestSearchBatcher:
 
         from yams_tpu.core.errors import ErrorCode, YamsError
 
-        def search_many(queries, limit=10):
+        def search_many_requests(reqs, **kw):
             import dataclasses
 
             @dataclasses.dataclass
@@ -228,9 +238,10 @@ class TestSearchBatcher:
                 total: int = 0
                 duration_ms: float = 0.0
 
-            return [_Resp(hits=[]) for _ in queries]
+            return [_Resp(hits=[]) for _ in reqs]
 
-        b = self._make(search_many, window_ms=50.0, max_batch=64, max_queue=2)
+        b = self._make(search_many_requests, window_ms=50.0, max_batch=64,
+                       max_queue=2)
 
         async def go():
             t1 = asyncio.ensure_future(b.submit({"query": "a"}))
@@ -250,7 +261,7 @@ class TestSearchBatcher:
 
         from yams_tpu.core.errors import YamsError
 
-        b = self._make(lambda q, limit=10: [], admit=False)
+        b = self._make(lambda reqs, **kw: [], admit=False)
 
         async def go():
             with pytest.raises(YamsError, match="shed"):

@@ -74,7 +74,7 @@ class EmbeddingConfig:
     @property
     def space_id(self) -> str:
         return (
-            f"{self.profile}/d{self.dim}/s{self.sketch_dim}/seed{self.seed:x}/v1"
+            f"{self.profile}/d{self.dim}/s{self.sketch_dim}/seed{self.seed:x}/v2"
         )
 
 
@@ -137,10 +137,15 @@ class DaemonConfig:
     max_message_bytes: int = 256 * 1024 * 1024
     worker_threads: int = 4
     auto_embed: bool = True
-    # micro-batching serving aggregator: plain concurrent searches wait up
-    # to this long for co-travellers, then run as ONE device batch. 0 = off.
-    search_batch_window_ms: float = 4.0
-    search_batch_max: int = 32
+    # micro-batching serving aggregator: concurrent searches (plain AND
+    # filtered) wait up to this long for co-travellers, then run as fused
+    # device batches. 0 = off.
+    search_batch_window_ms: float = 2.0
+    search_batch_max: int = 64
+    # batches pipelined concurrently (overlaps host<->device round trips)
+    search_batch_inflight: int = 4
+    # threads in the read-only search pool
+    search_workers: int = 4
 
 
 def _search_config_factory():

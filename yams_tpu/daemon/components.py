@@ -117,6 +117,18 @@ class ResourceGovernor:
     def admit(self) -> bool:
         return self._pressure.level != "critical"
 
+    def admit_search(self) -> bool:
+        """Admission for batchable searches: memory + queue pressure only.
+
+        Deliberately ignores loadavg — a saturated serving host runs at
+        load >= cores by design, and the batcher's bounded queue is already
+        the latency guard; shedding reads on CPU load turns every
+        saturation benchmark (and every busy production box) into a 100%
+        error storm. Memory stays a hard gate: an OOM-killed daemon serves
+        nobody."""
+        p = self._pressure
+        return max(p.memory, p.queues) <= 0.9
+
     def throttle_factor(self) -> float:
         """1.0 = full speed; scales batch sizes / concurrency down."""
         return {"low": 1.0, "moderate": 1.0, "high": 0.5, "critical": 0.1}[
@@ -139,6 +151,71 @@ class ResourceGovernor:
         if self._thread:
             self._thread.join(timeout=2)
             self._thread = None
+
+
+# ---------------------------------------------------------------------------
+class RWLock:
+    """Writer-preferring reader/writer lock.
+
+    The daemon's serving split (reference: WriteCoordinator serializes all
+    mutations while reads fan out across worker threads): search batches are
+    read-only over the engine and run concurrently on the search pool under
+    the read side; every mutating handler runs on the single mutator worker
+    under the write side. Writer preference keeps a steady search load from
+    starving ingest.
+    """
+
+    def __init__(self):
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writer = False
+        self._writers_waiting = 0
+
+    def acquire_read(self) -> None:
+        with self._cond:
+            while self._writer or self._writers_waiting:
+                self._cond.wait()
+            self._readers += 1
+
+    def release_read(self) -> None:
+        with self._cond:
+            self._readers -= 1
+            if self._readers == 0:
+                self._cond.notify_all()
+
+    def acquire_write(self) -> None:
+        with self._cond:
+            self._writers_waiting += 1
+            try:
+                while self._writer or self._readers:
+                    self._cond.wait()
+            finally:
+                self._writers_waiting -= 1
+            self._writer = True
+
+    def release_write(self) -> None:
+        with self._cond:
+            self._writer = False
+            self._cond.notify_all()
+
+    class _Guard:
+        __slots__ = ("_acquire", "_release")
+
+        def __init__(self, acquire, release):
+            self._acquire, self._release = acquire, release
+
+        def __enter__(self):
+            self._acquire()
+
+        def __exit__(self, *exc):
+            self._release()
+            return False
+
+    def read(self) -> "RWLock._Guard":
+        return self._Guard(self.acquire_read, self.release_read)
+
+    def write(self) -> "RWLock._Guard":
+        return self._Guard(self.acquire_write, self.release_write)
 
 
 # ---------------------------------------------------------------------------

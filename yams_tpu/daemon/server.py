@@ -15,8 +15,16 @@ import dataclasses as _dc
 
 
 def _asdict(obj):
-    """dataclass (incl. slots=True) -> plain dict for serialization."""
+    """dataclass (incl. slots=True) -> plain dict for serialization.
+
+    Flat slots dataclasses (the serving hot path: ~640 SearchHits per
+    64-query batch) take the shallow getattr walk — dataclasses.asdict's
+    recursive deepcopy costs ~20x more and the hit fields are all scalars.
+    """
     if _dc.is_dataclass(obj):
+        slots = getattr(type(obj), "__slots__", None)
+        if slots is not None:
+            return {f: getattr(obj, f) for f in slots}
         return _dc.asdict(obj)
     return dict(obj)
 
@@ -47,27 +55,42 @@ class DaemonState:
 
 
 class SearchBatcher:
-    """Micro-batching aggregator: concurrent plain searches coalesce into
-    ONE fused device program (engine.search_batch via
-    SearchService.search_many).
+    """Pipelined micro-batching aggregator: concurrent searches coalesce
+    into fused device programs (engine.search_batch via
+    SearchService.search_many_requests), with up to `max_inflight` batches
+    executing concurrently on the daemon's search pool.
 
     The reference serializes per-query fan-outs through thread pools; on TPU
     the win is different — a query batch costs barely more than one query,
     so serving throughput under concurrency scales with the batch. Requests
     wait at most `window_ms` for co-travellers (or flush early at
-    `max_batch`).
+    `max_batch`). Pipelining matters because one batch's wall time is
+    dominated by the host<->device round trip: while batch N waits on the
+    device (GIL released), batch N+1 assembles and dispatches, so the RTT
+    amortizes across `max_inflight` batches instead of gating each one.
+
+    Filtered/qualified searches batch too — per-request candidate sets ride
+    as rows of the fused program's (B, Nd) doc mask. Requests group by
+    engine mode (hybrid | vector | keyword) since a batch shares one leg
+    weighting.
     """
 
     # log2 latency buckets in ms: <1, <2, <4, ... <512, >=512
     HIST_BUCKETS = 11
+    _MODE_GROUP = {"hybrid": "hybrid", "semantic": "vector",
+                   "vector": "vector", "keyword": "keyword"}
 
-    def __init__(self, daemon: "YamsDaemon", window_ms: float = 4.0,
-                 max_batch: int = 32, max_queue: int = 256):
+    def __init__(self, daemon: "YamsDaemon", window_ms: float = 2.0,
+                 max_batch: int = 64, max_queue: int = 1024,
+                 max_inflight: int = 4):
         self.daemon = daemon
         self.window_s = window_ms / 1e3
         self.max_batch = max_batch
         self.max_queue = max_queue
-        self._pending: list[tuple[dict, asyncio.Future, float]] = []
+        self.max_inflight = max_inflight
+        self._pending: dict[str, list[tuple[dict, asyncio.Future, float]]] = {}
+        self._n_pending = 0
+        self._inflight = 0
         self._timer: asyncio.TimerHandle | None = None
         self.batches = 0
         self.batched_requests = 0
@@ -82,14 +105,20 @@ class SearchBatcher:
             b += 1
         self.latency_hist[b] += 1
 
+    def _group_of(self, req: dict) -> str:
+        return self._MODE_GROUP.get(
+            req.get("search_type", "hybrid"), "other")
+
     async def submit(self, req: dict) -> dict:
         loop = asyncio.get_running_loop()
         # shed under pressure: bounded queue + ResourceGovernor admission
         # (reference: ResourceGovernor admission/throttle decisions) — fail
         # fast instead of queueing into a death spiral
         governor = getattr(self.daemon, "governor", None)
-        if len(self._pending) >= self.max_queue or (
-            governor is not None and not governor.admit()
+        admit = getattr(governor, "admit_search", None) or getattr(
+            governor, "admit", None)
+        if self._n_pending >= self.max_queue or (
+            admit is not None and not admit()
         ):
             self.shed += 1
             raise YamsError(
@@ -97,19 +126,33 @@ class SearchBatcher:
                 code=ErrorCode.RESOURCE_EXHAUSTED,
             )
         fut: asyncio.Future = loop.create_future()
-        self._pending.append((req, fut, time.monotonic()))
-        if len(self._pending) >= self.max_batch:
+        key = self._group_of(req)
+        self._pending.setdefault(key, []).append(
+            (req, fut, time.monotonic()))
+        self._n_pending += 1
+        if (len(self._pending[key]) >= self.max_batch
+                and self._inflight < self.max_inflight):
             self._flush()
         elif self._timer is None:
             self._timer = loop.call_later(self.window_s, self._flush)
         return await fut
 
-    def _run_one(self, req: dict) -> dict:
-        resp = self.daemon.app.search.search_many(
-            [req.get("query", "")], limit=int(req.get("limit", 10))
-        )[0]
+    @staticmethod
+    def _request_fields(req: dict) -> dict:
         return {
-            "hits": [_asdict(h) for h in resp.hits[: int(req.get("limit", 10))]],
+            "query": req.get("query", ""),
+            "limit": int(req.get("limit", 10) or 10),
+            "search_type": req.get("search_type", "hybrid"),
+            "tags": req.get("tags"), "path_glob": req.get("path_glob"),
+            "collection": req.get("collection"),
+            "filters": req.get("filters"),
+        }
+
+    def _run_one(self, req: dict) -> dict:
+        resp = self.daemon.app.search.search_many_requests(
+            [self._request_fields(req)])[0]
+        return {
+            "hits": [_asdict(h) for h in resp.hits],
             "total": resp.total,
             "duration_ms": resp.duration_ms,
         }
@@ -118,46 +161,58 @@ class SearchBatcher:
         if self._timer is not None:
             self._timer.cancel()
             self._timer = None
-        batch, self._pending = self._pending[: self.max_batch], \
-            self._pending[self.max_batch:]
-        if self._pending and self._timer is None:
+        # drain the deepest group first; keep dispatching while capacity
+        while self._n_pending and self._inflight < self.max_inflight:
+            key = max(self._pending, key=lambda g: len(self._pending[g]))
+            q = self._pending[key]
+            batch, rest = q[: self.max_batch], q[self.max_batch:]
+            if rest:
+                self._pending[key] = rest
+            else:
+                del self._pending[key]
+            self._n_pending -= len(batch)
+            self._dispatch_batch(batch)
+        if self._n_pending and self._timer is None:
             loop = asyncio.get_running_loop()
             self._timer = loop.call_later(self.window_s, self._flush)
-        if not batch:
-            return
+
+    def _dispatch_batch(
+        self, batch: list[tuple[dict, asyncio.Future, float]]
+    ) -> None:
         self.batches += 1
         self.batched_requests += len(batch)
+        self._inflight += 1
         loop = asyncio.get_running_loop()
+        lock = getattr(self.daemon, "state_lock", None)
 
         def run():
-            queries = [r.get("query", "") for r, _, _ in batch]
-            limit = max(int(r.get("limit", 10) or 10) for r, _, _ in batch)
-            try:
-                resps = self.daemon.app.search.search_many(queries, limit=limit)
-                outs = []
-                for (r, _, _), resp in zip(batch, resps):
-                    lim = int(r.get("limit", 10) or 10)
-                    outs.append({
-                        "hits": [_asdict(h) for h in resp.hits[:lim]],
-                        "total": resp.total,
-                        "duration_ms": resp.duration_ms,
-                    })
-                return outs
-            except BaseException:
-                # per-request error isolation: the batch failed as a unit, so
-                # retry each co-traveller alone — only the poisoned request(s)
-                # surface an error (reference: per-request failure isolation
-                # in RequestDispatcher)
-                outs = []
-                for r, _, _ in batch:
-                    try:
-                        outs.append(self._run_one(r))
-                    except BaseException as e:
-                        self.isolated_failures += 1
-                        outs.append(e)
-                return outs
+            reqs = [self._request_fields(r) for r, _, _ in batch]
+            guard = lock.read() if lock is not None else contextlib.nullcontext()
+            with guard:
+                try:
+                    resps = self.daemon.app.search.search_many_requests(reqs)
+                    return [
+                        {"hits": [_asdict(h) for h in resp.hits],
+                         "total": resp.total,
+                         "duration_ms": resp.duration_ms}
+                        for resp in resps
+                    ]
+                except BaseException:
+                    # per-request error isolation: the batch failed as a
+                    # unit, so retry each co-traveller alone — only the
+                    # poisoned request(s) surface an error (reference:
+                    # per-request failure isolation in RequestDispatcher)
+                    outs = []
+                    for r, _, _ in batch:
+                        try:
+                            outs.append(self._run_one(r))
+                        except BaseException as e:
+                            self.isolated_failures += 1
+                            outs.append(e)
+                    return outs
 
         def done(f):
+            self._inflight -= 1
             try:
                 outs = f.result()
             except BaseException as e:  # executor itself failed
@@ -171,8 +226,11 @@ class SearchBatcher:
                     fut.set_exception(out)
                 else:
                     fut.set_result(out)
+            if self._n_pending:
+                self._flush()
 
-        task = loop.run_in_executor(self.daemon._pool, run)
+        pool = getattr(self.daemon, "_search_pool", None) or self.daemon._pool
+        task = loop.run_in_executor(pool, run)
         task.add_done_callback(
             lambda f: loop.call_soon_threadsafe(done, f)
         )
@@ -187,7 +245,8 @@ class SearchBatcher:
                     self.batched_requests / max(self.batches, 1), 2),
                 "shed": self.shed,
                 "isolated_failures": self.isolated_failures,
-                "queue_depth": len(self._pending),
+                "queue_depth": self._n_pending,
+                "inflight": self._inflight,
                 "latency_hist": dict(zip(labels, self.latency_hist))}
 
 
@@ -202,6 +261,15 @@ class YamsDaemon:
         self._started_at = time.time()
         # single worker: serializes engine mutations (WriteCoordinator analog)
         self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        # read-only search batches run concurrently here, overlapping the
+        # host<->device round trip; state_lock keeps them exclusive with the
+        # mutator worker (reference: WorkCoordinator read fan-out vs
+        # WriteCoordinator serialization)
+        from .components import RWLock
+
+        self._search_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=max(1, config.daemon.search_workers))
+        self.state_lock = RWLock()
         self._requests_handled = 0
         self._metrics: dict[str, dict] = {}
         self.search_batcher: SearchBatcher | None = None
@@ -277,6 +345,7 @@ class YamsDaemon:
                 self,
                 window_ms=self.config.daemon.search_batch_window_ms,
                 max_batch=self.config.daemon.search_batch_max,
+                max_inflight=self.config.daemon.search_batch_inflight,
             )
 
     async def run(self) -> None:
@@ -306,17 +375,21 @@ class YamsDaemon:
                 w.close()
         with contextlib.suppress(asyncio.TimeoutError):
             await asyncio.wait_for(self._server.wait_closed(), timeout=10.0)
-        await loop.run_in_executor(self._pool, self.app.close)
+        await loop.run_in_executor(
+            self._pool, self._run_locked, lambda _req: self.app.close(), {})
         with contextlib.suppress(FileNotFoundError):
             self.config.socket_path.unlink()
         self._pool.shutdown(wait=False)
+        self._search_pool.shutdown(wait=False)
 
     async def _checkpoint_loop(self) -> None:
         loop = asyncio.get_running_loop()
         while True:
             await asyncio.sleep(CHECKPOINT_INTERVAL_S)
             with contextlib.suppress(Exception):
-                await loop.run_in_executor(self._pool, self.app.checkpoint)
+                await loop.run_in_executor(
+                    self._pool, self._run_locked,
+                    lambda _req: self.app.checkpoint(), {})
 
     # -- connection handling ---------------------------------------------------------
     async def _handle_conn(self, reader, writer) -> None:
@@ -347,17 +420,11 @@ class YamsDaemon:
 
     @staticmethod
     def _batchable_search(req: dict) -> bool:
-        """Plain hybrid searches coalesce into one device batch; anything
-        with filters/qualifier characters/non-hybrid routing keeps the
-        full single-query path."""
-        q = req.get("query", "")
-        return (
-            req.get("type") == "search"
-            and req.get("search_type", "hybrid") == "hybrid"
-            and not req.get("tags") and not req.get("path_glob")
-            and not req.get("collection") and not req.get("filters")
-            and ":" not in q
-        )
+        """Every search coalesces through the batcher: plain and filtered
+        requests share the fused program (per-request doc-mask rows);
+        fts/auto requests fall back to the single-query path inside the
+        batch worker, still off the mutator thread."""
+        return req.get("type") == "search"
 
     async def _dispatch(self, req: dict) -> dict:
         rtype = req.get("type", "")
@@ -388,7 +455,8 @@ class YamsDaemon:
                             "error": "overloaded (rtt-gradient admission)",
                             "code": int(ErrorCode.RESOURCE_EXHAUSTED)}
                 try:
-                    result = await loop.run_in_executor(self._pool, handler, req)
+                    result = await loop.run_in_executor(
+                        self._pool, self._run_locked, handler, req)
                 finally:
                     if limiter is not None:
                         limiter.release()
@@ -403,6 +471,13 @@ class YamsDaemon:
             self._record_metric(rtype, t0, ok=False)
             return {"ok": False, "error": f"{type(e).__name__}: {e}",
                     "code": int(ErrorCode.INTERNAL)}
+
+    def _run_locked(self, handler, req: dict):
+        """Mutator-worker handlers run under the write side of state_lock:
+        exclusive with in-flight search batches (which hold the read side),
+        so reads never observe a half-applied engine mutation."""
+        with self.state_lock.write():
+            return handler(req)
 
     def _record_metric(self, rtype: str, t0: float, ok: bool) -> None:
         """Per-request-type counters + latency (reference: DaemonMetrics
@@ -930,6 +1005,7 @@ class YamsDaemon:
                    OR NOT EXISTS (SELECT 1 FROM documents x
                                   WHERE x.id=doc_entities.document_id)"""
             ).rowcount
+        self.app.kg._bump()  # raw-SQL KG mutation: invalidate serving caches
         linked = self.app.graph.index_pending(limit=req.get("limit", 500))
         return {"removed_edges": e, "removed_aliases": a,
                 "removed_doc_links": d, "relinked_docs": linked}

@@ -59,10 +59,21 @@ class SimeonProvider:
         return self.encoder.encode(texts)
 
     def query_device_inputs(self, texts: list[str]):
-        return (
-            sketch_texts(texts, self.encoder.config),
-            self.encoder.projection_matrix(),
-        )
+        """(query vectors, identity projection) — queries project on HOST.
+
+        The fused program's embed step is `sketch @ proj`; shipping raw
+        (B, 4096) f32 sketches costs ~1 MB per 64-query batch, which on
+        tunneled/remote device links dominates the whole serving round trip
+        (~100 ms at ~10 MB/s). The host sgemm over the same bf16-rounded
+        operands is ~5 ms and shrinks the upload 10x to (B, 384); the device
+        then applies an identity projection + renormalize, numerically the
+        path every dense provider (hf/neural/mock) already takes."""
+        import jax.numpy as jnp
+
+        if getattr(self, "_eye", None) is None:
+            self._eye = jnp.asarray(
+                np.eye(self.encoder.dim, dtype=np.float32), jnp.bfloat16)
+        return self.encode(texts), self._eye
 
     def encode_tokens(self, text: str, max_tokens: int = 32) -> np.ndarray:
         """Per-token embeddings for the late-interaction tier: each token is

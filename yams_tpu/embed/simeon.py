@@ -198,23 +198,34 @@ class SimeonEncoder:
 
     def projection_matrix(self):
         """Seeded ±1/sqrt(D) sign projection (bf16, MXU-resident); also used by
-        the fused query program to embed inline."""
+        the fused query program to embed inline.
+
+        Generated on HOST with a counter-based PRNG (numpy Philox — platform
+        independent, so the space is stable across hosts) and uploaded once.
+        Space version v2: v1 generated this with jax.random.rademacher on
+        device, which forced a device->host fetch of a lazily-executed
+        result at first bulk encode — measured 70-340 s (!) through tunneled
+        runtimes (the one-time cost that made r2's daemon ingest look like
+        3.5 docs/s). Host generation costs ~10 ms and never syncs."""
         if getattr(self, "_R", None) is None:
-            import jax
             import jax.numpy as jnp
 
-            cfg = self.config
-            key = jax.random.PRNGKey(cfg.seed)
-            signs = jax.random.rademacher(
-                key, (cfg.sketch_dim, cfg.dim), dtype=jnp.float32
-            )
-            self._R = (signs / np.sqrt(cfg.dim)).astype(jnp.bfloat16)
+            self._R = jnp.asarray(self._R_host(), dtype=jnp.bfloat16)
         return self._R
 
     def _R_host(self) -> np.ndarray:
-        """Projection as host f32 (exact f32 image of the bf16 device matrix)."""
+        """Projection as host f32 (exact f32 image of the bf16 device matrix:
+        values are bf16-rounded on generation, so host sgemm and MXU matmul
+        consume identical operands)."""
         if getattr(self, "_Rh", None) is None:
-            self._Rh = np.asarray(self.projection_matrix()).astype(np.float32)
+            import ml_dtypes
+
+            cfg = self.config
+            rng = np.random.Generator(np.random.Philox(cfg.seed))
+            signs = (rng.integers(0, 2, (cfg.sketch_dim, cfg.dim),
+                                  dtype=np.int8) * 2 - 1).astype(np.float32)
+            self._Rh = (signs / np.sqrt(cfg.dim)).astype(
+                ml_dtypes.bfloat16).astype(np.float32)
         return self._Rh
 
     def encode(self, texts: list[str], device: bool | None = None) -> np.ndarray:

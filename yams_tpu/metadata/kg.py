@@ -14,8 +14,35 @@ from .db import Database
 
 
 class KnowledgeGraphStore:
+    # serving caches for the per-query KG evidence leg (search runs
+    # resolve_alias x 8 tokens + documents_for_node per hit per query):
+    # bounded FIFO maps keyed by (arg, limit); any KG write bumps the
+    # generation, which lazily clears both (writes are rare vs searches)
+    _CACHE_MAX = 65536
+
     def __init__(self, db: Database):
         self.db = db
+        self._alias_cache: dict = {}
+        self._docs_cache: dict = {}
+        self._gen = 0
+        self._cache_gen = 0
+
+    def _bump(self) -> None:
+        self._gen += 1
+
+    def _cache(self, store: dict, key, fill):
+        if self._cache_gen != self._gen:
+            self._alias_cache.clear()
+            self._docs_cache.clear()
+            self._cache_gen = self._gen
+        hit = store.get(key)
+        if hit is not None:
+            return hit
+        val = fill()
+        if len(store) >= self._CACHE_MAX:
+            store.pop(next(iter(store)))
+        store[key] = val
+        return val
 
     # -- nodes ---------------------------------------------------------------
     def upsert_node(
@@ -31,6 +58,7 @@ class KnowledgeGraphStore:
                 (node_key, label or node_key, type_,
                  json.dumps(properties or {}), time.time()),
             )
+            self._bump()
             return self.db.conn.execute(
                 "SELECT id FROM kg_nodes WHERE node_key=?", (node_key,)
             ).fetchone()[0]
@@ -63,19 +91,24 @@ class KnowledgeGraphStore:
                 "INSERT INTO kg_aliases (node_id, alias, source) VALUES (?,?,?)",
                 (node_id, alias, source),
             )
+        self._bump()
 
     def resolve_alias(self, alias: str, limit: int = 10) -> list[int]:
-        """Exact then prefix alias lookup -> node ids."""
-        rows = self.db.execute(
-            "SELECT DISTINCT node_id FROM kg_aliases WHERE alias=? LIMIT ?",
-            (alias, limit),
-        ).fetchall()
-        if not rows:
+        """Exact then prefix alias lookup -> node ids (cached)."""
+        def fill():
             rows = self.db.execute(
-                "SELECT DISTINCT node_id FROM kg_aliases WHERE alias LIKE ? LIMIT ?",
-                (alias + "%", limit),
+                "SELECT DISTINCT node_id FROM kg_aliases WHERE alias=? LIMIT ?",
+                (alias, limit),
             ).fetchall()
-        return [r[0] for r in rows]
+            if not rows:
+                rows = self.db.execute(
+                    "SELECT DISTINCT node_id FROM kg_aliases"
+                    " WHERE alias LIKE ? LIMIT ?",
+                    (alias + "%", limit),
+                ).fetchall()
+            return [r[0] for r in rows]
+
+        return self._cache(self._alias_cache, (alias, limit), fill)
 
     # -- edges ------------------------------------------------------------------
     def add_edge(
@@ -90,6 +123,7 @@ class KnowledgeGraphStore:
                    DO UPDATE SET weight = MAX(weight, excluded.weight)""",
                 (src, dst, relation, weight, json.dumps(properties or {})),
             )
+        self._bump()
 
     def add_edges_batch(self, edges: list[tuple[int, int, str, float]]) -> None:
         with self.db.lock, self.db.conn:
@@ -100,6 +134,7 @@ class KnowledgeGraphStore:
                    DO UPDATE SET weight = MAX(weight, excluded.weight)""",
                 edges,
             )
+        self._bump()
 
     def neighbors(
         self, node_id: int, relation: str | None = None, limit: int = 100
@@ -129,14 +164,18 @@ class KnowledgeGraphStore:
                 " VALUES (?,?,?,?)",
                 (doc_id, node_id, entity_text, confidence),
             )
+        self._bump()
 
     def documents_for_node(self, node_id: int, limit: int = 100) -> list[tuple[int, float]]:
-        rows = self.db.execute(
-            """SELECT document_id, MAX(confidence) FROM doc_entities
-               WHERE node_id=? GROUP BY document_id LIMIT ?""",
-            (node_id, limit),
-        ).fetchall()
-        return [(r[0], r[1]) for r in rows]
+        def fill():
+            rows = self.db.execute(
+                """SELECT document_id, MAX(confidence) FROM doc_entities
+                   WHERE node_id=? GROUP BY document_id LIMIT ?""",
+                (node_id, limit),
+            ).fetchall()
+            return [(r[0], r[1]) for r in rows]
+
+        return self._cache(self._docs_cache, (node_id, limit), fill)
 
     def entities_for_document(self, doc_id: int) -> list[tuple[int, str, float]]:
         rows = self.db.execute(

@@ -53,8 +53,30 @@ def sanitize_fts_query(query: str) -> str:
 
 
 class MetadataRepository:
+    # serving hydration caches: bounded FIFO maps so the hot search path
+    # (get_document/get_content per hit) costs a dict lookup instead of 3-4
+    # SQLite queries. The daemon is the single writer; every mutating method
+    # below invalidates the touched id.
+    DOC_CACHE_MAX = 65536
+    CONTENT_CACHE_MAX_CHARS = 64 * 1024 * 1024
+
     def __init__(self, db: Database):
         self.db = db
+        self._doc_cache: dict[int, DocumentInfo] = {}
+        self._content_cache: dict[int, str] = {}
+        self._content_cache_chars = 0
+
+    def _invalidate(self, doc_id: int) -> None:
+        self._doc_cache.pop(doc_id, None)
+        old = self._content_cache.pop(doc_id, None)
+        if old is not None:
+            self._content_cache_chars -= len(old)
+
+    def _clone_doc(self, doc: DocumentInfo) -> DocumentInfo:
+        out = dataclasses.replace(doc)
+        out.tags = list(doc.tags)
+        out.metadata = dict(doc.metadata)
+        return out
 
     # -- documents -----------------------------------------------------------
     def insert_document(
@@ -126,6 +148,7 @@ class MetadataRepository:
                 "INSERT OR REPLACE INTO embedding_status VALUES (?,?,?,?)",
                 (doc_id, "pending", "", time.time()),
             )
+        self._invalidate(doc_id)
         return doc_id
 
     def _set_content_tx(self, doc_id: int, text: str, title: str) -> None:
@@ -147,21 +170,41 @@ class MetadataRepository:
     def set_content(self, doc_id: int, text: str, title: str = "") -> None:
         with self.db.lock, self.db.conn:
             self._set_content_tx(doc_id, text, title)
+        self._invalidate(doc_id)
 
     def get_content(self, doc_id: int) -> str | None:
+        text = self._content_cache.get(doc_id)
+        if text is not None:
+            return text
         row = self.db.execute(
             "SELECT content_text FROM document_content WHERE document_id=?", (doc_id,)
         ).fetchone()
-        return row[0] if row else None
+        if row is None or row[0] is None:
+            return None
+        text = row[0]
+        if len(text) < self.CONTENT_CACHE_MAX_CHARS // 4:
+            while (self._content_cache_chars + len(text)
+                   > self.CONTENT_CACHE_MAX_CHARS and self._content_cache):
+                old = self._content_cache.pop(next(iter(self._content_cache)))
+                self._content_cache_chars -= len(old)
+            self._content_cache[doc_id] = text
+            self._content_cache_chars += len(text)
+        return text
 
     def get_document(self, doc_id: int) -> DocumentInfo:
+        doc = self._doc_cache.get(doc_id)
+        if doc is not None:
+            return self._clone_doc(doc)
         row = self.db.execute("SELECT * FROM documents WHERE id=?", (doc_id,)).fetchone()
         if row is None:
             raise NotFoundError(f"document {doc_id} not found")
         doc = _row_to_doc(row)
         doc.tags = self.get_tags(doc_id)
         doc.metadata = self.get_metadata(doc_id)
-        return doc
+        if len(self._doc_cache) >= self.DOC_CACHE_MAX:
+            self._doc_cache.pop(next(iter(self._doc_cache)))
+        self._doc_cache[doc_id] = doc
+        return self._clone_doc(doc)
 
     def get_by_hash(self, sha256_hash: str) -> list[DocumentInfo]:
         rows = self.db.execute(
@@ -191,7 +234,8 @@ class MetadataRepository:
             self.db.conn.execute("DELETE FROM documents_fts WHERE rowid=?", (doc_id,))
             self.db.conn.execute("DELETE FROM documents WHERE id=?", (doc_id,))
             self._decrement_path_tree_tx(doc["file_path"])
-            return True
+        self._invalidate(doc_id)
+        return True
 
     def list_documents(
         self, limit: int = 100, offset: int = 0, pattern: str | None = None
@@ -249,6 +293,7 @@ class MetadataRepository:
                 "INSERT OR REPLACE INTO metadata VALUES (?,?,?)",
                 [(doc_id, _TAG_PREFIX + t, "") for t in tags],
             )
+        self._doc_cache.pop(doc_id, None)
 
     def get_tags(self, doc_id: int) -> list[str]:
         rows = self.db.execute(
@@ -275,6 +320,7 @@ class MetadataRepository:
             self.db.conn.execute(
                 "INSERT OR REPLACE INTO metadata VALUES (?,?,?)", (doc_id, key, value)
             )
+        self._doc_cache.pop(doc_id, None)
 
     def get_metadata(self, doc_id: int) -> dict[str, str]:
         rows = self.db.execute(

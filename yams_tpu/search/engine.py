@@ -394,7 +394,13 @@ class SearchEngine:
         mode: str = "hybrid",
         filter_doc_ids: set[int] | None = None,
         intent: str | None = None,
+        per_query_filters: list[set[int] | None] | None = None,
     ) -> list[list[SearchResult]]:
+        """Batched hybrid search. `filter_doc_ids` applies one candidate set
+        to every query; `per_query_filters` gives each query its own set
+        (None entries = unfiltered) as rows of a (B, Nd) device mask — this
+        is how the daemon batches *filtered* searches into the same fused
+        program (the per-query doc-mask rows topology Narrow already uses)."""
         t0 = time.monotonic()
         trace: dict = {"query_count": len(queries), "mode": mode, "stages": {}}
         if not self._doc_by_slot:
@@ -483,15 +489,33 @@ class SearchEngine:
             int8_corpus = self.vector_index.device_dtype == "int8"
         bm = self.lexical_index.device_arrays(Nd)
 
-        base_mask = np.zeros(Nd, np.float32)
         n_used = len(self._doc_by_slot)
-        if filter_doc_ids is None:
-            base_mask[:n_used] = 1.0
+
+        def _mask_of(ids: set[int] | None) -> np.ndarray:
+            m = np.zeros(Nd, np.float32)
+            if ids is None:
+                m[:n_used] = 1.0
+            else:
+                for d in ids:
+                    s = self._slot_by_doc.get(d)
+                    if s is not None:
+                        m[s] = 1.0
+            return m
+
+        if per_query_filters is not None:
+            assert len(per_query_filters) == B_real
+            base_mask = np.zeros((B, Nd), np.float32)
+            for i, ids in enumerate(per_query_filters):
+                base_mask[i] = _mask_of(
+                    ids if filter_doc_ids is None or ids is None
+                    else (ids & filter_doc_ids))
+            if filter_doc_ids is not None:
+                shared = _mask_of(filter_doc_ids)
+                for i, ids in enumerate(per_query_filters):
+                    if ids is None:
+                        base_mask[i] = shared
         else:
-            for d in filter_doc_ids:
-                s = self._slot_by_doc.get(d)
-                if s is not None:
-                    base_mask[s] = 1.0
+            base_mask = _mask_of(filter_doc_ids)
 
         # topology routing (reference: topology_routing_session.cpp):
         # narrow -> per-query scan masks; shadow -> counterfactual masks kept
@@ -505,9 +529,13 @@ class SearchEngine:
             routed = [self._routed_slot_mask(qv, Nd) for qv in qvecs]
             self._stats["topology_routes"] += len(routed)
             if policy == "narrow":
-                per_q = np.stack(
-                    routed + [base_mask] * (B - B_real)
-                ) * base_mask[None, :]
+                per_q = np.zeros((B, Nd), np.float32)
+                per_q[:B_real] = np.stack(routed)
+                if base_mask.ndim == 2:
+                    per_q *= base_mask
+                else:
+                    per_q[B_real:] = 1.0
+                    per_q *= base_mask[None, :]
                 doc_mask = per_q.astype(np.float32)
             else:
                 shadow_masks = routed
@@ -728,8 +756,9 @@ class SearchEngine:
                     and len(results) > k):
                 self._semantic_rescue(results, k)
             out.append(results[:k])
-        self._stats["searches"] += len(queries)
-        self._stats["total_ms"] += (time.monotonic() - t0) * 1e3
+        with self._lock:  # searches run concurrently on the daemon read pool
+            self._stats["searches"] += len(queries)
+            self._stats["total_ms"] += (time.monotonic() - t0) * 1e3
         trace["total_ms"] = (time.monotonic() - t0) * 1e3
         self.last_trace = trace
         if os.environ.get("YAMS_SEARCH_STAGE_TRACE"):
@@ -879,12 +908,16 @@ class SearchEngine:
         community = self._community_support([r.doc_id for r in cand])
         base_w = max(0.0, 1.0 - cfg.graph_community_weight)
         raw, anchors = [], []
+        # lexical-anchor normalizer: fixed divisor when configured, else the
+        # window's own max text score (matches the fused program's adaptive
+        # per-query max-norm when bm25_norm_divisor == 0)
+        bm_div = cfg.bm25_norm_divisor if cfg.bm25_norm_divisor > 0 else \
+            max((max(r.text_score, 0.0) for r in cand), default=0.0) or 1e-6
         for i, r in enumerate(cand):
             entity = min(max(r.kg_score, 0.0), 1.0)
             raw.append(min(1.0, entity * base_w
                            + community[i] * cfg.graph_community_weight))
-            anchors.append(min(max(r.text_score, 0.0)
-                               / max(cfg.bm25_norm_divisor, 1e-6), 1.0))
+            anchors.append(min(max(r.text_score, 0.0) / bm_div, 1.0))
         max_raw = max(raw)
         max_anchor = max(anchors)
         boosted = False

@@ -37,8 +37,25 @@ class SearchResponse:
 
 
 class SearchService:
+    # path -> frozenset of directory-segment tokens (path-tree evidence leg);
+    # bounded FIFO — paths are immutable keys so entries never go stale
+    SEG_CACHE_MAX = 65536
+
     def __init__(self, app):
         self.app = app
+        self._seg_cache: dict[str, frozenset] = {}
+
+    def _seg_tokens(self, path: str) -> frozenset:
+        toks = self._seg_cache.get(path)
+        if toks is None:
+            from ..embed.simeon import tokenize as _tok
+
+            segs = [s for s in path.lower().split("/") if s]
+            toks = frozenset(t for s in segs[:-1] for t in _tok(s))
+            if len(self._seg_cache) >= self.SEG_CACHE_MAX:
+                self._seg_cache.pop(next(iter(self._seg_cache)))
+            self._seg_cache[path] = toks
+        return toks
 
     def _filter_doc_ids(
         self, tags: list[str] | None, path_glob: str | None,
@@ -201,51 +218,130 @@ class SearchService:
         with_snippets: bool = True,
     ) -> list[SearchResponse]:
         """Plain-path batch: N queries -> ONE device program -> per-query
-        hydration. The daemon's micro-batching aggregator uses this to
-        coalesce concurrent searches; qualifier/filter/fts/fuzzy paths fall
-        back to search(). Results match search() for plain queries minus the
-        zero-hit retry tiers."""
-        t0 = time.monotonic()
-        md = self.app.metadata
-        mode = {"semantic": "vector", "vector": "vector",
-                "keyword": "keyword"}.get(search_type, "hybrid")
-        batches = self.app.search_engine.search_batch(
-            queries, k=limit, mode=mode
+        hydration. Thin wrapper over search_many_requests."""
+        return self.search_many_requests(
+            [{"query": q, "limit": limit, "search_type": search_type}
+             for q in queries],
+            with_snippets=with_snippets,
         )
+
+    def search_many_requests(
+        self, reqs: list[dict], with_snippets: bool = True,
+    ) -> list[SearchResponse]:
+        """Full-request batch: each request carries its own query, limit,
+        search_type, tags/path_glob/collection/filters. Filtered requests
+        ride the SAME fused device program as plain ones — per-request
+        candidate sets become rows of the (B, Nd) doc mask (the pushdown
+        rows topology Narrow uses). Same-mode requests group into one device
+        call; fts/auto requests fall back to search(). Batched requests skip
+        the zero-hit PRF/fuzzy retry tiers (single-path behavior otherwise)."""
+        t0 = time.monotonic()
+        from ..search.query import parse_qualifiers
+
+        n = len(reqs)
+        out: list[SearchResponse | None] = [None] * n
+        # normalize each request: qualifiers fold into filters/type
+        norm: list[dict] = []
+        for i, r in enumerate(reqs):
+            query = r.get("query", "")
+            tags = r.get("tags")
+            path_glob = r.get("path_glob")
+            collection = r.get("collection")
+            stype = r.get("search_type", "hybrid")
+            pq = parse_qualifiers(query)
+            if pq.text != query or pq.tags or pq.path_glob or pq.collection:
+                query = pq.text
+                tags = (list(tags or []) + pq.tags) or None
+                path_glob = path_glob or pq.path_glob
+                collection = collection or pq.collection
+                if pq.search_type:
+                    stype = pq.search_type
+            norm.append({
+                "i": i, "query": query, "tags": tags, "path_glob": path_glob,
+                "collection": collection, "filters": r.get("filters"),
+                "limit": int(r.get("limit", 10) or 10), "type": stype,
+            })
+        # fallback lane: modes the fused batch can't express
+        mode_of = {"hybrid": "hybrid", "semantic": "vector",
+                   "vector": "vector", "keyword": "keyword"}
+        groups: dict[str, list[dict]] = {}
+        for m in norm:
+            mode = mode_of.get(m["type"])
+            if mode is None:
+                r = reqs[m["i"]]
+                out[m["i"]] = self.search(
+                    r.get("query", ""), limit=m["limit"],
+                    search_type=m["type"] if m["type"] != "auto" else "auto",
+                    tags=r.get("tags"), path_glob=r.get("path_glob"),
+                    collection=r.get("collection"), filters=r.get("filters"),
+                    with_snippets=with_snippets,
+                )
+            else:
+                m["mode"] = mode
+                groups.setdefault(mode, []).append(m)
+        for mode, ms in groups.items():
+            k = max(m["limit"] for m in ms)
+            filters = [
+                self._filter_doc_ids(m["tags"], m["path_glob"],
+                                     m["collection"], m["filters"])
+                for m in ms
+            ]
+            per_q = filters if any(f is not None for f in filters) else None
+            batches = self.app.search_engine.search_batch(
+                [m["query"] for m in ms], k=k, mode=mode,
+                per_query_filters=per_q,
+            )
+            for m, results in zip(ms, batches):
+                resp = self._hydrate(
+                    m["query"], results, m["limit"], m["type"],
+                    with_snippets, t0,
+                    min_score=(m["filters"] or {}).get("min_score"),
+                )
+                out[m["i"]] = resp
+        return out  # type: ignore[return-value]
+
+    def _hydrate(self, query: str, results, limit: int, search_type: str,
+                 with_snippets: bool, t0: float,
+                 min_score=None) -> SearchResponse:
+        md = self.app.metadata
         from ..embed.simeon import tokenize as _tok
 
         pt_w = self.app.search_engine.config.path_tree_weight
-        out: list[SearchResponse] = []
-        for query, results in zip(queries, batches):
-            q_toks = set(_tok(query))
-            hits: list[SearchHit] = []
-            for r in results:
-                try:
-                    doc = md.get_document(r.doc_id)
-                except Exception:
-                    continue
-                snippet = self._snippet(r.doc_id, query) if with_snippets else ""
-                score = r.score
-                if q_toks and pt_w > 0:
-                    segs = [s for s in doc.file_path.lower().split("/") if s]
-                    seg_toks = {t for s in segs[:-1] for t in _tok(s)}
-                    overlap = len(q_toks & seg_toks)
-                    if overlap:
-                        score += pt_w * min(1.0, overlap / len(q_toks))
-                hits.append(SearchHit(
-                    document_id=r.doc_id, score=score, path=doc.file_path,
-                    name=doc.file_name, title=r.title or doc.file_name,
-                    snippet=snippet, text_score=r.text_score,
-                    vector_score=r.vector_score, kg_score=r.kg_score,
-                    hash=doc.sha256_hash,
-                ))
-            hits.sort(key=lambda h: -h.score)
-            out.append(SearchResponse(
-                hits=hits[:limit], total=len(hits), query=query,
-                type=search_type,
-                duration_ms=(time.monotonic() - t0) * 1e3,
+        q_toks = set(_tok(query))
+        hits: list[SearchHit] = []
+        for r in results:
+            try:
+                doc = md.get_document(r.doc_id)
+            except Exception:
+                continue
+            score = r.score
+            if q_toks and pt_w > 0:
+                overlap = len(q_toks & self._seg_tokens(doc.file_path))
+                if overlap:
+                    score += pt_w * min(1.0, overlap / len(q_toks))
+            hits.append(SearchHit(
+                document_id=r.doc_id, score=score, path=doc.file_path,
+                name=doc.file_name, title=r.title or doc.file_name,
+                snippet="", text_score=r.text_score,
+                vector_score=r.vector_score, kg_score=r.kg_score,
+                hash=doc.sha256_hash,
             ))
-        return out
+        hits.sort(key=lambda h: -h.score)
+        if min_score is not None:
+            hits = [h for h in hits if h.score >= float(min_score)]
+        total = len(hits)
+        hits = hits[:limit]
+        if with_snippets:
+            # snippets only for the RETURNED window — the candidate list is
+            # k_dev (~6x limit) wide and snippet extraction is the single
+            # most expensive hydration step
+            for h in hits:
+                h.snippet = self._snippet(h.document_id, query)
+        return SearchResponse(
+            hits=hits, total=total, query=query,
+            type=search_type,
+            duration_ms=(time.monotonic() - t0) * 1e3,
+        )
 
     def _snippet(self, doc_id: int, query: str, width: int = 160) -> str:
         from ..embed.simeon import tokenize

@@ -44,7 +44,13 @@ TOPICS = [
 def build_engine(policy: str, seed: int, topo_engine: str = "kmeans",
                  top_clusters: int = 3, score_invariant: bool = False):
     cfg = SearchEngineConfig(batch_pad=4, topology_policy=policy,
-                             topology_top_clusters=top_clusters)
+                             topology_top_clusters=top_clusters,
+                             # contracts are about the mask algebra, so the
+                             # certificate gates that only ever WIDEN toward
+                             # the full scan (abstention) are off here; the
+                             # gate behaviors have their own tests in
+                             # test_tuning_topology.py
+                             topology_narrow_min_boundary_margin=0.0)
     if score_invariant:
         # static scoring: a doc's fused score is independent of the other
         # candidates (fixed divisor, fixed vector norm, no leg adaptation) —
@@ -81,7 +87,8 @@ class TestRoutingContracts:
         for q in ("kernel mutex", "pasta olive", "violin tempo"):
             qv = eng.provider.encode([q])[0]
             mask = eng._routed_slot_mask(
-                qv / max(np.linalg.norm(qv), 1e-9), eng.num_slots_padded)
+                qv / max(np.linalg.norm(qv), 1e-9), eng.num_slots_padded,
+                query=q)
             for h in eng.search(q, k=10):
                 slot = eng._slot_by_doc[h.doc_id]
                 assert mask[slot] > 0, (q, h.doc_id)
@@ -131,7 +138,8 @@ class TestRoutingContracts:
             # require it to stay a REAL narrowing (< all clusters)
             for c in range(1, n_clusters):
                 nar.config.topology_top_clusters = c
-                mask = nar._routed_slot_mask(qv, nar.num_slots_padded)
+                mask = nar._routed_slot_mask(qv, nar.num_slots_padded,
+                                             query=q)
                 if all(mask[nar._slot_by_doc[d]] > 0 for d in global_top):
                     break
             else:

@@ -175,6 +175,166 @@ class TestTopologyRouting:
             0.5 * (rewards["geometric"] + rewards["persistence"]))
 
 
+class TestRoutingHardening:
+    """Reference parity for the routing certificate machinery
+    (topology_routing_session.cpp:167-328, search_engine_config.h:156-276):
+    representatives, sparse seed votes, adaptive probing, abstention,
+    work budgets, and the shadow->narrow risk-calibration gate."""
+
+    def test_representatives_built_and_bounded(self):
+        eng = make_engine()
+        eng.rebuild_topology()
+        a = eng.topology.artifacts
+        assert a.rep_vectors is not None
+        K = len(a.centroids)
+        assert a.rep_vectors.shape[0] == K
+        assert a.rep_vectors.shape[1] == eng.config.topology_representatives
+        assert (a.rep_counts <= eng.config.topology_representatives).all()
+        # every live rep is a unit-ish member vector, padding rows are zero
+        for c in range(K):
+            n = int(a.rep_counts[c])
+            if n < a.rep_vectors.shape[1]:
+                assert not a.rep_vectors[c, n:].any()
+
+    def test_representatives_recover_elongated_cluster(self):
+        """A query near a cluster's EDGE member must route to that cluster
+        even when another cluster's centroid is closer — the failure mode
+        centroid-only routing has on elongated clusters."""
+        from yams_tpu.index.topology import TopologyArtifacts, TopologyEngine
+
+        D = 8
+        # cluster 0: elongated — centroid along e0, an edge member near e1
+        # cluster 1: tight ball around (e0+e1)/sqrt2 — its CENTROID is
+        # closer to the query than cluster 0's centroid
+        edge = np.zeros(D, np.float32); edge[1] = 1.0
+        c0 = np.zeros(D, np.float32); c0[0] = 1.0
+        c1 = (c0 + edge) / np.sqrt(2)
+        eng = TopologyEngine(representatives=2)
+        eng.artifacts = TopologyArtifacts(
+            centroids=np.stack([c0, c1]),
+            assignments=np.array([0, 0, 1, 1], np.int32),
+            cluster_sizes=np.array([2, 2]), epoch=0,
+            cohesion=np.ones(2, np.float32),
+            rep_vectors=np.stack([
+                np.stack([c0, edge]),           # cluster 0 reps incl. edge
+                np.stack([c1, c1]),
+            ]),
+            rep_counts=np.array([2, 2], np.int32),
+        )
+        q = 0.95 * edge + 0.05 * c0
+        q /= np.linalg.norm(q)
+        top = eng.select_routes(q, max_clusters=1).clusters
+        assert top[0] == 0, "edge representative must pull the route"
+        # centroid-only scoring picks cluster 1 (the control)
+        eng.artifacts.rep_vectors = None
+        assert eng.select_routes(q, max_clusters=1).clusters[0] == 1
+
+    def test_seed_votes_steer_routing(self):
+        """Sparse seed votes (top lexical docs) blend with dense scores:
+        alpha=1 routes purely by the seeds' cluster membership."""
+        eng = make_engine(policy="narrow")
+        eng.rebuild_topology()
+        eng.config.topology_sparse_dense_alpha = 1.0
+        seeds = eng._lexical_seed_rows("tomato basil pasta")
+        assert seeds is not None and len(seeds)
+        a = eng.topology.artifacts
+        seed_clusters = set(int(c) for c in a.assignments[seeds] if c >= 0)
+        sel = eng.topology.select_routes(
+            np.zeros(eng.provider.encoder.dim, np.float32), seeds,
+            alpha=1.0, max_clusters=1)
+        assert int(sel.clusters[0]) in seed_clusters
+
+    def test_adaptive_probe_gap(self):
+        eng = make_engine()
+        eng.rebuild_topology()
+        qv = eng.provider.encode(["kernel mutex"])[0]
+        qv /= max(np.linalg.norm(qv), 1e-9)
+        narrow = eng.topology.select_routes(
+            qv, min_clusters=1, max_clusters=8, adaptive_score_gap=1e-6)
+        wide = eng.topology.select_routes(
+            qv, min_clusters=1, max_clusters=8, adaptive_score_gap=10.0)
+        assert len(narrow.clusters) <= len(wide.clusters)
+        assert len(wide.clusters) == min(
+            8, len(eng.topology.artifacts.centroids))
+
+    def test_abstention_on_thin_boundary(self):
+        """A boundary margin below the gate must fall back to the FULL scan
+        (narrowing without a certificate is how recall silently dies)."""
+        eng = make_engine(policy="narrow")
+        eng.rebuild_topology()
+        eng.config.topology_narrow_min_boundary_margin = 10.0  # always thin
+        qv = eng.provider.encode(["kernel mutex"])[0]
+        qv /= max(np.linalg.norm(qv), 1e-9)
+        mask = eng._routed_slot_mask(qv, eng.num_slots_padded,
+                                     query="kernel mutex")
+        assert mask.sum() == eng.num_slots_padded
+        assert eng._stats["topology_abstained"] >= 1
+
+    def test_work_budget_clamps_rows(self):
+        eng = make_engine()
+        eng.rebuild_topology()
+        qv = eng.provider.encode(["kernel mutex"])[0]
+        qv /= max(np.linalg.norm(qv), 1e-9)
+        free = eng.topology.select_routes(qv, max_clusters=8)
+        capped = eng.topology.select_routes(
+            qv, max_clusters=8, budget_rows=max(1, free.rows_routed // 2))
+        assert capped.rows_routed <= max(
+            free.rows_routed // 2,
+            int(eng.topology.artifacts.cluster_sizes[capped.clusters[0]]))
+        if capped.rows_routed < free.rows_routed:
+            assert capped.budget_clamped
+        # the best cluster is never dropped
+        assert capped.clusters[0] == free.clusters[0]
+
+    def test_calibration_unavailable_until_min_queries(self):
+        """Reference semantics: zero observations leave route risk
+        UNAVAILABLE, never 'zero risk'."""
+        eng = make_engine(policy="shadow")
+        eng.rebuild_topology()
+        assert not eng.route_calibration()["available"]
+        eng.config.topology_calibration_min_queries = 3
+        eng.config.topology_auto_promote = False
+        for q in ("kernel mutex", "tomato basil", "tensor gradient"):
+            eng.search(q, k=3)
+        c = eng.route_calibration()
+        assert c["available"] and c["queries"] >= 3
+        assert c["misses_per_thousand"] is not None
+        # a rebuild voids the certificate (new construction fingerprint)
+        eng.rebuild_topology()
+        assert not eng.route_calibration()["available"]
+
+    def test_auto_promotion_gated_on_miss_risk(self):
+        """Shadow auto-promotes to narrow ONLY when the measured
+        missed-protected rate clears the gate."""
+        eng = make_engine(policy="shadow")
+        eng.rebuild_topology()
+        eng.config.topology_auto_promote = True
+        eng.config.topology_calibration_min_queries = 3
+        eng.config.topology_calibration_max_mpt = 1000  # permissive
+        for q in ("kernel mutex", "tomato basil", "tensor gradient",
+                  "kernel thread", "pasta olive"):
+            eng.search(q, k=3)
+            if eng.config.topology_policy == "narrow":
+                break
+        assert eng.config.topology_policy == "narrow"
+        assert eng._stats["topology_promotions"] == 1
+        # strict gate: a fresh shadow engine with max_mpt=0 must NOT
+        # promote unless the shadow route covered every protected candidate
+        eng2 = make_engine(policy="shadow")
+        eng2.rebuild_topology()
+        eng2.config.topology_auto_promote = True
+        eng2.config.topology_calibration_min_queries = 3
+        eng2.config.topology_calibration_max_mpt = 0
+        for q in ("kernel mutex", "tomato basil", "tensor gradient",
+                  "kernel thread", "pasta olive"):
+            eng2.search(q, k=3)
+        c = eng2.route_calibration()
+        if eng2.config.topology_policy == "narrow":
+            assert c["missed"] == 0
+        else:
+            assert c["missed"] > 0 or not c["available"]
+
+
 class TestWeakQueryFanout:
     def test_weak_query_widens_candidates(self):
         eng = make_engine()

@@ -71,12 +71,66 @@ class TopologyArtifacts:
     # H_0 persistence of the centroid cloud (reference: TopologyManager.cpp:703
     # clusterCentroidPersistence — the rebuild-quality signal for the tuner)
     centroid_persistence: float = 0.0
+    # bounded per-cluster routing representatives (reference:
+    # topology_artifacts.h representative cover +
+    # topologyRoutingRepresentativeLimit): the R members most similar to
+    # their centroid, stored as vectors so routing stays self-contained
+    # across index mutations. A centroid is a poor stand-in for an
+    # elongated or multi-lobed cluster; scoring the query against the reps
+    # too catches members a centroid matmul would under-rank.
+    rep_vectors: np.ndarray | None = None   # (K, R, D) f32, zero-padded
+    rep_counts: np.ndarray | None = None    # (K,) i32 live reps per cluster
 
     def __post_init__(self):
         if not self.centroid_persistence and len(self.centroids) >= 2:
             from ..utils.tda import persistence_h0
 
             self.centroid_persistence = persistence_h0(self.centroids)
+
+
+@dataclasses.dataclass
+class RouteSelection:
+    """One query's routing decision + its certificate metadata (reference:
+    TopologyRoutingSessionResult route work/abstention fields)."""
+
+    clusters: np.ndarray         # selected cluster ids, best first
+    scores: np.ndarray           # blended route scores, aligned to clusters
+    boundary_margin: float       # score gap selected/excluded (inf if all)
+    abstained: bool              # margin below the narrow gate -> full scan
+    rows_routed: int             # total member rows in the selection
+    budget_clamped: bool         # work budget dropped trailing clusters
+
+
+def pick_representatives(
+    vectors: np.ndarray, valid: np.ndarray, assignments: np.ndarray,
+    centroids: np.ndarray, r: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-r members per cluster by centroid similarity -> (K,r,D), (K,).
+
+    One O(N*D) pass: each live row's similarity to ITS OWN centroid, then a
+    per-cluster argsort of members only (no (N,K) matrix)."""
+    K, D = centroids.shape
+    reps = np.zeros((K, r, D), np.float32)
+    counts = np.zeros(K, np.int32)
+    if r <= 0 or not len(vectors):
+        return reps, counts
+    live = (valid > 0) & (assignments >= 0)
+    rows = np.nonzero(live)[0]
+    if not len(rows):
+        return reps, counts
+    a = assignments[rows]
+    sims = np.einsum("nd,nd->n", vectors[rows].astype(np.float32),
+                     centroids[a])
+    order = np.lexsort((-sims, a))   # group by cluster, best-first inside
+    rows, a, sims = rows[order], a[order], sims[order]
+    starts = np.searchsorted(a, np.arange(K))
+    ends = np.searchsorted(a, np.arange(K) + 1)
+    for c in range(K):
+        m = rows[starts[c]:ends[c]][:r]
+        if len(m):
+            reps[c, : len(m)] = vectors[m]
+            counts[c] = len(m)
+    return reps, counts
 
 
 @functools.partial(jax.jit, static_argnames=("knn", "block_rows", "lp_iters"))
@@ -126,10 +180,20 @@ def connected_labels(
 class TopologyEngine:
     """Builds artifacts from the vector index; routes queries to clusters."""
 
-    def __init__(self, iters: int = 8, seed: int = 0):
+    def __init__(self, iters: int = 8, seed: int = 0,
+                 representatives: int = 4):
         self.iters = iters
         self.seed = seed
+        self.representatives = representatives
         self.artifacts: TopologyArtifacts | None = None
+
+    def _attach_reps(self, vectors: np.ndarray, valid: np.ndarray) -> None:
+        a = self.artifacts
+        if a is not None and self.representatives > 0:
+            a.rep_vectors, a.rep_counts = pick_representatives(
+                vectors, valid, a.assignments, a.centroids,
+                self.representatives,
+            )
 
     def build_connected(
         self, vectors: np.ndarray, valid: np.ndarray, epoch: int = 0,
@@ -171,6 +235,7 @@ class TopologyEngine:
                 centroids[c] = mean / norm if norm > 0 else mean
                 cohesion[c] = float((members @ centroids[c]).mean())
         self.artifacts = TopologyArtifacts(centroids, assign, sizes, epoch, cohesion)
+        self._attach_reps(vectors, valid)
         return self.artifacts
 
     def build_louvain(
@@ -250,6 +315,7 @@ class TopologyEngine:
                 centroids[c] = mean / norm if norm > 0 else mean
                 cohesion[c] = float((members @ centroids[c]).mean())
         self.artifacts = TopologyArtifacts(centroids, assign, sizes, epoch, cohesion)
+        self._attach_reps(vectors, valid)
         return self.artifacts
 
     def build(self, vectors: np.ndarray, valid: np.ndarray, epoch: int = 0,
@@ -286,6 +352,7 @@ class TopologyEngine:
         self.artifacts = TopologyArtifacts(
             np.asarray(centroids, np.float32), assign_np, sizes, epoch, cohesion
         )
+        self._attach_reps(vectors, valid)
         return self.artifacts
 
     def build_auto(
@@ -302,17 +369,101 @@ class TopologyEngine:
         tuner.observe(arm, arts)
         return arts
 
-    def route(self, query_vec: np.ndarray, top_clusters: int = 4) -> np.ndarray:
-        """Query -> routed cluster ids (centroid similarity top-C)."""
+    def cluster_scores(self, query_vec: np.ndarray,
+                       seed_rows: np.ndarray | None = None,
+                       alpha: float = 0.5) -> np.ndarray:
+        """Blended per-cluster route scores (reference:
+        topologySparseDenseAlpha representative scoring,
+        topology_routing_session.cpp:167-240).
+
+        dense  = max(sim(q, centroid), max_r sim(q, representative_r)) —
+                 the reps catch members of elongated/multi-lobed clusters a
+                 centroid matmul under-ranks;
+        sparse = normalized seed-document votes (the highest-ranked lexical
+                 docs' cluster membership);
+        score  = alpha * sparse + (1 - alpha) * dense when seeds exist,
+                 else dense.
+        """
         a = self.artifacts
         if a is None:
             raise RuntimeError("topology not built")
-        sims = a.centroids @ np.asarray(query_vec, np.float32)
-        c = min(top_clusters, len(sims))
-        return np.argsort(-sims)[:c]
+        q = np.asarray(query_vec, np.float32)
+        dense = a.centroids @ q
+        if a.rep_vectors is not None and a.rep_vectors.shape[1]:
+            K, R, D = a.rep_vectors.shape
+            rep_sims = (a.rep_vectors.reshape(K * R, D) @ q).reshape(K, R)
+            live = np.arange(R)[None, :] < a.rep_counts[:, None]
+            rep_best = np.where(live, rep_sims, -np.inf).max(axis=1)
+            dense = np.maximum(dense, np.where(np.isfinite(rep_best),
+                                               rep_best, dense))
+        if seed_rows is not None and len(seed_rows):
+            votes = np.zeros(len(dense), np.float64)
+            seeds_c = a.assignments[seed_rows]
+            seeds_c = seeds_c[seeds_c >= 0]
+            if len(seeds_c):
+                np.add.at(votes, seeds_c, 1.0)
+                votes /= votes.max()
+                return (alpha * votes + (1.0 - alpha) * dense).astype(
+                    np.float32)
+        return dense.astype(np.float32)
+
+    def select_routes(
+        self, query_vec: np.ndarray, seed_rows: np.ndarray | None = None,
+        *, min_clusters: int = 1, max_clusters: int = 4,
+        adaptive_score_gap: float = 0.0, alpha: float = 0.5,
+        min_boundary_margin: float = 0.0, budget_rows: int = 0,
+    ) -> RouteSelection:
+        """Route one query -> cluster selection + certificate metadata.
+
+        Adaptive probing (reference topologyAdaptiveProbeScoreGap): with a
+        positive gap, widen from min_clusters while a cluster's score stays
+        within `gap` of the best; gap 0 keeps fixed max_clusters. Abstention
+        (topologyNarrowMinBoundaryMargin): when the selected/excluded score
+        boundary is closer than the margin, the route is NOT a trustworthy
+        narrowing certificate — callers fall back to the full scan. Work
+        budget (TopologyRouteWorkBudget.maxRowsVisited): drop lowest-scoring
+        selected clusters while the routed member-row total exceeds
+        budget_rows (never below min_clusters)."""
+        a = self.artifacts
+        scores = self.cluster_scores(query_vec, seed_rows, alpha)
+        K = len(scores)
+        order = np.argsort(-scores, kind="stable")
+        lo = max(1, min(min_clusters, K))
+        hi = max(lo, min(max_clusters, K))
+        if adaptive_score_gap > 0.0:
+            sel = lo
+            best = scores[order[0]]
+            while sel < hi and best - scores[order[sel]] <= adaptive_score_gap:
+                sel += 1
+        else:
+            sel = hi
+        clusters = order[:sel]
+        budget_clamped = False
+        if budget_rows > 0:
+            while (len(clusters) > lo
+                   and a.cluster_sizes[clusters].sum() > budget_rows):
+                clusters = clusters[:-1]
+                budget_clamped = True
+        rows_routed = int(a.cluster_sizes[clusters].sum())
+        sel = len(clusters)
+        margin = (float(scores[order[sel - 1]] - scores[order[sel]])
+                  if sel < K else float("inf"))
+        abstained = (min_boundary_margin > 0.0 and sel < K
+                     and margin < min_boundary_margin)
+        return RouteSelection(
+            clusters=clusters, scores=scores[clusters],
+            boundary_margin=margin, abstained=abstained,
+            rows_routed=rows_routed, budget_clamped=budget_clamped,
+        )
+
+    def route(self, query_vec: np.ndarray, top_clusters: int = 4) -> np.ndarray:
+        """Query -> routed cluster ids (representative-aware top-C)."""
+        return self.select_routes(
+            query_vec, max_clusters=top_clusters).clusters
 
     def routed_row_mask(self, query_vec: np.ndarray, top_clusters: int = 4,
-                        policy: str = "augment") -> np.ndarray:
+                        policy: str = "augment",
+                        selection: RouteSelection | None = None) -> np.ndarray:
         """Row mask for the scan, per routing policy.
 
         narrow:  scan only routed clusters' members.
@@ -322,8 +473,10 @@ class TopologyEngine:
                  search_engine_config.h:140-166).
         """
         a = self.artifacts
-        routed = self.route(query_vec, top_clusters)
-        mask = np.isin(a.assignments, routed).astype(np.float32)
+        if selection is None:
+            selection = self.select_routes(
+                query_vec, max_clusters=top_clusters)
+        mask = np.isin(a.assignments, selection.clusters).astype(np.float32)
         if policy == "augment":
             return np.ones_like(mask)
         return mask

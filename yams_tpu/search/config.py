@@ -111,7 +111,36 @@ class SearchEngineConfig:
     # topology routing (reference: Narrow/Augment/Shadow policies,
     # search_engine_config.h:140-166; Shadow is the product default)
     topology_policy: str = "shadow"   # off | narrow | augment | shadow
-    topology_top_clusters: int = 4
+    topology_top_clusters: int = 4    # max probes (topologyMaxClusters)
+    topology_min_clusters: int = 1    # min probes (topologyMinClusters)
+    # per-cluster routing representatives scored alongside the centroid
+    # (topologyRoutingRepresentativeLimit; 0 = centroid-only routing)
+    topology_representatives: int = 4
+    # sparse (lexical seed votes) vs dense (centroid/representative sim)
+    # blend for route scores (topologySparseDenseAlpha)
+    topology_sparse_dense_alpha: float = 0.5
+    # highest-ranked lexical docs allowed to vote (topologyMaxSeedDocuments;
+    # 0 disables the sparse leg)
+    topology_max_seed_docs: int = 32
+    # widen probes from min while score stays this close to the best
+    # (topologyAdaptiveProbeScoreGap; 0 = fixed max_clusters)
+    topology_adaptive_score_gap: float = 0.0
+    # abstain from hard narrowing when the selected/excluded boundary is
+    # closer than this (topologyNarrowMinBoundaryMargin; mixed-corpus
+    # calibration favors 0.20, 0 disables)
+    topology_narrow_min_boundary_margin: float = 0.20
+    # work budget: max routed member ROWS per query (maxRowsVisited;
+    # 0 = uncapped). Unlike the reference (where 0 voids the certificate),
+    # 0 here means "no budget gate" — the abstention margin still applies.
+    topology_route_budget_rows: int = 0
+    # shadow -> narrow promotion gate (reference
+    # TopologyRouteRiskCalibration): auto-promote only after
+    # >= min_queries shadow observations with
+    # missed-protected-per-thousand <= max_mpt for the CURRENT topology
+    # build (fingerprint = epoch/engine/K; rebuilds reset the counters)
+    topology_auto_promote: bool = False
+    topology_calibration_min_queries: int = 50
+    topology_calibration_max_mpt: int = 50
 
     # query batch padding (keeps jit cache small)
     batch_pad: int = 8

@@ -128,6 +128,14 @@ class SearchEngine:
         self._stats = {
             "searches": 0, "total_ms": 0.0, "documents": 0,
             "topology_routes": 0, "topology_shadow_agree": 0.0,
+            "topology_abstained": 0, "topology_budget_clamped": 0,
+            "topology_promotions": 0,
+        }
+        # shadow-route miss-risk calibration for the CURRENT topology build
+        # (reference TopologyRouteRiskCalibration: an empty fingerprint or
+        # zero observations leaves risk UNAVAILABLE, not zero)
+        self._route_calib = {
+            "fingerprint": "", "queries": 0, "protected": 0, "missed": 0,
         }
 
     # -- identity -----------------------------------------------------------------
@@ -263,7 +271,10 @@ class SearchEngine:
         vi = self.vector_index
         if vi.active_rows == 0:
             return
-        eng = TopologyEngine(iters=iters)
+        eng = TopologyEngine(
+            iters=iters,
+            representatives=self.config.topology_representatives,
+        )
         if engine is not None:
             arts = eng.build(
                 vi._vecs, vi._valid, epoch=self._stats["searches"],
@@ -277,12 +288,103 @@ class SearchEngine:
         self.topology = eng
         # rebuild-quality signal (reference: clusterCentroidPersistence reward)
         self._stats["topology_persistence"] = arts.centroid_persistence
+        # a new build voids any accumulated route-risk evidence (reference:
+        # constructionFingerprint — calibration is per-construction)
+        self._route_calib = {
+            "fingerprint": f"{arts.epoch}/{len(arts.centroids)}",
+            "queries": 0, "protected": 0, "missed": 0,
+        }
 
-    def _routed_slot_mask(self, query_vec: np.ndarray, num_slots: int) -> np.ndarray:
-        """Topology route -> slot-level scan mask (cluster members only)."""
+    def route_calibration(self) -> dict:
+        """Route-risk certificate for the current topology build.
+
+        `available` stays False until >= topology_calibration_min_queries
+        shadow observations exist for THIS construction (reference: a zero
+        observation count leaves route risk unavailable rather than zero)."""
+        c = dict(self._route_calib)
+        cfg = self.config
+        c["available"] = (
+            bool(c["fingerprint"])
+            and c["queries"] >= cfg.topology_calibration_min_queries
+            and c["protected"] > 0
+        )
+        c["misses_per_thousand"] = (
+            1000.0 * c["missed"] / c["protected"] if c["protected"] else None
+        )
+        return c
+
+    def _maybe_promote_narrow(self) -> bool:
+        """Shadow -> Narrow auto-promotion, gated on the calibration
+        certificate (reference: maxMissesPerThousand)."""
+        c = self.route_calibration()
+        if not c["available"]:
+            return False
+        if c["misses_per_thousand"] > self.config.topology_calibration_max_mpt:
+            return False
+        self.config.topology_policy = "narrow"
+        self._stats["topology_promotions"] += 1
+        return True
+
+    def _lexical_seed_rows(self, query: str) -> np.ndarray | None:
+        """Top lexical docs' chunk rows — the sparse routing leg's voters
+        (reference: topologyMaxSeedDocuments highest-ranked lexical docs).
+
+        Host-side and cheap: per query term, idf-weighted tf votes over the
+        in-memory postings (terms with df > 4096 skipped — too common to
+        discriminate a cluster), top seed docs by vote, then their chunk
+        rows via the vector index slot map."""
+        n_seeds = self.config.topology_max_seed_docs
+        if n_seeds <= 0:
+            return None
+        lex = self.lexical_index
+        tids, weights = lex.query_term_ids(query)
+        n_docs = max(lex.doc_count, 1)
+        votes: dict[int, float] = {}
+        for tid, w in zip(tids, weights):
+            if w <= 0:
+                continue
+            plist = lex._postings.get(int(tid))
+            if not plist or len(plist) > 4096:
+                continue
+            idf = float(np.log1p(n_docs / len(plist)))
+            for slot, tf in plist.items():
+                votes[slot] = votes.get(slot, 0.0) + w * idf * float(tf)
+        if not votes:
+            return None
+        top = sorted(votes, key=votes.get, reverse=True)[:n_seeds]
+        slots = self.vector_index._slots
+        return np.nonzero(np.isin(slots, np.asarray(top)))[0]
+
+    def _route_query(self, query_vec: np.ndarray, query: str | None = None):
+        """One query's RouteSelection under the configured routing knobs."""
+        cfg = self.config
+        seeds = (self._lexical_seed_rows(query)
+                 if query is not None else None)
+        return self.topology.select_routes(
+            query_vec, seeds,
+            min_clusters=cfg.topology_min_clusters,
+            max_clusters=cfg.topology_top_clusters,
+            adaptive_score_gap=cfg.topology_adaptive_score_gap,
+            alpha=cfg.topology_sparse_dense_alpha,
+            min_boundary_margin=cfg.topology_narrow_min_boundary_margin,
+            budget_rows=cfg.topology_route_budget_rows,
+        )
+
+    def _routed_slot_mask(self, query_vec: np.ndarray, num_slots: int,
+                          query: str | None = None) -> np.ndarray:
+        """Topology route -> slot-level scan mask (cluster members only).
+
+        An abstained route (boundary margin below the narrow gate) returns
+        the FULL mask: narrowing without a trustworthy certificate is how
+        recall silently dies (reference: selection.abstained)."""
+        sel = self._route_query(query_vec, query)
+        if sel.abstained:
+            self._stats["topology_abstained"] += 1
+            return np.ones(num_slots, np.float32)
+        if sel.budget_clamped:
+            self._stats["topology_budget_clamped"] += 1
         row_mask = self.topology.routed_row_mask(
-            query_vec, top_clusters=self.config.topology_top_clusters,
-            policy="narrow",
+            query_vec, policy="narrow", selection=sel,
         )
         slots = self.vector_index._slots
         mask = np.zeros(num_slots, np.float32)
@@ -526,7 +628,10 @@ class SearchEngine:
         if policy in ("narrow", "shadow") and mode != "keyword":
             t_r = time.monotonic()
             qvecs = _query_vecs()
-            routed = [self._routed_slot_mask(qv, Nd) for qv in qvecs]
+            routed = [
+                self._routed_slot_mask(qv, Nd, query=qt)
+                for qv, qt in zip(qvecs, queries)
+            ]
             self._stats["topology_routes"] += len(routed)
             if policy == "narrow":
                 per_q = np.zeros((B, Nd), np.float32)
@@ -696,15 +801,22 @@ class SearchEngine:
             jax.profiler.stop_trace()
         trace["stages"]["device_ms"] = (time.monotonic() - t_dev) * 1e3
 
-        # shadow policy: measure how often narrow routing would have agreed
+        # shadow policy: measure how often narrow routing would have agreed,
+        # and accumulate the per-construction miss-risk certificate
+        # (reference TopologyRouteRiskCalibration: protected candidates =
+        # the production top-k; a miss = one the shadow route would have
+        # dropped)
         if shadow_masks is not None:
             agree = []
+            calib = self._route_calib
             for i in range(B_real):
                 top = [int(s) for s, v in zip(slots[i], vals[i]) if v > -1e29][:k]
                 if top:
-                    agree.append(
-                        sum(shadow_masks[i][s] > 0 for s in top) / len(top)
-                    )
+                    covered = sum(shadow_masks[i][s] > 0 for s in top)
+                    agree.append(covered / len(top))
+                    calib["queries"] += 1
+                    calib["protected"] += len(top)
+                    calib["missed"] += len(top) - covered
             if agree:
                 prev = self._stats["topology_shadow_agree"]
                 cur = float(np.mean(agree))
@@ -712,6 +824,8 @@ class SearchEngine:
                     0.9 * prev + 0.1 * cur if self._stats["searches"] else cur
                 )
                 trace["shadow_agreement"] = cur
+            if cfg.topology_auto_promote and self._maybe_promote_narrow():
+                trace["topology_promoted"] = True
 
         # entity-vector leg: ONE device call for the whole batch (a per-query
         # search here would cost a dispatch round trip per query)

@@ -43,7 +43,9 @@ def main() -> None:
 
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 16_777_216
     D, M, KSUB = 768, 48, 16
-    BLOCK = int(os.environ.get("PQ_BLOCK", 262_144))
+    IMPL = os.environ.get("PQ_IMPL", "pallas")  # pallas | xla
+    BLOCK = int(os.environ.get(
+        "PQ_BLOCK", 2048 if IMPL == "pallas" else 262_144))
     GROUP = int(os.environ.get("PQ_GROUP", 128))
     CHUNK = 1_048_576
     N = max((N // CHUNK) * CHUNK, CHUNK)
@@ -110,8 +112,15 @@ def main() -> None:
 
     @functools.partial(jax.jit, donate_argnums=())
     def fused_search(q, codes, cents, valid, mirror):
-        av, ai = pq_adc_topk(q, codes, cents, valid, k=RERANK_C,
-                             block_rows=BLOCK, packed4=True, group=GROUP)
+        if IMPL == "pallas":
+            from yams_tpu.ops.pq_pallas import pq4_adc_topk_pallas
+
+            av, ai = pq4_adc_topk_pallas(q, codes, cents, valid, RERANK_C,
+                                         group=GROUP, block_rows=BLOCK,
+                                         interpret=False)
+        else:
+            av, ai = pq_adc_topk(q, codes, cents, valid, k=RERANK_C,
+                                 block_rows=BLOCK, packed4=True, group=GROUP)
         g = mirror[jnp.clip(ai, 0, CHUNK - 1)]             # (NQ, C, D) bf16
         ex = jnp.einsum("qcd,qd->qc", g.astype(jnp.float32), q,
                         preferred_element_type=jnp.float32)
@@ -136,6 +145,7 @@ def main() -> None:
     self1 = float(np.mean(top10[:, 0] == base_rows))
     print(
         f'{{"metric": "pq4_qps_{N}x{D}", "value": {qps:.1f}, "unit": "qps", '
+        f'"impl": "{IMPL}", '
         f'"recall10_planted": {hits:.3f}, "self_recall1": {self1:.2f}, '
         f'"batch": {NQ}, "hbm_mb": {hbm_mb:.0f}}}', flush=True,
     )

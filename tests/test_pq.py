@@ -378,3 +378,82 @@ class TestVectorIndexPQ:
         # compare against exact search
         ev, er = idx.search(vecs[17], k=5)
         assert len(set(rows[0]) & set(er[0])) >= 3
+
+
+class TestPallasADC:
+    """ops/pq_pallas.py LUT-gather kernel (interpret mode on the CPU mesh;
+    the real-TPU path is driven by scripts/bench_pq.py PQ_IMPL=pallas)."""
+
+    def _setup(self, n=2048, d=128, m=16, seed=3):
+        vecs = _unit(n, d, seed=seed)
+        cb = pq_train(vecs[:1024], m=m, ksub=16, train_limit=1024, iters=5)
+        from yams_tpu.ops.pq import pq4_pack
+
+        packed = jnp.asarray(pq4_pack(np.asarray(pq_encode(cb, vecs))))
+        return vecs, cb, packed
+
+    def test_kernel_matches_xla_grouped(self):
+        from yams_tpu.ops.pq_pallas import pq4_adc_grouped
+
+        vecs, cb, packed = self._setup()
+        valid = jnp.ones(len(vecs), jnp.float32)
+        q = jnp.asarray(vecs[:4])
+        vals, rows = pq4_adc_grouped(q, packed, cb.centroids, valid,
+                                     group=8, block_rows=512, interpret=True)
+        # oracle: the XLA grouped scan keeps one candidate per window too;
+        # with k == n_windows it returns ALL window maxima
+        W = len(vecs) // 8
+        xv, xr = pq_adc_topk(q, packed, cb.centroids, valid, k=W,
+                             block_rows=512, packed4=True, group=8)
+        for i in range(4):
+            got = dict(zip(np.asarray(rows)[i], np.asarray(vals)[i]))
+            want = dict(zip(np.asarray(xr)[i], np.asarray(xv)[i]))
+            assert set(got) == set(want)
+            for r in want:
+                assert abs(got[r] - want[r]) < 2e-2  # bf16 LUT vs f32 LUT
+
+    def test_kernel_respects_valid_mask(self):
+        from yams_tpu.ops.pq_pallas import pq4_adc_topk_pallas
+
+        vecs, cb, packed = self._setup(n=1024)
+        valid = np.ones(1024, np.float32)
+        valid[100:1024:2] = 0.0  # tombstone half the tail
+        q = jnp.asarray(vecs[101][None])  # its own row is dead
+        _, rows = pq4_adc_topk_pallas(q, packed, cb.centroids,
+                                      jnp.asarray(valid), 32,
+                                      group=4, block_rows=256, interpret=True)
+        dead = set(range(100, 1024, 2))
+        assert not (set(np.asarray(rows)[0].tolist()) & dead)
+
+    def test_search_pq_pallas_parity(self, monkeypatch):
+        idx = VectorIndex(dim=64, capacity=1024, block_rows=128)
+        vecs = _unit(700, 64, seed=41)
+        idx.add(vecs, list(range(700)))
+        idx.build_pq(m=16, ksub=16, pack4=True, rerank_factor=8, group=16)
+        monkeypatch.setenv("YAMS_PQ_PALLAS", "0")
+        v0, r0 = idx.search_pq(vecs[123], k=5)
+        monkeypatch.setenv("YAMS_PQ_PALLAS", "1")
+        v1, r1 = idx.search_pq(vecs[123], k=5)
+        assert r1[0, 0] == 123
+        # both are rerank-exact over near-identical candidate sets
+        assert len(set(r0[0]) & set(r1[0])) >= 4
+        np.testing.assert_allclose(v0[0, 0], v1[0, 0], atol=1e-3)
+
+    def test_filtered_path_stays_on_xla(self, monkeypatch):
+        idx = VectorIndex(dim=32, capacity=512, block_rows=128)
+        vecs = _unit(200, 32, seed=5)
+        idx.add(vecs, list(range(200)))
+        idx.build_pq(m=8, ksub=16, pack4=True, group=8)
+        monkeypatch.setenv("YAMS_PQ_PALLAS", "1")
+        codes, cents, _, _ = idx._pq_arrays()
+        assert idx._use_pallas_adc(True, 8, cents, doc_mask=None)
+        assert not idx._use_pallas_adc(True, 8, cents,
+                                       doc_mask=np.ones(512, np.float32))
+        assert not idx._use_pallas_adc(True, 1, cents, None)   # ungrouped
+        assert not idx._use_pallas_adc(False, 8, cents, None)  # unpacked
+        # filtered search still honors the mask end-to-end
+        mask = np.zeros(idx.num_slots if hasattr(idx, "num_slots") else 512,
+                        np.float32)
+        mask[:50] = 1.0
+        _, rows = idx.search_pq(vecs[10], k=5, doc_mask=mask)
+        assert all(idx._slots[r] < 50 for r in rows[0] if r >= 0)

@@ -18,6 +18,7 @@ TPU-first:
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import threading
 import time
@@ -416,6 +417,32 @@ class VectorIndex:
             return (*self._pq_device, self._pq_valid_device,
                     self._pq_slots_device)
 
+    @staticmethod
+    def _pallas_adc_mode() -> str:
+        return os.environ.get("YAMS_PQ_PALLAS", "auto")
+
+    def _use_pallas_adc(self, packed4: bool, group: int, centroids,
+                        doc_mask) -> bool:
+        """Route the unfiltered grouped PQ4 scan to the pallas LUT-gather
+        kernel (ops/pq_pallas.py). The XLA path stays for: the filtered scan
+        (doc-mask pushdown lives there), ksub != 16, and ungrouped/unpacked
+        tiers. Env YAMS_PQ_PALLAS: 0 = off, 1 = force (interpret on CPU —
+        the test hook), auto = TPU backend only."""
+        mode = self._pallas_adc_mode()
+        if mode == "0":
+            return False
+        if not (packed4 and group > 1 and doc_mask is None
+                and centroids.shape[1] == 16):
+            return False
+        pblock = min(2048, self.capacity)
+        if pblock % group or self.capacity % pblock:
+            return False
+        if mode == "1":
+            return True
+        import jax
+
+        return jax.default_backend() != "cpu"
+
     def search_pq(self, queries: np.ndarray, k: int = 10,
                   rerank: str = "auto", doc_mask: np.ndarray | None = None):
         """ADC scan + exact rerank x rerank_factor -> (values, row indices).
@@ -449,12 +476,25 @@ class VectorIndex:
         if doc_mask is not None:
             dm = np.asarray(doc_mask, np.float32)
             dm = jnp.asarray(dm[None, :] if dm.ndim == 1 else dm)
-        av, ai = pq_adc_topk(
-            jnp.asarray(q), codes, centroids, valid, k=c, block_rows=block,
-            packed4=getattr(self, "_pq_packed4", False),
-            group=getattr(self, "_pq_group", 1),
-            slots=slots if dm is not None else None, doc_mask=dm,
-        )
+        group = getattr(self, "_pq_group", 1)
+        packed4 = getattr(self, "_pq_packed4", False)
+        if self._use_pallas_adc(packed4, group, centroids, dm):
+            from ..ops.pq_pallas import pq4_adc_topk_pallas
+
+            # pallas block is independent of the index block: capacity is
+            # pow2-rounded, so any pow2 <= capacity divides it; 2048 rows
+            # keeps the in-kernel one-hot (block, 16m) bf16 inside VMEM
+            pblock = min(2048, self.capacity)
+            av, ai = pq4_adc_topk_pallas(
+                jnp.asarray(q), codes, centroids, valid, c,
+                group=group, block_rows=pblock,
+            )
+        else:
+            av, ai = pq_adc_topk(
+                jnp.asarray(q), codes, centroids, valid, k=c,
+                block_rows=block, packed4=packed4, group=group,
+                slots=slots if dm is not None else None, doc_mask=dm,
+            )
         k_out = min(k, c)
         if rerank == "host":
             cand = np.asarray(ai)                          # (B, C)

@@ -1,0 +1,149 @@
+"""In-process fake S3 endpoint for backend integration tests.
+
+Implements just enough of the S3 REST surface for S3Backend: object
+PUT/GET/HEAD/DELETE, ListObjectsV2 (prefix + continuation-token paging,
+max-keys), and multipart upload (initiate / upload-part / complete / abort).
+Auth headers are accepted but not validated — the SigV4 signer has its own
+known-vector unit tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class _State:
+    def __init__(self):
+        self.objects: dict[str, bytes] = {}
+        self.uploads: dict[str, dict[int, bytes]] = {}  # id -> part# -> body
+        self.upload_keys: dict[str, str] = {}
+        self.next_upload = 0
+        self.lock = threading.Lock()
+
+
+def _etag(data: bytes) -> str:
+    return hashlib.md5(data).hexdigest()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    state: _State  # set by make_server
+    page_size = 2  # tiny pages force continuation-token paging in tests
+
+    def log_message(self, *a):  # silence
+        pass
+
+    def _send(self, code: int, body: bytes = b"",
+              headers: dict | None = None):
+        self.send_response(code)
+        for k, v in (headers or {}).items():
+            self.send_header(k, v)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        if self.command != "HEAD":
+            self.wfile.write(body)
+
+    def _key_and_query(self):
+        parsed = urllib.parse.urlparse(self.path)
+        key = urllib.parse.unquote(parsed.path.lstrip("/"))
+        q = dict(urllib.parse.parse_qsl(parsed.query,
+                                        keep_blank_values=True))
+        return key, q
+
+    def _body(self) -> bytes:
+        n = int(self.headers.get("Content-Length") or 0)
+        return self.rfile.read(n) if n else b""
+
+    def do_PUT(self):
+        key, q = self._key_and_query()
+        body = self._body()
+        st = self.state
+        with st.lock:
+            if "uploadId" in q:  # UploadPart
+                uid = q["uploadId"]
+                if uid not in st.uploads:
+                    return self._send(404)
+                st.uploads[uid][int(q["partNumber"])] = body
+                return self._send(200, headers={"ETag": f'"{_etag(body)}"'})
+            st.objects[key] = body
+        self._send(200, headers={"ETag": f'"{_etag(body)}"'})
+
+    def do_POST(self):
+        key, q = self._key_and_query()
+        st = self.state
+        with st.lock:
+            if "uploads" in q:  # CreateMultipartUpload
+                st.next_upload += 1
+                uid = f"upload-{st.next_upload}"
+                st.uploads[uid] = {}
+                st.upload_keys[uid] = key
+                xml = (f"<InitiateMultipartUploadResult><UploadId>{uid}"
+                       f"</UploadId></InitiateMultipartUploadResult>")
+                return self._send(200, xml.encode())
+            if "uploadId" in q:  # CompleteMultipartUpload
+                uid = q["uploadId"]
+                parts = st.uploads.pop(uid, None)
+                target = st.upload_keys.pop(uid, key)
+                if parts is None:
+                    return self._send(404)
+                self._body()  # the Part/ETag XML — order comes from part #s
+                st.objects[target] = b"".join(
+                    parts[i] for i in sorted(parts))
+                xml = ("<CompleteMultipartUploadResult><Key>"
+                       f"{target}</Key></CompleteMultipartUploadResult>")
+                return self._send(200, xml.encode())
+        self._send(400)
+
+    def do_GET(self):
+        key, q = self._key_and_query()
+        st = self.state
+        if q.get("list-type") == "2":
+            prefix = q.get("prefix", "")
+            after = q.get("continuation-token", "")
+            with st.lock:
+                keys = sorted(k for k in st.objects if k.startswith(prefix))
+            if after:
+                keys = [k for k in keys if k > after]
+            page, rest = keys[: self.page_size], keys[self.page_size:]
+            items = "".join(
+                f"<Contents><Key>{k}</Key></Contents>" for k in page)
+            trunc = "true" if rest else "false"
+            nxt = (f"<NextContinuationToken>{page[-1]}"
+                   f"</NextContinuationToken>") if rest else ""
+            xml = (f"<ListBucketResult><IsTruncated>{trunc}</IsTruncated>"
+                   f"{items}{nxt}</ListBucketResult>")
+            return self._send(200, xml.encode())
+        with st.lock:
+            body = st.objects.get(key)
+        if body is None:
+            return self._send(404)
+        self._send(200, body)
+
+    def do_HEAD(self):
+        key, _ = self._key_and_query()
+        with self.state.lock:
+            ok = key in self.state.objects
+        self._send(200 if ok else 404)
+
+    def do_DELETE(self):
+        key, q = self._key_and_query()
+        st = self.state
+        with st.lock:
+            if "uploadId" in q:  # AbortMultipartUpload
+                st.uploads.pop(q["uploadId"], None)
+                st.upload_keys.pop(q["uploadId"], None)
+                return self._send(204)
+            st.objects.pop(key, None)
+        self._send(204)
+
+
+def make_server() -> tuple[ThreadingHTTPServer, str, _State]:
+    """Start a fake S3 on an ephemeral port -> (server, endpoint, state).
+    Caller must server.shutdown() when done."""
+    state = _State()
+    handler = type("H", (_Handler,), {"state": state})
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}", state

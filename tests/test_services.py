@@ -262,6 +262,31 @@ class TestSessions:
         app.sessions.unpin("/proj/*")
         assert app.sessions.warm() == 0
 
+    def test_pin_glob_pushdown_semantics(self, app):
+        # matching happens in SQLite GLOB (O(matches) via the path index for
+        # prefix patterns) — verify the fnmatch-compatible corners survive
+        # the pushdown: ?, [seq], and [!seq] negation (GLOB spells it [^seq])
+        for p in ("src/a.py", "src/b.py", "src/a.pyc", "docs/a.py"):
+            app.documents.add_bytes(b"x " + p.encode(), p)
+        app.sessions.use("globs")
+        app.sessions.pin("/src/?.py")
+        ids = app.sessions.pinned_doc_ids()
+        paths = {
+            app.db.execute(
+                "SELECT file_path FROM documents WHERE id=?", (i,)
+            ).fetchone()["file_path"] for i in ids
+        }
+        assert {x.rsplit("/", 1)[-1] for x in paths} == {"a.py", "b.py"}
+        app.sessions.unpin("/src/?.py")
+        app.sessions.pin("/src/[!b]*.py")
+        ids = app.sessions.pinned_doc_ids()
+        names = {
+            app.db.execute(
+                "SELECT file_path FROM documents WHERE id=?", (i,)
+            ).fetchone()["file_path"].rsplit("/", 1)[-1] for i in ids
+        }
+        assert names == {"a.py"}
+
 
 class TestStatsAndPersistence:
     def test_snapshot(self, app):

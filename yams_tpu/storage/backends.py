@@ -73,6 +73,30 @@ class FilesystemBackend:
                     yield key
 
 
+# -- minimal S3 XML helpers --------------------------------------------------
+
+def _xml_root(body: bytes):
+    import xml.etree.ElementTree as ET
+
+    return ET.fromstring(body)
+
+
+def _xml_ns(root) -> str:
+    """'{namespace}' prefix of an element tag, or '' when unnamespaced."""
+    t = root.tag
+    return t[: t.index("}") + 1] if t.startswith("{") else ""
+
+
+def _xml_text(body: bytes, tag: str) -> str | None:
+    """First <tag> text anywhere in the document, namespace-agnostic."""
+    root = _xml_root(body)
+    ns = _xml_ns(root)
+    if root.tag == f"{ns}{tag}":
+        return root.text
+    el = root.find(f".//{ns}{tag}")
+    return el.text if el is not None else None
+
+
 # -- AWS Signature V4 ------------------------------------------------------------
 
 def _sha256_hex(data: bytes) -> str:
@@ -140,7 +164,15 @@ def sigv4_headers(
 
 class S3Backend:
     """s3://bucket/prefix backend over signed HTTP (endpoint overridable for
-    S3-compatible stores)."""
+    S3-compatible stores). Covers the object_storage_v1 contract
+    (docs/spec/wit/object_storage_v1.wit): put/get/head/delete,
+    ListObjectsV2 with continuation paging, and multipart upload
+    (reference contract: docs/spec/wit/object_storage_v1.wit:15-31)."""
+
+    # puts above this size go through multipart automatically (S3's single
+    # PUT ceiling is 5 GiB; parts stream in bounded memory)
+    MULTIPART_THRESHOLD = 64 * 1024 * 1024
+    PART_SIZE = 16 * 1024 * 1024
 
     def __init__(
         self, bucket: str, prefix: str = "", region: str = "us-east-1",
@@ -153,12 +185,16 @@ class S3Backend:
         self.secret_key = secret_key
         self.endpoint = endpoint or f"https://{bucket}.s3.{region}.amazonaws.com"
 
-    def _url(self, key: str) -> str:
-        full = f"{self.prefix}/{key}" if self.prefix else key
-        return f"{self.endpoint}/{urllib.parse.quote(full)}"
+    def _full_key(self, key: str) -> str:
+        return f"{self.prefix}/{key}" if self.prefix else key
 
-    def _request(self, method: str, key: str, payload: bytes = b""):
-        url = self._url(key)
+    def _url(self, key: str, query: str = "") -> str:
+        u = f"{self.endpoint}/{urllib.parse.quote(self._full_key(key))}"
+        return f"{u}?{query}" if query else u
+
+    def _request(self, method: str, key: str, payload: bytes = b"",
+                 query: str = ""):
+        url = self._url(key, query)
         headers = sigv4_headers(
             method, url, self.region, "s3",
             self.access_key, self.secret_key, payload,
@@ -168,7 +204,63 @@ class S3Backend:
         return urllib.request.urlopen(req, timeout=60)
 
     def put(self, key: str, data: bytes) -> None:
+        if len(data) > self.MULTIPART_THRESHOLD:
+            self.put_multipart(key, data)
+            return
         self._request("PUT", key, data).read()
+
+    # -- multipart upload (object_storage_v1 multipart-* ops) ----------------
+
+    def multipart_start(self, key: str) -> str:
+        body = self._request("POST", key, query="uploads").read()
+        upload_id = _xml_text(body, "UploadId")
+        if not upload_id:
+            raise UnsupportedError("multipart: no UploadId in response")
+        return upload_id
+
+    def multipart_upload_part(self, key: str, upload_id: str,
+                              part_number: int, data: bytes) -> str:
+        resp = self._request(
+            "PUT", key, data,
+            query=f"partNumber={part_number}&uploadId="
+                  f"{urllib.parse.quote(upload_id, safe='')}")
+        resp.read()
+        return (resp.headers.get("ETag") or "").strip('"')
+
+    def multipart_complete(self, key: str, upload_id: str,
+                           etags: list[str]) -> None:
+        parts = "".join(
+            f"<Part><PartNumber>{i + 1}</PartNumber><ETag>{e}</ETag></Part>"
+            for i, e in enumerate(etags)
+        )
+        body = (f"<CompleteMultipartUpload>{parts}"
+                f"</CompleteMultipartUpload>").encode()
+        self._request(
+            "POST", key, body,
+            query=f"uploadId={urllib.parse.quote(upload_id, safe='')}").read()
+
+    def multipart_abort(self, key: str, upload_id: str) -> None:
+        self._request(
+            "DELETE", key,
+            query=f"uploadId={urllib.parse.quote(upload_id, safe='')}").read()
+
+    def put_multipart(self, key: str, data: bytes,
+                      part_size: int | None = None) -> None:
+        part_size = part_size or self.PART_SIZE
+        upload_id = self.multipart_start(key)
+        try:
+            etags = [
+                self.multipart_upload_part(
+                    key, upload_id, i + 1, data[off:off + part_size])
+                for i, off in enumerate(range(0, len(data), part_size))
+            ]
+            self.multipart_complete(key, upload_id, etags)
+        except Exception:
+            try:
+                self.multipart_abort(key, upload_id)
+            finally:
+                pass
+            raise
 
     def get(self, key: str) -> bytes:
         try:
@@ -193,7 +285,33 @@ class S3Backend:
             return False
 
     def list(self, prefix: str = "") -> Iterator[str]:
-        raise UnsupportedError("S3 list requires XML parsing; use prefix GETs")
+        """ListObjectsV2 with continuation-token pagination. Yields keys
+        relative to the backend prefix (mirroring FilesystemBackend.list)."""
+        base = self._full_key(prefix) if prefix else self.prefix
+        token = None
+        strip = len(self.prefix) + 1 if self.prefix else 0
+        while True:
+            q = "list-type=2"
+            if base:
+                q += f"&prefix={urllib.parse.quote(base, safe='')}"
+            if token:
+                q += f"&continuation-token={urllib.parse.quote(token, safe='')}"
+            url = f"{self.endpoint}/?{q}"
+            headers = sigv4_headers("GET", url, self.region, "s3",
+                                    self.access_key, self.secret_key)
+            req = urllib.request.Request(url, method="GET", headers=headers)
+            body = urllib.request.urlopen(req, timeout=60).read()
+            root = _xml_root(body)
+            ns = _xml_ns(root)
+            for c in root.iter(f"{ns}Contents"):
+                k = c.find(f"{ns}Key")
+                if k is not None and k.text:
+                    yield k.text[strip:] if strip else k.text
+            if _xml_text(body, "IsTruncated") != "true":
+                return
+            token = _xml_text(body, "NextContinuationToken")
+            if not token:
+                return
 
 
 def backend_from_url(url: str, **kw) -> ObjectBackend:

@@ -35,9 +35,9 @@ def main():
     print(f"{'level':>5} {'avg_chunk':>9} {'threads':>7} {'MB/s':>8} "
           f"{'ratio':>6} {'chunks':>7}")
     results = {}
-    for level in (0, 1, 3):
+    for level in (0, -3, 1, 3):
         for avg in (64 * 1024, 256 * 1024, 1024 * 1024):
-            for threads in (1, 2):
+            for threads in (1, 2, 4):
                 # warm + best-of-3
                 best = 0.0
                 for _ in range(3):
@@ -55,8 +55,12 @@ def main():
                       f"{ratio:>6.2f} {len(res):>7}")
     # the per-core model
     hot = results[(1, 256 * 1024, 1)]
-    print(f"\nper-core model: hot path (L1, 256K chunks) = {hot:.0f} MB/s/core"
+    fast = results[(-3, 256 * 1024, 1)]
+    print(f"\nper-core model: warm tier (L1, 256K chunks) = {hot:.0f} MB/s/core"
           f" -> >=1 GB/s needs {1000/hot:.1f} cores")
+    print(f"per-core model: hot tier (zstd fast -3, 256K chunks, fused "
+          f"1-thread pass) = {fast:.0f} MB/s/core "
+          f"-> >=1 GB/s needs {1000/fast:.1f} cores")
 
 
 if __name__ == "__main__":

@@ -250,8 +250,14 @@ class TestNativeIngestPipeline:
 
     @pytest.mark.skipif(native.get_native() is None, reason="no native lib")
     def test_pipeline_multithreaded_matches(self):
+        # threads=1 is the FUSED single pass (chunk i hashed/compressed
+        # while CDC scans i+1); threads>1 is the pipelined producer/worker
+        # path (threads=2 = producer + the caller's thread, the smallest
+        # overlap config). All must be bit-identical.
         data = _random_bytes(300_000, seed=23)
         r1 = native.ingest_pipeline(data, 1024, 4096, 16384, level=3, threads=1)
-        r4 = native.ingest_pipeline(data, 1024, 4096, 16384, level=3, threads=4)
-        assert [x[:3] for x in r1] == [x[:3] for x in r4]
-        assert [x[3] for x in r1] == [x[3] for x in r4]
+        for t in (2, 3, 4):
+            rt = native.ingest_pipeline(data, 1024, 4096, 16384, level=3,
+                                        threads=t)
+            assert [x[:3] for x in r1] == [x[:3] for x in rt], t
+            assert [x[3] for x in r1] == [x[3] for x in rt], t

@@ -20,6 +20,9 @@
 extern "C" size_t ytn_fastcdc(const uint8_t* data, size_t n,
                               size_t min_size, size_t avg_size, size_t max_size,
                               uint64_t* out, size_t out_cap);
+extern "C" size_t ytn_fastcdc_cut(const uint8_t* data, size_t remaining,
+                                  size_t min_size, size_t avg_size,
+                                  size_t max_size);
 
 namespace {
 
@@ -304,57 +307,113 @@ size_t ytn_ingest_pipeline(
     uint8_t* comp_out, size_t comp_cap,
     uint64_t* comp_offsets, uint64_t* comp_sizes,
     size_t max_chunks) {
-    size_t n_chunks = ytn_fastcdc(data, n, min_size, avg_size, max_size,
-                                  boundaries, max_chunks);
-    if (n_chunks == 0 || n_chunks > max_chunks) return 0;
+    if (n == 0) return 0;
+    int nt = nthreads > 0 ? nthreads : (int)std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
 
-    // per-chunk compressed regions at compressBound prefix offsets
-    if (level != 0) {
+    // Stages OVERLAP instead of running as whole-buffer passes (the serial
+    // version left ~2.6x on the floor: CDC scanned all of `data`, then the
+    // workers re-read every chunk twice more from DRAM).
+    //
+    // nt == 1: FUSED single pass — decide boundary i, then hash + compress
+    // chunk i while its bytes are still cache-hot, then CDC scans i+1. Same
+    // outputs, one DRAM pass instead of three.
+    if (nt == 1) {
+        ZSTD_CCtx* cctx = level != 0 ? ZSTD_createCCtx() : nullptr;
+        size_t pos = 0, count = 0;
         uint64_t off = 0;
-        for (size_t i = 0; i < n_chunks; ++i) {
-            size_t start = i ? boundaries[i - 1] : 0;
-            size_t len = boundaries[i] - start;
-            comp_offsets[i] = off;
-            off += ZSTD_compressBound(len);
+        bool ok = true;
+        while (pos < n) {
+            size_t cut = ytn_fastcdc_cut(data + pos, n - pos, min_size,
+                                         avg_size, max_size);
+            if (count >= max_chunks) { ok = false; break; }
+            boundaries[count] = (uint64_t)(pos + cut);
+            sha256(data + pos, cut, hashes + 32 * count);
+            if (level != 0) {
+                size_t bound = ZSTD_compressBound(cut);
+                if (off + bound > comp_cap) { ok = false; break; }
+                comp_offsets[count] = off;
+                size_t csz = ZSTD_compressCCtx(
+                    cctx, comp_out + off, bound, data + pos, cut, level);
+                if (ZSTD_isError(csz)) { ok = false; break; }
+                comp_sizes[count] = csz;
+                off += bound;
+            } else {
+                comp_sizes[count] = 0;
+            }
+            pos += cut;
+            ++count;
         }
-        if (off > comp_cap) return 0;
+        if (cctx) ZSTD_freeCCtx(cctx);
+        return ok ? count : 0;
     }
 
+    // nt > 1: PIPELINED — a producer thread runs CDC and publishes
+    // boundary/offset entries as it finds them; nt-1 worker threads (plus
+    // the caller's thread) claim chunks the moment they are published and
+    // hash/compress them while CDC is still scanning ahead.
+    std::atomic<size_t> published{0};  // boundaries[0..published) are ready
+    std::atomic<size_t> total{SIZE_MAX};  // final count once CDC finishes
     std::atomic<size_t> next{0};
     std::atomic<bool> failed{false};
+
+    std::thread producer([&]() {
+        size_t pos = 0, count = 0;
+        uint64_t off = 0;
+        while (pos < n) {
+            size_t cut = ytn_fastcdc_cut(data + pos, n - pos, min_size,
+                                         avg_size, max_size);
+            if (count >= max_chunks) { failed = true; break; }
+            boundaries[count] = (uint64_t)(pos + cut);
+            if (level != 0) {
+                uint64_t bound = ZSTD_compressBound(cut);
+                if (off + bound > comp_cap) { failed = true; break; }
+                comp_offsets[count] = off;
+                off += bound;
+            }
+            pos += cut;
+            ++count;
+            published.store(count, std::memory_order_release);
+        }
+        total.store(count, std::memory_order_release);
+    });
+
     auto worker = [&]() {
         ZSTD_CCtx* cctx = level != 0 ? ZSTD_createCCtx() : nullptr;
         for (;;) {
             size_t i = next.fetch_add(1);
-            if (i >= n_chunks) break;
-            size_t start = i ? boundaries[i - 1] : 0;
-            size_t len = boundaries[i] - start;
-            sha256(data + start, len, hashes + 32 * i);
-            if (level != 0) {
-                size_t bound = ZSTD_compressBound(len);
-                size_t csz = ZSTD_compressCCtx(
-                    cctx, comp_out + comp_offsets[i], bound,
-                    data + start, len, level);
-                if (ZSTD_isError(csz)) { failed = true; break; }
-                comp_sizes[i] = csz;
-            } else {
-                comp_sizes[i] = 0;
+            // wait for chunk i to be published (or learn it never will be)
+            while (published.load(std::memory_order_acquire) <= i) {
+                if (failed.load(std::memory_order_relaxed)) goto out;
+                if (total.load(std::memory_order_acquire) <= i) goto out;
+                std::this_thread::yield();
+            }
+            {
+                size_t start = i ? (size_t)boundaries[i - 1] : 0;
+                size_t len = (size_t)boundaries[i] - start;
+                sha256(data + start, len, hashes + 32 * i);
+                if (level != 0) {
+                    size_t bound = ZSTD_compressBound(len);
+                    size_t csz = ZSTD_compressCCtx(
+                        cctx, comp_out + comp_offsets[i], bound,
+                        data + start, len, level);
+                    if (ZSTD_isError(csz)) { failed = true; goto out; }
+                    comp_sizes[i] = csz;
+                } else {
+                    comp_sizes[i] = 0;
+                }
             }
         }
+    out:
         if (cctx) ZSTD_freeCCtx(cctx);
     };
 
-    int nt = nthreads > 0 ? nthreads : (int)std::thread::hardware_concurrency();
-    if (nt < 1) nt = 1;
-    if ((size_t)nt > n_chunks) nt = (int)n_chunks;
-    if (nt == 1) {
-        worker();
-    } else {
-        std::vector<std::thread> pool;
-        for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
-        for (auto& th : pool) th.join();
-    }
-    return failed ? 0 : n_chunks;
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt - 2; ++t) pool.emplace_back(worker);
+    worker();  // the caller's thread works too
+    producer.join();
+    for (auto& th : pool) th.join();
+    return failed ? 0 : total.load();
 }
 
 } // extern "C"

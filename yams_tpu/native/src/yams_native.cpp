@@ -52,44 +52,47 @@ static inline int ilog2(uint64_t v) {
 }
 
 // FastCDC (Xia et al. 2016) with two-level normalized chunking.
-// Returns the number of chunks; writes end-offsets into out (up to out_cap).
-// The gear hash window self-flushes after 32 bytes (h = (h<<1) + GEAR[b]), so
-// boundaries match any windowed evaluation at positions >= min_size.
-size_t ytn_fastcdc(const uint8_t* data, size_t n,
-                   size_t min_size, size_t avg_size, size_t max_size,
-                   uint64_t* out, size_t out_cap) {
+// ytn_fastcdc_cut: ONE boundary decision — the length of the next chunk
+// starting at `data` with `remaining` bytes left. Exported so the overlapped
+// ingest pipeline (ingest_pipeline.cpp) can interleave chunking with
+// hash/compress while staying bit-identical to the batch scan below (each
+// chunk's decision depends only on its own bytes; the gear window self-
+// flushes after 32 bytes).
+size_t ytn_fastcdc_cut(const uint8_t* data, size_t remaining,
+                       size_t min_size, size_t avg_size, size_t max_size) {
     gear_init();
-    if (n == 0) return 0;
+    if (remaining <= min_size) return remaining;
     const int bits = ilog2(avg_size);
     const uint32_t mask_s = (1u << (bits + 2)) - 1; // harder, before avg
     const uint32_t mask_l = (1u << (bits - 2)) - 1; // easier, after avg
+    size_t cap = remaining < max_size ? remaining : max_size;
+    size_t mid = remaining < avg_size ? remaining : avg_size;
+    uint32_t h = 0;
+    size_t i = 0;
+    // warm the 32-byte window inside the skipped min region
+    size_t warm = min_size >= 32 ? min_size - 32 : 0;
+    for (i = warm; i < min_size; ++i) h = (h << 1) + GEAR[data[i]];
+    for (; i < mid; ++i) {
+        h = (h << 1) + GEAR[data[i]];
+        if (!(h & mask_s)) return i + 1;
+    }
+    for (; i < cap; ++i) {
+        h = (h << 1) + GEAR[data[i]];
+        if (!(h & mask_l)) return i + 1;
+    }
+    return cap;
+}
+
+// Batch scan: number of chunks; end-offsets into out (up to out_cap).
+size_t ytn_fastcdc(const uint8_t* data, size_t n,
+                   size_t min_size, size_t avg_size, size_t max_size,
+                   uint64_t* out, size_t out_cap) {
+    if (n == 0) return 0;
     size_t count = 0;
     size_t pos = 0;
     while (pos < n) {
-        size_t remaining = n - pos;
-        size_t cut;
-        if (remaining <= min_size) {
-            cut = remaining;
-        } else {
-            size_t cap = remaining < max_size ? remaining : max_size;
-            size_t mid = remaining < avg_size ? remaining : avg_size;
-            uint32_t h = 0;
-            size_t i = 0;
-            cut = cap;
-            // warm the 32-byte window inside the skipped min region
-            size_t warm = min_size >= 32 ? min_size - 32 : 0;
-            for (i = warm; i < min_size; ++i) h = (h << 1) + GEAR[data[pos + i]];
-            for (; i < mid; ++i) {
-                h = (h << 1) + GEAR[data[pos + i]];
-                if (!(h & mask_s)) { cut = i + 1; goto found; }
-            }
-            for (; i < cap; ++i) {
-                h = (h << 1) + GEAR[data[pos + i]];
-                if (!(h & mask_l)) { cut = i + 1; goto found; }
-            }
-        found:;
-        }
-        pos += cut;
+        pos += ytn_fastcdc_cut(data + pos, n - pos, min_size, avg_size,
+                               max_size);
         if (count < out_cap) out[count] = (uint64_t)pos;
         ++count;
     }

@@ -1,0 +1,138 @@
+"""Span-F1 of the bundled NER checkpoint on REAL text.
+
+The previous number (heldout F1 1.0 on the generator's own synthetic corpus)
+was meaningless. This eval mines real prose sentences from the reference
+repo's documentation (markdown, code fences stripped) and scores the
+bundled checkpoint's "entity" label against RULE-EXACT gold:
+
+  gold entity  = a token that is unambiguously a code identifier by shape —
+                 contains "_", has an interior capital with lowercase
+                 present (camelCase/CamelCase), or is a dotted path of such
+                 parts. Shape IS the definition of this entity type, so
+                 these labels are ground truth, not heuristics.
+  excluded     = Capitalized ordinary words and ALLCAPS acronyms — genuinely
+                 ambiguous without human labels; they are removed from BOTH
+                 gold and predictions, so the model is neither credited nor
+                 penalized for them.
+
+Scoring is exact-span (start_char, end_char) match F1. Real text exercises
+what the synthetic corpus cannot: markdown punctuation, backticks, long
+sentences, rare shapes, and density far from the training mix.
+
+Run: python scripts/eval_ner_realtext.py [--retrain]
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+DOC_ROOTS = [
+    pathlib.Path("/root/reference/docs"),
+    pathlib.Path("/root/reference/README.md"),
+]
+MAX_SENTENCES = 260
+SEED = 11
+
+_FENCE_RE = re.compile(r"```.*?```", re.S)
+_INLINE_CODE_RE = re.compile(r"`([^`]*)`")
+_MD_NOISE_RE = re.compile(r"^[#>|\-\*\s]*")
+_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
+_TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*")
+
+
+def _is_identifier(tok: str) -> bool:
+    from yams_tpu.embed.ner import identifier_shape
+
+    return identifier_shape(tok)
+
+
+def _is_ambiguous(tok: str) -> bool:
+    from yams_tpu.embed.ner import ambiguous_shape
+
+    return ambiguous_shape(tok)
+
+
+def mine_sentences() -> list[str]:
+    import numpy as np
+
+    texts = []
+    for root in DOC_ROOTS:
+        files = sorted(root.rglob("*.md")) if root.is_dir() else [root]
+        for f in files:
+            try:
+                texts.append(f.read_text(errors="ignore"))
+            except OSError:
+                pass
+    out = []
+    for t in texts:
+        t = _FENCE_RE.sub(" ", t)
+        t = _INLINE_CODE_RE.sub(r"\1", t)  # keep inline-code words as words
+        for line in t.splitlines():
+            line = _MD_NOISE_RE.sub("", line).strip()
+            if len(line) < 30:
+                continue
+            for s in _SENT_SPLIT_RE.split(line):
+                s = s.strip()
+                if 30 <= len(s) <= 400:
+                    out.append(s)
+    # dedupe, stable shuffle, cap
+    out = sorted(set(out))
+    rng = np.random.default_rng(SEED)
+    rng.shuffle(out)
+    return out[:MAX_SENTENCES]
+
+
+def gold_spans(sentence: str) -> tuple[set[tuple[int, int]], set[tuple[int, int]]]:
+    """-> (gold identifier spans, excluded ambiguous spans), char offsets."""
+    gold, excluded = set(), set()
+    for m in _TOKEN_RE.finditer(sentence):
+        tok = m.group(0)
+        span = (m.start(), m.end())
+        if _is_identifier(tok):
+            gold.add(span)
+        elif _is_ambiguous(tok):
+            excluded.add(span)
+    return gold, excluded
+
+
+def evaluate(model, sentences: list[str], min_conf: float = 0.5) -> dict:
+    tp = fp = fn = 0
+    n_gold = 0
+    for s in sentences:
+        gold, excluded = gold_spans(s)
+        n_gold += len(gold)
+        pred = set()
+        for text, _label, conf in model.extract(s, min_conf=min_conf):
+            for m in re.finditer(re.escape(text), s):
+                pred.add((m.start(), m.end()))
+                break
+        pred -= excluded
+        tp += len(pred & gold)
+        fp += len(pred - gold)
+        fn += len(gold - pred)
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {"sentences": len(sentences), "gold_spans": n_gold,
+            "precision": round(prec, 3), "recall": round(rec, 3),
+            "span_f1": round(f1, 3)}
+
+
+def main() -> None:
+    from yams_tpu.embed.ner import NerModel
+
+    sentences = mine_sentences()
+    print(f"mined {len(sentences)} real sentences from reference docs")
+    ckpt = (pathlib.Path(__file__).resolve().parent.parent
+            / "yams_tpu" / "plugins" / "data" / "ner_default.pkl")
+    model = NerModel.load(ckpt)
+    res = evaluate(model, sentences)
+    print({"metric": "ner_realtext", **res})
+
+
+if __name__ == "__main__":
+    main()

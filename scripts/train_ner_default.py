@@ -80,6 +80,61 @@ def synth_example(rng, window: int):
     return toks[:window], tags[:window]
 
 
+def real_text_examples(window: int, limit: int = 800) -> list:
+    """Rule-labeled windows from REAL in-repo text (docs/README/CHANGELOG +
+    reference source comments — sources DISJOINT from the eval set, which
+    is /root/reference/docs + its README). Gold: identifier_shape -> B;
+    everything else (incl. ambiguous capitalized words) -> O. This teaches
+    the model real-text entity density and punctuation context — the
+    synthetic corpus alone yields 0.16 precision on real prose."""
+    import re as _re
+
+    from yams_tpu.embed.ner import identifier_shape, word_tokenize
+
+    roots = [
+        pathlib.Path(__file__).resolve().parent.parent / "docs",
+        pathlib.Path(__file__).resolve().parent.parent / "README.md",
+        pathlib.Path(__file__).resolve().parent.parent / "CHANGELOG.md",
+        pathlib.Path("/root/reference/src"),
+        pathlib.Path("/root/reference/include"),
+    ]
+    fence = _re.compile(r"```.*?```", _re.S)
+    comment = _re.compile(r"^\s*(?://+|\*+|#)\s?(.*)$")
+    lines: list[str] = []
+    for root in roots:
+        if not root.exists():
+            continue
+        files = ([root] if root.is_file() else
+                 sorted(list(root.rglob("*.md")) + list(root.rglob("*.h"))
+                        + list(root.rglob("*.cpp"))))
+        for f in files[:400]:
+            try:
+                text = f.read_text(errors="ignore")
+            except OSError:
+                continue
+            if f.suffix == ".md":
+                text = fence.sub(" ", text).replace("`", "")
+                lines += [ln.strip("#>|-* \t") for ln in text.splitlines()]
+            else:  # source files: comment prose only
+                lines += [m.group(1) for ln in text.splitlines()
+                          if (m := comment.match(ln))]
+    out = []
+    seen = set()
+    for ln in lines:
+        ln = ln.strip()
+        if len(ln) < 30 or ln in seen:
+            continue
+        seen.add(ln)
+        toks = [t for t, _ in word_tokenize(ln)][:window]
+        if len(toks) < 4:
+            continue
+        tags = [1 if identifier_shape(t) else 0 for t in toks]
+        out.append((toks, tags))
+        if len(out) >= limit:
+            break
+    return out
+
+
 def f1(model: NerModel, examples) -> float:
     tp = fp = fn = 0
     for toks, tags in examples:
@@ -101,7 +156,10 @@ def main() -> None:
     rng = np.random.default_rng(0)
     cfg = NerConfig(dm=64, heads=4, layers=2, window=32, labels=("entity",))
     model = NerModel(cfg, seed=0)
-    train = [synth_example(rng, cfg.window) for _ in range(512)]
+    real = real_text_examples(cfg.window)
+    synth = [synth_example(rng, cfg.window) for _ in range(512)]
+    train = synth + real
+    rng.shuffle(train)
     held = [synth_example(rng, cfg.window) for _ in range(64)]
     loss = model.fit(train, steps=steps, lr=3e-3, batch=32)
     score = f1(model, held)
@@ -109,7 +167,9 @@ def main() -> None:
            / "yams_tpu" / "plugins" / "data" / "ner_default.pkl")
     out.parent.mkdir(parents=True, exist_ok=True)
     model.save(out)
-    print(f"loss={loss:.4f} heldout_token_f1={score:.3f} -> {out}")
+    print(f"train: {len(synth)} synthetic + {len(real)} real-text windows")
+    print(f"loss={loss:.4f} heldout_synth_token_f1={score:.3f} -> {out}")
+    print("real-text span-F1: run scripts/eval_ner_realtext.py")
 
 
 if __name__ == "__main__":

@@ -144,3 +144,31 @@ class TestPluginShape:
         assert "CacheManager" in names
         assert "ingest_queue_worker" in names
         assert "When" not in names
+
+
+class TestRealTextQualityGate:
+    def test_bundled_checkpoint_realtext_f1(self):
+        """The bundled checkpoint must hold >=0.6 span-F1 on real prose
+        (rule-exact identifier gold over reference-doc sentences) — the
+        gate VERDICT r2 asked for; the synthetic-only checkpoint scored
+        0.261 here."""
+        import pathlib
+        import sys
+
+        scripts = pathlib.Path(__file__).resolve().parent.parent / "scripts"
+        sys.path.insert(0, str(scripts))
+        try:
+            import eval_ner_realtext as ev
+        finally:
+            sys.path.remove(str(scripts))
+        from yams_tpu.embed.ner import NerModel
+
+        sentences = ev.mine_sentences()[:80]  # subset keeps the test fast
+        if len(sentences) < 40:
+            import pytest
+
+            pytest.skip("reference docs unavailable")
+        ckpt = (pathlib.Path(__file__).resolve().parent.parent / "yams_tpu"
+                / "plugins" / "data" / "ner_default.pkl")
+        res = ev.evaluate(NerModel.load(ckpt), sentences)
+        assert res["span_f1"] >= 0.6, res

@@ -84,6 +84,28 @@ def featurize(tokens: list[str], length: int) -> tuple[np.ndarray, np.ndarray, n
     return ng, cf, mask
 
 
+def identifier_shape(tok: str) -> bool:
+    """Unambiguous code-identifier shape: snake_case, dotted.path, or an
+    interior capital with lowercase present (camelCase/CamelCase). Shape IS
+    the definition of this entity type, so these labels are rule-exact —
+    the shared gold for real-text training (scripts/train_ner_default.py)
+    and eval (scripts/eval_ner_realtext.py)."""
+    if "_" in tok or "." in tok:
+        parts = re.split(r"[._]", tok)
+        return all(p.isidentifier() or p == "" for p in parts) and any(parts)
+    return (any(c.isupper() for c in tok[1:])
+            and any(c.islower() for c in tok)
+            and tok.isidentifier())
+
+
+def ambiguous_shape(tok: str) -> bool:
+    """Capitalized ordinary word or ALLCAPS acronym: entity-hood is not
+    decidable from shape — excluded from real-text scoring."""
+    if tok.isupper() and len(tok) > 1:
+        return True
+    return tok[:1].isupper() and tok[1:].islower()
+
+
 @dataclasses.dataclass
 class NerConfig:
     dm: int = 64

@@ -1,0 +1,137 @@
+"""graph_adapter_v1 tests: cursor paging, export/import round trip, delta
+apply, and PluginManager wiring (contract: docs/spec/wit/graph_adapter_v1.wit;
+reference seam: docs/spec/wit/graph_adapter_v1.wit in the upstream repo)."""
+
+import pytest
+
+from yams_tpu.metadata.db import Database
+from yams_tpu.metadata.kg import KnowledgeGraphStore
+from yams_tpu.plugins.graph_adapter import GraphAdapter
+
+
+@pytest.fixture()
+def kg(tmp_path):
+    db = Database(tmp_path / "m.db")
+    return KnowledgeGraphStore(db)
+
+
+@pytest.fixture()
+def adapter(kg):
+    a = GraphAdapter(kg)
+    for i in range(10):
+        kg.upsert_node(f"n{i}", label=f"Node {i}",
+                       type_="entity" if i % 2 else "concept")
+    ids = [kg.find_node(f"n{i}") for i in range(10)]
+    for i in range(9):
+        kg.add_edge(ids[i], ids[i + 1], "next", 0.5 + i / 20)
+    return a
+
+
+class TestInfo:
+    def test_capabilities_and_info(self, adapter):
+        caps = adapter.get_capabilities()
+        assert caps["delta"] and "graphjson" in caps["export_formats"]
+        info = adapter.get_graph_info("kg")
+        assert info["num_nodes"] == 10 and info["num_edges"] == 9
+        assert adapter.list_graphs()[0]["id"] == "kg"
+        with pytest.raises(KeyError):
+            adapter.get_graph_info("nope")
+
+
+class TestCursors:
+    def test_node_paging_never_materializes(self, adapter):
+        cur = adapter.nodes_begin("kg")
+        seen = []
+        for _ in range(100):
+            page = adapter.nodes_next(cur, limit=3)
+            seen += [n["key"] for n in page["items"]]
+            assert len(page["items"]) <= 3
+            if page["done"]:
+                break
+        adapter.nodes_end(cur)
+        assert seen == [f"n{i}" for i in range(10)]
+
+    def test_node_filter_by_type(self, adapter):
+        cur = adapter.nodes_begin("kg", '{"type": "concept"}')
+        page = adapter.nodes_next(cur, limit=100)
+        assert page["done"]
+        assert {n["key"] for n in page["items"]} == {
+            f"n{i}" for i in range(0, 10, 2)}
+
+    def test_edge_paging_and_filter(self, adapter):
+        cur = adapter.edges_begin("kg", '{"relation": "next"}')
+        total = []
+        while True:
+            page = adapter.edges_next(cur, limit=4)
+            total += page["items"]
+            if page["done"]:
+                break
+        adapter.edges_end(cur)
+        assert len(total) == 9
+        assert all(e["relation"] == "next" for e in total)
+
+    def test_exact_page_boundary_done_flag(self, adapter):
+        cur = adapter.nodes_begin("kg")
+        page = adapter.nodes_next(cur, limit=10)
+        assert len(page["items"]) == 10 and page["done"]
+
+
+class TestExportImportDelta:
+    def test_graphjson_roundtrip(self, adapter, tmp_path):
+        blob = adapter.export_graph("kg", "graphjson")
+        db2 = Database(tmp_path / "m2.db")
+        kg2 = KnowledgeGraphStore(db2)
+        a2 = GraphAdapter(kg2)
+        assert a2.import_graph("graphjson", blob) == "kg"
+        assert kg2.node_count() == 10 and kg2.edge_count() == 9
+        # edge endpoints resolved by KEY, not by source row id
+        n3, n4 = kg2.find_node("n3"), kg2.find_node("n4")
+        assert any(dst == n4 for dst, _rel, _w in kg2.neighbors(n3))
+
+    def test_edge_list_export(self, adapter):
+        rows = adapter.export_graph("kg", "edge-list").decode().strip()
+        lines = rows.splitlines()
+        assert len(lines) == 9
+        assert lines[0].split("\t")[:3] == ["n0", "next", "n1"]
+
+    def test_apply_delta(self, adapter, kg):
+        n = adapter.apply_delta_json("kg", "\n".join([
+            '{"node": {"key": "x", "label": "X", "type": "service"}}',
+            '{"edge": {"src": "x", "dst": "n0", "relation": "calls"}}',
+            '{"alias": {"key": "x", "alias": "the x service"}}',
+        ]))
+        assert n == 3
+        x = kg.find_node("x")
+        assert x is not None
+        assert kg.resolve_alias("the x service")[0] == x
+        assert any(rel == "calls" for _d, rel, _w in kg.neighbors(x))
+
+    def test_delta_rejects_unknown_op(self, adapter):
+        with pytest.raises(ValueError):
+            adapter.apply_delta_json("kg", '{"frob": {}}')
+
+    def test_unknown_format_rejected(self, adapter):
+        with pytest.raises(ValueError):
+            adapter.export_graph("kg", "graphml")
+        with pytest.raises(ValueError):
+            adapter.import_graph("edge-list", b"")
+
+
+class TestManagerWiring:
+    def test_bundled_plugin_binds_app_kg(self, tmp_path):
+        from test_services import small_config
+        from yams_tpu.plugins.manager import PluginManager
+        from yams_tpu.services.app import AppContext
+
+        app = AppContext(small_config(tmp_path))
+        try:
+            pm = PluginManager(app=app, trust_file=tmp_path / "trust")
+            m = pm.load_module("yams_tpu.plugins.graph_adapter")
+            assert m is not None, pm.errors
+            ga = app.graph_adapter
+            assert ga.kg is app.kg
+            ga.apply_delta_json(
+                "kg", '{"node": {"key": "wired", "label": "W"}}')
+            assert app.kg.find_node("wired") is not None
+        finally:
+            app.close()

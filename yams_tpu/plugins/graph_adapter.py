@@ -1,0 +1,217 @@
+"""graph_adapter_v1: property-graph access over the KG store.
+
+Parity: the reference exposes its knowledge graph to plugins/SDKs through a
+read-focused, cursor-paged adapter contract with portable export/import and
+JSONL delta apply (/root/reference/docs/spec/wit/graph_adapter_v1.wit:1).
+This is the bundled in-process implementation over KnowledgeGraphStore
+(metadata/kg.py); docs/spec/wit/graph_adapter_v1.wit is the contract.
+
+Cursors page by rowid (`WHERE id > last ORDER BY id LIMIT n`), so iteration
+is O(page) per call and never materializes the graph. Export formats:
+  graphjson — JSONL: {"node": {...}} and {"edge": {...}} records
+  edge-list — TSV: src_key <TAB> relation <TAB> dst_key <TAB> weight
+"""
+
+from __future__ import annotations
+
+import json
+
+from .spec import PluginManifest
+
+FORMATS_EXPORT = ("graphjson", "edge-list")
+FORMATS_IMPORT = ("graphjson",)
+GRAPH_ID = "kg"
+
+
+class GraphAdapter:
+    def __init__(self, kg):
+        self.kg = kg
+        self._cursors: dict[int, dict] = {}
+        self._next_cursor = 1
+
+    # -- capabilities / info -------------------------------------------------
+
+    def get_capabilities(self) -> dict:
+        return {
+            "read_only": False, "multigraph": True, "weighted": True,
+            "delta": True,
+            "export_formats": list(FORMATS_EXPORT),
+            "import_formats": list(FORMATS_IMPORT),
+        }
+
+    def list_graphs(self) -> list[dict]:
+        return [self.get_graph_info(GRAPH_ID)]
+
+    def get_graph_info(self, graph: str = GRAPH_ID) -> dict:
+        self._check(graph)
+        return {
+            "id": GRAPH_ID, "name": "knowledge-graph", "directed": True,
+            "num_nodes": self.kg.node_count(),
+            "num_edges": self.kg.edge_count(),
+        }
+
+    def _check(self, graph: str) -> None:
+        if graph != GRAPH_ID:
+            raise KeyError(f"unknown graph: {graph}")
+
+    # -- cursor-paged iteration ------------------------------------------------
+
+    def _begin(self, kind: str, filter_json: str | None) -> int:
+        f = json.loads(filter_json) if filter_json else {}
+        cur = self._next_cursor
+        self._next_cursor += 1
+        self._cursors[cur] = {"kind": kind, "last": 0, "filter": f}
+        return cur
+
+    def nodes_begin(self, graph: str = GRAPH_ID,
+                    filter_json: str | None = None) -> int:
+        self._check(graph)
+        return self._begin("nodes", filter_json)
+
+    def edges_begin(self, graph: str = GRAPH_ID,
+                    filter_json: str | None = None) -> int:
+        self._check(graph)
+        return self._begin("edges", filter_json)
+
+    def nodes_next(self, cursor: int, limit: int = 256) -> dict:
+        st = self._cursors[cursor]
+        q = "SELECT id, node_key, label, type, properties FROM kg_nodes WHERE id > ?"
+        args: list = [st["last"]]
+        if st["filter"].get("type"):
+            q += " AND type = ?"
+            args.append(st["filter"]["type"])
+        q += " ORDER BY id LIMIT ?"
+        args.append(limit + 1)
+        rows = self.kg.db.execute(q, tuple(args)).fetchall()
+        done = len(rows) <= limit
+        rows = rows[:limit]
+        if rows:
+            st["last"] = rows[-1]["id"]
+        items = [{
+            "id": r["id"], "key": r["node_key"], "label": r["label"],
+            "type": r["type"], "props": json.loads(r["properties"] or "{}"),
+        } for r in rows]
+        return {"items": items, "done": done}
+
+    def edges_next(self, cursor: int, limit: int = 256) -> dict:
+        st = self._cursors[cursor]
+        q = ("SELECT id, src_node_id, dst_node_id, relation, weight "
+             "FROM kg_edges WHERE id > ?")
+        args: list = [st["last"]]
+        if st["filter"].get("relation"):
+            q += " AND relation = ?"
+            args.append(st["filter"]["relation"])
+        q += " ORDER BY id LIMIT ?"
+        args.append(limit + 1)
+        rows = self.kg.db.execute(q, tuple(args)).fetchall()
+        done = len(rows) <= limit
+        rows = rows[:limit]
+        if rows:
+            st["last"] = rows[-1]["id"]
+        items = [{
+            "src": r["src_node_id"], "dst": r["dst_node_id"],
+            "relation": r["relation"], "weight": r["weight"],
+        } for r in rows]
+        return {"items": items, "done": done}
+
+    def nodes_end(self, cursor: int) -> None:
+        self._cursors.pop(cursor, None)
+
+    edges_end = nodes_end
+
+    # -- export / import -------------------------------------------------------
+
+    def _iter_all(self, kind: str):
+        cur = self._begin(kind, None)
+        step = self.nodes_next if kind == "nodes" else self.edges_next
+        try:
+            while True:
+                page = step(cur, 512)
+                yield from page["items"]
+                if page["done"]:
+                    return
+        finally:
+            self.nodes_end(cur)
+
+    def export_graph(self, graph: str = GRAPH_ID,
+                     format: str = "graphjson") -> bytes:
+        self._check(graph)
+        keys = {}
+        if format == "graphjson":
+            lines = []
+            for n in self._iter_all("nodes"):
+                keys[n["id"]] = n["key"]
+                lines.append(json.dumps({"node": n}))
+            for e in self._iter_all("edges"):
+                lines.append(json.dumps({"edge": {
+                    "src": keys.get(e["src"], e["src"]),
+                    "dst": keys.get(e["dst"], e["dst"]),
+                    "relation": e["relation"], "weight": e["weight"],
+                }}))
+            return ("\n".join(lines) + "\n").encode()
+        if format == "edge-list":
+            for n in self._iter_all("nodes"):
+                keys[n["id"]] = n["key"]
+            rows = [
+                f"{keys.get(e['src'], e['src'])}\t{e['relation']}\t"
+                f"{keys.get(e['dst'], e['dst'])}\t{e['weight']}"
+                for e in self._iter_all("edges")
+            ]
+            return ("\n".join(rows) + "\n").encode()
+        raise ValueError(f"unknown export format: {format}")
+
+    def import_graph(self, format: str, data: bytes) -> str:
+        if format != "graphjson":
+            raise ValueError(f"unknown import format: {format}")
+        self.apply_delta_json(GRAPH_ID, data.decode())
+        return GRAPH_ID
+
+    # -- delta -----------------------------------------------------------------
+
+    def apply_delta_json(self, graph: str, delta_jsonl: str) -> int:
+        """JSONL ops: {"node": {key,label,type,props}} upserts,
+        {"edge": {src,dst,relation,weight}} adds (src/dst are node KEYS,
+        auto-upserted), {"alias": {key,alias}}, {"link": {key,doc_id,weight}}.
+        Returns ops applied; malformed lines raise (no partial-line skips —
+        a delta is a transaction of intent, not a suggestion)."""
+        self._check(graph)
+        applied = 0
+        for ln in delta_jsonl.splitlines():
+            ln = ln.strip()
+            if not ln:
+                continue
+            op = json.loads(ln)
+            if "node" in op:
+                n = op["node"]
+                self.kg.upsert_node(n["key"], n.get("label", ""),
+                                    n.get("type", "entity"),
+                                    n.get("props"))
+            elif "edge" in op:
+                e = op["edge"]
+                s = self.kg.upsert_node(str(e["src"]))
+                t = self.kg.upsert_node(str(e["dst"]))
+                self.kg.add_edge(s, t, e.get("relation", "related"),
+                                 float(e.get("weight", 1.0)))
+            elif "alias" in op:
+                a = op["alias"]
+                self.kg.add_alias(self.kg.upsert_node(a["key"]), a["alias"])
+            elif "link" in op:
+                li = op["link"]
+                self.kg.link_document(
+                    self.kg.upsert_node(li["key"]), int(li["doc_id"]),
+                    float(li.get("weight", 1.0)))
+            else:
+                raise ValueError(f"unknown delta op: {sorted(op)}")
+            applied += 1
+        return applied
+
+
+def yams_plugin(kg=None) -> PluginManifest:
+    """Bundled-plugin entry: graph_adapter_v1 over the app's KG store."""
+    adapter = GraphAdapter(kg)
+    return PluginManifest(
+        name="graph_adapter",
+        version="1.0.0",
+        description="Property-graph access over the knowledge-graph store",
+        interfaces={"graph_adapter_v1": adapter},
+    )

@@ -22,6 +22,7 @@ from .spec import (
     ABI_VERSION,
     IFACE_CONTENT_EXTRACTOR,
     IFACE_ENTITY_EXTRACTOR,
+    IFACE_GRAPH_ADAPTER,
     IFACE_MODEL_PROVIDER,
     PluginManifest,
 )
@@ -184,6 +185,15 @@ class PluginManager:
                 register_extractor(
                     mime, lambda data, _ce=ce, _m=mime: _ce.extract(data, _m)
                 )
+
+        ga = manifest.get_interface(IFACE_GRAPH_ADAPTER)
+        if ga is not None and self.app is not None:
+            # bind the bundled adapter to the app's KG store and publish it
+            # (the reference exposes graph adapters to SDK consumers the
+            # same way: one host-wired seam, not per-call plumbing)
+            if getattr(ga, "kg", None) is None and hasattr(self.app, "kg"):
+                ga.kg = self.app.kg
+            self.app.graph_adapter = ga
 
         ee = manifest.get_interface(IFACE_ENTITY_EXTRACTOR)
         if ee is not None and self.app is not None:

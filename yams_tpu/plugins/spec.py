@@ -23,6 +23,7 @@ IFACE_MODEL_PROVIDER = "model_provider_v1"
 IFACE_CONTENT_EXTRACTOR = "content_extractor_v1"
 IFACE_ENTITY_EXTRACTOR = "entity_extractor_v1"
 IFACE_OBJECT_STORAGE = "object_storage_v1"
+IFACE_GRAPH_ADAPTER = "graph_adapter_v1"
 
 
 class ModelProviderPlugin(Protocol):
@@ -44,6 +45,25 @@ class EntityExtractorPlugin(Protocol):
     """entity_extractor_v1: text -> [(entity, type, confidence)]."""
 
     def extract_entities(self, text: str) -> list[tuple[str, str, float]]: ...
+
+
+class GraphAdapterPlugin(Protocol):
+    """graph_adapter_v1: cursor-paged property-graph access
+    (docs/spec/wit/graph_adapter_v1.wit; bundled impl
+    plugins/graph_adapter.py over the KG store)."""
+
+    def get_capabilities(self) -> dict: ...
+    def list_graphs(self) -> list[dict]: ...
+    def get_graph_info(self, graph: str) -> dict: ...
+    def nodes_begin(self, graph: str, filter_json: str | None = None) -> int: ...
+    def nodes_next(self, cursor: int, limit: int = 256) -> dict: ...
+    def nodes_end(self, cursor: int) -> None: ...
+    def edges_begin(self, graph: str, filter_json: str | None = None) -> int: ...
+    def edges_next(self, cursor: int, limit: int = 256) -> dict: ...
+    def edges_end(self, cursor: int) -> None: ...
+    def export_graph(self, graph: str, format: str) -> bytes: ...
+    def import_graph(self, format: str, data: bytes) -> str: ...
+    def apply_delta_json(self, graph: str, delta_jsonl: str) -> int: ...
 
 
 @dataclasses.dataclass(slots=True)

@@ -135,8 +135,14 @@ def main() -> None:
             "YAMS_SEARCH_BATCH_PAD": str(max_batch),
         })
         log = open(tdp / "daemon.log", "wb")
+        # BD_PROFILE=/path.prof runs the daemon under cProfile; the dump is
+        # written on clean shutdown (use a small sweep — profiling ~2x cost)
+        prof = os.environ.get("BD_PROFILE")
+        argv = ([sys.executable, "-m", "cProfile", "-o", prof,
+                 "-m", "yams_tpu.daemon"] if prof
+                else [sys.executable, "-m", "yams_tpu.daemon"])
         daemon = subprocess.Popen(
-            [sys.executable, "-m", "yams_tpu.daemon"],
+            argv,
             stdout=log, stderr=log, stdin=subprocess.DEVNULL, env=env,
             cwd=str(pathlib.Path(__file__).resolve().parent.parent),
         )

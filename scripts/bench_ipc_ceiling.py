@@ -1,0 +1,110 @@
+"""Measure the IPC protocol ceiling: ping QPS through the daemon socket.
+
+This bounds what ANY request type can serve on this host — it exercises
+client encode -> unix socket -> daemon asyncio read -> dispatch -> encode
+response -> client decode, with a no-op handler. If search QPS at high
+client counts approaches this ceiling, the serving bottleneck is protocol
+CPU (this 1-vCPU host), not the device path or batching design.
+"""
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import tempfile
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def run_level(sock_path: str, n_clients: int, n_requests: int,
+              op: str = "ping") -> dict:
+    from yams_tpu.daemon.client import DaemonClient
+
+    lats: list[float] = []
+    lock = threading.Lock()
+    errs = 0
+    per = n_requests // n_clients
+
+    def worker():
+        nonlocal errs
+        c = DaemonClient(sock_path)
+        mine = []
+        for _ in range(per):
+            t0 = time.perf_counter()
+            try:
+                if op == "ping":
+                    c.call("ping")
+                else:
+                    c.status()
+            except Exception:
+                errs += 1
+            mine.append(time.perf_counter() - t0)
+        c.close()
+        with lock:
+            lats.extend(mine)
+
+    ts = [threading.Thread(target=worker) for _ in range(n_clients)]
+    t0 = time.perf_counter()
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    dt = time.perf_counter() - t0
+    a = np.asarray(lats)
+    return {
+        "op": op, "clients": n_clients,
+        "qps": round(len(a) / dt, 1),
+        "p50_ms": round(float(np.percentile(a, 50)) * 1e3, 2),
+        "errors": errs,
+    }
+
+
+def main() -> None:
+    levels = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1
+                               else "16,64,128").split(",")]
+    n_requests = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
+    with tempfile.TemporaryDirectory() as td:
+        tdp = pathlib.Path(td)
+        sock = tdp / "ipc.sock"
+        env = dict(os.environ)
+        env.update({
+            "YAMS_TPU_STORAGE": str(tdp / "data"),
+            "YAMS_TPU_SOCKET": str(sock),
+            "JAX_PLATFORMS": "cpu",
+        })
+        log = open(tdp / "daemon.log", "wb")
+        daemon = subprocess.Popen(
+            [sys.executable, "-m", "yams_tpu.daemon"],
+            stdout=log, stderr=log, stdin=subprocess.DEVNULL, env=env,
+            cwd=str(pathlib.Path(__file__).resolve().parent.parent),
+        )
+        try:
+            for _ in range(600):
+                if sock.exists():
+                    break
+                time.sleep(0.1)
+            else:
+                raise RuntimeError("daemon socket never appeared")
+            from yams_tpu.daemon.client import DaemonClient
+            ctl = DaemonClient(sock)
+            ctl.call("ping")
+            for n in levels:
+                print(json.dumps(run_level(str(sock), n, n_requests)),
+                      flush=True)
+            ctl.shutdown()
+            ctl.close()
+        finally:
+            try:
+                daemon.wait(timeout=10)
+            except Exception:
+                daemon.kill()
+
+
+if __name__ == "__main__":
+    main()

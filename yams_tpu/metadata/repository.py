@@ -206,6 +206,52 @@ class MetadataRepository:
         self._doc_cache[doc_id] = doc
         return self._clone_doc(doc)
 
+    def get_documents(self, doc_ids: list[int],
+                      clone: bool = True) -> dict[int, DocumentInfo]:
+        """Batched get_document: cached ids clone straight from the doc
+        cache; the rest resolve with ONE documents IN-query + ONE metadata
+        IN-query per <=500-id chunk. Search hydration calls this once per
+        response window instead of 3 sqlite round trips per hit. Unknown
+        ids are simply absent from the returned map (no NotFoundError).
+
+        clone=False returns the CACHED instances — read-only by contract
+        (mutating them corrupts the cache). The serving hot path uses it:
+        cloning cost ~0.2 ms per search window under profile."""
+        out: dict[int, DocumentInfo] = {}
+        missing: list[int] = []
+        for d in dict.fromkeys(doc_ids):
+            doc = self._doc_cache.get(d)
+            if doc is not None:
+                out[d] = self._clone_doc(doc) if clone else doc
+            else:
+                missing.append(d)
+        for i in range(0, len(missing), 500):
+            chunk = missing[i:i + 500]
+            ph = ",".join("?" * len(chunk))
+            fresh: dict[int, DocumentInfo] = {}
+            for row in self.db.execute(
+                    f"SELECT * FROM documents WHERE id IN ({ph})",
+                    chunk).fetchall():
+                doc = _row_to_doc(row)
+                fresh[doc.id] = doc
+            for did, key, value in self.db.execute(
+                    "SELECT document_id, key, value FROM metadata"
+                    f" WHERE document_id IN ({ph})", chunk).fetchall():
+                doc = fresh.get(did)
+                if doc is None:
+                    continue
+                if key.startswith(_TAG_PREFIX):
+                    doc.tags.append(key[len(_TAG_PREFIX):])
+                else:
+                    doc.metadata[key] = value
+            for did, doc in fresh.items():
+                doc.tags.sort()
+                if len(self._doc_cache) >= self.DOC_CACHE_MAX:
+                    self._doc_cache.pop(next(iter(self._doc_cache)))
+                self._doc_cache[did] = doc
+                out[did] = self._clone_doc(doc) if clone else doc
+        return out
+
     def get_by_hash(self, sha256_hash: str) -> list[DocumentInfo]:
         rows = self.db.execute(
             "SELECT * FROM documents WHERE sha256_hash=?", (sha256_hash,)

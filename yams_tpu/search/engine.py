@@ -957,10 +957,15 @@ class SearchEngine:
         support = [0.0] * n
         if n < 2:
             return support
+        if not self.kg.has_doc_entities():
+            return support
+        ents_map = self.kg.entities_for_documents(doc_ids)
         ents = [
-            {nid: conf for nid, _t, conf in self.kg.entities_for_document(d)}
+            {nid: conf for nid, _t, conf in ents_map.get(d, ())}
             for d in doc_ids
         ]
+        if not any(ents):
+            return support
         out_w: list[dict[int, float]] = [{} for _ in range(n)]
         for a in range(n):
             if not ents[a]:

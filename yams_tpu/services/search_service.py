@@ -309,10 +309,11 @@ class SearchService:
         pt_w = self.app.search_engine.config.path_tree_weight
         q_toks = set(_tok(query))
         hits: list[SearchHit] = []
+        # clone=False: hit building only READS doc fields (path/name/hash)
+        docs = md.get_documents([r.doc_id for r in results], clone=False)
         for r in results:
-            try:
-                doc = md.get_document(r.doc_id)
-            except Exception:
+            doc = docs.get(r.doc_id)
+            if doc is None:
                 continue
             score = r.score
             if q_toks and pt_w > 0:

@@ -53,6 +53,44 @@ search_workers = {workers}
 """
 
 
+def _pipelined_worker(sock_path: str, queries: list[str], n_requests: int,
+                      inflight: int, filtered_frac: float,
+                      ) -> tuple[list[float], int]:
+    """One connection, `inflight` outstanding requests (closed-loop per
+    slot): measures server capacity without needing `inflight` OS threads.
+    BD_MODE=pipelined routes the sweep here; the `clients` level becomes the
+    total in-flight target."""
+    from yams_tpu.daemon.aclient import PipelinedDaemonClient
+
+    c = PipelinedDaemonClient(sock_path, max_inflight=inflight + 8)
+    lat: list[float] = []
+    errs = 0
+    done = 0
+    outstanding: list[tuple[float, object]] = []
+    try:
+        j = 0
+        while done < n_requests:
+            while len(outstanding) < inflight and j < n_requests:
+                q = queries[j % len(queries)]
+                kw = {}
+                if filtered_frac > 0 and (j % 100) < filtered_frac * 100:
+                    kw["path_glob"] = "*.txt"
+                outstanding.append(
+                    (time.perf_counter(), c.search(q, limit=10, **kw)))
+                j += 1
+            t0, fut = outstanding.pop(0)
+            try:
+                r = fut.result(timeout=600)
+                assert "hits" in r
+            except Exception:
+                errs += 1
+            lat.append(time.perf_counter() - t0)
+            done += 1
+    finally:
+        c.close()
+    return lat, errs
+
+
 def _client_worker(sock_path: str, queries: list[str], n_requests: int,
                    wid: int, filtered_frac: float) -> tuple[list[float], int]:
     # client threads: the daemon is its own PROCESS, so the only GIL these
@@ -83,7 +121,31 @@ def _client_worker(sock_path: str, queries: list[str], n_requests: int,
 
 def run_level(sock_path: str, queries: list[str], n_clients: int,
               n_requests: int, filtered_frac: float) -> dict:
+    pipelined = os.environ.get("BD_MODE", "") == "pipelined"
     t0 = time.perf_counter()
+    if pipelined:
+        # n_clients = total in-flight, spread over up to 4 connections
+        n_conns = min(4, max(1, n_clients // 16)) if n_clients > 1 else 1
+        per_conn = max(1, n_clients // n_conns)
+        per_reqs = (n_requests * n_clients) // n_conns
+        with cf.ThreadPoolExecutor(n_conns) as pool:
+            futs = [pool.submit(_pipelined_worker, sock_path, queries,
+                                per_reqs, per_conn, filtered_frac)
+                    for _ in range(n_conns)]
+            lats, errs = [], 0
+            for f in futs:
+                ls, e = f.result()
+                lats.extend(ls)
+                errs += e
+        dt = time.perf_counter() - t0
+        total = per_reqs * n_conns
+        return {
+            "clients": n_clients, "mode": "pipelined", "conns": n_conns,
+            "qps": round(total / dt, 1),
+            "p50_ms": round(float(np.percentile(lats, 50)) * 1e3, 1),
+            "p95_ms": round(float(np.percentile(lats, 95)) * 1e3, 1),
+            "errors": errs,
+        }
     with cf.ThreadPoolExecutor(n_clients) as pool:
         futs = [pool.submit(_client_worker, sock_path, queries, n_requests,
                             w, filtered_frac) for w in range(n_clients)]

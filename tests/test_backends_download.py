@@ -262,6 +262,64 @@ class TestFakeS3Integration:
         gate = DRProvider(b).pointer_gate("ck-2")
         assert not gate.allow_advance and "mismatch" in gate.reason
 
+    def test_restore_rejects_traversal_manifest(self, s3, tmp_path):
+        """A compromised replica must not write outside the restore root.
+
+        The manifest is untrusted input: digests are self-referential, so a
+        '../'-relative or absolute 'path' entry with a consistent sha256 would
+        otherwise land digest-verified bytes at attacker-chosen locations.
+        """
+        import hashlib as _hl
+        import json as _json
+
+        from yams_tpu.storage.remote_checkpoint import (
+            DRProvider, restore_checkpoint,
+        )
+
+        b, state = s3
+        payload = b"pwned"
+        dig = _hl.sha256(payload).hexdigest()
+        for evil in ("../../escape.txt", "/abs/escape.txt", "a/../../x",
+                     "a/./b", "a\\..\\b"):
+            b.put(f"checkpoints/evil/files/{evil}", payload)
+            b.put("checkpoints/evil/manifest.json", _json.dumps({
+                "manifest_id": "evil", "epoch": 1, "created_at": 0.0,
+                "files": [{"path": evil, "size": len(payload),
+                           "sha256": dig}],
+            }).encode())
+            dest = tmp_path / "restore-evil"
+            with pytest.raises(ValueError, match="unsafe|escapes"):
+                restore_checkpoint(b, dest, manifest_id="evil")
+            assert not (tmp_path / "escape.txt").exists()
+            assert not dest.exists() or not any(dest.rglob("*"))
+        # DRProvider consumers reject the same paths instead of probing them
+        with pytest.raises(ValueError, match="unsafe"):
+            DRProvider(b).verify_sample("evil")
+
+    def test_restore_validates_all_paths_before_writing(self, s3, tmp_path):
+        """One bad entry anywhere in the manifest aborts before any write."""
+        import hashlib as _hl
+        import json as _json
+
+        from yams_tpu.storage.remote_checkpoint import restore_checkpoint
+
+        b, state = s3
+        good, evil = b"fine", b"pwned"
+        b.put("checkpoints/mix/files/ok.bin", good)
+        b.put("checkpoints/mix/manifest.json", _json.dumps({
+            "manifest_id": "mix", "epoch": 1, "created_at": 0.0,
+            "files": [
+                {"path": "ok.bin", "size": len(good),
+                 "sha256": _hl.sha256(good).hexdigest()},
+                {"path": "../late-escape", "size": len(evil),
+                 "sha256": _hl.sha256(evil).hexdigest()},
+            ],
+        }).encode())
+        dest = tmp_path / "mix-dest"
+        with pytest.raises(ValueError):
+            restore_checkpoint(b, dest, manifest_id="mix")
+        assert not (dest / "ok.bin").exists()  # nothing written at all
+
     def test_dr_missing_object_not_ready(self, s3, tmp_path):
         from yams_tpu.storage.remote_checkpoint import DRProvider, spill_checkpoint
 

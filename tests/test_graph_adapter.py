@@ -110,6 +110,23 @@ class TestExportImportDelta:
         with pytest.raises(ValueError):
             adapter.apply_delta_json("kg", '{"frob": {}}')
 
+    def test_delta_is_all_or_nothing(self, adapter, kg):
+        """A malformed line ANYWHERE rejects the whole delta: the valid
+        prefix must not land (a delta is a transaction of intent)."""
+        before = kg.node_count()
+        for bad in ('{"node": {"label": "no key"}}',      # missing field
+                    'not json at all',                      # parse error
+                    '{"link": {"key": "k", "doc_id": "x"}}',  # bad int
+                    '{"frob": {}}'):                        # unknown op
+            with pytest.raises(ValueError):
+                adapter.apply_delta_json("kg", "\n".join([
+                    '{"node": {"key": "prefix-victim"}}',
+                    '{"edge": {"src": "prefix-victim", "dst": "n0"}}',
+                    bad,
+                ]))
+            assert kg.find_node("prefix-victim") is None
+            assert kg.node_count() == before
+
     def test_unknown_format_rejected(self, adapter):
         with pytest.raises(ValueError):
             adapter.export_graph("kg", "graphml")

@@ -439,6 +439,23 @@ class TestPallasADC:
         assert len(set(r0[0]) & set(r1[0])) >= 4
         np.testing.assert_allclose(v0[0, 0], v1[0, 0], atol=1e-3)
 
+    def test_pallas_candidate_clamp_small_capacity(self, monkeypatch):
+        """capacity//group < k*rerank_factor must not crash the pallas route.
+
+        The kernel emits one candidate per group window, so approx_max_k can
+        serve at most capacity//group rows; search_pq clamps c to that. Here
+        capacity=1024, group=128 -> 8 windows, while k*factor = 5*8 = 40.
+        """
+        idx = VectorIndex(dim=64, capacity=1024, block_rows=128)
+        vecs = _unit(900, 64, seed=7)
+        idx.add(vecs, list(range(900)))
+        idx.build_pq(m=16, ksub=16, pack4=True, rerank_factor=8, group=128)
+        assert idx._pallas_adc_candidates(40, 128) == 8
+        monkeypatch.setenv("YAMS_PQ_PALLAS", "1")
+        v, r = idx.search_pq(vecs[7], k=5)
+        assert v.shape == (1, 5) and r.shape == (1, 5)
+        assert 7 in set(r[0].tolist())  # window containing row 7 survives
+
     def test_filtered_path_stays_on_xla(self, monkeypatch):
         idx = VectorIndex(dim=32, capacity=512, block_rows=128)
         vecs = _unit(200, 32, seed=5)

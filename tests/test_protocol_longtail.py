@@ -359,3 +359,57 @@ class TestMiscLongTail:
         types = [m[len("handle_"):] for m in dir(daemon)
                  if m.startswith("handle_")]
         assert len(types) >= 45, types
+
+
+class TestPipelinedConnection:
+    """Per-connection pipelining: many outstanding requests on ONE socket,
+    responses demuxed by id (server: YamsDaemon._handle_conn task-per-frame;
+    client: daemon/aclient.py). This is the serving-throughput seam — a
+    strictly request/response connection caps offered load at 1/latency."""
+
+    def test_many_inflight_one_connection(self, daemon_app):
+        from yams_tpu.daemon.aclient import PipelinedDaemonClient
+
+        cfg, client, _ = daemon_app
+        client.add_bytes(b"tensor scheduler kernel mutex", name="pipe-doc.txt")
+        pc = PipelinedDaemonClient(cfg.socket_path, max_inflight=128)
+        try:
+            futs = []
+            for i in range(96):
+                if i % 3 == 0:
+                    futs.append(("ping", pc.ping()))
+                elif i % 3 == 1:
+                    futs.append(("search", pc.search("tensor kernel")))
+                else:
+                    futs.append(("stats", pc.submit("stats")))
+            for kind, f in futs:
+                r = f.result(timeout=120)
+                if kind == "ping":
+                    assert r["pong"]
+                elif kind == "search":
+                    assert "hits" in r
+                else:
+                    assert "counts" in r or r  # stats payload shape varies
+        finally:
+            pc.close()
+
+    def test_fast_request_overtakes_slow(self, daemon_app):
+        """A ping submitted AFTER a slow executor-path request must not wait
+        behind it (pipelining = out-of-order completion on one connection)."""
+        import time as _t
+
+        from yams_tpu.daemon.aclient import PipelinedDaemonClient
+
+        cfg, client, _ = daemon_app
+        pc = PipelinedDaemonClient(cfg.socket_path, max_inflight=8)
+        try:
+            texts = ["the quick brown fox " * 30] * 64  # slow device encode
+            slow = pc.submit("embed", texts=texts)
+            ping = pc.ping()
+            ping.result(timeout=30)
+            t_ping = _t.monotonic()
+            slow.result(timeout=300)
+            t_slow = _t.monotonic()
+            assert t_ping <= t_slow
+        finally:
+            pc.close()

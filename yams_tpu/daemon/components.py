@@ -15,6 +15,7 @@ Parity (SURVEY §2.8):
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import os
 import queue
@@ -308,11 +309,18 @@ class PostIngestQueue:
 
     def __init__(self, app, governor: ResourceGovernor | None = None,
                  advisor: TuneAdvisor | None = None, capacity: int = 4096,
-                 bus: "InternalEventBus | None" = None):
+                 bus: "InternalEventBus | None" = None,
+                 state_lock: "RWLock | None" = None):
         self.app = app
         self.governor = governor
         self.advisor = advisor or TuneAdvisor()
         self.bus = bus
+        # the daemon's reader/writer lock: each mutating stage runs under
+        # the write side so concurrent search batches (read side) never see
+        # a half-applied engine/KG/metadata mutation. Per-STAGE sections,
+        # not per-batch: the embedding encode is the long pole and holding
+        # write across the whole batch would starve reads.
+        self.state_lock = state_lock
         self._q: queue.Queue[int | None] = queue.Queue(maxsize=capacity)
         self.stats = {
             "extraction": StageStats(), "kg": StageStats(),
@@ -327,6 +335,10 @@ class PostIngestQueue:
         self._pending = 0
         self._idle_cv = threading.Condition()
         self._thread: threading.Thread | None = None
+
+    def _write_guard(self):
+        return (self.state_lock.write() if self.state_lock is not None
+                else contextlib.nullcontext())
 
     def depth_fraction(self) -> float:
         return self._q.qsize() / max(self._q.maxsize, 1)
@@ -422,8 +434,9 @@ class PostIngestQueue:
                     got = extract_text(data, doc.mime_type or
                                        detect_mime(data[:512], doc.file_path))
                     if got:
-                        self.app.metadata.set_content(doc_id, got[0],
-                                                      got[1] or doc.file_name)
+                        with self._write_guard():
+                            self.app.metadata.set_content(
+                                doc_id, got[0], got[1] or doc.file_name)
                         text = got[0]
                 if text is not None:
                     texts[doc_id] = text
@@ -437,9 +450,11 @@ class PostIngestQueue:
             st = self.stats["kg"]
             st.inflight += 1
             try:
-                self.app.graph.index_document(doc_id, text)
-                doc = self.app.metadata.get_document(doc_id)
-                self.app.symbols.index_document(doc_id, text, doc.mime_type)
+                with self._write_guard():
+                    self.app.graph.index_document(doc_id, text)
+                    doc = self.app.metadata.get_document(doc_id)
+                    self.app.symbols.index_document(doc_id, text,
+                                                    doc.mime_type)
                 st.processed += 1
             except Exception:
                 st.failed += 1
@@ -461,14 +476,16 @@ class PostIngestQueue:
                      self.app.metadata.get_document(doc_id).file_name)
                     for doc_id, text in sub
                 ]
-                self.app.search_engine.add_documents(batch)
-                for doc_id, _text, _title in batch:
-                    slot = self.app.search_engine._slot_by_doc[doc_id]
-                    self.app.metadata.set_metadata(doc_id, "__slot__", str(slot))
-                    self.app.metadata.set_embedding_status(
-                        doc_id, "done", self.app.config.embedding.profile
-                    )
-                    st.processed += 1
+                with self._write_guard():
+                    self.app.search_engine.add_documents(batch)
+                    for doc_id, _text, _title in batch:
+                        slot = self.app.search_engine._slot_by_doc[doc_id]
+                        self.app.metadata.set_metadata(
+                            doc_id, "__slot__", str(slot))
+                        self.app.metadata.set_embedding_status(
+                            doc_id, "done", self.app.config.embedding.profile
+                        )
+                        st.processed += 1
             except Exception:
                 st.failed += len(sub)
             finally:

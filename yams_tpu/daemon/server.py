@@ -301,7 +301,8 @@ class YamsDaemon:
         self.governor.start()
         self.advisor = TuneAdvisor()
         self.post_ingest = PostIngestQueue(self.app, self.governor, self.advisor,
-                                           bus=self.events)
+                                           bus=self.events,
+                                           state_lock=self.state_lock)
         self.governor.add_queue_source(self.post_ingest.depth_fraction)
         self.post_ingest.start()
         # autoload trusted plugins (reference: daemon plugin autoload)
@@ -392,23 +393,50 @@ class YamsDaemon:
                     lambda _req: self.app.checkpoint(), {})
 
     # -- connection handling ---------------------------------------------------------
+    # per-connection pipelining depth: how many requests one connection may
+    # have in flight before reads pause (backpressure). Serving throughput
+    # depends on it — a strictly request/response connection caps offered
+    # load at 1/latency per client, while a pipelined one keeps the search
+    # batcher fed from a handful of connections (reference: the Asio
+    # transport multiplexes typed requests over persistent connections).
+    MAX_CONN_INFLIGHT = 256
+
     async def _handle_conn(self, reader, writer) -> None:
         from .protocol import async_read_frame_ex
 
         self._conns.add(writer)
+        wlock = asyncio.Lock()
+        sem = asyncio.Semaphore(self.MAX_CONN_INFLIGHT)
+        tasks: set[asyncio.Task] = set()
+
+        async def serve_one(req: dict, json_mode: bool) -> None:
+            try:
+                resp = await self._dispatch(req)
+                resp["id"] = req.get("id")
+                # one writer at a time: encode_frames emits a whole framed
+                # message per write, so the lock keeps frames contiguous
+                async with wlock:
+                    await async_write_frame(writer, resp, json_mode=json_mode)
+            except (ConnectionError, asyncio.CancelledError):
+                pass
+            finally:
+                sem.release()
+
         try:
             while True:
                 try:
                     req, json_mode = await async_read_frame_ex(reader)
                 except (asyncio.IncompleteReadError, FrameError, ConnectionError):
                     break
-                resp = await self._dispatch(req)
-                resp["id"] = req.get("id")
-                try:
-                    await async_write_frame(writer, resp, json_mode=json_mode)
-                except ConnectionError:
-                    break
+                await sem.acquire()
+                t = asyncio.create_task(serve_one(req, json_mode))
+                tasks.add(t)
+                t.add_done_callback(tasks.discard)
         finally:
+            # client gone (or shutdown): responses are undeliverable —
+            # cancel what hasn't completed rather than keep computing
+            for t in list(tasks):
+                t.cancel()
             self._conns.discard(writer)
             with contextlib.suppress(Exception):
                 writer.close()

@@ -443,6 +443,14 @@ class VectorIndex:
 
         return jax.default_backend() != "cpu"
 
+    def _pallas_adc_candidates(self, c: int, group: int) -> int:
+        """The pallas kernel emits ONE candidate per group window, so its
+        approx_max_k can return at most capacity//group rows; asking for more
+        raises inside XLA. Clamp c to the window count (the exact rerank
+        still sees every window's best, so recall is unchanged vs the
+        kernel's own ceiling)."""
+        return min(c, self.capacity // group)
+
     def search_pq(self, queries: np.ndarray, k: int = 10,
                   rerank: str = "auto", doc_mask: np.ndarray | None = None):
         """ADC scan + exact rerank x rerank_factor -> (values, row indices).
@@ -485,6 +493,7 @@ class VectorIndex:
             # pow2-rounded, so any pow2 <= capacity divides it; 2048 rows
             # keeps the in-kernel one-hot (block, 16m) bf16 inside VMEM
             pblock = min(2048, self.capacity)
+            c = self._pallas_adc_candidates(c, group)
             av, ai = pq4_adc_topk_pallas(
                 jnp.asarray(q), codes, centroids, valid, c,
                 group=group, block_rows=pblock,

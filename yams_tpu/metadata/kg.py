@@ -8,6 +8,7 @@ search engine needs: alias lookup, neighbor expansion, doc<->entity joins.
 from __future__ import annotations
 
 import json
+import threading
 import time
 
 from .db import Database
@@ -26,22 +27,35 @@ class KnowledgeGraphStore:
         self._docs_cache: dict = {}
         self._gen = 0
         self._cache_gen = 0
+        # fill/evict guard: the daemon's search pool calls _cache from
+        # several reader threads concurrently with _bump() on the mutator
+        # thread; without it two threads racing the cap can both pop the
+        # same key (KeyError) and a fill in flight across a _bump can pin a
+        # stale value under the new generation
+        self._cache_lock = threading.Lock()
 
     def _bump(self) -> None:
-        self._gen += 1
+        with self._cache_lock:
+            self._gen += 1
 
     def _cache(self, store: dict, key, fill):
-        if self._cache_gen != self._gen:
-            self._alias_cache.clear()
-            self._docs_cache.clear()
-            self._cache_gen = self._gen
-        hit = store.get(key)
+        with self._cache_lock:
+            if self._cache_gen != self._gen:
+                self._alias_cache.clear()
+                self._docs_cache.clear()
+                self._cache_gen = self._gen
+            gen = self._gen
+            hit = store.get(key)
         if hit is not None:
             return hit
         val = fill()
-        if len(store) >= self._CACHE_MAX:
-            store.pop(next(iter(store)))
-        store[key] = val
+        with self._cache_lock:
+            # a write landed while filling: the value may predate it
+            if self._gen != gen:
+                return val
+            if len(store) >= self._CACHE_MAX:
+                store.pop(next(iter(store)), None)
+            store[key] = val
         return val
 
     # -- nodes ---------------------------------------------------------------

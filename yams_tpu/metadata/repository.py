@@ -11,6 +11,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import re
+import threading
 import time
 
 from ..core.errors import NotFoundError
@@ -65,12 +66,23 @@ class MetadataRepository:
         self._doc_cache: dict[int, DocumentInfo] = {}
         self._content_cache: dict[int, str] = {}
         self._content_cache_chars = 0
+        # fill/evict guard: concurrent reader threads (daemon search pool)
+        # race each other at the cap and race writer-side _invalidate();
+        # unguarded, two threads can pop the same FIFO head (KeyError)
+        self._cache_lock = threading.Lock()
 
     def _invalidate(self, doc_id: int) -> None:
-        self._doc_cache.pop(doc_id, None)
-        old = self._content_cache.pop(doc_id, None)
-        if old is not None:
-            self._content_cache_chars -= len(old)
+        with self._cache_lock:
+            self._doc_cache.pop(doc_id, None)
+            old = self._content_cache.pop(doc_id, None)
+            if old is not None:
+                self._content_cache_chars -= len(old)
+
+    def _cache_doc(self, doc_id: int, doc: "DocumentInfo") -> None:
+        with self._cache_lock:
+            if len(self._doc_cache) >= self.DOC_CACHE_MAX:
+                self._doc_cache.pop(next(iter(self._doc_cache)), None)
+            self._doc_cache[doc_id] = doc
 
     def _clone_doc(self, doc: DocumentInfo) -> DocumentInfo:
         out = dataclasses.replace(doc)
@@ -183,12 +195,15 @@ class MetadataRepository:
             return None
         text = row[0]
         if len(text) < self.CONTENT_CACHE_MAX_CHARS // 4:
-            while (self._content_cache_chars + len(text)
-                   > self.CONTENT_CACHE_MAX_CHARS and self._content_cache):
-                old = self._content_cache.pop(next(iter(self._content_cache)))
-                self._content_cache_chars -= len(old)
-            self._content_cache[doc_id] = text
-            self._content_cache_chars += len(text)
+            with self._cache_lock:
+                while (self._content_cache_chars + len(text)
+                       > self.CONTENT_CACHE_MAX_CHARS and self._content_cache):
+                    old = self._content_cache.pop(
+                        next(iter(self._content_cache)), None)
+                    if old is not None:
+                        self._content_cache_chars -= len(old)
+                self._content_cache[doc_id] = text
+                self._content_cache_chars += len(text)
         return text
 
     def get_document(self, doc_id: int) -> DocumentInfo:
@@ -201,9 +216,7 @@ class MetadataRepository:
         doc = _row_to_doc(row)
         doc.tags = self.get_tags(doc_id)
         doc.metadata = self.get_metadata(doc_id)
-        if len(self._doc_cache) >= self.DOC_CACHE_MAX:
-            self._doc_cache.pop(next(iter(self._doc_cache)))
-        self._doc_cache[doc_id] = doc
+        self._cache_doc(doc_id, doc)
         return self._clone_doc(doc)
 
     def get_documents(self, doc_ids: list[int],
@@ -246,9 +259,7 @@ class MetadataRepository:
                     doc.metadata[key] = value
             for did, doc in fresh.items():
                 doc.tags.sort()
-                if len(self._doc_cache) >= self.DOC_CACHE_MAX:
-                    self._doc_cache.pop(next(iter(self._doc_cache)))
-                self._doc_cache[did] = doc
+                self._cache_doc(did, doc)
                 out[did] = self._clone_doc(doc) if clone else doc
         return out
 

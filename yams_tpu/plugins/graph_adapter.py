@@ -168,42 +168,72 @@ class GraphAdapter:
 
     # -- delta -----------------------------------------------------------------
 
+    @staticmethod
+    def _parse_delta(delta_jsonl: str) -> list[tuple]:
+        """Validate EVERY line up front — parse, op kind, required fields,
+        numeric coercions — before anything touches the store. A delta is a
+        transaction of intent: a malformed line anywhere must reject the
+        whole delta, not land the prefix durably and then raise."""
+        ops: list[tuple] = []
+        for i, ln in enumerate(delta_jsonl.splitlines(), 1):
+            ln = ln.strip()
+            if not ln:
+                continue
+            try:
+                op = json.loads(ln)
+            except json.JSONDecodeError as e:
+                raise ValueError(f"delta line {i}: bad JSON: {e}") from e
+            try:
+                if "node" in op:
+                    n = op["node"]
+                    ops.append(("node", str(n["key"]),
+                                str(n.get("label", "")),
+                                str(n.get("type", "entity")), n.get("props")))
+                elif "edge" in op:
+                    e = op["edge"]
+                    ops.append(("edge", str(e["src"]), str(e["dst"]),
+                                str(e.get("relation", "related")),
+                                float(e.get("weight", 1.0))))
+                elif "alias" in op:
+                    a = op["alias"]
+                    ops.append(("alias", str(a["key"]), str(a["alias"])))
+                elif "link" in op:
+                    li = op["link"]
+                    ops.append(("link", str(li["key"]), int(li["doc_id"]),
+                                float(li.get("weight", 1.0))))
+                else:
+                    raise ValueError(f"unknown delta op: {sorted(op)}")
+            except (KeyError, TypeError, ValueError) as e:
+                raise ValueError(f"delta line {i}: {e}") from e
+        return ops
+
     def apply_delta_json(self, graph: str, delta_jsonl: str) -> int:
         """JSONL ops: {"node": {key,label,type,props}} upserts,
         {"edge": {src,dst,relation,weight}} adds (src/dst are node KEYS,
         auto-upserted), {"alias": {key,alias}}, {"link": {key,doc_id,weight}}.
-        Returns ops applied; malformed lines raise (no partial-line skips —
-        a delta is a transaction of intent, not a suggestion)."""
+        Returns ops applied. The whole delta validates before any op lands
+        (import_graph inherits this), so a bad line can never leave the
+        graph half-imported."""
         self._check(graph)
-        applied = 0
-        for ln in delta_jsonl.splitlines():
-            ln = ln.strip()
-            if not ln:
-                continue
-            op = json.loads(ln)
-            if "node" in op:
-                n = op["node"]
-                self.kg.upsert_node(n["key"], n.get("label", ""),
-                                    n.get("type", "entity"),
-                                    n.get("props"))
-            elif "edge" in op:
-                e = op["edge"]
-                s = self.kg.upsert_node(str(e["src"]))
-                t = self.kg.upsert_node(str(e["dst"]))
-                self.kg.add_edge(s, t, e.get("relation", "related"),
-                                 float(e.get("weight", 1.0)))
-            elif "alias" in op:
-                a = op["alias"]
-                self.kg.add_alias(self.kg.upsert_node(a["key"]), a["alias"])
-            elif "link" in op:
-                li = op["link"]
-                self.kg.link_document(
-                    self.kg.upsert_node(li["key"]), int(li["doc_id"]),
-                    float(li.get("weight", 1.0)))
+        ops = self._parse_delta(delta_jsonl)
+        for op in ops:
+            kind = op[0]
+            if kind == "node":
+                _, key, label, type_, props = op
+                self.kg.upsert_node(key, label, type_, props)
+            elif kind == "edge":
+                _, src, dst, relation, weight = op
+                s = self.kg.upsert_node(src)
+                t = self.kg.upsert_node(dst)
+                self.kg.add_edge(s, t, relation, weight)
+            elif kind == "alias":
+                _, key, alias = op
+                self.kg.add_alias(self.kg.upsert_node(key), alias)
             else:
-                raise ValueError(f"unknown delta op: {sorted(op)}")
-            applied += 1
-        return applied
+                _, key, doc_id, weight = op
+                self.kg.link_document(self.kg.upsert_node(key), doc_id,
+                                      weight)
+        return len(ops)
 
 
 def yams_plugin(kg=None) -> PluginManifest:

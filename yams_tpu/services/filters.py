@@ -9,6 +9,16 @@ into the device program and DocumentService.list applies relationally.
 
 from __future__ import annotations
 
+def fnmatch_to_glob(pattern: str) -> str:
+    """fnmatch pattern -> SQLite GLOB pattern.
+
+    The two agree on *, ?, and [seq]; the one spelling difference is the
+    negated class: fnmatch uses [!seq], GLOB uses [^seq]. Every GLOB
+    pushdown must translate through here so filtered search, list/grep, and
+    session pins all keep the fnmatch semantics they replaced."""
+    return pattern.replace("[!", "[^")
+
+
 # mimes treated as text beyond text/* (reference --text-only semantics)
 TEXTY_MIMES = frozenset({
     "application/json", "application/xml", "application/javascript",
@@ -45,7 +55,8 @@ def resolve_filter_ids(
         # transferred, not O(N). GLOB and fnmatch agree on *, ?, [seq] with
         # case-sensitive matching across '/' boundaries.
         rows = app.db.execute(
-            "SELECT id FROM documents WHERE file_path GLOB ?", (path_glob,)
+            "SELECT id FROM documents WHERE file_path GLOB ?",
+            (fnmatch_to_glob(path_glob),)
         ).fetchall()
         sets.append({r[0] for r in rows})
     if f.get("session"):

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import fnmatch
+import threading
 import time
 
 
@@ -44,6 +45,8 @@ class SearchService:
     def __init__(self, app):
         self.app = app
         self._seg_cache: dict[str, frozenset] = {}
+        # concurrent reader threads race the FIFO cap; guard fill/evict
+        self._seg_lock = threading.Lock()
 
     def _seg_tokens(self, path: str) -> frozenset:
         toks = self._seg_cache.get(path)
@@ -52,9 +55,10 @@ class SearchService:
 
             segs = [s for s in path.lower().split("/") if s]
             toks = frozenset(t for s in segs[:-1] for t in _tok(s))
-            if len(self._seg_cache) >= self.SEG_CACHE_MAX:
-                self._seg_cache.pop(next(iter(self._seg_cache)))
-            self._seg_cache[path] = toks
+            with self._seg_lock:
+                if len(self._seg_cache) >= self.SEG_CACHE_MAX:
+                    self._seg_cache.pop(next(iter(self._seg_cache)), None)
+                self._seg_cache[path] = toks
         return toks
 
     def _filter_doc_ids(

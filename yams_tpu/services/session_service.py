@@ -52,11 +52,13 @@ class SessionService:
         # is O(matches) — the Python fnmatch loop it replaces walked every
         # documents row per pattern (minutes at 10M docs). GLOB and fnmatch
         # share *?[] syntax; only negated classes spell differently.
+        from .filters import fnmatch_to_glob
+
         out: set[int] = set()
         for p in pinned:
             rows = self.app.db.execute(
                 "SELECT id FROM documents WHERE file_path GLOB ?",
-                (p.replace("[!", "[^"),),
+                (fnmatch_to_glob(p),),
             ).fetchall()
             out.update(r["id"] for r in rows)
         return out

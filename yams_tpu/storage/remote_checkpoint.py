@@ -35,7 +35,37 @@ def _manifest_key(manifest_id: str) -> str:
 
 
 def _file_key(manifest_id: str, relpath: str) -> str:
-    return f"{_ROOT}/{manifest_id}/files/{relpath}"
+    return f"{_ROOT}/{manifest_id}/files/{_safe_relpath(relpath)}"
+
+
+def _safe_relpath(relpath: str) -> str:
+    """Reject manifest paths that could escape the restore root.
+
+    Manifests come from the remote replica — untrusted. Digests only prove
+    transport integrity (they are computed from the same untrusted manifest),
+    so the path itself must be constrained: no absolute paths, no drive
+    prefixes, no '..' components, no NUL/backslash tricks.
+    """
+    p = pathlib.PurePosixPath(relpath)
+    if (
+        not relpath
+        or relpath != str(p)
+        or p.is_absolute()
+        or "\\" in relpath
+        or "\x00" in relpath
+        or any(part in ("..", ".", "") for part in p.parts)
+    ):
+        raise ValueError(f"unsafe manifest path: {relpath!r}")
+    return relpath
+
+
+def _safe_dest(dest_dir: pathlib.Path, relpath: str) -> pathlib.Path:
+    """Resolve dest_dir/relpath and require it to stay under dest_dir."""
+    _safe_relpath(relpath)
+    out = (dest_dir / relpath).resolve()
+    if not out.is_relative_to(dest_dir.resolve()):
+        raise ValueError(f"manifest path escapes restore root: {relpath!r}")
+    return out
 
 
 @dataclass(slots=True)
@@ -189,11 +219,14 @@ def restore_checkpoint(
         manifest_id = ptr["manifest_id"]
     m = json.loads(backend.get(_manifest_key(manifest_id)))
     d = pathlib.Path(dest_dir)
-    for f in m["files"]:
+    # Validate every path BEFORE writing anything — a poisoned manifest must
+    # not get a partial restore either.
+    outs = [_safe_dest(d, f["path"]) for f in m["files"]]
+    d.mkdir(parents=True, exist_ok=True)
+    for f, out in zip(m["files"], outs):
         data = backend.get(_file_key(manifest_id, f["path"]))
         if hashlib.sha256(data).hexdigest() != f["sha256"]:
             raise ValueError(f"digest mismatch restoring {f['path']}")
-        out = d / f["path"]
         out.parent.mkdir(parents=True, exist_ok=True)
         out.write_bytes(data)
     return m

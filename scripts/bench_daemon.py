@@ -232,6 +232,18 @@ def main() -> None:
             queries = [" ".join(rng.choice(WORDS, size=3)) for _ in range(64)]
             seed.search(queries[0])          # compile warmup (B=64 pad)
             seed.search(queries[1], path_glob="*.txt")  # 2-D-mask warmup
+            # mixed-batch warmup: a batch containing BOTH filtered and
+            # unfiltered requests uses the dedup'd-mask executable — warm it
+            # here or the first sweep level pays the compile mid-traffic
+            from yams_tpu.daemon.aclient import PipelinedDaemonClient
+            warm = PipelinedDaemonClient(str(sock), max_inflight=64)
+            futs = [warm.search(queries[j % len(queries)],
+                                **({"path_glob": "*.txt"} if j % 4 == 0
+                                   else {}))
+                    for j in range(48)]
+            for f in futs:
+                f.result(timeout=600)
+            warm.close()
             print(json.dumps({
                 "event": "seeded", "docs": rep.get("files_indexed", n_docs),
                 "ingest_s": round(ing_dt, 1),

@@ -276,6 +276,39 @@ class TestSearchEngine:
         res = engine.search("pasta tomato boil", k=5, mode="keyword")
         assert all(r.doc_id != 2 for r in res)
 
+    def test_per_query_filters_dedup_parity(self, engine):
+        """Dedup'd uint8 mask rows + device mask_idx gather must rank
+        exactly like per-query dense masks. Repeated set OBJECTS (the
+        filter-cache contract) share one mask row; distinct sets get their
+        own; None rows see the full corpus."""
+        shared = {2, 5}
+        qs = ["tomato basil", "tomato basil", "kernel thread locks",
+              "gradient weights"]
+        pq = [shared, shared, {1}, None]
+        out = engine.search_batch(qs, k=3, per_query_filters=pq)
+        assert {r.doc_id for r in out[0]} <= shared
+        assert {r.doc_id for r in out[1]} <= shared
+        assert [r.doc_id for r in out[2]] == [1]
+        assert out[3][0].doc_id == 3
+        # parity with the single-filter path query-by-query
+        for q, ids, got in zip(qs, pq, out):
+            want = engine.search(q, k=3, filter_doc_ids=ids)
+            assert [r.doc_id for r in got] == [r.doc_id for r in want]
+
+    def test_per_query_filters_with_shared_filter(self, engine):
+        """A batch-wide filter_doc_ids intersects each per-query set (and
+        fills in for None entries)."""
+        out = engine.search_batch(
+            ["tomato basil", "tomato basil"], k=5,
+            per_query_filters=[{2, 5}, None], filter_doc_ids={5, 1})
+        assert [r.doc_id for r in out[0]] == [5]          # {2,5} & {5,1}
+        assert {r.doc_id for r in out[1]} <= {5, 1}       # None -> shared
+
+    def test_empty_per_query_filter_matches_nothing(self, engine):
+        out = engine.search_batch(
+            ["tomato basil"], k=5, per_query_filters=[set()])
+        assert out[0] == []
+
     def test_empty_engine(self):
         eng = SearchEngine(embedding=EMB, vector=VEC, lexical=LEX)
         assert eng.search("anything") == []

@@ -382,14 +382,22 @@ class TestPipelinedConnection:
                     futs.append(("search", pc.search("tensor kernel")))
                 else:
                     futs.append(("stats", pc.submit("stats")))
+            shed = 0
             for kind, f in futs:
-                r = f.result(timeout=120)
+                try:
+                    r = f.result(timeout=120)
+                except YamsError as e:
+                    # executor-path requests (stats) may legitimately shed
+                    # under this burst (rtt-gradient admission) — that IS
+                    # the overload contract, not a pipelining failure
+                    assert "overloaded" in str(e) and kind == "stats"
+                    shed += 1
+                    continue
                 if kind == "ping":
                     assert r["pong"]
                 elif kind == "search":
                     assert "hits" in r
-                else:
-                    assert "counts" in r or r  # stats payload shape varies
+            assert shed < 32  # pings/searches never shed here
         finally:
             pc.close()
 

@@ -117,6 +117,26 @@ class TestSearchService:
         ctx = app.search.suggest_context("pasta tomato", limit=2)
         assert "pasta" in ctx and "===" in ctx
 
+    def test_filter_cache_hits_and_invalidates_on_write(self, app):
+        """Resolved filter sets are cached per signature (same OBJECT back,
+        the engine's dedup contract) and any metadata write invalidates."""
+        a = app.search._filter_doc_ids(None, "*.md", None, None)
+        b = app.search._filter_doc_ids(None, "*.md", None, None)
+        assert a is b and len(a) == 4
+        app.documents.add_bytes(b"late arrival kernel doc", "late.md")
+        c = app.search._filter_doc_ids(None, "*.md", None, None)
+        assert c is not a and len(c) == 5
+
+    def test_snippet_cache_invalidates_on_content_change(self, app):
+        resp = app.search.search("tomato basil", limit=1)
+        doc_id = resp.hits[0].document_id
+        s1 = app.search._snippet(doc_id, "tomato")
+        assert "tomato" in s1
+        app.metadata.set_content(doc_id, "rewritten: tomato soup only",
+                                 "pasta.md")
+        s2 = app.search._snippet(doc_id, "tomato")
+        assert "soup" in s2
+
     def test_prf_expansion_recovers_synonym_docs(self, app):
         """Opt-in PRF: a weak query expands with feedback terms and pulls in
         docs that share them (reference enableLexicalExpansion)."""

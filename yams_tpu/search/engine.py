@@ -121,6 +121,8 @@ class SearchEngine:
         self._doc_by_slot: list[int] = []
         self._titles: dict[int, str] = {}
         self._hot: dict[int, float] = {}
+        self._hot_gen = 0
+        self._hot_dev: tuple | None = None  # ((gen, Nd, n_slots), jax.Array)
         # host copy of the provider's projection (device round-trip saver
         # for routing/entity-leg query vectors; refreshed on shape change)
         self._proj_host: np.ndarray | None = None
@@ -258,11 +260,32 @@ class SearchEngine:
     def touch_hot(self, doc_id: int, boost: float = 1.0) -> None:
         with self._lock:
             self._hot[doc_id] = self._hot.get(doc_id, 0.0) + boost
+            self._hot_gen += 1
 
     def clear_hot(self) -> None:
         """Reset hotzone state (evaluation harnesses isolate runs with this)."""
         with self._lock:
             self._hot.clear()
+            self._hot_gen += 1
+
+    def _hot_device(self, Nd: int):
+        """Device-resident hotzone vector, rebuilt only when hot state or the
+        slot layout changed — the per-batch host build + upload of a dense
+        (Nd,) f32 was measurable serving glue at 8k+ slots."""
+        import jax.numpy as jnp
+
+        key = (self._hot_gen, Nd, len(self._doc_by_slot))
+        cached = self._hot_dev
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        hot = np.zeros(Nd, np.float32)
+        for d, h in self._hot.items():
+            s = self._slot_by_doc.get(d)
+            if s is not None:
+                hot[s] = h / (1.0 + h)
+        dev = jnp.asarray(hot)
+        self._hot_dev = (key, dev)
+        return dev
 
     # -- topology (reference: TopologyManager + topology_routing_session) ---------
     def rebuild_topology(self, iters: int = 8, engine: str | None = None) -> None:
@@ -594,28 +617,49 @@ class SearchEngine:
         n_used = len(self._doc_by_slot)
 
         def _mask_of(ids: set[int] | None) -> np.ndarray:
-            m = np.zeros(Nd, np.float32)
+            m = np.zeros(Nd, np.uint8)
             if ids is None:
-                m[:n_used] = 1.0
-            else:
-                for d in ids:
-                    s = self._slot_by_doc.get(d)
-                    if s is not None:
-                        m[s] = 1.0
+                m[:n_used] = 1
+            elif ids:
+                sl = np.fromiter(
+                    (self._slot_by_doc.get(d, -1) for d in ids),
+                    np.int64, count=len(ids))
+                m[sl[sl >= 0]] = 1
             return m
 
+        # masks ride as uint8 with one row per DISTINCT filter set plus a
+        # per-query row index; the device expands to (B, Nd) with a take.
+        # Serving batches repeat a handful of filters (sessions, globs), so
+        # the old dense f32 (B, Nd) build+upload — 2 MB/batch at 8k slots,
+        # 256 MB at 1M — collapses to U rows of bytes.
+        mask_idx: np.ndarray | None = None
         if per_query_filters is not None:
             assert len(per_query_filters) == B_real
-            base_mask = np.zeros((B, Nd), np.float32)
+            row_of: dict[int, int] = {}
+            rows: list[np.ndarray] = []
+            idx = np.zeros(B, np.int32)
             for i, ids in enumerate(per_query_filters):
-                base_mask[i] = _mask_of(
-                    ids if filter_doc_ids is None or ids is None
-                    else (ids & filter_doc_ids))
-            if filter_doc_ids is not None:
-                shared = _mask_of(filter_doc_ids)
-                for i, ids in enumerate(per_query_filters):
-                    if ids is None:
-                        base_mask[i] = shared
+                key = -1 if ids is None else id(ids)
+                r = row_of.get(key)
+                if r is None:
+                    eff = ids
+                    if filter_doc_ids is not None:
+                        eff = (filter_doc_ids if ids is None
+                               else (ids & filter_doc_ids))
+                    rows.append(_mask_of(eff))
+                    r = len(rows) - 1
+                    row_of[key] = r
+                idx[i] = r
+            rows.append(np.zeros(Nd, np.uint8))  # padded queries match nothing
+            idx[B_real:] = len(rows) - 1
+            # pad U to pow2 with floor 4: one executable covers every batch
+            # with <=3 distinct filters (the common serving mix of
+            # unfiltered + one or two active filters) instead of compiling
+            # U=2 and U=4 variants mid-traffic
+            U = _round_pow2(len(rows), floor=4)
+            base_mask = np.zeros((U, Nd), np.uint8)
+            base_mask[: len(rows)] = np.stack(rows)
+            mask_idx = idx
         else:
             base_mask = _mask_of(filter_doc_ids)
 
@@ -634,9 +678,14 @@ class SearchEngine:
             ]
             self._stats["topology_routes"] += len(routed)
             if policy == "narrow":
+                # narrow masks are inherently per-query: expand any dedup'd
+                # filter rows on host and drop mask_idx for this batch
                 per_q = np.zeros((B, Nd), np.float32)
                 per_q[:B_real] = np.stack(routed)
-                if base_mask.ndim == 2:
+                if mask_idx is not None:
+                    per_q *= base_mask[mask_idx].astype(np.float32)
+                    mask_idx = None
+                elif base_mask.ndim == 2:
                     per_q *= base_mask
                 else:
                     per_q[B_real:] = 1.0
@@ -646,11 +695,7 @@ class SearchEngine:
                 shadow_masks = routed
             trace["stages"]["topology_route_ms"] = (time.monotonic() - t_r) * 1e3
 
-        hot = np.zeros(Nd, np.float32)
-        for d, h in self._hot.items():
-            s = self._slot_by_doc.get(d)
-            if s is not None:
-                hot[s] = h / (1.0 + h)
+        hot = self._hot_device(Nd)
 
         t_dev = time.monotonic()
         profile_dir = os.environ.get("YAMS_TPU_PROFILE")
@@ -676,7 +721,12 @@ class SearchEngine:
                 # push doc filters into the ADC scan (dense-tier pushdown):
                 # post-masking a mask-blind top-rrf_c would void the vector
                 # leg whenever the filter is selective
-                dmq = doc_mask if doc_mask.ndim == 1 else doc_mask[:len(qv)]
+                if mask_idx is not None:
+                    dmq = doc_mask[mask_idx[:len(qv)]]
+                elif doc_mask.ndim == 1:
+                    dmq = doc_mask
+                else:
+                    dmq = doc_mask[:len(qv)]
                 pvals, prows = self.vector_index.search_pq(
                     qv, k=rrf_c, rerank="host", doc_mask=dmq)
                 pslots = np.where(
@@ -697,8 +747,9 @@ class SearchEngine:
                 bm.packed if use_packed else bm.postings_doc,
                 bm.impact_scale if use_packed else bm.postings_impact,
                 bm.term_offsets, bm.term_lengths,
-                jnp.asarray(doc_mask), jnp.asarray(hot), jnp.asarray(w),
+                jnp.asarray(doc_mask), hot, jnp.asarray(w),
                 jnp.asarray(vv_np), jnp.asarray(vi_np),
+                jnp.asarray(mask_idx) if mask_idx is not None else None,
                 k=k_dev,
                 rrf_cand=rrf_c,
                 window=self.lexical_index.config.postings_window,
@@ -739,7 +790,8 @@ class SearchEngine:
                 bm.packed if use_packed else bm.postings_doc,
                 bm.impact_scale if use_packed else bm.postings_impact,
                 bm.term_offsets, bm.term_lengths,
-                jnp.asarray(doc_mask), jnp.asarray(hot), jnp.asarray(w),
+                jnp.asarray(doc_mask), hot, jnp.asarray(w),
+                jnp.asarray(mask_idx) if mask_idx is not None else None,
                 k=k_dev,
                 rrf_cand=rrf_c,
                 window=self.lexical_index.config.postings_window,
@@ -750,9 +802,13 @@ class SearchEngine:
             )
         # ONE batched device->host fetch: sequential np.asarray pays a full
         # host<->device round trip per array (4 RTTs; dominant serving cost
-        # on tunneled/remote devices, still 3 wasted syncs on local PCIe)
+        # on tunneled/remote devices, still 3 wasted syncs on local PCIe).
+        # copy_to_host_async first: the four copies overlap each other and
+        # any queued work instead of serializing inside device_get.
         import jax as _jax
 
+        for _a in (vals, slots, bm_at, vec_at):
+            _a.copy_to_host_async()
         vals, slots, bm_at, vec_at = _jax.device_get(
             (vals, slots, bm_at, vec_at))
         vals = vals[:B_real]
@@ -834,28 +890,40 @@ class SearchEngine:
             if (self.kg and mode == "hybrid") else None
         )
         out: list[list[SearchResult]] = []
+        # one C-level conversion instead of ~B*k numpy scalar reads (each
+        # vals[i, j] indexing op costs ~1 us; at B=64 x k=64 x 4 arrays that
+        # was ~15 ms of serving glue per batch)
+        vals_l = vals.tolist()
+        slots_l = slots.tolist()
+        bm_l = bm_at.tolist()
+        vec_l = vec_at.tolist()
+        n_slots_used = len(self._doc_by_slot)
+        kg_w = self.config.kg_weight
+        doc_by_slot = self._doc_by_slot
+        titles = self._titles
         for i, qtext in enumerate(queries):
             kg_scores = (
                 self._kg_scores(qtext, ev_hits[i] if ev_hits else [])
                 if (self.kg and mode == "hybrid") else {}
             )
+            vi, si, bi, ci = vals_l[i], slots_l[i], bm_l[i], vec_l[i]
             results: list[SearchResult] = []
-            for j in range(vals.shape[1]):
-                if vals[i, j] <= -1e29:
+            for j, v in enumerate(vi):
+                if v <= -1e29:
                     break
-                slot = int(slots[i, j])
-                if slot >= len(self._doc_by_slot):
+                slot = si[j]
+                if slot >= n_slots_used:
                     continue
-                doc_id = self._doc_by_slot[slot]
+                doc_id = doc_by_slot[slot]
                 kg_s = kg_scores.get(doc_id, 0.0)
                 results.append(
                     SearchResult(
                         doc_id=doc_id,
-                        score=float(vals[i, j]) + self.config.kg_weight * kg_s,
-                        text_score=float(bm_at[i, j]),
-                        vector_score=float(vec_at[i, j]),
+                        score=v + kg_w * kg_s,
+                        text_score=bi[j],
+                        vector_score=ci[j],
                         kg_score=kg_s,
-                        title=self._titles.get(doc_id, ""),
+                        title=titles.get(doc_id, ""),
                     )
                 )
             results.sort(key=lambda r: -r.score)

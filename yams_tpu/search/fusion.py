@@ -76,9 +76,12 @@ def hybrid_query(
     postings_impact: jax.Array,
     term_offsets: jax.Array,
     term_lengths: jax.Array,
-    doc_mask: jax.Array,    # (num_slots,) or (B, num_slots) f32 — filter pushdown
+    doc_mask: jax.Array,    # (num_slots,) | (B, num_slots) | (U, num_slots)
+                            # f32 or uint8 — filter pushdown (U rows need
+                            # mask_idx)
     hot: jax.Array,         # (num_slots,) f32 in [0,1] — hotzone boosts
     weights: jax.Array,     # (NUM_WEIGHTS,) f32
+    mask_idx: jax.Array | None = None,  # (B,) i32 — row of doc_mask per query
     *,
     k: int,
     rrf_cand: int,
@@ -101,6 +104,12 @@ def hybrid_query(
     fast path (ops.bm25.bm25_topk_candidates_packed): postings_doc then
     carries the (V, window) i32 packed matrix and postings_impact the
     impact scale scalar; term_offsets/term_lengths are ignored (pass dummies).
+
+    mask_idx deduplicates per-query filters: doc_mask carries one row per
+    DISTINCT filter set (U rows, uint8) and mask_idx maps each query to its
+    row — the host uploads U*N bytes instead of B*N*4 (the dominant serving
+    transfer: 2 MB/batch at B=64 x 8k slots f32; 64x more at 1M slots). The
+    (B, N) expansion happens on device as a take.
     """
     from ..ops.bm25 import bm25_topk_candidates
 
@@ -110,6 +119,9 @@ def hybrid_query(
     assert weights.shape[-1] == NUM_WEIGHTS, (
         f"weights must have {NUM_WEIGHTS} slots, got {weights.shape}"
     )
+    if mask_idx is not None:
+        doc_mask = jnp.take(doc_mask, mask_idx, axis=0)
+    doc_mask = doc_mask.astype(jnp.float32)  # accepts uint8 uploads
 
     C = rrf_cand
     sink = num_slots
@@ -262,11 +274,12 @@ def hybrid_fuse_precomputed(
     postings_impact: jax.Array,
     term_offsets: jax.Array,
     term_lengths: jax.Array,
-    doc_mask: jax.Array,     # (num_slots,) or (B, num_slots) f32
+    doc_mask: jax.Array,     # (num_slots,) | (B|U, num_slots) f32/uint8
     hot: jax.Array,
     weights: jax.Array,
     vec_vals: jax.Array,     # (B, C) f32 — exact-reranked cosine scores
     vec_slots: jax.Array,    # (B, C) i32 — doc slots, sink = absent
+    mask_idx: jax.Array | None = None,  # (B,) i32 — see hybrid_query
     *,
     k: int,
     rrf_cand: int,
@@ -284,6 +297,9 @@ def hybrid_fuse_precomputed(
     candidates are doc-mask gated HERE because their selection was
     mask-blind — with per-query narrow-routing masks this is post-filtering
     (candidates outside the route are dropped, not re-scanned)."""
+    if mask_idx is not None:
+        doc_mask = jnp.take(doc_mask, mask_idx, axis=0)
+    doc_mask = doc_mask.astype(jnp.float32)
     dm = doc_mask if doc_mask.ndim == 2 else doc_mask[None, :]
     sink = num_slots
     safe_v = jnp.minimum(vec_slots, sink - 1)

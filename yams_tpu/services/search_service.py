@@ -45,6 +45,8 @@ class SearchService:
     def __init__(self, app):
         self.app = app
         self._seg_cache: dict[str, frozenset] = {}
+        self._filter_cache: dict[tuple, tuple[int, set[int] | None]] = {}
+        self._snippet_cache: dict[tuple, tuple[int, str]] = {}
         # concurrent reader threads race the FIFO cap; guard fill/evict
         self._seg_lock = threading.Lock()
 
@@ -61,14 +63,44 @@ class SearchService:
                 self._seg_cache[path] = toks
         return toks
 
+    # resolved-filter cache: serving batches repeat a handful of filter
+    # signatures (a session glob, a collection); each miss costs an SQL scan
+    # returning O(matches) ids. Generation = sqlite total_changes, so ANY
+    # write to the metadata db invalidates (cheap, no false negatives).
+    # Returning the SAME set object per signature also lets the engine dedup
+    # identical per-query filters into one device mask row by id().
+    _FILTER_CACHE_MAX = 512
+
     def _filter_doc_ids(
         self, tags: list[str] | None, path_glob: str | None,
         collection: str | None, filters: dict | None = None,
     ) -> set[int] | None:
         from .filters import resolve_filter_ids
 
-        return resolve_filter_ids(self.app, tags, path_glob, collection,
-                                  filters)
+        try:
+            sig = (
+                tuple(tags) if tags else None, path_glob, collection,
+                tuple(sorted(
+                    (k, tuple(v) if isinstance(v, list) else v)
+                    for k, v in filters.items())) if filters else None,
+            )
+            hash(sig)
+        except TypeError:  # exotic unhashable filter value: skip the cache
+            return resolve_filter_ids(self.app, tags, path_glob, collection,
+                                      filters)
+        gen = self.app.db.conn.total_changes
+        cache = self._filter_cache
+        with self._seg_lock:
+            hit = cache.get(sig)
+            if hit is not None and hit[0] == gen:
+                return hit[1]
+        ids = resolve_filter_ids(self.app, tags, path_glob, collection,
+                                 filters)
+        with self._seg_lock:
+            if len(cache) >= self._FILTER_CACHE_MAX:
+                cache.pop(next(iter(cache)), None)
+            cache[sig] = (gen, ids)
+        return ids
 
     def search(
         self,
@@ -312,9 +344,12 @@ class SearchService:
 
         pt_w = self.app.search_engine.config.path_tree_weight
         q_toks = set(_tok(query))
-        hits: list[SearchHit] = []
         # clone=False: hit building only READS doc fields (path/name/hash)
         docs = md.get_documents([r.doc_id for r in results], clone=False)
+        # score + order first, materialize SearchHit objects only for the
+        # returned window (the candidate list is ~6x limit wide; building a
+        # dataclass per candidate was measurable serving glue)
+        scored: list[tuple] = []
         for r in results:
             doc = docs.get(r.doc_id)
             if doc is None:
@@ -324,18 +359,22 @@ class SearchService:
                 overlap = len(q_toks & self._seg_tokens(doc.file_path))
                 if overlap:
                     score += pt_w * min(1.0, overlap / len(q_toks))
-            hits.append(SearchHit(
+            scored.append((score, r, doc))
+        scored.sort(key=lambda t: -t[0])
+        if min_score is not None:
+            ms = float(min_score)
+            scored = [t for t in scored if t[0] >= ms]
+        total = len(scored)
+        hits = [
+            SearchHit(
                 document_id=r.doc_id, score=score, path=doc.file_path,
                 name=doc.file_name, title=r.title or doc.file_name,
                 snippet="", text_score=r.text_score,
                 vector_score=r.vector_score, kg_score=r.kg_score,
                 hash=doc.sha256_hash,
-            ))
-        hits.sort(key=lambda h: -h.score)
-        if min_score is not None:
-            hits = [h for h in hits if h.score >= float(min_score)]
-        total = len(hits)
-        hits = hits[:limit]
+            )
+            for score, r, doc in scored[:limit]
+        ]
         if with_snippets:
             # snippets only for the RETURNED window — the candidate list is
             # k_dev (~6x limit) wide and snippet extraction is the single
@@ -349,6 +388,25 @@ class SearchService:
         )
 
     def _snippet(self, doc_id: int, query: str, width: int = 160) -> str:
+        from ..embed.simeon import tokenize
+
+        # hot queries repeat (doc, query) pairs every batch; content writes
+        # bump sqlite total_changes, which keys the entry out
+        gen = self.app.db.conn.total_changes
+        key = (doc_id, query)
+        with self._seg_lock:
+            hit = self._snippet_cache.get(key)
+            if hit is not None and hit[0] == gen:
+                return hit[1]
+        snip = self._snippet_uncached(doc_id, query, width)
+        with self._seg_lock:
+            if len(self._snippet_cache) >= self.SEG_CACHE_MAX:
+                self._snippet_cache.pop(next(iter(self._snippet_cache)), None)
+            self._snippet_cache[key] = (gen, snip)
+        return snip
+
+    def _snippet_uncached(self, doc_id: int, query: str,
+                          width: int = 160) -> str:
         from ..embed.simeon import tokenize
 
         text = self.app.metadata.get_content(doc_id)

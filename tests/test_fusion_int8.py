@@ -28,7 +28,7 @@ def test_int8_fused_matches_bf16():
     to = (np.arange(V) * per).astype(np.int32)
     tl = np.full(V, per, np.int32)
     w = np.array([0.7, 0.3, 0.05, 0.5, 25.0, 0.85, 1.2, 12.0,
-                  1.0, 0.5, 0.0], np.float32)
+                  1.0, 0.5, 0.0, 0.0], np.float32)
     common = dict(k=10, rrf_cand=32, window=W, num_slots=Nd, chunk_agg="max",
                   rows_are_docs=True)
 
@@ -77,7 +77,7 @@ def test_streaming_scan_matches_dense():
     to = (np.arange(V) * per).astype(np.int32)
     tl = np.full(V, per, np.int32)
     w = np.array([0.7, 0.3, 0.05, 0.5, 25.0, 0.85, 1.2, 12.0,
-                  1.0, 0.5, 0.0], np.float32)
+                  1.0, 0.5, 0.0, 0.0], np.float32)
     args = (jnp.asarray(sketch), jnp.asarray(tid), jnp.asarray(tm), proj,
             jnp.asarray(E, jnp.bfloat16), jnp.ones(rows),
             jnp.arange(rows, dtype=jnp.int32), jnp.ones(rows),
@@ -107,7 +107,7 @@ def test_topk_avg_chunk_agg():
     sketch = rng.standard_normal((B, S)).astype(np.float32)
     # lexical leg off (weights) so the fused score is pure vector evidence
     w = np.array([0.0, 1.0, 0.0, 0.0, 25.0, 1.0, 1.2, 12.0,
-                  1.0, 0.5, 0.0], np.float32)
+                  1.0, 0.5, 0.0, 0.0], np.float32)
     tid = np.zeros((B, 4), np.int32)
     tm = np.zeros((B, 4), np.float32)
     W = 8

@@ -221,6 +221,25 @@ class TestLexicalIndex:
         idx2 = LexicalIndex.load(tmp_path, LEX)
         assert idx2.search("persistent")[0][0] == 0
 
+    def test_prefilter_tail_ratio_measures_impact_skew(self):
+        """Uniform impacts (same tf, same doc length) -> ratio ~1.0 at any
+        cut; varying tf/length -> strictly lower. This statistic is what
+        gates BM25 early termination (engine prefilter auto-disable)."""
+        idx = LexicalIndex(LEX)
+        for s in range(24):
+            idx.add_document(s, "zebra filler words here")  # identical rows
+        flat = idx.prefilter_tail_ratio(8)
+        assert flat > 0.95
+        idx2 = LexicalIndex(LEX)
+        for s in range(24):
+            # tf ramps 1..24 and length varies -> impact-ordered decay
+            idx2.add_document(s, " ".join(["yak"] * (s + 1))
+                              + " " + " ".join(["pad"] * (3 * s + 1)))
+        skewed = idx2.prefilter_tail_ratio(8)
+        assert skewed < flat
+        # no row longer than the cut -> 0.0 (prefilter trivially safe)
+        assert idx2.prefilter_tail_ratio(1000) == 0.0
+
 
 @pytest.fixture()
 def engine():
@@ -308,6 +327,23 @@ class TestSearchEngine:
         out = engine.search_batch(
             ["tomato basil"], k=5, per_query_filters=[set()])
         assert out[0] == []
+
+    def test_prefilter_guard_disables_on_uniform_impacts(self, engine,
+                                                         monkeypatch):
+        """When the corpus's measured impact skew can't support early
+        termination, the engine scans the full window and says so in the
+        trace (results must match the unprefiltered run exactly)."""
+        cfg = engine.config
+        monkeypatch.setattr(cfg, "approx_threshold", 1)
+        monkeypatch.setattr(cfg, "bm25_prefilter", 2)
+        monkeypatch.setattr(engine.lexical_index, "prefilter_tail_ratio",
+                            lambda pf: 0.9)
+        got = engine.search_batch(["kernel thread locks"], k=3)
+        assert "prefilter_disabled_tail_ratio" in engine.last_trace["stages"] \
+            or "prefilter_disabled_tail_ratio" in engine.last_trace
+        monkeypatch.setattr(cfg, "bm25_prefilter", 0)
+        want = engine.search_batch(["kernel thread locks"], k=3)
+        assert [r.doc_id for r in got[0]] == [r.doc_id for r in want[0]]
 
     def test_empty_engine(self):
         eng = SearchEngine(embedding=EMB, vector=VEC, lexical=LEX)

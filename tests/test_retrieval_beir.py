@@ -67,6 +67,45 @@ class TestBeirLoader:
         assert ds.relevant("q1") == {"d1"}
 
 
+class TestScifactMiniFixture:
+    """Committed scifact-SHAPED fixture (tests/fixtures/beir_scifact_mini):
+    real corpus.jsonl/queries.jsonl/qrels layout with metadata fields, a
+    header row, and an unjudged query — the exact file shapes
+    YAMS_BEIR_DIR consumes, so the escape hatch is no longer untested.
+    One-command parity run on a host with egress (reference numbers:
+    MRR 0.613 / nDCG 0.634 / recall@10 0.713 on the full scifact):
+      YAMS_BEIR_DIR=/path/to/scifact python -m pytest \
+          tests/test_retrieval_beir.py -k quality -q
+    """
+
+    FIX = pathlib.Path(__file__).parent / "fixtures" / "beir_scifact_mini"
+
+    def test_loader_parses_real_shapes(self):
+        ds = load_beir(self.FIX)
+        assert len(ds.corpus) == 5
+        assert ds.corpus["4983"]["title"].startswith("Microstructural")
+        assert list(ds.queries) == ["1", "3", "5"]  # unjudged "7" dropped
+        assert ds.relevant("3") == {"31715818"}
+
+    def test_full_harness_on_fixture(self, tmp_path):
+        """The same end-to-end harness the quality gate runs: ingest, all
+        three modes, known-item metrics. 5 docs -> every mode must put the
+        single relevant doc at rank 1 (MRR 1.0)."""
+        ds = load_beir(self.FIX)
+        cfg = Config(data_dir=tmp_path / "data")
+        cfg.vector = VectorIndexConfig(dim=384, capacity=1024, block_rows=256)
+        app = AppContext(cfg)
+        try:
+            for did, doc in ds.corpus.items():
+                text = (doc["title"] + "\n" + doc["text"]).strip()
+                app.documents.add_bytes(text.encode(), f"docs/{did}.txt")
+            metrics = _run_modes(app, ds)
+            for st in ("hybrid", "keyword", "vector"):
+                assert metrics[st]["mrr"] == 1.0, (st, metrics)
+        finally:
+            app.close()
+
+
 class TestSyntheticHardDataset:
     def test_deterministic(self):
         a, b = synthetic_beir(seed=3), synthetic_beir(seed=3)

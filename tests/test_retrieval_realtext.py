@@ -75,12 +75,15 @@ class TestRealTextQuality:
                 out = tracker.record(
                     f"realtext_{st}_{metric}", m[metric], metric, slack=0.08)
                 assert out["status"] != "regression", (st, out)
-        # the r2 fusion-regression gate (VERDICT task 3): hybrid must keep
-        # >= best-single-leg - 0.05 on real text, for BOTH recall and ndcg
-        for metric in ("recall", "ndcg"):
+        # fusion-value gate (VERDICT r3 task 2, tightened from -0.05):
+        # hybrid must BEAT-OR-MATCH the best single leg on real text for
+        # recall, ndcg, AND mrr — a fusion that subtracts has no reason to
+        # exist. Margin-confidence adaptive weighting is what earns this
+        # (search/fusion.py W_CONF_MARGIN; joint sweep in docs/RESULTS.md).
+        for metric in ("recall", "ndcg", "mrr"):
             best_leg = max(metrics["keyword"][metric],
                            metrics["vector"][metric])
-            assert metrics["hybrid"][metric] >= best_leg - 0.05, \
+            assert metrics["hybrid"][metric] >= best_leg, \
                 (metric, metrics)
         # absolute floors (known-item retrieval on real code+prose; measured
         # at the committed baseline, kept loose enough for corpus drift)

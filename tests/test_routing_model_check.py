@@ -179,7 +179,7 @@ class TestModelMatchesDevice:
         proj = rng.standard_normal((S, D)).astype(np.float32) / np.sqrt(D)
         sk = rng.standard_normal((1, S)).astype(np.float32)
         w = np.array([0.0, 1.0, 0.0, 0.0, 25.0, 1.0, 1.2, 12.0,
-                      1.0, 0.5, 0.0], np.float32)
+                      1.0, 0.5, 0.0, 0.0], np.float32)
         # vector-only weights: fused score order == vector score order
         q = sk @ proj
         q /= np.linalg.norm(q)

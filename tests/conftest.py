@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# The virtual 8-device mesh would flip EVERY AppContext test into sharded
+# serving (vector.sharded defaults to "auto"); pin single-device here and
+# let the dedicated sharded-integration tests opt back in per-test.
+os.environ.setdefault("YAMS_VECTOR_SHARDED", "off")
 
 # The axon sitecustomize imports jax at interpreter start with
 # JAX_PLATFORMS=axon (tunneled TPU); override post-import so tests run on the

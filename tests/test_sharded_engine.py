@@ -1,0 +1,137 @@
+"""Multi-chip serving through the ENGINE (VERDICT r3 task 3 / SURVEY §2.11).
+
+Round 3 shipped sharded_hybrid_query as a library reachable only from tests
+and the dryrun; these tests prove the integration: AppContext detects the
+mesh, the corpus ingests normally (chunked docs included — the post-merge
+slot dedup removes the co-sharding contract for chunk_agg='max'), and
+search/daemon serve sharded transparently with parity vs single-device.
+
+Runs on the virtual 8-device CPU mesh (conftest pins
+YAMS_VECTOR_SHARDED=off suite-wide; these tests opt back in).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from test_services import small_config
+
+from yams_tpu.services.app import AppContext
+
+DOCS = [
+    ("kernel.md", "the kernel scheduler preempts threads with priority "
+                  "queues and interrupt masking on every core"),
+    ("pasta.md", "boil pasta add tomato basil and olive oil with fresh "
+                 "ground pepper and a pinch of salt"),
+    ("grad.md", "gradients update network weights during training with "
+                "momentum and learning rate decay"),
+    ("locks.md", "mutex locks protect shared kernel state from concurrent "
+                 "writer threads"),
+    ("salad.md", "fresh tomato basil salad with olive oil dressing and "
+                 "toasted pine nuts"),
+    ("sched.md", "the scheduler balances runnable threads across cores "
+                 "respecting cgroup weight"),
+]
+QUERIES = ["kernel thread locks", "tomato basil olive", "gradient training",
+           "scheduler core balance"]
+
+
+def _build(tmp_path, monkeypatch, mode):
+    monkeypatch.setenv("YAMS_VECTOR_SHARDED", mode)
+    app = AppContext(small_config(tmp_path / f"data-{mode}"))
+    for name, text in DOCS:
+        app.documents.add_bytes(text.encode(), name)
+    return app
+
+
+class TestEngineShardedServing:
+    def test_appcontext_arms_mesh_and_serves_with_parity(
+            self, tmp_path, monkeypatch):
+        import jax
+
+        assert jax.device_count() == 8
+        sh = _build(tmp_path, monkeypatch, "auto")
+        try:
+            assert sh.search_engine._shard_mesh is not None
+            sh_out = [sh.search.search(q, limit=4, with_snippets=False)
+                      for q in QUERIES]
+            # the batch actually ran sharded (trace proves the route)
+            assert sh.search_engine.last_trace.get("sharded_devices") == 8
+        finally:
+            sh.close()
+        sd = _build(tmp_path, monkeypatch, "off")
+        try:
+            assert sd.search_engine._shard_mesh is None
+            sd_out = [sd.search.search(q, limit=4, with_snippets=False)
+                      for q in QUERIES]
+        finally:
+            sd.close()
+        for q, a, b in zip(QUERIES, sh_out, sd_out):
+            assert [h.name for h in a.hits] == [h.name for h in b.hits], q
+            np.testing.assert_allclose(
+                [h.score for h in a.hits], [h.score for h in b.hits],
+                atol=2e-2, err_msg=q)  # bf16 matmul reduction-order jitter
+
+    def test_filtered_search_parity_sharded(self, tmp_path, monkeypatch):
+        """Per-query doc masks (the daemon's filtered-batch pushdown) ride
+        the sharded program via the same dedup'd uint8 rows + mask_idx."""
+        sh = _build(tmp_path, monkeypatch, "auto")
+        try:
+            resp = sh.search.search("tomato basil", limit=5,
+                                    path_glob="*salad*", with_snippets=False)
+            assert [h.name for h in resp.hits] == ["salad.md"]
+            assert sh.search_engine.last_trace.get("sharded_devices") == 8
+            # batched mixed filtered/unfiltered requests (daemon shape)
+            out = sh.search.search_many_requests([
+                {"query": "tomato basil", "path_glob": "*salad*"},
+                {"query": "tomato basil"},
+                {"query": "kernel thread locks", "path_glob": "*locks*"},
+            ])
+            assert [h.name for h in out[0].hits] == ["salad.md"]
+            assert len(out[1].hits) >= 2
+            assert [h.name for h in out[2].hits] == ["locks.md"]
+        finally:
+            sh.close()
+
+    def test_mutations_reshard_on_next_search(self, tmp_path, monkeypatch):
+        """Ingest-after-arm: the sharded view re-places on mutation_gen and
+        new docs become searchable (the serving path, not a stale copy)."""
+        sh = _build(tmp_path, monkeypatch, "auto")
+        try:
+            gen0 = sh.search_engine.vector_index.mutation_gen
+            sh.documents.add_bytes(
+                b"zanzibar spice markets sell cardamom and cloves",
+                "spice.md")
+            assert sh.search_engine.vector_index.mutation_gen > gen0
+            resp = sh.search.search("zanzibar cardamom cloves", limit=3,
+                                    with_snippets=False)
+            assert resp.hits and resp.hits[0].name == "spice.md"
+            assert sh.search_engine.last_trace.get("sharded_devices") == 8
+            # delete falls out of the sharded view too
+            sh.documents.delete("spice.md")
+            resp = sh.search.search("zanzibar cardamom cloves", limit=3,
+                                    with_snippets=False)
+            assert all(h.name != "spice.md" for h in resp.hits)
+        finally:
+            sh.close()
+
+    def test_pq_tier_falls_back_single_device(self, tmp_path, monkeypatch):
+        sh = _build(tmp_path, monkeypatch, "auto")
+        try:
+            eng = sh.search_engine
+            assert eng._sharded_eligible(use_pq=False)
+            assert not eng._sharded_eligible(use_pq=True)
+            monkeypatch.setattr(eng.config, "chunk_agg", "sum")
+            assert not eng._sharded_eligible(use_pq=False)
+        finally:
+            sh.close()
+
+    def test_sharded_on_requires_mesh(self, tmp_path, monkeypatch):
+        import jax
+
+        assert jax.device_count() > 1  # mesh present: 'on' must work
+        app = _build(tmp_path, monkeypatch, "on")
+        try:
+            assert app.search_engine._shard_mesh is not None
+        finally:
+            app.close()

@@ -88,7 +88,7 @@ def mesh():
 class TestShardedHybridParity:
     def test_matches_single_device(self, problem, mesh):
         sv, ss, _, _ = _single(problem)
-        mv, ms = _sharded(problem, mesh)
+        mv, ms, _, _ = _sharded(problem, mesh)
         ss, ms = np.asarray(ss), np.asarray(ms)
         overlap = np.mean([
             len(set(ss[b]) & set(ms[b])) / 10 for b in range(len(ss))
@@ -102,7 +102,7 @@ class TestShardedHybridParity:
         Nd = problem["Nd"]
         dm = np.zeros(Nd, np.float32)
         dm[100:200] = 1.0
-        mv, ms = _sharded(problem, mesh, doc_mask=dm)
+        mv, ms, _, _ = _sharded(problem, mesh, doc_mask=dm)
         ms = np.asarray(ms)
         mv = np.asarray(mv)
         ok = ms[(mv > -1e29)]
@@ -116,7 +116,7 @@ class TestShardedHybridParity:
         devs = np.array(jax.devices()[:8]).reshape(2, 4)
         mesh2 = Mesh(devs, ("dcn", "ici"))
         sv, ss, _, _ = _single(problem)
-        mv, ms = _sharded(problem, mesh2, axis=("dcn", "ici"))
+        mv, ms, _, _ = _sharded(problem, mesh2, axis=("dcn", "ici"))
         ss, ms = np.asarray(ss), np.asarray(ms)
         overlap = np.mean([
             len(set(ss[b]) & set(ms[b])) / 10 for b in range(len(ss))
@@ -127,8 +127,8 @@ class TestShardedHybridParity:
         )
 
     def test_int8_sharded_close_to_bf16(self, problem, mesh):
-        _, ms_bf = _sharded(problem, mesh)
-        _, ms_i8 = _sharded(problem, mesh, int8=True)
+        _, ms_bf, _, _ = _sharded(problem, mesh)
+        _, ms_i8, _, _ = _sharded(problem, mesh, int8=True)
         ms_bf, ms_i8 = np.asarray(ms_bf), np.asarray(ms_i8)
         overlap = np.mean([
             len(set(ms_bf[b]) & set(ms_i8[b])) / 10 for b in range(len(ms_bf))

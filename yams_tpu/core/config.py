@@ -93,6 +93,12 @@ class VectorIndexConfig:
     # (AppContext checkpoint cadence — reference CheckpointManager persists
     # PQ with staleness stamps) and rebuild when the corpus doubles.
     engine: str = "dense"
+    # multi-chip serving (SURVEY §2.11): "auto" row-shards the corpus over
+    # every visible device when more than one is present, "on" forces it
+    # (and raises if the mesh can't be built), "off" stays single-device.
+    # The engine still falls back per-batch for features the sharded
+    # program can't express (PQ tier, non-max chunk agg, ColBERT rerank).
+    sharded: str = "auto"
     pq_min_rows: int = 4096
     pq_m: int = 32               # PQ subquantizers (reference sqlite_vec_backend.h:52)
     pq_ksub: int = 256

@@ -89,6 +89,8 @@ class VectorIndex:
         self._pq_dirty_blocks: set[int] = set()
         self.upload_bytes_total = 0  # instrumentation: host->device traffic
         self._device = None  # (E bf16, valid f32, row2slot i32)
+        self.mutation_gen = 0  # bumps on every mutation (sharded-view key)
+        self._sharded: tuple | None = None  # ((gen, mesh-key), arrays)
         self._lock = threading.RLock()
 
     # -- capacity ---------------------------------------------------------------
@@ -176,6 +178,7 @@ class VectorIndex:
 
     def _mark_dirty(self, rows_np: np.ndarray) -> None:
         self._identity = None
+        self.mutation_gen += 1
         for b in np.unique(rows_np // self.block_rows):
             self._dirty_blocks.add(int(b))
             # PQ device state (codes/mask/rerank mirror) splices the same
@@ -269,6 +272,54 @@ class VectorIndex:
                 self._device = (e_dev, valid_dev, slots_dev, scale_dev)
                 self._dirty_blocks.clear()
             return self._device
+
+    def sharded_device_arrays(self, mesh, axis: str = "d"):
+        """(E, valid, row2slot, row_scale) row-sharded over `mesh`'s `axis`
+        with NamedSharding — the multi-chip serving view consumed by
+        parallel.sharded_hybrid_query (SURVEY §2.11 / BASELINE config 4).
+
+        Cached per (mutation_gen, mesh devices): any index mutation forces a
+        full re-place on next use. Re-placing the whole corpus per ingest
+        batch is the v1 contract — post-ingest embeds arrive in batches, so
+        the amortized cost matches the reference's periodic index rebuild;
+        block-granular sharded splices can come later without changing
+        callers. Rows are capacity-padded (pow2), so any pow2 mesh divides.
+        """
+        with self._lock:
+            import jax
+            import jax.numpy as jnp
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            key = (self.mutation_gen, self.device_dtype,
+                   tuple(id(d) for d in mesh.devices.flat), axis)
+            if self._sharded is not None and self._sharded[0] == key:
+                return self._sharded[1]
+            n_shards = int(np.prod([mesh.shape[a] for a in
+                                    ((axis,) if isinstance(axis, str)
+                                     else axis)]))
+            if self.capacity % n_shards:
+                raise ValueError(
+                    f"capacity {self.capacity} not divisible by "
+                    f"{n_shards} shards")
+            sh_r = NamedSharding(mesh, PartitionSpec(axis, None))
+            sh_1 = NamedSharding(mesh, PartitionSpec(axis))
+            if self.device_dtype == "int8":
+                from ..ops.scan import quantize_int8
+
+                q8, scale = quantize_int8(self._vecs)
+                e_dev = jax.device_put(jnp.asarray(q8), sh_r)
+                scale_dev = jax.device_put(jnp.asarray(scale), sh_1)
+            else:
+                e_dev = jax.device_put(
+                    jnp.asarray(self._vecs, dtype=jnp.bfloat16), sh_r)
+                scale_dev = jax.device_put(
+                    jnp.ones(self.capacity, jnp.float32), sh_1)
+            valid_dev = jax.device_put(jnp.asarray(self._valid), sh_1)
+            slots_dev = jax.device_put(jnp.asarray(self._slots), sh_1)
+            arrays = (e_dev, valid_dev, slots_dev, scale_dev)
+            self.upload_bytes_total += sum(a.nbytes for a in arrays)
+            self._sharded = (key, arrays)
+            return arrays
 
     def _gather_blocks(self, src: np.ndarray, blocks: list[int]):
         """Stack dirty blocks for one batched splice. Padded to a power of

@@ -13,9 +13,12 @@ Single-chip fusion lives in search/fusion.py; this is its multi-chip form
   - fusion (weighted evidence + RRF + vector-only penalty + hot boost) runs
     replicated over the merged O(C) candidate set, exactly as on one chip.
 
-Sharding contract: all chunks of a document must land on one shard (the
-engine's shard router keys rows by doc slot), so a shard-local max IS the
-doc's global max. int8 shards: pass E as int8 + row_scale (per row).
+Chunk placement: NOT required to be doc-affine for chunk_agg="max" — after
+the hierarchical candidate merge the program max-dedups by doc slot, so a
+document whose chunk rows straddle shards still fuses with its global best
+chunk score (each shard surfaces its local best; the dedup keeps the max).
+Sum/topk_avg aggregation is not expressible this way; the engine falls back
+to single-device for those. int8 shards: pass E as int8 + row_scale.
 """
 
 from __future__ import annotations
@@ -57,9 +60,11 @@ def sharded_hybrid_query(
     postings_impact: jax.Array,
     term_offsets: jax.Array,
     term_lengths: jax.Array,
-    doc_mask: jax.Array,      # (num_slots,) replicated
+    doc_mask: jax.Array,      # (num_slots,) | (B|U, num_slots) replicated,
+                              # f32 or uint8 (U rows need mask_idx)
     hot: jax.Array,           # (num_slots,) replicated
     weights: jax.Array,
+    mask_idx: jax.Array | None = None,  # (B,) i32 — doc_mask row per query
     *,
     k: int,
     rrf_cand: int,
@@ -70,7 +75,9 @@ def sharded_hybrid_query(
     packed_lexical: bool = False,
     bm25_prefilter: int = 0,
 ):
-    """Returns (fused (B,k), slots (B,k)) replicated.
+    """Returns (fused (B,k), slots (B,k), bm25_at (B,k), vec_at (B,k)),
+    all replicated — the same contract as fusion.hybrid_query, so the
+    engine serves either path interchangeably.
 
     `axis` may be a tuple for multi-slice topologies, ordered outermost
     first — e.g. ("dcn", "ici") shards rows over slices x chips and merges
@@ -88,7 +95,16 @@ def sharded_hybrid_query(
     C = rrf_cand
     sink = num_slots
 
-    def local(sk, tid, tmask, prj, e, v, r2s, rs, pd, pi, to, tl, dm, ht, w):
+    def local(sk, tid, tmask, prj, e, v, r2s, rs, pd, pi, to, tl, dm, ht, w,
+              midx):
+        # 0. per-query doc masks (same contract as fusion.hybrid_query):
+        # dedup'd uint8 rows + a (B,) row index expand on device
+        dmf = dm
+        if midx is not None:
+            dmf = jnp.take(dmf, midx, axis=0)
+        dmf = dmf.astype(jnp.float32)
+        dm2 = dmf if dmf.ndim == 2 else dmf[None, :]        # (1|B, Nd)
+
         # 1. embed (replicated compute)
         q = jnp.dot(sk.astype(jnp.bfloat16), prj, preferred_element_type=jnp.float32)
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-9)
@@ -105,13 +121,22 @@ def sharded_hybrid_query(
         else:
             s = jnp.dot(q.astype(jnp.bfloat16), e.astype(jnp.bfloat16).T,
                         preferred_element_type=jnp.float32)
-        # doc-affine sharding: local max == global max for this shard's docs
         s = s + (v - 1.0)[None, :] * 1e30
-        dm_rows = dm[jnp.minimum(jnp.maximum(r2s, 0), sink - 1)]
-        dm_rows = jnp.where(r2s < 0, 0.0, dm_rows)
-        s = s + (dm_rows - 1.0)[None, :] * 1e30
-        lv, li = jax.lax.top_k(s, C)                 # local candidates
+        r_idx = jnp.minimum(jnp.maximum(r2s, 0), sink - 1)
+        dm_rows = dm2[:, r_idx] * jnp.where(r2s < 0, 0.0, 1.0)[None, :]
+        s = s + (dm_rows - 1.0) * 1e30
+        # a shard may hold fewer rows than C (small corpora over wide
+        # meshes): take what exists and pad to C so merge shapes are static
+        c_loc = min(C, s.shape[1])
+        lv, li = jax.lax.top_k(s, c_loc)             # local candidates
         lslots = jnp.where(lv > -1e29, r2s[li], sink)
+        if c_loc < C:
+            pad = C - c_loc
+            lv = jnp.concatenate(
+                [lv, jnp.full((lv.shape[0], pad), NEG, lv.dtype)], axis=1)
+            lslots = jnp.concatenate(
+                [lslots, jnp.full((lslots.shape[0], pad), sink,
+                                  lslots.dtype)], axis=1)
 
         # 3. hierarchical merge: innermost axis (ICI) first, outermost (DCN)
         # last — each level gathers only the previous level's C winners
@@ -121,6 +146,23 @@ def sharded_hybrid_query(
             all_s = jax.lax.all_gather(vslots, ax, axis=1, tiled=True)
             vv, pos = jax.lax.top_k(all_v, C)
             vslots = jnp.take_along_axis(all_s, pos, axis=1)
+
+        # 3b. max-dedup by doc slot: chunk rows of one doc may surface from
+        # several shards (or twice within one shard); fusion's per-doc merge
+        # SUMS leg contributions, so the vector list must carry each slot
+        # once, at its max chunk score (== single-chip chunk_agg="max").
+        # Two small (B, C) sorts: group by slot keeping the max first, blank
+        # repeats, then restore descending-score rank order for RRF.
+        def dedup(slots_row, vals_row):
+            s_s, v_s = jax.lax.sort((slots_row, -vals_row), num_keys=2)
+            firsts = jnp.concatenate(
+                [jnp.ones(1, bool), s_s[1:] != s_s[:-1]])
+            v_s = jnp.where(firsts, -v_s, NEG)
+            s_s = jnp.where(firsts, s_s, sink)
+            v_o, pos2 = jax.lax.top_k(v_s, C)
+            return jnp.take_along_axis(s_s, pos2, axis=0), v_o
+
+        vslots, vv = jax.vmap(dedup)(vslots, vv)
 
         # 4. lexical leg (replicated postings)
         if packed_lexical:
@@ -139,7 +181,11 @@ def sharded_hybrid_query(
         # 5. fusion over merged candidates (identical math to fusion.py)
         ranks = jnp.arange(C, dtype=jnp.float32)[None, :]
         rrf = 1.0 / (w[W_RRF_K] + ranks + 1.0)
-        dm_at_bm = dm[jnp.minimum(bm_ids, sink - 1)]
+        safe_bm = jnp.minimum(bm_ids, sink - 1)
+        if dm2.shape[0] == 1:
+            dm_at_bm = jnp.take(dm2[0], safe_bm, axis=0)
+        else:
+            dm_at_bm = jnp.take_along_axis(dm2, safe_bm, axis=1)
         bm_ok = (bm_scores > 0) & (bm_ids < sink) & (dm_at_bm > 0) \
             & (w[W_TEXT] > 0)
         # fixed divisor when configured, else adaptive per-query max-norm
@@ -203,10 +249,12 @@ def sharded_hybrid_query(
         vflag = jnp.concatenate(
             [jnp.zeros_like(val_bm), vec_ok.astype(jnp.float32)], axis=1
         )
+        bm_raw = jnp.concatenate([jnp.where(bm_ok, bm_scores, 0.0),
+                                  jnp.zeros_like(val_vec)], axis=1)
 
-        def merge(one_ids, one_vals, one_t, one_v):
-            ids_s, vals_s, t_s, v_s = jax.lax.sort(
-                (one_ids, one_vals, one_t, one_v), num_keys=1
+        def merge(one_ids, one_vals, one_t, one_v, one_bm):
+            ids_s, vals_s, t_s, v_s, bm_s = jax.lax.sort(
+                (one_ids, one_vals, one_t, one_v, one_bm), num_keys=1
             )
             last = jnp.concatenate([ids_s[1:] != ids_s[:-1], jnp.ones(1, bool)])
             first = jnp.concatenate([jnp.ones(1, bool), ids_s[1:] != ids_s[:-1]])
@@ -219,26 +267,42 @@ def sharded_hybrid_query(
             total = seg_total(vals_s)
             t_sum = seg_total(t_s)
             v_sum = seg_total(v_s)
+            bm_sum = seg_total(bm_s)
             hid = jnp.minimum(ids_s, sink - 1)
             total = jnp.where((t_sum == 0) & (v_sum > 0),
                               total * w[W_VEC_ONLY_PEN], total)
             total = total + w[W_HOT] * ht[hid] * jnp.where(ids_s < sink, 1.0, 0.0)
             total = jnp.where(last & (ids_s < sink), total, NEG)
             out_v, pos2 = jax.lax.top_k(total, k)
-            return out_v, ids_s[pos2]
+            return out_v, ids_s[pos2], bm_sum[pos2]
 
-        return jax.vmap(merge)(ids, vals, tflag, vflag)
+        fused, out_slots, bm_at = jax.vmap(merge)(ids, vals, tflag, vflag,
+                                                  bm_raw)
+        # vec_at from the merged candidate list (same as single-chip)
+        hit = out_slots[:, :, None] == vslots[:, None, :]
+        vec_at = jnp.max(
+            jnp.where(hit, jnp.maximum(vv, -1.0)[:, None, :], -1.0), axis=2
+        )
+        return fused, out_slots, bm_at, vec_at
 
     row_spec = axes if len(axes) > 1 else axes[0]
-    fn = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(row_spec, None), P(row_spec),
+    base_specs = (P(), P(), P(), P(), P(row_spec, None), P(row_spec),
                   P(row_spec), P(row_spec),
-                  P(), P(), P(), P(), P(), P(), P()),
-        out_specs=(P(), P()),
+                  P(), P(), P(), P(), P(), P(), P())
+    args = (sketch, term_ids, term_mask, proj, E, row_valid, row2slot,
+            row_scale, postings_doc, postings_impact, term_offsets,
+            term_lengths, doc_mask, hot, weights)
+    if mask_idx is None:
+        # None is an empty pytree — give it no in_spec slot at all
+        fn = jax.shard_map(
+            lambda *a: local(*a, None), mesh=mesh,
+            in_specs=base_specs, out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        )
+        return fn(*args)
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=base_specs + (P(),), out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
-    return fn(sketch, term_ids, term_mask, proj, E, row_valid, row2slot,
-              row_scale, postings_doc, postings_impact, term_offsets,
-              term_lengths, doc_mask, hot, weights)
+    return fn(*args, mask_idx)

@@ -123,6 +123,12 @@ class SearchEngine:
         self._hot: dict[int, float] = {}
         self._hot_gen = 0
         self._hot_dev: tuple | None = None  # ((gen, Nd, n_slots), jax.Array)
+        # multi-chip serving (SURVEY §2.11): when enable_sharding() arms a
+        # mesh, eligible batches route through parallel.sharded_hybrid_query
+        # with the corpus row-sharded; everything else (PQ tier, non-max
+        # chunk aggregation, late-interaction rerank) falls back single-device
+        self._shard_mesh = None
+        self._shard_axis: str = "d"
         # host copy of the provider's projection (device round-trip saver
         # for routing/entity-leg query vectors; refreshed on shape change)
         self._proj_host: np.ndarray | None = None
@@ -256,6 +262,45 @@ class SearchEngine:
             self.token_index.remove_doc(slot)
         self._titles.pop(doc_id, None)
         return True
+
+    # -- multi-chip serving ---------------------------------------------------
+    def enable_sharding(self, mesh=None, axis: str = "d") -> bool:
+        """Arm corpus-sharded serving over a device mesh.
+
+        mesh=None builds a 1-D mesh over every visible device (the
+        single-host serving shape; multi-slice callers pass their own mesh
+        and a tuple axis). Returns False (and stays single-device) when
+        fewer than 2 devices are visible. AppContext arms this automatically
+        when vector.sharded says so — the daemon then serves sharded
+        transparently. Reference seam being replaced: the brute-force scan +
+        searchSimilarBatch (vector_database.h:50-53) scaled by one process;
+        here scale comes from jax.sharding over ICI.
+        """
+        import jax
+
+        if mesh is None:
+            devs = jax.devices()
+            if len(devs) < 2:
+                return False
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.array(devs), (axis,))
+        self._shard_mesh = mesh
+        self._shard_axis = axis
+        return True
+
+    def _sharded_eligible(self, use_pq: bool) -> bool:
+        """Batches route sharded unless a feature the sharded program can't
+        express is active: the PQ capacity tier (its own sharded path exists
+        in parallel/sharded_scan), non-max chunk aggregation (the post-merge
+        slot dedup implements exactly chunk_agg='max'), or the ColBERT
+        late-interaction tier (its candidate gather is single-device)."""
+        return (
+            self._shard_mesh is not None
+            and not use_pq
+            and self.config.chunk_agg == "max"
+            and self.token_index is None
+        )
 
     def touch_hot(self, doc_id: int, boost: float = 1.0) -> None:
         with self._lock:
@@ -608,7 +653,8 @@ class SearchEngine:
         # PQ capacity tier: the dense matrix must never touch HBM, so the
         # vector leg runs as ADC scan + host rerank outside the fused program
         use_pq = cfg.pq_tier_enabled and self.vector_index.has_pq
-        if not use_pq:
+        use_sharded = self._sharded_eligible(use_pq)
+        if not use_pq and not use_sharded:
             E, row_valid, row2slot, row_scale = \
                 self.vector_index.device_arrays()
             int8_corpus = self.vector_index.device_dtype == "int8"
@@ -767,6 +813,38 @@ class SearchEngine:
                 bm25_prefilter=lex_prefilter,
                 packed_lexical=use_packed,
             )
+        elif use_sharded:
+            # multi-chip serving: corpus row-sharded over the armed mesh,
+            # per-shard KNN + ICI candidate merge + slot-dedup, lexical leg
+            # replicated — same output contract as the fused single-device
+            # program, so everything downstream (device_get, KG leg,
+            # hydration, the daemon) is unchanged
+            from ..parallel.sharded_hybrid import sharded_hybrid_query
+
+            E, row_valid, row2slot, row_scale = \
+                self.vector_index.sharded_device_arrays(
+                    self._shard_mesh, self._shard_axis)
+            vals, slots, bm_at, vec_at = sharded_hybrid_query(
+                self._shard_mesh,
+                jnp.asarray(sketches), jnp.asarray(tids), jnp.asarray(tmask),
+                proj,
+                E, row_valid, row2slot, row_scale,
+                bm.packed if use_packed else bm.postings_doc,
+                bm.impact_scale if use_packed else bm.postings_impact,
+                bm.term_offsets, bm.term_lengths,
+                jnp.asarray(doc_mask), hot, jnp.asarray(w),
+                jnp.asarray(mask_idx) if mask_idx is not None else None,
+                k=k_dev,
+                rrf_cand=rrf_c,
+                window=self.lexical_index.config.postings_window,
+                num_slots=Nd,
+                int8_corpus=self.vector_index.device_dtype == "int8",
+                axis=self._shard_axis,
+                packed_lexical=use_packed,
+                bm25_prefilter=lex_prefilter,
+            )
+            trace["sharded_devices"] = int(
+                np.prod(list(self._shard_mesh.shape.values())))
         else:
             # scale tiers: exact top-k for small corpora; TPU-optimized
             # partial reduction above approx_threshold; streaming blocked

@@ -8,6 +8,7 @@ left is deliberate, explicit wiring.
 
 from __future__ import annotations
 
+import os
 import pathlib
 import threading
 
@@ -89,6 +90,25 @@ class AppContext:
         )
         self._lock = threading.RLock()
         self._load_indexes()
+
+        # multi-chip serving: arm the sharded tier when the host exposes a
+        # mesh (SURVEY §2.11). The engine routes eligible batches through
+        # parallel.sharded_hybrid_query; daemon/CLI/MCP serve it untouched.
+        # YAMS_VECTOR_SHARDED overrides the config (the test suite pins
+        # "off" so hundreds of unrelated AppContext tests don't each compile
+        # the shard_map program on the virtual mesh; dedicated sharded tests
+        # and production hosts use the config/env as-is)
+        sharded_mode = str(
+            os.environ.get("YAMS_VECTOR_SHARDED")
+            or getattr(self.config.vector, "sharded", "auto")).lower()
+        if sharded_mode in ("auto", "on"):
+            import jax
+
+            if jax.device_count() > 1:
+                self.search_engine.enable_sharding()
+            elif sharded_mode == "on":
+                raise RuntimeError(
+                    "vector.sharded='on' but only one device is visible")
 
         # services (lazy circular-free wiring)
         from .document_service import DocumentService

@@ -1,0 +1,242 @@
+"""Narrow routing payoff measurement (VERDICT r3 task 6).
+
+Measures the vector leg both ways on a clustered 1M x 768 corpus (the
+bench.py shape) on real hardware:
+
+  full    — the shipped full-scan top-C (hybrid_query's vector leg:
+            matmul over all N rows + approx_max_k), amortizing ONE corpus
+            read across the batch
+  narrow  — the routed gather scan (ops.scan.routed_gather_topk): per-query
+            top-4-cluster routing, gather only those clusters' rows
+
+and reports QPS + recall@10 vs the exact full-scan oracle at several batch
+sizes. The expected shape: narrow wins at small B (low-latency serving,
+the engine's narrow_gather_max_batch gate) and loses once the batch
+amortizes the corpus read — whichever way it lands, the numbers go to
+docs/RESULTS.md. Routing here uses the true synthetic cluster structure
+(centroid top-4), which is topology's best case: this measures the
+MECHANISM's ceiling, not routing quality (recall captures misroutes).
+
+Run: python scripts/bench_narrow.py [n_clusters] [rows_per_query_budget]
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    N, D = 1_000_448, 768
+    n_clusters = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    top_c = 4
+    K = 10
+    C = 32
+    sigma = 0.35
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    centers = jax.random.normal(ks[0], (n_clusters, D), dtype=jnp.float32)
+    centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+
+    @jax.jit
+    def synth(centers):
+        r = jax.lax.broadcasted_iota(jnp.uint32, (N, D), 0)
+        c = jax.lax.broadcasted_iota(jnp.uint32, (N, D), 1)
+        h = r * jnp.uint32(2654435761) + c * jnp.uint32(40503)
+        h = h ^ (h >> jnp.uint32(13))
+        # per-element noise scaled so the noise VECTOR norm ~= sigma
+        # (at D=768 unscaled elementwise noise has norm ~16x the unit
+        # centroid and the "clusters" are pure fiction — routing would be
+        # measured against a corpus with no routable structure)
+        noise = ((h % jnp.uint32(2000)).astype(jnp.float32) / 1000.0 - 1.0)
+        noise = noise / jnp.sqrt(jnp.float32(D) / 3.0)
+        assign = (
+            (jax.lax.broadcasted_iota(jnp.uint32, (N,), 0)
+             * jnp.uint32(2654435761)) >> jnp.uint32(7)
+        ) % jnp.uint32(n_clusters)
+        e = centers[assign.astype(jnp.int32)] + sigma * noise
+        nrm = jnp.maximum(jnp.linalg.norm(e, axis=1, keepdims=True), 1e-9)
+        return (e / nrm).astype(jnp.bfloat16), assign.astype(jnp.int32)
+
+    E, assign = synth(centers)
+    assign_np = np.asarray(assign)
+    valid = jnp.ones(N, jnp.float32)
+
+    # member CSR (what TopologyEngine.member_rows builds)
+    order = np.argsort(assign_np, kind="stable").astype(np.int32)
+    sa = assign_np[order]
+    starts = np.searchsorted(sa, np.arange(n_clusters))
+    ends = np.searchsorted(sa, np.arange(n_clusters), side="right")
+
+    from yams_tpu.ops.scan import routed_gather_topk
+
+    @functools.partial(jax.jit, static_argnames=("k", "approx"))
+    def full_scan(q, E, valid, k, approx=True):
+        s = jnp.dot(q.astype(jnp.bfloat16), E.T,
+                    preferred_element_type=jnp.float32)
+        s = s + (valid - 1.0)[None, :] * 1e30
+        if approx:
+            return jax.lax.approx_max_k(s, k, recall_target=0.99)
+        return jax.lax.top_k(s, k)
+
+    # cluster-contiguous layout variant: rows re-packed so each cluster is
+    # one contiguous range; a routed scan is then top_c dynamic SLICES per
+    # query (streaming reads) instead of per-row gathers — the mechanism's
+    # ceiling if the index maintained this layout
+    E_sorted = jnp.take(E, jnp.asarray(order), axis=0)
+    SLICE = 512  # >= max cluster size at 1M/4096 (~244) with headroom
+    starts_np = starts.astype(np.int32)
+    sizes_np = (ends - starts).astype(np.int32)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def contig_scan(q, Es, c_starts, c_sizes, k):
+        # q (B, D); c_starts/c_sizes (B, top_c)
+        def one(qi, st, sz):
+            def slc(s):
+                s = jnp.minimum(s, Es.shape[0] - SLICE)
+                return jax.lax.dynamic_slice(Es, (s, 0), (SLICE, Es.shape[1]))
+            blocks = jax.vmap(slc)(st)            # (top_c, SLICE, D)
+            s = jnp.einsum("csd,d->cs", blocks.astype(jnp.bfloat16),
+                           qi.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            pos = jax.lax.broadcasted_iota(jnp.int32, (st.shape[0], SLICE), 1)
+            ok = pos < sz[:, None]
+            s = jnp.where(ok, s, -1e30)
+            rows = st[:, None] + pos               # rows in SORTED layout
+            v, p = jax.lax.top_k(s.reshape(-1), k)
+            return v, rows.reshape(-1)[p]
+
+        return jax.vmap(one)(q, c_starts, c_sizes)
+
+    rng = np.random.default_rng(7)
+    results = []
+    for B in (1, 2, 4, 8, 32, 128):
+        # queries near random cluster centers (in-distribution)
+        qc = rng.integers(0, n_clusters, size=B)
+        qn = rng.standard_normal((B, D)).astype(np.float32) / np.sqrt(D)
+        q = np.asarray(centers)[qc] + 0.2 * qn
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        qd = jnp.asarray(q, jnp.float32)
+
+        # routing: top-4 clusters by centroid similarity (host, tiny)
+        sims = q @ np.asarray(centers).T
+        routed = np.argsort(-sims, axis=1)[:, :top_c]
+        rowlists = [
+            np.concatenate([order[starts[c]:ends[c]] for c in routed[i]])
+            for i in range(B)
+        ]
+        rmax = max(len(r) for r in rowlists)
+        R = 1 << (rmax - 1).bit_length()
+        row_idx = np.zeros((B, R), np.int32)
+        row_ok = np.zeros((B, R), np.float32)
+        for i, rl in enumerate(rowlists):
+            row_idx[i, : len(rl)] = rl
+            row_ok[i, : len(rl)] = 1.0
+        ri, ro = jnp.asarray(row_idx), jnp.asarray(row_ok)
+
+        # oracle: exact full scan
+        _, oracle = full_scan(qd, E, valid, K, approx=False)
+        oracle = np.asarray(oracle)
+
+        def timed(fn, n=8):
+            out = fn()
+            jax.block_until_ready(out)
+            best = np.inf
+            for _ in range(n):
+                t0 = time.perf_counter()
+                out = fn()
+                jax.block_until_ready(out)
+                best = min(best, time.perf_counter() - t0)
+            return out, best
+
+        (fv, fi), t_full = timed(lambda: full_scan(qd, E, valid, C))
+        (nv, ni), t_nar = timed(
+            lambda: routed_gather_topk(qd, E, ri, ro, k=C))
+
+        # device-time isolation: the axon tunnel's ~25-30 ms dispatch floor
+        # swamps both variants at small B, so also time ITERS iterations
+        # inside ONE lax.scan dispatch, with PER-ITERATION query inputs so
+        # XLA cannot hoist the loop-invariant body (it does — a constant
+        # body scan measures 0.001 ms/iter regardless of content)
+        ITERS = 16
+        q_iter = jnp.asarray(
+            q[None, :, :]
+            + 0.001 * rng.standard_normal((ITERS, B, D)).astype(np.float32))
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def full_many(qs, E, valid, k):
+            def step(carry, qi):
+                v, i = full_scan(qi, E, valid, k)
+                return carry + v[0, 0], None
+            acc, _ = jax.lax.scan(step, jnp.float32(0), qs)
+            return acc
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def narrow_many(qs, E, ri, ro, k):
+            def step(carry, qi):
+                v, i = routed_gather_topk(qi, E, ri, ro, k)
+                return carry + v[0, 0], None
+            acc, _ = jax.lax.scan(step, jnp.float32(0), qs)
+            return acc
+
+        _, t_full_dev = timed(lambda: full_many(q_iter, E, valid, C), n=4)
+        _, t_nar_dev = timed(lambda: narrow_many(q_iter, E, ri, ro, C), n=4)
+        t_full_dev /= ITERS
+        t_nar_dev /= ITERS
+
+        # contiguous-layout variant
+        c_st = jnp.asarray(starts_np[routed])          # (B, top_c)
+        c_sz = jnp.asarray(sizes_np[routed])
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def contig_many(qs, Es, st, sz, k):
+            def step(carry, qi):
+                v, i = contig_scan(qi, Es, st, sz, k)
+                return carry + v[0, 0], None
+            acc, _ = jax.lax.scan(step, jnp.float32(0), qs)
+            return acc
+
+        (cv, ci), t_con = timed(
+            lambda: contig_scan(qd, E_sorted, c_st, c_sz, C))
+        _, t_con_dev = timed(
+            lambda: contig_many(q_iter, E_sorted, c_st, c_sz, C), n=4)
+        t_con_dev /= ITERS
+        ci_rows = np.asarray(order)[np.asarray(ci)]     # back to true rows
+
+        def recall(idx):
+            a = np.asarray(idx)[:, :K]
+            return float(np.mean([
+                len(np.intersect1d(a[i], oracle[i])) / K for i in range(B)
+            ]))
+
+        row = {
+            "B": B, "routed_rows": int(R),
+            "full_qps": round(B / t_full, 1),
+            "narrow_qps": round(B / t_nar, 1),
+            "speedup": round(t_full / t_nar, 2),
+            "full_dev_ms": round(t_full_dev * 1e3, 3),
+            "narrow_dev_ms": round(t_nar_dev * 1e3, 3),
+            "dev_speedup": round(t_full_dev / t_nar_dev, 2),
+            "contig_dev_ms": round(t_con_dev * 1e3, 3),
+            "contig_dev_speedup": round(t_full_dev / t_con_dev, 2),
+            "full_recall10": round(recall(fi), 4),
+            "narrow_recall10": round(recall(ni), 4),
+            "contig_recall10": round(recall(ci_rows), 4),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

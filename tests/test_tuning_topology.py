@@ -122,6 +122,43 @@ class TestTopologyRouting:
         assert all(r.doc_id % 3 == 1 for r in res[:3])
         assert eng._stats["topology_routes"] > 0
 
+    def test_narrow_gather_tier_engages_at_small_batch(self):
+        """Small narrow batches use the routed GATHER scan (compute skip),
+        not just the doc-mask (which still scans all rows); results must
+        match the in-cluster expectation and the trace names the tier."""
+        eng = make_engine(policy="narrow")
+        eng.rebuild_topology()
+        assert eng.config.narrow_gather_max_batch >= 2
+        # this 45-doc corpus produces tight boundary margins; drop the
+        # abstention gate so the routes COMMIT (abstention correctly forces
+        # the full-scan path, covered by test_narrow_gather_falls_back...)
+        eng.config.topology_narrow_min_boundary_margin = 0.0
+        out = eng.search_batch(
+            ["tomato basil pasta", "kernel mutex thread"], k=5)
+        assert "narrow_gather_rows" in eng.last_trace, eng.last_trace
+        assert out[0] and all(r.doc_id % 3 == 1 for r in out[0][:3])
+        assert out[1] and all(r.doc_id % 3 == 0 for r in out[1][:3])
+        # member_rows covers exactly the routed clusters' rows
+        topo = eng.topology
+        import numpy as _np
+
+        all_clusters = _np.arange(len(topo.artifacts.cluster_sizes))
+        rows = topo.member_rows(all_clusters)
+        assert len(rows) == int((topo.artifacts.assignments >= 0).sum())
+
+    def test_narrow_gather_falls_back_above_batch_cap(self):
+        eng = make_engine(policy="narrow")
+        eng.rebuild_topology()
+        eng.config.narrow_gather_max_batch = 1
+        eng.search_batch(["tomato basil", "kernel mutex"], k=3)
+        assert "narrow_gather_rows" not in eng.last_trace
+        # filters also force the masked path (gather can't push them down)
+        eng.config.narrow_gather_max_batch = 8
+        out = eng.search_batch(["tomato basil"], k=5,
+                               per_query_filters=[{1, 4}])
+        assert "narrow_gather_rows" not in eng.last_trace
+        assert {r.doc_id for r in out[0]} <= {1, 4}
+
     def test_shadow_records_agreement(self):
         eng = make_engine(policy="shadow")
         eng.rebuild_topology()

@@ -234,6 +234,7 @@ class TopologyEngine:
                 norm = np.linalg.norm(mean)
                 centroids[c] = mean / norm if norm > 0 else mean
                 cohesion[c] = float((members @ centroids[c]).mean())
+        self._member_csr = None
         self.artifacts = TopologyArtifacts(centroids, assign, sizes, epoch, cohesion)
         self._attach_reps(vectors, valid)
         return self.artifacts
@@ -314,6 +315,7 @@ class TopologyEngine:
                 norm = np.linalg.norm(mean)
                 centroids[c] = mean / norm if norm > 0 else mean
                 cohesion[c] = float((members @ centroids[c]).mean())
+        self._member_csr = None
         self.artifacts = TopologyArtifacts(centroids, assign, sizes, epoch, cohesion)
         self._attach_reps(vectors, valid)
         return self.artifacts
@@ -329,6 +331,7 @@ class TopologyEngine:
         rng = np.random.default_rng(self.seed + epoch)
         active_rows = np.nonzero(valid > 0)[0]
         if len(active_rows) == 0:
+            self._member_csr = None
             self.artifacts = TopologyArtifacts(
                 np.zeros((1, vectors.shape[1]), np.float32),
                 np.full(len(vectors), -1, np.int32), np.zeros(1), epoch, np.zeros(1),
@@ -349,6 +352,7 @@ class TopologyEngine:
             members = best_np[assign_np == c]
             sizes[c] = len(members)
             cohesion[c] = members.mean() if len(members) else 0.0
+        self._member_csr = None
         self.artifacts = TopologyArtifacts(
             np.asarray(centroids, np.float32), assign_np, sizes, epoch, cohesion
         )
@@ -460,6 +464,27 @@ class TopologyEngine:
         """Query -> routed cluster ids (representative-aware top-C)."""
         return self.select_routes(
             query_vec, max_clusters=top_clusters).clusters
+
+    def member_rows(self, clusters: np.ndarray) -> np.ndarray:
+        """Row indices of the given clusters' members, O(rows routed).
+
+        Feeds the Narrow gather-scan fast path (ops.scan.routed_gather_topk):
+        unlike routed_row_mask this never touches non-routed rows. The
+        per-cluster CSR view (argsort by assignment) builds once per
+        topology and is invalidated with the artifacts."""
+        if getattr(self, "_member_csr", None) is None:
+            a = self.artifacts
+            order = np.argsort(a.assignments, kind="stable").astype(np.int32)
+            sorted_assign = a.assignments[order]
+            k = len(a.cluster_sizes)
+            starts = np.searchsorted(sorted_assign, np.arange(k))
+            ends = np.searchsorted(sorted_assign, np.arange(k), side="right")
+            self._member_csr = (order, starts, ends)
+        order, starts, ends = self._member_csr
+        if len(clusters) == 0:
+            return np.empty(0, np.int32)
+        return np.concatenate(
+            [order[starts[c]:ends[c]] for c in clusters])
 
     def routed_row_mask(self, query_vec: np.ndarray, top_clusters: int = 4,
                         policy: str = "augment",

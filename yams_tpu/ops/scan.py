@@ -318,3 +318,39 @@ def int8_scores(
     ).astype(jnp.float32)
     s = s * qscale[:, None] * corpus_scale[None, :]
     return s + (valid - 1.0)[None, :] * 1e30
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def routed_gather_topk(
+    queries: jax.Array,   # (B, D) f32
+    corpus: jax.Array,    # (N, D) bf16
+    row_idx: jax.Array,   # (B, R) i32 — routed row indices, pad with 0
+    row_ok: jax.Array,    # (B, R) f32 — 1 live, 0 padding
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Topology-Narrow fast path: score ONLY each query's routed rows.
+
+    The masked full scan (doc_mask over hybrid_query) shapes ranking but
+    never skips compute — the matmul still reads all N rows. This gathers
+    the routed clusters' R rows per query ((B, R, D) HBM gather) and runs a
+    batched per-query dot, so work is B*R*D instead of B*N*D + a shared
+    corpus read. The crossover is batch size: a full scan reads the corpus
+    ONCE for the whole batch (amortized N*D*2 bytes), while the gather pays
+    R*D*2 bytes PER QUERY — Narrow wins when B*R << N plus the amortization
+    break-even (measured in docs/RESULTS.md; the engine gates it to small
+    batches via narrow_gather_max_batch). Reference analog: the CPU-side
+    routed scan of topology_routing_session.cpp, where narrowing always
+    saves work because scans are per-doc.
+
+    Returns (values (B, k), ROW indices (B, k)); padding scores -1e30.
+    """
+    rows = jnp.take(corpus, row_idx, axis=0)                  # (B, R, D)
+    q = queries.astype(jnp.bfloat16)
+    s = jax.lax.dot_general(
+        q[:, None, :], rows.astype(jnp.bfloat16),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )[:, 0, :]                                                # (B, R)
+    s = s + (row_ok - 1.0) * 1e30
+    vals, pos = jax.lax.top_k(s, k)
+    return vals, jnp.take_along_axis(row_idx, pos, axis=1)

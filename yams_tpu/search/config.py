@@ -86,6 +86,14 @@ class SearchEngineConfig:
     # near its max on common-word queries) that the window mean misses.
     leg_conf_margin: float = 1.0
 
+    # Narrow gather-scan fast path: when the topology policy is narrow and
+    # the batch is at most this many queries, the vector leg gathers ONLY
+    # the routed clusters' rows ((B,R,D) gather + batched dot) instead of
+    # mask-scanning all N rows. A full scan amortizes the corpus read across
+    # the whole batch, so the gather only wins at small B (measured
+    # crossover in docs/RESULTS.md); 0 disables the tier.
+    narrow_gather_max_batch: int = 8
+
     # chunk -> doc aggregation: max | sum | topk_avg
     chunk_agg: str = "max"
     chunk_agg_top_k: int = 3

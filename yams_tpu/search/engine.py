@@ -715,7 +715,53 @@ class SearchEngine:
         policy = cfg.topology_policy if self.topology is not None else "off"
         shadow_masks: list[np.ndarray] | None = None
         doc_mask: np.ndarray = base_mask
-        if policy in ("narrow", "shadow") and mode != "keyword":
+
+        # Narrow gather-scan tier: at small batches, score only the routed
+        # rows instead of mask-scanning all N (ops.scan.routed_gather_topk).
+        # Falls through to the standard masked-narrow path when any query
+        # abstains, filters are active, or the route covers too much of the
+        # corpus to win.
+        narrow_gather: tuple[np.ndarray, np.ndarray] | None = None
+        if (policy == "narrow" and mode != "keyword"
+                and not use_pq and not use_sharded
+                and 0 < B_real <= cfg.narrow_gather_max_batch
+                and filter_doc_ids is None and per_query_filters is None):
+            qvecs = _query_vecs()
+            sels = [self._route_query(qv, qt)
+                    for qv, qt in zip(qvecs, queries)]
+            if not any(s.abstained for s in sels):
+                valid_host = self.vector_index._valid
+                slots_host = self.vector_index._slots
+                rowlists = [self.topology.member_rows(s.clusters)
+                            for s in sels]
+                # empty-route fallback identity (formal contract
+                # selectiveRoute_emptyFallback_identity): a route with zero
+                # LIVE members means global scan — the masked path below
+                # already implements that, so bail out of the gather tier
+                live_lists = [rl[valid_host[rl] > 0] for rl in rowlists]
+                rmax = max((len(r) for r in live_lists), default=0)
+                if rmax and all(len(r) for r in live_lists):
+                    R = min(_round_pow2(rmax, floor=64),
+                            self.vector_index.capacity)
+                    row_idx = np.zeros((B_real, R), np.int32)
+                    row_ok = np.zeros((B_real, R), np.float32)
+                    # narrow gates the WHOLE pipeline (formal contract
+                    # selectiveRoute_narrow_subset): the lexical leg sees
+                    # the routed slot masks too — B<=8 uint8 rows, tiny
+                    # next to the corpus read the gather skips
+                    masks = np.zeros((B, Nd), np.uint8)
+                    for i, rl in enumerate(live_lists):
+                        row_idx[i, : len(rl)] = rl
+                        row_ok[i, : len(rl)] = 1.0
+                        sl = slots_host[rl]
+                        masks[i, sl[(sl >= 0) & (sl < Nd)]] = 1
+                    narrow_gather = (row_idx, row_ok)
+                    doc_mask = masks
+                    self._stats["topology_routes"] += B_real
+                    trace["narrow_gather_rows"] = int(R)
+
+        if (policy in ("narrow", "shadow") and mode != "keyword"
+                and narrow_gather is None):
             t_r = time.monotonic()
             qvecs = _query_vecs()
             routed = [
@@ -806,6 +852,50 @@ class SearchEngine:
                 jnp.asarray(doc_mask), hot, jnp.asarray(w),
                 jnp.asarray(vv_np), jnp.asarray(vi_np),
                 jnp.asarray(mask_idx) if mask_idx is not None else None,
+                k=k_dev,
+                rrf_cand=rrf_c,
+                window=self.lexical_index.config.postings_window,
+                num_slots=Nd,
+                bm25_prefilter=lex_prefilter,
+                packed_lexical=use_packed,
+            )
+        elif narrow_gather is not None:
+            # Narrow fast path: vector candidates from the routed gather,
+            # fusion via the precomputed-candidates program (same pattern as
+            # the PQ tier). The lexical leg stays full-corpus — narrowing it
+            # would re-introduce the recall cliff narrowing exists to avoid.
+            from ..ops.scan import routed_gather_topk
+            from .fusion import hybrid_fuse_precomputed
+
+            row_idx, row_ok = narrow_gather
+            c_gather = min(rrf_c, row_idx.shape[1])
+            gv, grows = routed_gather_topk(
+                jnp.asarray(_query_vecs()), E,
+                jnp.asarray(row_idx), jnp.asarray(row_ok), k=c_gather)
+            gv = np.asarray(gv)
+            gslots = np.where(
+                gv > -1e29,
+                self.vector_index.slots_of_rows(
+                    np.maximum(np.asarray(grows), 0).reshape(-1)
+                ).reshape(gv.shape),
+                -1,
+            )
+            vv_np = np.full((B, rrf_c), -1e30, np.float32)
+            vi_np = np.full((B, rrf_c), Nd, np.int32)
+            for i in range(B_real):
+                vals_i, slots_i = _aggregate_pq_candidates(
+                    gv[i], gslots[i], Nd, cfg.chunk_agg)
+                n_i = min(len(vals_i), rrf_c)
+                vv_np[i, :n_i] = vals_i[:n_i]
+                vi_np[i, :n_i] = slots_i[:n_i]
+            vals, slots, bm_at, vec_at = hybrid_fuse_precomputed(
+                jnp.asarray(tids), jnp.asarray(tmask),
+                bm.packed if use_packed else bm.postings_doc,
+                bm.impact_scale if use_packed else bm.postings_impact,
+                bm.term_offsets, bm.term_lengths,
+                jnp.asarray(doc_mask), hot, jnp.asarray(w),
+                jnp.asarray(vv_np), jnp.asarray(vi_np),
+                None,
                 k=k_dev,
                 rrf_cand=rrf_c,
                 window=self.lexical_index.config.postings_window,

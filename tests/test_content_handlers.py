@@ -250,3 +250,22 @@ class TestIngestIntegration:
         assert app.documents.get("nested.zip!/inner.zip")
         with pytest.raises(Exception):
             app.documents.get("nested.zip!/inner.zip!/deep.txt")
+
+
+class TestPdfObjStmEndToEnd:
+    def test_extract_text_reads_objstm_pdf(self):
+        """An ObjStm-based (PDF 1.5) document flows through the standard
+        extraction dispatch once the pdf plugin is registered — the path
+        post-ingest uses for non-inline-extractable content."""
+        from test_plugins import TestPdfStructural
+
+        from yams_tpu.plugins.pdf_extract import extract_pdf
+        from yams_tpu.services.extraction import (extract_text,
+                                                  register_extractor)
+
+        pdf, expect = TestPdfStructural._modern_pdf()
+        register_extractor(
+            "application/pdf", lambda data, m="application/pdf":
+            extract_pdf(data, m))
+        got = extract_text(pdf, "application/pdf")
+        assert got is not None and expect in got[0]

@@ -168,3 +168,170 @@ class TestPdfPlugin:
         assert res.indexed
         hits = app.search.search("searchable pdf body").hits
         assert hits and hits[0].name == "doc.pdf"
+
+
+class TestPdfStructural:
+    """PDF 1.5 structure: xref STREAMS, compressed object streams (ObjStm),
+    hex-string text, ToUnicode CMap decode — the modern digitally-born
+    layout the flat scanner could never read (VERDICT r3 task 7)."""
+
+    @staticmethod
+    def _modern_pdf(use_bfrange=False, predictor=False) -> bytes:
+        """Hand-assemble a PDF whose catalog/pages/page/font live in an
+        ObjStm, located via an xref STREAM, with a composite font whose
+        2-byte codes map to 'Hi!' via a ToUnicode CMap."""
+        import zlib
+
+        # 2-byte codes <0001 0002 0003> shown through /F1's ToUnicode CMap
+        # (Tf state persists across BT/ET per the spec, so every string in
+        # this page decodes through the CMap)
+        content = zlib.compress(b"BT /F1 12 Tf <000100020003> Tj ET")
+        if use_bfrange:
+            cmap = (b"/CIDInit /ProcSet findresource begin\n"
+                    b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+                    b"1 beginbfrange <0001> <0003> <0048> endbfrange\n"
+                    b"end")
+            expect = "HIJ"  # 0x48,0x49,0x4A
+        else:
+            cmap = (b"2 beginbfchar <0001> <0048> <0002> <0069> endbfchar\n"
+                    b"1 beginbfrange <0003> <0003> [<0021>] endbfrange")
+            expect = "Hi!"
+        objstm_objs = [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+            (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+                b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+            (5, b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>"),
+        ]
+        heads, body, off = [], b"", 0
+        for num, raw in objstm_objs:
+            heads.append(f"{num} {off}".encode())
+            body += raw + b"\n"
+            off += len(raw) + 1
+        head_bytes = b" ".join(heads) + b"\n"
+        stm_plain = head_bytes + body
+        stm_z = zlib.compress(stm_plain)
+
+        out = bytearray(b"%PDF-1.5\n")
+        offsets = {}
+
+        def emit(num, payload):
+            offsets[num] = len(out)
+            out.extend(f"{num} 0 obj\n".encode() + payload + b"\nendobj\n")
+
+        emit(4, b"<< /Filter /FlateDecode /Length %d >>\nstream\n" %
+             len(content) + content + b"\nendstream")
+        emit(6, b"<< /Length %d >>\nstream\n" % len(cmap) + cmap
+             + b"\nendstream")
+        emit(7, b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode "
+             b"/Length %d >>\nstream\n"
+             % (len(objstm_objs), len(head_bytes), len(stm_z))
+             + stm_z + b"\nendstream")
+
+        # xref STREAM (obj 8): W [1 4 2]; entries for objects 0..8
+        rows = []
+        rows.append((0, 0, 65535))                  # free head
+        rows.append((2, 7, 0))                      # 1: in ObjStm 7 idx 0
+        rows.append((2, 7, 1))                      # 2
+        rows.append((2, 7, 2))                      # 3
+        rows.append((1, offsets[4], 0))             # 4: direct
+        rows.append((2, 7, 3))                      # 5
+        rows.append((1, offsets[6], 0))             # 6
+        rows.append((1, offsets[7], 0))             # 7
+        xref_pos_placeholder = None
+        body_rows = b"".join(
+            bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+            for t, f2, f3 in rows + [(1, 0, 0)]     # 8 patched below
+        )
+        # patch own offset (object 8 starts at current end)
+        xref_off = len(out)
+        body_rows = body_rows[:-7] + bytes([1]) \
+            + xref_off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+        if predictor:
+            # PNG Up predictor over 7-byte rows
+            row_w = 7
+            pred_body = b""
+            prev = bytes(row_w)
+            for r in range(0, len(body_rows), row_w):
+                line = body_rows[r:r + row_w]
+                enc = bytes((line[k] - prev[k]) & 0xFF for k in range(row_w))
+                pred_body += b"\x02" + enc
+                prev = line
+            xz = zlib.compress(pred_body)
+            parms = b"/DecodeParms << /Predictor 12 /Colors 1 /Columns 7 >> "
+        else:
+            xz = zlib.compress(body_rows)
+            parms = b""
+        emit(8, b"<< /Type /XRef /Size 9 /W [1 4 2] /Index [0 9] "
+             b"/Root 1 0 R /Filter /FlateDecode " + parms
+             + b"/Length %d >>\nstream\n" % len(xz) + xz + b"\nendstream")
+        out.extend(b"startxref\n%d\n%%%%EOF" % xref_off)
+        return bytes(out), expect
+
+    def test_objstm_xrefstream_tounicode(self):
+        from yams_tpu.plugins.pdf_extract import extract_pdf
+
+        pdf, expect = self._modern_pdf()
+        out = extract_pdf(pdf)
+        assert out is not None, "structural parse failed"
+        text, _ = out
+        assert expect in text, text
+
+    def test_bfrange_decode(self):
+        from yams_tpu.plugins.pdf_extract import extract_pdf
+
+        pdf, expect = self._modern_pdf(use_bfrange=True)
+        text, _ = extract_pdf(pdf)
+        assert expect in text, text
+
+    def test_xref_stream_png_predictor(self):
+        from yams_tpu.plugins.pdf_extract import extract_pdf
+
+        pdf, expect = self._modern_pdf(predictor=True)
+        text, _ = extract_pdf(pdf)
+        assert expect in text, text
+
+    def test_classic_xref_table_path(self):
+        """A classic xref TABLE (not stream) drives the same structural
+        walk — build one with correct offsets and a trailer."""
+        import zlib
+
+        from yams_tpu.plugins.pdf_extract import extract_pdf
+
+        # literal AND hex strings (no ToUnicode -> hex decodes latin-1)
+        content = zlib.compress(
+            b"BT /F1 9 Tf (table xref works) Tj <48657821> Tj ET")
+        out = bytearray(b"%PDF-1.4\n")
+        offs = {}
+
+        def emit(num, payload):
+            offs[num] = len(out)
+            out.extend(f"{num} 0 obj\n".encode() + payload + b"\nendobj\n")
+
+        emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        emit(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+        emit(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+        emit(4, b"<< /Filter /FlateDecode /Length %d >>\nstream\n"
+             % len(content) + content + b"\nendstream")
+        xref_off = len(out)
+        out.extend(b"xref\n0 5\n")
+        out.extend(b"0000000000 65535 f \n")
+        for n in range(1, 5):
+            out.extend(b"%010d 00000 n \n" % offs[n])
+        out.extend(b"trailer << /Size 5 /Root 1 0 R >>\n"
+                   b"startxref\n%d\n%%%%EOF" % xref_off)
+        text, _ = extract_pdf(bytes(out))
+        assert "table xref works" in text
+        assert "Hex!" in text
+
+    def test_damaged_xref_falls_back_to_flat_scan(self):
+        import zlib
+
+        from yams_tpu.plugins.pdf_extract import extract_pdf
+
+        content = zlib.compress(b"BT (salvaged text) Tj ET")
+        pdf = (b"%PDF-1.4\n4 0 obj << /Filter /FlateDecode /Length "
+               + str(len(content)).encode() + b" >>\nstream\n" + content
+               + b"\nendstream\nendobj\nstartxref\n999999\n%%EOF")
+        text, _ = extract_pdf(pdf)
+        assert "salvaged text" in text

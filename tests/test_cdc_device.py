@@ -37,3 +37,80 @@ class TestDeviceCdc:
         want = _boundaries_numpy(data, 1024, 4096, 16384)
         got = boundaries_device(data, 1024, 4096, 16384, use_pallas=True)
         assert got == want
+
+
+class TestDeviceSha256:
+    def test_digest_parity_with_hashlib(self):
+        import hashlib
+
+        import numpy as np
+
+        from yams_tpu.ops.sha256 import sha256_host_batch
+
+        rng = np.random.default_rng(0)
+        chunks = [b"", b"abc", b"a" * 55, b"a" * 56, b"a" * 64, b"a" * 119,
+                  b"a" * 128, rng.bytes(1000), rng.bytes(65536),
+                  rng.bytes(7), rng.bytes(16384)]
+        got = sha256_host_batch(chunks)
+        for c, g in zip(chunks, got):
+            assert g == hashlib.sha256(c).hexdigest(), len(c)
+
+
+class TestDeviceChunkHash:
+    def test_parity_with_host_chunker_and_hashlib(self):
+        import hashlib
+
+        import numpy as np
+
+        from yams_tpu.ingest.chunker import FastCDCChunker
+        from yams_tpu.ingest.device_pipeline import device_chunk_hash
+
+        rng = np.random.default_rng(3)
+        data = rng.bytes(300_000)
+        mn, av, mx = 1024, 4096, 16384
+        triples = device_chunk_hash(data, mn, av, mx, use_pallas=False)
+        # exact cover
+        assert triples[0][1] == 0 and triples[-1][2] == len(data)
+        for (_, _, e), (_, s2, _) in zip(triples, triples[1:]):
+            assert e == s2
+        # boundaries bit-identical to the host chunker
+        from yams_tpu.ingest.chunker import ChunkingConfig
+
+        host = FastCDCChunker(ChunkingConfig(
+            min_size=mn, avg_size=av, max_size=mx))
+        assert [t[2] for t in triples] == host.boundaries(data)
+        # digests bit-identical to hashlib
+        for dig, s, e in triples:
+            assert dig == hashlib.sha256(data[s:e]).hexdigest()
+
+    def test_store_bytes_device_tier_end_to_end(self, tmp_path, monkeypatch):
+        """YAMS_DEVICE_INGEST=1 forces the device tier: content stores,
+        retrieves byte-exact, and re-storing dedups everything."""
+        import numpy as np
+
+        from yams_tpu.core.config import Config
+        from yams_tpu.services.app import AppContext
+
+        monkeypatch.setenv("YAMS_DEVICE_INGEST", "1")
+        app = AppContext(Config(data_dir=tmp_path / "data"))
+        try:
+            rng = np.random.default_rng(11)
+            payload = rng.bytes(200_000)
+            res = app.content_store.store_bytes(payload)
+            assert res.phase_timings_ms.get("device_tier") == 1.0
+            assert res.chunk_count >= 2
+            assert app.content_store.retrieve_bytes(
+                res.content_hash) == payload
+            again = app.content_store.store_bytes(payload)
+            assert again.bytes_deduped == len(payload)
+        finally:
+            app.close()
+
+    def test_device_tier_off_by_env(self, monkeypatch):
+        from yams_tpu.ingest import device_pipeline as dp
+
+        monkeypatch.setenv("YAMS_DEVICE_INGEST", "0")
+        assert not dp.available(1 << 30)
+        monkeypatch.setenv("YAMS_DEVICE_INGEST", "auto")
+        # under the CPU test mesh, auto never routes to the device tier
+        assert not dp.available(1 << 30)

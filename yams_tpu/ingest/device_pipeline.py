@@ -1,0 +1,89 @@
+"""Device ingest tier: CDC boundaries + per-chunk SHA-256 on the TPU.
+
+BASELINE ">=1 GB/s/chip chunk+hash" (SURVEY §7 step 6): the reference
+chunks at ~55 MB/s (sequential Rabin, one core) and hashes via OpenSSL.
+Round 3 built the host C++ pipeline (ytn_ingest_pipeline) and verified the
+Pallas/XLA gear-hash kernel bit-exact but left it idle in production; this
+module routes large stores through the chip:
+
+  1. gear-hash boundary CANDIDATES on device (ops.cdc — XLA-fused or the
+     Pallas halo-DMA kernel), bit-identical to the host chunkers;
+  2. greedy min/avg/max cut selection on host (O(#candidates), trivial);
+  3. per-chunk SHA-256 on device (ops.sha256 — one VPU lane per chunk,
+     FIPS padding applied on device), bit-identical to hashlib.
+
+Routing: ContentStore.store_bytes sends payloads >= DEVICE_MIN_BYTES here
+when a non-CPU backend is present (YAMS_DEVICE_INGEST=0 disables, =1
+forces, default auto). Compression stays on the host — zstd is not a
+tensor workload; docs/RESULTS.md carries the measured per-core model.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+DEVICE_MIN_BYTES = int(os.environ.get("YAMS_DEVICE_INGEST_MIN",
+                                      32 * 1024 * 1024))
+
+_backend_cache: str | None = None
+
+
+def _backend() -> str:
+    global _backend_cache
+    if _backend_cache is None:
+        try:
+            import jax
+
+            _backend_cache = jax.default_backend()
+        except Exception:
+            _backend_cache = "none"
+    return _backend_cache
+
+
+def available(n_bytes: int) -> bool:
+    mode = os.environ.get("YAMS_DEVICE_INGEST", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return _backend() not in ("none",)
+    return n_bytes >= DEVICE_MIN_BYTES and _backend() not in ("cpu", "none")
+
+
+def device_chunk_hash(
+    data: bytes, min_size: int, avg_size: int, max_size: int,
+    use_pallas: bool | None = None,
+) -> list[tuple[str, int, int]]:
+    """-> [(sha256 hex, start, end), ...] covering data exactly.
+
+    Boundaries are bit-identical to FastCDCChunker.boundaries; digests are
+    bit-identical to hashlib.sha256 over each chunk (both parity-tested).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.cdc import boundaries_device
+    from ..ops.sha256 import sha256_batch
+
+    if not data:
+        return []
+    if use_pallas is None:
+        use_pallas = _backend() == "tpu"
+    bounds = boundaries_device(
+        data, min_size, avg_size, max_size, use_pallas=use_pallas)
+    starts = [0] + bounds[:-1]
+    n = len(bounds)
+    # chunk matrix: (N, Lp) u8 rows; Lp sized for the max chunk + padding
+    longest = max(e - s for s, e in zip(starts, bounds))
+    lp = ((longest + 9 + 63) // 64) * 64
+    arr = np.frombuffer(data, np.uint8)
+    mat = np.zeros((n, lp), np.uint8)
+    lengths = np.empty(n, np.int32)
+    for i, (s, e) in enumerate(zip(starts, bounds)):
+        mat[i, : e - s] = arr[s:e]
+        lengths[i] = e - s
+    dig = np.asarray(sha256_batch(jnp.asarray(mat), jnp.asarray(lengths)))
+    return [
+        (bytes(dig[i]).hex(), starts[i], bounds[i]) for i in range(n)
+    ]

@@ -1,0 +1,174 @@
+"""Batched SHA-256 on device (VPU): hash thousands of chunks in parallel.
+
+SURVEY §7 step 6 / BASELINE ">=1 GB/s/chip chunk+hash": the reference hashes
+on the host via OpenSSL (~2.6 GB/s single-core for 1 MB buffers,
+tests/benchmarks/baseline/core_benchmarks.baseline.json) and chunks at
+~55 MB/s (Rabin). SHA-256 is sequential along ONE message but a CAS ingests
+thousands of chunks per batch — the TPU-native shape is one lane per chunk:
+the 64-round compression runs as (N,)-wide uint32 vector ops on the VPU,
+with a lax.scan over the block axis (message schedule unrolled per block).
+
+Parity: FIPS 180-4; digests are bit-identical to hashlib.sha256 (tested).
+Used by ingest.device_pipeline for the device chunk+hash path; the host
+C++/hashlib tiers remain for small or latency-sensitive stores.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# FIPS 180-4 constants
+_K = np.array([
+    0x428a2f98, 0x71374491, 0xb5c0fbcf, 0xe9b5dba5,
+    0x3956c25b, 0x59f111f1, 0x923f82a4, 0xab1c5ed5,
+    0xd807aa98, 0x12835b01, 0x243185be, 0x550c7dc3,
+    0x72be5d74, 0x80deb1fe, 0x9bdc06a7, 0xc19bf174,
+    0xe49b69c1, 0xefbe4786, 0x0fc19dc6, 0x240ca1cc,
+    0x2de92c6f, 0x4a7484aa, 0x5cb0a9dc, 0x76f988da,
+    0x983e5152, 0xa831c66d, 0xb00327c8, 0xbf597fc7,
+    0xc6e00bf3, 0xd5a79147, 0x06ca6351, 0x14292967,
+    0x27b70a85, 0x2e1b2138, 0x4d2c6dfc, 0x53380d13,
+    0x650a7354, 0x766a0abb, 0x81c2c92e, 0x92722c85,
+    0xa2bfe8a1, 0xa81a664b, 0xc24b8b70, 0xc76c51a3,
+    0xd192e819, 0xd6990624, 0xf40e3585, 0x106aa070,
+    0x19a4c116, 0x1e376c08, 0x2748774c, 0x34b0bcb5,
+    0x391c0cb3, 0x4ed8aa4a, 0x5b9cca4f, 0x682e6ff3,
+    0x748f82ee, 0x78a5636f, 0x84c87814, 0x8cc70208,
+    0x90befffa, 0xa4506ceb, 0xbef9a3f7, 0xc67178f2,
+], dtype=np.uint32)
+
+_H0 = np.array([
+    0x6a09e667, 0xbb67ae85, 0x3c6ef372, 0xa54ff53a,
+    0x510e527f, 0x9b05688c, 0x1f83d9ab, 0x5be0cd19,
+], dtype=np.uint32)
+
+
+def _rotr(x, r):
+    return (x >> np.uint32(r)) | (x << np.uint32(32 - r))
+
+
+@jax.jit
+def sha256_blocks(words: jax.Array, n_blocks: jax.Array) -> jax.Array:
+    """(N, nb, 16) uint32 message words + per-row live block counts
+    -> (N, 8) uint32 digests. Rows process their blocks in lockstep; a
+    row's state freezes once its blocks are exhausted.
+
+    The message schedule and the 64 rounds run as lax.scans (NOT unrolled:
+    a fully-unrolled block body is ~1.5k integer ops whose XLA:CPU compile
+    never terminated in testing; the scan compiles in seconds and the round
+    body is identical work per step)."""
+    N = words.shape[0]
+    state0 = jnp.broadcast_to(jnp.asarray(_H0), (N, 8))
+    K = jnp.asarray(_K)
+
+    def block_step(state, inp):
+        blk, bi = inp                       # (N, 16) uint32, () i32
+        w0 = blk.T                          # (16, N)
+
+        def sched(win, _):
+            # win[j] == w[t-16+j]; emit w[t]
+            s0 = _rotr(win[1], 7) ^ _rotr(win[1], 18) \
+                ^ (win[1] >> np.uint32(3))
+            s1 = _rotr(win[14], 17) ^ _rotr(win[14], 19) \
+                ^ (win[14] >> np.uint32(10))
+            new = win[0] + s0 + win[9] + s1
+            return jnp.concatenate([win[1:], new[None]], axis=0), new
+
+        _, w_rest = jax.lax.scan(sched, w0, None, length=48)
+        w_all = jnp.concatenate([w0, w_rest], axis=0)   # (64, N)
+
+        def rnd(c, xs):
+            a, b, cc, d, e, f, g, h = c
+            kt, wt = xs
+            S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
+            ch = (e & f) ^ (~e & g)
+            t1 = h + S1 + ch + kt + wt
+            S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
+            maj = (a & b) ^ (a & cc) ^ (b & cc)
+            t2 = S0 + maj
+            return (t1 + t2, a, b, cc, d + t1, e, f, g), None
+
+        init = tuple(state[:, i] for i in range(8))
+        out, _ = jax.lax.scan(rnd, init, (K, w_all))
+        new = jnp.stack(out, axis=1) + state
+        live = (bi < n_blocks)[:, None]
+        return jnp.where(live, new, state), None
+
+    nb = words.shape[1]
+    state, _ = jax.lax.scan(
+        block_step, state0,
+        (jnp.swapaxes(words, 0, 1), jnp.arange(nb, dtype=jnp.int32)))
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=())
+def sha256_pad_bytes(data: jax.Array, lengths: jax.Array) -> tuple:
+    """(N, Lp) uint8 zero-padded rows + true lengths -> ((N, nb, 16) uint32
+    padded message words, (N,) block counts). Lp must be a multiple of 64
+    with room for the 9 padding bytes (Lp >= max(length) + 9, rounded up).
+
+    The FIPS padding (0x80, zeros, 64-bit big-endian bit length) is applied
+    ON DEVICE so chunk bytes can come straight from a device gather."""
+    N, Lp = data.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (N, Lp), 1)
+    ln = lengths[:, None]
+    b = jnp.where(pos < ln, data, jnp.uint8(0))
+    b = jnp.where(pos == ln, jnp.uint8(0x80), b)
+    # bit length goes in the last 8 bytes of the final block. Message bit
+    # counts here always fit 32 bits (chunks are <=2^28 bytes); the upper
+    # four length bytes are zero — computed in uint32 (x64 is disabled in
+    # this runtime, and a uint32 shift >= 32 is undefined, so the k<4 bytes
+    # are forced to zero rather than shifted).
+    nblk = (lengths + 9 + 63) // 64
+    end = nblk[:, None] * 64
+    k = pos - (end - 8)                       # 0..7 inside the length field
+    bits = (lengths.astype(jnp.uint32) * jnp.uint32(8))[:, None]
+    in_field = (k >= 0) & (k < 8)
+    lo = k >= 4                               # low 4 bytes hold the count
+    shift = jnp.where(lo, (jnp.uint32(7) - jnp.clip(k, 0, 7).astype(
+        jnp.uint32)) * jnp.uint32(8), jnp.uint32(0))
+    lenbyte = jnp.where(
+        lo, (bits >> shift) & jnp.uint32(0xFF), jnp.uint32(0)
+    ).astype(jnp.uint8)
+    b = jnp.where(in_field, lenbyte, b)
+    # big-endian 32-bit words
+    w = b.reshape(N, Lp // 4, 4).astype(jnp.uint32)
+    words = ((w[..., 0] << 24) | (w[..., 1] << 16)
+             | (w[..., 2] << 8) | w[..., 3])
+    return words.reshape(N, Lp // 64, 16), nblk.astype(jnp.int32)
+
+
+def sha256_batch(data: jax.Array, lengths: jax.Array) -> jax.Array:
+    """(N, Lp) uint8 + (N,) lengths -> (N, 32) uint8 digests (device)."""
+    words, nblk = sha256_pad_bytes(data, lengths)
+    st = sha256_blocks(words, nblk)           # (N, 8) uint32
+    return _digest_bytes(st)
+
+
+@jax.jit
+def _digest_bytes(st: jax.Array) -> jax.Array:
+    out = jnp.stack([
+        (st >> np.uint32(24)) & np.uint32(0xFF),
+        (st >> np.uint32(16)) & np.uint32(0xFF),
+        (st >> np.uint32(8)) & np.uint32(0xFF),
+        st & np.uint32(0xFF),
+    ], axis=2).astype(jnp.uint8)              # (N, 8, 4)
+    return out.reshape(st.shape[0], 32)
+
+
+def sha256_host_batch(chunks: list[bytes]) -> list[str]:
+    """Convenience host API: list of byte chunks -> hex digests, hashed on
+    device in one padded batch. Rows pad to a shared Lp (multiple of 64)."""
+    if not chunks:
+        return []
+    lengths = np.array([len(c) for c in chunks], np.int32)
+    lp = int(((lengths.max() + 9 + 63) // 64) * 64)
+    mat = np.zeros((len(chunks), lp), np.uint8)
+    for i, c in enumerate(chunks):
+        mat[i, : len(c)] = np.frombuffer(c, np.uint8)
+    dig = np.asarray(sha256_batch(jnp.asarray(mat), jnp.asarray(lengths)))
+    return [bytes(d).hex() for d in dig]

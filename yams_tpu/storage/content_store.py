@@ -156,6 +156,46 @@ class ContentStore:
         decision = self.engine.policy.decide(
             self.chunker.config.avg_size, mime_type, hot=True
         )
+
+        # device tier: large payloads chunk+hash on the TPU (gear-hash
+        # candidates + batched SHA-256, ingest/device_pipeline.py); zstd
+        # stays host per the measured per-core model. Falls through to the
+        # native/python tiers on any device trouble — ingest never fails
+        # because an accelerator hiccuped.
+        from ..ingest.device_pipeline import available as _dev_ok
+        from ..ingest.device_pipeline import device_chunk_hash
+
+        if _dev_ok(len(data)):
+            try:
+                triples = device_chunk_hash(
+                    data, self.chunker.config.min_size,
+                    self.chunker.config.avg_size,
+                    self.chunker.config.max_size)
+            except Exception:
+                triples = None
+            if triples:
+                timings["chunk"] = (time.monotonic() - t) * 1e3
+                timings["device_tier"] = 1.0
+                t = time.monotonic()
+                bytes_stored = bytes_deduped = 0
+                refs, chunk_refs = [], []
+                for digest, start, end in triples:
+                    size = end - start
+                    refs.append((digest, size))
+                    chunk_refs.append(ChunkRef(digest, start, size))
+                    if self.engine.exists(digest):
+                        bytes_deduped += size
+                        continue
+                    if self.wal:
+                        self.wal.append(OP_STORE_BLOCK, hash=digest,
+                                        size=size)
+                    self.engine.store(digest, data[start:end], mime_type)
+                    bytes_stored += size
+                timings["store"] = (time.monotonic() - t) * 1e3
+                return self._finish_store(
+                    content_hash, data, refs, chunk_refs, bytes_stored,
+                    bytes_deduped, timings, t0)
+
         pipeline = None
         if decision.compress and decision.algorithm == "zstd":
             pipeline = _native.ingest_pipeline(
@@ -208,7 +248,12 @@ class ContentStore:
                 self.engine.store(ch.ref.hash, ch.data, mime_type)
                 bytes_stored += ch.ref.size
         timings["store"] = (time.monotonic() - t) * 1e3
+        return self._finish_store(
+            content_hash, data, refs, chunk_refs, bytes_stored,
+            bytes_deduped, timings, t0)
 
+    def _finish_store(self, content_hash, data, refs, chunk_refs,
+                      bytes_stored, bytes_deduped, timings, t0) -> StoreResult:
         t = time.monotonic()
         manifest = Manifest(
             content_hash=content_hash,

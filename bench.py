@@ -212,6 +212,12 @@ def main() -> None:
     PF = int(os.environ.get("BENCH_PREFILTER", "256"))
     RT = float(os.environ.get("BENCH_RT", "0.99"))
     RRF_C = int(os.environ.get("BENCH_RRF_CAND", "32"))
+    # wide-then-slice approx selection (see fusion.hybrid_query) — the
+    # shipped default, kept in sync with SearchEngineConfig.approx_sel_width
+    from yams_tpu.search.config import SearchEngineConfig as _SEC
+
+    SELW = int(os.environ.get(
+        "BENCH_SELW", str(getattr(_SEC(), "approx_sel_width", 0))))
     # the engine's measured-skew prefilter guard
     # (SearchEngineConfig.prefilter_max_tail_ratio / LexicalIndex
     # .prefilter_tail_ratio), applied to the synthetic impact distribution:
@@ -251,6 +257,7 @@ def main() -> None:
                 scan_block_rows=scan_blocks,
                 packed_lexical=packed_lexical,
                 approx_recall_target=RT,
+                approx_sel_width=SELW,
             )
             return carry, (vals, slots)
 

@@ -145,3 +145,71 @@ def test_topk_avg_chunk_agg():
             np.testing.assert_allclose(
                 vec_at_np[b], want_doc[b][slots[b]], atol=0.02, err_msg=mode
             )
+
+
+def test_wide_then_slice_selection():
+    """approx_sel_width widens the approx_max_k call and slices to C.
+
+    Contracts: (1) approx=False ignores the width entirely (bit-identical
+    oracle); (2) the widened approx path returns the same shapes and its
+    top-k agrees with the exact oracle at least as well as the unwidened
+    one (on clustered near-tie data, strictly better on TPU; equal-or-
+    better everywhere).
+    """
+    rng = np.random.default_rng(7)
+    rows, D, S, Nd, B, T, V, W = 2048, 64, 256, 2048, 4, 8, 64, 32
+    # clustered corpus: near-tie fights inside one cluster, the case
+    # wide-then-slice exists for
+    centers = rng.standard_normal((16, D)).astype(np.float32)
+    E = centers[rng.integers(0, 16, rows)] + \
+        0.1 * rng.standard_normal((rows, D)).astype(np.float32)
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    proj = jnp.asarray(
+        (rng.integers(0, 2, (S, D)) * 2 - 1) / np.sqrt(D), jnp.bfloat16
+    )
+    sketch = rng.standard_normal((B, S)).astype(np.float32)
+    tid = rng.integers(0, V, (B, T)).astype(np.int32)
+    tm = np.ones((B, T), np.float32)
+    per = W // 2
+    pd = np.concatenate([
+        rng.integers(0, Nd, V * per).astype(np.int32), np.full(W, Nd, np.int32)
+    ])
+    pi = np.concatenate([
+        rng.random(V * per).astype(np.float32) + 0.5, np.zeros(W, np.float32)
+    ])
+    to = (np.arange(V) * per).astype(np.int32)
+    tl = np.full(V, per, np.int32)
+    w = np.array([0.7, 0.3, 0.05, 0.5, 0.0, 0.85, 1.2, 12.0,
+                  0.0, 1.0, 1.0, 1.0], np.float32)
+    common = dict(k=10, rrf_cand=32, window=W, num_slots=Nd, chunk_agg="max",
+                  rows_are_docs=True)
+    args = (
+        jnp.asarray(sketch), jnp.asarray(tid), jnp.asarray(tm), proj,
+        jnp.asarray(E, jnp.bfloat16), jnp.ones(rows),
+        jnp.arange(rows, dtype=jnp.int32), jnp.ones(rows),
+        jnp.asarray(pd), jnp.asarray(pi), jnp.asarray(to), jnp.asarray(tl),
+        jnp.ones(Nd), jnp.zeros(Nd), jnp.asarray(w),
+    )
+
+    # (1) exact oracle is width-blind
+    v_o, s_o, _, _ = hybrid_query(*args, approx=False, **common)
+    v_o2, s_o2, _, _ = hybrid_query(
+        *args, approx=False, approx_sel_width=128, **common)
+    np.testing.assert_array_equal(np.asarray(s_o), np.asarray(s_o2))
+    np.testing.assert_array_equal(np.asarray(v_o), np.asarray(v_o2))
+
+    # (2) widened approx path: same shapes, >= agreement with the oracle
+    def recall(s):
+        s = np.asarray(s)
+        o = np.asarray(s_o)
+        return np.mean([
+            len(set(s[i]) & set(o[i])) / 10 for i in range(B)
+        ])
+
+    v_n, s_n, _, _ = hybrid_query(*args, approx=True, **common)
+    v_w, s_w, _, _ = hybrid_query(
+        *args, approx=True, approx_sel_width=128, **common)
+    assert s_w.shape == s_n.shape == (B, 10)
+    assert v_w.shape == v_n.shape == (B, 10)
+    assert recall(s_w) >= recall(s_n), (recall(s_w), recall(s_n))
+    assert recall(s_w) >= 0.9

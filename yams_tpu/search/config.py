@@ -85,6 +85,15 @@ class SearchEngineConfig:
     # confidence detects a CONFIDENTLY-WRONG lexical leg (many candidates
     # near its max on common-word queries) that the window mean misses.
     leg_conf_margin: float = 1.0
+    # wide-then-slice approximate vector selection: approx_max_k is called
+    # with max(rrf_candidates, approx_sel_width) columns and the top
+    # rrf_candidates are taken by slice (sorted output). approx_max_k's
+    # misses are near-ties sharing a reduction bin with a stronger doc —
+    # the common case on clustered corpora — and the wider call recovers
+    # them at a fraction of the cost of raising recall_target (the
+    # reduction's first pass over N dominates and is width-independent).
+    # 0 disables. See fusion.hybrid_query and docs/RESULTS.md.
+    approx_sel_width: int = 128
 
     # Narrow gather-scan fast path: when the topology policy is narrow and
     # the batch is at most this many queries, the vector leg gathers ONLY

@@ -945,6 +945,10 @@ class SearchEngine:
             flat = self.vector_index.identity_layout and rows >= Nd
             scale_opts: dict = {"approx": Nd > cfg.approx_threshold,
                                 "int8_corpus": int8_corpus}
+            if scale_opts["approx"] and cfg.approx_sel_width:
+                # wide-then-slice selection recovers approx_max_k's
+                # near-tie misses (see SearchEngineConfig.approx_sel_width)
+                scale_opts["approx_sel_width"] = cfg.approx_sel_width
             if lex_prefilter:
                 # impact-ordered lexical early termination (large corpora
                 # only — small corpora keep the exact full-window scan)

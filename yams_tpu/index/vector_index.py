@@ -548,6 +548,7 @@ class VectorIndex:
             av, ai = pq4_adc_topk_pallas(
                 jnp.asarray(q), codes, centroids, valid, c,
                 group=group, block_rows=pblock,
+                sel_width=int(getattr(self, "_pq_sel_width", 0)),
             )
         else:
             av, ai = pq_adc_topk(

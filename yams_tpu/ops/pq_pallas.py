@@ -143,15 +143,21 @@ def pq4_adc_grouped(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "group", "block_rows", "interpret"))
+    jax.jit,
+    static_argnames=("k", "group", "block_rows", "interpret", "sel_width"))
 def pq4_adc_topk_pallas(
     queries: jax.Array, packed: jax.Array, centroids: jax.Array,
     valid: jax.Array, k: int, *, group: int = 64, block_rows: int = 2048,
-    interpret: bool | None = None,
+    interpret: bool | None = None, sel_width: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Drop-in for ops.pq.pq_adc_topk(packed4=True, group>1) on the
     unfiltered path: (B, k) ADC values + row indices, one candidate per
-    `group`-row window (use with exact rerank)."""
+    `group`-row window (use with exact rerank).
+
+    sel_width > k applies the same wide-then-slice trick as the dense tier
+    (SearchEngineConfig.approx_sel_width): approx_max_k is called with
+    sel_width columns and the sorted top-k sliced off, recovering near-tie
+    misses that share a reduction bin with a stronger window."""
     vals, rows = pq4_adc_grouped(
         queries, packed, centroids, valid,
         group=group, block_rows=block_rows, interpret=interpret)
@@ -160,6 +166,7 @@ def pq4_adc_topk_pallas(
     # the exact rerank recovers — same contract as the grouped XLA path).
     # 0.99 recall target: at 16.7M x 768 it costs <4% QPS vs 0.95 and halves
     # the planted-recall gap (scripts/bench_pq.py)
-    v, pos = jax.lax.approx_max_k(vals, k, recall_target=0.99,
+    w = min(max(k, sel_width), vals.shape[-1])
+    v, pos = jax.lax.approx_max_k(vals, w, recall_target=0.99,
                                   aggregate_to_topk=True)
-    return v, jnp.take_along_axis(rows, pos, axis=1)
+    return v[:, :k], jnp.take_along_axis(rows, pos[:, :k], axis=1)

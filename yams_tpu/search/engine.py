@@ -500,6 +500,10 @@ class SearchEngine:
             group=group,
         )
         idx._pq_built_rows = n
+        # keep selection-recall behavior symmetric with the dense tier: the
+        # PQ candidate pick uses the same wide-then-slice approx_max_k width
+        # (SearchEngineConfig.approx_sel_width; ADVICE r4 #4)
+        idx._pq_sel_width = int(getattr(self.config, "approx_sel_width", 0))
         return True
 
     # -- tuner feedback ------------------------------------------------------------

@@ -145,8 +145,12 @@ def hybrid_query(
     def _top_c(s):
         if not approx:
             return jax.lax.top_k(s, C)
+        # clamp to the score width: approx_max_k(k > width) is a hard XLA
+        # error, and small corpora / small scan blocks can be narrower than
+        # the configured selection width (ADVICE r4)
+        k = min(W, s.shape[-1])
         bv, bi = jax.lax.approx_max_k(
-            s, W, recall_target=approx_recall_target)
+            s, k, recall_target=approx_recall_target)
         return bv[:, :C], bi[:, :C]
 
     # 1. embed queries

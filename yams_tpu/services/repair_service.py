@@ -21,7 +21,7 @@ class RepairService:
     OPS = (
         "stuck_documents", "orphans", "mime", "downloads", "path_tree",
         "dedupe", "chunks", "block_references", "graph", "fts5", "embeddings",
-        "topology", "optimize",
+        "topology", "compression", "optimize",
     )
 
     def __init__(self, app):
@@ -167,6 +167,47 @@ class RepairService:
         art = eng.build(vi._vecs, vi._valid)
         self.app.search_engine.topology = eng
         return f"{len(art.centroids)} clusters over {vi.active_rows} rows"
+
+    def repair_compression(self) -> str:
+        """Scan framed blocks for compression-layer corruption, quarantine
+        damaged frames, and repair from the original file when it is still on
+        disk (reference: recovery_manager.cpp quarantine + repair flow)."""
+        import pathlib as _pl
+
+        from ..ingest.hasher import sha256_bytes
+
+        cs = self.app.content_store
+        rep = cs.compression_recovery.scan()
+        if not rep.corrupt:
+            return f"{rep.scanned} scanned, 0 corrupt"
+
+        # chunk hash -> (content_hash, offset, size) via manifests, resolved
+        # lazily to the source document's bytes if its file still exists
+        def source_bytes(h: str):
+            for m in cs.refcounter.iter_manifests():
+                for c in m.chunks:
+                    if c.hash != h:
+                        continue
+                    row = self.app.db.execute(
+                        "SELECT file_path FROM documents WHERE sha256_hash=?",
+                        (m.content_hash,),
+                    ).fetchone()
+                    if not row:
+                        continue
+                    p = _pl.Path(row[0])
+                    if not p.is_file():
+                        continue
+                    data = p.read_bytes()
+                    if sha256_bytes(data) != m.content_hash:
+                        continue  # file changed since ingest
+                    return data[c.offset:c.offset + c.size]
+            return None
+
+        out = cs.compression_recovery.repair(
+            rep.corrupt_hashes, source_bytes=source_bytes)
+        return (f"{rep.scanned} scanned, {len(rep.corrupt)} corrupt, "
+                f"{out.quarantined} quarantined, {len(out.repaired)} "
+                f"repaired, {len(out.unrepairable)} unrepairable")
 
     def repair_optimize(self) -> str:
         self.app.db.vacuum()

@@ -62,6 +62,18 @@ class ContentStore:
         # block and leave the new manifest dangling.
         self._mutate_lock = threading.RLock()
         self.verifier = IntegrityVerifier(self.engine, self.refcounter)
+        from .compression_recovery import (
+            CompressionMonitor,
+            CompressionRecoveryManager,
+            CompressionTransactionManager,
+        )
+
+        self.compression_monitor = CompressionMonitor()
+        self.compression_recovery = CompressionRecoveryManager(
+            self.engine.inner, self.refcounter, self.wal,
+            self.compression_monitor)
+        self.compression_tx = CompressionTransactionManager(
+            self.engine.inner, self.wal, self.compression_monitor)
         if self.wal:
             self.recover()
 
@@ -349,4 +361,5 @@ class ContentStore:
     def stats(self) -> dict:
         s = self.refcounter.stats()
         s.update(self.engine.stats())
+        s["compression"] = self.compression_monitor.snapshot()
         return s

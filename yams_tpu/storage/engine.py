@@ -39,10 +39,14 @@ class StorageEngine:
             raise InvalidArgumentError(f"invalid content hash: {h!r}")
         return self.objects / h[0:2] / h[2:4] / h
 
-    def store(self, h: str, data: bytes) -> None:
-        """Atomic write: temp file + fsync + rename (storage_engine.h:35-39)."""
+    def store(self, h: str, data: bytes, overwrite: bool = False) -> None:
+        """Atomic write: temp file + fsync + rename (storage_engine.h:35-39).
+
+        overwrite=True replaces an existing block in place (still atomic) —
+        used by transactional recompression, where the new frame decodes to
+        the identical content."""
         path = self._path(h)
-        if path.exists():
+        if path.exists() and not overwrite:
             return
         path.parent.mkdir(parents=True, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=path.parent, prefix=".tmp-")

@@ -13,6 +13,7 @@ import os
 import pathlib
 import struct
 import threading
+import time
 import zlib
 from typing import Any, Callable, Iterator
 
@@ -33,18 +34,51 @@ class WalManager:
         wal_dir: str | pathlib.Path,
         segment_bytes: int = 16 * 1024 * 1024,
         sync_every: int = 64,
+        sync_interval_ms: float = 50.0,
     ):
+        """sync_interval_ms bounds the group-commit loss window IN TIME as
+        well as in records: an acknowledged append is fsync'd within
+        sync_interval_ms even if fewer than sync_every records follow
+        (reference: include/yams/wal/wal_manager.h:32-60 — bounded group
+        commit). 0 disables the flusher (count-only syncing, the pre-r5
+        behavior, up to sync_every-1 acknowledged ops lost on power cut)."""
         self.dir = pathlib.Path(wal_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.segment_bytes = segment_bytes
         self.sync_every = sync_every
+        self.sync_interval_ms = sync_interval_ms
         self._lock = threading.RLock()
         self._seq = 0
         self._pending = 0
+        self._pending_since: float | None = None  # first unsynced append ts
         segs = self._segments()
         self._seg_index = (int(segs[-1].stem) + 1) if segs else 1
         self._fh = None
         self._open_segment()
+        self._flush_cv = threading.Condition(self._lock)
+        self._closing = False
+        self._flusher: threading.Thread | None = None
+        if sync_interval_ms > 0:
+            self._flusher = threading.Thread(
+                target=self._flush_loop, name="wal-flusher", daemon=True)
+            self._flusher.start()
+
+    def _flush_loop(self) -> None:
+        """Deadline flusher: fsync once the oldest unsynced record has been
+        pending for sync_interval_ms."""
+        interval = self.sync_interval_ms / 1e3
+        with self._flush_cv:
+            while not self._closing:
+                if self._pending_since is None:
+                    self._flush_cv.wait()
+                    continue
+                deadline = self._pending_since + interval
+                now = time.monotonic()
+                if now < deadline:
+                    self._flush_cv.wait(deadline - now)
+                    continue
+                if self._pending and self._fh is not None:
+                    self.sync()
 
     def _segments(self) -> list[pathlib.Path]:
         return sorted(self.dir.glob("*.wal"))
@@ -67,6 +101,10 @@ class WalManager:
             self._fh.write(_FRAME.pack(len(payload), zlib.crc32(payload) & 0xFFFFFFFF))
             self._fh.write(payload)
             self._pending += 1
+            if self._pending == 1:
+                self._pending_since = time.monotonic()
+                if self._flusher is not None:
+                    self._flush_cv.notify()
             if self._pending >= self.sync_every:
                 self.sync()
             if self._fh.tell() >= self.segment_bytes:
@@ -74,9 +112,11 @@ class WalManager:
             return self._seq
 
     def sync(self) -> None:
-        self._fh.flush()
-        os.fsync(self._fh.fileno())
-        self._pending = 0
+        with self._lock:
+            self._fh.flush()
+            os.fsync(self._fh.fileno())
+            self._pending = 0
+            self._pending_since = None
 
     def replay(self) -> Iterator[dict[str, Any]]:
         """Yield all intact records across segments; stop a segment at the
@@ -114,7 +154,12 @@ class WalManager:
 
     def close(self) -> None:
         with self._lock:
+            self._closing = True
+            self._flush_cv.notify_all()
             if self._fh:
                 self.sync()
                 self._fh.close()
                 self._fh = None
+        if self._flusher is not None:
+            self._flusher.join(timeout=2.0)
+            self._flusher = None

@@ -34,6 +34,40 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import pytest
 
+# --- two-lane suite (VERDICT r4 weak #6) --------------------------------------
+# `pytest -m quick` is the <120s smoke lane: one representative test per test
+# module (the first collected one by default), so every subsystem keeps a
+# fast CI signal while the full lane stays the correctness bar.
+# Override here when a module's first test is expensive or unrepresentative;
+# value = substring(s) of the preferred test name(s) in that module.
+_QUICK_OVERRIDES: dict[str, tuple[str, ...]] = {
+    "test_engine_scale.py": ("test_small_corpus",),
+    "test_bench_quality.py": ("test_tracker",),
+    "test_retrieval_beir.py": ("test_loader",),
+    "test_mcp_stress.py": ("test_initialize",),
+    "test_concurrency.py": (),        # all three are stress loops: full lane
+    "test_retrieval_realtext.py": (),  # big corpus build: full lane only
+    "test_hf_quality.py": (),          # trained-encoder eval: full lane only
+    "test_daemon_subprocess.py": ("test_start_status_stop",),
+    "test_sharded_engine.py": ("test_sharded_on_requires_mesh",),
+    "test_crash_model.py": ("test_count_trigger_still_fires",),
+    "test_sharded_hybrid.py": (),  # every variant compiles shard_map: full lane
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    quick = pytest.mark.quick
+    seen: set[str] = set()
+    for item in items:
+        mod = pathlib.Path(str(item.fspath)).name
+        if mod in _QUICK_OVERRIDES:
+            if any(pat in item.name for pat in _QUICK_OVERRIDES[mod]):
+                item.add_marker(quick)
+            continue
+        if mod not in seen:
+            seen.add(mod)
+            item.add_marker(quick)
+
 
 @pytest.fixture()
 def tmp_data_dir(tmp_path):

@@ -110,6 +110,70 @@ class TestSqliteSalvage:
         assert n == report["rows_copied"] or n > 0
         assert any(tmp_path.glob("bad.db.corrupt-*"))
 
+    def test_corrupt_index_checkpoint_quarantined_and_rebuilt(self, tmp_path):
+        """A corrupt vector checkpoint is quarantined with an explicit event
+        (VERDICT r4 missing #4 tail: rebuild fallback), doctor flags it, and
+        `repair --ops embeddings` restores full index coverage from metadata
+        (reference: vector_schema_migration.cpp rebuild-on-unmigratable)."""
+        from yams_tpu.services.repair_service import RepairService
+
+        cfg = small_config(tmp_path / "data")
+        app = AppContext(cfg)
+        app.documents.add_bytes(b"alpha document about storage engines", "a.txt")
+        app.documents.add_bytes(b"beta document about vector search", "b.txt")
+        app.close()  # persists vectors.npz/json
+
+        vdir = cfg.vectors_dir
+        assert (vdir / "vectors.npz").exists()
+        (vdir / "vectors.npz").write_bytes(b"not an npz file at all")
+
+        app2 = AppContext(small_config(tmp_path / "data"))
+        try:
+            ev = app2.index_load_event
+            assert ev is not None and ev["event"] == "index_rebuild_required"
+            assert "vectors.npz" in " ".join(ev["quarantined"])
+            assert any(vdir.glob("vectors.npz.corrupt-*"))
+            svc = RepairService(app2)
+            ok, msg = svc.doctor()["index_checkpoint"]
+            assert not ok and "rebuild required" in msg
+            out = svc.repair_embeddings()
+            assert "re-queued from lost index" in out
+            # coverage restored: both docs searchable again
+            res = app2.search.search("vector search", limit=2)
+            assert res.hits
+            assert app2.search_engine.vector_index.active_rows >= 2
+        finally:
+            app2.close()
+
+    def test_ghost_slot_map_after_quarantine_still_rebuilds(self, tmp_path):
+        """A process that opens AFTER the quarantine sees no load error —
+        the artifacts are gone — but the slot map persists in metadata, so
+        docs look indexed while the vector index is empty. repair must
+        detect coverage by live rows, not by slot-map presence."""
+        from yams_tpu.services.repair_service import RepairService
+
+        cfg = small_config(tmp_path / "data")
+        app = AppContext(cfg)
+        app.documents.add_bytes(b"gamma document about merkle trees", "g.txt")
+        app.close()
+        (cfg.vectors_dir / "vectors.npz").write_bytes(b"junk")
+
+        app2 = AppContext(small_config(tmp_path / "data"))  # quarantines
+        assert app2.index_load_event is not None
+        app2.close()
+        # NOTE: close() re-saves the (empty) index, so the third process
+        # loads cleanly — this is the ghost state
+        app3 = AppContext(small_config(tmp_path / "data"))
+        try:
+            assert app3.index_load_event is None
+            assert app3.search_engine.vector_index.active_rows == 0
+            assert app3.search_engine._slot_by_doc  # ghost entries
+            out = RepairService(app3).repair_embeddings()
+            assert "re-queued from lost index" in out
+            assert app3.search_engine.vector_index.active_rows >= 1
+        finally:
+            app3.close()
+
     def test_app_opens_after_corruption(self, tmp_path):
         cfg = small_config(tmp_path / "data")
         app = AppContext(cfg)

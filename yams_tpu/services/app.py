@@ -176,7 +176,14 @@ class AppContext:
 
     # -- index persistence -----------------------------------------------------
     def _load_indexes(self) -> None:
+        """Load persisted indexes; a corrupt/unreadable checkpoint is
+        QUARANTINED (renamed *.corrupt-<n>, kept for forensics) and recorded
+        as an explicit event (`self.index_load_event`) rather than silently
+        rebuilt — doctor surfaces it and `repair --ops embeddings` restores
+        coverage (reference: vector_schema_migration.cpp rebuild-on-
+        unmigratable + db_recovery's quarantine-then-rebuild flow)."""
         vdir = self.config.vectors_dir
+        self.index_load_event: dict | None = None
         try:
             if (vdir / "vectors.json").exists():
                 from ..index.vector_index import VectorIndex
@@ -190,9 +197,45 @@ class AppContext:
                 )
             self._restore_slot_map()
             self.search_engine.ensure_pq()  # pq engine w/o sidecar yet
-        except Exception:
-            # corrupt index artifacts are rebuildable from metadata (repair op)
-            pass
+        except Exception as e:
+            quarantined: list[str] = []
+            for name in ("vectors.npz", "vectors.json", "pq.npz",
+                         "lexical.pkl"):
+                p = vdir / name
+                if not p.exists():
+                    continue
+                n = 0
+                while (q := p.with_name(f"{name}.corrupt-{n}")).exists():
+                    n += 1
+                try:
+                    p.rename(q)
+                    quarantined.append(q.name)
+                except OSError:
+                    pass
+            self.index_load_event = {
+                "event": "index_rebuild_required",
+                "error": f"{type(e).__name__}: {e}",
+                "quarantined": quarantined,
+            }
+            import sys
+
+            print(
+                f"warning: index checkpoint unreadable "
+                f"({self.index_load_event['error']}); quarantined "
+                f"{quarantined}; run `yams repair --ops embeddings` to "
+                f"rebuild from metadata", file=sys.stderr)
+            # a partially-applied load must not leave mixed state behind
+            from ..index.lexical_index import LexicalIndex
+            from ..index.vector_index import VectorIndex
+
+            se = self.search_engine
+            se.vector_index = VectorIndex(
+                dim=se.provider.dim, capacity=se.vector_index.capacity,
+                block_rows=se.vector_index.block_rows,
+                space_id=se.provider.space_id)
+            se.lexical_index = LexicalIndex(self.config.lexical)
+            se._doc_by_slot = []
+            se._slot_by_doc = {}
 
     def _restore_slot_map(self) -> None:
         """Slot map persists as metadata key 'slot' per document."""

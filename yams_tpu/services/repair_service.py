@@ -154,8 +154,31 @@ class RepairService:
         return f"{len(rows)} documents re-indexed"
 
     def repair_embeddings(self) -> str:
-        n = self.app.indexing.reindex_pending()
-        return f"{n} documents embedded"
+        """Embed pending docs; additionally, docs marked embedded but ABSENT
+        from the device index (e.g. after a quarantined-corrupt checkpoint,
+        app.index_load_event) are reset to pending first so the index is
+        rebuilt from metadata, not just topped up."""
+        app = self.app
+        # "in the index" means the doc's slot has live vector rows — the slot
+        # map alone survives in metadata after a quarantined checkpoint, so a
+        # fresh process would otherwise see ghosts as covered
+        eng = app.search_engine
+        rows_by_slot = eng.vector_index._rows_by_slot
+        indexed_docs = {
+            doc for doc, slot in eng._slot_by_doc.items()
+            if rows_by_slot.get(slot)
+        }
+        missing = [
+            int(r[0]) for r in app.db.execute(
+                "SELECT document_id FROM embedding_status "
+                "WHERE status != 'pending'").fetchall()
+            if int(r[0]) not in indexed_docs
+        ]
+        for doc_id in missing:
+            app.metadata.set_embedding_status(doc_id, "pending")
+        n = app.indexing.reindex_pending()
+        extra = f" ({len(missing)} re-queued from lost index)" if missing else ""
+        return f"{n} documents embedded{extra}"
 
     def repair_topology(self) -> str:
         from ..index.topology import TopologyEngine
@@ -342,6 +365,13 @@ class RepairService:
             checks["device"] = (False, str(e))
         pending = len(app.metadata.docs_pending_embedding())
         checks["embeddings"] = (pending == 0, f"{pending} pending")
+        ev = getattr(app, "index_load_event", None)
+        checks["index_checkpoint"] = (
+            ev is None,
+            "loaded" if ev is None else
+            f"rebuild required: {ev['error']} "
+            f"(quarantined {', '.join(ev['quarantined']) or 'nothing'})",
+        )
         report = app.content_store.verifier.verify_all(limit=64)
         checks["block_integrity"] = (
             not report.corrupted and not report.missing,

@@ -1,0 +1,198 @@
+"""Lexical strategy arms (SimeonLexicalBackend analog, VERDICT r4 missing #2).
+
+Reference: src/search/simeon_lexical_backend.cpp (SAB-smooth / keyphrase /
+lead-field strategies, bandit arms at search_engine.cpp:1460-1480). The TPU
+design folds each strategy into namespaced token FIELDS in the one postings
+tensor; arms differ only in the query-side (ids, weights) vector, so the
+compiled device program is shared across arms.
+
+Contracts pinned here:
+  - field emission never changes plain unigram BM25 (doc_len excludes field
+    mass; per-term idf is independent)
+  - each arm's device score matches a NumPy oracle over the raw postings
+  - the router picks the intended arm per query family
+  - tuner arms force a lexical arm through config; stale persisted bandit
+    state pads cleanly
+"""
+
+import numpy as np
+import pytest
+
+from yams_tpu.core.config import LexicalIndexConfig
+from yams_tpu.index.lexical_index import LexicalIndex
+
+DOCS = [
+    (0, "the storage engine writes content addressed blocks", "storage engine"),
+    (1, "routing tables forward packets between network segments", "router"),
+    (2, "the merkle tree diff detects renamed files quickly", "tree diff"),
+    (3, "storage compaction reclaims unused blocks in the engine", ""),
+    (4, "a packet forwarding benchmark for the routing fabric", ""),
+]
+
+
+def _mk(**over) -> LexicalIndex:
+    cfg = LexicalIndexConfig(postings_window=64, **over)
+    idx = LexicalIndex(cfg)
+    for slot, content, title in DOCS:
+        idx.add_document(slot, content, title)
+    return idx
+
+
+def _oracle_score(idx: LexicalIndex, ids: np.ndarray, weights: np.ndarray,
+                  num_slots: int = 5) -> np.ndarray:
+    """NumPy BM25 oracle straight off the postings dicts (no device arrays)."""
+    cfg = idx.config
+    n_docs = max(len(idx._docs), 1)
+    avg_len = sum(idx._doc_len.values()) / n_docs
+    scores = np.zeros(num_slots, np.float64)
+    for tid, w in zip(ids, weights):
+        if w <= 0:
+            continue
+        plist = idx._postings.get(int(tid), {})
+        df = len(plist)
+        idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        for slot, tf in plist.items():
+            norm = 1.0 - cfg.b + cfg.b * idx._doc_len[slot] / avg_len
+            scores[slot] += w * idf * tf * (cfg.k1 + 1.0) / (tf + cfg.k1 * norm)
+    return scores.astype(np.float32)
+
+
+class TestFieldEmission:
+    def test_unigram_scores_unchanged_by_fields(self):
+        """Plain BM25 is bit-identical with strategy fields on vs off."""
+        on = _mk()
+        off = _mk(field_bigrams=False, field_lead=False, field_subword=False)
+        for q in ("storage engine", "routing packets", "merkle tree"):
+            r_on = dict(on.search(q, k=5))
+            r_off = dict(off.search(q, k=5))
+            assert r_on.keys() == r_off.keys()
+            for slot in r_on:
+                assert r_on[slot] == pytest.approx(r_off[slot], abs=1e-5)
+
+    def test_doc_len_excludes_field_tokens(self):
+        on = _mk()
+        off = _mk(field_bigrams=False, field_lead=False, field_subword=False)
+        assert on._doc_len == off._doc_len
+
+    def test_field_tokens_in_vocab(self):
+        idx = _mk()
+        assert ("storage" + LexicalIndex.BIGRAM_SEP + "engine") in idx._vocab
+        assert (LexicalIndex.LEAD_NS + "routing") in idx._vocab
+        assert (LexicalIndex.SUB_NS + "sto") in idx._vocab
+
+
+class TestArmOracleParity:
+    @pytest.mark.parametrize("arm,query", [
+        ("bm25", "storage engine"),
+        ("keyphrase", "storage engine blocks"),
+        ("lead_field", "router"),
+        ("sab_smooth", "storag3ng1ne packets"),  # OOV token backs off
+    ])
+    def test_device_matches_oracle(self, arm, query):
+        import jax.numpy as jnp
+
+        from yams_tpu.ops.bm25 import bm25_dense_from
+
+        idx = _mk()
+        ids, weights, used = idx.query_arm_terms(query, arm=arm)
+        assert used == arm
+        arrays = idx.device_arrays(5)
+        got = np.asarray(bm25_dense_from(
+            arrays, jnp.asarray(ids[None]), jnp.asarray(weights[None]),
+            window=idx.config.postings_window, k1=idx.config.k1))[0]
+        want = _oracle_score(idx, ids, weights)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+    def test_keyphrase_boosts_adjacent_pair(self):
+        """Doc with the exact phrase outranks the doc with scattered terms."""
+        idx = LexicalIndex(LexicalIndexConfig(postings_window=64))
+        idx.add_document(0, "the storage engine compacts blocks")      # phrase
+        idx.add_document(1, "engine oil and cold storage of produce "
+                            "with extra engine words storage")         # bag
+        ids, w, _ = idx.query_arm_terms("storage engine", arm="keyphrase")
+        s = _oracle_score(idx, ids, w, num_slots=2)
+        ids0, w0, _ = idx.query_arm_terms("storage engine", arm="bm25")
+        s0 = _oracle_score(idx, ids0, w0, num_slots=2)
+        # the phrase doc gains strictly more from the bigram field
+        assert (s[0] - s0[0]) > (s[1] - s0[1])
+
+    def test_sab_smooth_recovers_oov_variant(self):
+        """An OOV query token (typo'd / novel morphology) still scores docs
+        sharing its character trigrams."""
+        idx = _mk()
+        ids, w, _ = idx.query_arm_terms("rout1ng", arm="sab_smooth")
+        s = _oracle_score(idx, ids, w)
+        assert s[1] > 0 or s[4] > 0  # routing docs matched via trigrams
+        ids0, w0, _ = idx.query_arm_terms("rout1ng", arm="bm25")
+        assert _oracle_score(idx, ids0, w0).max() == 0.0
+
+    def test_lead_field_prefers_lead_mention(self):
+        idx = LexicalIndex(LexicalIndexConfig(
+            postings_window=64, lead_tokens=4))
+        idx.add_document(0, "compaction starts here " + "filler " * 60)
+        idx.add_document(1, ("filler " * 60) + " compaction at the end")
+        ids, w, _ = idx.query_arm_terms("compaction", arm="lead_field")
+        s = _oracle_score(idx, ids, w, num_slots=2)
+        assert s[0] > s[1]
+
+
+class TestRouter:
+    def test_routes_by_query_family(self):
+        idx = _mk()
+        assert idx.route_arm("storage engine blocks") == "keyphrase"
+        assert idx.route_arm("storag3ng1ne") == "sab_smooth"
+        assert idx.route_arm("the and of") == "bm25"  # short/stopword-ish
+        # rare single term -> lead_field
+        assert idx.route_arm("merkle") == "lead_field"
+
+    def test_auto_uses_router(self):
+        idx = _mk()
+        _, _, used = idx.query_arm_terms("storag3ng1ne", arm="auto")
+        assert used == "sab_smooth"
+
+    def test_fields_off_routes_bm25(self):
+        idx = _mk(field_bigrams=False, field_lead=False, field_subword=False)
+        assert idx.route_arm("storage engine blocks") == "bm25"
+        ids, w, used = idx.query_arm_terms("storage engine", arm="keyphrase")
+        assert used == "bm25"  # degrades, never errors
+
+
+class TestTunerArms:
+    def test_lexical_arm_applies_to_config(self):
+        from yams_tpu.search.config import SearchEngineConfig
+        from yams_tpu.search.tuner import DEFAULT_ARMS
+
+        cfg = SearchEngineConfig()
+        arm = next(a for a in DEFAULT_ARMS if a.lexical_arm == "keyphrase")
+        cfg2 = arm.apply(cfg)
+        assert cfg2.lexical_arm == "keyphrase"
+        # arms without a lexical preference keep the configured routing
+        cfg3 = DEFAULT_ARMS[0].apply(cfg)
+        assert cfg3.lexical_arm == cfg.lexical_arm == "auto"
+
+    def test_stale_persisted_state_pads(self, tmp_path):
+        import json
+
+        from yams_tpu.search.tuner import SearchTuner
+
+        p = tmp_path / "tuner.json"
+        p.write_text(json.dumps({"default": [[3, 2.0], [1, 0.5]]}))  # 2 arms
+        t = SearchTuner(state_path=p)
+        idx, arm = t.select("default")  # explores a new unpulled arm
+        assert idx >= 2
+        t.record_reward(0.8, "default", arm_index=len(t.arms) - 1)
+        snap = t.snapshot()
+        assert len(snap["stats"]["default"]) == len(t.arms)
+
+
+class TestEngineIntegration:
+    def test_engine_traces_arm_and_serves(self):
+        from yams_tpu.search.engine import SearchEngine
+
+        eng = SearchEngine()
+        for slot, content, title in DOCS:
+            eng.add_document(slot, content, title=title)
+        res = eng.search("routing tables forward", k=3)
+        assert res
+        arms = eng.last_trace.get("lexical_arms")
+        assert arms and arms[0] in LexicalIndex.ARMS

@@ -95,6 +95,46 @@ class TestRealTextQuality:
         for kind, m in by_kind["hybrid"].items():
             assert m["recall"] >= 0.55, (kind, by_kind)
 
+    def test_lexical_arm_routing_beats_bm25_only(self, setup):
+        """SimeonLexicalBackend-analog gate (VERDICT r4 missing #2 'done'
+        criterion): routed lexical arms beat plain BM25 on at least one
+        query family with no regression on the others, on the real-text
+        corpus. Measured r5 on this corpus (770 docs / 156 queries):
+        keyword-leg heading MRR 0.886 -> 0.964 (keyphrase arm), symbol MRR
+        0.317 -> 0.327; hybrid unchanged on headings, one-query noise on
+        symbols (docs/RESULTS.md)."""
+        app, ds = setup
+        eng = app.search_engine
+
+        def _families(arm):
+            old = eng.config.lexical_arm
+            eng.config.lexical_arm = arm
+            try:
+                eng.clear_hot()
+                kind_runs = {"heading": [], "symbol": []}
+                for (qtext, rels), kind in zip(ds.queries, ds.kinds):
+                    resp = app.search.search(
+                        qtext, limit=10, search_type="keyword",
+                        with_snippets=False)
+                    ranked = [h.path.lstrip("/") for h in resp.hits]
+                    kind_runs[kind].append((ranked, rels))
+                return {k: evaluate(v, k=10)
+                        for k, v in kind_runs.items() if v}
+            finally:
+                eng.config.lexical_arm = old
+
+        base = _families("bm25")
+        routed = _families("auto")
+        improved = 0
+        for kind in base:
+            for metric in ("mrr", "ndcg", "recall"):
+                # no regression on any family (small per-query tolerance)
+                assert routed[kind][metric] >= base[kind][metric] - 0.015, (
+                    kind, metric, base[kind], routed[kind])
+            if routed[kind]["mrr"] > base[kind]["mrr"] + 0.005:
+                improved += 1
+        assert improved >= 1, (base, routed)
+
     def test_symbol_queries_exercise_identifiers(self):
         assert realtext.camel_split("TopologyRoutingSession") == \
             "topology routing session"

@@ -135,6 +135,27 @@ class LexicalIndexConfig:
     # Simeon subword lexical recipes (simeon_lexical_backend.cpp).
     stem_expansion: bool = True
     stem_expansion_weight: float = 0.6
+    # -- multi-field lexical strategies (SimeonLexicalBackend analog) --------
+    # The reference's in-memory Simeon lexical stack rescopes the lexical leg
+    # with SAB-smooth (SubwordAwareBackoff γ=5), keyphrase and lead-field
+    # strategies, bandit/entropy-routed per query
+    # (src/search/simeon_lexical_backend.cpp:1, search_engine.cpp:1460-1480).
+    # TPU-first analog: the strategies are NAMESPACED TOKEN FIELDS folded
+    # into the one postings tensor at build time — bigrams (keyphrase),
+    # lead-window tokens (lead-field), char-trigrams (SAB subword backoff) —
+    # so every arm is purely a different query-side (ids, weights) vector
+    # into the SAME compiled device program: no new kernels, no recompiles.
+    field_bigrams: bool = True
+    field_lead: bool = True
+    field_subword: bool = True
+    lead_tokens: int = 64          # doc-lead window, reference lead=64
+    bigram_weight: float = 0.25    # keyphrase arm boost (reference 0.25/0.30)
+    lead_weight: float = 0.45      # lead-field arm boost
+    subword_gamma: float = 5.0     # SAB γ: per-trigram weight = 1/γ
+    subword_min_len: int = 4       # only backoff tokens >= this length
+    subword_max_doc_tokens: int = 512  # distinct tokens emitting trigrams/doc
+    subword_tris_per_token: int = 8
+    max_bigrams_per_doc: int = 256
 
 
 @dataclasses.dataclass(slots=True)

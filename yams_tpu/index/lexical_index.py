@@ -73,17 +73,67 @@ class LexicalIndex:
             self._stem_index.setdefault(light_stem(term), []).append(tid)
         return tid
 
+    # field-token namespaces (never collide with tokenize() output, which is
+    # lowercase alnum): bigram "a\x1fb", lead "\x02tok", subword "\x03tri"
+    BIGRAM_SEP = "\x1f"
+    LEAD_NS = "\x02"
+    SUB_NS = "\x03"
+
+    def _emit_fields(self, tf: dict[int, float], toks_by_field) -> None:
+        """Fold strategy-field tokens into the SAME postings structure
+        (SimeonLexicalBackend analog — see LexicalIndexConfig.field_*).
+        Field tokens add tf entries only; they never contribute to doc_len,
+        so plain unigram BM25 scoring is bit-identical with fields on."""
+        cfg = self.config
+        if cfg.field_bigrams:
+            n_bi = 0
+            for toks, weight in toks_by_field:
+                for a, b in zip(toks, toks[1:]):
+                    if n_bi >= cfg.max_bigrams_per_doc:
+                        break
+                    if len(a) < 3 or len(b) < 3:
+                        continue  # stopword-ish short tokens make noise pairs
+                    tid = self._term_id(a + self.BIGRAM_SEP + b)
+                    tf[tid] = tf.get(tid, 0.0) + weight
+                    n_bi += 1
+        if cfg.field_lead:
+            lead: list[str] = []
+            for toks, _w in toks_by_field:  # title first, then content
+                lead.extend(toks[: cfg.lead_tokens - len(lead)])
+                if len(lead) >= cfg.lead_tokens:
+                    break
+            for tok in set(lead):
+                tid = self._term_id(self.LEAD_NS + tok)
+                tf[tid] = tf.get(tid, 0.0) + 1.0
+        if cfg.field_subword:
+            seen_toks: set[str] = set()
+            for toks, weight in toks_by_field:
+                for tok in toks:
+                    if (len(tok) < cfg.subword_min_len or tok in seen_toks
+                            or len(seen_toks) >= cfg.subword_max_doc_tokens):
+                        continue
+                    seen_toks.add(tok)
+                    for i in range(min(len(tok) - 2,
+                                       cfg.subword_tris_per_token)):
+                        tid = self._term_id(self.SUB_NS + tok[i:i + 3])
+                        tf[tid] = tf.get(tid, 0.0) + weight
+
     def add_document(self, doc_slot: int, content: str, title: str = "") -> None:
         cfg = self.config
         tf: dict[int, float] = {}
         n_tokens = 0.0
+        toks_by_field: list[tuple[list[str], float]] = []
         for text, weight in ((title, cfg.title_weight), (content, cfg.content_weight)):
             if not text:
                 continue
-            for tok in tokenize(text):
+            toks = list(tokenize(text))
+            toks_by_field.append((toks, weight))
+            for tok in toks:
                 tid = self._term_id(tok)
                 tf[tid] = tf.get(tid, 0.0) + weight
                 n_tokens += weight
+        if cfg.field_bigrams or cfg.field_lead or cfg.field_subword:
+            self._emit_fields(tf, toks_by_field)
         with self._lock:
             old = self._docs.get(doc_slot)
             if old:
@@ -314,6 +364,100 @@ class LexicalIndex:
                 if n >= T:
                     break
         return ids, mask
+
+    # -- strategy arms (SimeonLexicalBackend analog) ---------------------------
+    ARMS = ("bm25", "sab_smooth", "keyphrase", "lead_field")
+
+    def query_arm_terms(
+        self, query: str, arm: str = "auto", max_terms: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray, str]:
+        """(term_ids, weights, arm_used) for a lexical strategy arm.
+
+        Every arm reuses the SAME device kernel and postings tensor; only the
+        query-side term vector differs (reference: per-strategy score paths,
+        simeon_lexical_backend.cpp:1073-1122):
+          - bm25        — unigrams (+stem expansion), identical to
+                          query_term_ids
+          - sab_smooth  — bm25 terms, plus char-trigram backoff terms at
+                          weight 1/γ for query tokens with NO vocab or stem
+                          match (SubwordAwareBackoff γ=5)
+          - keyphrase   — bm25 terms, plus in-vocab adjacent query bigrams at
+                          bigram_weight
+          - lead_field  — bm25 terms, plus lead-window tokens at lead_weight
+        "auto" routes per query via route_arm()."""
+        cfg = self.config
+        if arm == "auto":
+            arm = self.route_arm(query)
+        T = max_terms or cfg.max_query_terms
+        ids, mask = self.query_term_ids(query, max_terms=T)
+        n = int((mask > 0).sum())
+        qtoks = list(tokenize(query))
+
+        def _add(term: str, w: float) -> None:
+            nonlocal n
+            tid = self._vocab.get(term)
+            if tid is None or n >= T or tid in ids[:n]:
+                return
+            ids[n] = tid
+            mask[n] = w
+            n += 1
+
+        if arm == "sab_smooth" and cfg.field_subword:
+            w_tri = 1.0 / max(cfg.subword_gamma, 1.0)
+            for tok in qtoks:
+                if len(tok) < cfg.subword_min_len:
+                    continue
+                if tok in self._vocab or self._stem_index.get(light_stem(tok)):
+                    continue  # vocab/stem coverage wins; backoff is for OOV
+                for i in range(min(len(tok) - 2, cfg.subword_tris_per_token)):
+                    _add(self.SUB_NS + tok[i:i + 3], w_tri)
+        elif arm == "keyphrase" and cfg.field_bigrams:
+            for a, b in zip(qtoks, qtoks[1:]):
+                _add(a + self.BIGRAM_SEP + b, cfg.bigram_weight)
+        elif arm == "lead_field" and cfg.field_lead:
+            for tok in qtoks:
+                _add(self.LEAD_NS + tok, cfg.lead_weight)
+        else:
+            arm = "bm25"
+        return ids, mask, arm
+
+    def route_arm(self, query: str) -> str:
+        """Cheap per-query profile -> arm (the host analog of the reference's
+        EntropyRouter over query BM25-score entropy, retrieval_strategy.hpp;
+        the SearchTuner bandit then learns per corpus profile whether routed
+        arms actually pay)."""
+        cfg = self.config
+        qtoks = list(tokenize(query))
+        if not qtoks:
+            return "bm25"
+        if cfg.field_subword:
+            oov = [
+                t for t in qtoks
+                if len(t) >= cfg.subword_min_len and t not in self._vocab
+                and not self._stem_index.get(light_stem(t))
+            ]
+            if oov:
+                return "sab_smooth"
+        if cfg.field_bigrams and len(qtoks) >= 2:
+            if any(
+                (a + self.BIGRAM_SEP + b) in self._vocab
+                for a, b in zip(qtoks, qtoks[1:])
+            ):
+                return "keyphrase"
+        if cfg.field_lead and len(qtoks) == 1:
+            # single rare-term navigational query: lead placement is the
+            # strongest signal (title/opening mention). Two-term queries are
+            # NOT routed here — on real text (camel-split symbol queries)
+            # lead boosts early *mentions* over definitions and measurably
+            # hurt hybrid MRR; measured in docs/RESULTS.md (r5 arm eval)
+            n_docs = max(len(self._docs), 1)
+            dfs = [
+                len(self._postings.get(self._vocab[t], ()))
+                for t in qtoks if t in self._vocab
+            ]
+            if dfs and all(df <= max(4, n_docs // 20) for df in dfs):
+                return "lead_field"
+        return "bm25"
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Standalone BM25 search -> [(doc_slot, score)] (device scan)."""

@@ -95,6 +95,13 @@ class SearchEngineConfig:
     # 0 disables. See fusion.hybrid_query and docs/RESULTS.md.
     approx_sel_width: int = 128
 
+    # lexical strategy arm (SimeonLexicalBackend analog): "auto" routes per
+    # query among bm25 / sab_smooth / keyphrase / lead_field via
+    # LexicalIndex.route_arm; a concrete name forces that arm (the
+    # SearchTuner bandit sets this per corpus profile). Arms only change the
+    # query-side term vector — the compiled device program is shared.
+    lexical_arm: str = "auto"
+
     # Narrow gather-scan fast path: when the topology policy is narrow and
     # the batch is at most this many queries, the vector leg gathers ONLY
     # the routed clusters' rows ((B,R,D) gather + batched dot) instead of

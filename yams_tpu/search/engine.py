@@ -620,9 +620,13 @@ class SearchEngine:
             return qvecs_cache
         tids = np.zeros((B, self.lexical_index.config.max_query_terms), np.int32)
         tmask = np.zeros_like(tids, dtype=np.float32)
+        arm = getattr(cfg, "lexical_arm", "auto") or "auto"
+        arms_used: list[str] = []
         for i, qtext in enumerate(queries):
-            ids, m = self.lexical_index.query_term_ids(qtext)
+            ids, m, used = self.lexical_index.query_arm_terms(qtext, arm=arm)
             tids[i], tmask[i] = ids, m
+            arms_used.append(used)
+        trace["lexical_arms"] = arms_used
         # weak-query fanout boost (reference: weak-query fanout,
         # search_engine_config.h:296-360): when every query in the batch has
         # <=1 known lexical term, BM25 evidence is thin — widen the vector

@@ -25,6 +25,10 @@ class Arm:
     vector_weight: float
     rrf_scale: float
     rrf_k: int
+    # lexical strategy for the text leg (SimeonLexicalBackend bandit arms,
+    # reference search_engine.cpp:1460-1480: sab_smooth / keyphrase /
+    # lead_field alongside plain bm25). "" keeps the engine's configured arm.
+    lexical_arm: str = ""
 
     def apply(self, cfg: SearchEngineConfig) -> SearchEngineConfig:
         return dataclasses.replace(
@@ -33,6 +37,7 @@ class Arm:
             vector_weight=self.vector_weight,
             rrf_scale=self.rrf_scale,
             rrf_k=max(RRF_K_MIN, min(RRF_K_MAX, self.rrf_k)),
+            **({"lexical_arm": self.lexical_arm} if self.lexical_arm else {}),
         )
 
 
@@ -41,6 +46,11 @@ DEFAULT_ARMS = [
     Arm("text_heavy", 0.85, 0.15, 0.4, 12),
     Arm("vector_heavy", 0.45, 0.55, 0.5, 12),
     Arm("rrf_heavy", 0.60, 0.40, 1.0, 20),
+    # lexical-strategy arms: balanced fusion weights, forced lexical arm —
+    # UCB1 learns per corpus profile whether a strategy beats routed "auto"
+    Arm("lex_sab_smooth", 0.70, 0.30, 0.5, 12, lexical_arm="sab_smooth"),
+    Arm("lex_keyphrase", 0.70, 0.30, 0.5, 12, lexical_arm="keyphrase"),
+    Arm("lex_lead_field", 0.70, 0.30, 0.5, 12, lexical_arm="lead_field"),
 ]
 
 
@@ -66,7 +76,12 @@ class SearchTuner:
     def _profile_stats(self, profile: str) -> list[list[float]]:
         if profile not in self._stats:
             self._stats[profile] = [[0.0, 0.0] for _ in self.arms]
-        return self._stats[profile]
+        stats = self._stats[profile]
+        # persisted state from a build with fewer arms: pad (new arms start
+        # unpulled, which UCB1 explores first); extra rows are kept harmless
+        while len(stats) < len(self.arms):
+            stats.append([0.0, 0.0])
+        return stats
 
     def select(self, profile: str = "default") -> tuple[int, Arm]:
         """UCB1: argmax mean + sqrt(2 ln T / n); unpulled arms first."""
@@ -106,7 +121,7 @@ class SearchTuner:
                 p: [
                     {"arm": self.arms[i].name, "pulls": int(s[0]),
                      "mean_reward": (s[1] / s[0]) if s[0] else 0.0}
-                    for i, s in enumerate(stats)
+                    for i, s in enumerate(stats[: len(self.arms)])
                 ]
                 for p, stats in self._stats.items()
             },

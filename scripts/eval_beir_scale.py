@@ -1,0 +1,92 @@
+"""Reference-scale BEIR-style retrieval eval on real text.
+
+Runs the realtext-BEIR dataset (tests/benchmarks/realtext.py:realtext_beir,
+~4k passage chunks / ~200 known-item queries — the zero-egress stand-in for
+BEIR scifact) through the full engine with a chosen embedding provider and
+reports MRR / nDCG@10 / recall@10 per search mode and per query family.
+
+Reference comparison row (docs/benchmarks/index.md:57-71, scifact 2k docs /
+50 queries, MiniLM hybrid): MRR 0.613, nDCG 0.634, recall@10 0.713.
+
+Usage:
+  python scripts/eval_beir_scale.py                 # simeon (default)
+  python scripts/eval_beir_scale.py hf ckpt.npz     # trained neural encoder
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+os.environ.setdefault("YAMS_VECTOR_SHARDED", "off")
+
+
+def run_eval(provider: str = "simeon", checkpoint: str = "",
+             modes=("hybrid", "semantic", "keyword"), quiet: bool = False):
+    import pathlib
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from tests.benchmarks.realtext import realtext_beir
+    from yams_tpu.core.config import Config, VectorIndexConfig
+    from yams_tpu.services.app import AppContext
+    from yams_tpu.utils.metrics import evaluate
+
+    ds = realtext_beir()
+    cfg = Config(data_dir=pathlib.Path(tempfile.mkdtemp()) / "data")
+    dim = 384
+    if provider and provider != "simeon":
+        cfg.embedding.provider = provider
+        cfg.embedding.checkpoint = checkpoint
+        if checkpoint:
+            import numpy as np
+
+            dim = int(np.load(checkpoint)["cfg/dim"])
+    cfg.vector = VectorIndexConfig(
+        dim=dim, capacity=2 * len(ds.corpus), block_rows=512)
+    app = AppContext(cfg)
+    try:
+        for did, doc in ds.corpus.items():
+            app.documents.add_bytes(doc["text"].encode(), did)
+        out = {}
+        for st in modes:
+            app.search_engine.clear_hot()
+            runs, fam = [], {"heading": [], "symbol": []}
+            for qid, qtext in ds.queries.items():
+                resp = app.search.search(qtext, limit=10, search_type=st,
+                                         with_snippets=False)
+                ranked = [h.path.lstrip("/") for h in resp.hits]
+                rels = ds.relevant(qid)
+                runs.append((ranked, rels))
+                fam[ds.kinds[qid]].append((ranked, rels))
+            out[st] = {
+                "all": evaluate(runs, k=10),
+                **{k: evaluate(v, k=10) for k, v in fam.items() if v},
+            }
+            if not quiet:
+                m = out[st]["all"]
+                print(f"{provider:7s} {st:9s} mrr={m['mrr']:.3f} "
+                      f"ndcg={m['ndcg']:.3f} recall@10={m['recall']:.3f} "
+                      f"(n={len(runs)})", flush=True)
+        return out
+    finally:
+        app.close()
+
+
+def main():
+    provider = sys.argv[1] if len(sys.argv) > 1 else "simeon"
+    checkpoint = sys.argv[2] if len(sys.argv) > 2 else ""
+    out = run_eval(provider, checkpoint)
+    print(json.dumps({"provider": provider, "results": out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -116,3 +116,123 @@ def build(max_docs: int = MAX_DOCS, max_queries_per_kind: int = 120,
         kinds.append("symbol")
 
     return RealTextEval(docs=docs, queries=queries, kinds=kinds)
+
+
+def _chunk_text(text: str, chunk_chars: int) -> list[tuple[int, str]]:
+    """Split at line boundaries into ~chunk_chars passages; returns
+    (char_offset, chunk_text)."""
+    out: list[tuple[int, str]] = []
+    pos, buf, buf_start = 0, [], 0
+    n = 0
+    for line in text.splitlines(keepends=True):
+        if n + len(line) > chunk_chars and buf:
+            out.append((buf_start, "".join(buf)))
+            buf, buf_start, n = [], pos, 0
+        buf.append(line)
+        n += len(line)
+        pos += len(line)
+    if buf:
+        out.append((buf_start, "".join(buf)))
+    return out
+
+
+def realtext_beir(max_files: int = 900, max_file_chars: int = 24_000,
+                  chunk_chars: int = 2_000, max_queries_per_kind: int = 120,
+                  seed: int = 7):
+    """BEIR-format dataset from the reference repo at REFERENCE SCALE:
+    passage-chunked docs (>=2k) + known-item queries with chunk-level qrels.
+
+    This is the zero-egress stand-in for BEIR scifact (2k docs / 50 queries,
+    reference docs/benchmarks/index.md:57-71): same format (BeirDataset),
+    same metric protocol (MRR / nDCG@10 / recall@10), real prose+code text.
+    Heading queries resolve to the chunk CONTAINING the heading; symbol
+    queries to every chunk defining the symbol (<=4 files)."""
+    import random
+
+    from yams_tpu.utils.beir import BeirDataset
+
+    rng = random.Random(seed)
+    files: list[pathlib.Path] = []
+    for sub, pats in (("docs", ("*.md",)),
+                      ("src", ("*.cpp", "*.h")),
+                      ("include", ("*.h",))):
+        root = REALTEXT_ROOT / sub
+        if not root.is_dir():
+            continue
+        for pat in pats:
+            files.extend(sorted(root.rglob(pat)))
+    rng.shuffle(files)
+    files = files[:max_files]
+
+    corpus: dict[str, dict] = {}
+    chunks_by_rel: dict[str, list[tuple[int, str, str]]] = {}
+    for f in files:
+        try:
+            text = f.read_text(errors="replace")[:max_file_chars]
+        except OSError:
+            continue
+        rel = str(f.relative_to(REALTEXT_ROOT))
+        lst = []
+        for i, (off, chunk) in enumerate(_chunk_text(text, chunk_chars)):
+            did = f"{rel}#{i}"
+            corpus[did] = {"title": rel if i == 0 else "", "text": chunk}
+            lst.append((off, did, chunk))
+        chunks_by_rel[rel] = lst
+
+    def _chunk_of(rel: str, char_off: int) -> str | None:
+        best = None
+        for off, did, _c in chunks_by_rel.get(rel, ()):
+            if off <= char_off:
+                best = did
+            else:
+                break
+        return best
+
+    queries: dict[str, str] = {}
+    qrels: dict[str, dict[str, int]] = {}
+    kinds: dict[str, str] = {}
+    qn = 0
+
+    heads: list[tuple[str, str]] = []
+    seen_q: set[str] = set()
+    for rel, lst in chunks_by_rel.items():
+        if not rel.endswith(".md"):
+            continue
+        full = "".join(c for _o, _d, c in lst)
+        for m in _HEADING_RE.finditer(full):
+            q = re.sub(r"[`*_#\[\]()]", " ", m.group(1)).strip().lower()
+            if len(q.split()) < 3 or q in seen_q:
+                continue
+            seen_q.add(q)
+            did = _chunk_of(rel, m.start())
+            if did:
+                heads.append((q, did))
+    rng.shuffle(heads)
+    for q, did in heads[:max_queries_per_kind]:
+        qid = f"q{qn}"
+        queries[qid], qrels[qid], kinds[qid] = q, {did: 1}, "heading"
+        qn += 1
+
+    defs: dict[str, dict[str, int]] = {}
+    def_files: dict[str, set[str]] = {}
+    for rel, lst in chunks_by_rel.items():
+        if rel.endswith(".md"):
+            continue
+        full = "".join(c for _o, _d, c in lst)
+        for m in _SYMBOL_RE.finditer(full):
+            did = _chunk_of(rel, m.start())
+            if did:
+                defs.setdefault(m.group(1), {})[did] = 1
+                def_files.setdefault(m.group(1), set()).add(rel)
+    syms = [(s, rels) for s, rels in defs.items()
+            if len(camel_split(s).split()) >= 2 and len(def_files[s]) <= 4]
+    rng.shuffle(syms)
+    for s, rels in syms[:max_queries_per_kind]:
+        qid = f"q{qn}"
+        queries[qid], qrels[qid], kinds[qid] = camel_split(s), rels, "symbol"
+        qn += 1
+
+    ds = BeirDataset(name="realtext-beir", corpus=corpus, queries=queries,
+                     qrels=qrels)
+    ds.kinds = kinds  # per-query family, for per-family reporting
+    return ds

@@ -1,0 +1,111 @@
+"""Store/retrieve progress reporting (reference: api/progress_reporter.h +
+ProgressCallback params on IContentStore, content_store.h:88-115)."""
+
+import pytest
+
+from yams_tpu.core.config import ChunkingConfig
+from yams_tpu.storage import ContentStore
+from yams_tpu.storage.progress import (
+    OperationCancelled,
+    Progress,
+    ProgressReporter,
+)
+
+CFG = ChunkingConfig(min_size=1024, avg_size=4096, max_size=16384)
+
+
+def _data(n=200_000, seed=5):
+    import random
+
+    return random.Random(seed).randbytes(n)
+
+
+class TestReporter:
+    def test_percentage_rate_eta(self):
+        rep = ProgressReporter(1000)
+        rep.report(250, "store")
+        p = rep.progress()
+        assert p.percentage == pytest.approx(25.0)
+        assert p.current_operation == "store"
+        assert p.bytes_per_second >= 0
+        rep.report(1000)
+        assert rep.is_complete
+
+    def test_callback_receives_snapshots(self):
+        seen: list[Progress] = []
+        rep = ProgressReporter(100, callback=seen.append)
+        rep.add(40)
+        rep.add(60)
+        assert [s.bytes_processed for s in seen] == [40, 100]
+
+    def test_cancel_raises_on_next_report(self):
+        rep = ProgressReporter(100)
+        rep.cancel()
+        with pytest.raises(OperationCancelled):
+            rep.report(10)
+
+    def test_sub_reporter_adds_into_parent(self):
+        rep = ProgressReporter(1000)
+        rep.report(500)
+        sub = rep.sub_reporter(200)
+        sub.report(200)
+        assert rep.progress().bytes_processed == 700
+
+
+class TestStoreProgress:
+    def test_store_reports_phases_and_totals(self, tmp_path):
+        cs = ContentStore(tmp_path, chunking=CFG)
+        seen: list[Progress] = []
+        data = _data()
+        cs.store_bytes(data, progress=seen.append)
+        assert seen, "no progress reported"
+        ops = {s.current_operation for s in seen}
+        assert "hash" in ops and "commit" in ops
+        assert seen[-1].bytes_processed == len(data)
+        assert seen[-1].total_bytes == len(data)
+        # monotone non-decreasing
+        procs = [s.bytes_processed for s in seen]
+        assert procs == sorted(procs)
+        cs.close()
+
+    def test_dedup_store_reports_complete(self, tmp_path):
+        cs = ContentStore(tmp_path, chunking=CFG)
+        data = _data()
+        cs.store_bytes(data)
+        seen = []
+        cs.store_bytes(data, progress=seen.append)
+        assert seen[-1].current_operation == "dedup"
+        assert seen[-1].bytes_processed == len(data)
+        cs.close()
+
+    def test_retrieve_reports(self, tmp_path):
+        cs = ContentStore(tmp_path, chunking=CFG)
+        data = _data()
+        r = cs.store_bytes(data)
+        seen = []
+        out = cs.retrieve_bytes(r.content_hash, progress=seen.append)
+        assert out == data
+        assert seen and seen[-1].bytes_processed == len(data)
+        cs.close()
+
+    def test_cancel_mid_store_leaves_no_manifest(self, tmp_path):
+        """Cancellation aborts before the manifest commit; written blocks are
+        orphans reclaimed by GC — the crash model's contract."""
+        from yams_tpu.ingest.hasher import sha256_bytes
+
+        cs = ContentStore(tmp_path, chunking=CFG)
+        rep = ProgressReporter()
+
+        def cancel_after_first(p: Progress):
+            if p.current_operation == "store":
+                rep.cancel()
+
+        rep.set_callback(cancel_after_first)
+        data = _data()
+        with pytest.raises(OperationCancelled):
+            cs.store_bytes(data, progress=rep)
+        assert not cs.refcounter.has_manifest(sha256_bytes(data))
+        assert not cs.exists(sha256_bytes(data))
+        # any partial blocks are orphans the GC can reclaim
+        cs.gc.orphan_scan()
+        cs.close()

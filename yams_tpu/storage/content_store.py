@@ -125,12 +125,32 @@ class ContentStore:
         self.refcounter.close()
 
     # -- store -------------------------------------------------------------------
+    @staticmethod
+    def _reporter(progress, total: int):
+        """Normalize the progress argument (reference: ProgressCallback
+        params on IContentStore::store/retrieve, content_store.h:88-115):
+        None -> no-op, a callable -> fresh ProgressReporter wrapping it, a
+        ProgressReporter -> used as-is (total filled in)."""
+        from .progress import ProgressReporter
+
+        if progress is None:
+            return None
+        if isinstance(progress, ProgressReporter):
+            if not progress.progress().total_bytes:
+                progress.set_total_bytes(total)
+            return progress
+        return ProgressReporter(total, callback=progress)
+
     @_mutates
-    def store_bytes(self, data: bytes, mime_type: str = "") -> StoreResult:
+    def store_bytes(self, data: bytes, mime_type: str = "",
+                    progress=None) -> StoreResult:
         t0 = time.monotonic()
         timings: dict[str, float] = {}
+        rep = self._reporter(progress, len(data))
 
         t = time.monotonic()
+        if rep:
+            rep.report(0, "hash")
         content_hash = sha256_bytes(data)
         timings["hash"] = (time.monotonic() - t) * 1e3
 
@@ -147,6 +167,8 @@ class ContentStore:
                     self.engine.store(c.hash, data[c.offset:c.offset + c.size])
                     healed_bytes += c.size
             self._commit([(c.hash, c.size) for c in manifest.chunks], manifest)
+            if rep:
+                rep.report(len(data), "dedup")
             return StoreResult(
                 content_hash=content_hash,
                 bytes_stored=healed_bytes,
@@ -203,10 +225,12 @@ class ContentStore:
                                         size=size)
                     self.engine.store(digest, data[start:end], mime_type)
                     bytes_stored += size
+                    if rep:
+                        rep.report(end, "store")
                 timings["store"] = (time.monotonic() - t) * 1e3
                 return self._finish_store(
                     content_hash, data, refs, chunk_refs, bytes_stored,
-                    bytes_deduped, timings, t0)
+                    bytes_deduped, timings, t0, rep)
 
         pipeline = None
         if decision.compress and decision.algorithm == "zstd":
@@ -239,6 +263,8 @@ class ContentStore:
                     framed = data[start:end]
                 self.engine.inner.store(digest, framed)
                 bytes_stored += size
+                if rep:
+                    rep.report(end, "store")
             chunks = None
         else:
             chunks = self.chunker.chunk_bytes(data)
@@ -259,14 +285,19 @@ class ContentStore:
                                     size=ch.ref.size)
                 self.engine.store(ch.ref.hash, ch.data, mime_type)
                 bytes_stored += ch.ref.size
+                if rep:
+                    rep.report(ch.ref.offset + ch.ref.size, "store")
         timings["store"] = (time.monotonic() - t) * 1e3
         return self._finish_store(
             content_hash, data, refs, chunk_refs, bytes_stored,
-            bytes_deduped, timings, t0)
+            bytes_deduped, timings, t0, rep)
 
     def _finish_store(self, content_hash, data, refs, chunk_refs,
-                      bytes_stored, bytes_deduped, timings, t0) -> StoreResult:
+                      bytes_stored, bytes_deduped, timings, t0,
+                      rep=None) -> StoreResult:
         t = time.monotonic()
+        if rep:
+            rep.report(len(data), "commit")
         manifest = Manifest(
             content_hash=content_hash,
             total_size=len(data),
@@ -323,9 +354,14 @@ class ContentStore:
         )
 
     # -- retrieve ------------------------------------------------------------------
-    def retrieve_bytes(self, content_hash: str) -> bytes:
+    def retrieve_bytes(self, content_hash: str, progress=None) -> bytes:
         manifest = self.refcounter.get_manifest(content_hash)
-        parts = [self.engine.retrieve(c.hash) for c in manifest.chunks]
+        rep = self._reporter(progress, manifest.total_size)
+        parts = []
+        for c in manifest.chunks:
+            parts.append(self.engine.retrieve(c.hash))
+            if rep:
+                rep.report(c.offset + c.size, "retrieve")
         data = b"".join(parts)
         if len(data) != manifest.total_size:
             raise NotFoundError(f"content incomplete: {content_hash}")

@@ -56,26 +56,42 @@ def run_eval(provider: str = "simeon", checkpoint: str = "",
     try:
         for did, doc in ds.corpus.items():
             app.documents.add_bytes(doc["text"].encode(), did)
+        def _file(did: str) -> str:
+            return did.rsplit("#", 1)[0]
+
         out = {}
         for st in modes:
             app.search_engine.clear_hot()
             runs, fam = [], {"heading": [], "symbol": []}
+            fruns = []
             for qid, qtext in ds.queries.items():
-                resp = app.search.search(qtext, limit=10, search_type=st,
+                resp = app.search.search(qtext, limit=20, search_type=st,
                                          with_snippets=False)
                 ranked = [h.path.lstrip("/") for h in resp.hits]
                 rels = ds.relevant(qid)
-                runs.append((ranked, rels))
-                fam[ds.kinds[qid]].append((ranked, rels))
+                runs.append((ranked[:10], rels))
+                fam[ds.kinds[qid]].append((ranked[:10], rels))
+                # file-level protocol — the granularity comparable to the
+                # reference's scifact table (whole docs, not passages):
+                # rank-order dedup of chunk->file, relevance = any chunk's file
+                seen, franked = set(), []
+                for did in ranked:
+                    f = _file(did)
+                    if f not in seen:
+                        seen.add(f)
+                        franked.append(f)
+                fruns.append((franked[:10], {_file(d) for d in rels}))
             out[st] = {
                 "all": evaluate(runs, k=10),
+                "file_level": evaluate(fruns, k=10),
                 **{k: evaluate(v, k=10) for k, v in fam.items() if v},
             }
             if not quiet:
-                m = out[st]["all"]
-                print(f"{provider:7s} {st:9s} mrr={m['mrr']:.3f} "
-                      f"ndcg={m['ndcg']:.3f} recall@10={m['recall']:.3f} "
-                      f"(n={len(runs)})", flush=True)
+                m, fm = out[st]["all"], out[st]["file_level"]
+                print(f"{provider:7s} {st:9s} chunk: mrr={m['mrr']:.3f} "
+                      f"ndcg={m['ndcg']:.3f} rec={m['recall']:.3f} | file: "
+                      f"mrr={fm['mrr']:.3f} ndcg={fm['ndcg']:.3f} "
+                      f"rec={fm['recall']:.3f} (n={len(runs)})", flush=True)
         return out
     finally:
         app.close()

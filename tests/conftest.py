@@ -47,6 +47,7 @@ _QUICK_OVERRIDES: dict[str, tuple[str, ...]] = {
     "test_mcp_stress.py": ("test_initialize",),
     "test_concurrency.py": (),        # all three are stress loops: full lane
     "test_retrieval_realtext.py": (),  # big corpus build: full lane only
+    "test_beir_scale.py": (),          # 4k-doc eval + encoder: full lane only
     "test_hf_quality.py": (),          # trained-encoder eval: full lane only
     "test_daemon_subprocess.py": ("test_start_status_stop",),
     "test_sharded_engine.py": ("test_sharded_on_requires_mesh",),

@@ -66,6 +66,47 @@ class StorageEngine:
             self._stats["stores"] += 1
             self._stats["bytes_written"] += len(data)
 
+    def store_batch(self, items: list[tuple[str, bytes]]) -> None:
+        """Store many blocks with the same atomicity as store(), fsyncing on
+        a thread pool: fsync is IO-bound and releases the GIL, so the wall
+        time of the durability barrier divides by the pool width instead of
+        paying one serial disk round-trip per chunk (measured 326 ms -> 56 ms
+        for 96x80 KB blocks on this host; docs/RESULTS.md r5 ingest). Every
+        block is durable on return — the caller's WAL commit record stays
+        the linearization point, exactly as with serial store()."""
+        items = [(h, d) for h, d in items if not self._path(h).exists()]
+        if not items:
+            return
+        if len(items) == 1:
+            self.store(*items[0])
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _one(hd):
+            h, data = hd
+            path = self._path(h)
+            path.parent.mkdir(parents=True, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=path.parent, prefix=".tmp-")
+            try:
+                with os.fdopen(fd, "wb") as f:
+                    f.write(data)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, path)
+            except BaseException:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                raise
+            return len(data)
+
+        with ThreadPoolExecutor(min(8, len(items))) as ex:
+            written = sum(ex.map(_one, items))
+        with self._lock:
+            self._stats["stores"] += len(items)
+            self._stats["bytes_written"] += written
+
     def retrieve(self, h: str) -> bytes:
         path = self._path(h)
         try:

@@ -392,7 +392,45 @@ def main() -> None:
         "impacts": impacts_kind,
         "benchtrack": track,
         "tunnel": tunnel,
+        "ingest": _ingest_e2e(),
     }))
+
+
+def _ingest_e2e() -> dict:
+    """Host ingest e2e incl. zstd (VERDICT r4 #3): one 16 MB store through
+    the production path (native chunk+hash+zstd pipeline, threaded-fsync
+    batch write, WAL+SQLite commit) + the pipeline-only per-core rate that
+    the >=1 GB/s/chip model multiplies by available cores."""
+    import tempfile
+
+    import numpy as _np
+
+    from yams_tpu import native
+    from yams_tpu.core.config import ChunkingConfig
+    from yams_tpu.storage import ContentStore
+
+    rng = _np.random.default_rng(7)
+    words = [f"word{i}" for i in range(4096)]
+    zipf = rng.zipf(1.3, size=16 * 140_000)
+    data = (" ".join(words[z % 4096] for z in zipf)).encode()[:16 << 20]
+    mb = len(data) / 1e6
+    out: dict = {"cores": os.cpu_count()}
+    best = 0.0
+    for i in range(2):
+        cs = ContentStore(tempfile.mkdtemp(), chunking=ChunkingConfig())
+        t0 = time.perf_counter()
+        cs.store_bytes(data[i:] + bytes([i]))
+        best = max(best, mb / (time.perf_counter() - t0))
+        cs.close()
+    out["e2e_mbps"] = round(best, 1)
+    if native.get_native() is not None:
+        t0 = time.perf_counter()
+        native.ingest_pipeline(data, 16 << 10, 64 << 10, 256 << 10,
+                               level=1, threads=1)
+        per_core = mb / (time.perf_counter() - t0)
+        out["pipeline_mbps_per_core"] = round(per_core, 1)
+        out["pipeline_gbps_at_4_cores"] = round(per_core * 4 / 1e3, 2)
+    return out
 
 
 def _profile_stages(jax, jnp, sketches, term_ids, term_mask, corpus_args, *,

@@ -212,7 +212,7 @@ class ContentStore:
                 timings["device_tier"] = 1.0
                 t = time.monotonic()
                 bytes_stored = bytes_deduped = 0
-                refs, chunk_refs = [], []
+                refs, chunk_refs, new_blocks = [], [], []
                 for digest, start, end in triples:
                     size = end - start
                     refs.append((digest, size))
@@ -223,10 +223,11 @@ class ContentStore:
                     if self.wal:
                         self.wal.append(OP_STORE_BLOCK, hash=digest,
                                         size=size)
-                    self.engine.store(digest, data[start:end], mime_type)
+                    new_blocks.append((digest, data[start:end]))
                     bytes_stored += size
                     if rep:
                         rep.report(end, "store")
+                self.engine.store_batch(new_blocks, mime_type)
                 timings["store"] = (time.monotonic() - t) * 1e3
                 return self._finish_store(
                     content_hash, data, refs, chunk_refs, bytes_stored,
@@ -244,6 +245,7 @@ class ContentStore:
             bytes_stored = bytes_deduped = 0
             refs = []
             chunk_refs = []
+            new_blocks = []
             for digest, start, end, blob in pipeline:
                 size = end - start
                 refs.append((digest, size))
@@ -261,10 +263,11 @@ class ContentStore:
                     ).pack() + blob
                 else:  # incompressible chunk: store raw
                     framed = data[start:end]
-                self.engine.inner.store(digest, framed)
+                new_blocks.append((digest, framed))
                 bytes_stored += size
                 if rep:
                     rep.report(end, "store")
+            self.engine.inner.store_batch(new_blocks)
             chunks = None
         else:
             chunks = self.chunker.chunk_bytes(data)
@@ -274,6 +277,7 @@ class ContentStore:
             bytes_deduped = 0
             refs = []
             chunk_refs = []
+            new_blocks = []
             for ch in chunks:
                 refs.append((ch.ref.hash, ch.ref.size))
                 chunk_refs.append(ch.ref)
@@ -283,10 +287,11 @@ class ContentStore:
                 if self.wal:
                     self.wal.append(OP_STORE_BLOCK, hash=ch.ref.hash,
                                     size=ch.ref.size)
-                self.engine.store(ch.ref.hash, ch.data, mime_type)
+                new_blocks.append((ch.ref.hash, ch.data))
                 bytes_stored += ch.ref.size
                 if rep:
                     rep.report(ch.ref.offset + ch.ref.size, "store")
+            self.engine.store_batch(new_blocks, mime_type)
         timings["store"] = (time.monotonic() - t) * 1e3
         return self._finish_store(
             content_hash, data, refs, chunk_refs, bytes_stored,

@@ -178,6 +178,18 @@ class CompressedStorageEngine:
             data = compress_block(data, decision.algorithm, decision.level)
         self.inner.store(h, data)
 
+    def store_batch(self, items: list[tuple[str, bytes]],
+                    mime_type: str = "") -> None:
+        """Policy-compress each block, then the raw batch write (threaded
+        fsync — see StorageEngine.store_batch)."""
+        framed = []
+        for h, data in items:
+            decision = self.policy.decide(len(data), mime_type)
+            if decision.compress:
+                data = compress_block(data, decision.algorithm, decision.level)
+            framed.append((h, data))
+        self.inner.store_batch(framed)
+
     def retrieve(self, h: str) -> bytes:
         raw = self.inner.retrieve(h)
         data = decompress_block(raw) if is_compressed_block(raw) else raw

@@ -401,8 +401,13 @@ class TestSearchEngine:
         ids = [repo.insert_document(DocumentInfo(
             file_path=f"/g{i}", file_name=f"g{i}", sha256_hash=str(i) * 64))
             for i in range(4)]
+        # lexical_arm pinned: all four docs tie exactly, and the graph
+        # boost's 1/sqrt(rank) prior freezes the device's arbitrary
+        # tie order — which shifts when the keyphrase arm adds a bigram
+        # term. The test asserts the COMMUNITY signal, not tie layout.
         eng = SearchEngine(
-            config=SearchEngineConfig(batch_pad=4, topology_policy="off"),
+            config=SearchEngineConfig(batch_pad=4, topology_policy="off",
+                                      lexical_arm="bm25"),
             embedding=EMB, vector=VEC, lexical=LEX, kg_store=kg)
         # identical text: fused scores tie; only the graph signal separates
         for d in ids:

@@ -73,7 +73,18 @@ class SimeonProvider:
         if getattr(self, "_eye", None) is None:
             self._eye = jnp.asarray(
                 np.eye(self.encoder.dim, dtype=np.float32), jnp.bfloat16)
-        return self.encode(texts), self._eye
+            # hot serving queries repeat every batch window; the per-query
+            # char-ngram sketch (~0.1 ms) is pure function of the text.
+            # Bounded FIFO — queries are immutable keys, entries never stale.
+            self._qvec_cache: dict[str, np.ndarray] = {}
+        cache = self._qvec_cache
+        missing = [t for t in texts if t not in cache]
+        if missing:
+            for t, v in zip(missing, self.encode(missing)):
+                if len(cache) >= 8192:
+                    cache.pop(next(iter(cache)))
+                cache[t] = v
+        return np.stack([cache[t] for t in texts]), self._eye
 
     def encode_tokens(self, text: str, max_tokens: int = 32) -> np.ndarray:
         """Per-token embeddings for the late-interaction tier: each token is

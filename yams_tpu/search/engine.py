@@ -1098,25 +1098,46 @@ class SearchEngine:
             )
             vi, si, bi, ci = vals_l[i], slots_l[i], bm_l[i], vec_l[i]
             results: list[SearchResult] = []
-            for j, v in enumerate(vi):
-                if v <= -1e29:
-                    break
-                slot = si[j]
-                if slot >= n_slots_used:
-                    continue
-                doc_id = doc_by_slot[slot]
-                kg_s = kg_scores.get(doc_id, 0.0)
-                results.append(
-                    SearchResult(
-                        doc_id=doc_id,
-                        score=v + kg_w * kg_s,
-                        text_score=bi[j],
-                        vector_score=ci[j],
-                        kg_score=kg_s,
-                        title=titles.get(doc_id, ""),
+            if kg_scores:
+                for j, v in enumerate(vi):
+                    if v <= -1e29:
+                        break
+                    slot = si[j]
+                    if slot >= n_slots_used:
+                        continue
+                    doc_id = doc_by_slot[slot]
+                    kg_s = kg_scores.get(doc_id, 0.0)
+                    results.append(
+                        SearchResult(
+                            doc_id=doc_id,
+                            score=v + kg_w * kg_s,
+                            text_score=bi[j],
+                            vector_score=ci[j],
+                            kg_score=kg_s,
+                            title=titles.get(doc_id, ""),
+                        )
                     )
-                )
-            results.sort(key=lambda r: -r.score)
+                results.sort(key=lambda r: -r.score)
+            else:
+                # serving glue: no KG evidence for this query — scores are
+                # untouched and the device emitted sorted columns, so skip
+                # the per-candidate kg lookup AND the no-op resort
+                for j, v in enumerate(vi):
+                    if v <= -1e29:
+                        break
+                    slot = si[j]
+                    if slot >= n_slots_used:
+                        continue
+                    doc_id = doc_by_slot[slot]
+                    results.append(
+                        SearchResult(
+                            doc_id=doc_id,
+                            score=v,
+                            text_score=bi[j],
+                            vector_score=ci[j],
+                            title=titles.get(doc_id, ""),
+                        )
+                    )
             if (self.kg and mode == "hybrid"
                     and self.config.graph_rerank_enabled):
                 self._graph_rerank(results)
@@ -1282,6 +1303,13 @@ class SearchEngine:
         if window < 2:
             return
         cand = results[:window]
+        # zero-signal early-out (serving glue): with no doc<->entity links
+        # and no query-matched entities, raw is all zeros — no boost can
+        # clear the gate and the fallback needs raw > 0, so the whole pass
+        # is a no-op resort. ~0.15 ms/query of window math skipped.
+        if (not self.kg.has_doc_entities()
+                and all(r.kg_score <= 0.0 for r in cand)):
+            return
         community = self._community_support([r.doc_id for r in cand])
         base_w = max(0.0, 1.0 - cfg.graph_community_weight)
         raw, anchors = [], []
@@ -1331,6 +1359,10 @@ class SearchEngine:
         queryEntityVectors :5504). ev_hits come pre-batched from
         _entity_vector_batch."""
         scores: dict[int, float] = {}
+        if not self.kg.has_doc_entities():
+            # nothing can map to a doc: skip the per-token alias lookups
+            # (8 sqlite round-trips per query of serving glue)
+            return scores
         for tok in tokenize(query)[:8]:
             for node in self.kg.resolve_alias(tok, limit=4):
                 for doc_id, conf in self.kg.documents_for_node(node, limit=20):

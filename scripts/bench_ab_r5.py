@@ -1,0 +1,72 @@
+"""Round-5 headline A/B: triage the r4 QPS regression (VERDICT r4 #1).
+
+Runs bench.py as a subprocess across the two suspects' settings at the
+bench shape, annotating each run with the tunnel-health preamble bench.py
+now embeds, so code effects are separable from environment drift:
+
+  - BENCH_SELW in {0, 64, 128}  (wide-then-slice selection width —
+    r4 shipped 128 untested at the 1M shape)
+  - leg adaptivity on/off via BENCH_LEG_AB=1 (bench.py's weight vector)
+
+Usage: python scripts/bench_ab_r5.py [--small]
+Writes one JSON line per config to stdout and a summary table to stderr.
+Run this in a HEALTHY tunnel window (h2d >= 0.5 GB/s); in a degraded
+window the numbers measure the tunnel, not the code.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_one(env_over: dict) -> dict | None:
+    env = dict(os.environ)
+    env.update({k: str(v) for k, v in env_over.items()})
+    p = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py")],
+        capture_output=True, text=True, timeout=1800, env=env, cwd=ROOT)
+    line = None
+    for ln in p.stdout.splitlines():
+        ln = ln.strip()
+        if ln.startswith("{") and '"metric"' in ln:
+            line = ln
+    if line is None:
+        print(p.stdout[-2000:], p.stderr[-2000:], file=sys.stderr)
+        return None
+    return json.loads(line)
+
+
+def main() -> None:
+    small = "--small" in sys.argv
+    base = {"BENCH_SMALL": 1} if small else {}
+    configs = [
+        ("selw=0", {**base, "BENCH_SELW": 0}),
+        ("selw=64", {**base, "BENCH_SELW": 64}),
+        ("selw=128", {**base, "BENCH_SELW": 128}),
+    ]
+    rows = []
+    for name, env in configs:
+        out = run_one(env)
+        if out is None:
+            continue
+        out["ab_config"] = name
+        print(json.dumps(out), flush=True)
+        rows.append((name, out))
+    print(f"{'config':>10} {'QPS':>10} {'recall10':>9} {'rec_full':>9} "
+          f"{'h2d':>6} {'rtt':>7}", file=sys.stderr)
+    for name, out in rows:
+        t = out.get("tunnel", {})
+        print(f"{name:>10} {out['value']:>10.0f} "
+              f"{out.get('recall10', 0):>9.4f} "
+              f"{out.get('recall10_full', 0):>9.4f} "
+              f"{t.get('h2d_gbps', 0):>6.2f} {t.get('rtt_ms', 0):>6.1f}ms",
+              file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -102,6 +102,11 @@ class SearchEngineConfig:
     # query-side term vector — the compiled device program is shared.
     lexical_arm: str = "auto"
 
+    # weight applied to PMI-mined bigram-concept KG matches in the host KG
+    # leg (reference concept_weight=0.5, simeon_lexical_backend.h:144).
+    # Concepts enter the KG via `repair --ops concepts`.
+    concept_weight: float = 0.5
+
     # Narrow gather-scan fast path: when the topology policy is narrow and
     # the batch is at most this many queries, the vector leg gathers ONLY
     # the routed clusters' rows ((B,R,D) gather + batched dot) instead of

@@ -1363,10 +1363,23 @@ class SearchEngine:
             # nothing can map to a doc: skip the per-token alias lookups
             # (8 sqlite round-trips per query of serving glue)
             return scores
-        for tok in tokenize(query)[:8]:
+        toks = tokenize(query)[:8]
+        for tok in toks:
             for node in self.kg.resolve_alias(tok, limit=4):
                 for doc_id, conf in self.kg.documents_for_node(node, limit=20):
                     scores[doc_id] = max(scores.get(doc_id, 0.0), conf)
+        # bigram-concept aliases (reference: concept_mining_enabled +
+        # concept_weight=0.5, simeon_lexical_backend.h:140-150): PMI-mined
+        # concepts are KG nodes aliased by their surface phrase, so a query
+        # containing the phrase scores its linked docs at half weight
+        cw = getattr(self.config, "concept_weight", 0.5)
+        if cw > 0:
+            for a, b in zip(toks, toks[1:]):
+                for node in self.kg.resolve_alias(f"{a} {b}", limit=2):
+                    for doc_id, conf in self.kg.documents_for_node(
+                            node, limit=20):
+                        scores[doc_id] = max(scores.get(doc_id, 0.0),
+                                             cw * conf)
         ev_scale = (self.config.entity_vector_weight
                     / max(self.config.kg_weight, 1e-6))
         for node, sim in ev_hits:

@@ -21,7 +21,7 @@ class RepairService:
     OPS = (
         "stuck_documents", "orphans", "mime", "downloads", "path_tree",
         "dedupe", "chunks", "block_references", "graph", "fts5", "embeddings",
-        "topology", "compression", "optimize",
+        "topology", "compression", "concepts", "optimize",
     )
 
     def __init__(self, app):
@@ -231,6 +231,37 @@ class RepairService:
         return (f"{rep.scanned} scanned, {len(rep.corrupt)} corrupt, "
                 f"{out.quarantined} quarantined, {len(out.repaired)} "
                 f"repaired, {len(out.unrepairable)} unrepairable")
+
+    def repair_concepts(self) -> str:
+        """PMI bigram-concept mining -> KG (reference:
+        simeon_lexical_backend.h:140-150 concept mining + entity callback):
+        high-PMI adjacent word pairs become `concept:` nodes aliased by
+        their surface phrase and linked to every doc containing them, so
+        the host KG leg scores query concepts against documents.
+        Idempotent: each concept's doc links are replaced, not appended."""
+        eng = self.app.search_engine
+        concepts = eng.lexical_index.mine_concepts()
+        if not concepts:
+            return "0 concepts"
+        kg = self.app.kg
+        doc_by_slot = eng._doc_by_slot
+        linked = 0
+        for a, b, pmi, df in concepts:
+            phrase = f"{a} {b}"
+            nid = kg.upsert_node(
+                f"concept:{phrase}", label=phrase, type_="concept",
+                properties={"pmi": round(pmi, 3), "df": df})
+            if nid not in kg.resolve_alias(phrase, limit=10):
+                kg.add_alias(nid, phrase, source="pmi")
+            conf = min(1.0, pmi / 8.0)
+            with self.app.db.lock, self.app.db.conn:
+                self.app.db.conn.execute(
+                    "DELETE FROM doc_entities WHERE node_id=?", (nid,))
+            for slot in eng.lexical_index.docs_with_bigram(a, b):
+                if slot < len(doc_by_slot) and doc_by_slot[slot] >= 0:
+                    kg.link_document(doc_by_slot[slot], nid, phrase, conf)
+                    linked += 1
+        return f"{len(concepts)} concepts, {linked} doc links"
 
     def repair_optimize(self) -> str:
         self.app.db.vacuum()

@@ -84,6 +84,19 @@ def main() -> None:
 
     from yams_tpu.search.fusion import hybrid_query
 
+    # persistent XLA compile cache (same dir AppContext uses): the fused
+    # program compiles once per shape per machine — in a degraded tunnel
+    # window the compile upload dominates the whole bench otherwise
+    try:
+        from yams_tpu.core.config import default_data_dir
+
+        cache_dir = default_data_dir() / "jit_cache"
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     tunnel = _tunnel_health(jax, jnp)
     if tunnel["degraded"]:
         print(json.dumps({"event": "tunnel_degraded", **tunnel}))

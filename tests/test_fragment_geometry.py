@@ -1,0 +1,69 @@
+"""Fragment-geometry rerank arm (reference: simeon_lexical_backend.h:121-138
+fragment vectors from top doc sentences, scored against the query — an
+opt-in experiment surface there and here)."""
+
+import numpy as np
+
+from yams_tpu.index.fragment_index import FragmentIndex, top_sentences
+from yams_tpu.search.engine import SearchEngine
+
+
+class TestTopSentences:
+    def test_picks_informative_in_doc_order(self):
+        text = ("Short. "
+                "The storage engine shards blocks across directories with "
+                "atomic rename semantics. "
+                "Yes. "
+                "Reference counting reclaims unreferenced blocks during "
+                "garbage collection sweeps. ")
+        out = top_sentences(text, n=2)
+        assert len(out) == 2
+        assert out[0].startswith("The storage engine")
+        assert out[1].startswith("Reference counting")
+
+    def test_empty_and_tiny(self):
+        assert top_sentences("") == []
+        assert top_sentences("hi. ok. no.") == []
+
+
+class TestFragmentIndex:
+    def test_set_doc_text_roundtrip(self):
+        class P:
+            dim = 8
+
+            def encode(self, texts):
+                v = np.zeros((len(texts), 8), np.float32)
+                for i, t in enumerate(texts):
+                    v[i, len(t) % 8] = 1.0
+                return v
+
+        fi = FragmentIndex(dim=8, max_tokens=4)
+        n = fi.set_doc_text(
+            0, "The quick brown fox jumps over the lazy sleeping dog. "
+               "Another informative sentence about storage engines here.",
+            P())
+        assert n == 2
+        toks, mask = fi.gather(np.array([[0]]))
+        assert float(np.asarray(mask).sum()) == 2.0
+
+
+class TestEngineArm:
+    def test_fragment_rerank_promotes_sentence_match(self):
+        eng = SearchEngine()
+        eng.enable_fragment_geometry()
+        eng.add_document(
+            0, "Unrelated opener about cooking pasta tonight. "
+               "The merkle tree diff detects renamed files quickly.")
+        eng.add_document(1, "merkle appears once amid packet router fabric "
+                            "text with merkle again for lexical mass.")
+        eng.add_document(2, "totally unrelated basil salad recipe notes.")
+        res = eng.search("merkle tree diff renamed files", k=3)
+        assert res[0].doc_id == 0
+        assert "fragment_geometry_ms" in eng.last_trace["stages"]
+
+    def test_off_by_default(self):
+        eng = SearchEngine()
+        assert eng.fragment_index is None
+        eng.add_document(0, "plain doc with no fragment tier")
+        eng.search("plain doc", k=1)
+        assert "fragment_geometry_ms" not in eng.last_trace["stages"]

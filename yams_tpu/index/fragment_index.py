@@ -1,0 +1,56 @@
+"""Fragment-geometry store: per-document SENTENCE embeddings for rerank.
+
+Parity: the reference's fragment-geometry reranking arm
+(include/yams/search/simeon_lexical_backend.h:121-138 — fragment vectors
+built from each doc's top sentences + signature terms, scored against the
+query; OFF by default there because the corpus-PMI PHSS arm lost to plain
+SAB — the same opt-in default applies here via
+SearchEngine.enable_fragment_geometry()).
+
+TPU design: a fragment is just a coarser token — the (slots, F, D)
+sentence-embedding array has the exact shape contract of the ColBERT
+tier's TokenIndex, so storage, device gather, and the MaxSim kernel
+(ops/maxsim.py) are all REUSED; only sentence selection is new. Top
+sentences are chosen by informativeness (distinct-token count, bounded
+length), mirroring fragment_build_top_sentences=6.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from .token_index import TokenIndex
+
+_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+|\n{2,}|\n(?=[#*\-])")
+
+
+def top_sentences(text: str, n: int = 6, max_chars: int = 400) -> list[str]:
+    """The doc's n most informative sentences (distinct-token count, long
+    runs truncated), in document order — lead bias preserved on ties."""
+    cands = []
+    for i, s in enumerate(_SENT_SPLIT.split(text)):
+        s = s.strip()[:max_chars]
+        if len(s) < 16:
+            continue
+        distinct = len({w for w in s.lower().split() if len(w) > 2})
+        if distinct >= 3:
+            cands.append((distinct, -i, s))
+    cands.sort(reverse=True)
+    keep = sorted(cands[:n], key=lambda t: -t[1])  # back to doc order
+    return [s for _d, _i, s in keep]
+
+
+class FragmentIndex(TokenIndex):
+    """TokenIndex whose rows are sentence embeddings."""
+
+    def set_doc_text(self, slot: int, text: str, provider,
+                     n_sentences: int = 6) -> int:
+        sents = top_sentences(text, n=min(n_sentences, self.max_tokens))
+        if not sents:
+            self.remove_doc(slot)
+            return 0
+        vecs = provider.encode(sents)
+        self.set_doc(slot, vecs)
+        return len(sents)

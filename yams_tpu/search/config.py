@@ -107,6 +107,11 @@ class SearchEngineConfig:
     # Concepts enter the KG via `repair --ops concepts`.
     concept_weight: float = 0.5
 
+    # fragment-geometry rerank arm (reference fragment_geometry_enabled —
+    # OFF by default there and here; enable_fragment_geometry() arms it)
+    fragment_top_sentences: int = 6
+    fragment_geometry_weight: float = 0.3
+
     # Narrow gather-scan fast path: when the topology policy is narrow and
     # the batch is at most this many queries, the vector leg gathers ONLY
     # the routed clusters' rows ((B,R,D) gather + batched dot) instead of

@@ -114,6 +114,7 @@ class SearchEngine:
         self.topology_tuner = None  # TopologyTuner, opt-in (engine-selection MAB)
         self.tuner = None          # SearchTuner, opt-in
         self.token_index = None    # TokenIndex, opt-in (ColBERT rerank tier)
+        self.fragment_index = None  # FragmentIndex, opt-in (fragment geometry)
         self.cross_reranker = None  # optional callable(query, [SearchResult]) -> list
         self.last_trace: dict | None = None
         # doc identity: external doc_id <-> dense slot
@@ -192,6 +193,11 @@ class SearchEngine:
                 (title + " " + content) if title else content,
                 max_tokens=self.config.late_interaction_max_tokens,
             ))
+        if self.fragment_index is not None:
+            self.fragment_index.set_doc_text(
+                slot, (title + " " + content) if title else content,
+                self.provider,
+                n_sentences=self.config.fragment_top_sentences)
         self._stats["documents"] = len(self._slot_by_doc)
         return len(texts)
 
@@ -237,6 +243,13 @@ class SearchEngine:
                     (title + " " + content) if title else content,
                     max_tokens=self.config.late_interaction_max_tokens,
                 ))
+        if self.fragment_index is not None:
+            for doc_id, content, title in docs:
+                self.fragment_index.set_doc_text(
+                    self._slot_by_doc[doc_id],
+                    (title + " " + content) if title else content,
+                    self.provider,
+                    n_sentences=self.config.fragment_top_sentences)
         self._stats["documents"] = len(self._slot_by_doc)
         return counts
 
@@ -251,6 +264,19 @@ class SearchEngine:
             max_tokens=self.config.late_interaction_max_tokens,
         )
 
+    def enable_fragment_geometry(self) -> None:
+        """Turn on the fragment-geometry rerank arm (reference:
+        simeon_lexical_backend.h:121-138 — OFF by default there too; the
+        corpus-PMI PHSS arm lost to plain SAB in the reference's own
+        holdouts, so this is an opt-in experiment surface). Existing docs
+        must be re-added to populate sentence embeddings."""
+        from ..index.fragment_index import FragmentIndex
+
+        self.fragment_index = FragmentIndex(
+            dim=self.provider.dim,
+            max_tokens=self.config.fragment_top_sentences,
+        )
+
     def remove_document(self, doc_id: int) -> bool:
         with self._lock:
             slot = self._slot_by_doc.get(doc_id)
@@ -260,6 +286,8 @@ class SearchEngine:
         self.lexical_index.remove_document(slot)
         if self.token_index is not None:
             self.token_index.remove_doc(slot)
+        if self.fragment_index is not None:
+            self.fragment_index.remove_doc(slot)
         self._titles.pop(doc_id, None)
         return True
 
@@ -1041,6 +1069,33 @@ class SearchEngine:
             vec_at = np.take_along_axis(vec_at, order, axis=1)
             trace["stages"]["late_interaction_ms"] = \
                 (time.monotonic() - t_li) * 1e3
+        # fragment-geometry rerank arm: MaxSim over candidates' SENTENCE
+        # embeddings (coarser fragments, same kernel), blended like the
+        # ColBERT tier (reference fragment geometry, opt-in)
+        if (self.fragment_index is not None and mode == "hybrid"
+                and self.fragment_index.doc_count > 0):
+            t_fg = time.monotonic()
+            from ..ops.maxsim import maxsim_scores
+
+            qv = np.zeros((B_real, 1, self.provider.dim), np.float32)
+            qv[:, 0, :] = self.provider.encode(list(queries[:B_real]))
+            qm1 = np.ones((B_real, 1), np.float32)
+            cand_fr, fr_mask = self.fragment_index.gather(jnp.asarray(slots))
+            fg = np.asarray(maxsim_scores(
+                jnp.asarray(qv), jnp.asarray(qm1), cand_fr, fr_mask))
+            live = vals > -1e29
+            blended = np.where(
+                live,
+                vals + self.config.fragment_geometry_weight
+                * np.clip(fg, -1, 1),
+                vals)
+            order = np.argsort(-blended, axis=1, kind="stable")
+            vals = np.take_along_axis(blended, order, axis=1)
+            slots = np.take_along_axis(slots, order, axis=1)
+            bm_at = np.take_along_axis(bm_at, order, axis=1)
+            vec_at = np.take_along_axis(vec_at, order, axis=1)
+            trace["stages"]["fragment_geometry_ms"] = \
+                (time.monotonic() - t_fg) * 1e3
         if profile_dir:
             import jax
 

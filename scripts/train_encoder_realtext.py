@@ -34,7 +34,11 @@ import numpy as np
 from yams_tpu.embed.hf_encoder import WordPieceTokenizer, bert_forward
 from yams_tpu.embed.simeon import tokenize
 
-DIM, LAYERS, HEADS, INTERMEDIATE, MAX_LEN = 128, 2, 4, 256, 128
+DIM = int(os.environ.get("ENC_DIM", 128))
+LAYERS = int(os.environ.get("ENC_LAYERS", 2))
+HEADS = int(os.environ.get("ENC_HEADS", 4))
+INTERMEDIATE = int(os.environ.get("ENC_FFN", 2 * DIM))
+MAX_LEN = 128
 SUFFIX_PIECES = ["##s", "##ed", "##ing", "##ion", "##er", "##es", "##ly"]
 VOCAB_CAP = 24_000
 QT, DT = 16, 128

@@ -12,12 +12,12 @@ comparable granularity to scifact's whole-document relevance is the
 FILE level (rank-order dedup of chunk->file); chunk-level numbers are
 reported to benchtrack as the stricter secondary signal.
 
-Encoder: embed/checkpoints/realtext_bert_d128.npz — trained by
+Encoder: embed/checkpoints/realtext_bert_d192.npz — trained by
 scripts/train_encoder_realtext.py with ICT pseudo-queries (spans/keywords/
 camel identifiers); the eval's heading/symbol queries are never trained on.
 
-Measured r5 (docs/RESULTS.md):
-    hybrid+hf  file-level  MRR 0.636  nDCG 0.679  recall@10 0.818
+Measured r5 (docs/RESULTS.md; d192/3-layer, 4000 ICT steps):
+    hybrid+hf  file-level  MRR 0.643  nDCG 0.687  recall@10 0.825
     reference  scifact     MRR 0.613  nDCG 0.634  recall@10 0.713
 """
 
@@ -34,7 +34,7 @@ from tests.benchmarks import realtext
 from yams_tpu.utils.benchtrack import BenchmarkTracker
 
 CKPT = (pathlib.Path(__file__).parents[1] / "yams_tpu" / "embed"
-        / "checkpoints" / "realtext_bert_d128.npz")
+        / "checkpoints" / "realtext_bert_d192.npz")
 BASELINE = (pathlib.Path(__file__).parent / "benchmarks" / "baseline"
             / "retrieval_beir_scale.baseline.json")
 

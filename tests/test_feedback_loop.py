@@ -1,0 +1,88 @@
+"""The tuner reward pipeline end-to-end (reference: search_tuner.cpp —
+rewards come from clicks/explicit relevance; bandit per corpus profile).
+
+Round 5 found record_feedback() unreachable from every interface: the
+bandit could select arms but never learn. This pins the three feedback
+surfaces — the daemon `feedback` request, the MCP `feedback` tool, and the
+implicit session-pin signal — plus AppContext's tuner wiring + state
+persistence.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from test_services import small_config
+
+from yams_tpu.services.app import AppContext
+
+
+@pytest.fixture()
+def app(tmp_path):
+    cfg = small_config(tmp_path / "data")
+    cfg.search.tuner_enabled = True
+    a = AppContext(cfg)
+    a.documents.add_bytes(b"raft consensus voting protocol", "r.txt")
+    a.documents.add_bytes(b"storage compaction details", "s.txt")
+    yield a
+    a.close()
+
+
+class TestTunerWiring:
+    def test_appcontext_arms_tuner_and_persists_state(self, app, tmp_path):
+        eng = app.search_engine
+        assert eng.tuner is not None
+        assert app.search.search("raft consensus", limit=2).hits
+        assert "tuner_arm" in eng.last_trace
+        eng.record_feedback(1, relevant=True)
+        assert (app.config.data_dir / "tuner.json").exists()
+        snap = eng.tuner.snapshot()
+        assert any(
+            arm["pulls"] > 0
+            for stats in snap["stats"].values() for arm in stats)
+
+    def test_off_by_default(self, tmp_path):
+        a = AppContext(small_config(tmp_path / "d2"))
+        try:
+            assert a.search_engine.tuner is None
+        finally:
+            a.close()
+
+
+class TestFeedbackSurfaces:
+    def test_daemon_handler_by_hash_and_id(self, app):
+        from yams_tpu.daemon.server import YamsDaemon
+
+        d = YamsDaemon.__new__(YamsDaemon)
+        d.app = app
+        h = app.db.execute(
+            "SELECT sha256_hash, id FROM documents LIMIT 1").fetchone()
+        out = d.handle_feedback({"hash": h[0]})
+        assert out["ok"] and out["doc_id"] == h[1]
+        out = d.handle_feedback({"doc_id": h[1], "relevant": False})
+        assert out["ok"]
+        from yams_tpu.core.errors import NotFoundError
+
+        with pytest.raises(NotFoundError):
+            d.handle_feedback({"hash": "0" * 64})
+
+    def test_mcp_tool(self, app):
+        from yams_tpu.mcp.server import MCPServer
+
+        s = MCPServer.__new__(MCPServer)
+        s.app = app
+        row = app.db.execute("SELECT id FROM documents LIMIT 1").fetchone()
+        out = s.t_feedback({"doc_id": row[0]})
+        assert out["ok"]
+        with pytest.raises(ValueError):
+            s.t_feedback({})
+
+    def test_session_pin_feeds_bandit(self, app):
+        before = sum(
+            arm[0] for stats in app.search_engine.tuner._stats.values()
+            for arm in stats)
+        app.sessions.pin("*r.txt")
+        after = sum(
+            arm[0] for stats in app.search_engine.tuner._stats.values()
+            for arm in stats)
+        assert after > before

@@ -701,6 +701,25 @@ class YamsDaemon:
                 "dim": int(vecs.shape[1]) if len(vecs) else 0,
                 "model": self.app.config.embedding.profile}
 
+    def handle_feedback(self, req):
+        """Relevance feedback (reference: SearchTuner reward pipeline,
+        search_tuner.cpp — rewards come from clicks/explicit relevance).
+        Accepts a doc id or content hash; rewards the bandit's last-pulled
+        arm for the corpus profile and bumps/decays the hotzone."""
+        doc_id = req.get("doc_id")
+        if doc_id is None and req.get("hash"):
+            row = self.app.db.execute(
+                "SELECT id FROM documents WHERE sha256_hash=?",
+                (req["hash"],)).fetchone()
+            if row is None:
+                from ..core.errors import NotFoundError
+
+                raise NotFoundError(f"no document {req['hash']}")
+            doc_id = int(row[0])
+        self.app.search_engine.record_feedback(
+            int(doc_id), relevant=bool(req.get("relevant", True)))
+        return {"ok": True, "doc_id": int(doc_id)}
+
     def handle_session(self, req):
         s = self.app.sessions
         op = req["op"]

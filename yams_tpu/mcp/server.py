@@ -174,6 +174,13 @@ class MCPServer:
             self.t_suggest_context,
         )
         self._register(
+            _tool("feedback",
+                  "Record relevance feedback for a document (rewards the "
+                  "search tuner's bandit and the hotzone)",
+                  {"hash": S, "doc_id": I, "relevant": B}, []),
+            self.t_feedback,
+        )
+        self._register(
             _tool("list_collections", "List known collections", {}),
             self.t_list_collections,
         )
@@ -413,6 +420,21 @@ class MCPServer:
     def t_suggest_context(self, a):
         return {"context": self.app.search.suggest_context(
             a["query"], limit=a.get("limit", 5), max_chars=a.get("max_chars", 4000))}
+
+    def t_feedback(self, a):
+        doc_id = a.get("doc_id")
+        if doc_id is None and a.get("hash"):
+            row = self.app.db.execute(
+                "SELECT id FROM documents WHERE sha256_hash=?",
+                (a["hash"],)).fetchone()
+            if row is None:
+                raise ValueError(f"no document {a['hash']}")
+            doc_id = int(row[0])
+        if doc_id is None:
+            raise ValueError("feedback needs doc_id or hash")
+        self.app.search_engine.record_feedback(
+            int(doc_id), relevant=bool(a.get("relevant", True)))
+        return {"ok": True, "doc_id": int(doc_id)}
 
     def t_download(self, a):
         return _asdict(self.app.downloads.download(

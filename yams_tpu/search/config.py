@@ -107,6 +107,14 @@ class SearchEngineConfig:
     # Concepts enter the KG via `repair --ops concepts`.
     concept_weight: float = 0.5
 
+    # SearchTuner bandit (reference: search_tuner.cpp per-corpus-profile
+    # MAB). Off by default: UCB1 explores every arm once per profile before
+    # settling, which perturbs ranking until feedback accumulates — an
+    # operator decision, not a surprise. State persists at
+    # <data_dir>/tuner.json; feedback arrives via the daemon/MCP `feedback`
+    # surface and implicit session pins.
+    tuner_enabled: bool = False
+
     # fragment-geometry rerank arm (reference fragment_geometry_enabled —
     # OFF by default there and here; enable_fragment_geometry() arms it)
     fragment_top_sentences: int = 6

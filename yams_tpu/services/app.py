@@ -89,6 +89,12 @@ class AppContext:
             self.search_engine.provider.space_id,
         )
         self._lock = threading.RLock()
+        scfg = getattr(self.config, "search", None)
+        if scfg is not None and getattr(scfg, "tuner_enabled", False):
+            from ..search.tuner import SearchTuner
+
+            self.search_engine.tuner = SearchTuner(
+                state_path=self.config.data_dir / "tuner.json")
         self._load_indexes()
 
         # multi-chip serving: arm the sharded tier when the host exposes a

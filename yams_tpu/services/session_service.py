@@ -31,6 +31,14 @@ class SessionService:
         if pattern not in pinned:
             pinned.append(pattern)
         self.app.metadata.upsert_session(name, pinned, meta)
+        # implicit relevance signal (reference: the tuner's reward pipeline):
+        # pinning docs into a working session is the strongest click analog.
+        # Bounded: at most 16 matched docs feed the bandit/hotzone per pin.
+        try:
+            for doc_id in list(self.pinned_doc_ids(name))[:16]:
+                self.app.search_engine.record_feedback(doc_id, relevant=True)
+        except Exception:
+            pass  # feedback is advisory; pinning must never fail on it
 
     def unpin(self, pattern: str, session: str | None = None) -> None:
         name = session or self._current or "default"

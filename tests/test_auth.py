@@ -1,0 +1,118 @@
+"""`yams auth` — real implementation of the surface the reference stubs
+(src/cli/commands/auth_command.cpp:95-139 prints 'Phase 2 - Not yet
+implemented' for every subcommand)."""
+
+import time
+
+import pytest
+
+from yams_tpu.cli.auth import AuthStore
+
+
+class TestKeys:
+    def test_keygen_list_revoke_ed25519(self, tmp_path):
+        st = AuthStore(tmp_path)
+        out = st.keygen("ed25519", name="k1")
+        assert out["key_id"] == "k1"
+        assert (tmp_path / "keys" / "k1.pem").exists()
+        assert (tmp_path / "keys" / "k1.pub").exists()
+        keys = st.list_keys()
+        assert keys[0]["key_id"] == "k1" and not keys[0]["revoked"]
+        assert st.revoke("k1")
+        assert st.list_keys()[0]["revoked"]
+        assert not st.revoke("nope")
+
+    def test_keygen_hmac_and_duplicate_refused(self, tmp_path):
+        st = AuthStore(tmp_path)
+        st.keygen("hmac", name="h1")
+        with pytest.raises(ValueError):
+            st.keygen("hmac", name="h1")
+        with pytest.raises(ValueError):
+            st.keygen("rsa4096", name="x")
+
+
+class TestJwt:
+    @pytest.mark.parametrize("ktype", ["ed25519", "hmac"])
+    def test_token_roundtrip(self, tmp_path, ktype):
+        st = AuthStore(tmp_path)
+        st.keygen(ktype, name="signer")
+        tok = st.token("signer", {"sub": "alice"}, validity_s=60)
+        payload = st.verify_token(tok)
+        assert payload["sub"] == "alice" and payload["kid"] == "signer"
+
+    def test_tampered_token_rejected(self, tmp_path):
+        st = AuthStore(tmp_path)
+        st.keygen("ed25519", name="s")
+        tok = st.token("s", {"sub": "a"})
+        h, p, sig = tok.split(".")
+        import base64
+        import json
+
+        pl = json.loads(base64.urlsafe_b64decode(p + "=="))
+        pl["sub"] = "mallory"
+        p2 = base64.urlsafe_b64encode(
+            json.dumps(pl).encode()).rstrip(b"=").decode()
+        with pytest.raises(ValueError):
+            st.verify_token(f"{h}.{p2}.{sig}")
+
+    def test_expired_and_revoked_rejected(self, tmp_path):
+        st = AuthStore(tmp_path)
+        st.keygen("hmac", name="s")
+        tok = st.token("s", validity_s=-1)
+        with pytest.raises(ValueError, match="expired"):
+            st.verify_token(tok)
+        tok2 = st.token("s", validity_s=60)
+        st.revoke("s")
+        with pytest.raises(ValueError, match="revoked"):
+            st.verify_token(tok2)
+
+
+class TestApiKeys:
+    def test_api_key_shown_once_stored_hashed(self, tmp_path):
+        st = AuthStore(tmp_path)
+        out = st.api_key("ci-bot", permissions="read")
+        raw = out["api_key"]
+        assert raw.startswith("yams_")
+        meta = (tmp_path / "keys" / "keys.json").read_text()
+        assert raw not in meta  # only the hash is stored
+        got = st.verify_api_key(raw)
+        assert got["name"] == "ci-bot" and got["permissions"] == "read"
+        st.revoke(out["key_id"])
+        with pytest.raises(ValueError, match="revoked"):
+            st.verify_api_key(raw)
+
+    def test_unknown_key_rejected(self, tmp_path):
+        st = AuthStore(tmp_path)
+        with pytest.raises(ValueError, match="unknown"):
+            st.verify_api_key("yams_nope")
+
+    def test_expiry(self, tmp_path):
+        import datetime
+
+        st = AuthStore(tmp_path)
+        past = datetime.datetime.fromtimestamp(time.time() - 10).isoformat()
+        out = st.api_key("old", expires=past)
+        with pytest.raises(ValueError, match="expired"):
+            st.verify_api_key(out["api_key"])
+
+
+class TestCli:
+    def test_cli_auth_flow(self, tmp_path):
+        import subprocess
+        import sys
+
+        env = {"PATH": "/usr/bin:/bin", "HOME": str(tmp_path)}
+
+        def run(*args):
+            return subprocess.run(
+                [sys.executable, "-m", "yams_tpu.cli.main",
+                 "--storage", str(tmp_path / "data"), "auth", *args],
+                capture_output=True, text=True, cwd="/root/repo")
+
+        out = run("keygen", "--name", "k")
+        assert out.returncode == 0, out.stderr
+        out = run("token", "k", "--claims", '{"sub":"x"}')
+        assert out.returncode == 0, out.stderr
+        tok = out.stdout.split("token:", 1)[1].strip()
+        out = run("verify", tok)
+        assert out.returncode == 0 and "'sub': 'x'" in out.stdout

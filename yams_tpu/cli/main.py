@@ -846,7 +846,7 @@ def cmd_serve(cli: Cli):
 
 def cmd_completion(cli: Cli):
     shell = cli.args.shell
-    cmds = "add get cat list delete update search grep status stats graph session tree diff snapshots repair doctor config model daemon serve init completion"
+    cmds = "add get cat list delete update search grep status stats graph session tree diff snapshots repair doctor auth config model daemon serve init completion"
     if shell == "bash":
         print(f'complete -W "{cmds}" yams')
     elif shell == "zsh":
@@ -1080,6 +1080,30 @@ def build_parser() -> argparse.ArgumentParser:
     ).set_defaults(fn=cmd_tune)
 
     sub.add_parser("config", help="show effective config").set_defaults(fn=cmd_config)
+
+    from .auth import cmd_auth
+
+    sp = sub.add_parser(
+        "auth", help="signing keys, API keys, JWT tokens "
+        "(the reference registers this surface but stubs it)")
+    asub = sp.add_subparsers(dest="auth_op", required=True)
+    k = asub.add_parser("keygen", help="generate a signing key")
+    k.add_argument("--type", default="ed25519", choices=["ed25519", "hmac"])
+    k.add_argument("--name", default="", help="key id (default: generated)")
+    asub.add_parser("list-keys", help="list keys + API keys")
+    r = asub.add_parser("revoke", help="revoke a key or API key")
+    r.add_argument("key_id")
+    t = asub.add_parser("token", help="mint a JWT (EdDSA or HS256)")
+    t.add_argument("key_id")
+    t.add_argument("--claims", default="", help="extra claims as JSON")
+    t.add_argument("--validity", type=int, default=3600, help="seconds")
+    ak = asub.add_parser("api-key", help="generate an API key (shown once)")
+    ak.add_argument("--name", required=True)
+    ak.add_argument("--permissions", default="read,write")
+    ak.add_argument("--expires", default="never", help="ISO 8601 or 'never'")
+    v = asub.add_parser("verify", help="verify a JWT or API key")
+    v.add_argument("token")
+    sp.set_defaults(fn=cmd_auth)
     sp = sub.add_parser("model", help="embedding models")
     sp.add_argument("model_cmd", nargs="?", default="list",
                     choices=["list", "download"])

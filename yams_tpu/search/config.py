@@ -88,12 +88,20 @@ class SearchEngineConfig:
     # wide-then-slice approximate vector selection: approx_max_k is called
     # with max(rrf_candidates, approx_sel_width) columns and the top
     # rrf_candidates are taken by slice (sorted output). approx_max_k's
-    # misses are near-ties sharing a reduction bin with a stronger doc —
-    # the common case on clustered corpora — and the wider call recovers
-    # them at a fraction of the cost of raising recall_target (the
-    # reduction's first pass over N dominates and is width-independent).
-    # 0 disables. See fusion.hybrid_query and docs/RESULTS.md.
-    approx_sel_width: int = 128
+    # misses are near-ties sharing a reduction bin with a stronger doc,
+    # and the wider call recovers them — but its cost is NOT
+    # width-independent at production shapes: the per-block partial top-W
+    # work scales with W. Measured A/B at 1M x 768, B=1024 (r5, degraded
+    # tunnel — QPS is tunnel-robust, scripts/bench_ab_r5.py):
+    #   selw=0:   57,547 QPS  recall@10 0.9990 / full 0.9990
+    #   selw=64:  47,382 QPS  0.9996
+    #   selw=128: 32,694 QPS  0.9998   <- the r4 default; IS the r4
+    #                                      35.8k "regression"
+    # +0.0008 recall for -43% QPS is the wrong default; the "<2% cost"
+    # that shipped 128 was measured at the 16k small shape where the
+    # first pass dominates. 0 disables (default); raise it only for
+    # small/mid corpora or recall-critical serving.
+    approx_sel_width: int = 0
 
     # lexical strategy arm (SimeonLexicalBackend analog): "auto" routes per
     # query among bm25 / sab_smooth / keyphrase / lead_field via

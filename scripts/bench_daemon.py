@@ -195,6 +195,12 @@ def main() -> None:
             # one fused-program shape: every batch pads to max_batch, so the
             # first warmup search compiles the only executable the sweep uses
             "YAMS_SEARCH_BATCH_PAD": str(max_batch),
+            # stable cross-run compile cache: the storage dir is a tempdir,
+            # so without this every bench run recompiles the fused program —
+            # fatal in degraded-tunnel windows (the r5 attempt's warmup
+            # exceeded 600 s on the compile upload alone)
+            "YAMS_TPU_JIT_CACHE": os.path.expanduser(
+                "~/.local/share/yams_tpu/jit_cache"),
         })
         log = open(tdp / "daemon.log", "wb")
         # BD_PROFILE=/path.prof runs the daemon under cProfile; the dump is
@@ -230,8 +236,12 @@ def main() -> None:
             rep = seed.add_path(str(corpus), recursive=True)
             ing_dt = time.perf_counter() - t_ing
             queries = [" ".join(rng.choice(WORDS, size=3)) for _ in range(64)]
-            seed.search(queries[0])          # compile warmup (B=64 pad)
-            seed.search(queries[1], path_glob="*.txt")  # 2-D-mask warmup
+            # warmups get an 1800 s budget: a cold compile through a
+            # degraded tunnel can exceed the default 600 s
+            seed.call("search", timeout=1800.0,
+                      query=queries[0])      # compile warmup (B=64 pad)
+            seed.call("search", timeout=1800.0,
+                      query=queries[1], path_glob="*.txt")  # 2-D-mask warmup
             # mixed-batch warmup: a batch containing BOTH filtered and
             # unfiltered requests uses the dedup'd-mask executable — warm it
             # here or the first sweep level pays the compile mid-traffic

@@ -169,7 +169,9 @@ class AppContext:
 
             import jax
 
-            cache_dir = default_data_dir() / "jit_cache"
+            cache_dir = pathlib.Path(
+                os.environ.get("YAMS_TPU_JIT_CACHE")
+                or default_data_dir() / "jit_cache")
             cache_dir.mkdir(parents=True, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", str(cache_dir))
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

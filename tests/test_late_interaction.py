@@ -120,3 +120,43 @@ class TestEngineLateInteraction:
         eng.add_document(0, "some document body")
         eng.search("document", k=2)
         assert "late_interaction_ms" not in eng.last_trace["stages"]
+
+
+class TestHFContextualTokens:
+    """The hf provider's ColBERT granularity: CONTEXTUAL per-token states
+    from one transformer pass (reference: the ONNX plugin's ColBERT
+    session), not independent per-token sketches."""
+
+    def test_contextual_tokens_shape_and_norm(self):
+        import numpy as np
+
+        from yams_tpu.embed.provider import create_provider
+
+        p = create_provider("hf")
+        tv = p.encode_tokens("the merkle tree diff detects renamed files")
+        assert tv.ndim == 2 and tv.shape[1] == p.dim and len(tv) >= 5
+        assert np.allclose(np.linalg.norm(tv, axis=1), 1.0, atol=1e-3)
+
+    def test_context_changes_token_embedding(self):
+        """The same surface token embeds differently in different contexts —
+        the property Simeon's independent sketches cannot have."""
+        from yams_tpu.embed.provider import create_provider
+
+        p = create_provider("hf")
+        a = p.encode_tokens("storage engine block")
+        b = p.encode_tokens("search engine ranking")
+        sim = float(a[1] @ b[1])  # 'engine' is position 1 in both
+        assert sim < 0.999  # contextual: not bit-identical
+
+    def test_colbert_tier_with_hf_provider(self):
+        from yams_tpu.embed.provider import create_provider
+        from yams_tpu.search.engine import SearchEngine
+
+        p = create_provider("hf")
+        eng = SearchEngine(provider=p)
+        eng.enable_late_interaction()
+        eng.add_document(0, "the merkle tree diff detects renamed files")
+        eng.add_document(1, "packet routing fabric forwards frames")
+        res = eng.search("merkle tree diff", k=2)
+        assert res and res[0].doc_id == 0
+        assert "late_interaction_ms" in eng.last_trace["stages"]

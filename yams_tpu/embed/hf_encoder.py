@@ -87,11 +87,15 @@ class WordPieceTokenizer:
 
 
 def bert_forward(P: dict, ids, attn, *, num_layers: int, num_heads: int,
-                 compute_dtype: str = "float32"):
+                 compute_dtype: str = "float32", per_token: bool = False):
     """The BERT-exact functional forward: params dict -> pooled L2 vectors.
 
     Pure in P so it serves both inference (HFBertEncoder) and training
     (scripts/train_encoder.py differentiates through it with optax).
+    per_token=True returns the L2-normed per-position hidden states
+    (B, T, D) instead of the pooled vector — the ColBERT late-interaction
+    granularity (reference: the ONNX plugin's ColBERT session emits
+    contextual token embeddings the same way).
     """
     import jax
     import jax.numpy as jnp
@@ -135,6 +139,10 @@ def bert_forward(P: dict, ids, attn, *, num_layers: int, num_heads: int,
         h = (h.astype(cdt) @ P[f"{pre}/mlp/fc2/kernel"].astype(cdt)
              + P[f"{pre}/mlp/fc2/bias"].astype(cdt))
         x = ln(x + h, P[f"{pre}/mlp_ln/scale"], P[f"{pre}/mlp_ln/bias"])
+    if per_token:
+        tok = x.astype(jnp.float32)
+        return tok / jnp.maximum(
+            jnp.linalg.norm(tok, axis=-1, keepdims=True), 1e-9)
     w = attn[:, :, None]
     pooled = jnp.sum(x * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1e-9)
     return pooled / jnp.maximum(
@@ -189,6 +197,8 @@ class HFBertEncoder:
             bert_forward, num_layers=self.num_layers,
             num_heads=self.num_heads, compute_dtype=self.compute_dtype)
         self._apply = jax.jit(lambda ids, attn: fwd(P, ids, attn))
+        self._apply_tok = jax.jit(
+            lambda ids, attn: fwd(P, ids, attn, per_token=True))
 
     @staticmethod
     def _bucket(n: int) -> int:
@@ -215,3 +225,20 @@ class HFBertEncoder:
             return np.zeros((0, self.dim), np.float32)
         return self.encode_ids(
             [self.tokenizer.encode(t, self.max_len) for t in texts])
+
+    def encode_tokens(self, text: str, max_tokens: int = 32) -> np.ndarray:
+        """CONTEXTUAL per-token embeddings from one forward pass — the
+        ColBERT granularity (reference: the ONNX plugin's ColBERT session).
+        Returns (n, D) L2-normed rows for the first max_tokens non-pad
+        positions."""
+        self._build()
+        row = self.tokenizer.encode(text, min(max_tokens, self.max_len))
+        if not row:
+            return np.zeros((0, self.dim), np.float32)
+        T = self._bucket(len(row))
+        ids = np.full((1, T), self.tokenizer.pad_id, np.int32)
+        attn = np.zeros((1, T), np.float32)
+        ids[0, : len(row)] = row
+        attn[0, : len(row)] = 1.0
+        out = np.asarray(self._apply_tok(ids, attn), np.float32)
+        return out[0, : len(row)]

@@ -185,8 +185,11 @@ class HFProvider:
         from .hf_encoder import HFBertEncoder
 
         if not checkpoint:
+            # default to the TRAINED real-text checkpoint (beats the
+            # reference's published scifact hybrid, docs/RESULTS.md); the
+            # synthetic one remains for the conversion-parity tests
             checkpoint = str(pathlib.Path(__file__).parent / "checkpoints"
-                             / "synthetic_bert_d128.npz")
+                             / "realtext_bert_d192.npz")
         self.encoder = HFBertEncoder(checkpoint, compute_dtype=compute_dtype)
 
     @property
@@ -199,6 +202,12 @@ class HFProvider:
 
     def encode(self, texts: list[str]) -> np.ndarray:
         return self.encoder.encode(texts)
+
+    def encode_tokens(self, text: str, max_tokens: int = 32) -> np.ndarray:
+        """CONTEXTUAL per-token embeddings from the transformer's
+        per-position states (one forward pass) — true ColBERT granularity,
+        vs Simeon's independent per-token sketches."""
+        return self.encoder.encode_tokens(text, max_tokens=max_tokens)
 
     def query_device_inputs(self, texts: list[str]):
         import jax.numpy as jnp
